@@ -1,0 +1,206 @@
+"""N-ary hierarchical left-outer equi-join with nested-document assembly.
+
+This is the reference engine's entire query shape (SURVEY §0, §2 O13):
+for each root row, emit one nested document
+
+    {"Record": {<all fields>},
+     "Children": {"<child entity>": [<child docs, ordered by child PK>]}}
+
+with the exact semantics of reference ``Southpaw.java:326-358``:
+
+* parent-key value NULL  → the child entity key is *absent* from Children;
+* parent-key present, zero matches → *empty array*;
+* child docs ordered by child PK ascending (we declare numeric/lexicographic
+  PK order; the reference orders by stripped-big-endian byte encoding,
+  which coincides for same-byte-length keys — divergence documented in
+  SURVEY §1.6);
+* a missing/empty root row → the document is null (output tombstone).
+
+Spark-first design — instead of the reference's per-key index-nested-loop
+point lookups, the whole tree is one declarative DataFrame plan built
+bottom-up: each child level is
+
+    child.groupBy(join_key).agg(sort_array(collect_list(struct(pk, doc))))
+    parent.join(grouped, parent[parent_key] == grouped[join_key], "left")
+
+Catalyst then picks broadcast vs sort-merge per level and AQE splits skewed
+join keys at runtime. At scale the only mandatory shuffles are one
+hash-partition per tree level on the join key — the aggregation and the
+subsequent join share that partitioning, so Catalyst reuses the exchange.
+Small dimension entities are broadcast automatically (autoBroadcastJoinThreshold).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from southpaw_spark.relations import Relation
+
+#: name of the struct field carrying the row fields (reference output schema
+#: ``schema/denormalized_record.json:13-40``)
+RECORD_FIELD = "Record"
+CHILDREN_FIELD = "Children"
+_DOC = "__doc"
+
+
+def _build_node(
+    node: Relation,
+    states: Mapping[str, DataFrame],
+    keys: Mapping[str, Sequence[str]],
+) -> DataFrame:
+    """Post-order build: returns the node's state table with one extra
+    struct column ``__doc`` holding the fully-nested document."""
+    if node.entity not in states:
+        raise KeyError(f"no state DataFrame supplied for entity {node.entity!r}")
+    df = states[node.entity]
+    base_cols = list(df.columns)
+    # Record = all fields of the row, verbatim (reference Southpaw.java:418-426).
+    record = F.struct(*[F.col(c) for c in base_cols]).alias(RECORD_FIELD)
+
+    if not node.children:
+        return df.withColumn(_DOC, F.struct(record))
+
+    child_fields = []
+    for child in node.children:
+        child_df = _build_node(child, states, keys)
+        child_pks = list(keys[child.entity])
+        # Sort key first inside the struct => sort_array orders by child PK.
+        order_struct = F.struct(
+            *[F.col(k).alias(f"__k{i}") for i, k in enumerate(child_pks)],
+            F.col(_DOC).alias("__d"),
+        )
+        jk_alias = f"__jk__{child.entity}"
+        grouped = (
+            child_df.where(F.col(child.join_key).isNotNull())
+            .groupBy(F.col(child.join_key).alias(jk_alias))
+            .agg(F.sort_array(F.collect_list(order_struct)).alias(f"__arr__{child.entity}"))
+        )
+        df = df.join(
+            grouped, on=F.col(child.parent_key) == F.col(jk_alias), how="left"
+        ).drop(jk_alias)
+        # NULL parent key → field absent (null, dropped by to_json with
+        # ignoreNullFields); present key with no match → empty array.
+        docs = F.transform(F.col(f"__arr__{child.entity}"), lambda x: x["__d"])
+        child_fields.append(
+            F.when(F.col(child.parent_key).isNull(), F.lit(None))
+            .otherwise(F.coalesce(docs, F.array()))
+            .alias(child.entity)
+        )
+
+    children = F.struct(*child_fields).alias(CHILDREN_FIELD)
+    out = df.withColumn(_DOC, F.struct(record, children))
+    return out.drop(*[c for c in out.columns if c.startswith("__arr__")])
+
+
+def denormalize(
+    states: Mapping[str, DataFrame],
+    relation: Relation,
+    keys: Mapping[str, Sequence[str]],
+    doc_col: str = "doc",
+) -> DataFrame:
+    """Build the nested-document table for one relation tree.
+
+    Parameters
+    ----------
+    states: entity name → current-state DataFrame (post ``current_state``).
+    relation: validated relation tree (root).
+    keys: entity name → primary-key column list (used for child ordering
+        and the output key).
+
+    Returns a DataFrame with the root's PK columns plus ``doc_col`` — one
+    row per live root. Root tombstones are the caller's concern
+    (``denormalize_to_json`` unions them in).
+    """
+    built = _build_node(relation, states, keys)
+    root_pks = list(keys[relation.entity])
+    return built.select(*root_pks, F.col(_DOC).alias(doc_col))
+
+
+def denormalize_to_json(
+    states: Mapping[str, DataFrame],
+    relation: Relation,
+    keys: Mapping[str, Sequence[str]],
+    tombstoned_roots: DataFrame | None = None,
+) -> DataFrame:
+    """Nested docs serialized to canonical JSON strings, with null values
+    for tombstoned roots (reference output-topic contract, SURVEY §1.6).
+
+    ``ignoreNullFields`` drops null Children entries, producing the
+    reference's absent-key semantics in the serialized form.
+    """
+    docs = denormalize(states, relation, keys)
+    root_pks = list(keys[relation.entity])
+    out = docs.select(
+        *root_pks,
+        F.to_json(F.col("doc"), {"ignoreNullFields": "true"}).alias("value"),
+    )
+    if tombstoned_roots is not None:
+        nulls = tombstoned_roots.select(
+            *root_pks, F.lit(None).cast("string").alias("value")
+        )
+        out = out.unionByName(nulls)
+    return out
+
+
+def affected_root_keys(
+    states: Mapping[str, DataFrame],
+    relation: Relation,
+    entity: str,
+    changed_keys: DataFrame,
+    keys: Mapping[str, Sequence[str]],
+) -> DataFrame:
+    """Dirty-root propagation (reference ``Southpaw.java:563-594``, O11).
+
+    Given the set of changed join-key values for ``entity`` (the union of
+    old and new FK values of every delta row — FK repointing means the old
+    parent's document must also rebuild, reference ``index/Index.java:105-114``),
+    walk the relation tree upward and return the distinct root PKs whose
+    documents must be rebuilt.
+
+    ``changed_keys``: for the root entity, a DataFrame of root PK columns;
+    for a child entity, a single-column DataFrame named after the child's
+    ``join_key`` holding changed FK values.
+
+    Spark-first: the reverse indexes the reference maintains in RocksDB are
+    *derived* here by joining the delta up the tree per micro-batch —
+    each hop is one equi-join that Catalyst broadcasts when the delta is
+    small (the common case).
+    """
+    root_pks = list(keys[relation.entity])
+    if entity == relation.entity:
+        return changed_keys.select(*root_pks).distinct()
+
+    # Locate path root → … → entity.
+    def find_path(node: Relation, path: list[Relation]) -> list[Relation] | None:
+        path = path + [node]
+        if node.entity == entity:
+            return path
+        for child in node.children:
+            found = find_path(child, path)
+            if found:
+                return found
+        return None
+
+    path = find_path(relation, [])
+    if not path:
+        raise KeyError(f"entity {entity!r} not in tree {relation.denormalized_name!r}")
+
+    # Fold upward: child join-key values → parent rows → parent's own
+    # linkage value (its join_key if it is itself a child, else root PKs).
+    current = changed_keys
+    for i in range(len(path) - 1, 0, -1):
+        child, parent = path[i], path[i - 1]
+        jk_col = child.join_key
+        parent_df = states[parent.entity]
+        matched = parent_df.join(
+            F.broadcast(current.select(F.col(jk_col).alias("__dirty")).distinct()),
+            on=F.col(child.parent_key) == F.col("__dirty"),
+            how="inner",
+        )
+        if parent is relation:  # reached the root
+            return matched.select(*root_pks).distinct()
+        current = matched.select(F.col(parent.join_key).alias(parent.join_key))
+    raise AssertionError("unreachable")
