@@ -1,0 +1,231 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants are shuffle-native (shingle-join / hash-groupBy — never a
+cross product, never a driver-side loop), so they scale to 100 TB: the
+work is proportional to Σ|shingles| and to the candidate-pair count, and
+every stage is an equi-join/groupBy Catalyst can hash-partition.
+
+Hash choice: md5 — deterministic, engine-agnostic (DuckDB oracles
+reproduce signatures bit-for-bit), and uniformly distributed so min-hash
+statistics hold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, types as T
+from pyspark.sql import functions as F
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document → (id, shingle) rows.
+    Documents shorter than n words are dropped (no shingle evidence)."""
+    w = F.split(F.col(text_col), " ")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        )
+    )
+    return (
+        df.where(F.size(w) >= n)
+        .select(F.col(id_col), F.explode(sh).alias("shingle"))
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per duplicate group
+    with the canonical keeper (min id) and the full member list."""
+    return (
+        df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+
+    Candidate generation is a shingle equi-join (documents sharing zero
+    shingles never meet), then |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
+    At scale: the shingle join shuffles on the shingle hash; frequent
+    shingles are the skew risk — AQE skew-join handles moderate skew,
+    and callers can pre-filter stop-shingles for adversarial corpora.
+    """
+    sh = shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signatures: h_i(doc) = min over shingles of md5(i|shingle).
+    Lexicographic min over uniformly-distributed hex digests is a valid
+    min-hash family; md5 keeps it reproducible in any engine."""
+    sh = shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")).cast("binary"))).alias(
+            f"h{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash + LSH banding: docs agreeing on all hashes of any band are
+    candidate pairs. The band-bucket equi-join replaces the O(N²) compare;
+    at 100 TB each band shuffles on (band, bucket) and only true bucket
+    collisions are materialized."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_frames = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows + j}") for j in range(rows)]
+        parts = [cols[0]]
+        for c in cols[1:]:
+            parts.extend([F.lit("|"), c])
+        band_frames.append(
+            sigs.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat(*parts).cast("binary")).alias("bucket"),
+            )
+        )
+    all_bands = band_frames[0]
+    for bf in band_frames[1:]:
+        all_bands = all_bands.unionByName(bf)
+    a = all_bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b_ = all_bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b_, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash over word tokens: sign-sum of per-token hash bits.
+    Computed JVM-side with bit arithmetic on xxhash64 — no Python UDF."""
+    w = F.split(F.col(text_col), " ")
+    tok = df.select(F.col(id_col), F.explode(w).alias("tok"))
+    th = tok.withColumn("th", F.xxhash64("tok"))
+    # For each bit position, +1 if set else -1; majority vote per doc.
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    votes = th.groupBy(id_col).agg(*bit_cols)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") << i).otherwise(0)
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed by random-hyperplane
+    signs so only same-bucket pairs are compared (scale path; brute force
+    lives in operators.similarity)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    first = df.select(F.size(vec_col).alias("d")).first()
+    dim = first["d"]
+    planes = rng.standard_normal((n_planes, dim)).tolist()
+    v = F.col(vec_col)
+    sign_bits = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in planes[p]]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0
+        ).cast("int")
+        for p in range(n_planes)
+    ]
+    bucket = F.concat_ws("", *[sb.cast("string") for sb in sign_bits])
+    bucketed = df.select(F.col(id_col), v.alias("v"), bucket.alias("bucket"))
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket"
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x.cast("double") * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    cos = dot / (norm(F.col("va")) * norm(F.col("vb")))
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

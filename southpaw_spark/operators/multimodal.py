@@ -1,0 +1,87 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched mapInPandas.
+
+The Spark-side machinery (schemas, partitioning, batch iteration, UDF
+signatures) is real and tested; the actual media decode is stubbed
+behind ``NotImplementedError`` / a deterministic fake because the
+image/audio libraries are not in this container. Swapping the stub for
+PIL/torchaudio/ffmpeg is a localized change inside the pandas function —
+the distributed plan is unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def binary_metadata(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Extract byte length + content digest from an opaque binary column.
+
+    Arrow-batched mapInPandas: each partition streams pandas batches, so
+    per-row Python overhead is amortized and memory stays bounded by the
+    Arrow batch size regardless of blob sizes.
+    """
+    schema = f"{id_col} long, n_bytes long, content_md5 string"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = pdf[content_col]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": content.map(lambda b: len(b) if b is not None else 0),
+                    "content_md5": content.map(
+                        lambda b: hashlib.md5(b).hexdigest() if b is not None else None
+                    ),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(extract, schema)
+
+
+def decode_image_stub(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Image decode plumbing with a deterministic fake decoder.
+
+    Real deployment replaces ``fake_decode`` with PIL/turbojpeg; the
+    output schema (width/height/mode) and the mapInPandas batch shape are
+    what production code relies on and are exercised by tests.
+    """
+    schema = f"{id_col} long, width int, height int, mode string"
+
+    def fake_decode(b: bytes | None):
+        if b is None:
+            return None, None, None
+        # Deterministic fake: dimensions derived from the content digest.
+        h = hashlib.md5(b).digest()
+        return 16 + h[0] % 240, 16 + h[1] % 240, "RGB"
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [fake_decode(b) for b in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "mode": [d[2] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(decode, schema)
+
+
+def frame_sample_stub(
+    df: DataFrame, content_col: str, id_col: str, every_n: int = 30
+) -> DataFrame:
+    """Video frame-sampling plumbing (1 row in → N frame rows out,
+    demonstrating the fan-out batch shape). Decode is stubbed."""
+    raise NotImplementedError(
+        "video decode libraries unavailable in this environment; the "
+        "mapInPandas fan-out pattern is identical to decode_image_stub "
+        "with multiple output rows per input row"
+    )

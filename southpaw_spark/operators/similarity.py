@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline: a broadcast join of the
+query set against the corpus with JVM-side vector math (zip_with +
+aggregate — no Python in the hot path), then a per-query top-k window.
+At 100 TB the corpus side stays partitioned and is scanned once per
+query batch; the query side is broadcast (query sets are small by
+construction). The scale path is LSH bucketing (ivf_topk /
+dedup.embedding_near_duplicates) which prunes the candidate set before
+the same exact scoring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    ``queries`` must have columns (query_id, query_vec). Ties are broken
+    deterministically by (rounded cosine desc, neighbor id asc) so
+    results are engine-reproducible.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    joined = c.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+    cos = _dot(F.col("query_vec"), F.col("cv")) / (
+        _norm(F.col("query_vec")) * _norm(F.col("cv"))
+    )
+    scored = joined.select(
+        "query_id", "neighbor_id", cos.alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 8).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH buckets prune the corpus,
+    then exact cosine within the query's bucket (IVF-style single-probe).
+    Recall < 1 by design; the candidate join is an equi-join on bucket so
+    the cross product never materializes."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    planes = rng.standard_normal((n_planes, dim)).tolist()
+
+    def bucket_of(col):
+        bits = [
+            (
+                F.aggregate(
+                    F.zip_with(
+                        col,
+                        F.array(*[F.lit(float(x)) for x in p]),
+                        lambda a, b: a.cast("double") * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0
+            ).cast("int").cast("string")
+            for p in planes
+        ]
+        return F.concat_ws("", *bits)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        bucket_of(F.col(vec_col)).alias("bucket"),
+    )
+    q = queries.select(
+        "query_id", "query_vec", bucket_of(F.col("query_vec")).alias("bucket")
+    )
+    joined = c.join(F.broadcast(q), "bucket").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = _dot(F.col("query_vec"), F.col("cv")) / (
+        _norm(F.col("query_vec")) * _norm(F.col("cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 8).desc(), F.col("neighbor_id")
+    )
+    return (
+        joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,74 @@
+"""Text-analysis operators: token counting, quality scoring, language
+heuristics, fingerprinting. All pure Column expressions (JVM-side,
+whole-stage codegen) — no UDFs — so they run at scan speed on 100 TB.
+
+Determinism contract: tokenization is split-on-single-space and every
+ratio is rounded to 6 decimals, so DuckDB oracles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def with_token_count(df: DataFrame, text_col: str) -> DataFrame:
+    w = tokens(F.col(text_col))
+    return df.withColumn("n_tokens", F.size(w).cast("long"))
+
+
+def with_quality_score(df: DataFrame, text_col: str) -> DataFrame:
+    """Heuristic document quality: length saturation × stopword evidence.
+    Mirrors the usual web-corpus filters (length, mean token length,
+    stopword ratio) with an explicit, reproducible formula."""
+    w = tokens(F.col(text_col))
+    n = F.size(w).cast("long")
+    total_len = F.aggregate(
+        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    )
+    mean_len = F.round(total_len.cast("double") / n, 6)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    stop_ratio = F.round(n_stop.cast("double") / n, 6)
+    quality = F.round(
+        F.least(F.lit(1.0), n / F.lit(100.0)) * (F.lit(0.5) + F.lit(0.5) * stop_ratio),
+        6,
+    )
+    return (
+        df.withColumn("n_tokens", n)
+        .withColumn("mean_token_len", mean_len)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("quality_score", quality)
+    )
+
+
+def with_lang_guess(df: DataFrame, text_col: str) -> DataFrame:
+    """Marker-based language heuristic (the synthetic corpus carries no
+    real language signal; the operator demonstrates the classification
+    shape with an engine-reproducible rule)."""
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    guess = (
+        F.when(padded.like("% the %"), F.lit("en"))
+        .when(F.size(tokens(F.col(text_col))) < 5, F.lit("short"))
+        .otherwise(F.lit("other"))
+    )
+    return df.withColumn("lang_guess", guess)
+
+
+def with_fingerprint(df: DataFrame, text_col: str) -> DataFrame:
+    """Content fingerprint: hash of normalized prefix + exact length —
+    a cheap first-pass identity for dedup cascades."""
+    fp = F.md5(
+        F.concat(
+            F.lower(F.substring(F.col(text_col), 1, 64)),
+            F.lit("|"),
+            F.length(F.col(text_col)).cast("string"),
+        ).cast("binary")
+    )
+    return df.withColumn("fingerprint", fp)

@@ -33,6 +33,8 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # driver testdata events.parquet uses TIMESTAMP(NANOS); read as long
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # Nested-doc assembly benefits from compact shuffle records.
         .config("spark.sql.parquet.compression.codec", "snappy")

@@ -1,0 +1,790 @@
+"""Declared correctness queries (SURVEY §2.4) + beyond-reference operators.
+
+Each query exists twice: a Spark implementation (built on the package's
+operators) and an ANSI-SQL oracle DuckDB runs over the same parquet
+tables. The driver hash-compares the two at sf0.01 — column names and
+types are aligned on both sides (BIGINT counts, DOUBLE ratios, string
+dates) so value hashes can match.
+
+Cross-engine determinism rules used throughout:
+* only deterministic, engine-agnostic functions (md5, split-on-space,
+  integer/double arithmetic, row_number with full ORDER BY tie-breaks);
+* float aggregation only where the values are exactly representable
+  (TPC-H quantities are whole numbers) or explicitly rounded;
+* timestamps are formatted to strings before output.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from southpaw_spark.operators.cdc import (
+    FilterMode,
+    FilterRule,
+    as_changelog,
+    current_state,
+    latest_by_key,
+    tombstoned_keys,
+)
+from southpaw_spark.operators.denormalize import denormalize
+from southpaw_spark.relations import load_relations
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _events_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a CDC changelog from the events table: key=user_id,
+    seq=event_id, tombstone ⇔ event_type='error'. Purely deterministic so
+    the DuckDB oracle can re-derive it."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("seq"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+        (F.col("event_type") == "error").alias("is_tombstone"),
+    )
+
+
+_EVENTS_CHANGELOG_SQL = """
+    SELECT event_id AS seq, user_id, event_type, value,
+           (event_type = 'error') AS is_tombstone
+    FROM events
+"""
+
+# The canonical TPC-H denormalization tree (FIXTURES.md §2).
+ORDER_TREE_JSON = """[{
+  "DenormalizedName": "DenormalizedOrder", "Entity": "orders",
+  "Children": [
+    {"Entity": "customer", "JoinKey": "c_custkey", "ParentKey": "o_custkey"},
+    {"Entity": "lineitem", "JoinKey": "l_orderkey", "ParentKey": "o_orderkey",
+     "Children": [
+       {"Entity": "part", "JoinKey": "p_partkey", "ParentKey": "l_partkey"},
+       {"Entity": "supplier", "JoinKey": "s_suppkey", "ParentKey": "l_suppkey"}
+     ]}
+  ]}]"""
+
+# NOTE: the synthetic lineitem table has duplicate (l_orderkey,
+# l_linenumber) pairs (~20% of keys at sf0.01) though full rows are
+# distinct. Joins keep duplicates (SURVEY §2.2), so lineitem's identity
+# for doc assembly is the full row — making child ordering a total,
+# deterministic order and current_state a no-op dedup.
+LINEITEM_ALL = [
+    "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate",
+]
+
+ORDER_TREE_KEYS = {
+    "orders": ["o_orderkey"],
+    "customer": ["c_custkey"],
+    "lineitem": LINEITEM_ALL,
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+}
+
+
+def build_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested DenormalizedOrder documents over the TPC-H tables."""
+    rel = load_relations(ORDER_TREE_JSON)[0]
+    states = {
+        e: current_state(as_changelog(_read(spark, sf_dir, e)), ks)
+        for e, ks in ORDER_TREE_KEYS.items()
+    }
+    return denormalize(states, rel, ORDER_TREE_KEYS)
+
+
+# ---------------------------------------------------------------------------
+# Q01–Q12: reference-semantics queries (SURVEY §2.4)
+
+
+def q01_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 upsert: current state of the events changelog."""
+    log = _events_changelog(spark, sf_dir)
+    return current_state(log, ["user_id"]).select(
+        "user_id", "event_type", "value"
+    )
+
+
+Q01_SQL = f"""
+    WITH log AS ({_EVENTS_CHANGELOG_SQL}),
+    latest AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+      FROM log)
+    SELECT user_id, event_type, value FROM latest
+    WHERE rn = 1 AND NOT is_tombstone
+"""
+
+
+def q02_tombstoned_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6: keys whose latest event is a tombstone."""
+    log = _events_changelog(spark, sf_dir)
+    return tombstoned_keys(log, ["user_id"])
+
+
+Q02_SQL = f"""
+    WITH log AS ({_EVENTS_CHANGELOG_SQL}),
+    latest AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+      FROM log)
+    SELECT user_id FROM latest WHERE rn = 1 AND is_tombstone
+"""
+
+
+def q03_left_join_n1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O13 N:1 left join; missing parent keeps the row."""
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_str"),
+            "c_name",
+            "c_mktsegment",
+        )
+    )
+
+
+Q03_SQL = """
+    SELECT o.o_orderkey, o.o_totalprice,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate_str,
+           c.c_name, c.c_mktsegment
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def q04_nested_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O13 1:N join nested as an ordered array (§1.6 child ordering)."""
+    orders = _read(spark, sf_dir, "orders")
+    lineitem = _read(spark, sf_dir, "lineitem")
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("l_orderkey").alias("n_items"),
+            F.sort_array(F.collect_list("l_linenumber")).alias("item_pks"),
+        )
+    )
+
+
+Q04_SQL = """
+    SELECT o.o_orderkey,
+           COUNT(l.l_orderkey) AS n_items,
+           COALESCE(LIST(l.l_linenumber ORDER BY l.l_linenumber)
+                    FILTER (WHERE l.l_linenumber IS NOT NULL), []) AS item_pks
+    FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey
+"""
+
+
+def q05_three_level_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O13 root→link→leaf chain (M:N via link entity)."""
+    orders = _read(spark, sf_dir, "orders")
+    lineitem = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    supplier = _read(spark, sf_dir, "supplier")
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey, "left")
+        .join(part, part.p_partkey == lineitem.l_partkey, "left")
+        .join(supplier, supplier.s_suppkey == lineitem.l_suppkey, "left")
+        .select("o_orderkey", "l_linenumber", "p_name", "s_name")
+    )
+
+
+Q05_SQL = """
+    SELECT o.o_orderkey, l.l_linenumber, p.p_name, s.s_name
+    FROM orders o
+    LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    LEFT JOIN part p ON p.p_partkey = l.l_partkey
+    LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+"""
+
+
+def q06_fk_repointing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8/O11 FK repointing: a child's FK moves; recompute-from-latest
+    shows the child only under the new parent. Changelog synthesized
+    deterministically from lineitem (linenumber=1 rows; orders divisible
+    by 3 get a second event repointing l_partkey)."""
+    li = _read(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    part = _read(spark, sf_dir, "part")
+    ev1 = li.select(
+        F.lit(1).cast("long").alias("seq"),
+        "l_orderkey",
+        F.col("l_partkey").alias("partkey"),
+        F.lit(False).alias("is_tombstone"),
+    )
+    ev2 = li.where(F.col("l_orderkey") % 3 == 0).select(
+        F.lit(2).cast("long").alias("seq"),
+        "l_orderkey",
+        ((F.col("l_partkey") % 200) + 1).alias("partkey"),
+        F.lit(False).alias("is_tombstone"),
+    )
+    state = current_state(ev1.unionByName(ev2), ["l_orderkey"])
+    return state.join(part, state.partkey == part.p_partkey, "left").select(
+        "l_orderkey", "p_partkey", "p_name"
+    )
+
+
+Q06_SQL = """
+    WITH log AS (
+      SELECT 1::BIGINT AS seq, l_orderkey, l_partkey AS partkey
+      FROM lineitem WHERE l_linenumber = 1
+      UNION ALL
+      SELECT 2::BIGINT AS seq, l_orderkey, (l_partkey % 200) + 1 AS partkey
+      FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 3 = 0),
+    latest AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY seq DESC) rn
+      FROM log)
+    SELECT s.l_orderkey, p.p_partkey, p.p_name
+    FROM latest s LEFT JOIN part p ON s.partkey = p.p_partkey
+    WHERE s.rn = 1
+"""
+
+
+def q07_filter_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 filter DELETE: rows matching a predicate become tombstones
+    (rule: o_orderstatus = 'F')."""
+    log = as_changelog(_read(spark, sf_dir, "orders"))
+    rules = [FilterRule(F.expr("o_orderstatus = 'F'"), FilterMode.DELETE)]
+    return current_state(log, ["o_orderkey"], rules=rules).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+Q07_SQL = """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE NOT (o_orderstatus = 'F')
+"""
+
+
+def q08_filter_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 filter SKIP: skipped events never touch state — an older event
+    stays current (rule: event_type = 'click')."""
+    log = _events_changelog(spark, sf_dir)
+    rules = [FilterRule(F.expr("event_type = 'click'"), FilterMode.SKIP)]
+    return current_state(log, ["user_id"], rules=rules).select(
+        "user_id", "event_type", "value"
+    )
+
+
+Q08_SQL = f"""
+    WITH log AS ({_EVENTS_CHANGELOG_SQL}),
+    kept AS (SELECT * FROM log WHERE NOT (event_type = 'click')),
+    latest AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq DESC) rn
+      FROM kept)
+    SELECT user_id, event_type, value FROM latest
+    WHERE rn = 1 AND NOT is_tombstone
+"""
+
+
+def q09_absent_vs_empty_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.6 absent-vs-empty: NULL parent key → child entity key absent;
+    key present with zero matches → empty. NULL FKs synthesized
+    (orderkeys divisible by 10 get NULL custkey)."""
+    orders = _read(spark, sf_dir, "orders").withColumn(
+        "custkey_n",
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(None)).otherwise(
+            F.col("o_custkey")
+        ),
+    )
+    customer = _read(spark, sf_dir, "customer")
+    joined = orders.join(
+        customer, orders.custkey_n == customer.c_custkey, "left"
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.max(F.col("custkey_n").isNotNull()).alias("children_key_present"),
+        F.count("c_custkey").alias("n_customer_children"),
+    )
+
+
+Q09_SQL = """
+    WITH o AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_custkey END AS custkey_n
+      FROM orders)
+    SELECT o.o_orderkey,
+           MAX(o.custkey_n IS NOT NULL) AS children_key_present,
+           COUNT(c.c_custkey) AS n_customer_children
+    FROM o LEFT JOIN customer c ON o.custkey_n = c.c_custkey
+    GROUP BY o.o_orderkey
+"""
+
+
+def q10_empty_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.6: parents with zero matching children (→ empty array docs)."""
+    orders = _read(spark, sf_dir, "orders")
+    lineitem = _read(spark, sf_dir, "lineitem")
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("n"))
+        .where(F.col("n") == 0)
+        .select("o_orderkey")
+    )
+
+
+Q10_SQL = """
+    SELECT o.o_orderkey
+    FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey HAVING COUNT(l.l_orderkey) = 0
+"""
+
+
+def q11_root_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16/§1.6: root PKs whose latest event is a tombstone emit null
+    documents. Changelog synthesized from orders (orderkeys divisible by
+    97 get a tombstone event)."""
+    orders = _read(spark, sf_dir, "orders")
+    ev1 = orders.select(
+        F.lit(1).cast("long").alias("seq"),
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(False).alias("is_tombstone"),
+    )
+    ev2 = orders.where(F.col("o_orderkey") % 97 == 0).select(
+        F.lit(2).cast("long").alias("seq"),
+        "o_orderkey",
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(True).alias("is_tombstone"),
+    )
+    return tombstoned_keys(ev1.unionByName(ev2), ["o_orderkey"])
+
+
+Q11_SQL = """
+    SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0
+"""
+
+
+def q12_composite_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.4 composite-PK upsert: two events per (l_orderkey, l_linenumber)
+    for orderkeys divisible by 7; the update (quantity + 100) wins.
+
+    The raw table has duplicate composite keys, so the changelog base is
+    deduped first with a fully-deterministic tie-break."""
+    li = _read(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+        F.col("l_quantity").desc(),
+        F.col("l_extendedprice").desc(),
+        F.col("l_partkey").desc(),
+        F.col("l_suppkey").desc(),
+        F.col("l_discount").desc(),
+        F.col("l_tax").desc(),
+    )
+    li = li.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+    ev1 = li.select(
+        F.lit(1).cast("long").alias("seq"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.lit(False).alias("is_tombstone"),
+    )
+    ev2 = li.where(F.col("l_orderkey") % 7 == 0).select(
+        F.lit(2).cast("long").alias("seq"),
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity") + 100).alias("l_quantity"),
+        F.lit(False).alias("is_tombstone"),
+    )
+    return current_state(
+        ev1.unionByName(ev2), ["l_orderkey", "l_linenumber"]
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+Q12_SQL = """
+    WITH base AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber
+        ORDER BY l_quantity DESC, l_extendedprice DESC, l_partkey DESC,
+                 l_suppkey DESC, l_discount DESC, l_tax DESC) AS rn
+      FROM lineitem),
+    dedup AS (SELECT * FROM base WHERE rn = 1),
+    log AS (
+      SELECT 1::BIGINT seq, l_orderkey, l_linenumber, l_quantity FROM dedup
+      UNION ALL
+      SELECT 2::BIGINT, l_orderkey, l_linenumber, l_quantity + 100
+      FROM dedup WHERE l_orderkey % 7 = 0),
+    latest AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber
+                                   ORDER BY seq DESC) rn FROM log)
+    SELECT l_orderkey, l_linenumber, l_quantity FROM latest WHERE rn = 1
+"""
+
+
+def q13_denormalized_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O13+O14 flagship: full nested DenormalizedOrder documents. The
+    nested struct itself is not SQL-expressible for the hash compare, so
+    this query is registered rows-only; q14 value-checks its content."""
+    docs = build_order_docs(spark, sf_dir)
+    return docs.select(
+        "o_orderkey",
+        F.to_json(F.col("doc"), {"ignoreNullFields": "true"}).alias("value"),
+    )
+
+
+def q14_doc_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checks the nested documents of q13 through SQL-expressible
+    projections: counts, membership and an exact-arithmetic sum read out
+    of the assembled doc (quantities are whole numbers → exact doubles)."""
+    docs = build_order_docs(spark, sf_dir)
+    li = F.col("doc.Children.lineitem")
+    return docs.select(
+        "o_orderkey",
+        F.size(li).cast("long").alias("n_lineitems"),
+        F.element_at(F.col("doc.Children.customer"), 1)["Record"]["c_name"].alias(
+            "customer_name"
+        ),
+        F.aggregate(
+            li, F.lit(0.0), lambda acc, x: acc + x["Record"]["l_quantity"]
+        ).alias("total_qty"),
+        F.transform(li, lambda x: x["Record"]["l_linenumber"]).alias("line_pks"),
+    )
+
+
+Q14_SQL = """
+    SELECT o.o_orderkey,
+           COUNT(l.l_orderkey) AS n_lineitems,
+           MAX(c.c_name) AS customer_name,
+           COALESCE(SUM(l.l_quantity), 0.0) AS total_qty,
+           COALESCE(LIST(l.l_linenumber ORDER BY l.l_linenumber)
+                    FILTER (WHERE l.l_linenumber IS NOT NULL), []) AS line_pks
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: dedup / similarity / text (SURVEY §7.5)
+
+
+def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: duplicate groups with canonical keeper.
+    The corpus has no exact duplicates, so a deterministic copy of every
+    50th document is unioned in to exercise the operator."""
+    from southpaw_spark.operators.dedup import exact_duplicates
+
+    docs = _read(spark, sf_dir, "documents")
+    copies = docs.where(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return exact_duplicates(docs.unionByName(copies), "text", "doc_id")
+
+
+D01_SQL = """
+    WITH corpus AS (
+      SELECT * FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 50 = 0)
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies,
+           LIST(doc_id ORDER BY doc_id) AS doc_ids
+    FROM corpus
+    GROUP BY md5(text) HAVING COUNT(*) > 1
+"""
+
+
+def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard similarity (shingle join —
+    shuffle-native, no cross product)."""
+    from southpaw_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.2
+    )
+
+
+D02_SQL = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(w) - 2),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+      FROM toks WHERE len(w) >= 3),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    sized AS (SELECT doc_id, len(shingles) AS n_sh FROM sh)
+    SELECT i.id_a, i.id_b,
+           ROUND(i.n_inter::DOUBLE / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sized sa ON sa.doc_id = i.id_a
+    JOIN sized sb ON sb.doc_id = i.id_b
+    WHERE i.n_inter::DOUBLE / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.2
+"""
+
+
+def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding candidate pairs (md5-based hashes so the
+    oracle reproduces them bit-for-bit)."""
+    from southpaw_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        _read(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        n=3,
+        num_hashes=8,
+        bands=4,
+    )
+
+
+def _d03_sql() -> str:
+    # one minhash per (perm i): min over shingles of md5(i || '|' || shingle)
+    minhash_cols = ",\n           ".join(
+        f"MIN(md5('{i}|' || s)) AS h{i}" for i in range(8)
+    )
+    band_rows = len(range(8)) // 4  # 2 hashes per band
+    bands = []
+    for b in range(4):
+        cols = " || '|' || ".join(f"h{b * band_rows + j}" for j in range(band_rows))
+        bands.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sigs")
+    bands_sql = "\n      UNION ALL\n      ".join(bands)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(w) - 2),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS s
+      FROM toks WHERE len(w) >= 3),
+    sigs AS (
+      SELECT doc_id, {minhash_cols}
+      FROM sh GROUP BY doc_id),
+    bands AS (
+      {bands_sql})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+D03_SQL = _d03_sql()
+
+
+def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embedding column (query set =
+    vec_id < 10). Baseline for ANN variants."""
+    from southpaw_spark.operators.similarity import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk(emb, queries, "embedding", "vec_id", k=5)
+
+
+S01_SQL = """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    sims AS (
+      SELECT q.query_id, c.vec_id,
+             list_sum(list_transform(range(1, 65),
+               i -> q.qv[i] * c.cv[i]))
+             / (sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])))
+                * sqrt(list_sum(list_transform(range(1, 65), i -> c.cv[i] * c.cv[i]))))
+             AS cosine
+      FROM q CROSS JOIN c WHERE q.query_id <> c.vec_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY ROUND(cosine, 8) DESC, vec_id) AS rk
+      FROM sims)
+    SELECT query_id, vec_id AS neighbor_id, rk AS rank,
+           ROUND(cosine, 6) AS cosine
+    FROM ranked WHERE rk <= 5
+"""
+
+
+def t01_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from southpaw_spark.operators.text import with_token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_token_count(docs, "text").select("doc_id", "n_tokens", "n_chars")
+
+
+T01_SQL = """
+    SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens, n_chars
+    FROM documents
+"""
+
+
+def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from southpaw_spark.operators.text import with_quality_score
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_quality_score(docs, "text").select(
+        "doc_id", "n_tokens", "mean_token_len", "stopword_ratio", "quality_score"
+    )
+
+
+T02_SQL = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(w)::BIGINT AS n_tokens,
+             ROUND(list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w), 6)
+               AS mean_token_len,
+             ROUND(len(list_filter(w, x ->
+               x IN ('the','a','of','and','to','in','is','it')))::DOUBLE / len(w), 6)
+               AS stopword_ratio
+      FROM t)
+    SELECT doc_id, n_tokens, mean_token_len, stopword_ratio,
+           ROUND(LEAST(1.0, n_tokens / 100.0) * (0.5 + 0.5 * stopword_ratio), 6)
+             AS quality_score
+    FROM m
+"""
+
+
+def t03_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from southpaw_spark.operators.text import with_lang_guess
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_lang_guess(docs, "text").select("doc_id", "lang", "lang_guess")
+
+
+T03_SQL = """
+    SELECT doc_id, lang,
+           CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 'en'
+                WHEN len(string_split(text, ' ')) < 5 THEN 'short'
+                ELSE 'other' END AS lang_guess
+    FROM documents
+"""
+
+
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from southpaw_spark.operators.text import with_fingerprint
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_fingerprint(docs, "text").select("doc_id", "fingerprint")
+
+
+T04_SQL = """
+    SELECT doc_id, md5(lower(substr(text, 1, 64)) || '|' || len(text)) AS fingerprint
+    FROM documents
+"""
+
+
+def e01_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the events stream table (the batch
+    shape of the Structured Streaming windowed agg)."""
+    ev = _read(spark, sf_dir, "events")
+    # events.ts is TIMESTAMP(NANOS) parquet, surfaced as nanos-since-epoch
+    # long (nanosAsLong); convert to a real timestamp for windowing.
+    ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+E01_SQL = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+def m01_binary_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: treat content as an opaque binary column and
+    run Arrow-batched metadata extraction via mapInPandas."""
+    from southpaw_spark.operators.multimodal import binary_metadata
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
+    return binary_metadata(docs, "content", id_col="doc_id")
+
+
+M01_SQL = """
+    SELECT doc_id, octet_length(text::BLOB)::BIGINT AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_latest_by_key": q01_latest_by_key,
+    "q02_tombstoned_keys": q02_tombstoned_keys,
+    "q03_left_join_n1": q03_left_join_n1,
+    "q04_nested_children": q04_nested_children,
+    "q05_three_level_tree": q05_three_level_tree,
+    "q06_fk_repointing": q06_fk_repointing,
+    "q07_filter_delete": q07_filter_delete,
+    "q08_filter_skip": q08_filter_skip,
+    "q09_absent_vs_empty_children": q09_absent_vs_empty_children,
+    "q10_empty_children": q10_empty_children,
+    "q11_root_tombstones": q11_root_tombstones,
+    "q12_composite_pk": q12_composite_pk,
+    "q13_denormalized_order": q13_denormalized_order,
+    "q14_doc_projection": q14_doc_projection,
+    "d01_dedup_exact": d01_dedup_exact,
+    "d02_ngram_jaccard": d02_ngram_jaccard,
+    "d03_minhash_lsh": d03_minhash_lsh,
+    "s01_cosine_topk": s01_cosine_topk,
+    "t01_token_count": t01_token_count,
+    "t02_quality_score": t02_quality_score,
+    "t03_lang_guess": t03_lang_guess,
+    "t04_fingerprint": t04_fingerprint,
+    "e01_windowed_agg": e01_windowed_agg,
+    "m01_binary_passthrough": m01_binary_passthrough,
+}
+
+ORACLES: dict[str, str] = {
+    "q01_latest_by_key": Q01_SQL,
+    "q02_tombstoned_keys": Q02_SQL,
+    "q03_left_join_n1": Q03_SQL,
+    "q04_nested_children": Q04_SQL,
+    "q05_three_level_tree": Q05_SQL,
+    "q06_fk_repointing": Q06_SQL,
+    "q07_filter_delete": Q07_SQL,
+    "q08_filter_skip": Q08_SQL,
+    "q09_absent_vs_empty_children": Q09_SQL,
+    "q10_empty_children": Q10_SQL,
+    "q11_root_tombstones": Q11_SQL,
+    "q12_composite_pk": Q12_SQL,
+    # q13 intentionally absent: nested JSON docs, rows-only check (q14
+    # value-checks the same docs through SQL-expressible projections)
+    "q14_doc_projection": Q14_SQL,
+    "d01_dedup_exact": D01_SQL,
+    "d02_ngram_jaccard": D02_SQL,
+    "d03_minhash_lsh": D03_SQL,
+    "s01_cosine_topk": S01_SQL,
+    "t01_token_count": T01_SQL,
+    "t02_quality_score": T02_SQL,
+    "t03_lang_guess": T03_SQL,
+    "t04_fingerprint": T04_SQL,
+    "e01_windowed_agg": E01_SQL,
+    "m01_binary_passthrough": M01_SQL,
+}
