@@ -50,12 +50,23 @@ def _build_node(
     node: Relation,
     states: Mapping[str, DataFrame],
     keys: Mapping[str, Sequence[str]],
+    scope: DataFrame | None = None,
 ) -> DataFrame:
     """Post-order build: returns the node's state table with one extra
-    struct column ``__doc`` holding the fully-nested document."""
+    struct column ``__doc`` holding the fully-nested document.
+
+    ``scope`` (targeted incremental rebuild): for the root a DataFrame of
+    root PK values, for a child a single-column DataFrame of needed
+    join-key values. Each level is pruned with a broadcast semi-join
+    before building, so rebuilding K dirty roots scans K-proportional
+    data instead of the world — the Spark analog of the reference's
+    per-PK point rebuilds (``Southpaw.java:368-396``)."""
     if node.entity not in states:
         raise KeyError(f"no state DataFrame supplied for entity {node.entity!r}")
     df = states[node.entity]
+    if scope is not None:
+        on = list(scope.columns)
+        df = df.join(F.broadcast(scope.distinct()), on=on, how="left_semi")
     base_cols = list(df.columns)
     # Record = all fields of the row, verbatim (reference Southpaw.java:418-426).
     record = F.struct(*[F.col(c) for c in base_cols]).alias(RECORD_FIELD)
@@ -65,13 +76,29 @@ def _build_node(
 
     child_fields = []
     for child in node.children:
-        child_df = _build_node(child, states, keys)
+        child_scope = None
+        if scope is not None:
+            child_scope = df.where(F.col(child.parent_key).isNotNull()).select(
+                F.col(child.parent_key).alias(child.join_key)
+            )
+        child_df = _build_node(child, states, keys, scope=child_scope)
         child_pks = list(keys[child.entity])
-        # Sort key first inside the struct => sort_array orders by child PK.
-        order_struct = F.struct(
-            *[F.col(k).alias(f"__k{i}") for i, k in enumerate(child_pks)],
-            F.col(_DOC).alias("__d"),
-        )
+        child_cols = states[child.entity].columns
+        # sort_array on structs compares fields in order. When the PK
+        # columns are a prefix of the row columns (the overwhelmingly
+        # common layout) the doc struct itself — whose first field is
+        # Record with fields in row order — sorts identically to an
+        # explicit (pk…, doc) struct, because a unique PK prefix decides
+        # every comparison. Shuffling just the doc halves the aggregate
+        # payload for wide entities versus duplicating the keys.
+        keys_are_prefix = child_cols[: len(child_pks)] == child_pks
+        if keys_are_prefix:
+            order_struct = F.col(_DOC)
+        else:
+            order_struct = F.struct(
+                *[F.col(k).alias(f"__k{i}") for i, k in enumerate(child_pks)],
+                F.col(_DOC).alias("__d"),
+            )
         jk_alias = f"__jk__{child.entity}"
         grouped = (
             child_df.where(F.col(child.join_key).isNotNull())
@@ -83,7 +110,8 @@ def _build_node(
         ).drop(jk_alias)
         # NULL parent key → field absent (null, dropped by to_json with
         # ignoreNullFields); present key with no match → empty array.
-        docs = F.transform(F.col(f"__arr__{child.entity}"), lambda x: x["__d"])
+        arr = F.col(f"__arr__{child.entity}")
+        docs = arr if keys_are_prefix else F.transform(arr, lambda x: x["__d"])
         child_fields.append(
             F.when(F.col(child.parent_key).isNull(), F.lit(None))
             .otherwise(F.coalesce(docs, F.array()))
@@ -100,6 +128,7 @@ def denormalize(
     relation: Relation,
     keys: Mapping[str, Sequence[str]],
     doc_col: str = "doc",
+    root_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Build the nested-document table for one relation tree.
 
@@ -112,10 +141,12 @@ def denormalize(
 
     Returns a DataFrame with the root's PK columns plus ``doc_col`` — one
     row per live root. Root tombstones are the caller's concern
-    (``denormalize_to_json`` unions them in).
+    (``denormalize_to_json`` unions them in). ``root_keys`` restricts the
+    build to those roots (targeted incremental rebuild).
     """
-    built = _build_node(relation, states, keys)
     root_pks = list(keys[relation.entity])
+    scope = root_keys.select(*root_pks) if root_keys is not None else None
+    built = _build_node(relation, states, keys, scope=scope)
     return built.select(*root_pks, F.col(_DOC).alias(doc_col))
 
 

@@ -1,0 +1,16 @@
+"""Source connectors: Kafka CDC streams and file-based changelogs."""
+
+from southpaw_spark.sources.files import read_changelog_json, read_snapshot
+from southpaw_spark.sources.kafka import (
+    kafka_cdc_stream,
+    parse_cdc_json,
+    to_kafka_sink_frame,
+)
+
+__all__ = [
+    "kafka_cdc_stream",
+    "parse_cdc_json",
+    "read_changelog_json",
+    "read_snapshot",
+    "to_kafka_sink_frame",
+]

@@ -1,0 +1,102 @@
+"""Kafka CDC source/sink wiring (reference O1/O16, SURVEY §2.1).
+
+The reference consumes `(key bytes, value bytes)` CDC topics where the
+record key is the primary key and a null value is a tombstone
+(``README.md:13``); it produces the same shape on the output topic. In
+Spark that is exactly the built-in Kafka source/sink:
+
+* source: ``spark.readStream.format("kafka")`` — offsets, rebalancing
+  and restart come from the checkpoint, replacing the reference's
+  self-managed offset keyspaces (``topic/KafkaTopic.java:287-344``);
+* sink: a DataFrame with ``key``/``value`` binary columns written with
+  ``format("kafka")`` — null value = tombstone, matching the reference's
+  output contract (``topic/KafkaTopic.java:425-434``).
+
+No Kafka broker exists in the test environment, so these builders are
+exercised for plan construction only; the parse/sink-frame helpers are
+pure DataFrame transforms and are unit-tested against literal frames.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def kafka_cdc_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: Sequence[str],
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = 250_000,
+    options: Mapping[str, str] | None = None,
+) -> DataFrame:
+    """Raw CDC stream over one or more topics. ``maxOffsetsPerTrigger``
+    bounds micro-batch size — the backpressure role of the reference's
+    ``topic.lag.trigger``/``create.records.trigger`` knobs (SURVEY §4.2)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", ",".join(topics))
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def parse_cdc_json(
+    raw: DataFrame,
+    key_schema: T.StructType,
+    value_schema: T.StructType,
+    topic_to_entity: Mapping[str, str] | None = None,
+) -> DataFrame:
+    """Decode a Kafka CDC frame (key/value JSON) into changelog shape:
+    key fields + payload fields + ``seq`` (a total order per key derived
+    from partition/offset) + ``is_tombstone`` (null value bytes).
+
+    The reference's serde surface (O2/O3) maps to ``from_json`` here;
+    Avro topics swap in ``from_avro`` with an identical frame shape.
+    """
+    out = raw.select(
+        F.col("topic"),
+        F.from_json(F.col("key").cast("string"), key_schema).alias("k"),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
+        F.col("value").isNull().alias("is_tombstone"),
+        # offsets are per-partition monotonic; (partition, offset) packed
+        # into one long gives latest-wins per key because a key lives in
+        # one partition (Kafka keyed-partitioning invariant)
+        (F.col("partition").cast("long") * F.lit(1 << 40) + F.col("offset")).alias(
+            "seq"
+        ),
+    )
+    if topic_to_entity:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in topic_to_entity.items() for x in kv]
+        )
+        out = out.withColumn("entity", mapping[F.col("topic")])
+    return out.select(
+        *([F.col("entity")] if topic_to_entity else []),
+        F.col("k.*"),
+        F.col("v.*"),
+        "seq",
+        "is_tombstone",
+    )
+
+
+def to_kafka_sink_frame(
+    docs: DataFrame, key_cols: Sequence[str], value_col: str = "value"
+) -> DataFrame:
+    """Shape a (root pks…, json|null) output into the Kafka sink frame:
+    key = canonical JSON of the PK struct, value = document JSON or null
+    (tombstone)."""
+    key = F.to_json(F.struct(*[F.col(c) for c in key_cols])).cast("binary")
+    return docs.select(
+        key.alias("key"), F.col(value_col).cast("binary").alias("value")
+    )

@@ -1,0 +1,192 @@
+"""Incremental view maintenance: the foreachBatch orchestrator.
+
+This is the one genuinely custom component the reference engine amounts
+to (SURVEY §4.2): per micro-batch of CDC deltas,
+
+1. intra-batch dedup (latest event per key within the batch);
+2. capture FK **pre-images** — the state rows being replaced — *before*
+   merging, because a child whose FK moved must dirty its *old* parent
+   too (reference reverse join index, ``index/Index.java:105-114``);
+3. merge the delta into the entity state table (upsert + tombstone
+   delete);
+4. propagate dirty keys up each relation tree (old ∪ new FK values →
+   ``affected_root_keys``), union with root-entity deltas;
+5. rebuild only the dirty roots' documents (scope-pruned denormalize)
+   and emit ``(root_pk, json)`` upserts plus ``(root_pk, null)``
+   tombstones for dirty roots that no longer exist.
+
+Every step is a DataFrame plan — deltas are typically small, so the
+dirty-key joins broadcast; the rebuild scans K-proportional data via
+semi-join pruning. Offsets/exactly-once are Structured Streaming's
+checkpoint concern (``attach_streams`` wires that up); at-least-once to
+the sink matches the reference's guarantee (``Southpaw.java:297-315``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from southpaw_spark.operators.cdc import (
+    FilterRule,
+    apply_filter_rules,
+    latest_by_key,
+)
+from southpaw_spark.operators.denormalize import (
+    affected_root_keys,
+    denormalize,
+)
+from southpaw_spark.relations import Relation
+from southpaw_spark.streaming.state import ParquetStateStore
+
+
+@dataclass
+class IncrementalDenormalizer:
+    spark: SparkSession
+    relations: Sequence[Relation]
+    keys: Mapping[str, Sequence[str]]
+    store: ParquetStateStore
+    filter_rules: Mapping[str, Sequence[FilterRule]] = field(default_factory=dict)
+    seq_col: str = "seq"
+    tombstone_col: str = "is_tombstone"
+
+    def _entities(self) -> list[str]:
+        seen: list[str] = []
+        for rel in self.relations:
+            for e in rel.entities():
+                if e not in seen:
+                    seen.append(e)
+        return seen
+
+    def bootstrap(self, snapshots: Mapping[str, DataFrame]) -> None:
+        """Initialize state tables from full snapshots (or empty)."""
+        for entity in self._entities():
+            if entity in snapshots:
+                self.store.init(
+                    entity, snapshots[entity], self.keys[entity]
+                )
+
+    # -- the per-batch step -------------------------------------------
+
+    def process_batch(
+        self, deltas: Mapping[str, DataFrame]
+    ) -> dict[str, DataFrame]:
+        """Apply one micro-batch of per-entity changelog deltas; returns
+        {denormalized_name: DataFrame[root pks…, value]} with JSON doc
+        upserts and null-value tombstones for every dirty root."""
+        spark = self.spark
+
+        # 1+2+3: per entity — dedup, pre-image, merge.
+        new_fk_values: dict[str, DataFrame] = {}
+        old_rows: dict[str, DataFrame] = {}
+        batch_keys: dict[str, DataFrame] = {}
+        for entity, delta in deltas.items():
+            key_cols = list(self.keys[entity])
+            rules = self.filter_rules.get(entity, ())
+            delta = apply_filter_rules(delta, rules, self.tombstone_col)
+            delta = latest_by_key(delta, key_cols, self.seq_col)
+            delta = delta.cache()
+            dk = delta.select(*key_cols)
+            batch_keys[entity] = dk
+            if self.store.exists(entity):
+                old_rows[entity] = self.store.read(entity).join(
+                    F.broadcast(dk.distinct()), on=key_cols, how="left_semi"
+                ).cache()
+            upserts = delta.where(
+                ~F.coalesce(F.col(self.tombstone_col), F.lit(False))
+            ).drop(self.seq_col, self.tombstone_col)
+            dels = delta.where(
+                F.coalesce(F.col(self.tombstone_col), F.lit(False))
+            ).select(*key_cols)
+            new_fk_values[entity] = upserts
+            self.store.merge(entity, upserts, dels, key_cols)
+
+        # 4+5: per tree — dirty roots, targeted rebuild, tombstones.
+        states = {e: self.store.read(e) for e in self._entities()}
+        outputs: dict[str, DataFrame] = {}
+        for rel in self.relations:
+            root_pks = list(self.keys[rel.entity])
+            dirty: DataFrame | None = None
+            for entity, delta_keys in batch_keys.items():
+                node = rel.find_entity(entity)
+                if node is None:
+                    continue
+                if entity == rel.entity:
+                    contrib = delta_keys.select(*root_pks)
+                else:
+                    jk = node.join_key
+                    fks = new_fk_values[entity].select(
+                        F.col(jk).alias(jk)
+                    )
+                    if entity in old_rows:
+                        fks = fks.unionByName(
+                            old_rows[entity].select(F.col(jk).alias(jk))
+                        )
+                    fks = fks.where(F.col(jk).isNotNull()).distinct()
+                    contrib = affected_root_keys(
+                        states, rel, entity, fks, self.keys
+                    )
+                dirty = (
+                    contrib
+                    if dirty is None
+                    else dirty.unionByName(contrib)
+                )
+            if dirty is None:
+                continue
+            dirty = dirty.distinct().cache()
+
+            docs = denormalize(states, rel, self.keys, root_keys=dirty)
+            live = docs.select(
+                *root_pks,
+                F.to_json(F.col("doc"), {"ignoreNullFields": "true"}).alias(
+                    "value"
+                ),
+            )
+            # dirty roots with no surviving state row → tombstone output
+            gone = dirty.join(
+                states[rel.entity].select(*root_pks), on=root_pks, how="left_anti"
+            ).select(*root_pks, F.lit(None).cast("string").alias("value"))
+            outputs[rel.denormalized_name] = live.unionByName(gone)
+        return outputs
+
+    # -- structured-streaming wiring ----------------------------------
+
+    def attach_stream(
+        self,
+        source: DataFrame,
+        entity_col: str,
+        checkpoint_dir: str,
+        sink,
+        trigger: dict | None = None,
+    ):
+        """Wire a unified CDC stream (one DataFrame carrying an entity
+        discriminator column, e.g. parsed from Kafka topic names) into
+        the orchestrator via foreachBatch.
+
+        ``sink(denorm_name, df)`` receives each tree's output batch —
+        e.g. a Kafka writer mapping (key=pk bytes, value=json|null).
+        """
+
+        def _process(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df = batch_df.cache()
+            deltas = {}
+            for entity in self._entities():
+                d = batch_df.where(F.col(entity_col) == entity).drop(entity_col)
+                if d.isEmpty():
+                    continue
+                deltas[entity] = d
+            if not deltas:
+                return
+            for name, out in self.process_batch(deltas).items():
+                sink(name, out)
+
+        writer = (
+            source.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if trigger:
+            writer = writer.trigger(**trigger)
+        return writer.start()
