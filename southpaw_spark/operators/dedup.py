@@ -162,7 +162,7 @@ def simhash(
     votes = th.groupBy(id_col).agg(*bit_cols)
     sig = F.lit(0).cast("long")
     for i in range(bits):
-        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") << i).otherwise(0)
+        sig = sig + F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
     return votes.select(F.col(id_col), sig.alias("simhash"))
 
 

@@ -73,21 +73,25 @@ def ivf_topk(
     vec_col: str,
     id_col: str,
     k: int = 5,
-    n_planes: int = 6,
+    n_planes: int = 4,
+    multiprobe: int = 1,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH buckets prune the corpus,
-    then exact cosine within the query's bucket (IVF-style single-probe).
-    Recall < 1 by design; the candidate join is an equi-join on bucket so
-    the cross product never materializes."""
+    then exact cosine over the candidate set (IVF-style). Multi-probe:
+    each query also probes every bucket within Hamming distance
+    ``multiprobe`` of its own — recall rises steeply for a linear
+    increase in candidates. The candidate join stays an equi-join on
+    bucket, so the cross product never materializes and the corpus side
+    scales out by bucket partitioning."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
     dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
     planes = rng.standard_normal((n_planes, dim)).tolist()
 
-    def bucket_of(col):
-        bits = [
+    def bucket_bits(col):
+        return [
             (
                 F.aggregate(
                     F.zip_with(
@@ -99,18 +103,34 @@ def ivf_topk(
                     lambda acc, x: acc + x,
                 )
                 > 0
-            ).cast("int").cast("string")
+            ).cast("int")
             for p in planes
         ]
-        return F.concat_ws("", *bits)
+
+    def bucket_of(col):
+        return F.concat_ws("", *[b.cast("string") for b in bucket_bits(col)])
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         bucket_of(F.col(vec_col)).alias("bucket"),
     )
+    if multiprobe not in (0, 1):
+        raise ValueError("multiprobe supports 0 or 1 bit flips")
+    bits = bucket_bits(F.col("query_vec"))
+    probes = [F.concat_ws("", *[b.cast("string") for b in bits])]
+    if multiprobe >= 1:
+        for flip in range(n_planes):
+            flipped = [
+                (1 - b if i == flip else b) for i, b in enumerate(bits)
+            ]
+            probes.append(
+                F.concat_ws("", *[b.cast("string") for b in flipped])
+            )
     q = queries.select(
-        "query_id", "query_vec", bucket_of(F.col("query_vec")).alias("bucket")
+        "query_id",
+        "query_vec",
+        F.explode(F.array(*probes)).alias("bucket"),
     )
     joined = c.join(F.broadcast(q), "bucket").where(
         F.col("query_id") != F.col("neighbor_id")

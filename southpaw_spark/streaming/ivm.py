@@ -52,6 +52,15 @@ class IncrementalDenormalizer:
     filter_rules: Mapping[str, Sequence[FilterRule]] = field(default_factory=dict)
     seq_col: str = "seq"
     tombstone_col: str = "is_tombstone"
+    #: when true, per-batch counters are recorded in ``metrics`` using the
+    #: reference's metric names (``metric/Metrics.java``): records
+    #: consumed per entity, denormalized records created/tombstoned per
+    #: tree. Costs extra count() jobs — off by default.
+    collect_metrics: bool = False
+    metrics: dict = field(default_factory=dict)
+
+    def _bump(self, name: str, n: int) -> None:
+        self.metrics[name] = self.metrics.get(name, 0) + n
 
     def _entities(self) -> list[str]:
         seen: list[str] = []
@@ -86,6 +95,8 @@ class IncrementalDenormalizer:
         for entity, delta in deltas.items():
             key_cols = list(self.keys[entity])
             rules = self.filter_rules.get(entity, ())
+            if self.collect_metrics:
+                self._bump(f"records.consumed.{entity}", delta.count())
             delta = apply_filter_rules(delta, rules, self.tombstone_col)
             delta = latest_by_key(delta, key_cols, self.seq_col)
             delta = delta.cache()
@@ -150,6 +161,10 @@ class IncrementalDenormalizer:
                 states[rel.entity].select(*root_pks), on=root_pks, how="left_anti"
             ).select(*root_pks, F.lit(None).cast("string").alias("value"))
             outputs[rel.denormalized_name] = live.unionByName(gone)
+            if self.collect_metrics:
+                name = rel.denormalized_name
+                self._bump(f"denormalized.records.created.{name}", live.count())
+                self._bump(f"denormalized.records.tombstoned.{name}", gone.count())
         return outputs
 
     # -- structured-streaming wiring ----------------------------------

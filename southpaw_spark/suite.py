@@ -749,6 +749,157 @@ M01_SQL = """
 """
 
 
+def q15_shared_entity_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.5/Q14 reference semantics: the same entities (orders, lineitem)
+    feed a second tree rooted at customer — shared children across
+    multiple simultaneously-maintained trees."""
+    tree = """[{
+      "DenormalizedName": "DenormalizedCustomer", "Entity": "customer",
+      "Children": [
+        {"Entity": "orders", "JoinKey": "o_custkey", "ParentKey": "c_custkey"}
+      ]}]"""
+    rel = load_relations(tree)[0]
+    states = {e: _read(spark, sf_dir, e) for e in ("customer", "orders")}
+    docs = denormalize(
+        states, rel, {"customer": ["c_custkey"], "orders": ["o_orderkey"]}
+    )
+    orders = F.col("doc.Children.orders")
+    return docs.select(
+        "c_custkey",
+        F.size(orders).cast("long").alias("n_orders"),
+        F.transform(orders, lambda o: o["Record"]["o_orderkey"]).alias("order_keys"),
+    )
+
+
+Q15_SQL = """
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_orders,
+           COALESCE(LIST(o.o_orderkey ORDER BY o.o_orderkey)
+                    FILTER (WHERE o.o_orderkey IS NOT NULL), []) AS order_keys
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+"""
+
+
+def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures (md5-bit variant so the oracle can
+    reproduce them; the production path in operators.dedup.simhash uses
+    xxhash64 for JVM speed — same algorithm, different hash family)."""
+    docs = _read(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    tok = docs.select("doc_id", F.explode(w).alias("tok"))
+    # 32-bit token hash from the md5 hex prefix (8 hex chars)
+    th = tok.withColumn(
+        "th", F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10).cast("long")
+    )
+    votes = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(32)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(32):
+        sig = sig + F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+def _d04_sql() -> str:
+    bit_exprs = []
+    for i in range(32):
+        bit_exprs.append(
+            f"CASE WHEN SUM(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+            f"THEN {1 << i}::BIGINT ELSE 0 END"
+        )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS th FROM tok)
+    SELECT doc_id, ({' + '.join(bit_exprs)}) AS simhash
+    FROM hashed GROUP BY doc_id
+"""
+
+
+D04_SQL = _d04_sql()
+
+
+def e02_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events stream (30-minute
+    inactivity closes a session) — the batch shape of
+    applyInPandasWithState session windows."""
+    ev = _read(spark, sf_dir, "events")
+    sec = F.expr("ts div 1000000000")  # ns → epoch seconds
+    w = Window.partitionBy("user_id").orderBy(sec, "event_id")
+    gap = sec - F.lag(sec).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+E02_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS sec FROM events),
+    flagged AS (
+      SELECT user_id,
+             CASE WHEN sec - LAG(sec) OVER (PARTITION BY user_id
+                    ORDER BY sec, event_id) IS NULL
+                  OR sec - LAG(sec) OVER (PARTITION BY user_id
+                    ORDER BY sec, event_id) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e)
+    SELECT user_id, SUM(new_sess)::BIGINT AS n_sessions,
+           COUNT(*) AS n_events
+    FROM flagged GROUP BY user_id
+"""
+
+
+def m02_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: the deterministic fake decoder derives
+    dimensions from the content digest, so the full mapInPandas pipeline
+    (binary column → Arrow batches → typed metadata) is value-checked by
+    an oracle reproducing the digest arithmetic."""
+    from southpaw_spark.operators.multimodal import decode_image_stub
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
+    return decode_image_stub(docs, "content", id_col="doc_id")
+
+
+M02_SQL = """
+    SELECT doc_id,
+           (16 + ('0x' || substr(md5(text), 1, 2))::INT % 240) AS width,
+           (16 + ('0x' || substr(md5(text), 3, 2))::INT % 240) AS height,
+           'RGB' AS mode
+    FROM documents
+"""
+
+
+def s02_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH bucket pruning + exact
+    rescoring (single-probe IVF). Approximate by design → rows-only
+    check; recall vs s01 is asserted in tests."""
+    from southpaw_spark.operators.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(emb, queries, "embedding", "vec_id", k=5)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -768,16 +919,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q12_composite_pk": q12_composite_pk,
     "q13_denormalized_order": q13_denormalized_order,
     "q14_doc_projection": q14_doc_projection,
+    "q15_shared_entity_tree": q15_shared_entity_tree,
     "d01_dedup_exact": d01_dedup_exact,
     "d02_ngram_jaccard": d02_ngram_jaccard,
     "d03_minhash_lsh": d03_minhash_lsh,
+    "d04_simhash": d04_simhash,
     "s01_cosine_topk": s01_cosine_topk,
+    "s02_ivf_topk": s02_ivf_topk,
     "t01_token_count": t01_token_count,
     "t02_quality_score": t02_quality_score,
     "t03_lang_guess": t03_lang_guess,
     "t04_fingerprint": t04_fingerprint,
     "e01_windowed_agg": e01_windowed_agg,
+    "e02_sessionize": e02_sessionize,
     "m01_binary_passthrough": m01_binary_passthrough,
+    "m02_image_decode": m02_image_decode,
 }
 
 ORACLES: dict[str, str] = {
@@ -796,14 +952,19 @@ ORACLES: dict[str, str] = {
     # q13 intentionally absent: nested JSON docs, rows-only check (q14
     # value-checks the same docs through SQL-expressible projections)
     "q14_doc_projection": Q14_SQL,
+    "q15_shared_entity_tree": Q15_SQL,
     "d01_dedup_exact": D01_SQL,
     "d02_ngram_jaccard": D02_SQL,
     "d03_minhash_lsh": D03_SQL,
+    "d04_simhash": D04_SQL,
+    # s02 intentionally absent: approximate ANN, rows-only
     "s01_cosine_topk": S01_SQL,
     "t01_token_count": T01_SQL,
     "t02_quality_score": T02_SQL,
     "t03_lang_guess": T03_SQL,
     "t04_fingerprint": T04_SQL,
     "e01_windowed_agg": E01_SQL,
+    "e02_sessionize": E02_SQL,
     "m01_binary_passthrough": M01_SQL,
+    "m02_image_decode": M02_SQL,
 }

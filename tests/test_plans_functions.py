@@ -1,0 +1,75 @@
+"""Plan-introspection assertions (the performance contract) and the
+column-function library."""
+
+from pyspark.sql import functions as F
+
+from southpaw_spark.functions import child_docs, composite_key, key_bytes, record_field
+from southpaw_spark.plans import (
+    join_strategies,
+    num_exchanges,
+    pushed_filters,
+    scan_columns,
+)
+from southpaw_spark import suite
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    q = orders.where(F.col("o_orderkey") == 7).select("o_orderkey", "o_totalprice")
+    pushed = pushed_filters(q)
+    assert any("o_orderkey" in p for p in pushed), pushed
+    # column pruning: the scan must not read all 6 columns
+    schemas = scan_columns(q)
+    assert all("o_orderpriority" not in s for s in schemas), schemas
+
+
+def test_small_dims_broadcast_in_flagship(spark, sf_dir):
+    docs = suite.q13_denormalized_order(spark, sf_dir)
+    strategies = join_strategies(docs)
+    # at test scale every join should be broadcast — no sort-merge
+    assert strategies.get("BroadcastHashJoin", 0) >= 4
+    assert "SortMergeJoin" not in strategies
+
+
+def test_latest_by_key_single_shuffle(spark, sf_dir):
+    from southpaw_spark.operators.cdc import current_state
+    from southpaw_spark.suite import _events_changelog
+
+    state = current_state(_events_changelog(spark, sf_dir), ["user_id"])
+    # one hash-partition exchange for the window — no more
+    assert num_exchanges(state) == 1
+
+
+def test_key_bytes_int_long_equivalence(spark):
+    df = spark.createDataFrame([(1, 1), (255, 255), (256, 256), (0, 0)], "i int, l long")
+    out = df.select(
+        F.hex(key_bytes(F.col("i"), "int")).alias("hi"),
+        F.hex(key_bytes(F.col("l"), "long")).alias("hl"),
+    ).collect()
+    for r in out:
+        # int and long encodings coincide (reference ByteArray semantics)
+        assert r["hi"] == r["hl"]
+    vals = {r["hi"] for r in out}
+    assert vals == {"01", "FF", "0100", "00"}
+
+
+def test_composite_key_sorted_fields(spark):
+    df = spark.createDataFrame([(4235, 7234)], "playlist_id int, user_tag_id int")
+    k = df.select(
+        F.hex(
+            composite_key(df, {"user_tag_id": "int", "playlist_id": "int"})
+        ).alias("k")
+    ).collect()[0]["k"]
+    # fields sorted by name: playlist_id (0x108B, len 2) then user_tag_id
+    # (0x1C42, len 2) — each length-prefixed
+    assert k == "02108B021C42"
+
+
+def test_doc_accessors(spark, sf_dir):
+    docs = suite.build_order_docs(spark, sf_dir).limit(50)
+    out = docs.select(
+        record_field(F.col("doc"), "o_orderkey").alias("k"),
+        F.size(child_docs(F.col("doc"), "lineitem")).alias("n"),
+    )
+    rows = out.collect()
+    assert all(r["k"] is not None and r["n"] >= 0 for r in rows)
