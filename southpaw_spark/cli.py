@@ -1,0 +1,162 @@
+"""Command-line entry points — the analog of the reference's
+``Southpaw.main`` (``Southpaw.java:490-553``): ``--build``,
+``--verify-state``, ``--backup``, ``--restore``, ``--delete-state``.
+
+Config is YAML (same spirit as the reference's snakeyaml config):
+
+    state.dir: /path/to/state
+    relations: /path/to/relations.json      # reference JSON format
+    entities:
+      orders:
+        keys: [o_orderkey]
+        snapshot: /root/testdata/sf0.001/orders.parquet
+        # or: changelog: /path/changelog.parquet  (seq,*key,*payload,is_tombstone)
+        filters:
+          - {predicate: "o_orderstatus = 'X'", mode: delete}
+    output.dir: /path/out                    # one parquet dir per tree
+
+Usage: python -m southpaw_spark.cli --config cfg.yaml --build
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import yaml
+from pyspark.sql import functions as F
+
+from southpaw_spark.operators.cdc import FilterMode, FilterRule
+from southpaw_spark.relations import load_relations
+from southpaw_spark.session import get_spark
+from southpaw_spark.streaming import IncrementalDenormalizer, ParquetStateStore
+from southpaw_spark.verify import verify_store
+
+
+def _load(spark, cfg, entity):
+    ecfg = cfg["entities"][entity]
+    if "snapshot" in ecfg:
+        df = spark.read.parquet(ecfg["snapshot"])
+        return df, True
+    df = spark.read.parquet(ecfg["changelog"])
+    return df, False
+
+
+def _rules(cfg):
+    out = {}
+    for entity, ecfg in cfg.get("entities", {}).items():
+        rules = [
+            FilterRule(F.expr(r["predicate"]), FilterMode(r["mode"]))
+            for r in ecfg.get("filters", [])
+        ]
+        if rules:
+            out[entity] = rules
+    return out
+
+
+def build(spark, cfg) -> None:
+    relations = load_relations(cfg["relations"])
+    keys = {e: ecfg["keys"] for e, ecfg in cfg["entities"].items()}
+    store = ParquetStateStore(
+        spark, cfg["state.dir"], n_buckets=int(cfg.get("state.buckets", 16))
+    )
+    ivm = IncrementalDenormalizer(
+        spark=spark,
+        relations=relations,
+        keys=keys,
+        store=store,
+        filter_rules=_rules(cfg),
+    )
+    snapshots, changelogs = {}, {}
+    for entity in cfg["entities"]:
+        df, is_snapshot = _load(spark, cfg, entity)
+        if is_snapshot:
+            snapshots[entity] = df
+        else:
+            changelogs[entity] = df
+    ivm.bootstrap(
+        {
+            e: (
+                snapshots[e]
+                if e in snapshots
+                # entities arriving only as changelogs bootstrap empty
+                else changelogs[e].where("1=0").drop("seq", "is_tombstone")
+            )
+            for e in keys
+        }
+    )
+    outputs = ivm.process_batch(changelogs) if changelogs else {}
+    if not changelogs:
+        # pure-snapshot build: all roots are dirty
+        from southpaw_spark.operators.denormalize import denormalize_to_json
+
+        states = {e: store.read(e) for e in keys}
+        for rel in relations:
+            outputs[rel.denormalized_name] = denormalize_to_json(
+                states, rel, keys
+            )
+    out_dir = cfg["output.dir"]
+    for name, df in outputs.items():
+        df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
+        print(f"built {name} -> {out_dir}/{name}")
+
+
+def verify(spark, cfg) -> int:
+    keys = {e: ecfg["keys"] for e, ecfg in cfg["entities"].items()}
+    store = ParquetStateStore(spark, cfg["state.dir"])
+    changelogs = {}
+    for entity, ecfg in cfg["entities"].items():
+        if "changelog" in ecfg:
+            changelogs[entity] = spark.read.parquet(ecfg["changelog"])
+    bad = 0
+    for entity, report in verify_store(
+        store, changelogs, keys, _rules(cfg)
+    ).items():
+        n = report.count()
+        print(f"verify {entity}: {'OK' if n == 0 else f'{n} DISCREPANCIES'}")
+        bad += n
+    return 1 if bad else 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="southpaw_spark")
+    p.add_argument("--config", required=True)
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--build", action="store_true")
+    g.add_argument("--verify-state", action="store_true")
+    g.add_argument("--backup", metavar="BACKUP_DIR")
+    g.add_argument("--restore", metavar="BACKUP_PATH")
+    g.add_argument("--delete-state", action="store_true")
+    p.add_argument("--restore-mode", default="always",
+                   choices=["always", "when_needed", "never"])
+    args = p.parse_args(argv)
+
+    with open(args.config) as f:
+        cfg = yaml.safe_load(f)
+    spark = get_spark("southpaw-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.build:
+        build(spark, cfg)
+        return 0
+    if args.verify_state:
+        return verify(spark, cfg)
+    store = ParquetStateStore(spark, cfg["state.dir"])
+    if args.backup:
+        dest = store.backup(args.backup)
+        print(f"backup -> {dest}")
+        return 0
+    if args.restore:
+        restored = store.restore(args.restore, args.restore_mode)
+        print(f"restore: {'done' if restored else 'skipped'}")
+        return 0
+    if args.delete_state:
+        store.delete_state()
+        print("state deleted")
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

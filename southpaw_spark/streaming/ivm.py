@@ -58,6 +58,14 @@ class IncrementalDenormalizer:
     #: tree. Costs extra count() jobs — off by default.
     collect_metrics: bool = False
     metrics: dict = field(default_factory=dict)
+    #: O12 queueing-strategy surface (reference
+    #: ``strategy/QueueingStrategy.java:12-32``): callable
+    #: ``(denormalized_name, entity) -> 'high'|'medium'|'low'|'none'``.
+    #: ``none`` drops that entity's dirty contributions for that tree
+    #: (reference: records routed to the NONE queue are discarded).
+    #: Priorities beyond none are an ops knob, not semantics — micro-batch
+    #: boundaries subsume the drain scheduling (SURVEY §2 O12).
+    queueing_strategy: object = None
 
     def _bump(self, name: str, n: int) -> None:
         self.metrics[name] = self.metrics.get(name, 0) + n
@@ -125,6 +133,10 @@ class IncrementalDenormalizer:
                 node = rel.find_entity(entity)
                 if node is None:
                     continue
+                if self.queueing_strategy is not None:
+                    priority = self.queueing_strategy(rel.denormalized_name, entity)
+                    if priority == "none":
+                        continue
                 if entity == rel.entity:
                     contrib = delta_keys.select(*root_pks)
                 else:

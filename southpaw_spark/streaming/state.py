@@ -177,3 +177,58 @@ class ParquetStateStore:
         with open(tmp, "w") as f:
             f.write(str(version))
         os.replace(tmp, ptr)
+
+    # -- backup / restore (reference O18, state/RocksDBState.java:247-265,
+    # 639-708: BackupEngine to local/S3 with restore modes + rollback) ----
+
+    def backup(self, backup_dir: str) -> str:
+        """Snapshot every entity's current version into a timestamped
+        backup. On object stores this is a server-side copy of the
+        current version dirs + pointer files; locally a copytree."""
+        import shutil
+        import time
+
+        stamp = time.strftime("%Y%m%dT%H%M%S") + f"-{int(time.time() * 1000) % 1000}"
+        dest = os.path.join(backup_dir, stamp)
+        os.makedirs(dest, exist_ok=True)
+        for entity in os.listdir(self.root):
+            version = self._version_of(entity)
+            if version is None:
+                continue
+            edir = os.path.join(dest, entity)
+            os.makedirs(edir)
+            shutil.copytree(
+                self._data_dir(entity, version), os.path.join(edir, f"v{version}")
+            )
+            shutil.copy(self._schema_path(entity), os.path.join(edir, "_SCHEMA"))
+            with open(os.path.join(edir, _CURRENT), "w") as f:
+                f.write(str(version))
+        return dest
+
+    def restore(self, backup_path: str, mode: str = "always") -> bool:
+        """Restore from a backup snapshot. Modes follow the reference:
+        ``always`` replaces current state; ``when_needed`` restores only
+        when current state is missing/empty; ``never`` is a no-op."""
+        import shutil
+
+        if mode == "never":
+            return False
+        if mode == "when_needed" and any(
+            self._version_of(e) is not None for e in os.listdir(self.root)
+        ):
+            return False
+        if mode not in ("always", "when_needed"):
+            raise ValueError(f"unknown restore mode {mode!r}")
+        for entity in os.listdir(backup_path):
+            src = os.path.join(backup_path, entity)
+            dst = self._entity_dir(entity)
+            shutil.rmtree(dst, ignore_errors=True)
+            shutil.copytree(src, dst)
+        return True
+
+    def delete_state(self) -> None:
+        """Drop all entity state (reference ``--delete-state``)."""
+        import shutil
+
+        for entity in os.listdir(self.root):
+            shutil.rmtree(os.path.join(self.root, entity), ignore_errors=True)

@@ -1,0 +1,88 @@
+"""CLI lifecycle (--build/--verify-state/--backup/--restore), state
+backup/restore, and the O12 queueing-strategy hook."""
+
+import json
+
+import yaml
+from pyspark.sql import functions as F
+
+from southpaw_spark import cli
+from southpaw_spark.relations import load_relations
+from southpaw_spark.streaming import IncrementalDenormalizer, ParquetStateStore
+from southpaw_spark.testing import RELATION_TREES, changelog_frames, entity_keys
+
+
+def _write_cfg(tmp_path, sf_dir):
+    relations = [
+        {
+            "DenormalizedName": "DenormalizedOrder",
+            "Entity": "orders",
+            "Children": [
+                {"Entity": "customer", "JoinKey": "c_custkey", "ParentKey": "o_custkey"}
+            ],
+        }
+    ]
+    (tmp_path / "relations.json").write_text(json.dumps(relations))
+    cfg = {
+        "state.dir": str(tmp_path / "state"),
+        "relations": str(tmp_path / "relations.json"),
+        "output.dir": str(tmp_path / "out"),
+        "entities": {
+            "orders": {
+                "keys": ["o_orderkey"],
+                "snapshot": f"{sf_dir}/orders.parquet",
+            },
+            "customer": {
+                "keys": ["c_custkey"],
+                "snapshot": f"{sf_dir}/customer.parquet",
+            },
+        },
+    }
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    return p
+
+
+def test_cli_build_and_backup_restore(spark, tmp_path, sf_dir):
+    cfg = _write_cfg(tmp_path, sf_dir)
+    assert cli.main(["--config", str(cfg), "--build"]) == 0
+    out = spark.read.parquet(str(tmp_path / "out" / "DenormalizedOrder"))
+    assert out.count() == 1500
+    doc = json.loads(out.where("o_orderkey = 7").collect()[0]["value"])
+    assert doc["Children"]["customer"][0]["Record"]["c_custkey"] == 93
+
+    assert cli.main(["--config", str(cfg), "--backup", str(tmp_path / "bk")]) == 0
+    backups = list((tmp_path / "bk").iterdir())
+    assert len(backups) == 1
+    assert cli.main(["--config", str(cfg), "--delete-state"]) == 0
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    assert not store.exists("orders")
+    assert cli.main(["--config", str(cfg), "--restore", str(backups[0])]) == 0
+    assert store.read("orders").count() == 1500
+    # when_needed must now skip (state present)
+    assert store.restore(str(backups[0]), mode="when_needed") is False
+
+
+def test_queueing_strategy_none_drops(spark, tmp_path):
+    logs = changelog_frames(spark)
+    keys = entity_keys()
+    store = ParquetStateStore(spark, str(tmp_path / "state"), n_buckets=4)
+    # user_tag → NONE mirrors the reference test config
+    ivm = IncrementalDenormalizer(
+        spark=spark,
+        relations=load_relations([RELATION_TREES[0]]),
+        keys=keys,
+        store=store,
+        queueing_strategy=lambda tree, entity: (
+            "none" if entity == "user_tag" else "high"
+        ),
+    )
+    ivm.bootstrap(
+        {e: logs[e].where("seq < 0").drop("seq", "is_tombstone") for e in keys}
+    )
+    ivm.process_batch({e: logs[e].where("seq <= 29") for e in keys})
+    # a user_tag-only change produces no rebuilds (dropped by strategy)
+    outs = ivm.process_batch({"user_tag": logs["user_tag"].where("seq = 8")})
+    assert "DenormalizedPlaylist" not in outs or outs[
+        "DenormalizedPlaylist"
+    ].count() == 0
