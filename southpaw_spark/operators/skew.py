@@ -1,0 +1,87 @@
+"""Skew mitigation for hot keys at scale.
+
+AQE's skew-join splitting (enabled in session.py) handles moderate skew
+automatically. These helpers cover the cases AQE can't: skewed
+*aggregations* (one join/group key carrying a large share of rows — the
+reference's production witness is 1000+ children per join key,
+CHANGELOG §0.6.0) and broadcast-ineligible skewed joins.
+
+Pattern: salt the hot side into N subkeys, do the heavy operation
+per-subkey, then combine — two short shuffles instead of one stuck
+straggler task.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_collect_list(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    payload: Column,
+    n_salts: int = 16,
+    sort: bool = True,
+) -> DataFrame:
+    """Two-phase collect_list for skewed group keys: phase 1 groups on
+    (key, salt) — spreading a hot key over ``n_salts`` tasks — phase 2
+    merges the partial arrays with flatten. With ``sort``, the final
+    array is sort_array'd, preserving the denormalizer's child-ordering
+    contract independent of salt routing."""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salts))
+    )
+    partial = salted.groupBy(*group_cols, "__salt").agg(
+        F.collect_list(payload).alias("__part")
+    )
+    merged = partial.groupBy(*group_cols).agg(
+        F.flatten(F.collect_list("__part")).alias("arr")
+    )
+    if sort:
+        merged = merged.withColumn("arr", F.sort_array(F.col("arr")))
+    return merged
+
+
+def salted_join_left_skewed(
+    skewed: DataFrame,
+    small: DataFrame,
+    on_left: str,
+    on_right: str,
+    n_salts: int = 16,
+    how: str = "left",
+) -> DataFrame:
+    """Equi-join where the left side has hot keys and the right side is
+    too large to broadcast: the left gets a random salt, the right is
+    replicated ``n_salts`` times with every salt value, and the join key
+    becomes (key, salt). Hot-key rows spread across n_salts tasks at the
+    cost of replicating the right side — use when right ≪ left but above
+    the broadcast threshold."""
+    left = skewed.withColumn(
+        "__salt",
+        F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salts)).cast("int"),
+    )
+    right = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    cond = (F.col(on_left) == F.col(on_right)) & (
+        left["__salt"] == right["__salt"]
+    )
+    return left.join(right, on=cond, how=how).drop("__salt")
+
+
+def key_frequency_report(
+    df: DataFrame, key_cols: Sequence[str], top: int = 20
+) -> DataFrame:
+    """Hot-key diagnostic: frequency of the heaviest keys and their share
+    of total rows — run before choosing n_salts."""
+    total = df.count()
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count("*").alias("n"))
+        .withColumn("share", F.round(F.col("n") / F.lit(total), 6))
+        .orderBy(F.col("n").desc())
+        .limit(top)
+    )

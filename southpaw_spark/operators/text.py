@@ -61,6 +61,23 @@ def with_lang_guess(df: DataFrame, text_col: str) -> DataFrame:
     return df.withColumn("lang_guess", guess)
 
 
+#: BPE-ish pre-tokenization split: letter runs, digit runs, single
+#: punctuation — the usual first pass before byte-pair merging. ASCII
+#: classes only, so Java regex (Spark) and RE2 (DuckDB) agree.
+BPE_TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def with_regex_token_count(df: DataFrame, text_col: str) -> DataFrame:
+    """Token count under a BPE-ish regex tokenizer (vs the whitespace
+    tokenizer of with_token_count)."""
+    return df.withColumn(
+        "n_bpe_tokens",
+        F.expr(
+            f"size(regexp_extract_all({text_col}, '{BPE_TOKEN_PATTERN}', 0))"
+        ).cast("long"),
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str) -> DataFrame:
     """Content fingerprint: hash of normalized prefix + exact length —
     a cheap first-pass identity for dedup cascades."""

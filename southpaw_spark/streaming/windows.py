@@ -1,0 +1,96 @@
+"""Structured Streaming window/stateful operators.
+
+The reference needs none of these (keyed upsert + full-doc recompute
+makes late data a non-issue, ``index/Indices.java:210-213``) — they are
+part of the beyond-reference surface: event-time windowed aggregation
+with watermarks, and a custom stateful sessionizer via
+``applyInPandasWithState`` (the Spark-native home for operators the
+built-ins can't express, SURVEY task sheet)."""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time windows with a watermark bounding state:
+    late rows beyond the watermark are dropped, everything else lands in
+    its event-time window. Works identically on batch frames (no-op
+    watermark) — the batch shape is oracle-checked as e01."""
+    w = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        w.groupBy(F.window(F.col(ts_col), window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SESSION_SCHEMA = (
+    "user_id long, session_start long, session_end long, n_events long"
+)
+SESSION_STATE_SCHEMA = "start long, last long, n long"
+
+
+def _session_fn(
+    key, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Gap-based sessionization: events for a user extend the open
+    session; an event arriving > 30 min after the last closes and emits
+    the previous session. The open session stays in state until gap
+    evidence arrives (no processing-time timeout: timer wake-ups keep
+    the stream permanently busy — they generate endless empty
+    micro-batches and ``processAllAvailable`` never drains; an
+    event-time watermark closing idle sessions is the scalable
+    alternative)."""
+    gap = 1800
+    out = []
+    rows = pd.concat(list(pdfs))
+    secs = sorted(int(s) for s in rows["sec"])
+    if state.exists:
+        start, last, n = state.get
+    else:
+        start, last, n = None, None, 0
+    for s in secs:
+        if start is None:
+            start, last, n = s, s, 1
+        elif s - last > gap:
+            out.append((key[0], start, last, n))
+            start, last, n = s, s, 1
+        else:
+            last, n = max(last, s), n + 1
+    state.update((start, last, n))
+    yield pd.DataFrame(
+        out, columns=["user_id", "session_start", "session_end", "n_events"]
+    )
+
+
+def sessionize_stream(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Custom stateful sessionizer over a stream of (user_id, ts ns):
+    ``applyInPandasWithState`` keeps one open session per user and emits
+    closed sessions. State is per-key and partitioned by user_id — the
+    operator scales out with the key space."""
+    prepared = events.select(
+        "user_id", F.expr(f"{ts_col} div 1000000000").alias("sec")
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

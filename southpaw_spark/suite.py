@@ -700,6 +700,26 @@ T04_SQL = """
 """
 
 
+def t05_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex (BPE-ish pre-tokenizer) token counting alongside the
+    whitespace count."""
+    from southpaw_spark.operators.text import with_regex_token_count, with_token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_regex_token_count(with_token_count(docs, "text"), "text").select(
+        "doc_id", "n_tokens", "n_bpe_tokens"
+    )
+
+
+T05_SQL = """
+    SELECT doc_id,
+           len(string_split(text, ' '))::BIGINT AS n_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))::BIGINT
+             AS n_bpe_tokens
+    FROM documents
+"""
+
+
 def e01_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation over the events stream table (the batch
     shape of the Structured Streaming windowed agg)."""
@@ -930,6 +950,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t02_quality_score": t02_quality_score,
     "t03_lang_guess": t03_lang_guess,
     "t04_fingerprint": t04_fingerprint,
+    "t05_bpe_token_count": t05_bpe_token_count,
     "e01_windowed_agg": e01_windowed_agg,
     "e02_sessionize": e02_sessionize,
     "m01_binary_passthrough": m01_binary_passthrough,
@@ -963,6 +984,7 @@ ORACLES: dict[str, str] = {
     "t02_quality_score": T02_SQL,
     "t03_lang_guess": T03_SQL,
     "t04_fingerprint": T04_SQL,
+    "t05_bpe_token_count": T05_SQL,
     "e01_windowed_agg": E01_SQL,
     "e02_sessionize": E02_SQL,
     "m01_binary_passthrough": M01_SQL,

@@ -1,0 +1,105 @@
+"""Skew helpers and streaming window/stateful operators."""
+
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from southpaw_spark.operators.skew import (
+    key_frequency_report,
+    salted_collect_list,
+    salted_join_left_skewed,
+)
+from southpaw_spark.streaming.windows import sessionize_stream, windowed_event_counts
+
+
+def test_salted_collect_matches_plain(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plain = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_linenumber")).alias("arr"))
+    )
+    salted = salted_collect_list(li, ["l_orderkey"], F.col("l_linenumber"))
+    diff = plain.join(salted, "l_orderkey").where(
+        F.col("plain.arr") != F.col("arr")
+    ) if False else plain.alias("p").join(salted.alias("s"), "l_orderkey").where(
+        F.expr("p.arr <> s.arr")
+    )
+    assert diff.count() == 0
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    plain = orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "left"
+    ).select("o_orderkey", "c_name")
+    salted = salted_join_left_skewed(
+        orders, customer, "o_custkey", "c_custkey"
+    ).select("o_orderkey", "c_name")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_key_frequency_report(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rep = key_frequency_report(li, ["l_orderkey"], top=5).collect()
+    assert len(rep) == 5
+    assert rep[0]["n"] >= rep[-1]["n"]
+    assert 0 < rep[0]["share"] < 1
+
+
+def test_windowed_event_counts_batch_shape(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+    out = windowed_event_counts(ev)
+    rows = out.collect()
+    assert sum(r["n_events"] for r in rows) == ev.count()
+
+
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """Drive applyInPandasWithState through a real stream: events for one
+    user in two bursts 2h apart → the first session is emitted once the
+    second burst arrives."""
+    src = tmp_path / "in"
+    src.mkdir()
+    base = 1_700_000_000
+    rows1 = [
+        {"user_id": 1, "ts": (base + i * 60) * 1_000_000_000} for i in range(3)
+    ]
+    rows2 = [
+        {"user_id": 1, "ts": (base + 7200 + i * 60) * 1_000_000_000}
+        for i in range(2)
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows1))
+    stream = (
+        spark.readStream.schema("user_id long, ts long")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    sessions = sessionize_stream(stream)
+    collected = []
+
+    def sink(df, _):
+        collected.extend(df.collect())
+
+    q = (
+        sessions.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (src / "b.json").write_text("\n".join(json.dumps(r) for r in rows2))
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline and not collected:
+            q.processAllAvailable()
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert any(
+        r["user_id"] == 1 and r["n_events"] == 3 and r["session_start"] == base
+        for r in collected
+    ), collected
