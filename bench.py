@@ -26,6 +26,7 @@ from southpaw_spark.session import get_spark
 HEADLINE = [
     "q13_denormalized_order",  # flagship: full nested-doc assembly + JSON
     "q14_doc_projection",      # doc build + projections
+    "q15_shared_entity_tree",  # second tree over shared entities
     "q04_nested_children",     # 1:N nest
     "q05_three_level_tree",    # 4-way join
     "q01_latest_by_key",       # CDC upsert window
@@ -33,10 +34,54 @@ HEADLINE = [
     "d01_dedup_exact",
     "d02_ngram_jaccard",
     "d03_minhash_lsh",
+    "d04_simhash",
     "s01_cosine_topk",
+    "s02_ivf_topk",
     "t02_quality_score",
+    "t05_bpe_token_count",
     "e01_windowed_agg",
+    "e02_sessionize",
+    "m01_binary_passthrough",  # Arrow mapInPandas path
 ]
+
+
+def ivm_delta_batch(spark, sf_dir: str, state_dir: str) -> float:
+    """Streaming catch-up proxy: bootstrap entity state from snapshots,
+    then apply one delta micro-batch updating 10% of customers and
+    rebuild the affected DenormalizedOrder docs. Returns seconds for the
+    delta batch only (bootstrap excluded)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from southpaw_spark.relations import load_relations
+    from southpaw_spark.streaming import IncrementalDenormalizer, ParquetStateStore
+    from southpaw_spark.suite import ORDER_TREE_JSON, ORDER_TREE_KEYS
+
+    shutil.rmtree(state_dir, ignore_errors=True)
+    store = ParquetStateStore(spark, state_dir, n_buckets=16)
+    ivm = IncrementalDenormalizer(
+        spark=spark,
+        relations=load_relations(ORDER_TREE_JSON),
+        keys=ORDER_TREE_KEYS,
+        store=store,
+    )
+    snaps = {
+        e: spark.read.parquet(f"{sf_dir}/{e}.parquet") for e in ORDER_TREE_KEYS
+    }
+    ivm.bootstrap(snaps)
+    delta = (
+        snaps["customer"]
+        .where(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_name", F.concat(F.col("c_name"), F.lit("-v2")))
+        .withColumn("seq", F.lit(1).cast("long"))
+        .withColumn("is_tombstone", F.lit(False))
+    )
+    t0 = time.monotonic()
+    outs = ivm.process_batch({"customer": delta})
+    for df in outs.values():
+        df.write.format("noop").mode("overwrite").save()
+    return round(time.monotonic() - t0, 3)
 
 
 def main() -> None:
@@ -53,6 +98,9 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
+    timings["ivm_delta_batch"] = ivm_delta_batch(
+        spark, sf_dir, "/tmp/southpaw_bench_state"
+    )
 
     total = round(sum(timings.values()), 3)
     print(

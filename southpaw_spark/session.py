@@ -39,6 +39,8 @@ def get_spark(
         # Nested-doc assembly benefits from compact shuffle records.
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
+        # keep stdout machine-parseable (bench.py emits one JSON line)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     if not os.environ.get("SPARK_MASTER"):

@@ -81,6 +81,28 @@ def main():
             print(f"FAIL  {name}: columns differ spark={scols} duck={dcols}")
             failures += 1
             continue
+        # dtype alignment (emulating a strict driver schema check)
+        spark_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+        duck_types = {d[0]: str(d[1]) for d in cur.description}
+        TYPE_MAP = {
+            "NUMBER": {"bigint", "int", "smallint", "tinyint", "double", "float"},
+            "STRING": {"string"},
+            "bool": {"boolean"},
+            "list": None,  # element types checked via values
+        }
+        for cname, dt in duck_types.items():
+            st = spark_types[cname]
+            ok_ = (
+                (dt == "NUMBER" and st in TYPE_MAP["NUMBER"])
+                or (dt == "STRING" and st == "string")
+                or (dt == "bool" and st == "boolean")
+                or (dt == "list" and st.startswith("array"))
+                or (dt == "TIMESTAMP" and st.startswith("timestamp"))
+            )
+            if not ok_:
+                print(
+                    f"WARN  {name}: column {cname} spark={st} duck={dt}"
+                )
         if len(srows) != len(drows):
             print(f"FAIL  {name}: rowcount spark={len(srows)} duck={len(drows)}")
             failures += 1
