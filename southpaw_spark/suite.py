@@ -596,6 +596,71 @@ def _d03_sql() -> str:
 D03_SQL = _d03_sql()
 
 
+def d05_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH buckets
+    (approximate → rows-only; the planted-pair quality gate lives in
+    tests/test_similarity_dedup.py)."""
+    from southpaw_spark.operators.dedup import embedding_near_duplicates
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(
+        emb, "embedding", "vec_id", threshold=0.2, n_planes=5
+    )
+
+
+def d06_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cascade as one pipeline: exact duplicates collapse to their
+    keeper, then near-dup (3-gram Jaccard ≥ 0.2) pairs are found among
+    the survivors — the standard exact→fuzzy corpus-cleaning composition,
+    fully oracle-checked."""
+    from southpaw_spark.operators.dedup import exact_duplicates, ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    copies = docs.where(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    corpus = docs.unionByName(copies)
+    dup_groups = exact_duplicates(corpus, "text", "doc_id")
+    losers = dup_groups.select(
+        F.explode("doc_ids").alias("doc_id"), F.col("keep_id")
+    ).where(F.col("doc_id") != F.col("keep_id")).select("doc_id")
+    survivors = corpus.join(losers, "doc_id", "left_anti")
+    return ngram_jaccard_pairs(survivors, "text", "doc_id", n=3, threshold=0.2)
+
+
+D06_SQL = """
+    WITH corpus AS (
+      SELECT * FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 50 = 0),
+    groups AS (
+      SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM corpus
+      GROUP BY md5(text)),
+    survivors AS (
+      SELECT c.* FROM corpus c JOIN groups g
+        ON md5(c.text) = g.h AND c.doc_id = g.keep_id),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM survivors),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(w) - 2),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+      FROM toks WHERE len(w) >= 3),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    sized AS (SELECT doc_id, len(shingles) AS n_sh FROM sh)
+    SELECT i.id_a, i.id_b,
+           ROUND(i.n_inter::DOUBLE / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sized sa ON sa.doc_id = i.id_a
+    JOIN sized sb ON sb.doc_id = i.id_b
+    WHERE i.n_inter::DOUBLE / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.2
+"""
+
+
 def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k over the embedding column (query set =
     vec_id < 10). Baseline for ANN variants."""
@@ -944,6 +1009,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d02_ngram_jaccard": d02_ngram_jaccard,
     "d03_minhash_lsh": d03_minhash_lsh,
     "d04_simhash": d04_simhash,
+    "d05_embedding_near_dup": d05_embedding_near_dup,
+    "d06_dedup_cascade": d06_dedup_cascade,
     "s01_cosine_topk": s01_cosine_topk,
     "s02_ivf_topk": s02_ivf_topk,
     "t01_token_count": t01_token_count,
@@ -978,6 +1045,8 @@ ORACLES: dict[str, str] = {
     "d02_ngram_jaccard": D02_SQL,
     "d03_minhash_lsh": D03_SQL,
     "d04_simhash": D04_SQL,
+    # d05 intentionally absent: approximate LSH near-dup, rows-only
+    "d06_dedup_cascade": D06_SQL,
     # s02 intentionally absent: approximate ANN, rows-only
     "s01_cosine_topk": S01_SQL,
     "t01_token_count": T01_SQL,
