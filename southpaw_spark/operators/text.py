@@ -78,6 +78,20 @@ def with_regex_token_count(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def with_normalized_text(df: DataFrame, text_col: str) -> DataFrame:
+    """Canonical text normalization for dedup cascades: lowercase,
+    punctuation stripped, whitespace collapsed and trimmed. ASCII regex
+    classes keep Java regex (Spark) and RE2 (DuckDB) in agreement."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return df.withColumn("norm_text", norm)
+
+
 def with_fingerprint(df: DataFrame, text_col: str) -> DataFrame:
     """Content fingerprint: hash of normalized prefix + exact length —
     a cheap first-pass identity for dedup cascades."""

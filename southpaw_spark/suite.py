@@ -785,6 +785,31 @@ T05_SQL = """
 """
 
 
+def t06_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (lowercase/strip-punct/collapse-ws) + hash of
+    the canonical form — the first stage of a normalization-aware dedup."""
+    from southpaw_spark.operators.text import with_normalized_text
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_normalized_text(docs, "text").select(
+        "doc_id",
+        F.length("norm_text").cast("long").alias("n_norm_chars"),
+        F.md5(F.col("norm_text").cast("binary")).alias("norm_hash"),
+    )
+
+
+T06_SQL = """
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                  ' +', ' ', 'g')) AS norm_text
+      FROM documents)
+    SELECT doc_id, len(norm_text)::BIGINT AS n_norm_chars,
+           md5(norm_text) AS norm_hash
+    FROM n
+"""
+
+
 def e01_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation over the events stream table (the batch
     shape of the Structured Streaming windowed agg)."""
@@ -1018,6 +1043,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t03_lang_guess": t03_lang_guess,
     "t04_fingerprint": t04_fingerprint,
     "t05_bpe_token_count": t05_bpe_token_count,
+    "t06_normalize": t06_normalize,
     "e01_windowed_agg": e01_windowed_agg,
     "e02_sessionize": e02_sessionize,
     "m01_binary_passthrough": m01_binary_passthrough,
@@ -1054,6 +1080,7 @@ ORACLES: dict[str, str] = {
     "t03_lang_guess": T03_SQL,
     "t04_fingerprint": T04_SQL,
     "t05_bpe_token_count": T05_SQL,
+    "t06_normalize": T06_SQL,
     "e01_windowed_agg": E01_SQL,
     "e02_sessionize": E02_SQL,
     "m01_binary_passthrough": M01_SQL,
