@@ -61,12 +61,20 @@ def ngram_jaccard_pairs(
     shingles are the skew risk — AQE skew-join handles moderate skew,
     and callers can pre-filter stop-shingles for adversarial corpora.
     """
-    sh = shingles(df, text_col, id_col, n).cache()
+    # Join on a 64-bit hash of the shingle instead of the string: the
+    # shuffle carries 8-byte keys instead of ~n·word-length strings.
+    # Collision risk is ~|shingles|²/2⁶⁵ — immaterial against the
+    # Jaccard estimate itself.
+    sh = (
+        shingles(df, text_col, id_col, n)
+        .select(F.col(id_col), F.xxhash64("shingle").alias("sh"))
+        .cache()
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
     inter = (
-        a.join(b, ["shingle"])
+        a.join(b, ["sh"])
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
