@@ -1,0 +1,28 @@
+"""Registry guards: every oracle belongs to a query, every query runs
+and returns a stable schema at smoke scale (the driver's contract)."""
+
+import pytest
+
+from southpaw_spark import suite
+
+
+def test_every_oracle_has_a_query():
+    missing = set(suite.ORACLES) - set(suite.QUERIES)
+    assert not missing, f"oracles without queries: {missing}"
+
+
+def test_rows_only_queries_are_documented():
+    rows_only = set(suite.QUERIES) - set(suite.ORACLES)
+    # exactly the approximate / non-SQL-expressible ops
+    assert rows_only == {
+        "q13_denormalized_order",
+        "d05_embedding_near_dup",
+        "s02_ivf_topk",
+    }
+
+
+@pytest.mark.parametrize("name", sorted(suite.QUERIES))
+def test_query_runs_and_has_schema(spark, sf_dir, name):
+    df = suite.QUERIES[name](spark, sf_dir)
+    assert df.columns, name
+    assert df.count() >= 0
