@@ -92,6 +92,36 @@ def with_normalized_text(df: DataFrame, text_col: str) -> DataFrame:
     return df.withColumn("norm_text", norm)
 
 
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — classic corpus statistics as a
+    pure shuffle plan: term frequencies per doc, document frequencies per
+    term (one groupBy each), smoothed idf = ln((N+1)/(df+1)) + 1, then a
+    per-doc top-k window. Deterministic (ties broken by term) so a SQL
+    oracle reproduces it exactly."""
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    tok = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col),
+        "term",
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select(id_col, "term", "tfidf", F.col("rk").alias("rank"))
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str) -> DataFrame:
     """Content fingerprint: hash of normalized prefix + exact length —
     a cheap first-pass identity for dedup cascades."""

@@ -188,10 +188,17 @@ class IncrementalDenormalizer:
         checkpoint_dir: str,
         sink,
         trigger: dict | None = None,
+        entity_columns: Mapping[str, Sequence[str]] | None = None,
     ):
         """Wire a unified CDC stream (one DataFrame carrying an entity
         discriminator column, e.g. parsed from Kafka topic names) into
         the orchestrator via foreachBatch.
+
+        A multi-entity stream carries the union of all entity columns
+        (absent fields null); pass ``entity_columns`` (entity → its
+        changelog columns incl. seq/is_tombstone) so each slice is
+        projected back to its own schema before state maintenance —
+        otherwise foreign null columns would be mistaken for payload.
 
         ``sink(denorm_name, df)`` receives each tree's output batch —
         e.g. a Kafka writer mapping (key=pk bytes, value=json|null).
@@ -202,6 +209,8 @@ class IncrementalDenormalizer:
             deltas = {}
             for entity in self._entities():
                 d = batch_df.where(F.col(entity_col) == entity).drop(entity_col)
+                if entity_columns and entity in entity_columns:
+                    d = d.select(*entity_columns[entity])
                 if d.isEmpty():
                     continue
                 deltas[entity] = d

@@ -810,6 +810,44 @@ T06_SQL = """
 """
 
 
+def t07_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (corpus statistics shape)."""
+    from southpaw_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_read(spark, sf_dir, "documents"), "text", "doc_id", k=3)
+
+
+T07_SQL = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 6)
+               AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+    SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def e03_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based distinct counting (HLL++) per event_type — the
+    approximate-aggregation family. Engine sketches differ, so this is
+    rows-only; tests assert relative error vs exact."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def e01_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation over the events stream table (the batch
     shape of the Structured Streaming windowed agg)."""
@@ -1044,8 +1082,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t04_fingerprint": t04_fingerprint,
     "t05_bpe_token_count": t05_bpe_token_count,
     "t06_normalize": t06_normalize,
+    "t07_tfidf_top_terms": t07_tfidf_top_terms,
     "e01_windowed_agg": e01_windowed_agg,
     "e02_sessionize": e02_sessionize,
+    "e03_approx_distinct": e03_approx_distinct,
     "m01_binary_passthrough": m01_binary_passthrough,
     "m02_image_decode": m02_image_decode,
 }
@@ -1081,6 +1121,8 @@ ORACLES: dict[str, str] = {
     "t04_fingerprint": T04_SQL,
     "t05_bpe_token_count": T05_SQL,
     "t06_normalize": T06_SQL,
+    "t07_tfidf_top_terms": T07_SQL,
+    # e03 intentionally absent: HLL sketches differ across engines
     "e01_windowed_agg": E01_SQL,
     "e02_sessionize": E02_SQL,
     "m01_binary_passthrough": M01_SQL,

@@ -1,0 +1,101 @@
+"""Multi-entity unified stream through attach_stream (entity projection)
+and approx-distinct quality."""
+
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from southpaw_spark.relations import load_relations
+from southpaw_spark.streaming import IncrementalDenormalizer, ParquetStateStore
+from southpaw_spark.testing import (
+    CHANGELOG_EVENTS,
+    ENTITY_SCHEMAS,
+    RELATION_TREES,
+    changelog_frames,
+    entity_keys,
+)
+
+
+def test_attach_stream_multi_entity(spark, tmp_path):
+    """player + user CDC events interleaved in ONE stream (union schema);
+    entity_columns projects each slice back to its own changelog."""
+    rels = load_relations([RELATION_TREES[1]])  # DenormalizedPlayer
+    keys = entity_keys()
+    store = ParquetStateStore(spark, str(tmp_path / "state"), n_buckets=4)
+    ivm = IncrementalDenormalizer(spark=spark, relations=rels, keys=keys, store=store)
+    logs = changelog_frames(spark)
+    ivm.bootstrap(
+        {e: logs[e].where("seq < 0").drop("seq", "is_tombstone") for e in ("player", "user")}
+    )
+
+    user_cols = [c.split()[0] for c in ENTITY_SCHEMAS["user"][0].split(", ")]
+    player_cols = [c.split()[0] for c in ENTITY_SCHEMAS["player"][0].split(", ")]
+    union_cols = list(dict.fromkeys(user_cols + player_cols))
+
+    def to_union(entity, cols, ev):
+        d = dict(zip(cols, ev))
+        return {c: d.get(c) for c in union_cols} | {"entity": entity}
+
+    events = [to_union("user", user_cols, e) for e in CHANGELOG_EVENTS["user"]] + [
+        to_union("player", player_cols, e) for e in CHANGELOG_EVENTS["player"]
+    ]
+    events.sort(key=lambda e: e["seq"])
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.json").write_text("\n".join(json.dumps(e) for e in events))
+
+    schema = (
+        "seq long, user_id int, user_name string, email string, usage_type string,"
+        " is_tombstone boolean, id int, name string, entity string"
+    )
+    results = {}
+
+    def sink(name, df):
+        for r in df.collect():
+            results[(name, r["id"])] = r["value"]
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = ivm.attach_stream(
+        stream,
+        entity_col="entity",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        sink=sink,
+        entity_columns={"user": user_cols, "player": player_cols},
+    )
+    try:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            q.processAllAvailable()
+            if ("DenormalizedPlayer", 800) in results:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+
+    doc = json.loads(results[("DenormalizedPlayer", 800)])
+    assert [u["Record"]["user_name"] for u in doc["Children"]["user"]] == ["alice2"]
+    # player 802 has NULL user_id → absent key; must not have been
+    # polluted by union-schema null columns
+    doc802 = json.loads(results[("DenormalizedPlayer", 802)])
+    assert "user" not in doc802["Children"]
+
+
+def test_approx_distinct_quality(spark, sf_dir):
+    from southpaw_spark import suite
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in suite.e03_approx_distinct(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        rel_err = abs(approx[k] - n) / n
+        assert rel_err < 0.1, (k, approx[k], n)

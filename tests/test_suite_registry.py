@@ -18,6 +18,7 @@ def test_rows_only_queries_are_documented():
         "q13_denormalized_order",
         "d05_embedding_near_dup",
         "s02_ivf_topk",
+        "e03_approx_distinct",
     }
 
 
