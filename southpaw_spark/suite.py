@@ -175,7 +175,12 @@ def q04_nested_children(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(
             F.count("l_orderkey").alias("n_items"),
-            F.sort_array(F.collect_list("l_linenumber")).alias("item_pks"),
+            # Arrays are serialized to a sorted comma-joined string so the
+            # driver's canonicalizer (pandas hash) can handle the column.
+            F.array_join(
+                F.sort_array(F.collect_list("l_linenumber")).cast("array<string>"),
+                ",",
+            ).alias("item_pks"),
         )
     )
 
@@ -183,8 +188,8 @@ def q04_nested_children(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q04_SQL = """
     SELECT o.o_orderkey,
            COUNT(l.l_orderkey) AS n_items,
-           COALESCE(LIST(l.l_linenumber ORDER BY l.l_linenumber)
-                    FILTER (WHERE l.l_linenumber IS NOT NULL), []) AS item_pks
+           COALESCE(array_to_string(LIST(l.l_linenumber ORDER BY l.l_linenumber)
+                    FILTER (WHERE l.l_linenumber IS NOT NULL), ','), '') AS item_pks
     FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderkey
 """
@@ -465,7 +470,14 @@ def q14_doc_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(
             li, F.lit(0.0), lambda acc, x: acc + x["Record"]["l_quantity"]
         ).alias("total_qty"),
-        F.transform(li, lambda x: x["Record"]["l_linenumber"]).alias("line_pks"),
+        # Sorted + comma-joined: array columns break the driver's pandas
+        # canonicalizer, so serialize deterministically on both sides.
+        F.array_join(
+            F.sort_array(
+                F.transform(li, lambda x: x["Record"]["l_linenumber"])
+            ).cast("array<string>"),
+            ",",
+        ).alias("line_pks"),
     )
 
 
@@ -474,8 +486,8 @@ Q14_SQL = """
            COUNT(l.l_orderkey) AS n_lineitems,
            MAX(c.c_name) AS customer_name,
            COALESCE(SUM(l.l_quantity), 0.0) AS total_qty,
-           COALESCE(LIST(l.l_linenumber ORDER BY l.l_linenumber)
-                    FILTER (WHERE l.l_linenumber IS NOT NULL), []) AS line_pks
+           COALESCE(array_to_string(LIST(l.l_linenumber ORDER BY l.l_linenumber)
+                    FILTER (WHERE l.l_linenumber IS NOT NULL), ','), '') AS line_pks
     FROM orders o
     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -497,7 +509,12 @@ def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies = docs.where(F.col("doc_id") % 50 == 0).withColumn(
         "doc_id", F.col("doc_id") + 100000
     )
-    return exact_duplicates(docs.unionByName(copies), "text", "doc_id")
+    groups = exact_duplicates(docs.unionByName(copies), "text", "doc_id")
+    # doc_ids is kept array-typed in the operator (d06 explodes it); the
+    # registry projection serializes it for the driver's canonicalizer.
+    return groups.withColumn(
+        "doc_ids", F.array_join(F.col("doc_ids").cast("array<string>"), ",")
+    )
 
 
 D01_SQL = """
@@ -509,7 +526,7 @@ D01_SQL = """
     SELECT md5(text) AS content_hash,
            MIN(doc_id) AS keep_id,
            COUNT(*) AS n_copies,
-           LIST(doc_id ORDER BY doc_id) AS doc_ids
+           array_to_string(LIST(doc_id ORDER BY doc_id), ',') AS doc_ids
     FROM corpus
     GROUP BY md5(text) HAVING COUNT(*) > 1
 """
@@ -915,15 +932,21 @@ def q15_shared_entity_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "c_custkey",
         F.size(orders).cast("long").alias("n_orders"),
-        F.transform(orders, lambda o: o["Record"]["o_orderkey"]).alias("order_keys"),
+        # Sorted + comma-joined for the driver's pandas canonicalizer.
+        F.array_join(
+            F.sort_array(
+                F.transform(orders, lambda o: o["Record"]["o_orderkey"])
+            ).cast("array<string>"),
+            ",",
+        ).alias("order_keys"),
     )
 
 
 Q15_SQL = """
     SELECT c.c_custkey,
            COUNT(o.o_orderkey) AS n_orders,
-           COALESCE(LIST(o.o_orderkey ORDER BY o.o_orderkey)
-                    FILTER (WHERE o.o_orderkey IS NOT NULL), []) AS order_keys
+           COALESCE(array_to_string(LIST(o.o_orderkey ORDER BY o.o_orderkey)
+                    FILTER (WHERE o.o_orderkey IS NOT NULL), ','), '') AS order_keys
     FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey
 """
