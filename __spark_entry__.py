@@ -47,7 +47,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query (q13 omitted: nested
-    JSON documents are not SQL-expressible — q14 value-checks the same
-    documents through SQL-expressible projections)."""
+    """DuckDB-runnable ANSI SQL oracle per query. The flagship q13 is
+    hash-checked too: its oracle reassembles the identical nested JSON
+    bottom-up (struct_pack + LIST ORDER BY + to_json). Only the declared
+    approximate/sketch queries (d05, s02, e03) are rows-only."""
     return dict(suite.ORACLES)

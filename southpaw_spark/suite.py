@@ -429,14 +429,85 @@ Q12_SQL = """
 
 
 def q13_denormalized_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O13+O14 flagship: full nested DenormalizedOrder documents. The
-    nested struct itself is not SQL-expressible for the hash compare, so
-    this query is registered rows-only; q14 value-checks its content."""
+    """O13+O14 flagship: full nested DenormalizedOrder documents,
+    hash-checked against a DuckDB oracle that reassembles the identical
+    JSON bottom-up with struct_pack + LIST(ORDER BY child PK) + to_json
+    (SURVEY §2.4 Q13's prescribed oracle). Cross-engine JSON agreement
+    holds because the corpus has no null fields (ignoreNullFields is then
+    a no-op), both engines serialize compact JSON with insertion-ordered
+    keys, and timestamps are rendered to the same ISO-millis string
+    (Spark natively; DuckDB via strftime)."""
     docs = build_order_docs(spark, sf_dir)
     return docs.select(
         "o_orderkey",
         F.to_json(F.col("doc"), {"ignoreNullFields": "true"}).alias("value"),
     )
+
+
+# The oracle mirrors denormalize()'s bottom-up assembly: leaf docs, then
+# lineitem docs with part/supplier child arrays, then the order doc. The
+# LIST(... ORDER BY ...) clauses replicate the engine's child ordering:
+# full-row order for lineitem (LINEITEM_ALL — duplicate composite PKs make
+# the full row the identity) and PK order for the unique-PK entities.
+Q13_SQL = """
+WITH part_docs AS (
+  SELECT p_partkey, struct_pack(
+    Record := struct_pack(
+      p_partkey := p_partkey, p_name := p_name, p_brand := p_brand,
+      p_type := p_type, p_size := p_size, p_retailprice := p_retailprice)
+  ) AS pdoc FROM part),
+supp_docs AS (
+  SELECT s_suppkey, struct_pack(
+    Record := struct_pack(
+      s_suppkey := s_suppkey, s_name := s_name, s_nationkey := s_nationkey,
+      s_acctbal := s_acctbal)
+  ) AS sdoc FROM supplier),
+cust_docs AS (
+  SELECT c_custkey, struct_pack(
+    Record := struct_pack(
+      c_custkey := c_custkey, c_name := c_name, c_nationkey := c_nationkey,
+      c_acctbal := c_acctbal, c_mktsegment := c_mktsegment)
+  ) AS cdoc FROM customer),
+li_docs AS (
+  SELECT l.*, struct_pack(
+    Record := struct_pack(
+      l_orderkey := l.l_orderkey, l_partkey := l.l_partkey,
+      l_suppkey := l.l_suppkey, l_linenumber := l.l_linenumber,
+      l_quantity := l.l_quantity, l_extendedprice := l.l_extendedprice,
+      l_discount := l.l_discount, l_tax := l.l_tax,
+      l_returnflag := l.l_returnflag, l_linestatus := l.l_linestatus,
+      l_shipdate := strftime(l.l_shipdate, '%Y-%m-%dT%H:%M:%S.%g')),
+    Children := struct_pack(
+      part := CASE WHEN l.l_partkey IS NULL THEN NULL
+                   WHEN p.pdoc IS NULL THEN [] ELSE [p.pdoc] END,
+      supplier := CASE WHEN l.l_suppkey IS NULL THEN NULL
+                       WHEN s.sdoc IS NULL THEN [] ELSE [s.sdoc] END)
+  ) AS ldoc
+  FROM lineitem l
+  LEFT JOIN part_docs p ON p.p_partkey = l.l_partkey
+  LEFT JOIN supp_docs s ON s.s_suppkey = l.l_suppkey),
+li_agg AS (
+  SELECT l_orderkey, LIST(ldoc ORDER BY
+    l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+    l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+    l_shipdate) AS lst
+  FROM li_docs GROUP BY l_orderkey)
+SELECT o.o_orderkey, to_json(struct_pack(
+  Record := struct_pack(
+    o_orderkey := o.o_orderkey, o_custkey := o.o_custkey,
+    o_orderstatus := o.o_orderstatus, o_totalprice := o.o_totalprice,
+    o_orderdate := strftime(o.o_orderdate, '%Y-%m-%dT%H:%M:%S.%g'),
+    o_orderpriority := o.o_orderpriority),
+  Children := struct_pack(
+    customer := CASE WHEN o.o_custkey IS NULL THEN NULL
+                     WHEN c.cdoc IS NULL THEN [] ELSE [c.cdoc] END,
+    lineitem := CASE WHEN o.o_orderkey IS NULL THEN NULL
+                     ELSE COALESCE(la.lst, []) END)
+))::VARCHAR AS value
+FROM orders o
+LEFT JOIN cust_docs c ON c.c_custkey = o.o_custkey
+LEFT JOIN li_agg la ON la.l_orderkey = o.o_orderkey
+"""
 
 
 ORDER_TREE_2LEVEL_JSON = """[{
@@ -1126,8 +1197,7 @@ ORACLES: dict[str, str] = {
     "q10_empty_children": Q10_SQL,
     "q11_root_tombstones": Q11_SQL,
     "q12_composite_pk": Q12_SQL,
-    # q13 intentionally absent: nested JSON docs, rows-only check (q14
-    # value-checks the same docs through SQL-expressible projections)
+    "q13_denormalized_order": Q13_SQL,
     "q14_doc_projection": Q14_SQL,
     "q15_shared_entity_tree": Q15_SQL,
     "d01_dedup_exact": D01_SQL,

@@ -13,9 +13,9 @@ def test_every_oracle_has_a_query():
 
 def test_rows_only_queries_are_documented():
     rows_only = set(suite.QUERIES) - set(suite.ORACLES)
-    # exactly the approximate / non-SQL-expressible ops
+    # exactly the approximate / non-SQL-expressible ops (q13 gained a
+    # full JSON-reassembly oracle in round 2)
     assert rows_only == {
-        "q13_denormalized_order",
         "d05_embedding_near_dup",
         "s02_ivf_topk",
         "e03_approx_distinct",
