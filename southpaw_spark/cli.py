@@ -86,16 +86,35 @@ def build(spark, cfg) -> None:
             for e in keys
         }
     )
-    outputs = ivm.process_batch(changelogs) if changelogs else {}
-    if not changelogs:
-        # pure-snapshot build: all roots are dirty
-        from southpaw_spark.operators.denormalize import denormalize_to_json
+    if changelogs:
+        # merge changelog deltas into state (outputs discarded: a build
+        # is a FULL build — emitting only changelog-dirtied roots would
+        # drop every snapshot-bootstrapped root untouched by a delta)
+        ivm.process_batch(changelogs)
+    # full build over the final merged state: every live root gets a
+    # document; roots tombstoned by a changelog get a null-value row
+    from southpaw_spark.operators.cdc import (
+        apply_filter_rules,
+        latest_by_key,
+    )
+    from southpaw_spark.operators.denormalize import denormalize_to_json
 
-        states = {e: store.read(e) for e in keys}
-        for rel in relations:
-            outputs[rel.denormalized_name] = denormalize_to_json(
-                states, rel, keys
+    states = {e: store.read(e) for e in keys}
+    rules = _rules(cfg)
+    outputs = {}
+    for rel in relations:
+        tomb = None
+        if rel.entity in changelogs:
+            log = apply_filter_rules(
+                changelogs[rel.entity], rules.get(rel.entity, ())
             )
+            latest = latest_by_key(log, keys[rel.entity])
+            tomb = latest.where(
+                F.coalesce(F.col("is_tombstone"), F.lit(False))
+            ).select(*keys[rel.entity])
+        outputs[rel.denormalized_name] = denormalize_to_json(
+            states, rel, keys, tombstoned_roots=tomb
+        )
     out_dir = cfg["output.dir"]
     for name, df in outputs.items():
         df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
@@ -127,9 +146,12 @@ def main(argv=None) -> int:
     g.add_argument("--verify-state", action="store_true")
     g.add_argument("--backup", metavar="BACKUP_DIR")
     g.add_argument("--restore", metavar="BACKUP_PATH")
+    g.add_argument("--restore-latest", metavar="BACKUP_DIR")
     g.add_argument("--delete-state", action="store_true")
     p.add_argument("--restore-mode", default="always",
                    choices=["always", "when_needed", "never"])
+    p.add_argument("--backup-retention", type=int, default=None,
+                   metavar="N", help="keep only the newest N backups")
     args = p.parse_args(argv)
 
     with open(args.config) as f:
@@ -144,12 +166,16 @@ def main(argv=None) -> int:
         return verify(spark, cfg)
     store = ParquetStateStore(spark, cfg["state.dir"])
     if args.backup:
-        dest = store.backup(args.backup)
+        dest = store.backup(args.backup, retention=args.backup_retention)
         print(f"backup -> {dest}")
         return 0
     if args.restore:
         restored = store.restore(args.restore, args.restore_mode)
         print(f"restore: {'done' if restored else 'skipped'}")
+        return 0
+    if args.restore_latest:
+        path = store.restore_latest(args.restore_latest, args.restore_mode)
+        print(f"restore: {path if path else 'skipped'}")
         return 0
     if args.delete_state:
         store.delete_state()

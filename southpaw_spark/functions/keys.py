@@ -50,10 +50,21 @@ def key_bytes(col: Column, data_type: str) -> Column:
 
 def composite_key(df_or_cols, fields: dict[str, str]) -> Column:
     """Composite-PK bytes: components sorted by field name, each
-    length-prefixed with one byte (components must be ≤ 255 bytes)."""
+    length-prefixed with one byte. Components over 255 bytes raise at
+    runtime (the reference's ByteArray errors likewise — a silently
+    truncated length prefix would encode a wrong key)."""
     parts = []
     for name in sorted(fields):
         b = key_bytes(F.col(name), fields[name])
-        prefix = F.unhex(F.lpad(F.hex(F.length(b)), 2, "0"))
+        checked_len = F.when(
+            F.length(b) > 255,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"composite_key component {name!r} exceeds 255 bytes: "),
+                    F.length(b).cast("string"),
+                )
+            ).cast("int"),
+        ).otherwise(F.length(b))
+        prefix = F.unhex(F.lpad(F.hex(checked_len), 2, "0"))
         parts.append(F.concat(prefix, b))
     return F.concat(*parts) if len(parts) > 1 else parts[0]

@@ -4,9 +4,13 @@ beyond-reference data-pipeline operators (dedup, similarity, text)."""
 from southpaw_spark.operators.cdc import (
     FilterMode,
     FilterRule,
+    OldAwareFilterRule,
     apply_filter_rules,
+    apply_old_aware_rules,
     current_state,
+    is_unchanged,
     latest_by_key,
+    unchanged_skip_rule,
 )
 from southpaw_spark.operators.denormalize import (
     affected_root_keys,
@@ -17,10 +21,14 @@ from southpaw_spark.operators.denormalize import (
 __all__ = [
     "FilterMode",
     "FilterRule",
+    "OldAwareFilterRule",
     "affected_root_keys",
     "apply_filter_rules",
+    "apply_old_aware_rules",
     "current_state",
     "denormalize",
     "denormalize_to_json",
+    "is_unchanged",
     "latest_by_key",
+    "unchanged_skip_rule",
 ]

@@ -46,6 +46,103 @@ class FilterRule:
     mode: FilterMode
 
 
+#: struct column exposing the previous state row to old-aware predicates
+OLD_FIELD = "old"
+
+
+@dataclass
+class OldAwareFilterRule:
+    """Filter rule whose predicate may reference the *previous* state row
+    — the reference's ``customFilter(entity, rec, oldRec)`` surface
+    (``filter/BaseFilter.java:106-160``). The old row is exposed as a
+    struct column ``old`` (``F.col("old.some_field")``), null when the
+    key has no prior state. Applied after intra-batch dedup, against the
+    pre-batch committed state."""
+
+    predicate: Column
+    mode: FilterMode
+
+
+def is_unchanged(
+    payload_cols: Sequence[str],
+    ignored_fields: Sequence[str] = (),
+    old_col: str = OLD_FIELD,
+) -> Column:
+    """True when the incoming record equals its previous state row on
+    every payload column not listed in ``ignored_fields`` — the
+    reference's ``BaseFilter.isEqual(rec, oldRec, ignoredFields)``
+    helper (``filter/BaseFilter.java:118-139``, behavior pinned by
+    ``filter/TestFilter.java:36-55``), the canonical skip-no-op-updates
+    CDC optimization. Null-safe per field; false when there is no old
+    row (a brand-new key is always a change)."""
+    cond: Column = F.col(old_col).isNotNull()
+    for c in payload_cols:
+        if c in ignored_fields:
+            continue
+        cond = cond & F.col(c).eqNullSafe(F.col(old_col)[c])
+    return cond
+
+
+def unchanged_skip_rule(
+    payload_cols: Sequence[str],
+    ignored_fields: Sequence[str] = (),
+    tombstone_col: str = "is_tombstone",
+) -> OldAwareFilterRule:
+    """SKIP records that would not change state: non-tombstone events
+    whose payload equals the current state row. Tombstones always pass
+    (deleting an existing row is a change)."""
+    return OldAwareFilterRule(
+        predicate=(
+            ~F.coalesce(F.col(tombstone_col), F.lit(False))
+            & is_unchanged(payload_cols, ignored_fields)
+        ),
+        mode=FilterMode.SKIP,
+    )
+
+
+def apply_old_aware_rules(
+    delta: DataFrame,
+    old_rows: DataFrame | None,
+    rules: Sequence[OldAwareFilterRule],
+    key_cols: Sequence[str],
+    tombstone_col: str = "is_tombstone",
+) -> DataFrame:
+    """Join the (deduped) delta against its pre-batch state rows and
+    apply old-aware SKIP/DELETE rules.
+
+    ``old_rows``: the current state rows for the delta's keys (any
+    superset is fine — the join prunes), or None when the entity has no
+    state yet (every ``old`` is null). One broadcast-friendly equi-join
+    on the PK; predicates stay JVM-side Column expressions."""
+    if not rules:
+        return delta
+    if old_rows is None:
+        # no prior state: a typed null struct (shaped like the delta) so
+        # ``old.field`` references still resolve
+        from pyspark.sql import types as T
+
+        shape = T.StructType([f for f in delta.schema.fields])
+        joined = delta.withColumn(OLD_FIELD, F.lit(None).cast(shape))
+    else:
+        payload = [c for c in old_rows.columns]
+        old_struct = old_rows.select(
+            *key_cols,
+            F.struct(*[F.col(c) for c in payload]).alias(OLD_FIELD),
+        )
+        joined = delta.join(F.broadcast(old_struct), on=list(key_cols), how="left")
+    out = joined
+    delete_pred: Column | None = None
+    for rule in rules:
+        if rule.mode is FilterMode.SKIP:
+            out = out.where(~F.coalesce(rule.predicate, F.lit(False)))
+        elif rule.mode is FilterMode.DELETE:
+            p = F.coalesce(rule.predicate, F.lit(False))
+            delete_pred = p if delete_pred is None else (delete_pred | p)
+    if delete_pred is not None:
+        out = out.withColumn(tombstone_col, F.col(tombstone_col) | delete_pred)
+    return out.drop(OLD_FIELD)
+
+
 def apply_filter_rules(
     changelog: DataFrame,
     rules: Sequence[FilterRule],

@@ -17,9 +17,19 @@ to (SURVEY §4.2): per micro-batch of CDC deltas,
 
 Every step is a DataFrame plan — deltas are typically small, so the
 dirty-key joins broadcast; the rebuild scans K-proportional data via
-semi-join pruning. Offsets/exactly-once are Structured Streaming's
-checkpoint concern (``attach_streams`` wires that up); at-least-once to
-the sink matches the reference's guarantee (``Southpaw.java:297-315``).
+semi-join pruning.
+
+Commit ordering (reference ``Southpaw.java:297-315`` — output topics are
+flushed *before* state): the state merge is staged (files written, the
+``_CURRENT`` pointer NOT flipped), outputs are computed from the staged
+version and pushed to the sink, and only then are the pointers flipped.
+A crash anywhere before the flip replays the batch against the
+*pre-merge* state, so FK pre-images (old parents of repointed children)
+are recomputed identically — at-least-once to the sink with no
+permanently-stale documents. A crash between the flip and the streaming
+checkpoint advance replays with post-merge state: outputs are re-emitted
+(possibly as no-op upserts), the same at-least-once window the reference
+has between topic flush and offset commit.
 """
 
 from __future__ import annotations
@@ -32,7 +42,9 @@ from pyspark.sql import functions as F
 
 from southpaw_spark.operators.cdc import (
     FilterRule,
+    OldAwareFilterRule,
     apply_filter_rules,
+    apply_old_aware_rules,
     latest_by_key,
 )
 from southpaw_spark.operators.denormalize import (
@@ -50,6 +62,12 @@ class IncrementalDenormalizer:
     keys: Mapping[str, Sequence[str]]
     store: ParquetStateStore
     filter_rules: Mapping[str, Sequence[FilterRule]] = field(default_factory=dict)
+    #: O5 second half — rules whose predicates see the previous state row
+    #: as ``old.*`` (reference ``customFilter(entity, rec, oldRec)``);
+    #: see ``cdc.unchanged_skip_rule`` for the canonical no-op-update skip.
+    old_filter_rules: Mapping[str, Sequence[OldAwareFilterRule]] = field(
+        default_factory=dict
+    )
     seq_col: str = "seq"
     tombstone_col: str = "is_tombstone"
     #: when true, per-batch counters are recorded in ``metrics`` using the
@@ -78,106 +96,172 @@ class IncrementalDenormalizer:
                     seen.append(e)
         return seen
 
-    def bootstrap(self, snapshots: Mapping[str, DataFrame]) -> None:
-        """Initialize state tables from full snapshots (or empty)."""
+    def bootstrap(
+        self,
+        snapshots: Mapping[str, DataFrame],
+        schemas: Mapping[str, object] | None = None,
+    ) -> None:
+        """Initialize state tables from full snapshots. Tree entities
+        absent from ``snapshots`` are initialized *empty* from
+        ``schemas[entity]`` (a StructType) when given — without it, a
+        tree entity that never receives a delta would fail state reads
+        mid-stream with FileNotFoundError."""
         for entity in self._entities():
             if entity in snapshots:
-                self.store.init(
-                    entity, snapshots[entity], self.keys[entity]
-                )
+                self.store.init(entity, snapshots[entity], self.keys[entity])
+            elif schemas and entity in schemas:
+                empty = self.spark.createDataFrame([], schemas[entity])
+                self.store.init(entity, empty, self.keys[entity])
 
     # -- the per-batch step -------------------------------------------
 
     def process_batch(
-        self, deltas: Mapping[str, DataFrame]
+        self, deltas: Mapping[str, DataFrame], sink=None
     ) -> dict[str, DataFrame]:
         """Apply one micro-batch of per-entity changelog deltas; returns
         {denormalized_name: DataFrame[root pks…, value]} with JSON doc
-        upserts and null-value tombstones for every dirty root."""
-        spark = self.spark
+        upserts and null-value tombstones for every dirty root.
 
-        # 1+2+3: per entity — dedup, pre-image, merge.
-        new_fk_values: dict[str, DataFrame] = {}
-        old_rows: dict[str, DataFrame] = {}
-        batch_keys: dict[str, DataFrame] = {}
-        for entity, delta in deltas.items():
-            key_cols = list(self.keys[entity])
-            rules = self.filter_rules.get(entity, ())
-            if self.collect_metrics:
-                self._bump(f"records.consumed.{entity}", delta.count())
-            delta = apply_filter_rules(delta, rules, self.tombstone_col)
-            delta = latest_by_key(delta, key_cols, self.seq_col)
-            delta = delta.cache()
-            dk = delta.select(*key_cols)
-            batch_keys[entity] = dk
-            if self.store.exists(entity):
-                old_rows[entity] = self.store.read(entity).join(
-                    F.broadcast(dk.distinct()), on=key_cols, how="left_semi"
-                ).cache()
-            upserts = delta.where(
-                ~F.coalesce(F.col(self.tombstone_col), F.lit(False))
-            ).drop(self.seq_col, self.tombstone_col)
-            dels = delta.where(
-                F.coalesce(F.col(self.tombstone_col), F.lit(False))
-            ).select(*key_cols)
-            new_fk_values[entity] = upserts
-            self.store.merge(entity, upserts, dels, key_cols)
-
-        # 4+5: per tree — dirty roots, targeted rebuild, tombstones.
-        states = {e: self.store.read(e) for e in self._entities()}
-        outputs: dict[str, DataFrame] = {}
-        for rel in self.relations:
-            root_pks = list(self.keys[rel.entity])
-            dirty: DataFrame | None = None
-            for entity, delta_keys in batch_keys.items():
-                node = rel.find_entity(entity)
-                if node is None:
-                    continue
-                if self.queueing_strategy is not None:
-                    priority = self.queueing_strategy(rel.denormalized_name, entity)
-                    if priority == "none":
-                        continue
-                if entity == rel.entity:
-                    contrib = delta_keys.select(*root_pks)
-                else:
-                    jk = node.join_key
-                    fks = new_fk_values[entity].select(
-                        F.col(jk).alias(jk)
+        With ``sink(name, df)`` supplied (the streaming path), outputs
+        are pushed to the sink *before* the staged state versions are
+        committed — the reference's output-before-flush ordering. Without
+        a sink (batch mode) the merge commits before returning; the
+        returned lazy DataFrames pin concrete version directories, which
+        the default vacuum retention (2 versions) keeps alive through the
+        following batch.
+        """
+        cached: list[DataFrame] = []
+        staged: dict[str, int] = {}
+        try:
+            # 1+2+3: per entity — dedup, pre-image, STAGED merge (files
+            # written, pointer not yet flipped).
+            new_fk_values: dict[str, DataFrame] = {}
+            old_rows: dict[str, DataFrame] = {}
+            batch_keys: dict[str, DataFrame] = {}
+            for entity, delta in deltas.items():
+                key_cols = list(self.keys[entity])
+                rules = self.filter_rules.get(entity, ())
+                if self.collect_metrics:
+                    self._bump(f"records.consumed.{entity}", delta.count())
+                delta = apply_filter_rules(delta, rules, self.tombstone_col)
+                delta = latest_by_key(delta, key_cols, self.seq_col)
+                delta = delta.cache()
+                cached.append(delta)
+                old_all: DataFrame | None = None
+                if self.store.exists(entity):
+                    old_all = self.store.read(entity).join(
+                        F.broadcast(delta.select(*key_cols).distinct()),
+                        on=key_cols,
+                        how="left_semi",
+                    ).cache()
+                    cached.append(old_all)
+                o_rules = self.old_filter_rules.get(entity, ())
+                if o_rules:
+                    delta = apply_old_aware_rules(
+                        delta, old_all, o_rules, key_cols, self.tombstone_col
+                    ).cache()
+                    cached.append(delta)
+                dk = delta.select(*key_cols)
+                batch_keys[entity] = dk
+                if old_all is not None:
+                    # pre-images of rows actually being replaced (post-filter)
+                    old_rows[entity] = old_all.join(
+                        F.broadcast(dk.distinct()), on=key_cols, how="left_semi"
                     )
-                    if entity in old_rows:
-                        fks = fks.unionByName(
-                            old_rows[entity].select(F.col(jk).alias(jk))
-                        )
-                    fks = fks.where(F.col(jk).isNotNull()).distinct()
-                    contrib = affected_root_keys(
-                        states, rel, entity, fks, self.keys
-                    )
-                dirty = (
-                    contrib
-                    if dirty is None
-                    else dirty.unionByName(contrib)
+                upserts = delta.where(
+                    ~F.coalesce(F.col(self.tombstone_col), F.lit(False))
+                ).drop(self.seq_col, self.tombstone_col)
+                dels = delta.where(
+                    F.coalesce(F.col(self.tombstone_col), F.lit(False))
+                ).select(*key_cols)
+                new_fk_values[entity] = upserts
+                staged[entity] = self.store.merge(
+                    entity, upserts, dels, key_cols, commit=False
                 )
-            if dirty is None:
-                continue
-            dirty = dirty.distinct().cache()
 
-            docs = denormalize(states, rel, self.keys, root_keys=dirty)
-            live = docs.select(
-                *root_pks,
-                F.to_json(F.col("doc"), {"ignoreNullFields": "true"}).alias(
-                    "value"
-                ),
-            )
-            # dirty roots with no surviving state row → tombstone output
-            gone = dirty.join(
-                states[rel.entity].select(*root_pks), on=root_pks, how="left_anti"
-            ).select(*root_pks, F.lit(None).cast("string").alias("value"))
-            outputs[rel.denormalized_name] = live.unionByName(gone)
-            if self.collect_metrics:
-                name = rel.denormalized_name
-                self._bump(f"denormalized.records.created.{name}", live.count())
-                self._bump(f"denormalized.records.tombstoned.{name}", gone.count())
-        return outputs
+            # 4+5: per tree — dirty roots, targeted rebuild, tombstones —
+            # all against the staged (post-merge, uncommitted) state.
+            states: dict[str, DataFrame] = {}
+            for e in self._entities():
+                if e in staged:
+                    states[e] = self.store.read_version(e, staged[e])
+                elif self.store.exists(e):
+                    states[e] = self.store.read(e)
+                else:
+                    raise FileNotFoundError(
+                        f"no state for entity {e!r}: bootstrap() every tree "
+                        "entity first (pass schemas= for entities without "
+                        "snapshots)"
+                    )
+            outputs: dict[str, DataFrame] = {}
+            for rel in self.relations:
+                root_pks = list(self.keys[rel.entity])
+                dirty: DataFrame | None = None
+                for entity, delta_keys in batch_keys.items():
+                    node = rel.find_entity(entity)
+                    if node is None:
+                        continue
+                    if self.queueing_strategy is not None:
+                        priority = self.queueing_strategy(
+                            rel.denormalized_name, entity
+                        )
+                        if priority == "none":
+                            continue
+                    if entity == rel.entity:
+                        contrib = delta_keys.select(*root_pks)
+                    else:
+                        jk = node.join_key
+                        fks = new_fk_values[entity].select(F.col(jk).alias(jk))
+                        if entity in old_rows:
+                            fks = fks.unionByName(
+                                old_rows[entity].select(F.col(jk).alias(jk))
+                            )
+                        fks = fks.where(F.col(jk).isNotNull()).distinct()
+                        contrib = affected_root_keys(
+                            states, rel, entity, fks, self.keys
+                        )
+                    dirty = (
+                        contrib if dirty is None else dirty.unionByName(contrib)
+                    )
+                if dirty is None:
+                    continue
+                dirty = dirty.distinct().cache()
+                cached.append(dirty)
+
+                docs = denormalize(states, rel, self.keys, root_keys=dirty)
+                live = docs.select(
+                    *root_pks,
+                    F.to_json(
+                        F.col("doc"), {"ignoreNullFields": "true"}
+                    ).alias("value"),
+                )
+                # dirty roots with no surviving state row → tombstone output
+                gone = dirty.join(
+                    states[rel.entity].select(*root_pks),
+                    on=root_pks,
+                    how="left_anti",
+                ).select(*root_pks, F.lit(None).cast("string").alias("value"))
+                outputs[rel.denormalized_name] = live.unionByName(gone)
+                if self.collect_metrics:
+                    name = rel.denormalized_name
+                    self._bump(
+                        f"denormalized.records.created.{name}", live.count()
+                    )
+                    self._bump(
+                        f"denormalized.records.tombstoned.{name}", gone.count()
+                    )
+
+            # outputs BEFORE commit (crash ⇒ replay against pre-merge state)
+            if sink is not None:
+                for name, out in outputs.items():
+                    sink(name, out)
+            for entity, version in staged.items():
+                self.store.commit(entity, version)
+            self.store.vacuum(keep=2)
+            return outputs
+        finally:
+            for df in cached:
+                df.unpersist()
 
     # -- structured-streaming wiring ----------------------------------
 
@@ -206,18 +290,30 @@ class IncrementalDenormalizer:
 
         def _process(batch_df: DataFrame, batch_id: int) -> None:
             batch_df = batch_df.cache()
-            deltas = {}
-            for entity in self._entities():
-                d = batch_df.where(F.col(entity_col) == entity).drop(entity_col)
-                if entity_columns and entity in entity_columns:
-                    d = d.select(*entity_columns[entity])
-                if d.isEmpty():
-                    continue
-                deltas[entity] = d
-            if not deltas:
-                return
-            for name, out in self.process_batch(deltas).items():
-                sink(name, out)
+            try:
+                # one probe job for the whole batch (not one isEmpty()
+                # per entity): which entities are present?
+                present = {
+                    r[0]
+                    for r in batch_df.select(entity_col).distinct().collect()
+                }
+                deltas = {}
+                for entity in self._entities():
+                    if entity not in present:
+                        continue
+                    d = batch_df.where(F.col(entity_col) == entity).drop(
+                        entity_col
+                    )
+                    if entity_columns and entity in entity_columns:
+                        d = d.select(*entity_columns[entity])
+                    deltas[entity] = d
+                if not deltas:
+                    return
+                # sink inside process_batch: outputs flush before the
+                # state-version commit (crash-consistent ordering)
+                self.process_batch(deltas, sink=sink)
+            finally:
+                batch_df.unpersist()
 
         writer = (
             source.writeStream.foreachBatch(_process)

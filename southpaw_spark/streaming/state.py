@@ -63,6 +63,12 @@ class ParquetStateStore:
         version = self._version_of(entity)
         if version is None:
             raise FileNotFoundError(f"no state for entity {entity!r}")
+        return self.read_version(entity, version)
+
+    def read_version(self, entity: str, version: int) -> DataFrame:
+        """Read a specific version directory (committed or staged). Plans
+        built from it pin concrete file paths, so they stay valid across a
+        later commit — vacuum retention is what bounds their lifetime."""
         # explicit schema (sidecar) so empty state tables — zero parquet
         # files after an empty bootstrap — read back as empty DataFrames
         schema = self._read_schema(entity)
@@ -96,15 +102,25 @@ class ParquetStateStore:
     def _bucket_col(self, key_cols: Sequence[str]):
         return F.pmod(F.hash(*key_cols), F.lit(self.n_buckets))
 
-    def init(self, entity: str, rows: DataFrame, key_cols: Sequence[str]) -> None:
-        """Full (re)write of an entity's state."""
+    def init(
+        self,
+        entity: str,
+        rows: DataFrame,
+        key_cols: Sequence[str],
+        commit: bool = True,
+    ) -> int:
+        """Full (re)write of an entity's state. With ``commit=False`` the
+        version is staged (files + schema written, pointer untouched) —
+        readers keep seeing the prior version until ``commit()``."""
         version = (self._version_of(entity) or 0) + 1
         out = rows.withColumn("__bucket", self._bucket_col(key_cols))
         out.write.partitionBy("__bucket").mode("overwrite").parquet(
             self._data_dir(entity, version)
         )
         self._write_schema(entity, rows)
-        self._commit(entity, version)
+        if commit:
+            self._commit(entity, version)
+        return version
 
     def merge(
         self,
@@ -112,15 +128,24 @@ class ParquetStateStore:
         upserts: DataFrame,
         delete_keys: DataFrame | None,
         key_cols: Sequence[str],
-    ) -> None:
-        """Upsert + delete merge. Only buckets containing delta keys are
-        rewritten; untouched buckets are carried into the new version as
-        references (re-read, not recomputed — on object stores this
-        becomes a metadata-only copy with Delta/Iceberg)."""
+        commit: bool = True,
+    ) -> int:
+        """Upsert + delete merge. Work is proportional to the *touched*
+        buckets, not the table: the anti-join scans only the bucket
+        partitions containing delta keys (a pruned read — rows elsewhere
+        cannot hold a delta key because bucket = hash(key)), and untouched
+        buckets are carried into the new version as hardlinks (on object
+        stores this becomes a metadata-only copy with Delta/Iceberg).
+
+        ``commit=False`` stages the new version without flipping the
+        ``_CURRENT`` pointer — the write-ahead half of the reference's
+        output-before-flush commit ordering (``Southpaw.java:297-315``):
+        the orchestrator emits batch outputs first, then calls
+        ``commit()``. A crash in between replays against the old version.
+        Returns the (possibly staged) new version number."""
         version = self._version_of(entity)
         if version is None:
-            self.init(entity, upserts, key_cols)
-            return
+            return self.init(entity, upserts, key_cols, commit=commit)
         current = self.spark.read.schema(self._read_schema(entity)).parquet(
             self._data_dir(entity, version)
         )
@@ -134,7 +159,9 @@ class ParquetStateStore:
         )
         touched_ids = [r["__bucket"] for r in touched.collect()]
 
-        kept = current.join(
+        # Bucket-prune BEFORE the anti-join: only touched partitions are
+        # scanned (partition filter on the __bucket directory column).
+        kept = current.where(F.col("__bucket").isin(touched_ids)).join(
             F.broadcast(delta_keys.distinct()), on=list(key_cols), how="left_anti"
         )
         merged = kept.unionByName(
@@ -143,12 +170,12 @@ class ParquetStateStore:
         )
         new_version = version + 1
         new_dir = self._data_dir(entity, new_version)
-        # rewrite only touched buckets; copy untouched bucket dirs through
-        merged.where(F.col("__bucket").isin(touched_ids)).write.partitionBy(
-            "__bucket"
-        ).mode("overwrite").parquet(new_dir)
+        # rewrite only touched buckets; hardlink untouched bucket dirs through
+        merged.write.partitionBy("__bucket").mode("overwrite").parquet(new_dir)
         self._link_untouched(entity, version, new_version, touched_ids)
-        self._commit(entity, new_version)
+        if commit:
+            self._commit(entity, new_version)
+        return new_version
 
     def _link_untouched(
         self, entity: str, old_version: int, new_version: int, touched: list[int]
@@ -166,10 +193,23 @@ class ParquetStateStore:
             if bucket_id in touched:
                 continue
             dst = os.path.join(new_dir, name)
-            if not os.path.exists(dst):
-                # local fs: cheap copy; object store: server-side copy /
-                # manifest reference
-                shutil.copytree(os.path.join(old_dir, name), dst)
+            if os.path.exists(dst):
+                continue
+            # Hardlink each file: per-batch cost is O(untouched bucket
+            # count), not O(state bytes) — a full-state physical copy per
+            # micro-batch would be a scale-killer at 100 TB.
+            src = os.path.join(old_dir, name)
+            os.makedirs(dst, exist_ok=True)
+            for fn in os.listdir(src):
+                s, d = os.path.join(src, fn), os.path.join(dst, fn)
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)  # cross-device fallback
+
+    def commit(self, entity: str, version: int) -> None:
+        """Publish a staged version (flip the ``_CURRENT`` pointer)."""
+        self._commit(entity, version)
 
     def _commit(self, entity: str, version: int) -> None:
         ptr = os.path.join(self._entity_dir(entity), _CURRENT)
@@ -178,13 +218,43 @@ class ParquetStateStore:
             f.write(str(version))
         os.replace(tmp, ptr)
 
+    def vacuum(self, keep: int = 2) -> None:
+        """Drop version directories older than the newest ``keep``
+        committed versions per entity. Versions newer than the pointer
+        (staged, uncommitted) are never touched; keeping ≥2 lets lazy
+        plans pinned to the previous version finish. Bounds state-dir
+        growth on long-running streams."""
+        import shutil
+
+        for entity in os.listdir(self.root):
+            edir = self._entity_dir(entity)
+            if not os.path.isdir(edir):
+                continue
+            current = self._version_of(entity)
+            if current is None:
+                continue
+            cutoff = current - keep + 1
+            for name in os.listdir(edir):
+                if not name.startswith("v"):
+                    continue
+                try:
+                    v = int(name[1:])
+                except ValueError:
+                    continue
+                if v < cutoff:
+                    shutil.rmtree(os.path.join(edir, name), ignore_errors=True)
+
     # -- backup / restore (reference O18, state/RocksDBState.java:247-265,
     # 639-708: BackupEngine to local/S3 with restore modes + rollback) ----
 
-    def backup(self, backup_dir: str) -> str:
+    def backup(self, backup_dir: str, retention: int | None = None) -> str:
         """Snapshot every entity's current version into a timestamped
-        backup. On object stores this is a server-side copy of the
-        current version dirs + pointer files; locally a copytree."""
+        backup (hardlinked where possible — version files are immutable,
+        so links are safe and O(file count), and the backup keeps its
+        data alive even after vacuum unlinks the live copy). On object
+        stores this becomes a server-side copy. ``retention`` keeps only
+        the newest N backups (reference ``backupsToKeep``,
+        ``state/RocksDBState.java:247-265``)."""
         import shutil
         import time
 
@@ -197,13 +267,37 @@ class ParquetStateStore:
                 continue
             edir = os.path.join(dest, entity)
             os.makedirs(edir)
-            shutil.copytree(
+            self._link_tree(
                 self._data_dir(entity, version), os.path.join(edir, f"v{version}")
             )
             shutil.copy(self._schema_path(entity), os.path.join(edir, "_SCHEMA"))
             with open(os.path.join(edir, _CURRENT), "w") as f:
                 f.write(str(version))
+        if retention is not None:
+            names = sorted(
+                n
+                for n in os.listdir(backup_dir)
+                if os.path.isdir(os.path.join(backup_dir, n))
+            )
+            for old in names[:-retention]:
+                shutil.rmtree(os.path.join(backup_dir, old), ignore_errors=True)
         return dest
+
+    @staticmethod
+    def _link_tree(src: str, dst: str) -> None:
+        """Recursive hardlink copy with plain-copy fallback."""
+        import shutil
+
+        for dirpath, _dirnames, filenames in os.walk(src):
+            rel = os.path.relpath(dirpath, src)
+            out = dst if rel == "." else os.path.join(dst, rel)
+            os.makedirs(out, exist_ok=True)
+            for fn in filenames:
+                s, d = os.path.join(dirpath, fn), os.path.join(out, fn)
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)
 
     def restore(self, backup_path: str, mode: str = "always") -> bool:
         """Restore from a backup snapshot. Modes follow the reference:
@@ -225,6 +319,65 @@ class ParquetStateStore:
             shutil.rmtree(dst, ignore_errors=True)
             shutil.copytree(src, dst)
         return True
+
+    def _backup_ok(self, backup_path: str) -> bool:
+        """Structural + read validation of one backup snapshot: every
+        entity must have a parsable pointer, a parsable schema sidecar,
+        the pointed-at version directory, and parquet that actually
+        reads (catches truncated/corrupt files)."""
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        try:
+            entities = os.listdir(backup_path)
+        except OSError:
+            return False
+        if not entities:
+            return False
+        for entity in entities:
+            edir = os.path.join(backup_path, entity)
+            try:
+                with open(os.path.join(edir, _CURRENT)) as f:
+                    version = int(f.read().strip())
+                with open(os.path.join(edir, "_SCHEMA")) as f:
+                    schema = T.StructType.fromJson(_json.loads(f.read()))
+                vdir = os.path.join(edir, f"v{version}")
+                if not os.path.isdir(vdir):
+                    return False
+                self.spark.read.schema(schema).parquet(vdir).count()
+            except Exception:
+                return False
+        return True
+
+    def restore_latest(self, backup_dir: str, mode: str = "always") -> str | None:
+        """Restore from the newest *valid* backup under ``backup_dir``,
+        rolling back across corrupted newer backups — each corrupt
+        snapshot is deleted and the next-newest tried, mirroring the
+        reference's auto-rollback restore
+        (``state/RocksDBState.java:639-708``). Returns the restored
+        backup path, or None if ``mode`` skipped the restore. Raises
+        when no valid backup exists."""
+        import shutil
+
+        if mode == "never":
+            return None
+        names = sorted(
+            (
+                n
+                for n in os.listdir(backup_dir)
+                if os.path.isdir(os.path.join(backup_dir, n))
+            ),
+            reverse=True,
+        )
+        for name in names:
+            path = os.path.join(backup_dir, name)
+            if self._backup_ok(path):
+                if self.restore(path, mode):
+                    return path
+                return None  # mode=when_needed decided state is fine
+            shutil.rmtree(path, ignore_errors=True)  # corrupt → roll back
+        raise FileNotFoundError(f"no valid backup under {backup_dir!r}")
 
     def delete_state(self) -> None:
         """Drop all entity state (reference ``--delete-state``)."""

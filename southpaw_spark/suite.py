@@ -1023,6 +1023,69 @@ Q15_SQL = """
 """
 
 
+def q16_filter_unchanged_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 second half — old-row-aware filtering (reference
+    ``customFilter(entity, rec, oldRec)`` + ``isEqual``,
+    ``filter/BaseFilter.java:106-160``): a second wave of events re-emits
+    the current payload for even user_ids (no-op updates), a changed
+    payload for odd user_ids, and brand-new keys. The unchanged-skip rule
+    must drop exactly the no-op re-emissions — survivors are the changed
+    rows plus every new key."""
+    from southpaw_spark.operators.cdc import (
+        apply_old_aware_rules,
+        unchanged_skip_rule,
+    )
+
+    log = _events_changelog(spark, sf_dir)
+    state = current_state(log, ["user_id"]).select(
+        "user_id", "event_type", "value"
+    )
+    same = state.where(F.col("user_id") % 2 == 0)
+    changed = state.where(F.col("user_id") % 2 == 1).withColumn(
+        "value", F.col("value") + 1
+    )
+    new = state.select(
+        (F.col("user_id") + 1000000).alias("user_id"),
+        F.lit("new").alias("event_type"),
+        F.lit(0.0).alias("value"),
+    )
+    delta = (
+        same.unionByName(changed)
+        .unionByName(new)
+        .withColumn("seq", F.lit(1).cast("long"))
+        .withColumn("is_tombstone", F.lit(False))
+    )
+    out = apply_old_aware_rules(
+        delta,
+        state,
+        [unchanged_skip_rule(["event_type", "value"])],
+        ["user_id"],
+    )
+    return out.select("user_id", "event_type", "value")
+
+
+Q16_SQL = f"""
+    WITH log AS ({_EVENTS_CHANGELOG_SQL}),
+    latest AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+      FROM log),
+    state AS (
+      SELECT user_id, event_type, value FROM latest
+      WHERE rn = 1 AND NOT is_tombstone),
+    delta AS (
+      SELECT user_id, event_type, value FROM state WHERE user_id % 2 = 0
+      UNION ALL
+      SELECT user_id, event_type, value + 1 FROM state WHERE user_id % 2 = 1
+      UNION ALL
+      SELECT user_id + 1000000, 'new', 0.0 FROM state)
+    SELECT d.user_id, d.event_type, d.value
+    FROM delta d LEFT JOIN state s ON s.user_id = d.user_id
+    WHERE NOT (s.user_id IS NOT NULL
+               AND s.event_type IS NOT DISTINCT FROM d.event_type
+               AND s.value IS NOT DISTINCT FROM d.value)
+"""
+
+
 def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash signatures (md5-bit variant so the oracle can
     reproduce them; the production path in operators.dedup.simhash uses
@@ -1162,6 +1225,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_denormalized_order": q13_denormalized_order,
     "q14_doc_projection": q14_doc_projection,
     "q15_shared_entity_tree": q15_shared_entity_tree,
+    "q16_filter_unchanged_skip": q16_filter_unchanged_skip,
     "d01_dedup_exact": d01_dedup_exact,
     "d02_ngram_jaccard": d02_ngram_jaccard,
     "d03_minhash_lsh": d03_minhash_lsh,
@@ -1200,6 +1264,7 @@ ORACLES: dict[str, str] = {
     "q13_denormalized_order": Q13_SQL,
     "q14_doc_projection": Q14_SQL,
     "q15_shared_entity_tree": Q15_SQL,
+    "q16_filter_unchanged_skip": Q16_SQL,
     "d01_dedup_exact": D01_SQL,
     "d02_ngram_jaccard": D02_SQL,
     "d03_minhash_lsh": D03_SQL,

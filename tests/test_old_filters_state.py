@@ -1,0 +1,333 @@
+"""O5 second half (old-row-aware filters) + state-store commit ordering.
+
+Pins the reference behaviors:
+* ``BaseFilter.isEqual(rec, oldRec, ignoredFields)`` — equality that
+  ignores listed fields, false when exactly one side is null
+  (``filter/BaseFilter.java:118-139``, ``filter/TestFilter.java:36-55``);
+* output-before-flush commit ordering (``Southpaw.java:297-315``): a
+  crash between output emission and state commit must replay against the
+  PRE-merge state so FK pre-images are recomputed identically.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from southpaw_spark.operators.cdc import (
+    FilterMode,
+    OldAwareFilterRule,
+    apply_old_aware_rules,
+    is_unchanged,
+    unchanged_skip_rule,
+)
+from southpaw_spark.relations import load_relations
+from southpaw_spark.streaming import IncrementalDenormalizer, ParquetStateStore
+
+PAYLOAD = ["k", "a", "b"]
+
+
+def _delta(spark, rows):
+    return spark.createDataFrame(rows, "k long, a string, b long, seq long, is_tombstone boolean")
+
+
+def _state(spark, rows):
+    return spark.createDataFrame(rows, "k long, a string, b long")
+
+
+# -- apply_old_aware_rules / is_unchanged --------------------------------
+
+
+def test_unchanged_rows_are_skipped(spark):
+    state = _state(spark, [(1, "x", 10), (2, "y", 20)])
+    delta = _delta(
+        spark,
+        [
+            (1, "x", 10, 5, False),  # identical → skip
+            (2, "y", 99, 5, False),  # changed → keep
+            (3, "z", 30, 5, False),  # new key → keep
+        ],
+    )
+    out = apply_old_aware_rules(
+        delta, state, [unchanged_skip_rule(["a", "b"])], ["k"]
+    )
+    assert sorted(r["k"] for r in out.collect()) == [2, 3]
+
+
+def test_ignored_fields_are_not_compared(spark):
+    state = _state(spark, [(1, "x", 10)])
+    delta = _delta(spark, [(1, "x", 999, 5, False)])  # only b differs
+    out = apply_old_aware_rules(
+        delta,
+        state,
+        [unchanged_skip_rule(["a", "b"], ignored_fields=["b"])],
+        ["k"],
+    )
+    assert out.count() == 0  # b ignored → equal → skipped
+
+
+def test_tombstone_for_existing_key_is_never_unchanged(spark):
+    state = _state(spark, [(1, "x", 10)])
+    delta = _delta(spark, [(1, "x", 10, 5, True)])  # tombstone, same payload
+    out = apply_old_aware_rules(
+        delta, state, [unchanged_skip_rule(["a", "b"])], ["k"]
+    )
+    assert out.count() == 1  # deleting an existing row is a change
+
+
+def test_no_prior_state_keeps_everything(spark):
+    delta = _delta(spark, [(1, "x", 10, 5, False)])
+    out = apply_old_aware_rules(
+        delta, None, [unchanged_skip_rule(["a", "b"])], ["k"]
+    )
+    assert out.count() == 1
+
+
+def test_null_safe_field_comparison(spark):
+    state = spark.createDataFrame([(1, None, 10)], "k long, a string, b long")
+    delta = _delta(spark, [(1, None, 10, 5, False)])
+    out = apply_old_aware_rules(
+        delta, state, [unchanged_skip_rule(["a", "b"])], ["k"]
+    )
+    assert out.count() == 0  # null == null per field (isEqual semantics)
+
+
+def test_old_aware_delete_mode(spark):
+    # a rule that DELETEs when the old row's a was 'x' (uses old.*)
+    state = _state(spark, [(1, "x", 10), (2, "y", 20)])
+    delta = _delta(spark, [(1, "q", 1, 5, False), (2, "q", 2, 5, False)])
+    rule = OldAwareFilterRule(
+        predicate=F.col("old.a") == "x", mode=FilterMode.DELETE
+    )
+    out = apply_old_aware_rules(delta, state, [rule], ["k"])
+    got = {r["k"]: r["is_tombstone"] for r in out.collect()}
+    assert got == {1: True, 2: False}
+
+
+# -- IVM wiring -----------------------------------------------------------
+
+TREE = """[{
+  "DenormalizedName": "DenormalizedParent", "Entity": "parent",
+  "Children": [{"Entity": "child", "JoinKey": "p_id", "ParentKey": "p_id"}]
+}]"""
+
+KEYS = {"parent": ["p_id"], "child": ["c_id"]}
+
+
+def _denorm(spark, tmp_path, **kw):
+    store = ParquetStateStore(spark, str(tmp_path / "state"), n_buckets=4)
+    d = IncrementalDenormalizer(
+        spark=spark,
+        relations=load_relations(TREE),
+        keys=KEYS,
+        store=store,
+        **kw,
+    )
+    d.bootstrap(
+        {
+            "parent": spark.createDataFrame(
+                [(1, "P1"), (2, "P2")], "p_id long, name string"
+            ),
+            "child": spark.createDataFrame(
+                [(100, 1, "C1")], "c_id long, p_id long, val string"
+            ),
+        }
+    )
+    return d
+
+
+def _child_delta(spark, rows):
+    return spark.createDataFrame(
+        rows, "c_id long, p_id long, val string, seq long, is_tombstone boolean"
+    )
+
+
+def test_noop_update_produces_no_output_and_no_state_change(spark, tmp_path):
+    d = _denorm(
+        spark,
+        tmp_path,
+        old_filter_rules={"child": [unchanged_skip_rule(["p_id", "val"])]},
+    )
+    before = sorted(d.store.read("child").collect())
+    outs = d.process_batch(
+        {"child": _child_delta(spark, [(100, 1, "C1", 5, False)])}
+    )
+    assert all(out.count() == 0 for out in outs.values())
+    assert sorted(d.store.read("child").collect()) == before
+
+
+def test_crash_before_commit_replays_with_pre_merge_preimages(spark, tmp_path):
+    """The ADVICE-high scenario: child 100 repoints P1→P2; the sink dies
+    before the state commit. On replay the pre-images must still be the
+    PRE-merge row (p_id=1), so the OLD parent P1 is dirtied too."""
+    d = _denorm(spark, tmp_path)
+    delta = {"child": _child_delta(spark, [(100, 2, "C1v2", 5, False)])}
+
+    class Boom(Exception):
+        pass
+
+    def bad_sink(name, df):
+        df.count()  # consume like a real sink would …
+        raise Boom()  # … then die before process_batch commits
+
+    with pytest.raises(Boom):
+        d.process_batch(delta, sink=bad_sink)
+    # state must still be pre-merge (pointer never flipped)
+    assert [r["p_id"] for r in d.store.read("child").collect()] == [1]
+
+    # replay: both the old parent (1) and the new parent (2) are dirty
+    got = {}
+    outs = d.process_batch(delta)
+    for out in outs.values():
+        for r in out.collect():
+            got[r["p_id"]] = r["value"]
+    assert set(got) == {1, 2}
+    assert '"C1v2"' in got[2] and "C1" not in (got[1] or "")
+    # and the merge is now committed
+    assert [r["p_id"] for r in d.store.read("child").collect()] == [2]
+
+
+def test_vacuum_bounds_version_dirs(spark, tmp_path):
+    d = _denorm(spark, tmp_path)
+    for i in range(4):
+        d.process_batch(
+            {"child": _child_delta(spark, [(100, 1, f"v{i}", 10 + i, False)])}
+        )
+    child_dir = os.path.join(str(tmp_path / "state"), "child")
+    versions = [n for n in os.listdir(child_dir) if n.startswith("v")]
+    assert len(versions) <= 2  # vacuum(keep=2)
+    assert d.store.read("child").collect()[0]["val"] == "v3"
+
+
+def test_merge_hardlinks_untouched_buckets(spark, tmp_path):
+    store = ParquetStateStore(spark, str(tmp_path / "s"), n_buckets=8)
+    rows = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(64)], "k long, v string"
+    )
+    store.init("e", rows, ["k"])
+    store.merge(
+        "e",
+        spark.createDataFrame([(1, "new")], "k long, v string"),
+        None,
+        ["k"],
+    )
+    v2 = os.path.join(str(tmp_path / "s"), "e", "v2")
+    linked = 0
+    for bucket in os.listdir(v2):
+        bdir = os.path.join(v2, bucket)
+        if not os.path.isdir(bdir):
+            continue
+        for fn in os.listdir(bdir):
+            if fn.endswith(".parquet") and os.stat(
+                os.path.join(bdir, fn)
+            ).st_nlink >= 2:
+                linked += 1
+    assert linked > 0  # untouched buckets are hardlinked, not copied
+    # content intact after linking
+    assert store.read("e").count() == 64
+    assert store.read("e").where("k = 1").collect()[0]["v"] == "new"
+
+
+def test_bootstrap_schemas_initializes_empty_entities(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    store = ParquetStateStore(spark, str(tmp_path / "state"), n_buckets=4)
+    d = IncrementalDenormalizer(
+        spark=spark, relations=load_relations(TREE), keys=KEYS, store=store
+    )
+    child_schema = T.StructType(
+        [
+            T.StructField("c_id", T.LongType()),
+            T.StructField("p_id", T.LongType()),
+            T.StructField("val", T.StringType()),
+        ]
+    )
+    d.bootstrap(
+        {
+            "parent": spark.createDataFrame(
+                [(1, "P1")], "p_id long, name string"
+            )
+        },
+        schemas={"child": child_schema},
+    )
+    # a parent-only delta must not crash on the (empty) child state
+    outs = d.process_batch(
+        {
+            "parent": spark.createDataFrame(
+                [(1, "P1x", 5, False)],
+                "p_id long, name string, seq long, is_tombstone boolean",
+            )
+        }
+    )
+    (out,) = outs.values()
+    rows = out.collect()
+    assert len(rows) == 1 and '"P1x"' in rows[0]["value"]
+
+
+# -- backup retention + rollback across corrupt backups -------------------
+
+
+def _mini_store(spark, tmp_path):
+    store = ParquetStateStore(spark, str(tmp_path / "st"), n_buckets=2)
+    store.init(
+        "e",
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        ["k"],
+    )
+    return store
+
+
+def test_backup_retention_prunes_oldest(spark, tmp_path):
+    import time
+
+    store = _mini_store(spark, tmp_path)
+    bdir = str(tmp_path / "bk")
+    for _ in range(3):
+        store.backup(bdir, retention=2)
+        time.sleep(0.01)
+    assert len(os.listdir(bdir)) == 2
+
+
+def test_restore_latest_rolls_back_across_corrupt_backup(spark, tmp_path):
+    """Reference RocksDBState.java:639-708: a corrupted newest backup is
+    discarded and the restore falls back to the prior one."""
+    import shutil
+    import time
+
+    store = _mini_store(spark, tmp_path)
+    bdir = str(tmp_path / "bk")
+    good = store.backup(bdir)
+    time.sleep(0.02)
+    store.merge(
+        "e",
+        spark.createDataFrame([(3, "c")], "k long, v string"),
+        None,
+        ["k"],
+    )
+    newest = store.backup(bdir)
+    # corrupt the newest backup: REPLACE every parquet file (a new inode,
+    # like a corrupt object-store object — backups share unchanged files
+    # by hardlink, the same dedup RocksDB's BackupEngine does, so an
+    # in-place write would corrupt sibling snapshots too)
+    for dirpath, _dn, fns in os.walk(newest):
+        for fn in fns:
+            if fn.endswith(".parquet"):
+                p = os.path.join(dirpath, fn)
+                os.remove(p)
+                with open(p, "wb") as f:
+                    f.write(b"corrupt")
+    store.delete_state()
+    restored = store.restore_latest(bdir)
+    assert restored == good
+    assert sorted(r["k"] for r in store.read("e").collect()) == [1, 2]
+    # the corrupt newest backup was rolled back (deleted)
+    assert not os.path.exists(newest)
+
+
+def test_restore_latest_raises_when_all_corrupt(spark, tmp_path):
+    store = _mini_store(spark, tmp_path)
+    bdir = str(tmp_path / "bk")
+    b = store.backup(bdir)
+    os.remove(os.path.join(b, "e", "_SCHEMA"))
+    with pytest.raises(FileNotFoundError):
+        store.restore_latest(bdir)
