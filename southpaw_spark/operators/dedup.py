@@ -174,52 +174,46 @@ def simhash(
     return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
+def auto_n_planes(n_rows: int, target_bucket: int = 200) -> int:
+    """Corpus-scaled hyperplane count: enough planes that the *expected*
+    bucket holds ~``target_bucket`` vectors, so within-bucket pairing
+    stays ~N·target_bucket instead of going quadratic. At 100 TB a fixed
+    plane count would be the scale bug: 2^planes buckets must grow with
+    the corpus."""
+    import math
+
+    return max(1, math.ceil(math.log2(max(2.0, n_rows / target_bucket))))
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = None,
+    n_tables: int = 2,
+    target_bucket: int = 200,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-bucketed by random-hyperplane
     signs so only same-bucket pairs are compared (scale path; brute force
-    lives in operators.similarity)."""
+    lives in operators.similarity).
+
+    ``n_planes=None`` (default) scales the plane count to the corpus via
+    :func:`auto_n_planes` (one count() job). ``n_tables`` independent
+    hash tables are OR-ed (banded multi-table LSH): a pair is a candidate
+    if it collides in ANY table, so recall survives the plane increase —
+    P(candidate) = 1-(1-p^b)^T for per-plane agreement p. Each table is
+    an equi-join on (table, bucket); duplicates across tables dedup on
+    the pair id after exact scoring."""
     import numpy as np
 
+    if n_planes is None:
+        n_planes = auto_n_planes(df.count(), target_bucket)
     rng = np.random.default_rng(seed)
     first = df.select(F.size(vec_col).alias("d")).first()
     dim = first["d"]
-    planes = rng.standard_normal((n_planes, dim)).tolist()
     v = F.col(vec_col)
-    sign_bits = [
-        (
-            F.aggregate(
-                F.zip_with(
-                    v,
-                    F.array(*[F.lit(float(x)) for x in planes[p]]),
-                    lambda a, b: a.cast("double") * b,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            > 0
-        ).cast("int")
-        for p in range(n_planes)
-    ]
-    bucket = F.concat_ws("", *[sb.cast("string") for sb in sign_bits])
-    bucketed = df.select(F.col(id_col), v.alias("v"), bucket.alias("bucket"))
-    a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket"
-    )
-    b = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket"
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
 
     def norm(c):
         return F.sqrt(
@@ -230,10 +224,52 @@ def embedding_near_duplicates(
             )
         )
 
+    table_frames = []
+    for t in range(n_tables):
+        planes = rng.standard_normal((n_planes, dim)).tolist()
+        sign_bits = [
+            (
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.array(*[F.lit(float(x)) for x in planes[p]]),
+                        lambda a, b: a.cast("double") * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0
+            ).cast("int")
+            for p in range(n_planes)
+        ]
+        bucket = F.concat_ws("", *[sb.cast("string") for sb in sign_bits])
+        table_frames.append(
+            df.select(
+                F.col(id_col),
+                v.alias("v"),
+                F.lit(t).alias("table"),
+                bucket.alias("bucket"),
+            )
+        )
+    bucketed = table_frames[0]
+    for tf in table_frames[1:]:
+        bucketed = bucketed.unionByName(tf)
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "table", "bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "table", "bucket"
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     cos = dot / (norm(F.col("va")) * norm(F.col("vb")))
     return (
-        a.join(b, "bucket")
+        a.join(b, ["table", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
+        .distinct()  # same pair may collide in several tables
     )

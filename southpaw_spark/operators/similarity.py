@@ -73,8 +73,9 @@ def ivf_topk(
     vec_col: str,
     id_col: str,
     k: int = 5,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     multiprobe: int = 1,
+    target_bucket: int = 200,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH buckets prune the corpus,
@@ -83,9 +84,18 @@ def ivf_topk(
     ``multiprobe`` of its own — recall rises steeply for a linear
     increase in candidates. The candidate join stays an equi-join on
     bucket, so the cross product never materializes and the corpus side
-    scales out by bucket partitioning."""
+    scales out by bucket partitioning.
+
+    ``n_planes=None`` (default) scales the plane count to the corpus
+    (``dedup.auto_n_planes``): expected bucket ≈ ``target_bucket``
+    vectors, so per-query candidate work stays bounded as the corpus
+    grows instead of a fixed 2^planes bucket count going quadratic."""
     import numpy as np
 
+    from southpaw_spark.operators.dedup import auto_n_planes
+
+    if n_planes is None:
+        n_planes = auto_n_planes(corpus.count(), target_bucket)
     rng = np.random.default_rng(seed)
     dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
     planes = rng.standard_normal((n_planes, dim)).tolist()

@@ -691,8 +691,10 @@ def d05_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from southpaw_spark.operators.dedup import embedding_near_duplicates
 
     emb = _read(spark, sf_dir, "embeddings")
+    # n_planes auto-scales to the corpus (auto_n_planes) with 2 OR-ed
+    # hash tables, so bucket population stays bounded as data grows
     return embedding_near_duplicates(
-        emb, "embedding", "vec_id", threshold=0.2, n_planes=5
+        emb, "embedding", "vec_id", threshold=0.2, n_tables=2
     )
 
 

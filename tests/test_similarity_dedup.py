@@ -75,3 +75,71 @@ def test_embedding_near_duplicates_finds_planted_pair(spark):
     pairs = embedding_near_duplicates(df, "v", "id", threshold=0.99, n_planes=4)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 2) in got
+
+
+def test_auto_n_planes_scales_with_corpus():
+    from southpaw_spark.operators.dedup import auto_n_planes
+
+    # buckets must GROW with the corpus so per-bucket pairing stays bounded
+    assert auto_n_planes(500) < auto_n_planes(20_000) < auto_n_planes(2_000_000)
+    # expected bucket population ~ target: N / 2^planes <= 2*target
+    for n in (1_000, 100_000, 10_000_000):
+        planes = auto_n_planes(n, target_bucket=200)
+        assert n / (2 ** planes) <= 2 * 200
+
+
+def test_ivf_recall_survives_corpus_scaled_planes_at_10x(spark, sf_dir):
+    """The d05/s02 scale property: a 10x corpus gets more planes
+    (auto_n_planes) and recall must hold — a fixed plane count would
+    instead go quadratic within buckets."""
+    from southpaw_spark.operators.dedup import auto_n_planes
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base_n = emb.count()
+    copies = [emb]
+    for i in range(1, 10):
+        copies.append(
+            emb.select(
+                (F.col("vec_id") + 100000 * i).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x: x + F.lit(0.01 * i)
+                ).alias("embedding"),
+            )
+        )
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    big = big.cache()
+    assert auto_n_planes(big.count()) > auto_n_planes(base_n)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(big, queries, "embedding", "vec_id", k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(big, queries, "embedding", "vec_id", k=5).collect()
+    }
+    big.unpersist()
+    recall = len(exact & approx) / max(1, len(exact))
+    assert recall >= 0.3, f"recall {recall}"
+
+
+def test_near_dup_multi_table_finds_planted_pair_with_auto_planes(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    planted = emb.where(F.col("vec_id") == 1).select(
+        F.lit(999999).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(1e-4)).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    pairs = embedding_near_duplicates(
+        corpus, "embedding", "vec_id", threshold=0.999, n_tables=2
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 999999) in got
