@@ -46,11 +46,30 @@ CHILDREN_FIELD = "Children"
 _DOC = "__doc"
 
 
+def _byte_order_key(df: DataFrame, pk_cols: Sequence[str]):
+    """Binary child-sort key replicating the reference's TreeMap ordering
+    over stripped-big-endian ByteArray keys (``util/ByteArray.java:37,
+    65-75,86-89``; composite keys ``215-229``): each PK component encoded
+    to reference bytes, length-prefixed when composite. Spark compares
+    BinaryType unsigned-lexicographically — the same order as the
+    reference's byte compare."""
+    from southpaw_spark.functions.keys import composite_key, key_bytes
+
+    types = dict(df.dtypes)
+    if len(pk_cols) == 1:
+        # single-field PK: raw ByteArray bytes, no length prefix
+        # (prefixing is the *composite* encoding, BaseRecord.java:59-75)
+        c = pk_cols[0]
+        return key_bytes(F.col(c), types[c])
+    return composite_key(df, {c: types[c] for c in pk_cols})
+
+
 def _build_node(
     node: Relation,
     states: Mapping[str, DataFrame],
     keys: Mapping[str, Sequence[str]],
     scope: DataFrame | None = None,
+    child_order: str = "numeric",
 ) -> DataFrame:
     """Post-order build: returns the node's state table with one extra
     struct column ``__doc`` holding the fully-nested document.
@@ -81,9 +100,40 @@ def _build_node(
             child_scope = df.where(F.col(child.parent_key).isNotNull()).select(
                 F.col(child.parent_key).alias(child.join_key)
             )
-        child_df = _build_node(child, states, keys, scope=child_scope)
+        child_df = _build_node(
+            child, states, keys, scope=child_scope, child_order=child_order
+        )
         child_pks = list(keys[child.entity])
         child_cols = states[child.entity].columns
+        if child_order == "bytes":
+            # strict reference byte order (e.g. 256=0x0100 sorts before
+            # 2=0x02); opt-in — the default numeric order matches for
+            # same-byte-length keys (SURVEY §1.6 declared divergence)
+            bk = _byte_order_key(states[child.entity], child_pks)
+            order_struct = F.struct(
+                bk.alias("__bk"), F.col(_DOC).alias("__d")
+            )
+            jk_alias = f"__jk__{child.entity}"
+            grouped = (
+                child_df.where(F.col(child.join_key).isNotNull())
+                .groupBy(F.col(child.join_key).alias(jk_alias))
+                .agg(
+                    F.sort_array(F.collect_list(order_struct)).alias(
+                        f"__arr__{child.entity}"
+                    )
+                )
+            )
+            df = df.join(
+                grouped, on=F.col(child.parent_key) == F.col(jk_alias), how="left"
+            ).drop(jk_alias)
+            arr = F.col(f"__arr__{child.entity}")
+            docs = F.transform(arr, lambda x: x["__d"])
+            child_fields.append(
+                F.when(F.col(child.parent_key).isNull(), F.lit(None))
+                .otherwise(F.coalesce(docs, F.array()))
+                .alias(child.entity)
+            )
+            continue
         # sort_array on structs compares fields in order. When the PK
         # columns are a prefix of the row columns (the overwhelmingly
         # common layout) the doc struct itself — whose first field is
@@ -129,6 +179,7 @@ def denormalize(
     keys: Mapping[str, Sequence[str]],
     doc_col: str = "doc",
     root_keys: DataFrame | None = None,
+    child_order: str = "numeric",
 ) -> DataFrame:
     """Build the nested-document table for one relation tree.
 
@@ -138,15 +189,25 @@ def denormalize(
     relation: validated relation tree (root).
     keys: entity name → primary-key column list (used for child ordering
         and the output key).
+    child_order: ``"numeric"`` (default — natural typed order) or
+        ``"bytes"`` — exact reference parity: children ordered by the
+        stripped-big-endian ByteArray encoding of their PK
+        (``Southpaw.java:343-352`` TreeMap over ``util/ByteArray.java``
+        keys). The two coincide except for numeric keys of differing
+        byte length (SURVEY §1.6).
 
     Returns a DataFrame with the root's PK columns plus ``doc_col`` — one
     row per live root. Root tombstones are the caller's concern
     (``denormalize_to_json`` unions them in). ``root_keys`` restricts the
     build to those roots (targeted incremental rebuild).
     """
+    if child_order not in ("numeric", "bytes"):
+        raise ValueError(f"unknown child_order {child_order!r}")
     root_pks = list(keys[relation.entity])
     scope = root_keys.select(*root_pks) if root_keys is not None else None
-    built = _build_node(relation, states, keys, scope=scope)
+    built = _build_node(
+        relation, states, keys, scope=scope, child_order=child_order
+    )
     return built.select(*root_pks, F.col(_DOC).alias(doc_col))
 
 

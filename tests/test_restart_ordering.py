@@ -114,3 +114,54 @@ def test_child_ordering_declared_numeric(spark):
     ).collect()
     by_bytes = sorted(enc, key=lambda r: bytes.fromhex(r["h"]))
     assert [r["cid"] for r in by_bytes] == [256, 2]  # reference byte order
+
+
+def test_child_ordering_bytes_mode_matches_reference(spark):
+    """With child_order="bytes" the declared divergence disappears:
+    children sort in the reference's stripped-big-endian byte order
+    (Southpaw.java:343-352 TreeMap over ByteArray keys), so 256 (0x0100)
+    sorts before 2 (0x02)."""
+    parent = spark.createDataFrame([(1,)], "id int")
+    child = spark.createDataFrame(
+        [(2, 1, "two"), (256, 1, "two-fifty-six")], "cid int, parent_id int, v string"
+    )
+    rel = load_relations(
+        [{"DenormalizedName": "D", "Entity": "parent",
+          "Children": [{"Entity": "child", "JoinKey": "parent_id", "ParentKey": "id"}]}]
+    )[0]
+    docs = denormalize(
+        {"parent": parent, "child": child},
+        rel,
+        {"parent": ["id"], "child": ["cid"]},
+        child_order="bytes",
+    )
+    arr = docs.select(F.col("doc.Children.child").alias("c")).collect()[0]["c"]
+    assert [x["Record"]["cid"] for x in arr] == [256, 2]  # reference byte order
+
+
+def test_child_ordering_bytes_composite_key(spark):
+    """Composite PKs in bytes mode use the length-prefixed encoding
+    (record/BaseRecord.java:59-75): fields sorted by name, each
+    component length-prefixed — pinned against a hand-computed order."""
+    parent = spark.createDataFrame([(1,)], "id int")
+    # keys (a=256,b=1) -> 02 0100 01 01 ; (a=2,b=300) -> 01 02 02 012c
+    # byte order: (256,1) < (2,300) because 0x02,0x01…  vs 0x01,0x02… →
+    # wait: prefix is length byte: (256,1): 02|0100|01|01 ; (2,300): 01|02|02|012c
+    # compare first byte: 02 > 01 → (2,300) sorts first.
+    child = spark.createDataFrame(
+        [(256, 1, 1, "x"), (2, 300, 1, "y")],
+        "a int, b int, parent_id int, v string",
+    )
+    rel = load_relations(
+        [{"DenormalizedName": "D", "Entity": "child2_parent",
+          "Children": [{"Entity": "child2", "JoinKey": "parent_id", "ParentKey": "id"}]}]
+    )[0]
+    docs = denormalize(
+        {"child2_parent": parent, "child2": child},
+        rel,
+        {"child2_parent": ["id"], "child2": ["a", "b"]},
+        child_order="bytes",
+    )
+    arr = docs.select(F.col("doc.Children.child2").alias("c")).collect()[0]["c"]
+    got = [(x["Record"]["a"], x["Record"]["b"]) for x in arr]
+    assert got == [(2, 300), (256, 1)]
