@@ -75,7 +75,7 @@ class IncrementalDenormalizer:
     #: consumed per entity, denormalized records created/tombstoned per
     #: tree. Costs extra count() jobs — off by default.
     collect_metrics: bool = False
-    metrics: dict = field(default_factory=dict)
+    metrics: dict = field(default_factory=dict)  # a streaming.Metrics works too
     #: O12 queueing-strategy surface (reference
     #: ``strategy/QueueingStrategy.java:12-32``): callable
     #: ``(denormalized_name, entity) -> 'high'|'medium'|'low'|'none'``.
@@ -255,8 +255,15 @@ class IncrementalDenormalizer:
             if sink is not None:
                 for name, out in outputs.items():
                     sink(name, out)
+            import time as _time
+
+            t0 = _time.monotonic()
             for entity, version in staged.items():
                 self.store.commit(entity, version)
+            if hasattr(self.metrics, "timer"):  # streaming.Metrics registry
+                self.metrics.timer(
+                    "states.committed", _time.monotonic() - t0
+                )
             self.store.vacuum(keep=2)
             return outputs
         finally:

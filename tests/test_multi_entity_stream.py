@@ -20,10 +20,22 @@ from southpaw_spark.testing import (
 def test_attach_stream_multi_entity(spark, tmp_path):
     """player + user CDC events interleaved in ONE stream (union schema);
     entity_columns projects each slice back to its own changelog."""
+    from southpaw_spark.streaming import Metrics, SouthpawStreamingListener
+
     rels = load_relations([RELATION_TREES[1]])  # DenormalizedPlayer
     keys = entity_keys()
     store = ParquetStateStore(spark, str(tmp_path / "state"), n_buckets=4)
-    ivm = IncrementalDenormalizer(spark=spark, relations=rels, keys=keys, store=store)
+    metrics = Metrics()
+    listener = SouthpawStreamingListener(metrics)
+    spark.streams.addListener(listener)
+    ivm = IncrementalDenormalizer(
+        spark=spark,
+        relations=rels,
+        keys=keys,
+        store=store,
+        collect_metrics=True,
+        metrics=metrics,
+    )
     logs = changelog_frames(spark)
     ivm.bootstrap(
         {e: logs[e].where("seq < 0").drop("seq", "is_tombstone") for e in ("player", "user")}
@@ -80,6 +92,21 @@ def test_attach_stream_multi_entity(spark, tmp_path):
     # polluted by union-schema null columns
     doc802 = json.loads(results[("DenormalizedPlayer", 802)])
     assert "user" not in doc802["Children"]
+
+    # metrics parity (reference metric/Metrics.java names): IVM counters …
+    assert metrics.get("records.consumed.user", 0) > 0
+    assert metrics.get("records.consumed.player", 0) > 0
+    assert metrics.get("denormalized.records.created.DenormalizedPlayer", 0) > 0
+    assert metrics.get("states.committed.count", 0) > 0
+    # … and listener-pushed streaming progress (events are async)
+    deadline = time.monotonic() + 30
+    while time.monotonic() < deadline and not metrics.get("batches.processed"):
+        time.sleep(0.5)
+    snap = metrics.snapshot()
+    assert snap.get("batches.processed", 0) > 0
+    assert snap.get("records.consumed.total", 0) > 0
+    assert "batch.duration.ms" in snap
+    spark.streams.removeListener(listener)
 
 
 def test_approx_distinct_quality(spark, sf_dir):
