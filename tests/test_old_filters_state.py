@@ -331,3 +331,26 @@ def test_restore_latest_raises_when_all_corrupt(spark, tmp_path):
     os.remove(os.path.join(b, "e", "_SCHEMA"))
     with pytest.raises(FileNotFoundError):
         store.restore_latest(bdir)
+
+
+def test_long_stream_no_cache_or_disk_leak(spark, tmp_path):
+    """20+ micro-batches: per-batch caches must be unpersisted (no RDD
+    accumulation in storage memory) and vacuum must bound the state-dir
+    version count (no unbounded disk growth)."""
+    d = _denorm(spark, tmp_path)
+    jsc = spark.sparkContext._jsc.sc()
+    for i in range(22):
+        d.process_batch(
+            {
+                "child": _child_delta(
+                    spark, [(100 + (i % 3), 1 + (i % 2), f"v{i}", 50 + i, False)]
+                )
+            }
+        )
+    # all per-batch caches released
+    assert jsc.getRDDStorageInfo() == () or len(jsc.getRDDStorageInfo()) == 0
+    # version dirs bounded by vacuum, not 22-deep
+    for entity in ("parent", "child"):
+        edir = os.path.join(str(tmp_path / "state"), entity)
+        versions = [n for n in os.listdir(edir) if n.startswith("v")]
+        assert len(versions) <= 2, f"{entity}: {sorted(versions)}"
