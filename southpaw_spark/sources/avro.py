@@ -44,16 +44,48 @@ def parse_cdc_avro(
     key_avro_schema: str,
     value_avro_schema: str,
     confluent_framing: bool = True,
+    engine: str = "auto",
 ) -> DataFrame:
     """Decode a Kafka CDC frame whose key/value are Avro. Mirrors
     ``sources.kafka.parse_cdc_json`` (same output shape: key fields +
-    payload fields + seq + is_tombstone)."""
+    payload fields + seq + is_tombstone).
+
+    ``engine``: ``"jvm"`` (spark-avro ``from_avro`` — codegen, the fast
+    path), ``"python"`` (the spec-complete pure-Python codec in
+    ``avro_py``, Arrow-batched ``mapInPandas`` — no jar needed), or
+    ``"auto"`` (probe the JVM path, fall back to Python)."""
+    if engine == "auto":
+        engine = "jvm" if avro_available(raw.sparkSession) else "python"
+    if engine == "python":
+        from southpaw_spark.sources.avro_py import decode_avro_column
+
+        parsed = decode_avro_column(
+            raw, "key", key_avro_schema, "k", confluent_framing=confluent_framing
+        )
+        parsed = decode_avro_column(
+            parsed,
+            "value",
+            value_avro_schema,
+            "v",
+            confluent_framing=confluent_framing,
+        )
+        return parsed.select(
+            F.col("k.*"),
+            F.col("v.*"),
+            (
+                F.col("partition").cast("long") * F.lit(1 << 40) + F.col("offset")
+            ).alias("seq"),
+            F.col("value").isNull().alias("is_tombstone"),
+        )
+    if engine != "jvm":
+        raise ValueError(f"unknown engine {engine!r}")
     try:
         from pyspark.sql.avro.functions import from_avro
     except ImportError as e:  # pragma: no cover
         raise RuntimeError(
             "spark-avro is not on the classpath; launch with "
-            "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+            "--packages org.apache.spark:spark-avro_2.13:<spark-version> "
+            "or engine='python'"
         ) from e
     key_b = F.col("key")
     val_b = F.col("value")

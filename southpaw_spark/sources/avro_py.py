@@ -1,0 +1,303 @@
+"""Pure-Python Avro binary codec (Apache Avro 1.11 spec, no extra deps).
+
+Why this exists: pip's pyspark ships ``pyspark.sql.avro.functions`` but
+not the JVM ``spark-avro`` data source, so ``from_avro`` cannot execute
+in this environment. The reference's Avro path (O2,
+``serde/AvroSerde.java``) must still be runnable end-to-end, so this
+module implements the Avro *binary encoding* itself — zigzag varints,
+length-prefixed bytes/strings, IEEE little-endian floats, records in
+field order, block-encoded arrays/maps, union-index prefixes — and
+:func:`decode_avro_column` applies it as an Arrow-batched ``mapInPandas``
+(the sanctioned Python escape hatch; the JVM ``from_avro`` remains the
+preferred path when the jar is present — ``sources.avro`` probes and
+picks automatically).
+
+Both directions are implemented so tests can round-trip without any
+external Avro library; the encoder doubles as the sink-side serializer.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct as _struct
+from typing import Any
+
+from pyspark.sql import DataFrame, types as T
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# binary primitives (Avro spec §Binary Encoding)
+
+
+def _read_varint(buf: io.BytesIO) -> int:
+    shift = 0
+    out = 0
+    while True:
+        b = buf.read(1)
+        if not b:
+            raise EOFError("truncated varint")
+        byte = b[0]
+        out |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            break
+        shift += 7
+    return out
+
+
+def _read_long(buf: io.BytesIO) -> int:
+    n = _read_varint(buf)
+    return (n >> 1) ^ -(n & 1)  # zigzag
+
+
+def _write_long(buf: io.BytesIO, v: int) -> None:
+    # zigzag: Python's arithmetic shift on negatives makes this exact
+    n = (v << 1) ^ (v >> 63)
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            buf.write(bytes([b | 0x80]))
+        else:
+            buf.write(bytes([b]))
+            break
+
+
+# ---------------------------------------------------------------------------
+# schema-directed decode / encode
+
+
+def _decode(schema: Any, buf: io.BytesIO) -> Any:
+    if isinstance(schema, str):
+        t = schema
+        if t == "null":
+            return None
+        if t == "boolean":
+            return buf.read(1)[0] == 1
+        if t in ("int", "long"):
+            return _read_long(buf)
+        if t == "float":
+            return _struct.unpack("<f", buf.read(4))[0]
+        if t == "double":
+            return _struct.unpack("<d", buf.read(8))[0]
+        if t == "bytes":
+            return buf.read(_read_long(buf))
+        if t == "string":
+            return buf.read(_read_long(buf)).decode("utf-8")
+        raise ValueError(f"unknown primitive {t!r}")
+    if isinstance(schema, list):  # union: long index then value
+        idx = _read_long(buf)
+        return _decode(schema[idx], buf)
+    t = schema["type"]
+    if t == "record":
+        return {
+            f["name"]: _decode(f["type"], buf) for f in schema["fields"]
+        }
+    if t == "enum":
+        return schema["symbols"][_read_long(buf)]
+    if t == "fixed":
+        return buf.read(schema["size"])
+    if t == "array":
+        out = []
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                return out
+            if n < 0:  # block with byte size prefix
+                n = -n
+                _read_long(buf)
+            for _ in range(n):
+                out.append(_decode(schema["items"], buf))
+    if t == "map":
+        out = {}
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                _read_long(buf)
+            for _ in range(n):
+                k = buf.read(_read_long(buf)).decode("utf-8")
+                out[k] = _decode(schema["values"], buf)
+    if isinstance(t, (dict, list)):
+        return _decode(t, buf)
+    return _decode(t, buf)  # {"type": "string"} style wrapper
+
+
+def _encode(schema: Any, value: Any, buf: io.BytesIO) -> None:
+    if isinstance(schema, str):
+        t = schema
+        if t == "null":
+            return
+        if t == "boolean":
+            buf.write(b"\x01" if value else b"\x00")
+            return
+        if t in ("int", "long"):
+            _write_long(buf, int(value))
+            return
+        if t == "float":
+            buf.write(_struct.pack("<f", float(value)))
+            return
+        if t == "double":
+            buf.write(_struct.pack("<d", float(value)))
+            return
+        if t == "bytes":
+            _write_long(buf, len(value))
+            buf.write(bytes(value))
+            return
+        if t == "string":
+            b = value.encode("utf-8")
+            _write_long(buf, len(b))
+            buf.write(b)
+            return
+        raise ValueError(f"unknown primitive {t!r}")
+    if isinstance(schema, list):  # union: pick first branch matching null-ness
+        if value is None and "null" in schema:
+            idx = schema.index("null")
+            _write_long(buf, idx)
+            return
+        for i, branch in enumerate(schema):
+            if branch != "null":
+                _write_long(buf, i)
+                _encode(branch, value, buf)
+                return
+        raise ValueError("no union branch for value")
+    t = schema["type"]
+    if t == "record":
+        for f in schema["fields"]:
+            _encode(f["type"], value[f["name"]], buf)
+        return
+    if t == "enum":
+        _write_long(buf, schema["symbols"].index(value))
+        return
+    if t == "fixed":
+        buf.write(bytes(value))
+        return
+    if t == "array":
+        if value:
+            _write_long(buf, len(value))
+            for item in value:
+                _encode(schema["items"], item, buf)
+        _write_long(buf, 0)
+        return
+    if t == "map":
+        if value:
+            _write_long(buf, len(value))
+            for k, v in value.items():
+                kb = k.encode("utf-8")
+                _write_long(buf, len(kb))
+                buf.write(kb)
+                _encode(schema["values"], v, buf)
+        _write_long(buf, 0)
+        return
+    _encode(t, value, buf)
+
+
+def decode(schema: dict | list | str, data: bytes) -> Any:
+    """Decode one Avro binary value against its writer schema."""
+    if isinstance(schema, str) and schema.lstrip().startswith(("{", "[", '"')):
+        schema = json.loads(schema)
+    return _decode(schema, io.BytesIO(data))
+
+
+def encode(schema: dict | list | str, value: Any) -> bytes:
+    """Encode one value as Avro binary (test/sink-side serializer)."""
+    if isinstance(schema, str) and schema.lstrip().startswith(("{", "[", '"')):
+        schema = json.loads(schema)
+    buf = io.BytesIO()
+    _encode(schema, value, buf)
+    return buf.getvalue()
+
+
+def confluent_frame(schema_id: int, body: bytes) -> bytes:
+    """Confluent wire format: magic 0x00 + big-endian 4-byte schema id
+    (``serde/AvroSerde.java`` framing)."""
+    return b"\x00" + _struct.pack(">I", schema_id) + body
+
+
+# ---------------------------------------------------------------------------
+# Avro schema → Spark type, and the DataFrame-level decoder
+
+
+def avro_to_spark_type(schema: Any) -> T.DataType:
+    """Map an Avro schema to the corresponding Spark type."""
+    if isinstance(schema, str) and schema.lstrip().startswith(("{", "[", '"')):
+        schema = json.loads(schema)
+    if isinstance(schema, str):
+        return {
+            "null": T.NullType(),
+            "boolean": T.BooleanType(),
+            "int": T.IntegerType(),
+            "long": T.LongType(),
+            "float": T.FloatType(),
+            "double": T.DoubleType(),
+            "bytes": T.BinaryType(),
+            "string": T.StringType(),
+        }[schema]
+    if isinstance(schema, list):
+        branches = [b for b in schema if b != "null"]
+        if len(branches) != 1:
+            raise ValueError("only unions of null with one type are supported")
+        return avro_to_spark_type(branches[0])
+    t = schema["type"]
+    if t == "record":
+        return T.StructType(
+            [
+                T.StructField(
+                    f["name"],
+                    avro_to_spark_type(f["type"]),
+                    nullable=isinstance(f["type"], list)
+                    and "null" in f["type"],
+                )
+                for f in schema["fields"]
+            ]
+        )
+    if t == "enum":
+        return T.StringType()
+    if t == "fixed":
+        return T.BinaryType()
+    if t == "array":
+        return T.ArrayType(avro_to_spark_type(schema["items"]))
+    if t == "map":
+        return T.MapType(T.StringType(), avro_to_spark_type(schema["values"]))
+    return avro_to_spark_type(t)
+
+
+def decode_avro_column(
+    df: DataFrame,
+    col: str,
+    avro_schema: str,
+    out_col: str = "decoded",
+    confluent_framing: bool = False,
+) -> DataFrame:
+    """Decode a binary Avro column into a typed struct column via
+    Arrow-batched ``mapInPandas`` (record schemas only). Null input bytes
+    decode to a null struct (tombstone passthrough). This is the
+    no-JVM-jar fallback; prefer ``from_avro`` when available."""
+    schema = json.loads(avro_schema)
+    if not (isinstance(schema, dict) and schema.get("type") == "record"):
+        raise ValueError("decode_avro_column expects a record schema")
+    spark_t = avro_to_spark_type(schema)
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, spark_t, True)]
+    )
+    field_names = [f["name"] for f in schema["fields"]]
+    offset = 5 if confluent_framing else 0
+
+    def _batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            decoded = []
+            for raw in pdf[col]:
+                if raw is None:
+                    decoded.append(None)
+                else:
+                    rec = decode(schema, bytes(raw)[offset:])
+                    decoded.append(tuple(rec[n] for n in field_names))
+            out = pdf.copy()
+            out[out_col] = decoded
+            yield out
+
+    return df.mapInPandas(_batches, out_schema)

@@ -56,3 +56,113 @@ def test_read_changelog_json_infers_tombstones(spark, tmp_path):
     # key column non-null but all payload columns null → tombstone
     assert rows[0]["is_tombstone"] is False
     assert rows[1]["is_tombstone"] is True
+
+
+# -- O2: Avro (pure-Python spec codec — executable without spark-avro) ----
+
+
+def test_avro_py_roundtrip_primitives():
+    from southpaw_spark.sources.avro_py import decode, encode
+
+    sch = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "b", "type": "boolean"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "by", "type": "bytes"},
+            {"name": "n", "type": ["null", "string"]},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "int"}},
+            {"name": "e", "type": {"type": "enum", "name": "E",
+                                   "symbols": ["A", "B"]}},
+        ],
+    }
+    rec = {
+        "b": True, "i": -123, "l": 2**40, "f": 1.5, "d": -2.25,
+        "s": "héllo", "by": b"\x00\x01", "n": None,
+        "arr": [1, -2, 3], "m": {"x": 1, "y": -5}, "e": "B",
+    }
+    assert decode(sch, encode(sch, rec)) == rec
+
+
+def test_avro_py_zigzag_edges():
+    from southpaw_spark.sources.avro_py import decode, encode
+
+    sch = {"type": "record", "name": "R",
+           "fields": [{"name": "v", "type": "long"}]}
+    for v in (0, -1, 1, 63, -64, 64, 2**62, -(2**62), 2**63 - 1, -(2**63)):
+        assert decode(sch, encode(sch, {"v": v})) == {"v": v}, v
+
+
+def test_avro_py_against_known_spec_bytes():
+    """Spec examples (Avro 1.11 'Binary Encoding'): long zigzag values
+    and string framing have published byte representations."""
+    from southpaw_spark.sources.avro_py import decode, encode
+
+    # spec table: 0→00, -1→01, 1→02, -2→03, 2→04
+    lsch = {"type": "record", "name": "R",
+            "fields": [{"name": "v", "type": "long"}]}
+    for v, b in [(0, b"\x00"), (-1, b"\x01"), (1, b"\x02"),
+                 (-2, b"\x03"), (2, b"\x04")]:
+        assert encode(lsch, {"v": v}) == b
+    # spec example: "foo" → 06 66 6f 6f
+    ssch = {"type": "record", "name": "R",
+            "fields": [{"name": "s", "type": "string"}]}
+    assert encode(ssch, {"s": "foo"}) == b"\x06foo"
+    assert decode(ssch, b"\x06foo") == {"s": "foo"}
+
+
+def test_parse_cdc_avro_python_engine_end_to_end(spark):
+    """O2 executes end-to-end without the spark-avro jar: Confluent-framed
+    Avro key/value kafka frames → typed CDC rows → current_state."""
+    from southpaw_spark.operators.cdc import current_state
+    from southpaw_spark.sources.avro import parse_cdc_avro
+    from southpaw_spark.sources.avro_py import confluent_frame, encode
+
+    key_sch = '{"type":"record","name":"K","fields":[{"name":"id","type":"long"}]}'
+    val_sch = (
+        '{"type":"record","name":"V","fields":['
+        '{"name":"name","type":"string"},{"name":"score","type":"double"}]}'
+    )
+    frames = []
+    for off, (kid, name, score) in enumerate(
+        [(1, "a", 1.0), (2, "b", 2.0), (1, "a2", 1.5)]
+    ):
+        frames.append(
+            (
+                confluent_frame(7, encode(key_sch, {"id": kid})),
+                confluent_frame(7, encode(val_sch, {"name": name, "score": score})),
+                0,
+                off,
+            )
+        )
+    # tombstone for key 2 (null kafka value)
+    frames.append((confluent_frame(7, encode(key_sch, {"id": 2})), None, 0, 99))
+    raw = spark.createDataFrame(
+        frames, "key binary, value binary, partition int, offset long"
+    )
+    parsed = parse_cdc_avro(raw, key_sch, val_sch, engine="python")
+    state = current_state(parsed, ["id"])
+    got = {r["id"]: (r["name"], r["score"]) for r in state.collect()}
+    assert got == {1: ("a2", 1.5)}  # latest wins; key 2 tombstoned
+
+
+def test_parse_cdc_avro_auto_falls_back(spark):
+    """engine='auto' must pick a WORKING engine in this jar-less env."""
+    from southpaw_spark.sources.avro import parse_cdc_avro
+    from southpaw_spark.sources.avro_py import confluent_frame, encode
+
+    key_sch = '{"type":"record","name":"K","fields":[{"name":"id","type":"long"}]}'
+    val_sch = '{"type":"record","name":"V","fields":[{"name":"x","type":"int"}]}'
+    raw = spark.createDataFrame(
+        [(confluent_frame(1, encode(key_sch, {"id": 5})),
+          confluent_frame(1, encode(val_sch, {"x": 9})), 0, 0)],
+        "key binary, value binary, partition int, offset long",
+    )
+    rows = parse_cdc_avro(raw, key_sch, val_sch).collect()
+    assert rows[0]["id"] == 5 and rows[0]["x"] == 9
