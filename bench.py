@@ -31,6 +31,7 @@ HEADLINE = [
     "q05_three_level_tree",    # 4-way join
     "q01_latest_by_key",       # CDC upsert window
     "q12_composite_pk",        # composite-key upsert at lineitem scale
+    "q16_filter_unchanged_skip",  # old-row-aware no-op-update skip
     "d01_dedup_exact",
     "d02_ngram_jaccard",
     "d03_minhash_lsh",
