@@ -174,6 +174,57 @@ def simhash(
     return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a (near-)duplicate pair graph → one
+    ``cluster_id`` (the component's minimum vertex id) per vertex. This
+    turns pairwise dedup output into the *dedup groups* a training
+    pipeline actually keeps/drops.
+
+    Spark-first: iterative min-label propagation — per round, every
+    vertex takes the min label among itself and its neighbors; converges
+    in O(component diameter) rounds (the same equi-join recipe GraphX's
+    ConnectedComponents runs). Each round is one shuffle-join + groupBy;
+    ``localCheckpoint`` truncates lineage so plans stay flat. The driver
+    loop carries only a convergence *count*, never data.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    verts = sym.select(F.col("a").alias("id")).distinct()
+    labels = verts.withColumn("label", F.col("id")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
 def auto_n_planes(n_rows: int, target_bucket: int = 200) -> int:
     """Corpus-scaled hyperplane count: enough planes that the *expected*
     bucket holds ~``target_bucket`` vectors, so within-bucket pairing

@@ -133,3 +133,68 @@ def with_fingerprint(df: DataFrame, text_col: str) -> DataFrame:
         ).cast("binary")
     )
     return df.withColumn("fingerprint", fp)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum sampling for training-data mixes: keep a
+    row iff md5(salt|id) maps below the stratum's rate. Hash-threshold
+    sampling (not rand()) so the sample is reproducible across runs AND
+    engines, stable under re-partitioning, and needs no shuffle — it is
+    a pure filter that runs at scan speed and composes with pushdown.
+    Changing ``salt`` draws an independent sample."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")).cast("binary")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = h / F.lit(float(0xFFFFFFFF))  # uniform [0,1) from the hash prefix
+    rate = F.lit(float(default_rate))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(float(r))).otherwise(rate)
+    return df.where(u < rate)
+
+
+def sequence_packing(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shard_col: str,
+    token_budget: int = 2048,
+) -> DataFrame:
+    """Greedy sequence packing for training: within each shard, documents
+    (in deterministic ``id_col`` order) are appended to a pack until the
+    token budget would overflow, then a new pack starts. Expressed as a
+    running-sum window: pack index = floor(preceding cumulative tokens /
+    budget) — the standard streaming-pack approximation (a doc spanning a
+    boundary starts the next pack).
+
+    Scale: the window partitions by ``shard_col`` — never a global
+    ORDER BY (which would serialize onto one partition). Training
+    pipelines shard packing anyway (per language/source), so the shard
+    key is part of the operator contract, not a compromise."""
+    n_tok = F.size(tokens(F.col(text_col))).cast("long")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    preceding = F.coalesce(F.sum(n_tok).over(w), F.lit(0).cast("long"))
+    return df.select(
+        F.col(id_col),
+        F.col(shard_col),
+        n_tok.alias("n_tokens"),
+        F.floor(preceding / token_budget).cast("long").alias("pack_id"),
+    )

@@ -603,6 +603,69 @@ D01_SQL = """
 """
 
 
+def d07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup GROUPS: connected components over the
+    3-gram-Jaccard pair graph (min-label propagation; the per-component
+    minimum doc_id is the cluster id / canonical keeper). This is the
+    step a real pipeline needs between pairwise similarity and actually
+    dropping rows."""
+    from southpaw_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
+def t08_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling for a training-data mix:
+    hash-threshold (md5) keep decision — reproducible across engines and
+    runs, no shuffle, composable with scan pushdown."""
+    from southpaw_spark.operators.text import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs,
+        "lang",
+        "doc_id",
+        rates={"en": 0.5, "de": 0.25, "fr": 0.25},
+        default_rate=0.1,
+    ).select("doc_id", "lang")
+
+
+T08_SQL = """
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5('|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967295.0
+          < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                      WHEN 'fr' THEN 0.25 ELSE 0.1 END
+"""
+
+
+def t09_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget sequence packing, sharded by language (the
+    window partitions by shard — no global sort bottleneck)."""
+    from southpaw_spark.operators.text import sequence_packing
+
+    docs = _read(spark, sf_dir, "documents")
+    return sequence_packing(docs, "text", "doc_id", "lang", token_budget=512)
+
+
+T09_SQL = """
+    SELECT doc_id, lang,
+           len(string_split(text, ' '))::BIGINT AS n_tokens,
+           FLOOR(COALESCE(SUM(len(string_split(text, ' ')))
+                   OVER (PARTITION BY lang ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) / 512)::BIGINT AS pack_id
+    FROM documents
+"""
+
+
 def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by word-3-gram Jaccard similarity (shingle join —
     shuffle-native, no cross product)."""
@@ -633,6 +696,22 @@ D02_SQL = """
     JOIN sized sa ON sa.doc_id = i.id_a
     JOIN sized sb ON sb.doc_id = i.id_b
     WHERE i.n_inter::DOUBLE / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.2
+"""
+
+
+# (defined after D02_SQL, which it embeds as the edge set)
+D07_SQL = f"""
+    WITH RECURSIVE pairs AS ({D02_SQL}),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM pairs),
+    verts AS (SELECT DISTINCT a AS id FROM sym),
+    reach AS (
+      SELECT id, id AS label FROM verts
+      UNION
+      SELECT s.a AS id, r.label FROM sym s JOIN reach r ON r.id = s.b)
+    SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id
 """
 
 
@@ -1234,6 +1313,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d04_simhash": d04_simhash,
     "d05_embedding_near_dup": d05_embedding_near_dup,
     "d06_dedup_cascade": d06_dedup_cascade,
+    "d07_dup_clusters": d07_dup_clusters,
     "s01_cosine_topk": s01_cosine_topk,
     "s02_ivf_topk": s02_ivf_topk,
     "t01_token_count": t01_token_count,
@@ -1243,6 +1323,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t05_bpe_token_count": t05_bpe_token_count,
     "t06_normalize": t06_normalize,
     "t07_tfidf_top_terms": t07_tfidf_top_terms,
+    "t08_stratified_sample": t08_stratified_sample,
+    "t09_sequence_packing": t09_sequence_packing,
     "e01_windowed_agg": e01_windowed_agg,
     "e02_sessionize": e02_sessionize,
     "e03_approx_distinct": e03_approx_distinct,
@@ -1273,6 +1355,7 @@ ORACLES: dict[str, str] = {
     "d04_simhash": D04_SQL,
     # d05 intentionally absent: approximate LSH near-dup, rows-only
     "d06_dedup_cascade": D06_SQL,
+    "d07_dup_clusters": D07_SQL,
     # s02 intentionally absent: approximate ANN, rows-only
     "s01_cosine_topk": S01_SQL,
     "t01_token_count": T01_SQL,
@@ -1282,6 +1365,8 @@ ORACLES: dict[str, str] = {
     "t05_bpe_token_count": T05_SQL,
     "t06_normalize": T06_SQL,
     "t07_tfidf_top_terms": T07_SQL,
+    "t08_stratified_sample": T08_SQL,
+    "t09_sequence_packing": T09_SQL,
     # e03 intentionally absent: HLL sketches differ across engines
     "e01_windowed_agg": E01_SQL,
     "e02_sessionize": E02_SQL,

@@ -143,3 +143,57 @@ def test_near_dup_multi_table_finds_planted_pair_with_auto_planes(spark, sf_dir)
     )
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 999999) in got
+
+
+def test_connected_components_chain_and_islands(spark):
+    from southpaw_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3: needs >1 propagation round), pair 10-11,
+    # and 20-21 ∪ 21-22 as a triangle-ish merge
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_stratified_sample_deterministic_and_rate_bounded(spark, sf_dir):
+    from southpaw_spark.operators.text import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = stratified_sample(docs, "lang", "doc_id", {"en": 0.5}, 0.1)
+    b = stratified_sample(docs, "lang", "doc_id", {"en": 0.5}, 0.1)
+    ra = sorted(r["doc_id"] for r in a.collect())
+    assert ra == sorted(r["doc_id"] for r in b.collect())  # reproducible
+    # a different salt draws a different (but again stable) sample
+    c = stratified_sample(docs, "lang", "doc_id", {"en": 0.5}, 0.1, salt="s2")
+    assert sorted(r["doc_id"] for r in c.collect()) != ra
+    # en keep-rate lands near 0.5 (hash-uniformity, loose bound)
+    n_en = docs.where("lang = 'en'").count()
+    k_en = a.where("lang = 'en'").count()
+    assert 0.3 <= k_en / n_en <= 0.7
+
+
+def test_sequence_packing_budget_property(spark, sf_dir):
+    from southpaw_spark.operators.text import sequence_packing
+
+    packed = sequence_packing(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        "text", "doc_id", "lang", token_budget=512,
+    )
+    stats = packed.groupBy("lang", "pack_id").agg(
+        F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx")
+    )
+    # every pack holds <= budget + one overflowing doc (greedy boundary)
+    bad = stats.where(F.col("tot") - F.col("mx") >= 512).count()
+    assert bad == 0
+    # pack ids are dense from 0 within each shard
+    for r in packed.groupBy("lang").agg(
+        F.countDistinct("pack_id").alias("n"), F.max("pack_id").alias("mx")
+    ).collect():
+        assert r["n"] == r["mx"] + 1
