@@ -52,24 +52,40 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard similarity.
 
     Candidate generation is a shingle equi-join (documents sharing zero
     shingles never meet), then |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
     At scale: the shingle join shuffles on the shingle hash; frequent
-    shingles are the skew risk — AQE skew-join handles moderate skew,
-    and callers can pre-filter stop-shingles for adversarial corpora.
+    shingles are the skew risk. AQE skew-join handles moderate skew;
+    ``max_doc_freq`` is the structural fix for adversarial corpora — a
+    *stop-shingle* prefilter dropping shingles that appear in more than
+    that many documents before the self-join. A shingle in D docs
+    contributes D² join rows, so capping D bounds the worst key at
+    max_doc_freq² while leaving rare (discriminative) shingles — the
+    evidence Jaccard actually needs — untouched. Note the tradeoff:
+    dropped shingles shrink BOTH the intersection and the union, so
+    scores shift slightly; near-identical pairs still share many rare
+    shingles and survive (recall pinned in tests).
     """
     # Join on a 64-bit hash of the shingle instead of the string: the
     # shuffle carries 8-byte keys instead of ~n·word-length strings.
     # Collision risk is ~|shingles|²/2⁶⁵ — immaterial against the
     # Jaccard estimate itself.
-    sh = (
-        shingles(df, text_col, id_col, n)
-        .select(F.col(id_col), F.xxhash64("shingle").alias("sh"))
-        .cache()
+    sh = shingles(df, text_col, id_col, n).select(
+        F.col(id_col), F.xxhash64("shingle").alias("sh")
     )
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df_"))
+            .where(F.col("df_") <= max_doc_freq)
+            .select("sh")
+        )
+        sh = sh.join(rare, "sh")
+    sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), "sh")

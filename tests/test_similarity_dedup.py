@@ -197,3 +197,22 @@ def test_sequence_packing_budget_property(spark, sf_dir):
         F.countDistinct("pack_id").alias("n"), F.max("pack_id").alias("mx")
     ).collect():
         assert r["n"] == r["mx"] + 1
+
+
+def test_stop_shingle_prefilter_keeps_near_dups(spark):
+    """max_doc_freq drops universally-shared (skew) shingles but keeps
+    the rare-shingle evidence that identifies true near-duplicates."""
+    boiler = "all rights reserved contact us for more information today"
+    rows = [(i, f"unique words number {i} alpha beta {boiler}") for i in range(50)]
+    rows += [
+        (100, "the quick brown fox jumps over the lazy dog " + boiler),
+        (101, "the quick brown fox jumps over the lazy cat " + boiler),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold=0.3, max_doc_freq=10
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (100, 101) in got
+    # boilerplate-only overlaps are gone: no pair among the 50 unique docs
+    assert not any(a < 50 and b < 50 for a, b in got)

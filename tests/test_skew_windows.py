@@ -103,3 +103,72 @@ def test_sessionize_stream_stateful(spark, tmp_path):
         r["user_id"] == 1 and r["n_events"] == 3 and r["session_start"] == base
         for r in collected
     ), collected
+
+
+def test_windowed_stream_drops_late_data_beyond_watermark(spark, tmp_path):
+    """Streaming semantics the batch oracle can't see: an event older
+    than the watermark must NOT land in its (already closed) window."""
+    import json as _json
+    import time as _time
+
+    from southpaw_spark.streaming.windows import windowed_event_counts
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    schema = "ts timestamp, event_type string, value double"
+
+    def write(name, rows):
+        (src / name).write_text(
+            "\n".join(
+                _json.dumps({"ts": ts, "event_type": et, "value": v})
+                for ts, et, v in rows
+            )
+        )
+
+    # batch A: three rows in the 12:00 window, one at 14:05 that will
+    # push the watermark (1h) past 13:00, closing the 12:00 window
+    write("a.json", [
+        ("2026-01-01 12:00:10", "view", 1.0),
+        ("2026-01-01 12:10:00", "view", 1.0),
+        ("2026-01-01 12:20:00", "view", 1.0),
+        ("2026-01-01 14:05:00", "view", 1.0),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    out = windowed_event_counts(stream, ts_col="ts", window="1 hour",
+                                watermark="1 hour")
+    qname = f"wmtest{int(_time.time())}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch B: a LATE row for the 12:00 window — the window has not
+        # emitted yet (append mode flushes it during this batch), so if
+        # the watermark drop were broken the row WOULD be counted and
+        # the emitted window would read 4 events / 103.0
+        write("b.json", [
+            ("2026-01-01 12:55:00", "view", 100.0),   # before 13:05 wm → drop
+            ("2026-01-01 14:10:00", "view", 1.0),
+        ])
+        deadline = _time.monotonic() + 60
+        rows = []
+        while _time.monotonic() < deadline:
+            q.processAllAvailable()
+            rows = spark.sql(f"select * from {qname}").collect()
+            if any(str(r["window_start"]).startswith("2026-01-01 12:00") for r in rows):
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    win12 = [r for r in rows if str(r["window_start"]).startswith("2026-01-01 12:00")]
+    assert win12, f"12:00 window never closed; got {rows}"
+    # the late 11:55 row (value=100) must not have been counted
+    assert win12[0]["n_events"] == 3 and win12[0]["sum_value"] == 3.0
