@@ -81,9 +81,16 @@ class IncrementalDenormalizer:
     #: ``(denormalized_name, entity) -> 'high'|'medium'|'low'|'none'``.
     #: ``none`` drops that entity's dirty contributions for that tree
     #: (reference: records routed to the NONE queue are discarded).
-    #: Priorities beyond none are an ops knob, not semantics — micro-batch
-    #: boundaries subsume the drain scheduling (SURVEY §2 O12).
     queueing_strategy: object = None
+    #: O12 drain ordering + O21 time-boxed rebuild batching: when set,
+    #: at most this many dirty roots are rebuilt per batch, selected in
+    #: priority order (high < medium < low, then root PK); the remainder
+    #: is persisted as a carry-over queue in the state store and drained
+    #: in subsequent batches — the Spark analog of the reference's
+    #: priority queues + createTimeout loop (``Southpaw.java:255-285``).
+    #: Deferred roots rebuild from *later* state, which matches the
+    #: reference (documents reflect state at rebuild time).
+    max_roots_per_batch: int | None = None
 
     def _bump(self, name: str, n: int) -> None:
         self.metrics[name] = self.metrics.get(name, 0) + n
@@ -193,14 +200,23 @@ class IncrementalDenormalizer:
                         "entity first (pass schemas= for entities without "
                         "snapshots)"
                     )
+            prio_rank = {"high": 0, "medium": 1, "low": 2}
             outputs: dict[str, DataFrame] = {}
             for rel in self.relations:
                 root_pks = list(self.keys[rel.entity])
+                pending_entity = f"__pending__{rel.denormalized_name}"
                 dirty: DataFrame | None = None
+                # carry-over queue from earlier capped batches drains first
+                if self.store.exists(pending_entity):
+                    pend = self.store.read(pending_entity)
+                    if "__prio" not in pend.columns:  # defensive
+                        pend = pend.withColumn("__prio", F.lit(0))
+                    dirty = pend.select(*root_pks, "__prio")
                 for entity, delta_keys in batch_keys.items():
                     node = rel.find_entity(entity)
                     if node is None:
                         continue
+                    priority = "high"
                     if self.queueing_strategy is not None:
                         priority = self.queueing_strategy(
                             rel.denormalized_name, entity
@@ -220,12 +236,42 @@ class IncrementalDenormalizer:
                         contrib = affected_root_keys(
                             states, rel, entity, fks, self.keys
                         )
+                    contrib = contrib.withColumn(
+                        "__prio", F.lit(prio_rank.get(priority, 0))
+                    )
                     dirty = (
                         contrib if dirty is None else dirty.unionByName(contrib)
                     )
                 if dirty is None:
                     continue
-                dirty = dirty.distinct().cache()
+                # a root dirtied via several entities takes its highest
+                # (numerically lowest) priority
+                dirty = dirty.groupBy(*root_pks).agg(
+                    F.min("__prio").alias("__prio")
+                )
+                if self.max_roots_per_batch is not None:
+                    # TakeOrdered top-K (per-partition top-K + driver
+                    # merge — no full sort shuffle): highest priority
+                    # first, PK as the deterministic tie-break
+                    selected = dirty.orderBy("__prio", *root_pks).limit(
+                        self.max_roots_per_batch
+                    )
+                    deferred = dirty.join(
+                        selected.select(*root_pks), on=root_pks, how="left_anti"
+                    )
+                    staged[pending_entity] = self.store.init(
+                        pending_entity, deferred, root_pks, commit=False
+                    )
+                    dirty = selected
+                elif self.store.exists(pending_entity):
+                    # uncapped batch drains the whole queue: clear it
+                    staged[pending_entity] = self.store.init(
+                        pending_entity,
+                        dirty.where(F.lit(False)),
+                        root_pks,
+                        commit=False,
+                    )
+                dirty = dirty.select(*root_pks).distinct().cache()
                 cached.append(dirty)
 
                 docs = denormalize(states, rel, self.keys, root_keys=dirty)

@@ -354,3 +354,87 @@ def test_long_stream_no_cache_or_disk_leak(spark, tmp_path):
         edir = os.path.join(str(tmp_path / "state"), entity)
         versions = [n for n in os.listdir(edir) if n.startswith("v")]
         assert len(versions) <= 2, f"{entity}: {sorted(versions)}"
+
+
+# -- O12 drain ordering + O21 time-boxed rebuild batching -----------------
+
+
+def _many_children(spark, tmp_path):
+    """parent 1..6 each with one child; children dirty all six parents."""
+    store = ParquetStateStore(spark, str(tmp_path / "state"), n_buckets=4)
+    d = IncrementalDenormalizer(
+        spark=spark,
+        relations=load_relations(TREE),
+        keys=KEYS,
+        store=store,
+        max_roots_per_batch=2,
+        queueing_strategy=lambda tree, entity: (
+            "low" if entity == "child" else "high"
+        ),
+    )
+    d.bootstrap(
+        {
+            "parent": spark.createDataFrame(
+                [(i, f"P{i}") for i in range(1, 7)], "p_id long, name string"
+            ),
+            "child": spark.createDataFrame(
+                [(100 + i, i, f"C{i}") for i in range(1, 7)],
+                "c_id long, p_id long, val string",
+            ),
+        }
+    )
+    return d
+
+
+def test_root_cap_defers_to_pending_queue_and_drains(spark, tmp_path):
+    d = _many_children(spark, tmp_path)
+    delta = {
+        "child": _child_delta(
+            spark, [(100 + i, i, f"C{i}x", 5, False) for i in range(1, 7)]
+        )
+    }
+    emitted = []
+    outs = d.process_batch(delta)
+    for out in outs.values():
+        emitted.append(sorted(r["p_id"] for r in out.collect()))
+    assert emitted == [[1, 2]]  # cap=2, deterministic PK order
+    # drain: three more batches of nothing clear the queue 2-at-a-time
+    seen = [1, 2]
+    for _ in range(2):
+        outs = d.process_batch({})
+        for out in outs.values():
+            seen += sorted(r["p_id"] for r in out.collect())
+    assert seen == [1, 2, 3, 4, 5, 6]
+    # queue empty → an empty batch produces no output rows
+    outs = d.process_batch({})
+    assert all(o.count() == 0 for o in outs.values()) or outs == {}
+
+
+def test_priority_order_high_before_low(spark, tmp_path):
+    d = _many_children(spark, tmp_path)
+    # parent 5 dirtied directly (high); children dirty 1..3 (low)
+    delta = {
+        "parent": spark.createDataFrame(
+            [(5, "P5x", 9, False)],
+            "p_id long, name string, seq long, is_tombstone boolean",
+        ),
+        "child": _child_delta(
+            spark, [(100 + i, i, f"C{i}y", 9, False) for i in range(1, 4)]
+        ),
+    }
+    outs = d.process_batch(delta)
+    got = []
+    for out in outs.values():
+        got = sorted(r["p_id"] for r in out.collect())
+    # cap=2: the high-priority root 5 must be in the first drain
+    assert 5 in got and len(got) == 2
+    # deferred low roots emitted with the FRESH child payloads later
+    import json as _json
+
+    outs = d.process_batch({})
+    for out in outs.values():
+        for r in out.collect():
+            if r["p_id"] in (1, 2, 3):
+                doc = _json.loads(r["value"])
+                vals = [c["Record"]["val"] for c in doc["Children"]["child"]]
+                assert vals == [f"C{r['p_id']}y"]
