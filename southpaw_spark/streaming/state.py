@@ -320,6 +320,41 @@ class ParquetStateStore:
             shutil.copytree(src, dst)
         return True
 
+    # -- object-store sync (reference ``util/S3Helper.java``: backups are
+    # mirrored to S3 and fetched back before restore). Implemented on
+    # Hadoop's FileSystem API via the JVM, so the same code addresses
+    # s3a://, hdfs://, gs://, abfs:// or file:// — whatever the cluster's
+    # Hadoop conf has credentials for; no extra Python deps. -------------
+
+    def _hadoop_fs(self, url: str):
+        jvm = self.spark.sparkContext._jvm
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        uri = jvm.java.net.URI(url)
+        return jvm.org.apache.hadoop.fs.FileSystem.get(uri, conf), jvm
+
+    def sync_backup_to(self, backup_path: str, target_url: str) -> str:
+        """Mirror one local backup snapshot to an object-store URL
+        (``<target_url>/<snapshot-name>``). Reference S3Helper.syncToS3."""
+        fs, jvm = self._hadoop_fs(target_url)
+        Path = jvm.org.apache.hadoop.fs.Path
+        dest = target_url.rstrip("/") + "/" + os.path.basename(
+            backup_path.rstrip("/")
+        )
+        fs.copyFromLocalFile(False, True, Path(backup_path), Path(dest))
+        return dest
+
+    def fetch_backup_from(self, source_url: str, local_dir: str) -> str:
+        """Fetch a remote backup snapshot to a local directory (reference
+        S3Helper.syncFromS3); pair with ``restore``/``restore_latest``."""
+        fs, jvm = self._hadoop_fs(source_url)
+        Path = jvm.org.apache.hadoop.fs.Path
+        os.makedirs(local_dir, exist_ok=True)
+        dest = os.path.join(
+            local_dir, os.path.basename(source_url.rstrip("/"))
+        )
+        fs.copyToLocalFile(False, Path(source_url), Path(dest))
+        return dest
+
     def _backup_ok(self, backup_path: str) -> bool:
         """Structural + read validation of one backup snapshot: every
         entity must have a parsable pointer, a parsable schema sidecar,

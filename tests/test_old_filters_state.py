@@ -438,3 +438,18 @@ def test_priority_order_high_before_low(spark, tmp_path):
                 doc = _json.loads(r["value"])
                 vals = [c["Record"]["val"] for c in doc["Children"]["child"]]
                 assert vals == [f"C{r['p_id']}y"]
+
+
+def test_backup_sync_roundtrip_via_hadoop_fs(spark, tmp_path):
+    """Object-store mirror of a backup snapshot through Hadoop's
+    FileSystem API (s3a/hdfs/gs on a cluster; file:// here) and restore
+    from the fetched copy."""
+    store = _mini_store(spark, tmp_path)
+    b = store.backup(str(tmp_path / "bk"))
+    remote = f"file://{tmp_path}/remote"
+    dest = store.sync_backup_to(b, remote)
+    assert dest.startswith("file://")
+    fetched = store.fetch_backup_from(dest, str(tmp_path / "fetched"))
+    store.delete_state()
+    assert store.restore(fetched) is True
+    assert sorted(r["k"] for r in store.read("e").collect()) == [1, 2]
