@@ -140,22 +140,21 @@ def minhash_lsh_candidates(
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
-    band_frames = []
+    # All band buckets in ONE pass over the signatures: posexplode an
+    # array of per-band bucket hashes instead of unioning `bands` scans
+    # of the aggregate (which would recompute the signature groupBy per
+    # band — `bands`× the shuffle volume for identical output).
+    buckets = []
     for b in range(bands):
         cols = [F.col(f"h{b * rows + j}") for j in range(rows)]
         parts = [cols[0]]
         for c in cols[1:]:
             parts.extend([F.lit("|"), c])
-        band_frames.append(
-            sigs.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.md5(F.concat(*parts).cast("binary")).alias("bucket"),
-            )
-        )
-    all_bands = band_frames[0]
-    for bf in band_frames[1:]:
-        all_bands = all_bands.unionByName(bf)
+        buckets.append(F.md5(F.concat(*parts).cast("binary")))
+    all_bands = sigs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*buckets)).alias("band", "bucket"),
+    )
     a = all_bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b_ = all_bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (
@@ -291,7 +290,7 @@ def embedding_near_duplicates(
             )
         )
 
-    table_frames = []
+    table_buckets = []
     for t in range(n_tables):
         planes = rng.standard_normal((n_planes, dim)).tolist()
         sign_bits = [
@@ -309,18 +308,16 @@ def embedding_near_duplicates(
             ).cast("int")
             for p in range(n_planes)
         ]
-        bucket = F.concat_ws("", *[sb.cast("string") for sb in sign_bits])
-        table_frames.append(
-            df.select(
-                F.col(id_col),
-                v.alias("v"),
-                F.lit(t).alias("table"),
-                bucket.alias("bucket"),
-            )
+        table_buckets.append(
+            F.concat_ws("", *[sb.cast("string") for sb in sign_bits])
         )
-    bucketed = table_frames[0]
-    for tf in table_frames[1:]:
-        bucketed = bucketed.unionByName(tf)
+    # One scan computes every table's bucket; posexplode replaces an
+    # n_tables-way union of full-corpus scans.
+    bucketed = df.select(
+        F.col(id_col),
+        v.alias("v"),
+        F.posexplode(F.array(*table_buckets)).alias("table", "bucket"),
+    )
     a = bucketed.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("va"), "table", "bucket"
     )

@@ -1,0 +1,164 @@
+"""Temporal join operators: as-of join and bucketed range join.
+
+Spark has no native ASOF JOIN (pandas ``merge_asof`` / DuckDB ``ASOF
+JOIN`` / kdb ``aj``), and a naive inequality join is a
+BroadcastNestedLoopJoin — quadratic and driver-memory-bound. These are
+the scale-safe formulations:
+
+- :func:`asof_join` — union-and-window: tag both sides, union, one
+  window pass per key ordered by time carrying the last-seen right row
+  forward. ONE shuffle (the window partition), zero joins, linear in
+  |left|+|right|. The same plan shape works unchanged at 100 TB because
+  the shuffle key is the equi-key, not time.
+- :func:`range_join` — time-bucketed interval join: quantize the window
+  span into buckets, explode the probe side into the (few) candidate
+  buckets, hash-join on (key, bucket), then apply the exact interval
+  predicate. Turns an inequality join into an equi-join whose fan-out is
+  bounded by events-per-bucket, never |left|×|right|.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    tolerance: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the most recent
+    right row (per ``on`` key) with ``right_ts <= left_ts`` — inclusive,
+    matching DuckDB ``ASOF JOIN ... ON l.ts >= r.ts`` and pandas
+    ``merge_asof(direction="backward")``. Left rows with no prior right
+    row keep null right columns (left-outer semantics).
+
+    ``left_ts``/``right_ts`` must be mutually comparable (same type).
+    Right columns other than ``on``/``right_ts`` are carried through; a
+    name-colliding right column must be renamed by the caller first.
+    ``tolerance`` (same units as the timestamp columns) drops matches
+    older than ``left_ts - tolerance``.
+
+    Implementation: union both sides with a side tag, window per key
+    ordered by (ts, side) — right rows sort before a left row with the
+    identical timestamp, giving the inclusive bound — and carry the last
+    non-null right-row *struct* forward (one struct, so all right columns
+    come from the SAME matched row even when some of its fields are
+    null). Requires timestamps to be totally ordered within a key; ties
+    between right rows resolve to the one latest in (ts, struct) order.
+    """
+    on = list(on)
+    rcols = [c for c in right.columns if c not in on and c != right_ts]
+    dup = set(rcols) & set(left.columns)
+    if dup:
+        raise ValueError(f"right columns collide with left: {sorted(dup)}")
+
+    lpart = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
+        F.when(
+            F.lit(False),
+            F.struct(
+                *[
+                    F.lit(None).cast(right.schema[c].dataType).alias(c)
+                    for c in rcols
+                ]
+            ),
+        ).alias("__rrow"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+    )
+    rpart = right.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            if c not in on
+            else F.col(c)
+            for c in left.columns
+        ],
+        F.col(right_ts).alias("__rts"),
+        F.struct(*[F.col(c) for c in rcols]).alias("__rrow"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        lpart.unionByName(rpart)
+        .withColumn("__m_ts", F.last("__rts", ignorenulls=True).over(w))
+        .withColumn("__m_row", F.last("__rrow", ignorenulls=True).over(w))
+        .where(F.col("__side") == 1)
+    )
+    if tolerance is not None:
+        in_tol = F.col("__m_ts") >= F.col("__ts") - F.lit(tolerance)
+        matched = matched.withColumn(
+            "__m_ts", F.when(in_tol, F.col("__m_ts"))
+        ).withColumn("__m_row", F.when(in_tol, F.col("__m_row")))
+    return matched.select(
+        *[F.col(c) for c in left.columns],
+        F.col("__m_ts").alias(right_ts),
+        *[F.col("__m_row")[c].alias(c) for c in rcols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower: int,
+    upper: int,
+) -> DataFrame:
+    """Interval equi-join: pairs where ``left_ts + lower <= right_ts <
+    left_ts + upper`` and the ``on`` keys match (timestamps must be
+    numeric — epoch-quantized; ``lower``/``upper`` in the same units).
+
+    The inequality is made hash-joinable by quantizing time into buckets
+    of width ``upper - lower``: a right row can only satisfy the interval
+    for left rows in one of TWO adjacent buckets, so the right side
+    explodes ×2, joins on (key, bucket), and the exact predicate prunes
+    the boundary spill. Shuffle volume is 2·|right| + |left| — never a
+    cross product — and AQE's skew-join splitting handles hot keys.
+    Returns all left columns plus the matching right columns (caller
+    renames collisions beforehand).
+    """
+    on = list(on)
+    width = upper - lower
+    if width <= 0:
+        raise ValueError("upper must exceed lower")
+    rcols = [c for c in right.columns if c not in on]
+    dup = set(rcols) & set(left.columns)
+    if dup:
+        raise ValueError(f"right columns collide with left: {sorted(dup)}")
+    # left row in bucket floor((t+lower)/w); matching right rows lie in
+    # [t+lower, t+lower+w) → right bucket floor(rt/w) ∈ {b, b+1} shifted
+    # back, so explode right into both candidate buckets.
+    lb = left.withColumn(
+        "__bkt", F.floor((F.col(left_ts) + F.lit(lower)) / F.lit(width))
+    )
+    rb = right.withColumn(
+        "__bkt",
+        F.explode(
+            F.array(
+                F.floor(F.col(right_ts) / F.lit(width)) - 1,
+                F.floor(F.col(right_ts) / F.lit(width)),
+            )
+        ),
+    )
+    cond = (F.col(right_ts) >= F.col(left_ts) + F.lit(lower)) & (
+        F.col(right_ts) < F.col(left_ts) + F.lit(upper)
+    )
+    return (
+        lb.join(rb, on + ["__bkt"])
+        .where(cond)
+        .drop("__bkt")
+    )

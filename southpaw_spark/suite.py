@@ -1251,6 +1251,94 @@ E02_SQL = """
 """
 
 
+def e04_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (DuckDB ``ASOF JOIN``, pandas ``merge_asof``):
+    every click event picks up the most recent prior view by the same
+    user. Spark-side: union-and-window — ONE shuffle on user_id, no
+    inequality join (``operators/temporal.py``)."""
+    from southpaw_spark.operators.temporal import asof_join
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    clicks = ev.where("event_type = 'click'").select(
+        "event_id", "user_id", "ts_us"
+    )
+    views = ev.where("event_type = 'view'").select(
+        F.col("user_id"),
+        F.col("ts_us").alias("view_ts_us"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    return asof_join(
+        clicks, views, on=["user_id"], left_ts="ts_us", right_ts="view_ts_us"
+    )
+
+
+E04_SQL = """
+    WITH clicks AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'click'),
+    views AS (
+      SELECT event_id AS view_event_id, user_id, epoch_us(ts) AS view_ts_us
+      FROM events WHERE event_type = 'view')
+    SELECT c.event_id, c.user_id, c.ts_us, v.view_ts_us, v.view_event_id
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts_us >= v.view_ts_us
+"""
+
+
+def e05_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: (click, view) pairs where the same user's view fell
+    within the hour before the click. Spark-side: time-bucketed equi-join
+    (explode right into 2 candidate buckets, hash-join on (user, bucket),
+    exact predicate after) — never a BroadcastNestedLoopJoin
+    (``operators/temporal.py``)."""
+    from southpaw_spark.operators.temporal import range_join
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    clicks = ev.where("event_type = 'click'").select(
+        "event_id", "user_id", "ts_us"
+    )
+    views = ev.where("event_type = 'view'").select(
+        F.col("user_id"),
+        F.col("ts_us").alias("view_ts_us"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    pairs = range_join(
+        clicks,
+        views,
+        on=["user_id"],
+        left_ts="ts_us",
+        right_ts="view_ts_us",
+        lower=-3_600_000_000,
+        upper=0,
+    )
+    return pairs.select(
+        "event_id",
+        "user_id",
+        "view_event_id",
+        (F.col("ts_us") - F.col("view_ts_us")).alias("gap_us"),
+    )
+
+
+E05_SQL = """
+    WITH clicks AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'click'),
+    views AS (
+      SELECT event_id AS view_event_id, user_id, epoch_us(ts) AS view_ts_us
+      FROM events WHERE event_type = 'view')
+    SELECT c.event_id, c.user_id, v.view_event_id,
+           c.ts_us - v.view_ts_us AS gap_us
+    FROM clicks c JOIN views v
+      ON c.user_id = v.user_id
+     AND v.view_ts_us >= c.ts_us - 3600000000
+     AND v.view_ts_us <  c.ts_us
+"""
+
+
 def m02_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing: the deterministic fake decoder derives
     dimensions from the content digest, so the full mapInPandas pipeline
@@ -1328,6 +1416,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e01_windowed_agg": e01_windowed_agg,
     "e02_sessionize": e02_sessionize,
     "e03_approx_distinct": e03_approx_distinct,
+    "e04_asof_join": e04_asof_join,
+    "e05_range_join": e05_range_join,
     "m01_binary_passthrough": m01_binary_passthrough,
     "m02_image_decode": m02_image_decode,
 }
@@ -1370,6 +1460,8 @@ ORACLES: dict[str, str] = {
     # e03 intentionally absent: HLL sketches differ across engines
     "e01_windowed_agg": E01_SQL,
     "e02_sessionize": E02_SQL,
+    "e04_asof_join": E04_SQL,
+    "e05_range_join": E05_SQL,
     "m01_binary_passthrough": M01_SQL,
     "m02_image_decode": M02_SQL,
 }

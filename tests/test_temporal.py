@@ -1,0 +1,132 @@
+"""As-of join and bucketed range join (operators/temporal.py).
+
+Semantics pinned here: backward-inclusive as-of matching (DuckDB
+``ASOF JOIN l.ts >= r.ts`` / pandas ``merge_asof(direction="backward")``),
+left-outer nulls, tolerance cutoff, all right columns sourced from the
+SAME matched row, and exact interval bounds across bucket boundaries for
+range_join (equivalence vs a naive inequality join on random data).
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from southpaw_spark.operators.temporal import asof_join, range_join
+
+
+def _left(spark, rows):
+    return spark.createDataFrame(rows, "lid int, k int, ts long")
+
+
+def _right(spark, rows):
+    return spark.createDataFrame(rows, "k int, rts long, rv string, rn int")
+
+
+def test_asof_backward_inclusive_and_outer(spark):
+    left = _left(spark, [(1, 7, 100), (2, 7, 200), (3, 7, 50), (4, 8, 100)])
+    right = _right(
+        spark, [(7, 100, "a", 1), (7, 150, "b", 2), (9, 10, "z", 9)]
+    )
+    out = {
+        r.lid: (r.rts, r.rv, r.rn)
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts"
+        ).collect()
+    }
+    assert out[1] == (100, "a", 1)  # equal timestamp matches (inclusive)
+    assert out[2] == (150, "b", 2)  # latest prior, not first
+    assert out[3] == (None, None, None)  # nothing at-or-before
+    assert out[4] == (None, None, None)  # key with no right rows at all
+
+
+def test_asof_tolerance_drops_stale_matches(spark):
+    left = _left(spark, [(1, 7, 1000), (2, 7, 1010)])
+    right = _right(spark, [(7, 900, "old", 1)])
+    out = {
+        r.lid: r.rv
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts", tolerance=100
+        ).collect()
+    }
+    assert out[1] == "old"  # exactly at the tolerance bound: kept
+    assert out[2] is None  # 110 > 100: dropped
+
+
+def test_asof_right_columns_from_same_row(spark):
+    # A right row with a null field must NOT borrow that field from an
+    # earlier right row (the struct-carry guarantee).
+    left = _left(spark, [(1, 7, 300)])
+    right = _right(spark, [(7, 100, "early", 5), (7, 200, None, None)])
+    row = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts").first()
+    assert row.rts == 200 and row.rv is None and row.rn is None
+
+
+def test_asof_rejects_column_collision(spark):
+    left = _left(spark, [(1, 7, 100)])
+    right = left.select("k", F.col("ts").alias("rts"), F.col("lid"))
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts")
+
+
+def test_range_join_exact_bounds_across_buckets(spark):
+    # width = upper - lower = 100; right rows planted on every boundary.
+    left = _left(spark, [(1, 7, 1000)])
+    right = _right(
+        spark,
+        [
+            (7, 899, "below", 0),
+            (7, 900, "at_lower", 0),  # ts+lower inclusive
+            (7, 950, "inside", 0),
+            (7, 999, "edge", 0),
+            (7, 1000, "at_upper", 0),  # ts+upper exclusive
+        ],
+    )
+    got = sorted(
+        r.rv
+        for r in range_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            lower=-100, upper=0,
+        ).collect()
+    )
+    assert got == ["at_lower", "edge", "inside"]
+
+
+def test_range_join_matches_naive_inequality_join(spark):
+    rng = random.Random(7)
+    lrows = [(i, rng.randint(0, 3), rng.randint(0, 2000)) for i in range(80)]
+    rrows = [
+        (rng.randint(0, 3), rng.randint(0, 2000), f"v{i}", i)
+        for i in range(120)
+    ]
+    left, right = _left(spark, lrows), _right(spark, rrows)
+    lower, upper = -150, 70
+    fast = sorted(
+        (r.lid, r.rn)
+        for r in range_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            lower=lower, upper=upper,
+        ).collect()
+    )
+    naive = sorted(
+        (r.lid, r.rn)
+        for r in left.join(right, "k")
+        .where(
+            (F.col("rts") >= F.col("ts") + lower)
+            & (F.col("rts") < F.col("ts") + upper)
+        )
+        .collect()
+    )
+    assert fast == naive and len(fast) > 0
+
+
+def test_plans_are_shuffle_joins_not_nested_loop(spark):
+    left = _left(spark, [(1, 7, 100)])
+    right = _right(spark, [(7, 100, "a", 1)])
+    a = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts")
+    r = range_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts", lower=-10, upper=10
+    )
+    for df in (a, r):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
