@@ -42,6 +42,7 @@ HEADLINE = [
     "t05_bpe_token_count",
     "e01_windowed_agg",
     "e02_sessionize",
+    "e04_asof_join",
     "m01_binary_passthrough",  # Arrow mapInPandas path
 ]
 
