@@ -198,3 +198,48 @@ def sequence_packing(
         n_tok.alias("n_tokens"),
         F.floor(preceding / token_budget).cast("long").alias("pack_id"),
     )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination check: for every corpus document, how many
+    of its distinct word n-grams appear anywhere in the benchmark set —
+    the standard train/eval decontamination pass (long-n-gram collision)
+    run before training-data release.
+
+    Scale shape: the benchmark side reduces to a DISTINCT set of 8-byte
+    n-gram hashes, which is tiny relative to any corpus (eval sets are
+    MBs against TBs) — so it broadcasts and the probe is a map-side
+    hash-join over the corpus shingle stream; no shuffle of corpus
+    n-grams at all. Corpus docs shorter than ``n`` words carry no n-gram
+    evidence and are excluded (documented; both engines agree).
+    """
+    from southpaw_spark.operators.dedup import shingles
+
+    sh_c = shingles(corpus, text_col, id_col, n).select(
+        F.col(id_col), F.xxhash64("shingle").alias("sh")
+    )
+    sh_b = (
+        shingles(benchmark, text_col, id_col, n)
+        .select(F.xxhash64("shingle").alias("sh"))
+        .distinct()
+    )
+    per_doc = sh_c.groupBy(id_col).agg(F.count("*").alias("n_ngrams"))
+    hits = (
+        sh_c.join(F.broadcast(sh_b), "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return per_doc.join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_ngrams"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_ngrams"), 6
+        ).alias("contamination_rate"),
+    )

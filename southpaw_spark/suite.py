@@ -666,6 +666,88 @@ T09_SQL = """
 """
 
 
+def t10_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: distinct word-5-gram collisions between
+    each corpus document (sources src2+) and the held-out benchmark set
+    (src0/src1). Benchmark n-gram hashes broadcast; the probe is a
+    map-side join over the corpus shingle stream."""
+    from southpaw_spark.operators.text import ngram_contamination
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("source").isin("src0", "src1"))
+    corpus = docs.where(~F.col("source").isin("src0", "src1"))
+    return ngram_contamination(corpus, bench, "text", "doc_id", n=5)
+
+
+T10_SQL = """
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(generate_series(1, len(w) - 4),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))) AS shingles
+      FROM toks WHERE len(w) >= 5),
+    bench AS (
+      SELECT DISTINCT unnest(shingles) AS s FROM sh
+      WHERE source IN ('src0', 'src1')),
+    corpus AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+      WHERE source NOT IN ('src0', 'src1')),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_ngrams FROM corpus GROUP BY doc_id),
+    hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_hits
+      FROM corpus c JOIN bench b ON c.s = b.s GROUP BY c.doc_id)
+    SELECT p.doc_id, p.n_ngrams,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0)::DOUBLE / p.n_ngrams, 6)
+             AS contamination_rate
+    FROM per_doc p LEFT JOIN hits h ON h.doc_id = p.doc_id
+"""
+
+
+def a01_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP rollup: subtotal grid over (status, priority) with the grand
+    total — Spark `ROLLUP` grouping sets, one shuffle with partial
+    aggregation for every grouping level."""
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+A01_SQL = """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def a02_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark
+    `percentile` ≡ DuckDB `quantile_cont`, both type-7) — the exact
+    baseline next to the sketch path (e03's HLL / approx_percentile)."""
+    orders = _read(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 6).alias("p95"),
+    )
+
+
+A02_SQL = """
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.95), 6) AS p95
+    FROM orders GROUP BY o_orderstatus
+"""
+
+
 def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by word-3-gram Jaccard similarity (shingle join —
     shuffle-native, no cross product)."""
@@ -1413,6 +1495,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t07_tfidf_top_terms": t07_tfidf_top_terms,
     "t08_stratified_sample": t08_stratified_sample,
     "t09_sequence_packing": t09_sequence_packing,
+    "t10_contamination": t10_contamination,
+    "a01_rollup": a01_rollup,
+    "a02_percentiles": a02_percentiles,
     "e01_windowed_agg": e01_windowed_agg,
     "e02_sessionize": e02_sessionize,
     "e03_approx_distinct": e03_approx_distinct,
@@ -1457,6 +1542,9 @@ ORACLES: dict[str, str] = {
     "t07_tfidf_top_terms": T07_SQL,
     "t08_stratified_sample": T08_SQL,
     "t09_sequence_packing": T09_SQL,
+    "t10_contamination": T10_SQL,
+    "a01_rollup": A01_SQL,
+    "a02_percentiles": A02_SQL,
     # e03 intentionally absent: HLL sketches differ across engines
     "e01_windowed_agg": E01_SQL,
     "e02_sessionize": E02_SQL,

@@ -216,3 +216,29 @@ def test_stop_shingle_prefilter_keeps_near_dups(spark):
     assert (100, 101) in got
     # boilerplate-only overlaps are gone: no pair among the 50 unique docs
     assert not any(a < 50 and b < 50 for a, b in got)
+
+
+def test_ngram_contamination_semantics(spark):
+    from southpaw_spark.operators.text import ngram_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),       # shares 5-grams with benchmark doc 10
+            (2, "z y x w v u t"),     # disjoint: zero hits
+            (3, "too short"),         # < 5 words: excluded entirely
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(10, "a b c d e"), (11, "q r s t u")], "doc_id int, text string"
+    )
+    rows = {
+        r.doc_id: (r.n_ngrams, r.n_hits, r.contamination_rate)
+        for r in ngram_contamination(
+            corpus, bench, "text", "doc_id", n=5
+        ).collect()
+    }
+    # doc 1 has 5-grams {a b c d e, b c d e f}; only the first is in bench
+    assert rows[1] == (2, 1, 0.5)
+    assert rows[2] == (3, 0, 0.0)
+    assert 3 not in rows
