@@ -2,9 +2,9 @@
 with typed metadata, processed via Arrow-batched mapInPandas.
 
 The Spark-side machinery (schemas, partitioning, batch iteration, UDF
-signatures) is real and tested; the actual media decode is stubbed
-behind ``NotImplementedError`` / a deterministic fake because the
-image/audio libraries are not in this container. Swapping the stub for
+signatures, fan-out) is real and tested; the actual media decode is a
+deterministic fake (digest-derived dimensions/frames) because the
+image/audio libraries are not in this container. Swapping the fake for
 PIL/torchaudio/ffmpeg is a localized change inside the pandas function —
 the distributed plan is unchanged.
 """
@@ -76,12 +76,44 @@ def decode_image_stub(df: DataFrame, content_col: str, id_col: str) -> DataFrame
 
 
 def frame_sample_stub(
-    df: DataFrame, content_col: str, id_col: str, every_n: int = 30
+    df: DataFrame, content_col: str, id_col: str, max_frames: int = 4
 ) -> DataFrame:
-    """Video frame-sampling plumbing (1 row in → N frame rows out,
-    demonstrating the fan-out batch shape). Decode is stubbed."""
-    raise NotImplementedError(
-        "video decode libraries unavailable in this environment; the "
-        "mapInPandas fan-out pattern is identical to decode_image_stub "
-        "with multiple output rows per input row"
-    )
+    """Video frame-sampling plumbing: 1 binary row in → N frame rows out,
+    the genuine fan-out batch shape (output pandas frames need not align
+    1:1 with input batches). Decode is a deterministic fake — frame count
+    and per-frame digests derive from the content digest — so the full
+    distributed path (binary column → Arrow batches → fan-out →
+    typed frame rows) is value-checked by an oracle reproducing the
+    digest arithmetic. Real deployment swaps ``fake_frames`` for
+    ffmpeg/PyAV; the plan, schema, and batch shape are unchanged.
+    """
+    schema = f"{id_col} long, frame_idx int, n_frames int, frame_md5 string"
+
+    def fake_frames(b: bytes | None):
+        if b is None:
+            return []
+        n = 1 + hashlib.md5(b).digest()[2] % max_frames
+        return [
+            (i, n, hashlib.md5(b + f"#{i}".encode()).hexdigest())
+            for i in range(n)
+        ]
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ns, digests = [], [], [], []
+            for doc_id, b in zip(pdf[id_col], pdf[content_col]):
+                for i, n, d in fake_frames(b):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    ns.append(n)
+                    digests.append(d)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_frames": pd.Series(ns, dtype="int32"),
+                    "frame_md5": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(sample, schema)

@@ -1443,6 +1443,34 @@ M02_SQL = """
 """
 
 
+def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal fan-out plumbing: each binary 'video' yields N frame
+    rows from one input row inside mapInPandas (deterministic fake
+    decode; digest-derived frame count/digests let the oracle reproduce
+    the arithmetic exactly)."""
+    from southpaw_spark.operators.multimodal import frame_sample_stub
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
+    return frame_sample_stub(docs, "content", id_col="doc_id")
+
+
+M03_SQL = """
+    WITH base AS (
+      SELECT doc_id, text,
+             1 + ('0x' || substr(md5(text), 5, 2))::INT % 4 AS n_frames
+      FROM documents),
+    expanded AS (
+      SELECT doc_id, text, n_frames,
+             unnest(generate_series(0, n_frames - 1)) AS i
+      FROM base)
+    SELECT doc_id, i::INT AS frame_idx, n_frames,
+           md5(text || '#' || i) AS frame_md5
+    FROM expanded
+"""
+
+
 def s02_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: random-hyperplane LSH bucket pruning + exact
     rescoring (single-probe IVF). Approximate by design → rows-only
@@ -1505,6 +1533,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e05_range_join": e05_range_join,
     "m01_binary_passthrough": m01_binary_passthrough,
     "m02_image_decode": m02_image_decode,
+    "m03_frame_sample": m03_frame_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -1552,4 +1581,5 @@ ORACLES: dict[str, str] = {
     "e05_range_join": E05_SQL,
     "m01_binary_passthrough": M01_SQL,
     "m02_image_decode": M02_SQL,
+    "m03_frame_sample": M03_SQL,
 }
