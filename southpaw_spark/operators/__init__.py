@@ -17,6 +17,7 @@ from southpaw_spark.operators.denormalize import (
     denormalize,
     denormalize_to_json,
 )
+from southpaw_spark.operators.temporal import asof_join, range_join
 
 __all__ = [
     "FilterMode",
@@ -25,10 +26,12 @@ __all__ = [
     "affected_root_keys",
     "apply_filter_rules",
     "apply_old_aware_rules",
+    "asof_join",
     "current_state",
     "denormalize",
     "denormalize_to_json",
     "is_unchanged",
     "latest_by_key",
+    "range_join",
     "unchanged_skip_rule",
 ]
