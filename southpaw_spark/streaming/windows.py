@@ -94,3 +94,26 @@ def sessionize_stream(events: DataFrame, ts_col: str = "ts") -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key seen
+    within the watermark horizon (``dropDuplicatesWithinWatermark``) —
+    the streaming counterpart of the batch content-hash dedup (d01) for
+    ingest pipelines fed by at-least-once sources.
+
+    State size is bounded by keys-per-watermark-window (old key state is
+    evicted as the watermark advances), so this runs indefinitely at any
+    rate — unlike unbounded ``dropDuplicates`` whose state grows forever.
+    A duplicate arriving later than the watermark may be re-emitted;
+    that is the documented at-least-once tradeoff, and exactly why the
+    downstream batch dedup (d01/d02) still runs.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -172,3 +172,49 @@ def test_windowed_stream_drops_late_data_beyond_watermark(spark, tmp_path):
     assert win12, f"12:00 window never closed; got {rows}"
     # the late 11:55 row (value=100) must not have been counted
     assert win12[0]["n_events"] == 3 and win12[0]["sum_value"] == 3.0
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Re-delivered (key, ts) rows within the watermark horizon are
+    emitted exactly once; a distinct key passes through."""
+    import json as _json
+
+    from southpaw_spark.streaming.windows import streaming_dedup
+
+    src = tmp_path / "dd"
+    src.mkdir()
+
+    def write(name, rows):
+        (src / name).write_text(
+            "\n".join(
+                _json.dumps({"event_id": e, "ts": ts, "value": v})
+                for e, ts, v in rows
+            )
+        )
+
+    # duplicate event_id=1 inside one batch AND re-delivered in the next
+    write("a.json", [(1, "2024-01-01T12:00:00", 1.0),
+                     (1, "2024-01-01T12:00:00", 1.0),
+                     (2, "2024-01-01T12:01:00", 2.0)])
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    deduped = streaming_dedup(stream, ["event_id"], "ts", "1 hour")
+    collected = []
+    q = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _: collected.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write("b.json", [(1, "2024-01-01T12:00:00", 1.0),   # re-delivery
+                         (3, "2024-01-01T12:05:00", 3.0)])  # new key
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    seen = sorted(r["event_id"] for r in collected)
+    assert seen == [1, 2, 3], collected
