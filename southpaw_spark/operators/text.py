@@ -243,3 +243,50 @@ def ngram_contamination(
             F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_ngrams"), 6
         ).alias("contamination_rate"),
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-style repetition
+    filters): duplicate-word fraction and top-bigram fraction per
+    document. High values flag boilerplate/spam for training-data
+    filtering.
+
+    dup_word_frac is a pure codegen expression. top_bigram_frac counts
+    ALL bigram occurrences (not distinct), so it explodes + groupBys —
+    two shuffles keyed by (doc, bigram-hash), which scales linearly with
+    corpus token count (the same shape as t07's TF-IDF); a per-doc
+    in-array O(L²) rewrite would not survive long documents.
+    """
+    w = F.split(F.col(text_col), " ")
+    dup_word_frac = F.round(
+        1.0 - F.size(F.array_distinct(w)) / F.size(w), 6
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(w).alias("n_words"),
+        dup_word_frac.alias("dup_word_frac"),
+    ).where(F.size(w) >= 2)
+
+    bigrams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(w, i), F.element_at(w, i + 1)
+                ),
+            )
+        ).alias("bg"),
+    )
+    per_bg = bigrams.groupBy(id_col, "bg").agg(F.count("*").alias("c"))
+    top = per_bg.groupBy(id_col).agg(
+        F.max("c").alias("mx"), F.sum("c").alias("n_bg")
+    )
+    return base.join(top, id_col).select(
+        F.col(id_col),
+        "n_words",
+        "dup_word_frac",
+        F.round(F.col("mx") / F.col("n_bg"), 6).alias("top_bigram_frac"),
+    )

@@ -706,6 +706,77 @@ T10_SQL = """
 """
 
 
+def t11_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate-word fraction
+    (pure codegen) and top-bigram fraction (explode + two groupBys —
+    linear in corpus tokens)."""
+    from southpaw_spark.operators.text import repetition_signals
+
+    return repetition_signals(
+        _read(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+T11_SQL = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    base AS (
+      SELECT doc_id, len(w) AS n_words,
+             ROUND(1.0 - len(list_distinct(w))::DOUBLE / len(w), 6)
+               AS dup_word_frac
+      FROM toks WHERE len(w) >= 2),
+    bg AS (
+      SELECT doc_id, concat_ws(' ', w[i], w[i+1]) AS b
+      FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2),
+    cnt AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+    top AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS n_bg
+            FROM cnt GROUP BY doc_id)
+    SELECT base.doc_id, base.n_words, base.dup_word_frac,
+           ROUND(top.mx::DOUBLE / top.n_bg, 6) AS top_bigram_frac
+    FROM base JOIN top ON top.doc_id = base.doc_id
+"""
+
+
+def e06_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing moving average over an hourly time series per event type
+    (7-hour ROWS frame) — the window-frame aggregate family."""
+    ev = _read(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("hour"),
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return hourly.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.round(F.avg("n_events").over(w), 6).alias("ma7"),
+    )
+
+
+E06_SQL = """
+    WITH hourly AS (
+      SELECT event_type,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, hour, n_events,
+           ROUND(AVG(n_events) OVER (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+    FROM hourly
+"""
+
+
 def a01_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OLAP rollup: subtotal grid over (status, priority) with the grand
     total — Spark `ROLLUP` grouping sets, one shuffle with partial
@@ -1524,6 +1595,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t08_stratified_sample": t08_stratified_sample,
     "t09_sequence_packing": t09_sequence_packing,
     "t10_contamination": t10_contamination,
+    "t11_repetition": t11_repetition,
     "a01_rollup": a01_rollup,
     "a02_percentiles": a02_percentiles,
     "e01_windowed_agg": e01_windowed_agg,
@@ -1531,6 +1603,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e03_approx_distinct": e03_approx_distinct,
     "e04_asof_join": e04_asof_join,
     "e05_range_join": e05_range_join,
+    "e06_moving_avg": e06_moving_avg,
     "m01_binary_passthrough": m01_binary_passthrough,
     "m02_image_decode": m02_image_decode,
     "m03_frame_sample": m03_frame_sample,
@@ -1572,6 +1645,7 @@ ORACLES: dict[str, str] = {
     "t08_stratified_sample": T08_SQL,
     "t09_sequence_packing": T09_SQL,
     "t10_contamination": T10_SQL,
+    "t11_repetition": T11_SQL,
     "a01_rollup": A01_SQL,
     "a02_percentiles": A02_SQL,
     # e03 intentionally absent: HLL sketches differ across engines
@@ -1579,6 +1653,7 @@ ORACLES: dict[str, str] = {
     "e02_sessionize": E02_SQL,
     "e04_asof_join": E04_SQL,
     "e05_range_join": E05_SQL,
+    "e06_moving_avg": E06_SQL,
     "m01_binary_passthrough": M01_SQL,
     "m02_image_decode": M02_SQL,
     "m03_frame_sample": M03_SQL,
