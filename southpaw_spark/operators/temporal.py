@@ -32,12 +32,15 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     tolerance: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, attach the most recent
-    right row (per ``on`` key) with ``right_ts <= left_ts`` — inclusive,
-    matching DuckDB ``ASOF JOIN ... ON l.ts >= r.ts`` and pandas
-    ``merge_asof(direction="backward")``. Left rows with no prior right
-    row keep null right columns (left-outer semantics).
+    """As-of join: for each left row, attach the adjacent right row per
+    ``on`` key — ``direction="backward"`` (default) takes the most recent
+    right row with ``right_ts <= left_ts`` (inclusive, matching DuckDB
+    ``ASOF JOIN ... ON l.ts >= r.ts`` and pandas
+    ``merge_asof(direction="backward")``); ``direction="forward"`` takes
+    the earliest right row with ``right_ts >= left_ts``. Left rows with
+    no match keep null right columns (left-outer semantics).
 
     ``left_ts``/``right_ts`` must be mutually comparable (same type).
     Right columns other than ``on``/``right_ts`` are carried through; a
@@ -53,6 +56,8 @@ def asof_join(
     null). Requires timestamps to be totally ordered within a key; ties
     between right rows resolve to the one latest in (ts, struct) order.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     on = list(on)
     rcols = [c for c in right.columns if c not in on and c != right_ts]
     dup = set(rcols) & set(left.columns)
@@ -86,9 +91,14 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
     )
+    # backward: ascending scan, carry the last-seen right row forward.
+    # forward: the mirror image — descending scan carries the NEXT right
+    # row backward. In both, a right row ties-first at equal timestamps
+    # (side 0 sorts before the left row), giving the inclusive bound.
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy("__ts", "__side")
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (
@@ -98,7 +108,11 @@ def asof_join(
         .where(F.col("__side") == 1)
     )
     if tolerance is not None:
-        in_tol = F.col("__m_ts") >= F.col("__ts") - F.lit(tolerance)
+        in_tol = (
+            F.col("__m_ts") >= F.col("__ts") - F.lit(tolerance)
+            if direction == "backward"
+            else F.col("__m_ts") <= F.col("__ts") + F.lit(tolerance)
+        )
         matched = matched.withColumn(
             "__m_ts", F.when(in_tol, F.col("__m_ts"))
         ).withColumn("__m_row", F.when(in_tol, F.col("__m_row")))

@@ -130,3 +130,59 @@ def test_plans_are_shuffle_joins_not_nested_loop(spark):
     for df in (a, r):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_forward_inclusive_and_tolerance(spark):
+    left = _left(spark, [(1, 7, 100), (2, 7, 200), (3, 7, 500)])
+    right = _right(spark, [(7, 100, "now", 1), (7, 300, "later", 2)])
+    out = {
+        r.lid: (r.rts, r.rv)
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            direction="forward",
+        ).collect()
+    }
+    assert out[1] == (100, "now")      # equal timestamp matches (inclusive)
+    assert out[2] == (300, "later")    # earliest following, not latest
+    assert out[3] == (None, None)      # nothing at-or-after
+    tol = {
+        r.lid: r.rv
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            direction="forward", tolerance=100,
+        ).collect()
+    }
+    assert tol[1] == "now" and tol[2] == "later"  # gaps 0 and 100: kept
+
+
+def test_asof_both_directions_match_pandas_merge_asof(spark):
+    import pandas as pd
+
+    rng = random.Random(11)
+    lrows = [(i, rng.randint(0, 2), rng.randint(0, 1000)) for i in range(60)]
+    rrows = sorted(
+        {(rng.randint(0, 2), rng.randint(0, 1000)) for _ in range(80)}
+    )
+    rrows = [(k, ts, f"v{i}", i) for i, (k, ts) in enumerate(rrows)]
+    left, right = _left(spark, lrows), _right(spark, rrows)
+    lpd = pd.DataFrame(lrows, columns=["lid", "k", "ts"]).sort_values("ts")
+    rpd = pd.DataFrame(rrows, columns=["k", "rts", "rv", "rn"]).sort_values(
+        "rts"
+    )
+    for direction in ("backward", "forward"):
+        got = {
+            r.lid: r.rn
+            for r in asof_join(
+                left, right, on=["k"], left_ts="ts", right_ts="rts",
+                direction=direction,
+            ).collect()
+        }
+        exp_df = pd.merge_asof(
+            lpd, rpd, left_on="ts", right_on="rts", by="k",
+            direction=direction,
+        )
+        exp = {
+            int(r.lid): (None if pd.isna(r.rn) else int(r.rn))
+            for r in exp_df.itertuples()
+        }
+        assert got == exp, direction
