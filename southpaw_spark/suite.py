@@ -819,6 +819,67 @@ A02_SQL = """
 """
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def a03_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts spread into one column per event type
+    (fixed IN-list, so the plan is a single hash aggregate with
+    conditional counters — no second pass to discover labels)."""
+    ev = _read(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+A03_SQL = """
+    SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click') AS click,
+           COUNT(*) FILTER (event_type = 'error') AS error,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup') AS signup,
+           COUNT(*) FILTER (event_type = 'view') AS view
+    FROM events GROUP BY user_id
+"""
+
+
+def a04_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the a03 wide table back to long form — zero-count
+    combinations survive as explicit rows (the property a plain groupBy
+    of the raw events would lose)."""
+    wide = a03_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["user_id"],
+        values=_EVENT_TYPES,
+        variableColumnName="event_type",
+        valueColumnName="n_events",
+    )
+
+
+A04_SQL = """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    types AS (SELECT unnest(['click','error','purchase','signup','view'])
+              AS event_type),
+    counts AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type)
+    SELECT u.user_id, t.event_type,
+           COALESCE(c.n, 0) AS n_events
+    FROM users u CROSS JOIN types t
+    LEFT JOIN counts c
+      ON c.user_id = u.user_id AND c.event_type = t.event_type
+"""
+
+
 def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by word-3-gram Jaccard similarity (shingle join —
     shuffle-native, no cross product)."""
@@ -1598,6 +1659,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t11_repetition": t11_repetition,
     "a01_rollup": a01_rollup,
     "a02_percentiles": a02_percentiles,
+    "a03_pivot": a03_pivot,
+    "a04_unpivot": a04_unpivot,
     "e01_windowed_agg": e01_windowed_agg,
     "e02_sessionize": e02_sessionize,
     "e03_approx_distinct": e03_approx_distinct,
@@ -1648,6 +1711,8 @@ ORACLES: dict[str, str] = {
     "t11_repetition": T11_SQL,
     "a01_rollup": A01_SQL,
     "a02_percentiles": A02_SQL,
+    "a03_pivot": A03_SQL,
+    "a04_unpivot": A04_SQL,
     # e03 intentionally absent: HLL sketches differ across engines
     "e01_windowed_agg": E01_SQL,
     "e02_sessionize": E02_SQL,
