@@ -1262,6 +1262,33 @@ E01_SQL = """
 """
 
 
+def e07_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: typed parse of the JSON ``props``
+    column (`from_json` with an explicit schema — JVM-side Jackson, no
+    Python) and an aggregation over the extracted field."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.from_json("props", "k long")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+E07_SQL = """
+    SELECT event_type, COUNT(*) AS n,
+           SUM(json_extract(props, '$.k')::BIGINT) AS sum_k,
+           MIN(json_extract(props, '$.k')::BIGINT) AS min_k,
+           MAX(json_extract(props, '$.k')::BIGINT) AS max_k
+    FROM events GROUP BY event_type
+"""
+
+
 def m01_binary_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: treat content as an opaque binary column and
     run Arrow-batched metadata extraction via mapInPandas."""
@@ -1667,6 +1694,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e04_asof_join": e04_asof_join,
     "e05_range_join": e05_range_join,
     "e06_moving_avg": e06_moving_avg,
+    "e07_json_extract": e07_json_extract,
     "m01_binary_passthrough": m01_binary_passthrough,
     "m02_image_decode": m02_image_decode,
     "m03_frame_sample": m03_frame_sample,
@@ -1719,6 +1747,7 @@ ORACLES: dict[str, str] = {
     "e04_asof_join": E04_SQL,
     "e05_range_join": E05_SQL,
     "e06_moving_avg": E06_SQL,
+    "e07_json_extract": E07_SQL,
     "m01_binary_passthrough": M01_SQL,
     "m02_image_decode": M02_SQL,
     "m03_frame_sample": M03_SQL,

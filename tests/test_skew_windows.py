@@ -218,3 +218,66 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         q.stop()
     seen = sorted(r["event_id"] for r in collected)
     assert seen == [1, 2, 3], collected
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream join with watermarks + time-range condition: a
+    click joins views by the same user within the preceding 10 minutes.
+    Both sides are unbounded streams; the range condition + watermarks
+    bound the join state (Structured Streaming evicts view state once
+    the click watermark passes view_ts + 10min)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    srcs = {}
+    for side in ("clicks", "views"):
+        d = tmp_path / side
+        d.mkdir()
+        srcs[side] = d
+
+    def write(side, name, rows):
+        (srcs[side] / name).write_text(
+            "\n".join(
+                _json.dumps({"event_id": e, "user_id": u, "ts": ts})
+                for e, u, ts in rows
+            )
+        )
+
+    write("clicks", "a.json", [(100, 1, "2024-01-01T12:10:00"),
+                               (101, 1, "2024-01-01T13:30:00")])
+    write("views", "a.json", [(200, 1, "2024-01-01T12:05:00"),   # in range of 100
+                              (201, 1, "2024-01-01T11:00:00"),   # too old
+                              (202, 2, "2024-01-01T12:08:00")])  # other user
+    schema = "event_id long, user_id long, ts timestamp"
+    clicks = (
+        spark.readStream.schema(schema).json(str(srcs["clicks"]))
+        .withWatermark("ts", "1 hour")
+        .select(F.col("event_id").alias("click_id"), "user_id",
+                F.col("ts").alias("click_ts"))
+    )
+    views = (
+        spark.readStream.schema(schema).json(str(srcs["views"]))
+        .withWatermark("ts", "1 hour")
+        .select(F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user_id"),
+                F.col("ts").alias("view_ts"))
+    )
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("interval 10 minutes"))
+        & (F.col("view_ts") < F.col("click_ts")),
+    ).select("click_id", "view_id")
+    collected = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _: collected.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted((r.click_id, r.view_id) for r in collected) == [(100, 200)]
