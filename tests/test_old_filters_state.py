@@ -453,3 +453,48 @@ def test_backup_sync_roundtrip_via_hadoop_fs(spark, tmp_path):
     store.delete_state()
     assert store.restore(fetched) is True
     assert sorted(r["k"] for r in store.read("e").collect()) == [1, 2]
+
+
+def test_pending_queue_survives_engine_restart(spark, tmp_path):
+    """The capped-batch carry-over queue is persisted in the state store,
+    so a NEW engine instance over the same state dir (crash/restart)
+    drains the deferred roots — with the fresh payloads, not stale
+    ones."""
+    d = _many_children(spark, tmp_path)
+    delta = {
+        "child": _child_delta(
+            spark, [(100 + i, i, f"C{i}x", 5, False) for i in range(1, 7)]
+        )
+    }
+    outs = d.process_batch(delta)
+    seen = sorted(r["p_id"] for out in outs.values() for r in out.collect())
+    assert seen == [1, 2]
+
+    # simulate restart: fresh store + engine over the same directory,
+    # NO bootstrap (state and pending queue come from disk)
+    store2 = ParquetStateStore(spark, str(tmp_path / "state"), n_buckets=4)
+    d2 = IncrementalDenormalizer(
+        spark=spark,
+        relations=load_relations(TREE),
+        keys=KEYS,
+        store=store2,
+        max_roots_per_batch=2,
+        queueing_strategy=lambda tree, entity: (
+            "low" if entity == "child" else "high"
+        ),
+    )
+    import json as _json
+
+    payloads = {}
+    for _ in range(2):
+        outs = d2.process_batch({})
+        for out in outs.values():
+            for r in out.collect():
+                seen.append(r["p_id"])
+                doc = _json.loads(r["value"])
+                payloads[r["p_id"]] = [
+                    c["Record"]["val"] for c in doc["Children"]["child"]
+                ]
+    assert sorted(seen) == [1, 2, 3, 4, 5, 6]
+    # deferred roots rebuilt from MERGED state (C{i}x), not bootstrap C{i}
+    assert all(payloads[p] == [f"C{p}x"] for p in (3, 4, 5, 6)), payloads
