@@ -1,6 +1,7 @@
 """Command-line entry points — the analog of the reference's
 ``Southpaw.main`` (``Southpaw.java:490-553``): ``--build``,
-``--verify-state``, ``--backup``, ``--restore``, ``--delete-state``.
+``--verify-state``, ``--backup``, ``--restore``, ``--restore-latest``,
+``--delete-state``, ``--delete-backups``.
 
 Config is YAML (same spirit as the reference's snakeyaml config):
 
@@ -148,6 +149,7 @@ def main(argv=None) -> int:
     g.add_argument("--restore", metavar="BACKUP_PATH")
     g.add_argument("--restore-latest", metavar="BACKUP_DIR")
     g.add_argument("--delete-state", action="store_true")
+    g.add_argument("--delete-backups", metavar="BACKUP_DIR")
     p.add_argument("--restore-mode", default="always",
                    choices=["always", "when_needed", "never"])
     p.add_argument("--backup-retention", type=int, default=None,
@@ -180,6 +182,10 @@ def main(argv=None) -> int:
     if args.delete_state:
         store.delete_state()
         print("state deleted")
+        return 0
+    if args.delete_backups:
+        n = ParquetStateStore.delete_backups(args.delete_backups)
+        print(f"deleted {n} backups")
         return 0
     return 2
 

@@ -284,6 +284,26 @@ class ParquetStateStore:
         return dest
 
     @staticmethod
+    def delete_backups(backup_dir: str) -> int:
+        """Delete every backup snapshot under ``backup_dir`` (reference
+        ``--delete-backup`` / ``deleteBackups()``,
+        ``Southpaw.java:432-436,493,536``). Returns the number removed.
+        Live state is untouched — backup files are hardlinks, so
+        unlinking them never invalidates current versions."""
+        import shutil
+
+        if not os.path.isdir(backup_dir):
+            return 0
+        names = [
+            n
+            for n in os.listdir(backup_dir)
+            if os.path.isdir(os.path.join(backup_dir, n))
+        ]
+        for n in names:
+            shutil.rmtree(os.path.join(backup_dir, n), ignore_errors=True)
+        return len(names)
+
+    @staticmethod
     def _link_tree(src: str, dst: str) -> None:
         """Recursive hardlink copy with plain-copy fallback."""
         import shutil

@@ -61,6 +61,11 @@ def test_cli_build_and_backup_restore(spark, tmp_path, sf_dir):
     assert store.read("orders").count() == 1500
     # when_needed must now skip (state present)
     assert store.restore(str(backups[0]), mode="when_needed") is False
+    # --delete-backups clears snapshots but never live state (hardlinks)
+    assert cli.main(["--config", str(cfg), "--delete-backups",
+                     str(tmp_path / "bk")]) == 0
+    assert list((tmp_path / "bk").iterdir()) == []
+    assert store.read("orders").count() == 1500
 
 
 def test_queueing_strategy_none_drops(spark, tmp_path):
