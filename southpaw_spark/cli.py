@@ -150,6 +150,9 @@ def main(argv=None) -> int:
     g.add_argument("--restore-latest", metavar="BACKUP_DIR")
     g.add_argument("--delete-state", action="store_true")
     g.add_argument("--delete-backups", metavar="BACKUP_DIR")
+    p.add_argument("--relations", metavar="PATH", default=None,
+                   help="override the config's relations JSON path "
+                        "(reference --relations flag)")
     p.add_argument("--restore-mode", default="always",
                    choices=["always", "when_needed", "never"])
     p.add_argument("--backup-retention", type=int, default=None,
@@ -158,6 +161,8 @@ def main(argv=None) -> int:
 
     with open(args.config) as f:
         cfg = yaml.safe_load(f)
+    if args.relations:
+        cfg["relations"] = args.relations
     spark = get_spark("southpaw-cli")
     spark.sparkContext.setLogLevel("ERROR")
 
