@@ -91,6 +91,14 @@ class IncrementalDenormalizer:
     #: Deferred roots rebuild from *later* state, which matches the
     #: reference (documents reflect state at rebuild time).
     max_roots_per_batch: int | None = None
+    #: reference auto-backup (``backup.time.s``, ``Southpaw.java:138``,
+    #: ``commit()`` → ``state.backup()``) — batch-count-based here so
+    #: behavior is deterministic under test: after every N committed
+    #: batches, snapshot the store into ``backup_dir``.
+    backup_dir: str | None = None
+    backup_every_n_batches: int = 0
+    backup_retention: int | None = None
+    _batches_since_backup: int = field(default=0, init=False, repr=False)
 
     def _bump(self, name: str, n: int) -> None:
         self.metrics[name] = self.metrics.get(name, 0) + n
@@ -311,6 +319,13 @@ class IncrementalDenormalizer:
                     "states.committed", _time.monotonic() - t0
                 )
             self.store.vacuum(keep=2)
+            if self.backup_dir and self.backup_every_n_batches:
+                self._batches_since_backup += 1
+                if self._batches_since_backup >= self.backup_every_n_batches:
+                    self.store.backup(
+                        self.backup_dir, retention=self.backup_retention
+                    )
+                    self._batches_since_backup = 0
             return outputs
         finally:
             for df in cached:

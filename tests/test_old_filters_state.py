@@ -498,3 +498,36 @@ def test_pending_queue_survives_engine_restart(spark, tmp_path):
     assert sorted(seen) == [1, 2, 3, 4, 5, 6]
     # deferred roots rebuilt from MERGED state (C{i}x), not bootstrap C{i}
     assert all(payloads[p] == [f"C{p}x"] for p in (3, 4, 5, 6)), payloads
+
+
+def test_periodic_backup_every_n_batches(spark, tmp_path):
+    """Reference auto-backup analog: after every N committed batches the
+    store snapshots into backup_dir, honoring retention."""
+    store = ParquetStateStore(spark, str(tmp_path / "state"), n_buckets=2)
+    d = IncrementalDenormalizer(
+        spark=spark,
+        relations=load_relations(TREE),
+        keys=KEYS,
+        store=store,
+        backup_dir=str(tmp_path / "bk"),
+        backup_every_n_batches=2,
+        backup_retention=2,
+    )
+    d.bootstrap(
+        {
+            "parent": spark.createDataFrame([(1, "P1")], "p_id long, name string"),
+            "child": spark.createDataFrame(
+                [(101, 1, "C1")], "c_id long, p_id long, val string"
+            ),
+        }
+    )
+    def n_backups():
+        p = tmp_path / "bk"
+        return len(list(p.iterdir())) if p.exists() else 0
+
+    for i in range(1, 7):
+        d.process_batch(
+            {"child": _child_delta(spark, [(101, 1, f"C1v{i}", i, False)])}
+        )
+        # batches 1..6 with N=2 → backups after 2,4,6; retention caps at 2
+        assert n_backups() == min(i // 2, 2), i
