@@ -1289,6 +1289,71 @@ E07_SQL = """
 """
 
 
+def e08_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel per user: first view, first click
+    strictly after it, first purchase strictly after that. Three staged
+    min-aggregations joined on user — each stage is one hash shuffle on
+    user_id; no window over the full event log, no self-join explosion."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+    )
+    v = (
+        ev.where("event_type = 'view'")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("view_ts"))
+    )
+    c = (
+        ev.where("event_type = 'click'")
+        .join(v, "user_id")
+        .where(F.col("ts_us") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("click_ts"))
+    )
+    p = (
+        ev.where("event_type = 'purchase'")
+        .join(c, "user_id")
+        .where(F.col("ts_us") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("purchase_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "view_ts",
+            "click_ts",
+            "purchase_ts",
+            (F.col("click_ts").isNotNull()).alias("reached_click"),
+            (F.col("purchase_ts").isNotNull()).alias("reached_purchase"),
+        )
+    )
+
+
+E08_SQL = """
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+    v AS (
+      SELECT user_id, MIN(ts_us) AS view_ts
+      FROM ev WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts_us) AS click_ts
+      FROM ev e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts_us > v.view_ts
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts_us) AS purchase_ts
+      FROM ev e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts_us > c.click_ts
+      GROUP BY e.user_id)
+    SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+           c.click_ts IS NOT NULL AS reached_click,
+           p.purchase_ts IS NOT NULL AS reached_purchase
+    FROM v LEFT JOIN c ON c.user_id = v.user_id
+           LEFT JOIN p ON p.user_id = v.user_id
+"""
+
+
 def m01_binary_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: treat content as an opaque binary column and
     run Arrow-batched metadata extraction via mapInPandas."""
@@ -1695,6 +1760,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e05_range_join": e05_range_join,
     "e06_moving_avg": e06_moving_avg,
     "e07_json_extract": e07_json_extract,
+    "e08_funnel": e08_funnel,
     "m01_binary_passthrough": m01_binary_passthrough,
     "m02_image_decode": m02_image_decode,
     "m03_frame_sample": m03_frame_sample,
@@ -1748,6 +1814,7 @@ ORACLES: dict[str, str] = {
     "e05_range_join": E05_SQL,
     "e06_moving_avg": E06_SQL,
     "e07_json_extract": E07_SQL,
+    "e08_funnel": E08_SQL,
     "m01_binary_passthrough": M01_SQL,
     "m02_image_decode": M02_SQL,
     "m03_frame_sample": M03_SQL,
