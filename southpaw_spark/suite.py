@@ -1289,6 +1289,44 @@ E07_SQL = """
 """
 
 
+def a05_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention grid: users grouped by first-activity week
+    (cohort), counted distinct per weekly offset — two hash aggregations
+    and one join, all keyed on user_id/cohort."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("week", F.expr("timestamp_micros(ts div 1000)"))
+        .cast("date")
+        .alias("week"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = ev.distinct()
+    return (
+        activity.join(first, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            (F.datediff("week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+A05_SQL = """
+    WITH ev AS (
+      SELECT user_id, date_trunc('week', ts)::DATE AS week FROM events),
+    first AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id),
+    activity AS (SELECT DISTINCT user_id, week FROM ev)
+    SELECT f.cohort_week::VARCHAR AS cohort_week,
+           ((a.week - f.cohort_week) / 7)::BIGINT AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM activity a JOIN first f ON f.user_id = a.user_id
+    GROUP BY 1, 2
+"""
+
+
 def e08_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel per user: first view, first click
     strictly after it, first purchase strictly after that. Three staged
@@ -1753,6 +1791,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a02_percentiles": a02_percentiles,
     "a03_pivot": a03_pivot,
     "a04_unpivot": a04_unpivot,
+    "a05_cohort_retention": a05_cohort_retention,
     "e01_windowed_agg": e01_windowed_agg,
     "e02_sessionize": e02_sessionize,
     "e03_approx_distinct": e03_approx_distinct,
@@ -1807,6 +1846,7 @@ ORACLES: dict[str, str] = {
     "a02_percentiles": A02_SQL,
     "a03_pivot": A03_SQL,
     "a04_unpivot": A04_SQL,
+    "a05_cohort_retention": A05_SQL,
     # e03 intentionally absent: HLL sketches differ across engines
     "e01_windowed_agg": E01_SQL,
     "e02_sessionize": E02_SQL,
