@@ -73,3 +73,31 @@ def test_doc_accessors(spark, sf_dir):
     )
     rows = out.collect()
     assert all(r["k"] is not None and r["n"] >= 0 for r in rows)
+
+
+def test_round2_queries_plan_contracts(spark, sf_dir):
+    """Scale contracts for the round-2 query families: no nested-loop /
+    cartesian joins anywhere, single-shuffle as-of, broadcast probe in
+    decontamination."""
+    no_nlj = [
+        suite.e04_asof_join,
+        suite.e05_range_join,
+        suite.e08_funnel,
+        suite.t10_contamination,
+        suite.a01_rollup,
+        suite.a03_pivot,
+        suite.a05_cohort_retention,
+    ]
+    for fn in no_nlj:
+        df = fn(spark, sf_dir)
+        strategies = join_strategies(df)
+        assert "BroadcastNestedLoopJoin" not in strategies, fn.__name__
+        assert "CartesianProduct" not in strategies, fn.__name__
+
+    # as-of: exactly one exchange feeds the window (plus AQE reads)
+    asof = suite.e04_asof_join(spark, sf_dir)
+    assert num_exchanges(asof) <= 2, num_exchanges(asof)
+
+    # decontamination: the benchmark set must be the broadcast side
+    cont = suite.t10_contamination(spark, sf_dir)
+    assert join_strategies(cont).get("BroadcastHashJoin", 0) >= 1
