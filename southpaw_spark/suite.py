@@ -222,8 +222,18 @@ def q06_fk_repointing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O8/O11 FK repointing: a child's FK moves; recompute-from-latest
     shows the child only under the new parent. Changelog synthesized
     deterministically from lineitem (linenumber=1 rows; orders divisible
-    by 3 get a second event repointing l_partkey)."""
-    li = _read(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    by 3 get a second event repointing l_partkey).
+
+    lineitem carries ~20% duplicate (l_orderkey, l_linenumber) pairs, so
+    the linenumber=1 slice MUST be reduced deterministically
+    (min l_partkey per order) — duplicate rows would share seq and make
+    latest-by-key a coin flip (first diverges at sf0.1)."""
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .where(F.col("l_linenumber") == 1)
+        .groupBy("l_orderkey")
+        .agg(F.min("l_partkey").alias("l_partkey"))
+    )
     part = _read(spark, sf_dir, "part")
     ev1 = li.select(
         F.lit(1).cast("long").alias("seq"),
@@ -244,12 +254,15 @@ def q06_fk_repointing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q06_SQL = """
-    WITH log AS (
+    WITH li AS (
+      SELECT l_orderkey, MIN(l_partkey) AS l_partkey
+      FROM lineitem WHERE l_linenumber = 1 GROUP BY l_orderkey),
+    log AS (
       SELECT 1::BIGINT AS seq, l_orderkey, l_partkey AS partkey
-      FROM lineitem WHERE l_linenumber = 1
+      FROM li
       UNION ALL
       SELECT 2::BIGINT AS seq, l_orderkey, (l_partkey % 200) + 1 AS partkey
-      FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 3 = 0),
+      FROM li WHERE l_orderkey % 3 = 0),
     latest AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY seq DESC) rn
       FROM log)
