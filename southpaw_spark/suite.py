@@ -1004,6 +1004,77 @@ def d05_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d08_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the KEPT corpus — the step a training pipeline
+    actually ships: exact-duplicate losers drop first (keeper = min
+    doc_id per content hash), then any survivor appearing as the larger
+    side of a near-dup pair (3-gram Jaccard ≥ 0.8) drops. One-pass
+    greedy drop of id_b per pair — deterministic and SQL-expressible;
+    transitive cluster resolution is d07's job."""
+    from southpaw_spark.operators.dedup import (
+        exact_duplicates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    copies = docs.where(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    corpus = docs.unionByName(copies)
+    dup_groups = exact_duplicates(corpus, "text", "doc_id")
+    losers = (
+        dup_groups.select(F.explode("doc_ids").alias("doc_id"), "keep_id")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    survivors = corpus.join(losers, "doc_id", "left_anti")
+    fuzzy_losers = (
+        ngram_jaccard_pairs(survivors, "text", "doc_id", n=3, threshold=0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        survivors.join(fuzzy_losers, "doc_id", "left_anti")
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+D08_SQL = """
+    WITH corpus AS (
+      SELECT * FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 50 = 0),
+    groups AS (
+      SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM corpus
+      GROUP BY md5(text)),
+    survivors AS (
+      SELECT c.* FROM corpus c JOIN groups g
+        ON md5(c.text) = g.h AND c.doc_id = g.keep_id),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM survivors),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(w) - 2),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+      FROM toks WHERE len(w) >= 3),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    sized AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    fuzzy_losers AS (
+      SELECT DISTINCT i.id_b AS doc_id
+      FROM inter i
+      JOIN sized sa ON sa.doc_id = i.id_a
+      JOIN sized sb ON sb.doc_id = i.id_b
+      WHERE i.n_inter::DOUBLE / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.8)
+    SELECT s.doc_id, s.source, s.n_chars
+    FROM survivors s LEFT JOIN fuzzy_losers f ON f.doc_id = s.doc_id
+    WHERE f.doc_id IS NULL
+"""
+
+
 def d06_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup cascade as one pipeline: exact duplicates collapse to their
     keeper, then near-dup (3-gram Jaccard ≥ 0.2) pairs are found among
@@ -1787,6 +1858,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d05_embedding_near_dup": d05_embedding_near_dup,
     "d06_dedup_cascade": d06_dedup_cascade,
     "d07_dup_clusters": d07_dup_clusters,
+    "d08_dedup_apply": d08_dedup_apply,
     "s01_cosine_topk": s01_cosine_topk,
     "s02_ivf_topk": s02_ivf_topk,
     "t01_token_count": t01_token_count,
@@ -1842,6 +1914,7 @@ ORACLES: dict[str, str] = {
     # d05 intentionally absent: approximate LSH near-dup, rows-only
     "d06_dedup_cascade": D06_SQL,
     "d07_dup_clusters": D07_SQL,
+    "d08_dedup_apply": D08_SQL,
     # s02 intentionally absent: approximate ANN, rows-only
     "s01_cosine_topk": S01_SQL,
     "t01_token_count": T01_SQL,
