@@ -116,10 +116,14 @@ def asof_join(
         matched = matched.withColumn(
             "__m_ts", F.when(in_tol, F.col("__m_ts"))
         ).withColumn("__m_row", F.when(in_tol, F.col("__m_row")))
+    # a left row with NULL timestamp matches nothing (it would otherwise
+    # inherit whatever the null sort position carried — e.g. the earliest
+    # right row under the forward/descending scan)
+    has_ts = F.col("__ts").isNotNull()
     return matched.select(
         *[F.col(c) for c in left.columns],
-        F.col("__m_ts").alias(right_ts),
-        *[F.col("__m_row")[c].alias(c) for c in rcols],
+        F.when(has_ts, F.col("__m_ts")).alias(right_ts),
+        *[F.when(has_ts, F.col("__m_row")[c]).alias(c) for c in rcols],
     )
 
 

@@ -186,3 +186,20 @@ def test_asof_both_directions_match_pandas_merge_asof(spark):
             for r in exp_df.itertuples()
         }
         assert got == exp, direction
+
+
+def test_asof_null_left_timestamp_matches_nothing(spark):
+    left = _left(spark, [(1, 7, None), (2, 7, 200)])
+    right = _right(spark, [(7, 100, "a", 1)])
+    for direction in ("backward", "forward"):
+        out = {
+            r.lid: r.rv
+            for r in asof_join(
+                left, right, on=["k"], left_ts="ts", right_ts="rts",
+                direction=direction,
+            ).collect()
+        }
+        assert out[1] is None, direction  # null ts: no match either way
+    # and the non-null row still matches backward
+    back = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts")
+    assert {r.lid: r.rv for r in back.collect()}[2] == "a"
