@@ -59,10 +59,20 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     on = list(on)
+    if right_ts in left.columns:
+        raise ValueError(
+            f"right_ts {right_ts!r} collides with a left column — rename "
+            "one side (the output carries both the left timestamp and the "
+            "matched right timestamp)"
+        )
     rcols = [c for c in right.columns if c not in on and c != right_ts]
     dup = set(rcols) & set(left.columns)
     if dup:
         raise ValueError(f"right columns collide with left: {sorted(dup)}")
+    # a right row with NULL timestamp can never be an as-of match; drop it
+    # up front so its payload can't ride the struct carry while __m_ts
+    # (ignorenulls) comes from a different row
+    right = right.where(F.col(right_ts).isNotNull())
 
     lpart = left.select(
         *[F.col(c) for c in left.columns],

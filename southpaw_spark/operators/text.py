@@ -269,7 +269,10 @@ def repetition_signals(
         dup_word_frac.alias("dup_word_frac"),
     ).where(F.size(w) >= 2)
 
-    bigrams = df.select(
+    # same ≥2-word guard as `base`: on a 1-word doc sequence(1, 0) yields
+    # [1, 0] and element_at(w, 0) raises — the row must be filtered, not
+    # exploded
+    bigrams = df.where(F.size(w) >= 2).select(
         F.col(id_col),
         F.explode(
             F.transform(

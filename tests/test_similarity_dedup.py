@@ -242,3 +242,15 @@ def test_ngram_contamination_semantics(spark):
     assert rows[1] == (2, 1, 0.5)
     assert rows[2] == (3, 0, 0.0)
     assert 3 not in rows
+
+
+def test_repetition_signals_survive_short_docs(spark):
+    from southpaw_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "a a b")], "doc_id int, text string"
+    )
+    rows = {r.doc_id: r for r in repetition_signals(df, "text", "doc_id").collect()}
+    # <2-word docs are excluded, not a crash
+    assert set(rows) == {3}
+    assert rows[3].top_bigram_frac == 0.5  # "a a" once, "a b" once -> 1/2

@@ -203,3 +203,18 @@ def test_asof_null_left_timestamp_matches_nothing(spark):
     # and the non-null row still matches backward
     back = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts")
     assert {r.lid: r.rv for r in back.collect()}[2] == "a"
+
+
+def test_asof_null_right_timestamp_never_leaks_payload(spark):
+    # a NULL-rts right row must not donate columns to unmatched left rows
+    left = _left(spark, [(1, 7, 10)])
+    right = _right(spark, [(7, None, "NULLTS", 9), (7, 100, "LATE", 1)])
+    row = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts").first()
+    assert row.rts is None and row.rv is None and row.rn is None
+
+
+def test_asof_rejects_right_ts_name_collision(spark):
+    left = _left(spark, [(1, 7, 100)])
+    right = spark.createDataFrame([(7, 100, "a")], "k int, ts long, rv string")
+    with pytest.raises(ValueError, match="right_ts"):
+        asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts")
