@@ -116,6 +116,14 @@ def apply_old_aware_rules(
     on the PK; predicates stay JVM-side Column expressions."""
     if not rules:
         return delta
+    if OLD_FIELD in delta.columns:
+        # a payload column literally named like OLD_FIELD would collide
+        # with the pre-image struct (duplicate/overwritten column);
+        # fail loudly rather than silently corrupting the entity
+        raise ValueError(
+            f"entity payload column {OLD_FIELD!r} collides with the "
+            "old-row struct used by old-aware rules; rename the column"
+        )
     if old_rows is None:
         # no prior state: a typed null struct (shaped like the delta) so
         # ``old.field`` references still resolve

@@ -212,6 +212,7 @@ def connected_components(
     )
     verts = sym.select(F.col("a").alias("id")).distinct()
     labels = verts.withColumn("label", F.col("id")).localCheckpoint()
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["id"])
@@ -237,6 +238,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # silent non-convergence would split one real component into
+        # several clusters — downstream keep/drop logic would then keep
+        # duplicates, and exact oracles diverge. Fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter — rounds "
+            "needed grow with the largest component's diameter"
+        )
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 

@@ -172,12 +172,16 @@ def sequence_packing(
     shard_col: str,
     token_budget: int = 2048,
 ) -> DataFrame:
-    """Greedy sequence packing for training: within each shard, documents
-    (in deterministic ``id_col`` order) are appended to a pack until the
-    token budget would overflow, then a new pack starts. Expressed as a
-    running-sum window: pack index = floor(preceding cumulative tokens /
-    budget) — the standard streaming-pack approximation (a doc spanning a
-    boundary starts the next pack).
+    """Sequence packing for training: within each shard, documents (in
+    deterministic ``id_col`` order) are assigned pack index =
+    floor(preceding cumulative tokens / budget) — fixed token-offset
+    boundaries, the shuffle-free streaming approximation of greedy
+    packing. Precisely: a document spanning a boundary belongs to the
+    EARLIER pack, so a pack may exceed the budget by up to one document's
+    tokens (bound doc length upstream, or truncate the spanning tail at
+    materialization). True greedy never-overflow packing is inherently
+    sequential per shard — it would be an applyInPandas over the shard,
+    not a window.
 
     Scale: the window partitions by ``shard_col`` — never a global
     ORDER BY (which would serialize onto one partition). Training

@@ -147,6 +147,7 @@ class IncrementalDenormalizer:
         """
         cached: list[DataFrame] = []
         staged: dict[str, int] = {}
+        drop_after_commit: list[str] = []
         try:
             # 1+2+3: per entity — dedup, pre-image, STAGED merge (files
             # written, pointer not yet flipped).
@@ -266,19 +267,42 @@ class IncrementalDenormalizer:
                     )
                     deferred = dirty.join(
                         selected.select(*root_pks), on=root_pks, how="left_anti"
-                    )
-                    staged[pending_entity] = self.store.init(
-                        pending_entity, deferred, root_pks, commit=False
-                    )
+                    ).cache()
+                    cached.append(deferred)
+                    if deferred.limit(1).count() > 0:
+                        staged[pending_entity] = self.store.init(
+                            pending_entity, deferred, root_pks, commit=False
+                        )
+                    elif self.store.exists(pending_entity):
+                        if sink is not None:
+                            # streaming: fully drained → drop the queue
+                            # entity after the commit (absence doubles as
+                            # the cheap emptiness test; re-staging an
+                            # empty queue every batch would be a write
+                            # job + version churn per tree per batch)
+                            drop_after_commit.append(pending_entity)
+                        else:
+                            # batch mode returns LAZY outputs that may
+                            # still reference the queue files — clear
+                            # instead of dropping
+                            staged[pending_entity] = self.store.init(
+                                pending_entity,
+                                dirty.where(F.lit(False)),
+                                root_pks,
+                                commit=False,
+                            )
                     dirty = selected
                 elif self.store.exists(pending_entity):
-                    # uncapped batch drains the whole queue: clear it
-                    staged[pending_entity] = self.store.init(
-                        pending_entity,
-                        dirty.where(F.lit(False)),
-                        root_pks,
-                        commit=False,
-                    )
+                    # uncapped batch drains the whole queue
+                    if sink is not None:
+                        drop_after_commit.append(pending_entity)
+                    else:
+                        staged[pending_entity] = self.store.init(
+                            pending_entity,
+                            dirty.where(F.lit(False)),
+                            root_pks,
+                            commit=False,
+                        )
                 dirty = dirty.select(*root_pks).distinct().cache()
                 cached.append(dirty)
 
@@ -318,6 +342,11 @@ class IncrementalDenormalizer:
                 self.metrics.timer(
                     "states.committed", _time.monotonic() - t0
                 )
+            # drained queues drop only after the commit: a crash before
+            # this point replays the batch with the old queue intact
+            # (at-least-once re-emission, never loss)
+            for name in drop_after_commit:
+                self.store.drop_entity(name)
             self.store.vacuum(keep=2)
             if self.backup_dir and self.backup_every_n_batches:
                 self._batches_since_backup += 1
@@ -375,8 +404,16 @@ class IncrementalDenormalizer:
                     if entity_columns and entity in entity_columns:
                         d = d.select(*entity_columns[entity])
                     deltas[entity] = d
-                if not deltas:
+                if not deltas and not any(
+                    self.store.exists(f"__pending__{r.denormalized_name}")
+                    for r in self.relations
+                ):
                     return
+                # A delta-less batch still runs when a carry-over queue is
+                # outstanding, so deferred roots drain on ANY trigger —
+                # not only ones carrying tree-entity data. (If the source
+                # goes fully silent no micro-batch fires at all; a
+                # periodic process_batch({}) covers hard drain deadlines.)
                 # sink inside process_batch: outputs flush before the
                 # state-version commit (crash-consistent ordering)
                 self.process_batch(deltas, sink=sink)

@@ -54,6 +54,41 @@ class Metrics(dict):
         return out
 
 
+def _offset_total(raw) -> int | None:
+    """Sum a SourceProgress offset into one number. File-ish sources
+    report a plain integer string; Kafka reports a JSON object like
+    ``{"topic": {"0": 123, "1": 456}}`` (per-partition offsets) — sum the
+    leaves so Kafka lag actually registers instead of int() raising."""
+    if raw is None:
+        return None
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        pass
+    import json
+
+    try:
+        parsed = json.loads(raw)
+    except (TypeError, ValueError):
+        return None
+
+    def total(node) -> int | None:
+        if isinstance(node, dict):
+            s = 0
+            for v in node.values():
+                t = total(v)
+                if t is None:
+                    return None
+                s += t
+            return s
+        try:
+            return int(node)
+        except (TypeError, ValueError):
+            return None
+
+    return total(parsed)
+
+
 class SouthpawStreamingListener(StreamingQueryListener):
     """Push streaming progress into a :class:`Metrics` registry.
 
@@ -86,10 +121,9 @@ class SouthpawStreamingListener(StreamingQueryListener):
         lag = 0
         has_lag = False
         for s in p.sources or []:
-            try:
-                latest = int(s.latestOffset)
-                end = int(s.endOffset)
-            except (TypeError, ValueError):
+            latest = _offset_total(s.latestOffset)
+            end = _offset_total(s.endOffset)
+            if latest is None or end is None:
                 continue
             lag += max(0, latest - end)
             has_lag = True

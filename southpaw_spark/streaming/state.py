@@ -258,8 +258,20 @@ class ParquetStateStore:
         import shutil
         import time
 
-        stamp = time.strftime("%Y%m%dT%H%M%S") + f"-{int(time.time() * 1000) % 1000}"
+        if retention is not None and retention < 1:
+            raise ValueError("retention must be >= 1 (the new backup counts)")
+        # zero-padded millis so lexicographic order == temporal order
+        # (retention and restore_latest both sort names); collisions in
+        # the same millisecond get a unique suffix instead of colliding.
+        stamp = (
+            time.strftime("%Y%m%dT%H%M%S")
+            + f"-{int(time.time() * 1000) % 1000:03d}"
+        )
         dest = os.path.join(backup_dir, stamp)
+        n = 0
+        while os.path.exists(dest):
+            n += 1
+            dest = os.path.join(backup_dir, f"{stamp}-{n}")
         os.makedirs(dest, exist_ok=True)
         for entity in os.listdir(self.root):
             version = self._version_of(entity)
@@ -282,6 +294,14 @@ class ParquetStateStore:
             for old in names[:-retention]:
                 shutil.rmtree(os.path.join(backup_dir, old), ignore_errors=True)
         return dest
+
+    def drop_entity(self, entity: str) -> None:
+        """Remove an entity's state entirely (versions, schema, pointer).
+        Used for transient entities like drained ``__pending__`` queues —
+        existence then doubles as the cheap non-emptiness test."""
+        import shutil
+
+        shutil.rmtree(self._entity_dir(entity), ignore_errors=True)
 
     @staticmethod
     def delete_backups(backup_dir: str) -> int:

@@ -126,3 +126,14 @@ def test_approx_distinct_quality(spark, sf_dir):
     for k, n in exact.items():
         rel_err = abs(approx[k] - n) / n
         assert rel_err < 0.1, (k, approx[k], n)
+
+
+def test_offset_total_parses_kafka_json_offsets():
+    from southpaw_spark.streaming.metrics import _offset_total
+
+    assert _offset_total("123") == 123
+    assert _offset_total(456) == 456
+    assert _offset_total('{"t": {"0": 100, "1": 20}}') == 120
+    assert _offset_total('{"a": {"0": 1}, "b": {"0": 2, "1": 3}}') == 6
+    assert _offset_total(None) is None
+    assert _offset_total("not json") is None

@@ -531,3 +531,70 @@ def test_periodic_backup_every_n_batches(spark, tmp_path):
         )
         # batches 1..6 with N=2 → backups after 2,4,6; retention caps at 2
         assert n_backups() == min(i // 2, 2), i
+
+
+def test_backup_names_sort_temporally_and_never_collide(spark, tmp_path):
+    """Retention and restore_latest sort backup names lexicographically,
+    so stamps must zero-pad millis and de-collide within a millisecond."""
+    store = ParquetStateStore(spark, str(tmp_path / "state"), n_buckets=2)
+    store.init(
+        "e",
+        spark.createDataFrame([(1, "a")], "k long, v string"),
+        ["k"],
+    )
+    dests = [store.backup(str(tmp_path / "bk")) for _ in range(4)]
+    import os
+
+    names = [os.path.basename(d) for d in dests]
+    assert len(set(names)) == 4  # same-millisecond backups de-collide
+    assert sorted(names) == names  # lexicographic == creation order
+    # and retention must keep the NEWEST, not a lexicographic accident
+    newest = store.backup(str(tmp_path / "bk"), retention=1)
+    remaining = os.listdir(tmp_path / "bk")
+    assert remaining == [os.path.basename(newest)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="retention"):
+        store.backup(str(tmp_path / "bk"), retention=0)
+
+
+def test_drained_queue_dropped_in_streaming_mode(spark, tmp_path):
+    """Streaming path: once the carry-over queue fully drains, the
+    __pending__ entity is dropped (not re-staged empty every batch)."""
+    d = _many_children(spark, tmp_path)
+    delta = {
+        "child": _child_delta(
+            spark, [(100 + i, i, f"C{i}x", 5, False) for i in range(1, 5)]
+        )
+    }
+    sunk = []
+
+    def sink(name, df):
+        sunk.extend(df.collect())
+
+    d.process_batch(delta, sink=sink)  # emits 2, defers 2
+    pending = "__pending__Denorm"
+    names = [e for e in __import__("os").listdir(tmp_path / "state")
+             if e.startswith("__pending__")]
+    assert names, "deferred roots must persist a queue"
+    d.process_batch({}, sink=sink)  # drains the remaining 2
+    names = [e for e in __import__("os").listdir(tmp_path / "state")
+             if e.startswith("__pending__")]
+    assert names == [], "fully drained queue must be dropped"
+    assert sorted(r["p_id"] for r in sunk) == [1, 2, 3, 4]
+
+
+def test_old_aware_rules_reject_old_payload_column(spark):
+    from southpaw_spark.operators.cdc import (
+        apply_old_aware_rules,
+        unchanged_skip_rule,
+    )
+    import pytest as _pytest
+
+    delta = spark.createDataFrame(
+        [(1, "x", 1, False)], "k long, old string, seq long, is_tombstone boolean"
+    )
+    with _pytest.raises(ValueError, match="collides"):
+        apply_old_aware_rules(
+            delta, None, [unchanged_skip_rule(["k"])], ["k"]
+        )

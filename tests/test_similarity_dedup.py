@@ -254,3 +254,18 @@ def test_repetition_signals_survive_short_docs(spark):
     # <2-word docs are excluded, not a crash
     assert set(rows) == {3}
     assert rows[3].top_bigram_frac == 0.5  # "a a" once, "a b" once -> 1/2
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    from southpaw_spark.operators.dedup import connected_components
+    import pytest as _pytest
+
+    # a 12-vertex chain needs ~11 rounds; max_iter=3 must fail LOUDLY
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_iter=3)
+    # and with enough rounds the same chain is ONE cluster
+    out = connected_components(edges, max_iter=15)
+    assert {r.cluster_id for r in out.collect()} == {0}
