@@ -101,3 +101,34 @@ def test_round2_queries_plan_contracts(spark, sf_dir):
     # decontamination: the benchmark set must be the broadcast side
     cont = suite.t10_contamination(spark, sf_dir)
     assert join_strategies(cont).get("BroadcastHashJoin", 0) >= 1
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Co-located bucketed tables join with ZERO exchanges — the
+    bucketing answer to fact-fact joins at scale (BASELINE.md)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    spark.sql("DROP TABLE IF EXISTS t_b_orders")
+    spark.sql("DROP TABLE IF EXISTS t_b_lineitem")
+    try:
+        orders.write.mode("overwrite").bucketBy(4, "o_orderkey").saveAsTable(
+            "t_b_orders"
+        )
+        li.write.mode("overwrite").bucketBy(4, "l_orderkey").saveAsTable(
+            "t_b_lineitem"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (
+            spark.table("t_b_orders")
+            .join(
+                spark.table("t_b_lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderkey")
+            .count()
+        )
+        assert num_exchanges(j) == 0, j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_b_orders")
+        spark.sql("DROP TABLE IF EXISTS t_b_lineitem")
