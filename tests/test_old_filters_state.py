@@ -598,3 +598,99 @@ def test_old_aware_rules_reject_old_payload_column(spark):
         apply_old_aware_rules(
             delta, None, [unchanged_skip_rule(["k"])], ["k"]
         )
+
+
+def test_capped_random_soak_converges_to_batch_recompute(spark, tmp_path):
+    """Randomized soak of the round-2 machinery in combination: 12
+    micro-batches of random parent/child churn (incl. tombstones) under
+    max_roots_per_batch=3 with a streaming sink, then a full drain. The
+    final per-root documents (latest emission per PK) must equal a
+    from-scratch batch denormalize over the final merged state."""
+    import json as _json
+    import random as _random
+
+    rng = _random.Random(123)
+    n_parents, n_children = 8, 20
+    store = ParquetStateStore(spark, str(tmp_path / "state"), n_buckets=4)
+    d = IncrementalDenormalizer(
+        spark=spark,
+        relations=load_relations(TREE),
+        keys=KEYS,
+        store=store,
+        max_roots_per_batch=3,
+    )
+    d.bootstrap(
+        {
+            "parent": spark.createDataFrame(
+                [(p, f"P{p}") for p in range(1, n_parents + 1)],
+                "p_id long, name string",
+            ),
+            "child": spark.createDataFrame(
+                [(100 + c, 1 + c % n_parents, f"C{c}") for c in range(n_children)],
+                "c_id long, p_id long, val string",
+            ),
+        }
+    )
+    latest: dict = {}
+
+    def sink(name, df):
+        for r in df.collect():
+            latest[r["p_id"]] = r["value"]
+
+    seq = 100
+    for _ in range(12):
+        deltas = {}
+        if rng.random() < 0.7:
+            rows = []
+            for _ in range(rng.randint(1, 5)):
+                c = rng.randrange(n_children)
+                rows.append(
+                    (
+                        100 + c,
+                        rng.randint(1, n_parents),  # FK may repoint
+                        f"v{seq}",
+                        seq,
+                        rng.random() < 0.15,  # tombstone
+                    )
+                )
+                seq += 1
+            deltas["child"] = _child_delta(spark, rows)
+        if rng.random() < 0.4:
+            p = rng.randint(1, n_parents)
+            deltas["parent"] = spark.createDataFrame(
+                [(p, f"P{p}v{seq}", seq, rng.random() < 0.1)],
+                "p_id long, name string, seq long, is_tombstone boolean",
+            )
+            seq += 1
+        d.process_batch(deltas, sink=sink)
+    # drain whatever the cap deferred
+    for _ in range(20):
+        if not store.exists("__pending__DenormalizedParent"):
+            break
+        d.process_batch({}, sink=sink)
+    assert not store.exists("__pending__DenormalizedParent")
+
+    # ground truth: full rebuild from the final merged state
+    from southpaw_spark.operators.denormalize import denormalize_to_json
+
+    states = {e: store.read(e) for e in KEYS}
+    full = {
+        r["p_id"]: r["value"]
+        for r in denormalize_to_json(
+            states, load_relations(TREE)[0], KEYS
+        ).collect()
+    }
+    live_latest = {
+        p: v for p, v in latest.items() if v is not None and p in full
+    }
+    # every live root's latest emitted doc equals the batch recompute
+    assert set(full) == set(live_latest), (
+        sorted(set(full) ^ set(live_latest)),
+        sorted(latest),
+    )
+    for p, v in full.items():
+        assert _json.loads(live_latest[p]) == _json.loads(v), p
+    # and parents tombstoned along the way ended as null emissions
+    for p, v in latest.items():
+        if p not in full:
+            assert v is None, p
