@@ -1411,6 +1411,34 @@ A05_SQL = """
 """
 
 
+def a06_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated aggregation on the hard signal: the two-phase
+    salted collect_list (hot keys spread over 16 salts, partials
+    flattened and sorted) must be result-identical to the plain
+    aggregation — the oracle is the UNSALTED SQL, so equality proves
+    salting is a pure plan transformation."""
+    from southpaw_spark.operators.skew import salted_collect_list
+
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    agg = salted_collect_list(
+        li, ["l_orderkey"], F.col("l_linenumber"), n_salts=16
+    )
+    return agg.select(
+        "l_orderkey",
+        F.size("arr").cast("long").alias("n_items"),
+        F.array_join(F.col("arr").cast("array<string>"), ",").alias("items"),
+    )
+
+
+A06_SQL = """
+    SELECT l_orderkey,
+           COUNT(*) AS n_items,
+           array_to_string(LIST(l_linenumber ORDER BY l_linenumber), ',')
+             AS items
+    FROM lineitem GROUP BY l_orderkey
+"""
+
+
 def e08_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel per user: first view, first click
     strictly after it, first purchase strictly after that. Three staged
@@ -1877,6 +1905,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a03_pivot": a03_pivot,
     "a04_unpivot": a04_unpivot,
     "a05_cohort_retention": a05_cohort_retention,
+    "a06_salted_agg": a06_salted_agg,
     "e01_windowed_agg": e01_windowed_agg,
     "e02_sessionize": e02_sessionize,
     "e03_approx_distinct": e03_approx_distinct,
@@ -1933,6 +1962,7 @@ ORACLES: dict[str, str] = {
     "a03_pivot": A03_SQL,
     "a04_unpivot": A04_SQL,
     "a05_cohort_retention": A05_SQL,
+    "a06_salted_agg": A06_SQL,
     # e03 intentionally absent: HLL sketches differ across engines
     "e01_windowed_agg": E01_SQL,
     "e02_sessionize": E02_SQL,
