@@ -43,7 +43,7 @@ HEADLINE = [
     "e01_windowed_agg",
     "e02_sessionize",
     "e04_asof_join",
-    "m01_binary_passthrough",  # Arrow mapInPandas path
+    "m01_image_metadata_decode",  # Arrow mapInPandas path (chained stages)
 ]
 
 

@@ -19,39 +19,73 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def binary_metadata(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+def binary_metadata(
+    df: DataFrame, content_col: str, id_col: str, keep_content: bool = False
+) -> DataFrame:
     """Extract byte length + content digest from an opaque binary column.
 
     Arrow-batched mapInPandas: each partition streams pandas batches, so
     per-row Python overhead is amortized and memory stays bounded by the
     Arrow batch size regardless of blob sizes.
+
+    ``keep_content=True`` passes the binary column through so a decode
+    stage can chain directly after metadata extraction — one scan, no
+    join — the shape a production media pipeline actually uses.
     """
     schema = f"{id_col} long, n_bytes long, content_md5 string"
+    if keep_content:
+        schema += f", {content_col} binary"
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             content = pdf[content_col]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "n_bytes": content.map(lambda b: len(b) if b is not None else 0),
-                    "content_md5": content.map(
-                        lambda b: hashlib.md5(b).hexdigest() if b is not None else None
-                    ),
-                }
-            )
+            out = {
+                id_col: pdf[id_col],
+                "n_bytes": content.map(lambda b: len(b) if b is not None else 0),
+                "content_md5": content.map(
+                    lambda b: hashlib.md5(b).hexdigest() if b is not None else None
+                ),
+            }
+            if keep_content:
+                out[content_col] = content
+            yield pd.DataFrame(out)
 
     return df.select(id_col, content_col).mapInPandas(extract, schema)
 
 
-def decode_image_stub(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+def decode_image_stub(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Image decode plumbing with a deterministic fake decoder.
 
     Real deployment replaces ``fake_decode`` with PIL/turbojpeg; the
     output schema (width/height/mode) and the mapInPandas batch shape are
     what production code relies on and are exercised by tests.
+
+    ``carry_cols`` names input columns passed through unchanged (types
+    taken from the input schema) so upstream metadata survives the decode
+    without a self-join.
     """
-    schema = f"{id_col} long, width int, height int, mode string"
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    carried = [df.schema[c] for c in carry_cols]
+    schema = StructType(
+        [df.schema[id_col]]
+        + [StructField(f.name, f.dataType, True) for f in carried]
+        + [
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+            StructField("mode", StringType(), True),
+        ]
+    )
 
     def fake_decode(b: bytes | None):
         if b is None:
@@ -63,16 +97,16 @@ def decode_image_stub(df: DataFrame, content_col: str, id_col: str) -> DataFrame
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             decoded = [fake_decode(b) for b in pdf[content_col]]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "width": [d[0] for d in decoded],
-                    "height": [d[1] for d in decoded],
-                    "mode": [d[2] for d in decoded],
-                }
-            )
+            out = {id_col: pdf[id_col]}
+            for c in carry_cols:
+                out[c] = pdf[c]
+            out["width"] = [d[0] for d in decoded]
+            out["height"] = [d[1] for d in decoded]
+            out["mode"] = [d[2] for d in decoded]
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, content_col).mapInPandas(decode, schema)
+    cols = [id_col, *carry_cols, content_col]
+    return df.select(*cols).mapInPandas(decode, schema)
 
 
 def frame_sample_stub(

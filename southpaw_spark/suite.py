@@ -854,21 +854,12 @@ def a03_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-A03_SQL = """
-    SELECT user_id,
-           COUNT(*) FILTER (event_type = 'click') AS click,
-           COUNT(*) FILTER (event_type = 'error') AS error,
-           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
-           COUNT(*) FILTER (event_type = 'signup') AS signup,
-           COUNT(*) FILTER (event_type = 'view') AS view
-    FROM events GROUP BY user_id
-"""
-
-
-def a04_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot (melt): the a03 wide table back to long form — zero-count
-    combinations survive as explicit rows (the property a plain groupBy
-    of the raw events would lose)."""
+def a04_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot → unpivot round trip (merges round-2's a03 + a04 rows): the
+    a03 wide pivot melted back to long form. Value-checks BOTH operators
+    — every user × type cell of the pivot appears in the long output, and
+    zero-count combinations survive as explicit rows (the property a
+    plain groupBy of the raw events would lose)."""
     wide = a03_pivot(spark, sf_dir)
     return wide.unpivot(
         ids=["user_id"],
@@ -1010,7 +1001,10 @@ def d08_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id per content hash), then any survivor appearing as the larger
     side of a near-dup pair (3-gram Jaccard ≥ 0.8) drops. One-pass
     greedy drop of id_b per pair — deterministic and SQL-expressible;
-    transitive cluster resolution is d07's job."""
+    transitive cluster resolution is d07's job. Runs the full
+    exact→fuzzy cascade internally, so this row also covers round-2's
+    separate d06 cascade entry (merged round 3 to fit the driver's
+    50-row check budget)."""
     from southpaw_spark.operators.dedup import (
         exact_duplicates,
         ngram_jaccard_pairs,
@@ -1075,59 +1069,6 @@ D08_SQL = """
 """
 
 
-def d06_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup cascade as one pipeline: exact duplicates collapse to their
-    keeper, then near-dup (3-gram Jaccard ≥ 0.2) pairs are found among
-    the survivors — the standard exact→fuzzy corpus-cleaning composition,
-    fully oracle-checked."""
-    from southpaw_spark.operators.dedup import exact_duplicates, ngram_jaccard_pairs
-
-    docs = _read(spark, sf_dir, "documents")
-    copies = docs.where(F.col("doc_id") % 50 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 100000
-    )
-    corpus = docs.unionByName(copies)
-    dup_groups = exact_duplicates(corpus, "text", "doc_id")
-    losers = dup_groups.select(
-        F.explode("doc_ids").alias("doc_id"), F.col("keep_id")
-    ).where(F.col("doc_id") != F.col("keep_id")).select("doc_id")
-    survivors = corpus.join(losers, "doc_id", "left_anti")
-    return ngram_jaccard_pairs(survivors, "text", "doc_id", n=3, threshold=0.2)
-
-
-D06_SQL = """
-    WITH corpus AS (
-      SELECT * FROM documents
-      UNION ALL
-      SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
-      FROM documents WHERE doc_id % 50 = 0),
-    groups AS (
-      SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM corpus
-      GROUP BY md5(text)),
-    survivors AS (
-      SELECT c.* FROM corpus c JOIN groups g
-        ON md5(c.text) = g.h AND c.doc_id = g.keep_id),
-    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM survivors),
-    sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(generate_series(1, len(w) - 2),
-               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
-      FROM toks WHERE len(w) >= 3),
-    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id),
-    sized AS (SELECT doc_id, len(shingles) AS n_sh FROM sh)
-    SELECT i.id_a, i.id_b,
-           ROUND(i.n_inter::DOUBLE / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
-    FROM inter i
-    JOIN sized sa ON sa.doc_id = i.id_a
-    JOIN sized sb ON sb.doc_id = i.id_b
-    WHERE i.n_inter::DOUBLE / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.2
-"""
-
-
 def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k over the embedding column (query set =
     vec_id < 10). Baseline for ANN variants."""
@@ -1160,19 +1101,6 @@ S01_SQL = """
     SELECT query_id, vec_id AS neighbor_id, rk AS rank,
            ROUND(cosine, 6) AS cosine
     FROM ranked WHERE rk <= 5
-"""
-
-
-def t01_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from southpaw_spark.operators.text import with_token_count
-
-    docs = _read(spark, sf_dir, "documents")
-    return with_token_count(docs, "text").select("doc_id", "n_tokens", "n_chars")
-
-
-T01_SQL = """
-    SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens, n_chars
-    FROM documents
 """
 
 
@@ -1234,12 +1162,13 @@ T04_SQL = """
 
 def t05_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex (BPE-ish pre-tokenizer) token counting alongside the
-    whitespace count."""
+    whitespace count and char count (subsumes round-2's t01, which
+    checked the same ``with_token_count`` operator)."""
     from southpaw_spark.operators.text import with_regex_token_count, with_token_count
 
     docs = _read(spark, sf_dir, "documents")
     return with_regex_token_count(with_token_count(docs, "text"), "text").select(
-        "doc_id", "n_tokens", "n_bpe_tokens"
+        "doc_id", "n_tokens", "n_bpe_tokens", "n_chars"
     )
 
 
@@ -1247,7 +1176,8 @@ T05_SQL = """
     SELECT doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tokens,
            len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))::BIGINT
-             AS n_bpe_tokens
+             AS n_bpe_tokens,
+           n_chars
     FROM documents
 """
 
@@ -1366,7 +1296,7 @@ def e07_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 E07_SQL = """
     SELECT event_type, COUNT(*) AS n,
-           SUM(json_extract(props, '$.k')::BIGINT) AS sum_k,
+           CAST(SUM(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
            MIN(json_extract(props, '$.k')::BIGINT) AS min_k,
            MAX(json_extract(props, '$.k')::BIGINT) AS max_k
     FROM events GROUP BY event_type
@@ -1504,20 +1434,33 @@ E08_SQL = """
 """
 
 
-def m01_binary_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: treat content as an opaque binary column and
-    run Arrow-batched metadata extraction via mapInPandas."""
-    from southpaw_spark.operators.multimodal import binary_metadata
+def m01_image_metadata_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline (merges round-2's m01 passthrough + m02
+    decode): opaque binary column → Arrow-batched metadata extraction
+    (n_bytes, content digest, content kept in-band) chained straight into
+    the deterministic fake image decode — one scan, two mapInPandas
+    stages, zero joins. The oracle reproduces both the digest metadata
+    and the digest-derived fake dimensions."""
+    from southpaw_spark.operators.multimodal import (
+        binary_metadata,
+        decode_image_stub,
+    )
 
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("content")
     )
-    return binary_metadata(docs, "content", id_col="doc_id")
+    meta = binary_metadata(docs, "content", id_col="doc_id", keep_content=True)
+    return decode_image_stub(
+        meta, "content", id_col="doc_id", carry_cols=("n_bytes", "content_md5")
+    )
 
 
 M01_SQL = """
     SELECT doc_id, octet_length(text::BLOB)::BIGINT AS n_bytes,
-           md5(text) AS content_md5
+           md5(text) AS content_md5,
+           (16 + ('0x' || substr(md5(text), 1, 2))::INT % 240) AS width,
+           (16 + ('0x' || substr(md5(text), 3, 2))::INT % 240) AS height,
+           'RGB' AS mode
     FROM documents
 """
 
@@ -1795,28 +1738,6 @@ E05_SQL = """
 """
 
 
-def m02_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode plumbing: the deterministic fake decoder derives
-    dimensions from the content digest, so the full mapInPandas pipeline
-    (binary column → Arrow batches → typed metadata) is value-checked by
-    an oracle reproducing the digest arithmetic."""
-    from southpaw_spark.operators.multimodal import decode_image_stub
-
-    docs = _read(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("content")
-    )
-    return decode_image_stub(docs, "content", id_col="doc_id")
-
-
-M02_SQL = """
-    SELECT doc_id,
-           (16 + ('0x' || substr(md5(text), 1, 2))::INT % 240) AS width,
-           (16 + ('0x' || substr(md5(text), 3, 2))::INT % 240) AS height,
-           'RGB' AS mode
-    FROM documents
-"""
-
-
 def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal fan-out plumbing: each binary 'video' yields N frame
     rows from one input row inside mapInPandas (deterministic fake
@@ -1862,6 +1783,13 @@ def s02_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry
 
 
+# Exactly 50 entries — the driver checks at most 50 rows per round
+# (CORRECTNESS_r02 stopped at 50 of 54), so round 3 merged four
+# genuinely-duplicative rows (t01→t05, a03+a04→a04_pivot_unpivot,
+# d06→d08, m01+m02→m01_image_metadata_decode) with zero operator-
+# coverage loss, and ordered the never-yet-checked entries (e08,
+# m01, m03) plus the freshly-fixed e07 right after the core q-family
+# so a shorter driver run still reaches them.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_latest_by_key": q01_latest_by_key,
     "q02_tombstoned_keys": q02_tombstoned_keys,
@@ -1879,17 +1807,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q14_doc_projection": q14_doc_projection,
     "q15_shared_entity_tree": q15_shared_entity_tree,
     "q16_filter_unchanged_skip": q16_filter_unchanged_skip,
+    # never driver-checked before round 3 / fixed this round — first
+    "e08_funnel": e08_funnel,
+    "m01_image_metadata_decode": m01_image_metadata_decode,
+    "m03_frame_sample": m03_frame_sample,
+    "e07_json_extract": e07_json_extract,
     "d01_dedup_exact": d01_dedup_exact,
     "d02_ngram_jaccard": d02_ngram_jaccard,
     "d03_minhash_lsh": d03_minhash_lsh,
     "d04_simhash": d04_simhash,
     "d05_embedding_near_dup": d05_embedding_near_dup,
-    "d06_dedup_cascade": d06_dedup_cascade,
     "d07_dup_clusters": d07_dup_clusters,
     "d08_dedup_apply": d08_dedup_apply,
     "s01_cosine_topk": s01_cosine_topk,
     "s02_ivf_topk": s02_ivf_topk,
-    "t01_token_count": t01_token_count,
     "t02_quality_score": t02_quality_score,
     "t03_lang_guess": t03_lang_guess,
     "t04_fingerprint": t04_fingerprint,
@@ -1902,8 +1833,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t11_repetition": t11_repetition,
     "a01_rollup": a01_rollup,
     "a02_percentiles": a02_percentiles,
-    "a03_pivot": a03_pivot,
-    "a04_unpivot": a04_unpivot,
+    "a04_pivot_unpivot": a04_pivot_unpivot,
     "a05_cohort_retention": a05_cohort_retention,
     "a06_salted_agg": a06_salted_agg,
     "e01_windowed_agg": e01_windowed_agg,
@@ -1912,11 +1842,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e04_asof_join": e04_asof_join,
     "e05_range_join": e05_range_join,
     "e06_moving_avg": e06_moving_avg,
-    "e07_json_extract": e07_json_extract,
-    "e08_funnel": e08_funnel,
-    "m01_binary_passthrough": m01_binary_passthrough,
-    "m02_image_decode": m02_image_decode,
-    "m03_frame_sample": m03_frame_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -1936,17 +1861,19 @@ ORACLES: dict[str, str] = {
     "q14_doc_projection": Q14_SQL,
     "q15_shared_entity_tree": Q15_SQL,
     "q16_filter_unchanged_skip": Q16_SQL,
+    "e08_funnel": E08_SQL,
+    "m01_image_metadata_decode": M01_SQL,
+    "m03_frame_sample": M03_SQL,
+    "e07_json_extract": E07_SQL,
     "d01_dedup_exact": D01_SQL,
     "d02_ngram_jaccard": D02_SQL,
     "d03_minhash_lsh": D03_SQL,
     "d04_simhash": D04_SQL,
     # d05 intentionally absent: approximate LSH near-dup, rows-only
-    "d06_dedup_cascade": D06_SQL,
     "d07_dup_clusters": D07_SQL,
     "d08_dedup_apply": D08_SQL,
     # s02 intentionally absent: approximate ANN, rows-only
     "s01_cosine_topk": S01_SQL,
-    "t01_token_count": T01_SQL,
     "t02_quality_score": T02_SQL,
     "t03_lang_guess": T03_SQL,
     "t04_fingerprint": T04_SQL,
@@ -1959,8 +1886,7 @@ ORACLES: dict[str, str] = {
     "t11_repetition": T11_SQL,
     "a01_rollup": A01_SQL,
     "a02_percentiles": A02_SQL,
-    "a03_pivot": A03_SQL,
-    "a04_unpivot": A04_SQL,
+    "a04_pivot_unpivot": A04_SQL,
     "a05_cohort_retention": A05_SQL,
     "a06_salted_agg": A06_SQL,
     # e03 intentionally absent: HLL sketches differ across engines
@@ -1969,9 +1895,4 @@ ORACLES: dict[str, str] = {
     "e04_asof_join": E04_SQL,
     "e05_range_join": E05_SQL,
     "e06_moving_avg": E06_SQL,
-    "e07_json_extract": E07_SQL,
-    "e08_funnel": E08_SQL,
-    "m01_binary_passthrough": M01_SQL,
-    "m02_image_decode": M02_SQL,
-    "m03_frame_sample": M03_SQL,
 }
