@@ -60,7 +60,11 @@ def build(spark, cfg) -> None:
     relations = load_relations(cfg["relations"])
     keys = {e: ecfg["keys"] for e, ecfg in cfg["entities"].items()}
     store = ParquetStateStore(
-        spark, cfg["state.dir"], n_buckets=int(cfg.get("state.buckets", 16))
+        spark,
+        cfg["state.dir"],
+        # unset → inherit the persisted layout (or 16 for a fresh store);
+        # an explicit conflicting value fails loudly in the store
+        n_buckets=int(cfg["state.buckets"]) if "state.buckets" in cfg else None,
     )
     ivm = IncrementalDenormalizer(
         spark=spark,

@@ -25,6 +25,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _orderable(dtypes) -> bool:
+    """True when every datatype can participate in a sort (no MapType
+    anywhere in the tree — Spark rejects maps in ORDER BY)."""
+    from pyspark.sql import types as T
+
+    def ok(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return ok(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(ok(f.dataType) for f in dt.fields)
+        return True
+
+    return all(ok(dt) for dt in dtypes)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -54,7 +71,12 @@ def asof_join(
     non-null right-row *struct* forward (one struct, so all right columns
     come from the SAME matched row even when some of its fields are
     null). Requires timestamps to be totally ordered within a key; ties
-    between right rows resolve to the one latest in (ts, struct) order.
+    between right rows resolve to the one latest in (ts, struct) order —
+    the struct is part of the window sort, so the choice is deterministic
+    across runs and partitionings. (If a right payload column is
+    unorderable — e.g. a map — the struct can't join the sort; the winner
+    among exactly-tied right timestamps is then partition-order-dependent
+    and duplicate right timestamps should be pre-deduped by the caller.)
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -106,9 +128,17 @@ def asof_join(
     # row backward. In both, a right row ties-first at equal timestamps
     # (side 0 sorts before the left row), giving the inclusive bound.
     ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    order_keys = [ts_order, F.col("__side").asc()]
+    # Deterministic tie-break for duplicate right timestamps within a
+    # key: the carried struct joins the sort (ascending → the LAST right
+    # row the scan sees at an equal ts is the max struct, for both scan
+    # directions), so F.last picks the same winner on every run. Maps
+    # aren't orderable in Spark; skip the key then (documented caveat).
+    if _orderable(right.schema[c].dataType for c in rcols):
+        order_keys.append(F.col("__rrow").asc_nulls_first())
     w = (
         Window.partitionBy(*on)
-        .orderBy(ts_order, F.col("__side").asc())
+        .orderBy(*order_keys)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (

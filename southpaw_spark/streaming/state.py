@@ -32,12 +32,53 @@ class ParquetStateStore:
         self,
         spark: SparkSession,
         root: str,
-        n_buckets: int = 16,
+        n_buckets: int | None = None,
     ) -> None:
+        """``n_buckets`` is a physical property of the state layout:
+        ``merge()`` prunes by ``bucket = hash(key) % n_buckets``, so
+        reopening an existing store with a different count would silently
+        break pruning (old rows for a delta key could sit outside the
+        touched set and survive the anti-join as stale duplicates). The
+        count is therefore persisted to a ``_META`` sidecar on first use;
+        on reopen the persisted value wins, and an explicitly-passed
+        conflicting value fails loudly. ``None`` means "persisted value,
+        or 16 for a fresh store"."""
         self.spark = spark
         self.root = root
-        self.n_buckets = n_buckets
         os.makedirs(root, exist_ok=True)
+        persisted = self._read_meta()
+        if persisted is None:
+            self.n_buckets = 16 if n_buckets is None else n_buckets
+            self._write_meta(self.n_buckets)
+        else:
+            if n_buckets is not None and n_buckets != persisted:
+                raise ValueError(
+                    f"state dir {root!r} was laid out with n_buckets="
+                    f"{persisted}, got n_buckets={n_buckets}; bucket "
+                    "pruning would silently miss rows — delete the state "
+                    "or open with the persisted count"
+                )
+            self.n_buckets = persisted
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "_META")
+
+    def _read_meta(self) -> int | None:
+        import json as _json
+
+        try:
+            with open(self._meta_path()) as f:
+                return int(_json.loads(f.read())["n_buckets"])
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _write_meta(self, n_buckets: int) -> None:
+        import json as _json
+
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(_json.dumps({"n_buckets": n_buckets}))
+        os.replace(tmp, self._meta_path())
 
     # -- paths ---------------------------------------------------------
 
@@ -71,30 +112,44 @@ class ParquetStateStore:
         later commit — vacuum retention is what bounds their lifetime."""
         # explicit schema (sidecar) so empty state tables — zero parquet
         # files after an empty bootstrap — read back as empty DataFrames
-        schema = self._read_schema(entity)
+        schema = self._read_schema(entity, version)
         return self.spark.read.schema(schema).parquet(
             self._data_dir(entity, version)
         ).drop("__bucket")
 
-    def _schema_path(self, entity: str) -> str:
-        return os.path.join(self._entity_dir(entity), "_SCHEMA")
+    def _schema_path(self, entity: str, version: int | None = None) -> str:
+        # Schemas are staged per version (``_SCHEMA.v{N}``) so a schema
+        # change rides the same staged-commit protocol as the data: until
+        # ``commit()`` flips ``_CURRENT``, readers resolve the pointer to
+        # the pre-merge version AND its pre-merge schema. A crash between
+        # staging and commit can no longer pair old data with a new
+        # schema. ``_SCHEMA`` (unversioned) is the pre-round-3 legacy
+        # fallback, also used as the canonical name inside backups.
+        name = "_SCHEMA" if version is None else f"_SCHEMA.v{version}"
+        return os.path.join(self._entity_dir(entity), name)
 
-    def _write_schema(self, entity: str, df: DataFrame) -> None:
+    def _write_schema(self, entity: str, df: DataFrame, version: int) -> None:
         from pyspark.sql import types as T
 
         schema = T.StructType(
             list(df.schema.fields)
             + ([] if "__bucket" in df.columns else [T.StructField("__bucket", T.IntegerType())])
         )
-        tmp = self._schema_path(entity) + ".tmp"
+        path = self._schema_path(entity, version)
+        tmp = path + ".tmp"
         with open(tmp, "w") as f:
             f.write(schema.json())
-        os.replace(tmp, self._schema_path(entity))
+        os.replace(tmp, path)
 
-    def _read_schema(self, entity: str):
+    def _read_schema(self, entity: str, version: int | None = None):
         from pyspark.sql import types as T
 
-        with open(self._schema_path(entity)) as f:
+        if version is None:
+            version = self._version_of(entity)
+        path = self._schema_path(entity, version)
+        if not os.path.exists(path):
+            path = self._schema_path(entity)  # legacy / restored backup
+        with open(path) as f:
             return T.StructType.fromJson(__import__("json").loads(f.read()))
 
     # -- write ---------------------------------------------------------
@@ -117,7 +172,7 @@ class ParquetStateStore:
         out.write.partitionBy("__bucket").mode("overwrite").parquet(
             self._data_dir(entity, version)
         )
-        self._write_schema(entity, rows)
+        self._write_schema(entity, rows, version)
         if commit:
             self._commit(entity, version)
         return version
@@ -146,7 +201,7 @@ class ParquetStateStore:
         version = self._version_of(entity)
         if version is None:
             return self.init(entity, upserts, key_cols, commit=commit)
-        current = self.spark.read.schema(self._read_schema(entity)).parquet(
+        current = self.spark.read.schema(self._read_schema(entity, version)).parquet(
             self._data_dir(entity, version)
         )
         delta_keys = upserts.select(*key_cols)
@@ -172,6 +227,7 @@ class ParquetStateStore:
         new_dir = self._data_dir(entity, new_version)
         # rewrite only touched buckets; hardlink untouched bucket dirs through
         merged.write.partitionBy("__bucket").mode("overwrite").parquet(new_dir)
+        self._write_schema(entity, merged, new_version)
         self._link_untouched(entity, version, new_version, touched_ids)
         if commit:
             self._commit(entity, new_version)
@@ -235,6 +291,17 @@ class ParquetStateStore:
                 continue
             cutoff = current - keep + 1
             for name in os.listdir(edir):
+                if name.startswith("_SCHEMA.v"):
+                    try:
+                        v = int(name[len("_SCHEMA.v"):])
+                    except ValueError:
+                        continue
+                    if v < cutoff:
+                        try:
+                            os.remove(os.path.join(edir, name))
+                        except OSError:
+                            pass
+                    continue
                 if not name.startswith("v"):
                     continue
                 try:
@@ -282,7 +349,12 @@ class ParquetStateStore:
             self._link_tree(
                 self._data_dir(entity, version), os.path.join(edir, f"v{version}")
             )
-            shutil.copy(self._schema_path(entity), os.path.join(edir, "_SCHEMA"))
+            # canonical unversioned name inside the backup; restore's
+            # reads resolve it via the legacy fallback
+            src_schema = self._schema_path(entity, version)
+            if not os.path.exists(src_schema):
+                src_schema = self._schema_path(entity)
+            shutil.copy(src_schema, os.path.join(edir, "_SCHEMA"))
             with open(os.path.join(edir, _CURRENT), "w") as f:
                 f.write(str(version))
         if retention is not None:

@@ -694,3 +694,65 @@ def test_capped_random_soak_converges_to_batch_recompute(spark, tmp_path):
     for p, v in latest.items():
         if p not in full:
             assert v is None, p
+
+
+def test_n_buckets_persisted_and_mismatch_fails_loudly(spark, tmp_path):
+    """ADVICE r2: n_buckets is a physical layout property — reopening the
+    same state dir with a different count would silently break merge()'s
+    bucket pruning. It is persisted on first use; a conflicting reopen
+    raises, and an unspecified reopen inherits the persisted value."""
+    import pytest as _pytest
+
+    root = str(tmp_path / "state")
+    store = ParquetStateStore(spark, root, n_buckets=4)
+    store.init("e", spark.createDataFrame([(1, "a")], "k long, v string"), ["k"])
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        ParquetStateStore(spark, root, n_buckets=8)
+
+    inherited = ParquetStateStore(spark, root)  # no explicit count
+    assert inherited.n_buckets == 4
+    # same explicit count is fine, and pruning still merges correctly
+    same = ParquetStateStore(spark, root, n_buckets=4)
+    same.merge(
+        "e",
+        spark.createDataFrame([(1, "b")], "k long, v string"),
+        None,
+        ["k"],
+    )
+    assert [(r.k, r.v) for r in same.read("e").collect()] == [(1, "b")]
+
+
+def test_schema_sidecar_is_staged_with_the_version(spark, tmp_path):
+    """ADVICE r2: the schema write must ride the staged-commit protocol.
+    A staged (uncommitted) version with a DIFFERENT schema must not
+    change what the still-current version reads back as."""
+    store = ParquetStateStore(spark, str(tmp_path / "state"), n_buckets=2)
+    v1 = store.init(
+        "e", spark.createDataFrame([(1, "a")], "k long, v string"), ["k"]
+    )
+    # stage a rebuild with an evolved schema; pointer still at v1
+    v2 = store.init(
+        "e",
+        spark.createDataFrame([(1, "a", 9)], "k long, v string, extra long"),
+        ["k"],
+        commit=False,
+    )
+    cur = store.read("e")  # resolves the committed pointer → v1 schema
+    assert cur.columns == ["k", "v"]
+    assert [(r.k, r.v) for r in cur.collect()] == [(1, "a")]
+    staged = store.read_version("e", v2)  # staged version → staged schema
+    assert staged.columns == ["k", "v", "extra"]
+    store.commit("e", v2)
+    assert store.read("e").columns == ["k", "v", "extra"]
+    # vacuum drops the per-version schema sidecar along with old versions
+    import os as _os
+
+    store.init(
+        "e",
+        spark.createDataFrame([(2, "c", 1)], "k long, v string, extra long"),
+        ["k"],
+    )
+    store.vacuum(keep=1)
+    names = set(_os.listdir(tmp_path / "state" / "e"))
+    assert f"_SCHEMA.v{v1}" not in names and "v1" not in names

@@ -218,3 +218,44 @@ def test_asof_rejects_right_ts_name_collision(spark):
     right = spark.createDataFrame([(7, 100, "a")], "k int, ts long, rv string")
     with pytest.raises(ValueError, match="right_ts"):
         asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts")
+
+
+def test_asof_duplicate_right_ts_tie_break_is_deterministic(spark):
+    """ADVICE r2: with duplicate right timestamps within a key the carried
+    row must not depend on partition order. The struct joins the window
+    sort, so the winner is the max (ts, struct) — stable across runs and
+    partitionings."""
+    left = _left(spark, [(1, 7, 100), (2, 7, 300)])
+    dup_rows = [(7, 100, "a", 1), (7, 100, "z", 2), (7, 100, "m", 3)]
+    expected = max((rv, rn) for _, _, rv, rn in dup_rows)  # ('z', 2)
+    for nparts in (1, 3, 8):
+        right = _right(spark, dup_rows).repartition(nparts)
+        out = {
+            r.lid: (r.rv, r.rn)
+            for r in asof_join(
+                left, right, on=["k"], left_ts="ts", right_ts="rts"
+            ).collect()
+        }
+        assert out[1] == expected, nparts
+        assert out[2] == expected, nparts
+    # forward direction picks the same deterministic winner at the tie
+    fwd = asof_join(
+        _left(spark, [(1, 7, 100)]),
+        _right(spark, dup_rows).repartition(5),
+        on=["k"],
+        left_ts="ts",
+        right_ts="rts",
+        direction="forward",
+    ).first()
+    assert (fwd.rv, fwd.rn) == expected
+
+
+def test_asof_map_payload_still_runs_without_struct_tiebreak(spark):
+    # maps are unorderable: the struct must stay out of the sort, and the
+    # join itself still works
+    left = _left(spark, [(1, 7, 100)])
+    right = spark.createDataFrame(
+        [(7, 50, {"x": "1"})], "k int, rts long, rm map<string,string>"
+    )
+    row = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts").first()
+    assert row.rm == {"x": "1"}
