@@ -6,9 +6,21 @@ from southpaw_spark.sources.kafka import (
     parse_cdc_json,
     to_kafka_sink_frame,
 )
+from southpaw_spark.sources.schema_registry import (
+    FileSchemaRegistry,
+    HttpSchemaRegistry,
+    StaticSchemaRegistry,
+    decode_confluent_avro,
+    parse_cdc_avro_with_registry,
+)
 
 __all__ = [
+    "FileSchemaRegistry",
+    "HttpSchemaRegistry",
+    "StaticSchemaRegistry",
+    "decode_confluent_avro",
     "kafka_cdc_stream",
+    "parse_cdc_avro_with_registry",
     "parse_cdc_json",
     "read_changelog_json",
     "read_snapshot",

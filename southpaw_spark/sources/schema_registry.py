@@ -1,0 +1,239 @@
+"""Confluent schema-registry resolution for Avro CDC frames (reference
+O2: ``serde/AvroSerde.java:32-80`` — ``KafkaAvroDeserializer`` reads the
+5-byte frame header and fetches the WRITER schema by id from the
+registry, so records on the same topic can carry heterogeneous schema
+versions; ``record/BaseRecord.java:37-41`` documents that per-record
+schema drift explicitly).
+
+Spark-first shape — resolving per record on executors would hammer the
+registry at 100 TB, so the plan is:
+
+(a) one column-pruned distinct-id scan over the frame header (partial
+    aggregation → a shuffle of a handful of ints),
+(b) O(#distinct ids) driver-side fetches through a pluggable client
+    (HTTP for real Confluent, file- or dict-backed for tests/air-gap),
+(c) the id→writer-schema snapshot rides the serialized task closure
+    (it is a few KB — broadcast-join machinery would be overkill),
+(d) one Arrow-batched ``mapInPandas`` decode that resolves every record
+    to a single reader schema (Avro resolution subset: match by field
+    name or reader aliases, reader defaults for missing fields,
+    null-union unwrap; numeric promotions land via Arrow coercion to the
+    declared Spark type).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from southpaw_spark.sources.avro_py import avro_to_spark_type, decode
+
+__all__ = [
+    "StaticSchemaRegistry",
+    "FileSchemaRegistry",
+    "HttpSchemaRegistry",
+    "distinct_schema_ids",
+    "decode_confluent_avro",
+    "parse_cdc_avro_with_registry",
+]
+
+
+class StaticSchemaRegistry:
+    """In-memory id → Avro-schema-JSON map (the unit-test double, and the
+    right client when a deployment pins its schema set in config)."""
+
+    def __init__(self, schemas: Mapping[int, str]) -> None:
+        self._schemas = dict(schemas)
+
+    def get_schema(self, schema_id: int) -> str:
+        try:
+            return self._schemas[schema_id]
+        except KeyError:
+            raise LookupError(f"schema id {schema_id} not in registry") from None
+
+
+class FileSchemaRegistry:
+    """Directory of ``<id>.avsc`` files — a file-backed registry for
+    tests, fixtures, and air-gapped replays of a registry export."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+
+    def get_schema(self, schema_id: int) -> str:
+        path = os.path.join(self.root, f"{schema_id}.avsc")
+        try:
+            with open(path) as f:
+                return f.read()
+        except OSError:
+            raise LookupError(
+                f"schema id {schema_id} not in registry dir {self.root!r}"
+            ) from None
+
+
+class HttpSchemaRegistry:
+    """Confluent Schema Registry REST client (``GET
+    /schemas/ids/{id}``). Stdlib-only; auth via an optional
+    ``Authorization`` header value (e.g. ``"Basic ..."``)."""
+
+    def __init__(
+        self, base_url: str, timeout: float = 10.0, authorization: str | None = None
+    ) -> None:
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+        self.authorization = authorization
+
+    def get_schema(self, schema_id: int) -> str:
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(f"{self.base_url}/schemas/ids/{schema_id}")
+        if self.authorization:
+            req.add_header("Authorization", self.authorization)
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return json.loads(resp.read())["schema"]
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                raise LookupError(
+                    f"schema id {schema_id} not in registry {self.base_url}"
+                ) from e
+            raise
+
+
+def distinct_schema_ids(df: DataFrame, col: str) -> list[int]:
+    """The distinct Confluent schema ids present in a framed binary
+    column. Column-pruned scan + partial aggregation: the shuffle carries
+    only the handful of distinct 4-byte ids, never the payloads."""
+    rows = (
+        df.where(F.col(col).isNotNull())
+        .select(
+            F.conv(F.hex(F.substring(F.col(col), 2, 4)), 16, 10)
+            .cast("long")
+            .alias("sid")
+        )
+        .distinct()
+        .collect()
+    )
+    return sorted(int(r["sid"]) for r in rows)
+
+
+def _reader_row(reader_fields: list[dict], rec: dict) -> tuple:
+    """Resolve one decoded writer record to the reader field list —
+    name/alias match first, then the reader default."""
+    out = []
+    for f in reader_fields:
+        if f["name"] in rec:
+            out.append(rec[f["name"]])
+            continue
+        for alias in f.get("aliases", ()):
+            if alias in rec:
+                out.append(rec[alias])
+                break
+        else:
+            if "default" in f:
+                out.append(f["default"])
+            else:
+                raise ValueError(
+                    f"field {f['name']!r} missing from writer record and "
+                    "has no reader default"
+                )
+    return tuple(out)
+
+
+def decode_confluent_avro(
+    df: DataFrame,
+    col: str,
+    registry,
+    out_col: str = "decoded",
+    reader_schema: str | None = None,
+    known_ids: list[int] | None = None,
+) -> DataFrame:
+    """Decode a Confluent-framed Avro binary column whose records may
+    carry heterogeneous writer-schema ids, resolving each to one reader
+    schema. ``registry`` is any object with ``get_schema(id) -> str``.
+
+    ``reader_schema=None`` reads with the writer schema of the HIGHEST
+    id present (Confluent ids are monotone per subject, so that is the
+    latest version). ``known_ids`` skips the discovery scan — pass it on
+    streaming micro-batches where the id set is known/cached.
+    """
+    ids = distinct_schema_ids(df, col) if known_ids is None else sorted(known_ids)
+    writers = {i: json.loads(registry.get_schema(i)) for i in ids}
+    for i, w in writers.items():
+        if not (isinstance(w, dict) and w.get("type") == "record"):
+            raise ValueError(f"schema id {i} is not a record schema")
+    if reader_schema is not None:
+        reader = json.loads(reader_schema)
+    elif writers:
+        reader = writers[max(writers)]
+    else:
+        raise ValueError(
+            "no schema ids found and no reader_schema given — cannot "
+            "derive an output type"
+        )
+    spark_t = avro_to_spark_type(reader)
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, spark_t, True)]
+    )
+    reader_fields = reader["fields"]
+
+    def _batches(it):
+        for pdf in it:
+            decoded = []
+            for raw in pdf[col]:
+                if raw is None:
+                    decoded.append(None)
+                    continue
+                b = bytes(raw)
+                if len(b) < 5 or b[0] != 0:
+                    raise ValueError(
+                        "not a Confluent frame (magic byte 0x00 + 4-byte "
+                        "schema id expected)"
+                    )
+                sid = int.from_bytes(b[1:5], "big")
+                writer = writers.get(sid)
+                if writer is None:
+                    raise LookupError(
+                        f"schema id {sid} appeared in data but not in the "
+                        "prefetched registry snapshot (pass known_ids "
+                        "covering every id in the batch)"
+                    )
+                rec = decode(writer, b[5:])
+                decoded.append(_reader_row(reader_fields, rec))
+            out = pdf.copy()
+            out[out_col] = decoded
+            yield out
+
+    return df.mapInPandas(_batches, out_schema)
+
+
+def parse_cdc_avro_with_registry(
+    raw: DataFrame,
+    registry,
+    key_reader_schema: str | None = None,
+    value_reader_schema: str | None = None,
+) -> DataFrame:
+    """Registry-resolved variant of ``avro.parse_cdc_avro``: same output
+    shape (key fields + payload fields + seq + is_tombstone), but writer
+    schemas come from the frame ids instead of caller-pinned schemas —
+    the reference's actual deserialization path
+    (``serde/AvroSerde.java:32-80``)."""
+    parsed = decode_confluent_avro(
+        raw, "key", registry, out_col="k", reader_schema=key_reader_schema
+    )
+    parsed = decode_confluent_avro(
+        parsed, "value", registry, out_col="v", reader_schema=value_reader_schema
+    )
+    return parsed.select(
+        F.col("k.*"),
+        F.col("v.*"),
+        (
+            F.col("partition").cast("long") * F.lit(1 << 40) + F.col("offset")
+        ).alias("seq"),
+        F.col("value").isNull().alias("is_tombstone"),
+    )

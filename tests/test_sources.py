@@ -1,5 +1,6 @@
 import json
 
+import pytest
 from pyspark.sql import functions as F, types as T
 
 from southpaw_spark.sources.files import read_changelog_json
@@ -166,3 +167,153 @@ def test_parse_cdc_avro_auto_falls_back(spark):
     )
     rows = parse_cdc_avro(raw, key_sch, val_sch).collect()
     assert rows[0]["id"] == 5 and rows[0]["x"] == 9
+
+
+# -- Confluent schema-registry resolution (reference serde/AvroSerde.java:
+# 32-80: writer schema fetched per frame id; record/BaseRecord.java:37-41:
+# schemas may drift between records of the same type) -----------------------
+
+V1 = (
+    '{"type":"record","name":"V","fields":['
+    '{"name":"id","type":"long"},{"name":"name","type":"string"}]}'
+)
+V2 = (
+    '{"type":"record","name":"V","fields":['
+    '{"name":"id","type":"long"},{"name":"name","type":"string"},'
+    '{"name":"score","type":"double","default":0.5}]}'
+)
+V3_RENAMED = (
+    '{"type":"record","name":"V","fields":['
+    '{"name":"id","type":"long"},'
+    '{"name":"full_name","type":"string","aliases":["name"]},'
+    '{"name":"score","type":"double","default":0.5}]}'
+)
+
+
+def _framed_corpus(spark):
+    from southpaw_spark.sources.avro_py import confluent_frame, encode
+
+    rows = [
+        (confluent_frame(1, encode(V1, {"id": 1, "name": "a"})),),
+        (confluent_frame(2, encode(V2, {"id": 2, "name": "b", "score": 9.0})),),
+        (confluent_frame(1, encode(V1, {"id": 3, "name": "c"})),),
+        (None,),
+    ]
+    return spark.createDataFrame(rows, "value binary")
+
+
+def test_registry_decode_heterogeneous_ids_latest_reader(spark):
+    """One corpus, two writer-schema ids: every record resolves to the
+    latest (highest-id) schema; old records take the reader default."""
+    from southpaw_spark.sources.schema_registry import (
+        StaticSchemaRegistry,
+        decode_confluent_avro,
+        distinct_schema_ids,
+    )
+
+    df = _framed_corpus(spark)
+    assert distinct_schema_ids(df, "value") == [1, 2]
+    reg = StaticSchemaRegistry({1: V1, 2: V2})
+    out = decode_confluent_avro(df, "value", reg, out_col="v")
+    got = {
+        r["v"]["id"]: (r["v"]["name"], r["v"]["score"])
+        for r in out.collect()
+        if r["v"] is not None
+    }
+    assert got == {1: ("a", 0.5), 2: ("b", 9.0), 3: ("c", 0.5)}
+    nulls = [r for r in out.collect() if r["v"] is None]
+    assert len(nulls) == 1  # tombstone passthrough
+
+
+def test_registry_decode_alias_rename_and_explicit_reader(spark):
+    """Explicit reader schema with an aliased rename: writer 'name' fills
+    reader 'full_name' for every older record."""
+    from southpaw_spark.sources.schema_registry import (
+        StaticSchemaRegistry,
+        decode_confluent_avro,
+    )
+
+    df = _framed_corpus(spark)
+    reg = StaticSchemaRegistry({1: V1, 2: V2})
+    out = decode_confluent_avro(
+        df, "value", reg, out_col="v", reader_schema=V3_RENAMED
+    )
+    got = {r["v"]["id"]: r["v"]["full_name"] for r in out.collect() if r["v"]}
+    assert got == {1: "a", 2: "b", 3: "c"}
+
+
+def test_registry_missing_id_fails_loudly(spark):
+    from southpaw_spark.sources.schema_registry import (
+        StaticSchemaRegistry,
+        decode_confluent_avro,
+    )
+
+    df = _framed_corpus(spark)
+    reg = StaticSchemaRegistry({1: V1, 2: V2})
+    with pytest.raises(Exception, match="schema id"):
+        decode_confluent_avro(
+            df, "value", reg, out_col="v", known_ids=[1]
+        ).collect()
+    with pytest.raises(LookupError, match="not in registry"):
+        StaticSchemaRegistry({1: V1}).get_schema(2)
+
+
+def test_file_schema_registry_end_to_end_cdc(spark, tmp_path):
+    """File-backed registry (a registry export on disk) drives the full
+    CDC parse: heterogeneous value ids in one topic, same output shape as
+    parse_cdc_avro."""
+    from southpaw_spark.operators.cdc import current_state
+    from southpaw_spark.sources.avro_py import confluent_frame, encode
+    from southpaw_spark.sources.schema_registry import (
+        FileSchemaRegistry,
+        parse_cdc_avro_with_registry,
+    )
+
+    key_sch = '{"type":"record","name":"K","fields":[{"name":"k","type":"long"}]}'
+    (tmp_path / "5.avsc").write_text(key_sch)
+    (tmp_path / "1.avsc").write_text(V1)
+    (tmp_path / "2.avsc").write_text(V2)
+    frames = [
+        (
+            confluent_frame(5, encode(key_sch, {"k": 1})),
+            confluent_frame(1, encode(V1, {"id": 1, "name": "a"})),
+            0,
+            0,
+        ),
+        (
+            confluent_frame(5, encode(key_sch, {"k": 1})),
+            confluent_frame(2, encode(V2, {"id": 1, "name": "a2", "score": 7.0})),
+            0,
+            1,
+        ),
+        (confluent_frame(5, encode(key_sch, {"k": 2})), None, 0, 2),
+    ]
+    raw = spark.createDataFrame(
+        frames, "key binary, value binary, partition int, offset long"
+    )
+    reg = FileSchemaRegistry(str(tmp_path))
+    parsed = parse_cdc_avro_with_registry(raw, reg)
+    state = current_state(parsed, ["k"])
+    got = {r["k"]: (r["name"], r["score"]) for r in state.collect()}
+    assert got == {1: ("a2", 7.0)}  # latest wins; key 2 tombstoned
+
+
+def test_http_schema_registry_parses_confluent_response(monkeypatch):
+    import io as _io
+    import json as _json
+    import urllib.request
+
+    from southpaw_spark.sources.schema_registry import HttpSchemaRegistry
+
+    seen = {}
+
+    def fake_urlopen(req, timeout=None):
+        seen["url"] = req.full_url
+        seen["auth"] = req.get_header("Authorization")
+        return _io.BytesIO(_json.dumps({"schema": V1}).encode())
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    reg = HttpSchemaRegistry("http://sr.example:8081/", authorization="Basic xyz")
+    assert reg.get_schema(42) == V1
+    assert seen["url"] == "http://sr.example:8081/schemas/ids/42"
+    assert seen["auth"] == "Basic xyz"
