@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Mapping
+from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -38,9 +38,40 @@ __all__ = [
     "FileSchemaRegistry",
     "HttpSchemaRegistry",
     "distinct_schema_ids",
+    "distinct_schema_ids_multi",
     "decode_confluent_avro",
     "parse_cdc_avro_with_registry",
 ]
+
+#: executor-process-wide id → parsed-writer-schema cache for on-demand
+#: fetches (one registry round-trip per NEW id per executor process, no
+#: matter how many tasks/batches see it). Keyed by the registry's
+#: identity so two registries on one executor can't cross-pollinate.
+_FETCH_CACHE: dict[tuple, dict] = {}
+
+
+def _registry_cache_key(registry) -> tuple:
+    for attr in ("base_url", "root"):
+        v = getattr(registry, attr, None)
+        if v is not None:
+            return (type(registry).__name__, v)
+    return (type(registry).__name__, id(registry))
+
+
+def _fetch_writer(registry, sid: int) -> dict:
+    """Executor-side on-demand writer-schema fetch with a process cache —
+    the reference ``KafkaAvroDeserializer`` behavior (fetch by frame id
+    when first seen, ``serde/AvroSerde.java:32-80``). Without this, an id
+    that appears mid-stream but postdates the driver's prefetched
+    snapshot would kill the batch."""
+    key = _registry_cache_key(registry) + (sid,)
+    hit = _FETCH_CACHE.get(key)
+    if hit is None:
+        schema = json.loads(registry.get_schema(sid))
+        if not (isinstance(schema, dict) and schema.get("type") == "record"):
+            raise ValueError(f"schema id {sid} is not a record schema")
+        hit = _FETCH_CACHE[key] = schema
+    return hit
 
 
 class StaticSchemaRegistry:
@@ -122,6 +153,42 @@ def distinct_schema_ids(df: DataFrame, col: str) -> list[int]:
     return sorted(int(r["sid"]) for r in rows)
 
 
+def distinct_schema_ids_multi(
+    df: DataFrame, cols: Sequence[str]
+) -> dict[str, list[int]]:
+    """Per-column distinct schema ids for several framed binary columns
+    in ONE scan (a CDC frame has both ``key`` and ``value`` framed —
+    scanning twice reads the raw bytes twice, which at 100 TB is a full
+    extra pass). Each row contributes only its 4-byte id substrings; the
+    shuffle carries (col-name, id) pairs, never payloads."""
+    cols = list(cols)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.conv(F.hex(F.substring(F.col(c), 2, 4)), 16, 10).cast(
+                        "long"
+                    ),
+                ).alias("sid"),
+            )
+            for c in cols
+        ]
+    )
+    rows = (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.col", "p.sid")
+        .where(F.col("sid").isNotNull())
+        .distinct()
+        .collect()
+    )
+    out: dict[str, list[int]] = {c: [] for c in cols}
+    for r in rows:
+        out[r["col"]].append(int(r["sid"]))
+    return {c: sorted(v) for c, v in out.items()}
+
+
 def _reader_row(reader_fields: list[dict], rec: dict) -> tuple:
     """Resolve one decoded writer record to the reader field list —
     name/alias match first, then the reader default."""
@@ -161,6 +228,14 @@ def decode_confluent_avro(
     id present (Confluent ids are monotone per subject, so that is the
     latest version). ``known_ids`` skips the discovery scan — pass it on
     streaming micro-batches where the id set is known/cached.
+
+    Ids that surface in data but not in the prefetched snapshot (schema
+    published mid-stream) are fetched on demand executor-side with a
+    process-wide cache — the batch survives, and the new records resolve
+    to the (pinned) reader schema like any other writer version. The
+    output *type* never changes mid-batch; to adopt a new latest version
+    as the reader, restart the query (the reference behaves the same
+    way: the reader POJO is compile-time fixed, ``serde/AvroSerde.java``).
     """
     ids = distinct_schema_ids(df, col) if known_ids is None else sorted(known_ids)
     writers = {i: json.loads(registry.get_schema(i)) for i in ids}
@@ -198,11 +273,12 @@ def decode_confluent_avro(
                 sid = int.from_bytes(b[1:5], "big")
                 writer = writers.get(sid)
                 if writer is None:
-                    raise LookupError(
-                        f"schema id {sid} appeared in data but not in the "
-                        "prefetched registry snapshot (pass known_ids "
-                        "covering every id in the batch)"
-                    )
+                    # mid-stream schema evolution: an id published after
+                    # the driver's snapshot was taken. Fetch on demand
+                    # (process-cached) instead of killing the batch —
+                    # LookupError still propagates when the registry
+                    # itself has never heard of the id (corrupt frame).
+                    writer = writers[sid] = _fetch_writer(registry, sid)
                 rec = decode(writer, b[5:])
                 decoded.append(_reader_row(reader_fields, rec))
             out = pdf.copy()
@@ -217,17 +293,36 @@ def parse_cdc_avro_with_registry(
     registry,
     key_reader_schema: str | None = None,
     value_reader_schema: str | None = None,
+    known_ids: Mapping[str, Sequence[int]] | None = None,
 ) -> DataFrame:
     """Registry-resolved variant of ``avro.parse_cdc_avro``: same output
     shape (key fields + payload fields + seq + is_tombstone), but writer
     schemas come from the frame ids instead of caller-pinned schemas —
     the reference's actual deserialization path
-    (``serde/AvroSerde.java:32-80``)."""
+    (``serde/AvroSerde.java:32-80``).
+
+    Key and value ids are discovered in ONE combined scan
+    (:func:`distinct_schema_ids_multi`) — not one scan per column — so
+    the raw frames are read exactly once before decode. ``known_ids``
+    (``{"key": [...], "value": [...]}``) skips discovery entirely; pass
+    the cached union on streaming micro-batches."""
+    if known_ids is None:
+        known_ids = distinct_schema_ids_multi(raw, ["key", "value"])
     parsed = decode_confluent_avro(
-        raw, "key", registry, out_col="k", reader_schema=key_reader_schema
+        raw,
+        "key",
+        registry,
+        out_col="k",
+        reader_schema=key_reader_schema,
+        known_ids=known_ids["key"],
     )
     parsed = decode_confluent_avro(
-        parsed, "value", registry, out_col="v", reader_schema=value_reader_schema
+        parsed,
+        "value",
+        registry,
+        out_col="v",
+        reader_schema=value_reader_schema,
+        known_ids=known_ids["value"],
     )
     return parsed.select(
         F.col("k.*"),

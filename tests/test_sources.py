@@ -243,6 +243,30 @@ def test_registry_decode_alias_rename_and_explicit_reader(spark):
 
 
 def test_registry_missing_id_fails_loudly(spark):
+    """An id the REGISTRY has never heard of (corrupt frame / deleted
+    subject) still fails the batch — on-demand fetch only rescues ids
+    the registry can actually resolve."""
+    from southpaw_spark.sources.schema_registry import (
+        StaticSchemaRegistry,
+        decode_confluent_avro,
+    )
+
+    df = _framed_corpus(spark)  # carries ids 1 and 2
+    reg = StaticSchemaRegistry({1: V1})  # registry lacks id 2 entirely
+    with pytest.raises(Exception, match="not in registry"):
+        decode_confluent_avro(
+            df, "value", reg, out_col="v", known_ids=[1]
+        ).collect()
+    with pytest.raises(LookupError, match="not in registry"):
+        StaticSchemaRegistry({1: V1}).get_schema(2)
+
+
+def test_registry_on_demand_fetch_survives_mid_stream_evolution(spark):
+    """Mid-stream schema evolution (reference serde/AvroSerde.java:32-80
+    fetches by frame id when first seen): the driver snapshot knows only
+    id 1, the batch carries id 2 — the executor fetches id 2 on demand
+    instead of killing the batch, and the new-writer records resolve to
+    the pinned reader (V1: no score field)."""
     from southpaw_spark.sources.schema_registry import (
         StaticSchemaRegistry,
         decode_confluent_avro,
@@ -250,12 +274,35 @@ def test_registry_missing_id_fails_loudly(spark):
 
     df = _framed_corpus(spark)
     reg = StaticSchemaRegistry({1: V1, 2: V2})
-    with pytest.raises(Exception, match="schema id"):
-        decode_confluent_avro(
-            df, "value", reg, out_col="v", known_ids=[1]
-        ).collect()
-    with pytest.raises(LookupError, match="not in registry"):
-        StaticSchemaRegistry({1: V1}).get_schema(2)
+    out = decode_confluent_avro(df, "value", reg, out_col="v", known_ids=[1])
+    got = {r["v"]["id"]: r["v"]["name"] for r in out.collect() if r["v"]}
+    assert got == {1: "a", 2: "b", 3: "c"}
+    assert "score" not in out.schema["v"].dataType.fieldNames()
+
+
+def test_distinct_schema_ids_multi_single_scan(spark):
+    """Per-column id discovery over key+value in one combined scan, with
+    nulls (tombstones) ignored per column."""
+    from southpaw_spark.sources.avro_py import confluent_frame, encode
+    from southpaw_spark.sources.schema_registry import distinct_schema_ids_multi
+
+    key_sch = '{"type":"record","name":"K","fields":[{"name":"k","type":"long"}]}'
+    rows = [
+        (
+            confluent_frame(5, encode(key_sch, {"k": 1})),
+            confluent_frame(1, encode(V1, {"id": 1, "name": "a"})),
+        ),
+        (
+            confluent_frame(6, encode(key_sch, {"k": 2})),
+            confluent_frame(2, encode(V2, {"id": 2, "name": "b", "score": 1.0})),
+        ),
+        (confluent_frame(5, encode(key_sch, {"k": 3})), None),
+    ]
+    raw = spark.createDataFrame(rows, "key binary, value binary")
+    assert distinct_schema_ids_multi(raw, ["key", "value"]) == {
+        "key": [5, 6],
+        "value": [1, 2],
+    }
 
 
 def test_file_schema_registry_end_to_end_cdc(spark, tmp_path):
