@@ -29,6 +29,7 @@ def entry(spark: SparkSession) -> DataFrame:
     # events.parquet uses TIMESTAMP(NANOS); harmless here but keeps any
     # session able to read every table.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return suite.q13_denormalized_order(spark, "/root/testdata/sf0.001")
 
 
@@ -39,6 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
             return fn(spark, sf_dir)
 
         return run

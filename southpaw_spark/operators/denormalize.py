@@ -64,12 +64,62 @@ def _byte_order_key(df: DataFrame, pk_cols: Sequence[str]):
     return composite_key(df, {c: types[c] for c in pk_cols})
 
 
+def parse_dynamic(
+    df: DataFrame,
+    keys: Mapping[str, str],
+    value_col: str = "value",
+    record_col: str = "__v",
+) -> DataFrame:
+    """Dynamic per-record schema ingestion (reference
+    ``record/MapRecord.java:41-50``, ``record/BaseRecord.java:37-41``):
+    each row's schema is whatever fields that row actually carries —
+    heterogeneous rows of one entity coexist in one changelog.
+
+    Spark-first: the row body becomes a VARIANT (``parse_json``) — the
+    exact Spark-4 analog of the reference's per-record ``Map<String,?>``
+    — while the PK/FK fields named in ``keys`` (column → Spark type) are
+    extracted to typed top-level columns via ``try_variant_get`` so
+    upserts, joins and child ordering stay JVM-typed and shuffle-keyed.
+    ``to_json`` later re-emits each record's own fields verbatim
+    (absent stays absent, explicit null stays null) with
+    deterministically sorted keys.
+    """
+    out = df.withColumn(record_col, F.parse_json(F.col(value_col)))
+    for col, typ in keys.items():
+        out = out.withColumn(
+            col, F.try_variant_get(F.col(record_col), f"$.{col}", typ)
+        )
+    return out
+
+
+def _pk_comparator(n_keys: int):
+    """``array_sort`` comparator ordering child docs by their extracted
+    PK columns ``__k0 … __k{n-1}`` — used instead of ``sort_array`` when
+    the doc struct contains a VARIANT (variants are not orderable)."""
+
+    def cmp(a, b):
+        expr = F.lit(0)
+        for i in reversed(range(n_keys)):
+            ka, kb = a[f"__k{i}"], b[f"__k{i}"]
+            expr = F.when(ka < kb, F.lit(-1)).when(ka > kb, F.lit(1)).otherwise(expr)
+        return expr
+
+    return cmp
+
+
+def _subtree_dynamic(node: Relation, record_cols: Mapping[str, str]) -> bool:
+    return node.entity in record_cols or any(
+        _subtree_dynamic(c, record_cols) for c in node.children
+    )
+
+
 def _build_node(
     node: Relation,
     states: Mapping[str, DataFrame],
     keys: Mapping[str, Sequence[str]],
     scope: DataFrame | None = None,
     child_order: str = "numeric",
+    record_cols: Mapping[str, str] | None = None,
 ) -> DataFrame:
     """Post-order build: returns the node's state table with one extra
     struct column ``__doc`` holding the fully-nested document.
@@ -82,13 +132,19 @@ def _build_node(
     per-PK point rebuilds (``Southpaw.java:368-396``)."""
     if node.entity not in states:
         raise KeyError(f"no state DataFrame supplied for entity {node.entity!r}")
+    record_cols = record_cols or {}
     df = states[node.entity]
     if scope is not None:
         on = list(scope.columns)
         df = df.join(F.broadcast(scope.distinct()), on=on, how="left_semi")
     base_cols = list(df.columns)
-    # Record = all fields of the row, verbatim (reference Southpaw.java:418-426).
-    record = F.struct(*[F.col(c) for c in base_cols]).alias(RECORD_FIELD)
+    if node.entity in record_cols:
+        # dynamic per-record schema: Record IS the row's variant — each
+        # row keeps exactly its own fields (reference MapRecord.toMap).
+        record = F.col(record_cols[node.entity]).alias(RECORD_FIELD)
+    else:
+        # Record = all fields of the row, verbatim (reference Southpaw.java:418-426).
+        record = F.struct(*[F.col(c) for c in base_cols]).alias(RECORD_FIELD)
 
     if not node.children:
         return df.withColumn(_DOC, F.struct(record))
@@ -101,10 +157,40 @@ def _build_node(
                 F.col(child.parent_key).alias(child.join_key)
             )
         child_df = _build_node(
-            child, states, keys, scope=child_scope, child_order=child_order
+            child, states, keys, scope=child_scope, child_order=child_order,
+            record_cols=record_cols,
         )
         child_pks = list(keys[child.entity])
         child_cols = states[child.entity].columns
+        if _subtree_dynamic(child, record_cols):
+            # VARIANT docs are not orderable by sort_array; collect then
+            # array_sort with a comparator over the extracted typed PKs.
+            jk_alias = f"__jk__{child.entity}"
+            order_struct = F.struct(
+                *[F.col(k).alias(f"__k{i}") for i, k in enumerate(child_pks)],
+                F.col(_DOC).alias("__d"),
+            )
+            grouped = (
+                child_df.where(F.col(child.join_key).isNotNull())
+                .groupBy(F.col(child.join_key).alias(jk_alias))
+                .agg(
+                    F.array_sort(
+                        F.collect_list(order_struct),
+                        _pk_comparator(len(child_pks)),
+                    ).alias(f"__arr__{child.entity}")
+                )
+            )
+            df = df.join(
+                grouped, on=F.col(child.parent_key) == F.col(jk_alias), how="left"
+            ).drop(jk_alias)
+            arr = F.col(f"__arr__{child.entity}")
+            docs = F.transform(arr, lambda x: x["__d"])
+            child_fields.append(
+                F.when(F.col(child.parent_key).isNull(), F.lit(None))
+                .otherwise(F.coalesce(docs, F.array()))
+                .alias(child.entity)
+            )
+            continue
         if child_order == "bytes":
             # strict reference byte order (e.g. 256=0x0100 sorts before
             # 2=0x02); opt-in — the default numeric order matches for
@@ -180,6 +266,7 @@ def denormalize(
     doc_col: str = "doc",
     root_keys: DataFrame | None = None,
     child_order: str = "numeric",
+    record_cols: Mapping[str, str] | None = None,
 ) -> DataFrame:
     """Build the nested-document table for one relation tree.
 
@@ -195,6 +282,13 @@ def denormalize(
         (``Southpaw.java:343-352`` TreeMap over ``util/ByteArray.java``
         keys). The two coincide except for numeric keys of differing
         byte length (SURVEY §1.6).
+    record_cols: entities in *dynamic per-record schema* mode — entity
+        name → name of a VARIANT column (see ``parse_dynamic``) holding
+        the row body. Those entities' ``Record`` is the variant itself
+        (reference ``record/MapRecord.java:41-50``: schema is whatever
+        each row carries), so heterogeneous rows of one entity in one
+        changelog build correct docs. Static and dynamic entities mix
+        freely in one tree.
 
     Returns a DataFrame with the root's PK columns plus ``doc_col`` — one
     row per live root. Root tombstones are the caller's concern
@@ -206,7 +300,8 @@ def denormalize(
     root_pks = list(keys[relation.entity])
     scope = root_keys.select(*root_pks) if root_keys is not None else None
     built = _build_node(
-        relation, states, keys, scope=scope, child_order=child_order
+        relation, states, keys, scope=scope, child_order=child_order,
+        record_cols=record_cols,
     )
     return built.select(*root_pks, F.col(_DOC).alias(doc_col))
 
@@ -216,6 +311,7 @@ def denormalize_to_json(
     relation: Relation,
     keys: Mapping[str, Sequence[str]],
     tombstoned_roots: DataFrame | None = None,
+    record_cols: Mapping[str, str] | None = None,
 ) -> DataFrame:
     """Nested docs serialized to canonical JSON strings, with null values
     for tombstoned roots (reference output-topic contract, SURVEY §1.6).
@@ -223,7 +319,7 @@ def denormalize_to_json(
     ``ignoreNullFields`` drops null Children entries, producing the
     reference's absent-key semantics in the serialized form.
     """
-    docs = denormalize(states, relation, keys)
+    docs = denormalize(states, relation, keys, record_cols=record_cols)
     root_pks = list(keys[relation.entity])
     out = docs.select(
         *root_pks,

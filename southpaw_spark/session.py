@@ -33,8 +33,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # driver testdata events.parquet uses TIMESTAMP(NANOS); read as long
+        # Some testdata generations carry events.ts as TIMESTAMP(NANOS);
+        # surface those as longs. Native timestamp[us] files are unaffected
+        # (suite._events_ts_us adapts to whichever dtype appears).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Pin UTC so epoch arithmetic matches the DuckDB oracles exactly.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # Nested-doc assembly benefits from compact shuffle records.
         .config("spark.sql.parquet.compression.codec", "snappy")

@@ -40,6 +40,30 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _events_ts_us(df: DataFrame, col: str = "ts"):
+    """Epoch-microseconds expression for ``events.ts``, adaptive to the
+    physical parquet type of the testdata generation in use.
+
+    The driver testdata has carried ``ts`` as parquet TIMESTAMP(NANOS)
+    (surfaced as a nanos-since-epoch BIGINT via
+    ``spark.sql.legacy.parquet.nanosAsLong``) in some generations and as
+    plain ``timestamp[us]`` (read as TIMESTAMP / TIMESTAMP_NTZ) in
+    others. Branching on the observed dtype keeps the whole events query
+    family runnable on both. The DuckDB oracles use ``epoch_us(ts)``,
+    which treats the naive value as-is — the session timezone is pinned
+    to UTC (``session.py``) so both sides agree.
+    """
+    dt = dict(df.dtypes).get(col, "")
+    if dt == "bigint":  # legacy nanos-as-long
+        return F.expr(f"{col} div 1000")
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+def _events_ts(df: DataFrame, col: str = "ts"):
+    """``events.ts`` as a true TIMESTAMP column (UTC), dtype-adaptive."""
+    return F.timestamp_micros(_events_ts_us(df, col))
+
+
 def _events_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive a CDC changelog from the events table: key=user_id,
     seq=event_id, tombstone ⇔ event_type='error'. Purely deterministic so
@@ -756,7 +780,7 @@ def e06_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (7-hour ROWS frame) — the window-frame aggregate family."""
     ev = _read(spark, sf_dir, "events")
     hourly = (
-        ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ev.withColumn("ts", _events_ts(ev))
         .groupBy(
             "event_type",
             F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
@@ -1249,9 +1273,8 @@ def e01_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation over the events stream table (the batch
     shape of the Structured Streaming windowed agg)."""
     ev = _read(spark, sf_dir, "events")
-    # events.ts is TIMESTAMP(NANOS) parquet, surfaced as nanos-since-epoch
-    # long (nanosAsLong); convert to a real timestamp for windowing.
-    ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # dtype-adaptive: nanos-long or native timestamp testdata both work.
+    ev = ev.withColumn("ts", _events_ts(ev))
     return (
         ev.groupBy(
             F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
@@ -1307,11 +1330,10 @@ def a05_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention grid: users grouped by first-activity week
     (cohort), counted distinct per weekly offset — two hash aggregations
     and one join, all keyed on user_id/cohort."""
-    ev = _read(spark, sf_dir, "events").select(
+    raw = _read(spark, sf_dir, "events")
+    ev = raw.select(
         "user_id",
-        F.date_trunc("week", F.expr("timestamp_micros(ts div 1000)"))
-        .cast("date")
-        .alias("week"),
+        F.date_trunc("week", _events_ts(raw)).cast("date").alias("week"),
     )
     first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     activity = ev.distinct()
@@ -1374,8 +1396,9 @@ def e08_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly after it, first purchase strictly after that. Three staged
     min-aggregations joined on user — each stage is one hash shuffle on
     user_id; no window over the full event log, no self-join explosion."""
-    ev = _read(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+    raw = _read(spark, sf_dir, "events")
+    ev = raw.select(
+        "user_id", "event_type", _events_ts_us(raw).alias("ts_us")
     )
     v = (
         ev.where("event_type = 'view'")
@@ -1619,7 +1642,8 @@ def e02_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     inactivity closes a session) — the batch shape of
     applyInPandasWithState session windows."""
     ev = _read(spark, sf_dir, "events")
-    sec = F.expr("ts div 1000000000")  # ns → epoch seconds
+    # epoch seconds, dtype-adaptive (truncation = floor for positive epochs)
+    sec = (_events_ts_us(ev) / F.lit(1_000_000)).cast("long")
     w = Window.partitionBy("user_id").orderBy(sec, "event_id")
     gap = sec - F.lag(sec).over(w)
     new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
@@ -1657,9 +1681,8 @@ def e04_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     inequality join (``operators/temporal.py``)."""
     from southpaw_spark.operators.temporal import asof_join
 
-    ev = _read(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts div 1000")
-    )
+    raw = _read(spark, sf_dir, "events")
+    ev = raw.withColumn("ts_us", _events_ts_us(raw))
     clicks = ev.where("event_type = 'click'").select(
         "event_id", "user_id", "ts_us"
     )
@@ -1694,9 +1717,8 @@ def e05_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``operators/temporal.py``)."""
     from southpaw_spark.operators.temporal import range_join
 
-    ev = _read(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts div 1000")
-    )
+    raw = _read(spark, sf_dir, "events")
+    ev = raw.withColumn("ts_us", _events_ts_us(raw))
     clicks = ev.where("event_type = 'click'").select(
         "event_id", "user_id", "ts_us"
     )
@@ -1779,6 +1801,112 @@ def s02_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, "embedding", "vec_id", k=5)
 
 
+def q17_dynamic_schema_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic per-record schema denormalization (reference
+    ``record/MapRecord.java:41-50``, ``record/BaseRecord.java:37-41`` —
+    SURVEY §1.2's "dynamic, per-record" schema system): a heterogeneous
+    changelog derived deterministically from events — profile rows take
+    one of two shapes by event_type, hit rows one of two shapes by
+    event_id parity — upserted by user and assembled into nested docs.
+    Spark-first: rows are VARIANT (``parse_dynamic``); typed keys are
+    extracted for the upsert window / child join / child ordering;
+    ``to_json`` re-emits exactly each record's own fields (sorted keys).
+    Subsumes the retired e07_json_extract surface: the changelog
+    derivation itself is JSON field extraction over ``props``."""
+    from southpaw_spark.operators.cdc import current_state
+    from southpaw_spark.operators.denormalize import (
+        denormalize_to_json,
+        parse_dynamic,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long").cast("string")
+    uid = F.col("user_id").cast("string")
+    eid = F.col("event_id").cast("string")
+    profile_val = F.when(
+        F.col("event_type").isin("click", "view"),
+        F.concat(
+            F.lit('{"last_type":"'), F.col("event_type"),
+            F.lit('","user_id":'), uid, F.lit("}"),
+        ),
+    ).otherwise(
+        F.concat(F.lit('{"k":'), k, F.lit(',"user_id":'), uid, F.lit("}"))
+    )
+    profiles = ev.select(
+        F.col("event_id").alias("seq"),
+        profile_val.alias("value"),
+        F.lit(False).alias("is_tombstone"),
+    )
+    hit_val = F.when(
+        F.col("event_id") % 2 == 1,
+        F.concat(
+            F.lit('{"eid":'), eid, F.lit(',"k":'), k,
+            F.lit(',"uid":'), uid, F.lit("}"),
+        ),
+    ).otherwise(
+        F.concat(F.lit('{"eid":'), eid, F.lit(',"uid":'), uid, F.lit("}"))
+    )
+    hits = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("seq"),
+        hit_val.alias("value"),
+        F.lit(False).alias("is_tombstone"),
+    )
+    states = {
+        "profile": current_state(
+            parse_dynamic(profiles, {"user_id": "bigint"}), ["user_id"]
+        ),
+        "hit": current_state(
+            parse_dynamic(hits, {"eid": "bigint", "uid": "bigint"}), ["eid"]
+        ),
+    }
+    rel = load_relations([{
+        "DenormalizedName": "DynProfile", "Entity": "profile",
+        "Children": [
+            {"Entity": "hit", "JoinKey": "uid", "ParentKey": "user_id"}
+        ],
+    }])[0]
+    out = denormalize_to_json(
+        states, rel, {"profile": ["user_id"], "hit": ["eid"]},
+        record_cols={"profile": "__v", "hit": "__v"},
+    )
+    return out.select("user_id", F.col("value").alias("doc"))
+
+
+Q17_SQL = """
+    WITH k AS (
+      SELECT event_id, user_id, event_type,
+             json_extract(props, '$.k')::BIGINT AS k
+      FROM events),
+    prof AS (
+      SELECT user_id,
+        CASE WHEN event_type IN ('click', 'view')
+          THEN '{"last_type":"' || event_type || '","user_id":'
+               || user_id::VARCHAR || '}'
+          ELSE '{"k":' || k::VARCHAR || ',"user_id":'
+               || user_id::VARCHAR || '}' END AS rec
+      FROM k
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY event_id DESC) = 1),
+    hits AS (
+      SELECT user_id, event_id,
+        CASE WHEN event_id % 2 = 1
+          THEN '{"eid":' || event_id::VARCHAR || ',"k":' || k::VARCHAR
+               || ',"uid":' || user_id::VARCHAR || '}'
+          ELSE '{"eid":' || event_id::VARCHAR || ',"uid":'
+               || user_id::VARCHAR || '}' END AS rec
+      FROM k WHERE event_type = 'click'),
+    agg AS (
+      SELECT user_id,
+             string_agg('{"Record":' || rec || '}', ',' ORDER BY event_id)
+               AS kids
+      FROM hits GROUP BY user_id)
+    SELECT p.user_id,
+      '{"Record":' || p.rec || ',"Children":{"hit":['
+        || COALESCE(a.kids, '') || ']}}' AS doc
+    FROM prof p LEFT JOIN agg a USING (user_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1807,11 +1935,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q14_doc_projection": q14_doc_projection,
     "q15_shared_entity_tree": q15_shared_entity_tree,
     "q16_filter_unchanged_skip": q16_filter_unchanged_skip,
-    # never driver-checked before round 3 / fixed this round — first
+    # round-5 headline (dynamic per-record schema; subsumes e07's
+    # json-extract surface — its derivation IS json extraction) — early
+    # so a short driver run reaches it
+    "q17_dynamic_schema_docs": q17_dynamic_schema_docs,
     "e08_funnel": e08_funnel,
     "m01_image_metadata_decode": m01_image_metadata_decode,
     "m03_frame_sample": m03_frame_sample,
-    "e07_json_extract": e07_json_extract,
     "d01_dedup_exact": d01_dedup_exact,
     "d02_ngram_jaccard": d02_ngram_jaccard,
     "d03_minhash_lsh": d03_minhash_lsh,
@@ -1864,7 +1994,7 @@ ORACLES: dict[str, str] = {
     "e08_funnel": E08_SQL,
     "m01_image_metadata_decode": M01_SQL,
     "m03_frame_sample": M03_SQL,
-    "e07_json_extract": E07_SQL,
+    "q17_dynamic_schema_docs": Q17_SQL,
     "d01_dedup_exact": D01_SQL,
     "d02_ngram_jaccard": D02_SQL,
     "d03_minhash_lsh": D03_SQL,

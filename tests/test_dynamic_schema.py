@@ -1,0 +1,138 @@
+"""Dynamic per-record schema mode (reference ``record/MapRecord.java:41-50``,
+``record/BaseRecord.java:37-41``; SURVEY §1.2 "dynamic, per-record" schema
+system): heterogeneous rows of ONE entity in ONE changelog must build
+correct documents — each doc carries exactly the fields its row had.
+
+Spark-first: rows become VARIANT (``parse_dynamic``); typed PK/FK columns
+are extracted for upsert/join/ordering; ``to_json`` re-emits per-record
+fields verbatim with deterministic sorted keys."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from southpaw_spark.operators.cdc import current_state, tombstoned_keys
+from southpaw_spark.operators.denormalize import (
+    denormalize,
+    denormalize_to_json,
+    parse_dynamic,
+)
+from southpaw_spark.relations import load_relations
+
+TREE = [{
+    "DenormalizedName": "DynMedia", "Entity": "media",
+    "Children": [
+        {"Entity": "track", "JoinKey": "media_id", "ParentKey": "id"},
+    ],
+}]
+
+KEYS = {"media": ["id"], "track": ["tid"]}
+
+
+def _media_changelog(spark):
+    rows = [
+        (1, '{"id":1,"title":"old","duration":120}', False),
+        # same key, NEW shape — upsert must fully replace (no duration)
+        (2, '{"id":1,"title":"movie","tags":["a","b"]}', False),
+        # a second shape of the same entity in the same changelog
+        (3, '{"id":2,"size":3.5,"nested":{"x":1}}', False),
+        (4, '{"id":3,"title":"gone"}', False),
+        (5, '{"id":3}', True),  # tombstone
+    ]
+    return spark.createDataFrame(
+        rows, "seq long, value string, is_tombstone boolean"
+    )
+
+
+def _track_changelog(spark):
+    rows = [
+        # two shapes of "track" under the same parent; order by tid
+        (1, '{"tid":11,"media_id":1,"lang":"en","bitrate":320}', False),
+        (2, '{"tid":10,"media_id":1,"kind":"audio"}', False),
+    ]
+    return spark.createDataFrame(
+        rows, "seq long, value string, is_tombstone boolean"
+    )
+
+
+def _states(spark):
+    media = parse_dynamic(_media_changelog(spark), {"id": "bigint"})
+    track = parse_dynamic(
+        _track_changelog(spark), {"tid": "bigint", "media_id": "bigint"}
+    )
+    return {
+        "media": current_state(media, ["id"]),
+        "track": current_state(track, ["tid"]),
+    }, media
+
+
+def test_heterogeneous_rows_build_correct_docs(spark):
+    states, media_log = _states(spark)
+    rel = load_relations(TREE)[0]
+    dead = tombstoned_keys(media_log, ["id"])
+    out = denormalize_to_json(
+        states, rel, KEYS, tombstoned_roots=dead,
+        record_cols={"media": "__v", "track": "__v"},
+    )
+    docs = {r["id"]: r["value"] for r in out.collect()}
+    assert set(docs) == {1, 2, 3}
+
+    d1 = json.loads(docs[1])
+    # upsert replaced the row wholesale: new shape only, no 'duration'
+    assert d1["Record"] == {"id": 1, "title": "movie", "tags": ["a", "b"]}
+    # children ordered by tid, each with exactly its own fields
+    kids = d1["Children"]["track"]
+    assert [k["Record"] for k in kids] == [
+        {"tid": 10, "media_id": 1, "kind": "audio"},
+        {"tid": 11, "media_id": 1, "lang": "en", "bitrate": 320},
+    ]
+
+    d2 = json.loads(docs[2])
+    assert d2["Record"] == {"id": 2, "size": 3.5, "nested": {"x": 1}}
+    assert d2["Children"]["track"] == []  # key present, no matches
+
+    assert docs[3] is None  # tombstoned root → null doc
+
+    # canonical serialized form: variant object keys sorted, stable
+    assert docs[2].startswith(
+        '{"Record":{"id":2,"nested":{"x":1},"size":3.5}'
+    )
+
+
+def test_static_parent_dynamic_child_mix(spark):
+    """Static (typed-column) root with a dynamic child in one tree."""
+    orders = spark.createDataFrame(
+        [(1, "alice"), (2, None)], "oid long, who string"
+    )
+    items = parse_dynamic(
+        spark.createDataFrame(
+            [
+                (1, '{"iid":2,"oid":1,"qty":5}', False),
+                (2, '{"iid":1,"oid":1,"note":"gift","rush":true}', False),
+            ],
+            "seq long, value string, is_tombstone boolean",
+        ),
+        {"iid": "bigint", "oid": "bigint"},
+    )
+    tree = [{
+        "DenormalizedName": "DynOrder", "Entity": "orders",
+        "Children": [{"Entity": "items", "JoinKey": "oid", "ParentKey": "oid"}],
+    }]
+    rel = load_relations(tree)[0]
+    states = {"orders": orders, "items": current_state(items, ["iid"])}
+    docs = denormalize(
+        states, rel, {"orders": ["oid"], "items": ["iid"]},
+        record_cols={"items": "__v"},
+    )
+    rows = {r["oid"]: r for r in docs.collect()}
+    doc1 = json.loads(
+        docs.where(F.col("oid") == 1)
+        .select(F.to_json("doc").alias("j"))
+        .collect()[0]["j"]
+    )
+    assert doc1["Record"] == {"oid": 1, "who": "alice"}
+    assert [k["Record"] for k in doc1["Children"]["items"]] == [
+        {"iid": 1, "oid": 1, "note": "gift", "rush": True},
+        {"iid": 2, "oid": 1, "qty": 5},
+    ]
+    assert 2 in rows

@@ -50,9 +50,10 @@ def test_key_frequency_report(spark, sf_dir):
 
 
 def test_windowed_event_counts_batch_shape(spark, sf_dir):
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    from southpaw_spark.suite import _events_ts
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.withColumn("ts", _events_ts(raw))
     out = windowed_event_counts(ev)
     rows = out.collect()
     assert sum(r["n_events"] for r in rows) == ev.count()
