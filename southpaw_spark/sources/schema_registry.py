@@ -23,6 +23,7 @@ registry at 100 TB, so the plan is:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from typing import Mapping, Sequence
@@ -50,12 +51,25 @@ __all__ = [
 _FETCH_CACHE: dict[tuple, dict] = {}
 
 
-def _registry_cache_key(registry) -> tuple:
+def _registry_cache_key(registry) -> tuple | None:
+    """Stable process-wide cache identity for a registry, or ``None``
+    when there is none — ``id(registry)`` would be reused by CPython
+    after the per-task object is freed, letting a later task's different
+    registry silently hit a stale entry. No identity → no shared cache
+    (the per-task ``writers`` dict still memoizes within a task)."""
     for attr in ("base_url", "root"):
         v = getattr(registry, attr, None)
         if v is not None:
             return (type(registry).__name__, v)
-    return (type(registry).__name__, id(registry))
+    schemas = getattr(registry, "_schemas", None)
+    if isinstance(schemas, dict):  # StaticSchemaRegistry: content hash
+        digest = hashlib.sha256(
+            json.dumps(
+                {str(k): v for k, v in schemas.items()}, sort_keys=True
+            ).encode()
+        ).hexdigest()
+        return (type(registry).__name__, digest)
+    return None
 
 
 def _fetch_writer(registry, sid: int) -> dict:
@@ -64,13 +78,16 @@ def _fetch_writer(registry, sid: int) -> dict:
     when first seen, ``serde/AvroSerde.java:32-80``). Without this, an id
     that appears mid-stream but postdates the driver's prefetched
     snapshot would kill the batch."""
-    key = _registry_cache_key(registry) + (sid,)
-    hit = _FETCH_CACHE.get(key)
+    base = _registry_cache_key(registry)
+    key = base + (sid,) if base is not None else None
+    hit = _FETCH_CACHE.get(key) if key is not None else None
     if hit is None:
         schema = json.loads(registry.get_schema(sid))
         if not (isinstance(schema, dict) and schema.get("type") == "record"):
             raise ValueError(f"schema id {sid} is not a record schema")
-        hit = _FETCH_CACHE[key] = schema
+        hit = schema
+        if key is not None:
+            _FETCH_CACHE[key] = schema
     return hit
 
 
@@ -100,7 +117,17 @@ class FileSchemaRegistry:
         try:
             with open(path) as f:
                 return f.read()
-        except OSError:
+        except OSError as e:
+            # Distinguish "registry dir unreachable" (e.g. a driver-local
+            # export that doesn't exist on this executor node) from "id
+            # genuinely absent" — the former must not masquerade as an
+            # unknown schema id.
+            if not os.path.isdir(self.root):
+                raise OSError(
+                    f"registry dir {self.root!r} missing or unreadable on "
+                    "this node — executor-side on-demand fetch requires "
+                    "the directory on every executor"
+                ) from e
             raise LookupError(
                 f"schema id {schema_id} not in registry dir {self.root!r}"
             ) from None
@@ -236,6 +263,19 @@ def decode_confluent_avro(
     output *type* never changes mid-batch; to adopt a new latest version
     as the reader, restart the query (the reference behaves the same
     way: the reader POJO is compile-time fixed, ``serde/AvroSerde.java``).
+
+    Executor requirements: because of the on-demand path, ``registry``
+    rides the ``mapInPandas`` closure — it must be PICKLABLE, and it
+    must be *reachable from executors* (``HttpSchemaRegistry``: network
+    + credentials from every executor; ``FileSchemaRegistry``: the
+    directory present on every executor node — a driver-local export
+    will fail with an explicit "registry dir missing" error, not a
+    bogus unknown-id). If your registry client holds unpicklable state,
+    wrap the connection *parameters* (url/root/auth) in one of the
+    provided registry classes and let executors construct the client,
+    or pass ``known_ids`` AND a pinned ``reader_schema`` with a
+    registry stub whose ``get_schema`` raises — the on-demand path is
+    then never exercised.
     """
     ids = distinct_schema_ids(df, col) if known_ids is None else sorted(known_ids)
     writers = {i: json.loads(registry.get_schema(i)) for i in ids}

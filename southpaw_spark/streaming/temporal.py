@@ -1,0 +1,136 @@
+"""Streaming as-of join: a stream probing broadcast batch state.
+
+The batch :func:`southpaw_spark.operators.temporal.asof_join` is a
+union-and-window plan — correct and one-shuffle in batch, but a window
+over an unbounded stream is not executable, and re-unioning the full
+static side into every micro-batch would re-shuffle unchanged state per
+trigger. The stream-batch formulation here is the plan you'd want at
+100 TB of stream:
+
+1. :func:`asof_state` — ONCE per state refresh, group the right side
+   into one row per key holding its (ts, payload) entries time-sorted
+   (``sort_array`` over structs → ties resolve to the max payload
+   struct, the exact tie-break of the batch operator). Cache it.
+2. :func:`asof_join_stream` — the stream left-joins the *broadcast*
+   state (a stream-static join, fully supported by Structured
+   Streaming) and each event picks its match from the key's sorted
+   array with ``filter`` + ``try_element_at`` — pure JVM codegen
+   projection, ZERO shuffles per micro-batch, watermarks pass through
+   untouched, any sink/output-mode works.
+
+Per-event cost is linear in that key's state entries — the right trade
+when state is broadcast-sized (the reference's join state is an indexed
+RocksDB the executor consults per record, ``index/Indices.java``; a
+broadcast sorted array is the Spark-native equivalent).
+
+The same functions run unchanged on a batch left side (they are plain
+DataFrame ops), which is how the e04-parity tests pin the semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from southpaw_spark.operators.temporal import _orderable
+
+_ARR = "__asof_state"
+_TS = "__ts"
+_ROW = "__row"
+
+
+def asof_state(
+    right: DataFrame, on: Sequence[str], right_ts: str
+) -> DataFrame:
+    """Build broadcastable as-of state: one row per ``on`` key with all
+    (timestamp, payload) entries sorted ascending by (ts, payload) —
+    the deterministic duplicate-ts tie-break of the batch operator.
+    Null-timestamp rows can never match; they are dropped here, exactly
+    as in the batch plan. Call ``.cache()`` on the result so the
+    groupBy runs once, not once per trigger."""
+    on = list(on)
+    rcols = [c for c in right.columns if c not in on and c != right_ts]
+    entry = F.struct(
+        F.col(right_ts).alias(_TS),
+        F.struct(*[F.col(c) for c in rcols]).alias(_ROW),
+    )
+    agg = F.collect_list(entry)
+    if _orderable(right.schema[c].dataType for c in rcols):
+        arr = F.sort_array(agg)
+    else:
+        # unorderable payload (e.g. a map): sort by ts alone; the winner
+        # among exactly-tied right timestamps is then partition-order-
+        # dependent — same documented caveat as the batch operator.
+        arr = F.array_sort(
+            agg,
+            lambda a, b: F.when(a[_TS] < b[_TS], F.lit(-1))
+            .when(a[_TS] > b[_TS], F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+    return (
+        right.where(F.col(right_ts).isNotNull())
+        .groupBy(*on)
+        .agg(arr.alias(_ARR))
+    )
+
+
+def asof_join_stream(
+    left: DataFrame,
+    state: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    tolerance: int | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join a (streaming or batch) left side against prepared
+    :func:`asof_state`. Output schema and semantics match the batch
+    ``asof_join``: left columns + matched ``right_ts`` + matched payload
+    columns; left rows with no match (or a null ``left_ts``) keep nulls.
+
+    ``direction="backward"`` picks the latest entry with
+    ``ts <= left_ts`` (inclusive); ``"forward"`` the earliest with
+    ``ts >= left_ts``. ``tolerance`` (timestamp units) bounds the match
+    distance. The state side is broadcast — the streaming plan is a
+    stateless map-side probe, so watermarks and output modes behave as
+    if this were a projection.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    on = list(on)
+    if right_ts in left.columns:
+        raise ValueError(
+            f"right_ts {right_ts!r} collides with a left column — rename "
+            "one side first"
+        )
+    arr_field = state.schema[_ARR].dataType.elementType
+    rcols = [f.name for f in arr_field[_ROW].dataType.fields]
+    dup = set(rcols) & set(left.columns)
+    if dup:
+        raise ValueError(f"right columns collide with left: {sorted(dup)}")
+
+    joined = left.join(F.broadcast(state), on=on, how="left")
+    lts = F.col(left_ts)
+
+    def in_range(e):
+        if direction == "backward":
+            ok = e[_TS] <= lts
+            if tolerance is not None:
+                ok = ok & (e[_TS] >= lts - F.lit(tolerance))
+        else:
+            ok = e[_TS] >= lts
+            if tolerance is not None:
+                ok = ok & (e[_TS] <= lts + F.lit(tolerance))
+        return ok
+
+    cand = F.filter(F.col(_ARR), in_range)
+    # sorted ascending → backward match is the last candidate, forward
+    # the first; try_element_at → null on empty (no ANSI error)
+    pick = F.try_element_at(cand, F.lit(-1 if direction == "backward" else 1))
+    return joined.select(
+        *[F.col(c) for c in left.columns],
+        pick[_TS].alias(right_ts),
+        *[pick[_ROW][c].alias(c) for c in rcols],
+    )

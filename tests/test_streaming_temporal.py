@@ -1,0 +1,139 @@
+"""Streaming as-of join (stream probing broadcast state): e04-parity on
+batch data, plus a real watermarked micro-batch replay — the streaming
+plan must produce exactly the batch ``asof_join`` rows."""
+
+import json as _json
+import time as _time
+
+from pyspark.sql import functions as F
+
+from southpaw_spark.operators.temporal import asof_join
+from southpaw_spark.streaming.temporal import asof_join_stream, asof_state
+from southpaw_spark.suite import _events_ts_us
+
+
+def _clicks_views(spark, sf_dir):
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.withColumn("ts_us", _events_ts_us(raw))
+    clicks = ev.where("event_type = 'click'").select(
+        "event_id", "user_id", "ts_us"
+    )
+    views = ev.where("event_type = 'view'").select(
+        F.col("user_id"),
+        F.col("ts_us").alias("view_ts_us"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    return clicks, views
+
+
+def _rows(df):
+    return sorted(
+        (tuple(r[c] for c in sorted(df.columns)) for r in df.collect()),
+        key=repr,
+    )
+
+
+def test_e04_parity_on_batch(spark, sf_dir):
+    """Same inputs, same rows as the batch union-and-window operator."""
+    clicks, views = _clicks_views(spark, sf_dir)
+    batch = asof_join(
+        clicks, views, on=["user_id"], left_ts="ts_us", right_ts="view_ts_us"
+    )
+    state = asof_state(views, on=["user_id"], right_ts="view_ts_us")
+    probed = asof_join_stream(
+        clicks, state, on=["user_id"], left_ts="ts_us", right_ts="view_ts_us"
+    )
+    assert sorted(probed.columns) == sorted(batch.columns)
+    assert _rows(probed) == _rows(batch)
+
+
+def test_forward_and_tolerance_parity(spark):
+    left = spark.createDataFrame(
+        [(1, 100), (1, 205), (2, 50), (3, None)],
+        "k long, lts long",
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "a"), (1, 100, "b"), (1, 300, "c"), (2, 500, "d")],
+        "k long, rts long, tag string",
+    )
+    for direction, tol in [
+        ("backward", None), ("forward", None),
+        ("backward", 10), ("forward", 100),
+    ]:
+        batch = asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            tolerance=tol, direction=direction,
+        )
+        probed = asof_join_stream(
+            left, asof_state(right, ["k"], "rts"),
+            on=["k"], left_ts="lts", right_ts="rts",
+            tolerance=tol, direction=direction,
+        )
+        assert _rows(probed) == _rows(batch), (direction, tol)
+
+
+def test_duplicate_right_ts_tiebreak_matches_batch(spark):
+    """Equal right timestamps must resolve to the same (max-struct)
+    winner as the batch operator."""
+    left = spark.createDataFrame([(1, 100)], "k long, lts long")
+    right = spark.createDataFrame(
+        [(1, 100, "x"), (1, 100, "z"), (1, 100, "y")],
+        "k long, rts long, tag string",
+    )
+    batch = asof_join(left, right, ["k"], "lts", "rts")
+    probed = asof_join_stream(
+        left, asof_state(right, ["k"], "rts"), ["k"], "lts", "rts"
+    )
+    assert _rows(probed) == _rows(batch)
+    assert probed.collect()[0]["tag"] == "z"
+
+
+def test_streaming_replay_matches_batch(spark, sf_dir, tmp_path):
+    """Replay sf clicks as a watermarked two-micro-batch stream against
+    broadcast view state; the appended output must equal the batch
+    as-of join row-for-row."""
+    clicks, views = _clicks_views(spark, sf_dir)
+    state = asof_state(views, on=["user_id"], right_ts="view_ts_us").cache()
+
+    src = tmp_path / "clicks"
+    src.mkdir()
+    rows = clicks.collect()
+    half = len(rows) // 2
+    for name, chunk in [("a.json", rows[:half]), ("b.json", rows[half:])]:
+        (src / name).write_text(
+            "\n".join(
+                _json.dumps(
+                    {"event_id": r["event_id"], "user_id": r["user_id"],
+                     "ts_us": r["ts_us"]}
+                )
+                for r in chunk
+            )
+        )
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts_us long")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .withWatermark("ts", "1 hour")
+    )
+    out = asof_join_stream(
+        stream, state, on=["user_id"], left_ts="ts_us",
+        right_ts="view_ts_us",
+    ).drop("ts")
+    qname = f"asof{int(_time.time())}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(f"SELECT * FROM {qname}")
+    batch = asof_join(
+        clicks, views, on=["user_id"], left_ts="ts_us", right_ts="view_ts_us"
+    )
+    assert _rows(got) == _rows(batch)
