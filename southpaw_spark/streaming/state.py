@@ -33,6 +33,7 @@ class ParquetStateStore:
         spark: SparkSession,
         root: str,
         n_buckets: int | None = None,
+        data_format: str | None = None,
     ) -> None:
         """``n_buckets`` is a physical property of the state layout:
         ``merge()`` prunes by ``bucket = hash(key) % n_buckets``, so
@@ -42,42 +43,66 @@ class ParquetStateStore:
         count is therefore persisted to a ``_META`` sidecar on first use;
         on reopen the persisted value wins, and an explicitly-passed
         conflicting value fails loudly. ``None`` means "persisted value,
-        or 16 for a fresh store"."""
+        or 16 for a fresh store".
+
+        ``data_format`` is the storage-format seam: any Spark batch
+        file format ("parquet" default, "orc" tested in-repo; "delta"/
+        "iceberg" slot in where their jars exist — see
+        ``DeltaStateStore`` for the table-native variant). Everything
+        above the physical read/write — bucket pruning, staged-version
+        commit protocol, hardlinked untouched buckets, backup/restore —
+        is format-agnostic. Persisted in ``_META`` like ``n_buckets``
+        (reopening with a different format would misread the data
+        files)."""
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
-        persisted = self._read_meta()
-        if persisted is None:
+        meta = self._read_meta()
+        if meta is None:
             self.n_buckets = 16 if n_buckets is None else n_buckets
-            self._write_meta(self.n_buckets)
+            self.data_format = data_format or "parquet"
+            self._write_meta(self.n_buckets, self.data_format)
         else:
-            if n_buckets is not None and n_buckets != persisted:
+            p_buckets, p_format = meta
+            if n_buckets is not None and n_buckets != p_buckets:
                 raise ValueError(
                     f"state dir {root!r} was laid out with n_buckets="
-                    f"{persisted}, got n_buckets={n_buckets}; bucket "
+                    f"{p_buckets}, got n_buckets={n_buckets}; bucket "
                     "pruning would silently miss rows — delete the state "
                     "or open with the persisted count"
                 )
-            self.n_buckets = persisted
+            if data_format is not None and data_format != p_format:
+                raise ValueError(
+                    f"state dir {root!r} was written as {p_format!r}, "
+                    f"got data_format={data_format!r} — delete the state "
+                    "or open with the persisted format"
+                )
+            self.n_buckets = p_buckets
+            self.data_format = p_format
 
     def _meta_path(self) -> str:
         return os.path.join(self.root, "_META")
 
-    def _read_meta(self) -> int | None:
+    def _read_meta(self) -> tuple[int, str] | None:
         import json as _json
 
         try:
             with open(self._meta_path()) as f:
-                return int(_json.loads(f.read())["n_buckets"])
+                meta = _json.loads(f.read())
+            return int(meta["n_buckets"]), str(meta.get("data_format", "parquet"))
         except (OSError, ValueError, KeyError):
             return None
 
-    def _write_meta(self, n_buckets: int) -> None:
+    def _write_meta(self, n_buckets: int, data_format: str) -> None:
         import json as _json
 
         tmp = self._meta_path() + ".tmp"
         with open(tmp, "w") as f:
-            f.write(_json.dumps({"n_buckets": n_buckets}))
+            f.write(
+                _json.dumps(
+                    {"n_buckets": n_buckets, "data_format": data_format}
+                )
+            )
         os.replace(tmp, self._meta_path())
 
     # -- paths ---------------------------------------------------------
@@ -113,9 +138,12 @@ class ParquetStateStore:
         # explicit schema (sidecar) so empty state tables — zero parquet
         # files after an empty bootstrap — read back as empty DataFrames
         schema = self._read_schema(entity, version)
-        return self.spark.read.schema(schema).parquet(
-            self._data_dir(entity, version)
-        ).drop("__bucket")
+        return (
+            self.spark.read.schema(schema)
+            .format(self.data_format)
+            .load(self._data_dir(entity, version))
+            .drop("__bucket")
+        )
 
     def _schema_path(self, entity: str, version: int | None = None) -> str:
         # Schemas are staged per version (``_SCHEMA.v{N}``) so a schema
@@ -169,9 +197,9 @@ class ParquetStateStore:
         readers keep seeing the prior version until ``commit()``."""
         version = (self._version_of(entity) or 0) + 1
         out = rows.withColumn("__bucket", self._bucket_col(key_cols))
-        out.write.partitionBy("__bucket").mode("overwrite").parquet(
-            self._data_dir(entity, version)
-        )
+        out.write.partitionBy("__bucket").mode("overwrite").format(
+            self.data_format
+        ).save(self._data_dir(entity, version))
         self._write_schema(entity, rows, version)
         if commit:
             self._commit(entity, version)
@@ -201,8 +229,10 @@ class ParquetStateStore:
         version = self._version_of(entity)
         if version is None:
             return self.init(entity, upserts, key_cols, commit=commit)
-        current = self.spark.read.schema(self._read_schema(entity, version)).parquet(
-            self._data_dir(entity, version)
+        current = (
+            self.spark.read.schema(self._read_schema(entity, version))
+            .format(self.data_format)
+            .load(self._data_dir(entity, version))
         )
         delta_keys = upserts.select(*key_cols)
         if delete_keys is not None:
@@ -226,7 +256,9 @@ class ParquetStateStore:
         new_version = version + 1
         new_dir = self._data_dir(entity, new_version)
         # rewrite only touched buckets; hardlink untouched bucket dirs through
-        merged.write.partitionBy("__bucket").mode("overwrite").parquet(new_dir)
+        merged.write.partitionBy("__bucket").mode("overwrite").format(
+            self.data_format
+        ).save(new_dir)
         self._write_schema(entity, merged, new_version)
         self._link_untouched(entity, version, new_version, touched_ids)
         if commit:
@@ -492,7 +524,9 @@ class ParquetStateStore:
                 vdir = os.path.join(edir, f"v{version}")
                 if not os.path.isdir(vdir):
                     return False
-                self.spark.read.schema(schema).parquet(vdir).count()
+                self.spark.read.schema(schema).format(self.data_format).load(
+                    vdir
+                ).count()
             except Exception:
                 return False
         return True

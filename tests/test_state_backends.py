@@ -1,0 +1,174 @@
+"""Storage-format seam: the state-store protocol (init/merge/staged
+commit/bucket pruning/hardlinks/vacuum/backup/restore) must hold on a
+second physical format, and a full IVM delta batch must run on it.
+Delta-native backend tests skip where the delta jars are absent."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from southpaw_spark.streaming.state import ParquetStateStore
+
+
+@pytest.fixture(params=["parquet", "orc"])
+def fmt(request):
+    return request.param
+
+
+def _rows(spark, pairs):
+    return spark.createDataFrame(pairs, "id long, val string")
+
+
+def test_init_read_roundtrip(spark, tmp_path, fmt):
+    store = ParquetStateStore(
+        spark, str(tmp_path / "s"), n_buckets=4, data_format=fmt
+    )
+    store.init("e", _rows(spark, [(1, "a"), (2, "b")]), ["id"])
+    got = {r["id"]: r["val"] for r in store.read("e").collect()}
+    assert got == {1: "a", 2: "b"}
+    assert store.data_format == fmt
+
+
+def test_merge_upsert_delete_and_staged_commit(spark, tmp_path, fmt):
+    store = ParquetStateStore(
+        spark, str(tmp_path / "s"), n_buckets=4, data_format=fmt
+    )
+    store.init("e", _rows(spark, [(1, "a"), (2, "b"), (3, "c")]), ["id"])
+    v = store.merge(
+        "e",
+        _rows(spark, [(1, "a2"), (4, "d")]),
+        delete_keys=spark.createDataFrame([(3,)], "id long"),
+        key_cols=["id"],
+        commit=False,
+    )
+    # staged: readers still see the pre-merge rows
+    assert {r["id"] for r in store.read("e").collect()} == {1, 2, 3}
+    store.commit("e", v)
+    got = {r["id"]: r["val"] for r in store.read("e").collect()}
+    assert got == {1: "a2", 2: "b", 4: "d"}
+
+
+def test_untouched_buckets_hardlink_through(spark, tmp_path, fmt):
+    import os
+
+    store = ParquetStateStore(
+        spark, str(tmp_path / "s"), n_buckets=8, data_format=fmt
+    )
+    big = _rows(spark, [(i, f"v{i}") for i in range(64)])
+    v1 = store.init("e", big, ["id"])
+    v2 = store.merge("e", _rows(spark, [(1, "X")]), None, ["id"])
+    old_dir, new_dir = store._data_dir("e", v1), store._data_dir("e", v2)
+    shared = 0
+    for name in os.listdir(new_dir):
+        if not name.startswith("__bucket="):
+            continue
+        src = os.path.join(old_dir, name)
+        if not os.path.isdir(src):
+            continue
+        for fn in os.listdir(os.path.join(new_dir, name)):
+            a = os.path.join(src, fn)
+            b = os.path.join(new_dir, name, fn)
+            if os.path.exists(a) and os.path.samefile(a, b):
+                shared += 1
+    assert shared > 0  # at least one untouched bucket linked, any format
+    got = {r["id"]: r["val"] for r in store.read("e").collect()}
+    assert got[1] == "X" and got[63] == "v63"
+
+
+def test_vacuum_and_reopen_persist_format(spark, tmp_path, fmt):
+    root = str(tmp_path / "s")
+    store = ParquetStateStore(spark, root, n_buckets=4, data_format=fmt)
+    store.init("e", _rows(spark, [(1, "a")]), ["id"])
+    for i in range(3):
+        store.merge("e", _rows(spark, [(1, f"v{i}")]), None, ["id"])
+    store.vacuum(keep=2)
+    # reopen with no args: format comes back from _META
+    again = ParquetStateStore(spark, root)
+    assert again.data_format == fmt
+    assert again.read("e").collect()[0]["val"] == "v2"
+    # conflicting explicit format fails loudly
+    other = "orc" if fmt == "parquet" else "parquet"
+    with pytest.raises(ValueError, match="written as"):
+        ParquetStateStore(spark, root, data_format=other)
+
+
+def test_backup_restore_roundtrip(spark, tmp_path, fmt):
+    store = ParquetStateStore(
+        spark, str(tmp_path / "s"), n_buckets=4, data_format=fmt
+    )
+    store.init("e", _rows(spark, [(1, "a"), (2, "b")]), ["id"])
+    bpath = store.backup(str(tmp_path / "bk"))
+    store.merge("e", _rows(spark, [(1, "BAD")]), None, ["id"])
+    assert store.restore(bpath)
+    got = {r["id"]: r["val"] for r in store.read("e").collect()}
+    assert got == {1: "a", 2: "b"}
+
+
+def test_ivm_delta_batch_runs_on_orc(spark, tmp_path):
+    """A full incremental batch (state merge + targeted rebuild + doc
+    output) on the non-default format — the 'existing matrix green on a
+    second backend' gate."""
+    from southpaw_spark.relations import load_relations
+    from southpaw_spark.streaming.ivm import IncrementalDenormalizer
+    from southpaw_spark.testing import (
+        RELATION_TREES,
+        changelog_frames,
+        entity_keys,
+    )
+
+    rels = load_relations([RELATION_TREES[1]])  # DenormalizedPlayer
+    keys = entity_keys()
+    store = ParquetStateStore(
+        spark, str(tmp_path / "state"), n_buckets=4, data_format="orc"
+    )
+    ivm = IncrementalDenormalizer(
+        spark=spark, relations=rels, keys=keys, store=store
+    )
+    logs = changelog_frames(spark)
+    ivm.bootstrap(
+        {
+            "player": logs["player"].drop("seq", "is_tombstone"),
+            "user": logs["user"].where("seq < 0").drop("seq", "is_tombstone"),
+        }
+    )
+    results = {}
+
+    def sink(name, df):
+        for r in df.collect():
+            results[(name, r["id"])] = r["value"]
+
+    ivm.process_batch({"user": logs["user"]}, sink=sink)
+    doc = json.loads(results[("DenormalizedPlayer", 800)])
+    assert [u["Record"]["user_name"] for u in doc["Children"]["user"]] == [
+        "alice2"
+    ]
+
+
+# -- Delta-native backend (skips without the delta-spark jars) ----------
+
+
+def test_delta_backend_protocol(tmp_path):
+    pytest.importorskip("delta")
+    from southpaw_spark.session import get_spark
+    from southpaw_spark.streaming.delta_state import (
+        DeltaStateStore,
+        delta_available,
+    )
+
+    spark = get_spark("delta-state-test")
+    if not delta_available():
+        pytest.skip("delta python package present but jars missing")
+    store = DeltaStateStore(spark, str(tmp_path / "ds"))
+    store.init("e", _rows(spark, [(1, "a"), (2, "b")]), ["id"])
+    v = store.merge(
+        "e",
+        _rows(spark, [(1, "a2"), (3, "c")]),
+        delete_keys=spark.createDataFrame([(2,)], "id long"),
+        key_cols=["id"],
+        commit=False,
+    )
+    assert {r["id"] for r in store.read("e").collect()} == {1, 2}
+    store.commit("e", v)
+    got = {r["id"]: r["val"] for r in store.read("e").collect()}
+    assert got == {1: "a2", 3: "c"}

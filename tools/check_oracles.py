@@ -8,6 +8,7 @@ Usage: python tools/check_oracles.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 sys.path.insert(0, ".")
@@ -50,9 +51,10 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):  # Spark-written dataset directory
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     failures = 0
     for name, fn in suite.QUERIES.items():
         if only and name not in only:
