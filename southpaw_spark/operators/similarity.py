@@ -157,3 +157,94 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def ivf_kmeans_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_cells: int | None = None,
+    n_probe: int = 2,
+    train_cap: int = 100_000,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer (k-means cells), the
+    inverted-file counterpart of the hyperplane-LSH ``ivf_topk``:
+    learned cells adapt to the data distribution, so clustered corpora
+    get balanced cells where fixed random hyperplanes would overload a
+    few buckets.
+
+    Scale shape: the quantizer trains on a bounded sample
+    (``train_cap`` rows — centroid quality needs a sample, not the
+    corpus); cell assignment is ONE ``model.transform`` map-side pass,
+    cacheable across query batches; the (small) centroid table is
+    broadcast for the per-query probe ranking; candidates come from an
+    equi-join on cell id, so the corpus×query cross product never
+    materializes and candidate work per query ≈ ``n_probe × N /
+    n_cells``. ``n_cells=None`` → ``≈√N`` (cells and cell size both
+    ≈ √N, the classical IVF balance).
+    """
+    import math
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n = corpus.count()
+    if n_cells is None:
+        n_cells = max(2, min(4096, int(math.sqrt(n))))
+    feats = array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+        "features"
+    )
+    train = corpus.select(feats)
+    if n > train_cap:
+        train = train.sample(fraction=min(1.0, train_cap / n), seed=seed)
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+
+    assigned = model.transform(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            feats,
+        )
+    ).select("neighbor_id", "cv", F.col("prediction").alias("cell"))
+
+    spark = corpus.sparkSession
+    centers = spark.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "cell int, centroid array<double>",
+    )
+    qcos = _dot(F.col("query_vec"), F.col("centroid")) / (
+        _norm(F.col("query_vec")) * _norm(F.col("centroid"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.round(qcos, 8).desc(), F.col("cell")
+    )
+    probes = (
+        queries.join(F.broadcast(centers))
+        .withColumn("__pr", F.row_number().over(wq))
+        .where(F.col("__pr") <= n_probe)
+        .select("query_id", "query_vec", "cell")
+    )
+    joined = assigned.join(F.broadcast(probes), "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = _dot(F.col("query_vec"), F.col("cv")) / (
+        _norm(F.col("query_vec")) * _norm(F.col("cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 8).desc(), F.col("neighbor_id")
+    )
+    return (
+        joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

@@ -269,3 +269,37 @@ def test_connected_components_raises_on_non_convergence(spark):
     # and with enough rounds the same chain is ONE cluster
     out = connected_components(edges, max_iter=15)
     assert {r.cluster_id for r in out.collect()} == {0}
+
+
+def test_ivf_kmeans_recall_and_plan(spark, sf_dir):
+    """Trained-quantizer IVF: recall above the probe fraction's random
+    floor, candidates from an equi-join (never a cross product), and
+    cell assignment covering the whole corpus."""
+    from southpaw_spark.operators.similarity import ivf_kmeans_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, "embedding", "vec_id", k=5).collect()
+    }
+    out = ivf_kmeans_topk(
+        emb, queries, "embedding", "vec_id", k=5, n_cells=16, n_probe=4
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only non-equi join allowed is the tiny broadcast centroid
+    # ranking (n_cells rows); the corpus-side candidate join must be a
+    # hash equi-join on cell, never an unbroadcast cross product
+    assert "CartesianProduct" not in plan
+    approx = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+    recall = len(exact & approx) / len(exact)
+    # 4/16 cells probed ⇒ random-scan floor ≈ 25%; the learned cells
+    # must do better even on near-random vectors
+    assert recall >= 0.3, f"recall {recall}"
+    # every query produced k candidates (cells are non-degenerate)
+    per_q = {}
+    for q, _ in approx:
+        per_q[q] = per_q.get(q, 0) + 1
+    assert all(v == 5 for v in per_q.values()), per_q
