@@ -136,3 +136,45 @@ def test_static_parent_dynamic_child_mix(spark):
         {"iid": 2, "oid": 1, "qty": 5},
     ]
     assert 2 in rows
+
+
+def test_randomized_heterogeneous_upsert_matches_python_oracle(spark):
+    """Randomized shapes: a changelog whose rows draw random field
+    subsets must upsert and serialize to exactly what a pure-Python
+    latest-wins + per-record-fields oracle produces."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        fields = ["a", "b", "c", "d"]
+        rows, py_state = [], {}
+        for seq in range(60):
+            key = rng.randrange(8)
+            tomb = rng.random() < 0.15
+            body = {"id": key}
+            if not tomb:
+                for f in fields:
+                    if rng.random() < 0.5:
+                        body[f] = (
+                            rng.randrange(100)
+                            if rng.random() < 0.5
+                            else f"s{rng.randrange(10)}"
+                        )
+            rows.append((seq, json.dumps(body), tomb))
+            # python oracle: latest event wins wholesale
+            if tomb:
+                py_state.pop(key, None)
+            else:
+                py_state[key] = body
+        log = parse_dynamic(
+            spark.createDataFrame(
+                rows, "seq long, value string, is_tombstone boolean"
+            ),
+            {"id": "bigint"},
+        )
+        state = current_state(log, ["id"])
+        out = state.select(
+            "id", F.to_json(F.col("__v")).alias("doc")
+        ).collect()
+        got = {r["id"]: json.loads(r["doc"]) for r in out}
+        assert got == py_state, f"seed {seed}"
