@@ -8,12 +8,17 @@ Deterministic, pure-Spark, FK-consistent:
 * ``region``/``nation`` stay singletons (their keys are bounded
   reference data, and every copy's ``c_nationkey``/``s_nationkey``
   remains valid against them);
-* document text is word-ROTATED per copy (copy i starts at word i*7+1),
-  so copies are NOT near-duplicates of each other — the dedup/Jaccard
-  pair structure scales ~10x instead of exploding quadratically into
-  10-member cross-copy clusters;
-* embeddings are circular-shifted per copy (cosine structure within a
-  copy preserved, across copies decorrelated) for the same reason.
+* document text is word-ROTATED per copy. NOTE: a circular shift
+  preserves the contiguous-n-gram shingle multiset (only the wrap-point
+  shingles change), so rotated copies ARE mutual near-duplicates — the
+  corpus is deliberately a fuzzy-dedup STRESS shape: every original
+  doc becomes a 10-member near-dup family, and candidate work for the
+  Jaccard/MinHash family grows with family-size², not corpus size
+  (measured in BASELINE.md §7; ``max_doc_freq`` is the structural
+  bound). The exact-dedup and text-metric families see a clean 10x.
+* embeddings are circular-shifted per copy — cosine IS
+  position-sensitive, so shifted vectors decorrelate and the ANN
+  corpus is a clean 10x.
 
 Usage: python tools/make_sf1.py [out_dir] [n_copies]
 (defaults: .scale/sf1 under the repo root, 10 copies)
