@@ -136,7 +136,14 @@ def _build_node(
     df = states[node.entity]
     if scope is not None:
         on = list(scope.columns)
-        df = df.join(F.broadcast(scope.distinct()), on=on, how="left_semi")
+        orig_cols = list(df.columns)
+        # a list-ON join moves the join columns first; re-project to the
+        # state's own order so Record field order (and therefore doc
+        # bytes) is identical between targeted-incremental and full
+        # builds — scope pruning must never change the output
+        df = df.join(
+            F.broadcast(scope.distinct()), on=on, how="left_semi"
+        ).select(*orig_cols)
     base_cols = list(df.columns)
     if node.entity in record_cols:
         # dynamic per-record schema: Record IS the row's variant — each

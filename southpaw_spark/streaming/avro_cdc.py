@@ -112,3 +112,63 @@ def attach_avro_cdc_stream(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def attach_avro_cdc_multi_stream(
+    ivm,
+    source: DataFrame,
+    registry,
+    topic_to_entity,
+    checkpoint_dir: str,
+    sink,
+    reader_schemas=None,
+    trigger: dict | None = None,
+):
+    """Multi-topic variant — the reference's actual consumption shape
+    (one CDC topic per entity, ``Southpaw.java:236-285``): a single raw
+    stream carrying a ``topic`` column fans out per entity, each entity
+    decoding through its OWN cross-batch decoder (ids and pinned reader
+    cached per entity), and ALL entities' deltas land in ONE
+    ``process_batch`` call per trigger — so a micro-batch touching
+    several entities rebuilds each dirty root once, not once per entity.
+
+    ``topic_to_entity``: topic name → entity. ``reader_schemas``
+    (optional): entity → ``(key_reader_json, value_reader_json)`` to pin
+    output types up front; otherwise each entity pins to the latest id
+    seen in its first batch. One topic-presence probe job per batch, not
+    one per entity."""
+    reader_schemas = reader_schemas or {}
+    decoders = {
+        entity: AvroCdcDecoder(
+            registry,
+            key_reader_schema=(reader_schemas.get(entity) or (None, None))[0],
+            value_reader_schema=(reader_schemas.get(entity) or (None, None))[1],
+        )
+        for entity in topic_to_entity.values()
+    }
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        batch_df = batch_df.cache()
+        try:
+            present = {
+                r[0] for r in batch_df.select("topic").distinct().collect()
+            }
+            deltas = {}
+            for topic, entity in topic_to_entity.items():
+                if topic not in present:
+                    continue
+                sl = batch_df.where(F.col("topic") == topic).drop("topic")
+                deltas[entity] = decoders[entity].decode_batch(sl)
+            if deltas:
+                ivm.process_batch(deltas, sink=sink)
+        finally:
+            batch_df.unpersist()
+
+    writer = source.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

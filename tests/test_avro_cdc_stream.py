@@ -164,3 +164,144 @@ def test_ivm_stream_equals_batch_recompute(spark, tmp_path):
     assert json.loads(expected[3])["Record"]["email"] == "c@x"
     d1 = json.loads(expected[1])
     assert d1["Record"] == {"id": 1, "name": "alice2", "email": "a@x"}
+
+
+ADDR_KEY = {"type": "record", "name": "AK",
+            "fields": [{"name": "aid", "type": "long"}]}
+ADDR_V = {"type": "record", "name": "A",
+          "fields": [{"name": "uid", "type": "long"},
+                     {"name": "city", "type": "string"}]}
+
+MULTI_REGISTRY = dict(REGISTRY)
+MULTI_REGISTRY.update({200: json.dumps(ADDR_KEY), 3: json.dumps(ADDR_V)})
+
+MULTI_TREE = [{
+    "DenormalizedName": "AvroUserDoc", "Entity": "user",
+    "Children": [{"Entity": "addr", "JoinKey": "uid", "ParentKey": "id"}],
+}]
+MULTI_KEYS = {"user": ["id"], "addr": ["aid"]}
+MULTI_RAW = "topic string, key binary, value binary, partition int, offset long"
+
+
+def _multi_batch1():
+    return [
+        ("t.user", confluent_frame(100, encode(KEY, {"id": 1})),
+         confluent_frame(1, encode(V1, {"name": "alice"})), 0, 0),
+        ("t.addr", confluent_frame(200, encode(ADDR_KEY, {"aid": 10})),
+         confluent_frame(3, encode(ADDR_V, {"uid": 1, "city": "rome"})), 0, 1),
+    ]
+
+
+def _multi_batch2():
+    return [
+        # writer v2 era for user + a second address; addr 10 repoints to 2
+        ("t.user", confluent_frame(100, encode(KEY, {"id": 2})),
+         confluent_frame(2, encode(V2, {"name": "bob", "email": "b@x"})), 0, 2),
+        ("t.addr", confluent_frame(200, encode(ADDR_KEY, {"aid": 10})),
+         confluent_frame(3, encode(ADDR_V, {"uid": 2, "city": "oslo"})), 0, 3),
+        ("t.addr", confluent_frame(200, encode(ADDR_KEY, {"aid": 11})),
+         confluent_frame(3, encode(ADDR_V, {"uid": 1, "city": "lima"})), 0, 4),
+    ]
+
+
+def test_multi_entity_avro_stream_equals_batch(spark, tmp_path):
+    """Two entity topics in ONE stream: per-entity decoders, one
+    process_batch per trigger, FK repointing across entities — final
+    docs equal the batch recompute."""
+    from southpaw_spark.streaming.avro_cdc import attach_avro_cdc_multi_stream
+
+    reg = StaticSchemaRegistry(MULTI_REGISTRY)
+    rels = load_relations(MULTI_TREE)
+    store = ParquetStateStore(spark, str(tmp_path / "state"), n_buckets=4)
+    ivm = IncrementalDenormalizer(
+        spark=spark, relations=rels, keys=MULTI_KEYS, store=store
+    )
+
+    def empty(key_sch, val_sch, ids):
+        return parse_cdc_avro_with_registry(
+            spark.createDataFrame([], RAW_SCHEMA), reg,
+            key_reader_schema=json.dumps(key_sch),
+            value_reader_schema=json.dumps(val_sch),
+            known_ids=ids,
+        ).drop("seq", "is_tombstone")
+
+    ivm.bootstrap({
+        "user": empty(KEY, V2, {"key": [100], "value": [2]}),
+        "addr": empty(ADDR_KEY, ADDR_V, {"key": [200], "value": [3]}),
+    })
+
+    src = tmp_path / "frames"
+    src.mkdir()
+    results: dict = {}
+
+    def sink(name, df):
+        for r in df.collect():
+            results[(name, r["id"])] = r["value"]
+
+    def write_batch(name, frames):
+        spark.createDataFrame(frames, MULTI_RAW).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src / name))
+
+    write_batch("b1", _multi_batch1())
+    stream = (
+        spark.readStream.schema(MULTI_RAW)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = attach_avro_cdc_multi_stream(
+        ivm, stream, reg, {"t.user": "user", "t.addr": "addr"},
+        checkpoint_dir=str(tmp_path / "ckpt"), sink=sink,
+        reader_schemas={
+            "user": (json.dumps(KEY), json.dumps(V2)),
+            "addr": (json.dumps(ADDR_KEY), json.dumps(ADDR_V)),
+        },
+    )
+    try:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            q.processAllAvailable()
+            if ("AvroUserDoc", 1) in results:
+                break
+            time.sleep(0.5)
+        write_batch("b2", _multi_batch2())
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            q.processAllAvailable()
+            if ("AvroUserDoc", 2) in results:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    # batch oracle over the full changelog
+    from southpaw_spark.operators.cdc import current_state as cs
+
+    both = _multi_batch1() + _multi_batch2()
+    raw = spark.createDataFrame(both, MULTI_RAW)
+    users = parse_cdc_avro_with_registry(
+        raw.where("topic = 't.user'").drop("topic"), reg,
+        key_reader_schema=json.dumps(KEY),
+        value_reader_schema=json.dumps(V2),
+    )
+    addrs = parse_cdc_avro_with_registry(
+        raw.where("topic = 't.addr'").drop("topic"), reg,
+        key_reader_schema=json.dumps(ADDR_KEY),
+        value_reader_schema=json.dumps(ADDR_V),
+    )
+    rel = load_relations(MULTI_TREE)[0]
+    expected = {
+        r["id"]: r["value"]
+        for r in denormalize_to_json(
+            {"user": cs(users, ["id"]), "addr": cs(addrs, ["aid"])},
+            rel, MULTI_KEYS,
+        ).collect()
+    }
+    streamed = {k[1]: v for k, v in results.items()}
+    for uid, doc in expected.items():
+        assert streamed.get(uid) == doc, uid
+    # FK repoint: addr 10 moved user1 → user2; user1 keeps only addr 11
+    d1 = json.loads(streamed[1])
+    assert [a["Record"]["aid"] for a in d1["Children"]["addr"]] == [11]
+    d2 = json.loads(streamed[2])
+    assert [a["Record"]["city"] for a in d2["Children"]["addr"]] == ["oslo"]
