@@ -137,3 +137,21 @@ def test_streaming_replay_matches_batch(spark, sf_dir, tmp_path):
         clicks, views, on=["user_id"], left_ts="ts_us", right_ts="view_ts_us"
     )
     assert _rows(got) == _rows(batch)
+
+
+def test_probe_plan_is_broadcast_zero_extra_shuffles(spark, sf_dir):
+    """Scale contract: the probe side is a broadcast hash join — the
+    only exchange in the plan is the one-time state groupBy, so each
+    micro-batch adds ZERO shuffles."""
+    from southpaw_spark.plans import join_strategies, num_exchanges
+
+    clicks, views = _clicks_views(spark, sf_dir)
+    state = asof_state(views, on=["user_id"], right_ts="view_ts_us")
+    out = asof_join_stream(
+        clicks, state, on=["user_id"], left_ts="ts_us", right_ts="view_ts_us"
+    )
+    strategies = join_strategies(out)
+    assert strategies.get("BroadcastHashJoin", 0) >= 1, strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
+    assert "CartesianProduct" not in strategies
+    assert num_exchanges(out) <= 1, num_exchanges(out)
