@@ -136,7 +136,11 @@ def test_streaming_replay_matches_batch(spark, sf_dir, tmp_path):
     batch = asof_join(
         clicks, views, on=["user_id"], left_ts="ts_us", right_ts="view_ts_us"
     )
-    assert _rows(got) == _rows(batch)
+    try:
+        assert _rows(got) == _rows(batch)
+    finally:
+        # don't leak the cached state lineage into later tests' plans
+        state.unpersist()
 
 
 def test_probe_plan_is_broadcast_zero_extra_shuffles(spark, sf_dir):
