@@ -154,6 +154,9 @@ def main(argv=None) -> int:
     g.add_argument("--restore-latest", metavar="BACKUP_DIR")
     g.add_argument("--delete-state", action="store_true")
     g.add_argument("--delete-backups", metavar="BACKUP_DIR")
+    g.add_argument("--vacuum", action="store_true",
+                   help="drop state versions older than the newest "
+                        "--keep-versions committed versions per entity")
     p.add_argument("--relations", metavar="PATH", default=None,
                    help="override the config's relations JSON path "
                         "(reference --relations flag)")
@@ -161,6 +164,9 @@ def main(argv=None) -> int:
                    choices=["always", "when_needed", "never"])
     p.add_argument("--backup-retention", type=int, default=None,
                    metavar="N", help="keep only the newest N backups")
+    p.add_argument("--keep-versions", type=int, default=2, metavar="N",
+                   help="state versions to keep per entity with --vacuum "
+                        "(default 2; >=2 keeps in-flight readers alive)")
     args = p.parse_args(argv)
 
     with open(args.config) as f:
@@ -195,6 +201,10 @@ def main(argv=None) -> int:
     if args.delete_backups:
         n = ParquetStateStore.delete_backups(args.delete_backups)
         print(f"deleted {n} backups")
+        return 0
+    if args.vacuum:
+        store.vacuum(keep=max(1, args.keep_versions))
+        print(f"vacuumed (kept {max(1, args.keep_versions)} versions)")
         return 0
     return 2
 

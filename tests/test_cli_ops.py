@@ -91,3 +91,26 @@ def test_queueing_strategy_none_drops(spark, tmp_path):
     assert "DenormalizedPlaylist" not in outs or outs[
         "DenormalizedPlaylist"
     ].count() == 0
+
+
+def test_cli_vacuum_bounds_versions(spark, tmp_path):
+    import os
+
+    store = ParquetStateStore(spark, str(tmp_path / "state"), n_buckets=4)
+    rows = spark.createDataFrame([(1, "a")], "id long, val string")
+    store.init("e", rows, ["id"])
+    for i in range(4):
+        store.merge(
+            "e",
+            spark.createDataFrame([(1, f"v{i}")], "id long, val string"),
+            None, ["id"],
+        )
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(f"state.dir: {tmp_path / 'state'}\n")
+    assert cli.main(
+        ["--config", str(cfg), "--vacuum", "--keep-versions", "2"]
+    ) == 0
+    vdirs = [n for n in os.listdir(tmp_path / "state" / "e")
+             if n.startswith("v") and n[1:].isdigit()]
+    assert len(vdirs) == 2, vdirs
+    assert store.read("e").collect()[0]["val"] == "v3"
