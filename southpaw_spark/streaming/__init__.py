@@ -2,13 +2,24 @@
 view-maintenance orchestrator (the Spark equivalent of the reference's
 main loop, SURVEY §3.4)."""
 
+from southpaw_spark.streaming.avro_cdc import (
+    AvroCdcDecoder,
+    attach_avro_cdc_multi_stream,
+    attach_avro_cdc_stream,
+)
 from southpaw_spark.streaming.ivm import IncrementalDenormalizer
 from southpaw_spark.streaming.metrics import Metrics, SouthpawStreamingListener
 from southpaw_spark.streaming.state import ParquetStateStore
+from southpaw_spark.streaming.temporal import asof_join_stream, asof_state
 
 __all__ = [
+    "AvroCdcDecoder",
     "IncrementalDenormalizer",
     "Metrics",
     "ParquetStateStore",
     "SouthpawStreamingListener",
+    "asof_join_stream",
+    "asof_state",
+    "attach_avro_cdc_multi_stream",
+    "attach_avro_cdc_stream",
 ]
