@@ -1299,33 +1299,6 @@ E01_SQL = """
 """
 
 
-def e07_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured extraction: typed parse of the JSON ``props``
-    column (`from_json` with an explicit schema — JVM-side Jackson, no
-    Python) and an aggregation over the extracted field."""
-    ev = _read(spark, sf_dir, "events")
-    k = F.from_json("props", "k long")["k"]
-    return (
-        ev.select("event_type", k.alias("k"))
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("k").alias("sum_k"),
-            F.min("k").alias("min_k"),
-            F.max("k").alias("max_k"),
-        )
-    )
-
-
-E07_SQL = """
-    SELECT event_type, COUNT(*) AS n,
-           CAST(SUM(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
-           MIN(json_extract(props, '$.k')::BIGINT) AS min_k,
-           MAX(json_extract(props, '$.k')::BIGINT) AS max_k
-    FROM events GROUP BY event_type
-"""
-
-
 def a05_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention grid: users grouped by first-activity week
     (cohort), counted distinct per weekly offset — two hash aggregations
