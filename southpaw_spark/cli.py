@@ -126,6 +126,100 @@ def build(spark, cfg) -> None:
         print(f"built {name} -> {out_dir}/{name}")
 
 
+def stream(spark, cfg, run_time_s: float | None = None) -> None:
+    """Run the engine as a continuous consume loop — the analog of the
+    reference's ``run(runTimeMS)`` entry (``Southpaw.java:253-284,
+    679-681``): attach the configured CDC stream to the IVM orchestrator
+    and emit doc upserts/tombstones per micro-batch until stopped (or
+    for ``run_time_s`` seconds, the reference's time-boxed run).
+
+    Config block::
+
+        stream:
+          source.dir: /path/frames     # file replay of the CDC frame
+          format: json                 # json | parquet
+          schema: "seq long, id long, ..., entity string"
+          entity.col: entity
+          checkpoint.dir: /path/ckpt
+          output.dir: /path/stream_out # parquet append per tree
+          max.files.per.trigger: 1     # optional
+
+    A real Kafka deployment swaps ``source.dir`` for
+    ``sources.kafka.kafka_cdc_stream`` + ``parse_cdc_json`` /
+    ``attach_avro_cdc_multi_stream`` (README: O1 recipe); state,
+    checkpoint, and sink wiring are identical. On restart, entities
+    with existing state resume from it (bootstrap is first-run-only);
+    the checkpoint brings the source offsets.
+    """
+    scfg = cfg["stream"]
+    relations = load_relations(cfg["relations"])
+    keys = {e: ecfg["keys"] for e, ecfg in cfg["entities"].items()}
+    store = ParquetStateStore(
+        spark,
+        cfg["state.dir"],
+        n_buckets=int(cfg["state.buckets"]) if "state.buckets" in cfg else None,
+    )
+    ivm = IncrementalDenormalizer(
+        spark=spark, relations=relations, keys=keys, store=store,
+        filter_rules=_rules(cfg),
+    )
+    missing = [e for e in keys if not store.exists(e)]
+    if missing:
+        snapshots = {}
+        for entity in missing:
+            ecfg = cfg["entities"][entity]
+            if "snapshot" in ecfg:
+                snapshots[entity] = spark.read.parquet(ecfg["snapshot"])
+            elif "changelog" in ecfg:
+                snapshots[entity] = (
+                    spark.read.parquet(ecfg["changelog"])
+                    .where("1=0").drop("seq", "is_tombstone")
+                )
+            else:
+                raise ValueError(
+                    f"entity {entity!r} has no state and no snapshot/"
+                    "changelog to bootstrap its schema from"
+                )
+        ivm.bootstrap(snapshots)
+
+    out_dir = scfg["output.dir"]
+
+    def sink(name: str, df) -> None:
+        df.write.mode("append").parquet(f"{out_dir}/{name}")
+
+    reader = spark.readStream.schema(scfg["schema"])
+    if "max.files.per.trigger" in scfg:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(scfg["max.files.per.trigger"])
+        )
+    fmt = scfg.get("format", "json")
+    source = getattr(reader, fmt)(scfg["source.dir"])
+    entity_columns = {
+        e: ecfg["columns"]
+        for e, ecfg in cfg["entities"].items()
+        if "columns" in ecfg
+    }
+    query = ivm.attach_stream(
+        source,
+        entity_col=scfg.get("entity.col", "entity"),
+        checkpoint_dir=scfg["checkpoint.dir"],
+        sink=sink,
+        entity_columns=entity_columns or None,
+    )
+    try:
+        if run_time_s:
+            import time as _time
+
+            deadline = _time.monotonic() + run_time_s
+            while _time.monotonic() < deadline:
+                query.processAllAvailable()
+                _time.sleep(min(1.0, max(0.0, deadline - _time.monotonic())))
+        else:
+            query.awaitTermination()
+    finally:
+        query.stop()
+
+
 def verify(spark, cfg) -> int:
     keys = {e: ecfg["keys"] for e, ecfg in cfg["entities"].items()}
     store = ParquetStateStore(spark, cfg["state.dir"])
@@ -148,6 +242,9 @@ def main(argv=None) -> int:
     p.add_argument("--config", required=True)
     g = p.add_mutually_exclusive_group(required=True)
     g.add_argument("--build", action="store_true")
+    g.add_argument("--stream", action="store_true",
+                   help="run the continuous consume loop (reference "
+                        "run(); config block 'stream:')")
     g.add_argument("--verify-state", action="store_true")
     g.add_argument("--backup", metavar="BACKUP_DIR")
     g.add_argument("--restore", metavar="BACKUP_PATH")
@@ -167,6 +264,10 @@ def main(argv=None) -> int:
     p.add_argument("--keep-versions", type=int, default=2, metavar="N",
                    help="state versions to keep per entity with --vacuum "
                         "(default 2; >=2 keeps in-flight readers alive)")
+    p.add_argument("--run-time-s", type=float, default=None, metavar="SEC",
+                   help="with --stream: stop after SEC seconds (the "
+                        "reference's time-boxed run(runTimeMS)); default "
+                        "runs until terminated")
     args = p.parse_args(argv)
 
     with open(args.config) as f:
@@ -178,6 +279,9 @@ def main(argv=None) -> int:
 
     if args.build:
         build(spark, cfg)
+        return 0
+    if args.stream:
+        stream(spark, cfg, run_time_s=args.run_time_s)
         return 0
     if args.verify_state:
         return verify(spark, cfg)

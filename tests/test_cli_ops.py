@@ -114,3 +114,60 @@ def test_cli_vacuum_bounds_versions(spark, tmp_path):
              if n.startswith("v") and n[1:].isdigit()]
     assert len(vdirs) == 2, vdirs
     assert store.read("e").collect()[0]["val"] == "v3"
+
+
+def test_cli_stream_consume_loop(spark, tmp_path):
+    """--stream: the continuous consume loop over a file replay of the
+    CDC frame — docs land in the stream output dir and reflect the
+    replayed user events (reference run(runTimeMS) shape)."""
+    from southpaw_spark.testing import CHANGELOG_EVENTS, ENTITY_SCHEMAS
+
+    relations = [RELATION_TREES[1]]  # DenormalizedPlayer
+    (tmp_path / "relations.json").write_text(json.dumps(relations))
+    logs = changelog_frames(spark)
+    keys = entity_keys()
+    # snapshots on disk: players full, users empty
+    logs["player"].drop("seq", "is_tombstone").write.parquet(
+        str(tmp_path / "player_snap")
+    )
+    logs["user"].where("seq < 0").drop("seq", "is_tombstone").write.parquet(
+        str(tmp_path / "user_snap")
+    )
+    src = tmp_path / "frames"
+    src.mkdir()
+    user_schema, _ = ENTITY_SCHEMAS["user"]
+    cols = [c.split()[0] for c in user_schema.split(", ")]
+    events = [
+        dict(zip(cols, ev), entity="user") for ev in CHANGELOG_EVENTS["user"]
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(e) for e in events))
+    cfg = {
+        "state.dir": str(tmp_path / "state"),
+        "relations": str(tmp_path / "relations.json"),
+        "output.dir": str(tmp_path / "out"),
+        "entities": {
+            "player": {"keys": keys["player"],
+                       "snapshot": str(tmp_path / "player_snap")},
+            "user": {"keys": keys["user"],
+                     "snapshot": str(tmp_path / "user_snap"),
+                     "columns": cols},
+        },
+        "stream": {
+            "source.dir": str(src),
+            "format": "json",
+            "schema": user_schema + ", entity string",
+            "entity.col": "entity",
+            "checkpoint.dir": str(tmp_path / "ckpt"),
+            "output.dir": str(tmp_path / "stream_out"),
+        },
+    }
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    assert cli.main(["--config", str(p), "--stream",
+                     "--run-time-s", "20"]) == 0
+    out = spark.read.parquet(str(tmp_path / "stream_out" / "DenormalizedPlayer"))
+    docs = {r["id"]: r["value"] for r in out.collect()}
+    doc = json.loads(docs[800])
+    assert [u["Record"]["user_name"] for u in doc["Children"]["user"]] == [
+        "alice2"
+    ]
