@@ -10,7 +10,11 @@ from southpaw_spark.streaming.avro_cdc import (
 from southpaw_spark.streaming.ivm import IncrementalDenormalizer
 from southpaw_spark.streaming.metrics import Metrics, SouthpawStreamingListener
 from southpaw_spark.streaming.state import ParquetStateStore
-from southpaw_spark.streaming.temporal import asof_join_stream, asof_state
+from southpaw_spark.streaming.temporal import (
+    asof_join_stream,
+    asof_join_stream_stream,
+    asof_state,
+)
 
 __all__ = [
     "AvroCdcDecoder",
@@ -19,6 +23,7 @@ __all__ = [
     "ParquetStateStore",
     "SouthpawStreamingListener",
     "asof_join_stream",
+    "asof_join_stream_stream",
     "asof_state",
     "attach_avro_cdc_multi_stream",
     "attach_avro_cdc_stream",

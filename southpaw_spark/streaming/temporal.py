@@ -134,3 +134,75 @@ def asof_join_stream(
         pick[_TS].alias(right_ts),
         *[pick[_ROW][c].alias(c) for c in rcols],
     )
+
+
+def asof_join_stream_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    horizon_seconds: int,
+    left_delay: str = "1 hour",
+    right_delay: str = "1 hour",
+) -> DataFrame:
+    """As-of join where BOTH sides are streams — the fully-streaming
+    case :func:`asof_join_stream` (stream-vs-broadcast-state) cannot
+    cover. Spark-native: a watermarked stream-stream interval join
+    (state bounded by ``horizon_seconds`` — an unbounded as-of over two
+    streams would need infinite state, so the bound is semantic, like
+    the batch operator's ``tolerance``) followed by a per-left-event
+    ``max(struct(right_ts, payload))`` aggregation. Both stateful
+    operators chain in append mode (Spark ≥ 3.5); results for a left
+    event emit once the watermark passes its horizon.
+
+    Semantics match the batch ``asof_join(..., tolerance=horizon)``:
+    inclusive ``right_ts <= left_ts`` bound, matches older than
+    ``left_ts - horizon`` dropped, duplicate right timestamps resolve
+    to the max (right_ts, payload-struct) — the same deterministic
+    winner. Left rows must be unique (they are the group keys; real
+    event streams carry a unique event id). ``left_ts``/``right_ts``
+    must be TimestampType (watermarks require event time).
+    """
+    on = list(on)
+    if right_ts in left.columns:
+        raise ValueError(
+            f"right_ts {right_ts!r} collides with a left column — rename "
+            "one side first"
+        )
+    rcols = [c for c in right.columns if c not in on and c != right_ts]
+    dup = set(rcols) & set(left.columns)
+    if dup:
+        raise ValueError(f"right columns collide with left: {sorted(dup)}")
+
+    L = left.withWatermark(left_ts, left_delay)
+    R = right.select(
+        *[F.col(c).alias(f"__r_{c}") for c in on],
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c) for c in rcols],
+    ).withWatermark("__rts", right_delay)
+    cond = F.lit(True)
+    for c in on:
+        cond = cond & (F.col(c) == F.col(f"__r_{c}"))
+    cond = (
+        cond
+        & (F.col("__rts") <= F.col(left_ts))
+        & (
+            F.col("__rts")
+            >= F.col(left_ts) - F.expr(f"INTERVAL {int(horizon_seconds)} SECONDS")
+        )
+    )
+    joined = L.join(R, cond, "leftOuter")
+    entry = F.struct(
+        F.col("__rts").alias(_TS),
+        F.struct(*[F.col(c) for c in rcols]).alias(_ROW),
+    )
+    left_cols = list(left.columns)
+    agg = joined.groupBy(*[F.col(c) for c in left_cols]).agg(
+        F.max(entry).alias("__m")
+    )
+    return agg.select(
+        *left_cols,
+        F.col("__m")[_TS].alias(right_ts),
+        *[F.col("__m")[_ROW][c].alias(c) for c in rcols],
+    )

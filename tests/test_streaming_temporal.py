@@ -159,3 +159,101 @@ def test_probe_plan_is_broadcast_zero_extra_shuffles(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in strategies
     assert "CartesianProduct" not in strategies
     assert num_exchanges(out) <= 1, num_exchanges(out)
+
+
+def test_stream_stream_asof_matches_batch_tolerance(spark, tmp_path):
+    """Both sides streaming: the chained interval-join + max aggregation
+    must emit exactly the batch asof_join(tolerance=horizon) rows once
+    the watermark closes them."""
+    import json
+
+    from southpaw_spark.streaming.temporal import asof_join_stream_stream
+
+    base = 1_700_000_000
+    lrows = [
+        {"eid": 1, "k": 1, "sec": base + 100},
+        {"eid": 2, "k": 1, "sec": base + 300},
+        {"eid": 3, "k": 2, "sec": base + 150},   # no right rows for k=2
+        {"eid": 4, "k": 1, "sec": base + 5000},  # beyond horizon of all
+    ]
+    rrows = [
+        {"rid": 10, "k": 1, "sec": base + 50},
+        {"rid": 11, "k": 1, "sec": base + 250},
+        {"rid": 12, "k": 1, "sec": base + 400},
+        {"rid": 13, "k": 1, "sec": base + 300},  # exact tie with eid 2
+    ]
+    src_l = tmp_path / "l"; src_l.mkdir()
+    src_r = tmp_path / "r"; src_r.mkdir()
+    (src_l / "a.json").write_text("\n".join(json.dumps(r) for r in lrows))
+    (src_r / "a.json").write_text("\n".join(json.dumps(r) for r in rrows))
+    horizon = 600
+
+    L = (
+        spark.readStream.schema("eid long, k long, sec long").json(str(src_l))
+        .select("eid", "k", F.timestamp_seconds("sec").alias("lts"))
+    )
+    R = (
+        spark.readStream.schema("rid long, k long, sec long").json(str(src_r))
+        .select("rid", "k", F.timestamp_seconds("sec").alias("rts"))
+    )
+    out = asof_join_stream_stream(
+        L, R, on=["k"], left_ts="lts", right_ts="rts",
+        horizon_seconds=horizon, left_delay="10 minutes",
+        right_delay="10 minutes",
+    )
+    qname = f"ssasof{int(_time.time())}"
+    q = (
+        out.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark only advances on new data: push a far-future row on
+        # BOTH sides under a throwaway key, then let it flush
+        (src_l / "b.json").write_text(
+            json.dumps({"eid": 99, "k": 9, "sec": base + 10_000_000})
+        )
+        (src_r / "b.json").write_text(
+            json.dumps({"rid": 99, "k": 9, "sec": base + 10_000_000})
+        )
+        for _ in range(3):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["eid"]: (r["k"], r["rts"], r["rid"])
+        for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        if r["eid"] != 99
+    }
+
+    # batch oracle on epoch seconds with tolerance=horizon
+    lb = spark.createDataFrame(
+        [(r["eid"], r["k"], r["sec"]) for r in lrows],
+        "eid long, k long, lsec long",
+    )
+    rb = spark.createDataFrame(
+        [(r["rid"], r["k"], r["sec"]) for r in rrows],
+        "rid long, k long, rsec long",
+    )
+    batch = asof_join(
+        lb, rb, on=["k"], left_ts="lsec", right_ts="rsec",
+        tolerance=horizon,
+    )
+    import datetime as _dt
+
+    def ts(sec):
+        return (
+            None if sec is None
+            else _dt.datetime.fromtimestamp(sec, _dt.timezone.utc)
+            .replace(tzinfo=None)
+        )
+
+    expected = {
+        r["eid"]: (r["k"], ts(r["rsec"]), r["rid"]) for r in batch.collect()
+    }
+    assert got == expected, (got, expected)
+    # spot semantics: tie at eid2 resolves to max rid; eid3 no match;
+    # eid4 horizon-expired
+    assert got[2][2] == 13 and got[3][2] is None and got[4][2] is None
