@@ -145,6 +145,7 @@ def asof_join_stream_stream(
     horizon_seconds: int,
     left_delay: str = "1 hour",
     right_delay: str = "1 hour",
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join where BOTH sides are streams — the fully-streaming
     case :func:`asof_join_stream` (stream-vs-broadcast-state) cannot
@@ -157,13 +158,18 @@ def asof_join_stream_stream(
     event emit once the watermark passes its horizon.
 
     Semantics match the batch ``asof_join(..., tolerance=horizon)``:
-    inclusive ``right_ts <= left_ts`` bound, matches older than
-    ``left_ts - horizon`` dropped, duplicate right timestamps resolve
-    to the max (right_ts, payload-struct) — the same deterministic
-    winner. Left rows must be unique (they are the group keys; real
-    event streams carry a unique event id). ``left_ts``/``right_ts``
-    must be TimestampType (watermarks require event time).
+    inclusive bound (``right_ts <= left_ts`` backward, ``>=`` forward),
+    matches further than ``horizon`` away dropped, duplicate right
+    timestamps resolve to the max payload struct — the same
+    deterministic winner as the batch operator in BOTH directions
+    (forward picks the earliest ts via a negated-epoch ``max(struct)``
+    so ties still go to the max payload). Left rows must be unique
+    (they are the group keys; real event streams carry a unique event
+    id). ``left_ts``/``right_ts`` must be TimestampType (watermarks
+    require event time).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     on = list(on)
     if right_ts in left.columns:
         raise ValueError(
@@ -184,18 +190,29 @@ def asof_join_stream_stream(
     cond = F.lit(True)
     for c in on:
         cond = cond & (F.col(c) == F.col(f"__r_{c}"))
-    cond = (
-        cond
-        & (F.col("__rts") <= F.col(left_ts))
-        & (
-            F.col("__rts")
-            >= F.col(left_ts) - F.expr(f"INTERVAL {int(horizon_seconds)} SECONDS")
+    iv = F.expr(f"INTERVAL {int(horizon_seconds)} SECONDS")
+    if direction == "backward":
+        cond = (
+            cond
+            & (F.col("__rts") <= F.col(left_ts))
+            & (F.col("__rts") >= F.col(left_ts) - iv)
         )
-    )
+        # max(struct(ts, row)): latest ts, ties to max payload
+        sort_key = F.unix_micros(F.col("__rts"))
+    else:
+        cond = (
+            cond
+            & (F.col("__rts") >= F.col(left_ts))
+            & (F.col("__rts") <= F.col(left_ts) + iv)
+        )
+        # earliest ts but STILL max payload among ties: negate the epoch
+        # so one max(struct) does both
+        sort_key = -F.unix_micros(F.col("__rts"))
     joined = L.join(R, cond, "leftOuter")
     entry = F.struct(
-        F.col("__rts").alias(_TS),
+        sort_key.alias("__sk"),
         F.struct(*[F.col(c) for c in rcols]).alias(_ROW),
+        F.col("__rts").alias(_TS),
     )
     left_cols = list(left.columns)
     agg = joined.groupBy(*[F.col(c) for c in left_cols]).agg(

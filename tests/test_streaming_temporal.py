@@ -161,10 +161,15 @@ def test_probe_plan_is_broadcast_zero_extra_shuffles(spark, sf_dir):
     assert num_exchanges(out) <= 1, num_exchanges(out)
 
 
-def test_stream_stream_asof_matches_batch_tolerance(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_stream_stream_asof_matches_batch_tolerance(spark, tmp_path, direction):
     """Both sides streaming: the chained interval-join + max aggregation
     must emit exactly the batch asof_join(tolerance=horizon) rows once
-    the watermark closes them."""
+    the watermark closes them — in both directions, including the
+    duplicate-timestamp tie-break."""
     import json
 
     from southpaw_spark.streaming.temporal import asof_join_stream_stream
@@ -199,9 +204,9 @@ def test_stream_stream_asof_matches_batch_tolerance(spark, tmp_path):
     out = asof_join_stream_stream(
         L, R, on=["k"], left_ts="lts", right_ts="rts",
         horizon_seconds=horizon, left_delay="10 minutes",
-        right_delay="10 minutes",
+        right_delay="10 minutes", direction=direction,
     )
-    qname = f"ssasof{int(_time.time())}"
+    qname = f"ssasof{direction}{int(_time.time())}"
     q = (
         out.writeStream.format("memory").queryName(qname)
         .outputMode("append")
@@ -239,7 +244,7 @@ def test_stream_stream_asof_matches_batch_tolerance(spark, tmp_path):
     )
     batch = asof_join(
         lb, rb, on=["k"], left_ts="lsec", right_ts="rsec",
-        tolerance=horizon,
+        tolerance=horizon, direction=direction,
     )
     import datetime as _dt
 
@@ -253,7 +258,10 @@ def test_stream_stream_asof_matches_batch_tolerance(spark, tmp_path):
     expected = {
         r["eid"]: (r["k"], ts(r["rsec"]), r["rid"]) for r in batch.collect()
     }
-    assert got == expected, (got, expected)
-    # spot semantics: tie at eid2 resolves to max rid; eid3 no match;
-    # eid4 horizon-expired
-    assert got[2][2] == 13 and got[3][2] is None and got[4][2] is None
+    assert got == expected, (direction, got, expected)
+    if direction == "backward":
+        # tie at eid2 resolves to max rid; eid3 no match; eid4 expired
+        assert got[2][2] == 13 and got[3][2] is None and got[4][2] is None
+    else:
+        # forward: eid2's earliest future is the base+300 tie -> max rid
+        assert got[2][2] == 13 and got[3][2] is None
