@@ -132,3 +132,38 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_b_orders")
         spark.sql("DROP TABLE IF EXISTS t_b_lineitem")
+
+
+def test_events_ts_helper_adapts_to_both_generations(spark, tmp_path):
+    """The driver has shipped events.ts both as TIMESTAMP(NANOS)
+    (surfaced as bigint via nanosAsLong) and as timestamp[us]; the
+    adaptive helper must produce identical epoch-us on both."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from southpaw_spark.suite import _events_ts, _events_ts_us
+
+    base_us = 1_700_000_000_000_000
+    rows_us = [base_us, base_us + 1_500_000]
+    nanos = pa.table(
+        {"ts": pa.array([u * 1000 for u in rows_us], pa.timestamp("ns"))}
+    )
+    micros = pa.table(
+        {"ts": pa.array(rows_us, pa.timestamp("us"))}
+    )
+    pq.write_table(nanos, str(tmp_path / "nanos.parquet"),
+                   store_schema=False)
+    pq.write_table(micros, str(tmp_path / "micros.parquet"))
+
+    dfn = spark.read.parquet(str(tmp_path / "nanos.parquet"))
+    dfm = spark.read.parquet(str(tmp_path / "micros.parquet"))
+    assert dict(dfn.dtypes)["ts"] == "bigint"      # nanosAsLong branch
+    assert dict(dfm.dtypes)["ts"].startswith("timestamp")
+
+    for df in (dfn, dfm):
+        got = [r["us"] for r in
+               df.select(_events_ts_us(df).alias("us")).orderBy("us").collect()]
+        assert got == rows_us, dict(df.dtypes)
+        ts = [r["t"] for r in
+              df.select(_events_ts(df).alias("t")).orderBy("t").collect()]
+        assert [int(t.timestamp() * 1_000_000) for t in ts] == rows_us
