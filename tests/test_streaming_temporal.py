@@ -265,3 +265,43 @@ def test_stream_stream_asof_matches_batch_tolerance(spark, tmp_path, direction):
     else:
         # forward: eid2's earliest future is the base+300 tie -> max rid
         assert got[2][2] == 13 and got[3][2] is None
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_stream_stream_plan_randomized_batch_parity(spark, direction):
+    """The chained-join+agg plan is plain DataFrame ops (watermarks are
+    no-ops on batch), so randomized parity vs the batch operator is
+    cheap: random keys/timestamps incl. duplicate ts must match
+    asof_join(tolerance=horizon) exactly."""
+    import random
+
+    from southpaw_spark.streaming.temporal import asof_join_stream_stream
+
+    base = 1_700_000_000
+    horizon = 300
+    for seed in (5, 42):
+        rng = random.Random(seed)
+        lrows = [
+            (i, rng.randrange(6), base + rng.randrange(0, 2000))
+            for i in range(40)
+        ]
+        rrows = [
+            (100 + i, rng.randrange(6), base + rng.randrange(0, 2000))
+            for i in range(60)
+        ]
+        L = spark.createDataFrame(lrows, "eid long, k long, lsec long")
+        R = spark.createDataFrame(rrows, "rid long, k long, rsec long")
+        got = asof_join_stream_stream(
+            L.select("eid", "k", F.timestamp_seconds("lsec").alias("lts")),
+            R.select("rid", "k", F.timestamp_seconds("rsec").alias("rts")),
+            on=["k"], left_ts="lts", right_ts="rts",
+            horizon_seconds=horizon, direction=direction,
+        ).select(
+            "eid", "k", F.unix_seconds("lts").alias("lsec"),
+            F.unix_seconds("rts").alias("rsec"), "rid",
+        )
+        expected = asof_join(
+            L, R, on=["k"], left_ts="lsec", right_ts="rsec",
+            tolerance=horizon, direction=direction,
+        ).select("eid", "k", "lsec", "rsec", "rid")
+        assert _rows(got) == _rows(expected), (direction, seed)
