@@ -100,3 +100,60 @@ def to_kafka_sink_frame(
     return docs.select(
         key.alias("key"), F.col(value_col).cast("binary").alias("value")
     )
+
+
+def _decode_side(df: DataFrame, col: str, out: str, spec: Mapping) -> DataFrame:
+    fmt = spec["format"]
+    if fmt == "json":
+        return df.withColumn(
+            out, F.from_json(F.col(col).cast("string"), spec["schema"])
+        )
+    if fmt == "avro":
+        from southpaw_spark.sources.avro_py import decode_avro_column
+
+        return decode_avro_column(
+            df, col, spec["schema"], out,
+            confluent_framing=spec.get("confluent_framing", True),
+        )
+    if fmt == "avro_registry":
+        from southpaw_spark.sources.schema_registry import (
+            decode_confluent_avro,
+        )
+
+        return decode_confluent_avro(
+            df, col, spec["registry"], out_col=out,
+            reader_schema=spec.get("reader_schema"),
+            known_ids=spec.get("known_ids"),
+        )
+    raise ValueError(f"unknown side format {fmt!r}")
+
+
+def parse_cdc_mixed(
+    raw: DataFrame, key: Mapping, value: Mapping
+) -> DataFrame:
+    """CDC parse with INDEPENDENT key/value serdes — the reference
+    configures ``key.serde.class`` and ``value.serde.class`` separately
+    per topic (``topic/Topics.java:43-55``; e.g. a JSON key with an
+    Avro value is a legal deployment), which the matched-pair parsers
+    (``parse_cdc_json`` / ``parse_cdc_avro``) can't express.
+
+    ``key`` / ``value`` are side specs::
+
+        {"format": "json", "schema": StructType-or-DDL}
+        {"format": "avro", "schema": avro-json [, "confluent_framing"]}
+        {"format": "avro_registry", "registry": obj
+         [, "reader_schema", "known_ids"]}
+
+    Output shape matches the other parsers: key fields + payload fields
+    + ``seq`` + ``is_tombstone`` (null value bytes ⇒ tombstone).
+    """
+    parsed = _decode_side(raw, "key", "k", key)
+    parsed = _decode_side(parsed, "value", "v", value)
+    return parsed.select(
+        F.col("k.*"),
+        F.col("v.*"),
+        (
+            F.col("partition").cast("long") * F.lit(1 << 40) + F.col("offset")
+        ).alias("seq"),
+        F.col("value").isNull().alias("is_tombstone"),
+    )

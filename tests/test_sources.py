@@ -364,3 +364,36 @@ def test_http_schema_registry_parses_confluent_response(monkeypatch):
     assert reg.get_schema(42) == V1
     assert seen["url"] == "http://sr.example:8081/schemas/ids/42"
     assert seen["auth"] == "Basic xyz"
+
+
+def test_parse_cdc_mixed_json_key_avro_value(spark):
+    """Reference parity: key.serde.class and value.serde.class are
+    independent — a JSON key with a registry-resolved Avro value must
+    parse to the standard changelog shape."""
+    import json as _json
+
+    from southpaw_spark.operators.cdc import current_state
+    from southpaw_spark.sources.avro_py import confluent_frame, encode
+    from southpaw_spark.sources.kafka import parse_cdc_mixed
+    from southpaw_spark.sources.schema_registry import StaticSchemaRegistry
+
+    val_sch = {"type": "record", "name": "V",
+               "fields": [{"name": "name", "type": "string"}]}
+    reg = StaticSchemaRegistry({7: _json.dumps(val_sch)})
+    frames = [
+        (b'{"id": 1}', confluent_frame(7, encode(val_sch, {"name": "a"})), 0, 0),
+        (b'{"id": 1}', confluent_frame(7, encode(val_sch, {"name": "a2"})), 0, 1),
+        (b'{"id": 2}', None, 0, 2),  # tombstone
+    ]
+    raw = spark.createDataFrame(
+        frames, "key binary, value binary, partition int, offset long"
+    )
+    parsed = parse_cdc_mixed(
+        raw,
+        key={"format": "json", "schema": "id long"},
+        value={"format": "avro_registry", "registry": reg},
+    )
+    assert set(parsed.columns) == {"id", "name", "seq", "is_tombstone"}
+    state = current_state(parsed, ["id"])
+    got = {r["id"]: r["name"] for r in state.collect()}
+    assert got == {1: "a2"}
