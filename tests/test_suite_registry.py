@@ -27,3 +27,10 @@ def test_query_runs_and_has_schema(spark, sf_dir, name):
     df = suite.QUERIES[name](spark, sf_dir)
     assert df.columns, name
     assert df.count() >= 0
+
+
+def test_registry_respects_driver_row_budget():
+    """The driver's correctness gate checks at most 50 rows per round
+    (CORRECTNESS_r02 stopped at 50 of 54) — growing past 50 silently
+    unchecks tail queries; shrinking loses declared coverage."""
+    assert len(suite.QUERIES) == 50
