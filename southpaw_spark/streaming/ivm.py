@@ -70,6 +70,10 @@ class IncrementalDenormalizer:
     )
     seq_col: str = "seq"
     tombstone_col: str = "is_tombstone"
+    #: additive state-schema evolution (a changelog gains a field — the
+    #: reference's schema-fluid MapRecord case): opt-in; see
+    #: ``ParquetStateStore.merge(allow_schema_evolution=...)``.
+    allow_schema_evolution: bool = False
     #: when true, per-batch counters are recorded in ``metrics`` using the
     #: reference's metric names (``metric/Metrics.java``): records
     #: consumed per entity, denormalized records created/tombstoned per
@@ -192,7 +196,8 @@ class IncrementalDenormalizer:
                 ).select(*key_cols)
                 new_fk_values[entity] = upserts
                 staged[entity] = self.store.merge(
-                    entity, upserts, dels, key_cols, commit=False
+                    entity, upserts, dels, key_cols, commit=False,
+                    allow_schema_evolution=self.allow_schema_evolution,
                 )
 
             # 4+5: per tree — dirty roots, targeted rebuild, tombstones —

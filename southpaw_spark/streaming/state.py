@@ -212,6 +212,7 @@ class ParquetStateStore:
         delete_keys: DataFrame | None,
         key_cols: Sequence[str],
         commit: bool = True,
+        allow_schema_evolution: bool = False,
     ) -> int:
         """Upsert + delete merge. Work is proportional to the *touched*
         buckets, not the table: the anti-join scans only the bucket
@@ -225,7 +226,19 @@ class ParquetStateStore:
         output-before-flush commit ordering (``Southpaw.java:297-315``):
         the orchestrator emits batch outputs first, then calls
         ``commit()``. A crash in between replays against the old version.
-        Returns the (possibly staged) new version number."""
+        Returns the (possibly staged) new version number.
+
+        ``allow_schema_evolution``: additive column evolution — an Avro
+        changelog gains a field (the reference's schema-fluid MapRecord
+        absorbs this silently; a restart here pins a newer reader with
+        more fields). When set, the new version's schema is the
+        by-name union: existing rows read the new columns as null. The
+        schema sidecar is staged per version, so evolution rides the
+        same commit protocol; untouched hardlinked buckets (old files,
+        fewer columns) read correctly under the widened sidecar schema
+        because reads are schema-first. Default off — a column mismatch
+        then fails loudly, which is the right default for typo-shaped
+        drift."""
         version = self._version_of(entity)
         if version is None:
             return self.init(entity, upserts, key_cols, commit=commit)
@@ -251,7 +264,7 @@ class ParquetStateStore:
         )
         merged = kept.unionByName(
             upserts.withColumn("__bucket", self._bucket_col(key_cols)),
-            allowMissingColumns=False,
+            allowMissingColumns=allow_schema_evolution,
         )
         new_version = version + 1
         new_dir = self._data_dir(entity, new_version)

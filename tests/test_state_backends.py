@@ -172,3 +172,64 @@ def test_delta_backend_protocol(tmp_path):
     store.commit("e", v)
     got = {r["id"]: r["val"] for r in store.read("e").collect()}
     assert got == {1: "a2", 3: "c"}
+
+
+def test_merge_schema_evolution_additive(spark, tmp_path, fmt):
+    """A changelog gains a column (Avro field added; reference MapRecord
+    absorbs this): evolution widens the schema by name, old rows read
+    null, hardlinked untouched buckets read fine under the new sidecar."""
+    store = ParquetStateStore(
+        spark, str(tmp_path / "s"), n_buckets=8, data_format=fmt
+    )
+    store.init("e", _rows(spark, [(i, f"v{i}") for i in range(32)]), ["id"])
+    wider = spark.createDataFrame(
+        [(1, "X", "x@mail")], "id long, val string, email string"
+    )
+    with pytest.raises(Exception):
+        store.merge("e", wider, None, ["id"])  # loud by default
+    v = store.merge("e", wider, None, ["id"], allow_schema_evolution=True)
+    store.commit("e", v)
+    got = {r["id"]: (r["val"], r["email"]) for r in store.read("e").collect()}
+    assert got[1] == ("X", "x@mail")
+    assert got[31] == ("v31", None)  # untouched (hardlinked) bucket row
+    assert len(got) == 32
+
+
+def test_ivm_schema_evolution_end_to_end(spark, tmp_path):
+    """Restart with a wider reader: the IVM merges the widened delta and
+    rebuilds docs whose Record carries the new field (old rows: null)."""
+    import json as _json
+
+    from southpaw_spark.relations import load_relations
+    from southpaw_spark.streaming.ivm import IncrementalDenormalizer
+
+    rels = load_relations([{"DenormalizedName": "EvoUser", "Entity": "user"}])
+    store = ParquetStateStore(spark, str(tmp_path / "state"), n_buckets=4)
+    ivm = IncrementalDenormalizer(
+        spark=spark, relations=rels, keys={"user": ["id"]}, store=store,
+        allow_schema_evolution=True,
+    )
+    ivm.bootstrap({"user": _rows(spark, [(1, "a"), (2, "b")])})
+    results = {}
+
+    def sink(name, df):
+        for r in df.collect():
+            results[r["id"]] = r["value"]
+
+    delta = spark.createDataFrame(
+        [(10, 1, "a2", "a@x", False)],
+        "seq long, id long, val string, email string, is_tombstone boolean",
+    )
+    ivm.process_batch({"user": delta}, sink=sink)
+    doc = _json.loads(results[1])
+    assert doc["Record"] == {"id": 1, "val": "a2", "email": "a@x"}
+    # untouched root keeps its doc shape on later rebuilds (null email)
+    delta2 = spark.createDataFrame(
+        [(11, 2, "b2", None, False)],
+        "seq long, id long, val string, email string, is_tombstone boolean",
+    )
+    ivm.process_batch({"user": delta2}, sink=sink)
+    doc2 = _json.loads(results[2])
+    # null email serializes as ABSENT (documented canonicalization:
+    # ignoreNullFields identifies null with absent)
+    assert doc2["Record"] == {"id": 2, "val": "b2"}
