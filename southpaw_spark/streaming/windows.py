@@ -117,3 +117,106 @@ def streaming_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+FUNNEL_SCHEMA = (
+    "user_id long, view_ts long, click_ts long, purchase_ts long"
+)
+FUNNEL_STATE_SCHEMA = (
+    "buf_ts array<long>, buf_stage array<int>, th array<long>"
+)
+_FUNNEL_STAGES = 3
+
+
+def _funnel_fn(
+    key, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Watermark-ordered fold: stage thresholds (first view, first click
+    strictly after it, first purchase strictly after that) are only
+    correct if events fold in EVENT-TIME order, but micro-batches are
+    arrival-ordered. So events buffer in state until the watermark
+    passes them — after which nothing earlier can arrive — then fold in
+    sorted order, keeping thresholds monotone and exact under
+    out-of-order delivery. An EVENT-TIME timeout re-invokes keys absent
+    from later batches once the watermark passes their buffered events
+    (data-driven — no processing-time timer churn); state is bounded by
+    events inside the watermark horizon per user."""
+    if state.exists:
+        buf_ts, buf_stage, th = state.get
+        buf_ts, buf_stage, th = list(buf_ts), list(buf_stage), list(th)
+    else:
+        buf_ts, buf_stage, th = [], [], [None] * _FUNNEL_STAGES
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            for t, s in zip(pdf["ts_us"], pdf["stage"]):
+                buf_ts.append(int(t))
+                buf_stage.append(int(s))
+    wm_ms = state.getCurrentWatermarkMs()
+    wm_us = wm_ms * 1000
+    ready = sorted(
+        (t, s) for t, s in zip(buf_ts, buf_stage) if t <= wm_us
+    )
+    pending = [(t, s) for t, s in zip(buf_ts, buf_stage) if t > wm_us]
+    changed = False
+    for t, s in ready:
+        if s == 0:
+            if th[0] is None:
+                th[0], changed = t, True
+        elif th[s] is None and th[s - 1] is not None and t > th[s - 1]:
+            th[s], changed = t, True
+    state.update((
+        [t for t, _ in pending], [s for _, s in pending], th,
+    ))
+    if pending:
+        # wake when the watermark passes the earliest buffered event
+        # (timeout timestamps must sit beyond the current watermark)
+        state.setTimeoutTimestamp(
+            max(min(t for t, _ in pending) // 1000, wm_ms + 1)
+        )
+    if changed:
+        yield pd.DataFrame(
+            [(key[0], th[0], th[1], th[2])],
+            columns=["user_id", "view_ts", "click_ts", "purchase_ts"],
+        )
+    else:
+        yield pd.DataFrame(
+            columns=["user_id", "view_ts", "click_ts", "purchase_ts"]
+        ).astype({"user_id": "int64", "view_ts": "float64",
+                  "click_ts": "float64", "purchase_ts": "float64"})
+
+
+def funnel_stream(
+    events: DataFrame,
+    stages: tuple = ("view", "click", "purchase"),
+    ts_col: str = "ts_us",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming ordered-conversion funnel — the stateful counterpart of
+    the batch e08 query (first view, first click strictly after it,
+    first purchase strictly after that), exact under out-of-order
+    arrival via the watermark-ordered fold in ``_funnel_fn``. Emits an
+    updated (user, stage timestamps) row whenever a threshold advances;
+    once the watermark passes a user's events, their row equals the
+    batch semantics. ``ts_col`` is epoch MICROSECONDS."""
+    if len(stages) != _FUNNEL_STAGES:
+        raise ValueError("funnel_stream supports exactly 3 stages")
+    mapping = F.create_map(
+        *[x for i, s in enumerate(stages) for x in (F.lit(s), F.lit(i))]
+    )
+    prepared = (
+        events.where(F.col("event_type").isin(*stages))
+        .select(
+            "user_id",
+            F.col(ts_col).alias("ts_us"),
+            mapping[F.col("event_type")].alias("stage"),
+            F.timestamp_micros(F.col(ts_col)).alias("__et"),
+        )
+        .withWatermark("__et", watermark)
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn,
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -282,3 +282,76 @@ def test_stream_stream_interval_join(spark, tmp_path):
     finally:
         q.stop()
     assert sorted((r.click_id, r.view_id) for r in collected) == [(100, 200)]
+
+
+def test_funnel_stream_exact_under_out_of_order(spark, tmp_path):
+    """Streaming funnel: out-of-order events across micro-batches must
+    still produce the batch semantics (first view; first click strictly
+    after it; first purchase after that) once the watermark passes —
+    the watermark-ordered fold at work."""
+    import json as _json
+
+    from southpaw_spark.streaming.windows import funnel_stream
+
+    base = 1_700_000_000_000_000  # epoch us
+    m = 60_000_000
+    # user 1: purchase arrives FIRST (batch a), the view that unlocks the
+    # funnel arrives later (batch b) with an EARLIER timestamp
+    batch_a = [
+        (1, "purchase", base + 50 * m),
+        (1, "click", base + 20 * m),
+        (2, "view", base + 5 * m),
+        (2, "click", base + 2 * m),   # click BEFORE first view: ignored
+    ]
+    batch_b = [
+        (1, "view", base + 10 * m),
+        (2, "click", base + 9 * m),
+        (2, "error", base + 11 * m),  # non-stage event: filtered
+    ]
+    src = tmp_path / "ev"
+    src.mkdir()
+
+    def write(name, rows):
+        (src / name).write_text("\n".join(
+            _json.dumps({"user_id": u, "event_type": et, "ts_us": ts})
+            for u, et, ts in rows
+        ))
+
+    write("a.json", batch_a)
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, ts_us long")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    # delay must cover the cross-batch disorder (view@10m arrives after
+    # purchase@50m has set the watermark) — rows older than the
+    # watermark are dropped by Spark before the operator sees them
+    out = funnel_stream(stream, watermark="2 hours")
+    qname = f"funnel{int(time.time())}"
+    q = (
+        out.writeStream.format("memory").queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write("b.json", batch_b)
+        q.processAllAvailable()
+        # advance the watermark past everything so buffers fold
+        write("c.json", [(99, "view", base + 100_000 * m)])
+        for _ in range(3):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        f"SELECT * FROM {qname}"
+    ).collect()
+    latest = {}
+    for r in rows:  # update mode: last emission per user wins
+        latest[r["user_id"]] = (r["view_ts"], r["click_ts"], r["purchase_ts"])
+    # user 1: view@10m unlocks click@20m then purchase@50m — even though
+    # they arrived in reverse order across batches
+    assert latest[1] == (base + 10 * m, base + 20 * m, base + 50 * m)
+    # user 2: first view@5m, first click AFTER it is @9m, no purchase
+    assert latest[2] == (base + 5 * m, base + 9 * m, None)
