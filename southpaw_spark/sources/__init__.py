@@ -4,6 +4,7 @@ from southpaw_spark.sources.files import read_changelog_json, read_snapshot
 from southpaw_spark.sources.kafka import (
     kafka_cdc_stream,
     parse_cdc_json,
+    parse_cdc_mixed,
     to_kafka_sink_frame,
 )
 from southpaw_spark.sources.schema_registry import (
@@ -22,6 +23,7 @@ __all__ = [
     "kafka_cdc_stream",
     "parse_cdc_avro_with_registry",
     "parse_cdc_json",
+    "parse_cdc_mixed",
     "read_changelog_json",
     "read_snapshot",
     "to_kafka_sink_frame",
