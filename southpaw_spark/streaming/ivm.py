@@ -74,6 +74,11 @@ class IncrementalDenormalizer:
     #: reference's schema-fluid MapRecord case): opt-in; see
     #: ``ParquetStateStore.merge(allow_schema_evolution=...)``.
     allow_schema_evolution: bool = False
+    #: dynamic per-record schema entities (entity → VARIANT column, see
+    #: ``operators.denormalize.parse_dynamic``): their ``Record`` is the
+    #: row's own variant in every incremental rebuild, so MapRecord-style
+    #: heterogeneous entities ride the streaming loop end-to-end.
+    record_cols: Mapping[str, str] = field(default_factory=dict)
     #: when true, per-batch counters are recorded in ``metrics`` using the
     #: reference's metric names (``metric/Metrics.java``): records
     #: consumed per entity, denormalized records created/tombstoned per
@@ -311,7 +316,10 @@ class IncrementalDenormalizer:
                 dirty = dirty.select(*root_pks).distinct().cache()
                 cached.append(dirty)
 
-                docs = denormalize(states, rel, self.keys, root_keys=dirty)
+                docs = denormalize(
+                    states, rel, self.keys, root_keys=dirty,
+                    record_cols=self.record_cols or None,
+                )
                 live = docs.select(
                     *root_pks,
                     F.to_json(

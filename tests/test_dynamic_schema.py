@@ -178,3 +178,70 @@ def test_randomized_heterogeneous_upsert_matches_python_oracle(spark):
         ).collect()
         got = {r["id"]: json.loads(r["doc"]) for r in out}
         assert got == py_state, f"seed {seed}"
+
+
+def test_dynamic_entity_composes_with_ivm_state(spark, tmp_path):
+    """Dynamic (VARIANT) entities ride the full IVM loop: variant state
+    survives the parquet store + schema sidecar + merge, and the
+    incremental rebuild emits per-record-schema docs (record_cols on the
+    orchestrator) — MapRecord-style entities work in streaming, not
+    just batch."""
+    from southpaw_spark.streaming.ivm import IncrementalDenormalizer
+    from southpaw_spark.streaming.state import ParquetStateStore
+
+    rel = load_relations(TREE)  # media ← track
+    store = ParquetStateStore(spark, str(tmp_path / "state"), n_buckets=4)
+    ivm = IncrementalDenormalizer(
+        spark=spark, relations=rel, keys=KEYS, store=store,
+        record_cols={"media": "__v", "track": "__v"},
+    )
+    media0 = parse_dynamic(
+        spark.createDataFrame(
+            [(1, '{"id":1,"title":"old"}', False)],
+            "seq long, value string, is_tombstone boolean",
+        ),
+        {"id": "bigint"},
+    )
+    track0 = parse_dynamic(
+        spark.createDataFrame([], "seq long, value string, is_tombstone boolean"),
+        {"tid": "bigint", "media_id": "bigint"},
+    )
+    ivm.bootstrap({
+        "media": current_state(media0, ["id"]),
+        "track": current_state(track0, ["tid"]),
+    })
+    results = {}
+
+    def sink(name, df):
+        for r in df.collect():
+            results[r["id"]] = r["value"]
+
+    # heterogeneous media delta + first track rows (two shapes)
+    media_delta = parse_dynamic(
+        spark.createDataFrame(
+            [(10, '{"id":1,"title":"new","tags":["x"]}', False),
+             (11, '{"id":2,"size":9}', False)],
+            "seq long, value string, is_tombstone boolean",
+        ),
+        {"id": "bigint"},
+    )
+    track_delta = parse_dynamic(
+        spark.createDataFrame(
+            [(12, '{"tid":7,"media_id":1,"kind":"a"}', False),
+             (13, '{"tid":6,"media_id":1,"lang":"en"}', False)],
+            "seq long, value string, is_tombstone boolean",
+        ),
+        {"tid": "bigint", "media_id": "bigint"},
+    )
+    ivm.process_batch(
+        {"media": media_delta, "track": track_delta}, sink=sink
+    )
+    d1 = json.loads(results[1])
+    assert d1["Record"] == {"id": 1, "title": "new", "tags": ["x"]}
+    assert [t["Record"] for t in d1["Children"]["track"]] == [
+        {"tid": 6, "media_id": 1, "lang": "en"},
+        {"tid": 7, "media_id": 1, "kind": "a"},
+    ]
+    d2 = json.loads(results[2])
+    assert d2["Record"] == {"id": 2, "size": 9}
+    assert d2["Children"]["track"] == []
