@@ -69,6 +69,7 @@ def parse_dynamic(
     keys: Mapping[str, str],
     value_col: str = "value",
     record_col: str = "__v",
+    key_col: str | None = None,
 ) -> DataFrame:
     """Dynamic per-record schema ingestion (reference
     ``record/MapRecord.java:41-50``, ``record/BaseRecord.java:37-41``):
@@ -83,13 +84,24 @@ def parse_dynamic(
     ``to_json`` later re-emits each record's own fields verbatim
     (absent stays absent, explicit null stays null) with
     deterministically sorted keys.
+
+    ``key_col``: a separate JSON key column to extract the PK fields
+    from — REQUIRED for Kafka-shaped changelogs where a tombstone is a
+    NULL value with the PK only in the key frame (reference
+    ``README.md:13``); without it a null-value row would yield null
+    keys and the delete would miss its target.
     """
     out = df.withColumn(record_col, F.parse_json(F.col(value_col)))
+    if key_col is not None:
+        out = out.withColumn("__kv", F.parse_json(F.col(key_col)))
+        key_src = F.col("__kv")
+    else:
+        key_src = F.col(record_col)
     for col, typ in keys.items():
         out = out.withColumn(
-            col, F.try_variant_get(F.col(record_col), f"$.{col}", typ)
+            col, F.try_variant_get(key_src, f"$.{col}", typ)
         )
-    return out
+    return out.drop("__kv") if key_col is not None else out
 
 
 def _pk_comparator(n_keys: int):

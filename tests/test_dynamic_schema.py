@@ -245,3 +245,26 @@ def test_dynamic_entity_composes_with_ivm_state(spark, tmp_path):
     d2 = json.loads(results[2])
     assert d2["Record"] == {"id": 2, "size": 9}
     assert d2["Children"]["track"] == []
+
+
+def test_null_value_tombstone_keys_from_key_frame(spark):
+    """Kafka-shaped dynamic changelog: a tombstone is a NULL value with
+    the PK only in the key frame — key_col extraction must route the
+    delete to the right row (value-derived keys would be null)."""
+    rows = [
+        ('{"id":1}', '{"id":1,"name":"a"}', 1, False),
+        ('{"id":2}', '{"id":2,"name":"b"}', 2, False),
+        ('{"id":1}', None, 3, True),  # tombstone: null value
+    ]
+    log = parse_dynamic(
+        spark.createDataFrame(
+            rows, "key string, value string, seq long, is_tombstone boolean"
+        ),
+        {"id": "bigint"},
+        key_col="key",
+    )
+    state = current_state(log, ["id"])
+    got = {r["id"]: json.loads(r["j"])
+           for r in state.select(
+               "id", F.to_json(F.col("__v")).alias("j")).collect()}
+    assert got == {2: {"id": 2, "name": "b"}}
