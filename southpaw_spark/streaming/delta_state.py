@@ -192,11 +192,6 @@ class DeltaStateStore:
 
         shutil.rmtree(self.root, ignore_errors=True)
 
-    # parity helper for tests: rows as of the published pointer must
-    # equal rows of the latest log version once committed
-    def staged_version_visible(self, entity: str) -> bool:
-        return self._version_of(entity) == self._latest_table_version(entity)
-
 
 def delta_available() -> bool:
     """True when delta-spark (python + jars) can actually run here."""
