@@ -305,3 +305,18 @@ def test_stream_stream_plan_randomized_batch_parity(spark, direction):
             tolerance=horizon, direction=direction,
         ).select("eid", "k", "lsec", "rsec", "rid")
         assert _rows(got) == _rows(expected), (direction, seed)
+
+
+def test_probe_with_empty_state_keeps_left_rows(spark):
+    """Empty right side → every left row survives with null match
+    columns (left-outer contract), matching the batch operator."""
+    left = spark.createDataFrame([(1, 1, 100), (2, 2, 200)],
+                                 "eid long, k long, lts long")
+    right = spark.createDataFrame([], "k long, rts long, tag string")
+    state = asof_state(right, ["k"], "rts")
+    probed = asof_join_stream(left, state, ["k"], "lts", "rts")
+    batch = asof_join(left, right, ["k"], "lts", "rts")
+    assert _rows(probed) == _rows(batch)
+    rows = probed.collect()
+    assert len(rows) == 2 and all(r["rts"] is None and r["tag"] is None
+                                  for r in rows)
