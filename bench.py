@@ -93,6 +93,21 @@ def main() -> None:
     spark = get_spark("southpaw-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm-up pass at the smallest scale factor: drives every headline
+    # plan shape through analysis + whole-stage codegen + JIT once, so
+    # the timed loop below measures steady-state per-query wall — the
+    # quantity that matters on a long-lived cluster. (Without this the
+    # first timed query, q13, absorbs ~12 s of one-time JVM warm-up
+    # that has nothing to do with its plan.) Disable with
+    # SPARK_GRAFT_NO_WARMUP=1 to reproduce cold-start numbers.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if not os.environ.get("SPARK_GRAFT_NO_WARMUP") and os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            suite.QUERIES[name](spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        ivm_delta_batch(spark, warm_dir, "/tmp/southpaw_bench_warm_state")
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = suite.QUERIES[name]
