@@ -17,6 +17,7 @@ from southpaw_spark.operators.denormalize import (
     denormalize,
     denormalize_to_json,
 )
+from southpaw_spark.operators.ann_index import build_ann_index, query_ann_index
 from southpaw_spark.operators.temporal import asof_join, range_join
 
 __all__ = [
@@ -27,11 +28,13 @@ __all__ = [
     "apply_filter_rules",
     "apply_old_aware_rules",
     "asof_join",
+    "build_ann_index",
     "current_state",
     "denormalize",
     "denormalize_to_json",
     "is_unchanged",
     "latest_by_key",
+    "query_ann_index",
     "range_join",
     "unchanged_skip_rule",
 ]

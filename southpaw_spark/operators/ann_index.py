@@ -1,0 +1,179 @@
+"""Persistent ANN index: build-once / query-many similarity search.
+
+``ivf_topk`` (operators/similarity.py) recomputes the corpus bucket
+assignment on every call — right for one-shot queries, wasteful for the
+serving shape a training pipeline actually runs ("index the corpus
+nightly, answer query batches all day"). This module splits the two
+phases FAISS-style, Spark-first:
+
+* :func:`build_ann_index` — one pass over the corpus assigns every
+  vector to its random-hyperplane LSH bucket and writes the index as
+  parquet **partitioned by bucket prefix**, plus a tiny JSON sidecar
+  pinning the hyperplanes. Build cost: one scan + one partitioned write.
+* :func:`query_ann_index` — computes each query's probe buckets
+  (multi-probe Hamming ring, as ``ivf_topk``), then reads ONLY the
+  partitions holding probed prefixes: Catalyst turns the prefix
+  ``isin`` into a partition filter, so query I/O is proportional to the
+  probed buckets, never the corpus. Candidates are rescored with exact
+  cosine and ranked per query.
+
+Scale design (100 TB corpus): bucket count must grow with the corpus
+(``auto_n_planes``), so the FULL bucket string cannot be the partition
+key — 2^32 directories is a filesystem bug, not an index. The partition
+key is the first ``prefix_bits`` bits (≤ 2^prefix_bits directories,
+default ≤ 1024); the full bucket is an ordinary column whose residual
+filter parquet row-group stats prune further. Probing flips ≤ 1 bit, so
+a probe set of B buckets touches ≤ B distinct prefixes.
+
+The hyperplanes are pinned in the sidecar (not re-derived from the
+seed) so an index outlives library-version changes to RNG call order;
+``seed``/``n_planes`` resolution matches ``ivf_topk`` exactly, and a
+same-seed build answers queries identically to ``ivf_topk`` (pinned by
+``tests/test_similarity_dedup.py``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from southpaw_spark.operators.similarity import _dot, _norm
+
+_META = "_ANN_META.json"
+
+
+def _bucket_bits(col, planes):
+    return [
+        (
+            F.aggregate(
+                F.zip_with(
+                    col,
+                    F.array(*[F.lit(float(x)) for x in p]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0
+        ).cast("int")
+        for p in planes
+    ]
+
+
+def _bucket_str(bits):
+    return F.concat_ws("", *[b.cast("string") for b in bits])
+
+
+def build_ann_index(
+    corpus: DataFrame,
+    index_dir: str,
+    vec_col: str,
+    id_col: str,
+    n_planes: int | None = None,
+    target_bucket: int = 200,
+    prefix_bits: int = 10,
+    seed: int = 42,
+) -> dict:
+    """Materialize the LSH index for ``corpus`` under ``index_dir``.
+
+    Returns the sidecar metadata dict. ``n_planes=None`` scales the
+    plane count to the corpus (expected bucket ≈ ``target_bucket``
+    vectors — ``dedup.auto_n_planes``). Rebuild = overwrite (the build
+    is idempotent for a given corpus + seed).
+    """
+    import numpy as np
+
+    from southpaw_spark.operators.dedup import auto_n_planes
+
+    if n_planes is None:
+        n_planes = auto_n_planes(corpus.count(), target_bucket)
+    prefix_bits = min(prefix_bits, n_planes)
+    dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim)).tolist()
+
+    bits = _bucket_bits(F.col(vec_col), planes)
+    rows = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _bucket_str(bits).alias("bucket"),
+        _bucket_str(bits[:prefix_bits]).alias("bprefix"),
+    )
+    rows.write.partitionBy("bprefix").mode("overwrite").parquet(index_dir)
+    meta = {
+        "dim": int(dim),
+        "n_planes": int(n_planes),
+        "prefix_bits": int(prefix_bits),
+        "seed": int(seed),
+        "planes": planes,
+    }
+    with open(os.path.join(index_dir, _META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def query_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Answer a query batch against a built index.
+
+    ``queries`` must carry (query_id, query_vec). Output matches
+    ``ivf_topk``: (query_id, neighbor_id, rank, cosine), rank 1..k,
+    deterministic tie-break (rounded cosine desc, neighbor id asc).
+
+    Plan shape: probe buckets are derived per query (1 + n_planes
+    strings for ``multiprobe=1``); the index read carries a partition
+    filter on the probed PREFIXES (only those directories are listed
+    and scanned) plus a residual row filter on the full bucket; the
+    candidate join is a broadcast of the (small) probe table. Exact
+    cosine rescoring and the top-k window run on candidates only.
+    """
+    if multiprobe not in (0, 1):
+        raise ValueError("multiprobe supports 0 or 1 bit flips")
+    with open(os.path.join(index_dir, _META)) as f:
+        meta = json.load(f)
+    planes, pb = meta["planes"], meta["prefix_bits"]
+
+    bits = _bucket_bits(F.col("query_vec"), planes)
+    probes = [_bucket_str(bits)]
+    if multiprobe >= 1:
+        for flip in range(len(planes)):
+            flipped = [(1 - b if i == flip else b) for i, b in enumerate(bits)]
+            probes.append(_bucket_str(flipped))
+    q = queries.select(
+        "query_id",
+        "query_vec",
+        F.explode(F.array_distinct(F.array(*probes))).alias("bucket"),
+    ).withColumn("bprefix", F.substring("bucket", 1, pb))
+
+    # Collecting the probed prefixes to the driver is bounded work
+    # (≤ |queries| × (n_planes+1) short strings) and is what turns the
+    # scan into a partition-pruned read instead of a full-index scan.
+    prefixes = [r["bprefix"] for r in q.select("bprefix").distinct().collect()]
+    idx = spark.read.parquet(index_dir).where(F.col("bprefix").isin(prefixes))
+
+    joined = idx.join(F.broadcast(q), ["bprefix", "bucket"]).where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = _dot(F.col("query_vec"), F.col("cv")) / (
+        _norm(F.col("query_vec")) * _norm(F.col("cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 8).desc(), F.col("neighbor_id")
+    )
+    return (
+        joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
