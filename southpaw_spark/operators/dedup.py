@@ -124,6 +124,31 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def band_buckets(
+    sigs: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """LSH band buckets from a signature table → (id, band, bucket).
+
+    All band buckets in ONE pass over the signatures: posexplode an
+    array of per-band bucket hashes instead of unioning ``bands`` scans
+    of the aggregate (which would recompute the signature groupBy per
+    band — ``bands``× the shuffle volume for identical output)."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    buckets = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows + j}") for j in range(rows)]
+        parts = [cols[0]]
+        for c in cols[1:]:
+            parts.extend([F.lit("|"), c])
+        buckets.append(F.md5(F.concat(*parts).cast("binary")))
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*buckets)).alias("band", "bucket"),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -136,25 +161,8 @@ def minhash_lsh_candidates(
     candidate pairs. The band-bucket equi-join replaces the O(N²) compare;
     at 100 TB each band shuffles on (band, bucket) and only true bucket
     collisions are materialized."""
-    if num_hashes % bands:
-        raise ValueError("num_hashes must be divisible by bands")
-    rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
-    # All band buckets in ONE pass over the signatures: posexplode an
-    # array of per-band bucket hashes instead of unioning `bands` scans
-    # of the aggregate (which would recompute the signature groupBy per
-    # band — `bands`× the shuffle volume for identical output).
-    buckets = []
-    for b in range(bands):
-        cols = [F.col(f"h{b * rows + j}") for j in range(rows)]
-        parts = [cols[0]]
-        for c in cols[1:]:
-            parts.extend([F.lit("|"), c])
-        buckets.append(F.md5(F.concat(*parts).cast("binary")))
-    all_bands = sigs.select(
-        F.col(id_col),
-        F.posexplode(F.array(*buckets)).alias("band", "bucket"),
-    )
+    all_bands = band_buckets(sigs, id_col, num_hashes, bands)
     a = all_bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b_ = all_bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (

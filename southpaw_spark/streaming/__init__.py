@@ -7,6 +7,7 @@ from southpaw_spark.streaming.avro_cdc import (
     attach_avro_cdc_multi_stream,
     attach_avro_cdc_stream,
 )
+from southpaw_spark.streaming.dedup_stream import IncrementalDeduper
 from southpaw_spark.streaming.ivm import IncrementalDenormalizer
 from southpaw_spark.streaming.metrics import Metrics, SouthpawStreamingListener
 from southpaw_spark.streaming.state import ParquetStateStore
@@ -18,6 +19,7 @@ from southpaw_spark.streaming.temporal import (
 
 __all__ = [
     "AvroCdcDecoder",
+    "IncrementalDeduper",
     "IncrementalDenormalizer",
     "Metrics",
     "ParquetStateStore",

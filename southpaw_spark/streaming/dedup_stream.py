@@ -1,0 +1,319 @@
+"""Incremental corpus deduplication: the streaming/IVM counterpart of
+the batch dedup cascade (d01/d03/d08).
+
+A training-data pipeline doesn't dedup a frozen corpus once — documents
+arrive continuously, and each new batch must be checked against
+everything already *kept*, without ever re-comparing the whole corpus.
+This module runs the exact→fuzzy cascade per micro-batch against a
+persistent LSH state riding the same :class:`ParquetStateStore` the
+denormalizer uses (versioned, crash-consistent, backup-able):
+
+* ``dedup_exact``   — content_hash → keeper id (exact-dup pointer table)
+* ``dedup_buckets`` — (band, bucket) → kept-doc id array (inverted LSH index)
+* ``dedup_sigs``    — kept doc id → MinHash signature
+
+Per batch, work is proportional to the BATCH (plus its bucket
+collisions in state), never the corpus, at both the compute AND the I/O
+layer: every state lookup first computes the hash-bucket ids its keys
+can live in and reads ONLY those partitions (the same pruning
+``ParquetStateStore.merge`` uses — a bounded ≤ ``n_buckets`` collect,
+then a partition ``isin`` filter). The inverted index is keyed by
+(band, bucket) with the member ids as an array, so both its lookup and
+its read-modify-write upsert prune on ``hash(band, bucket)``. Fuzzy
+comparison is signature agreement — no text re-fetch; state stays
+O(num_hashes) per kept doc. Size ``n_buckets`` to the corpus (state
+partitions should fit an executor), exactly as for entity state.
+
+Semantics (documented, pinned by tests):
+
+* a new doc is dropped iff it exact-matches a kept doc, or its
+  signature agreement with some bucket-colliding KEPT doc ≥
+  ``sim_threshold``, or it falls in a within-batch near-dup cluster and
+  is not the cluster's min id;
+* keepers are always kept docs (pointers resolve transitively within
+  the batch before anything is recorded);
+* incremental greediness: matching is against *kept* docs only — a doc
+  similar only to a previously-dropped doc is kept. Chunking can
+  therefore change which member of a similarity chain survives (A~B,
+  B~C, A≁C: one batch keeps {A}; chunked arrival keeps {A, C}), but
+  the kept set is always pairwise-dissimilar and every dropped doc
+  points at a kept similar doc — the invariants that matter
+  downstream. Whole corpus in one call ≡ the batch cascade
+  (parity test).
+
+Similarity is the MinHash agreement fraction — an unbiased estimator
+of Jaccard with variance J(1-J)/num_hashes; raise ``num_hashes`` for a
+tighter estimate (state and bucket work scale linearly with it).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from southpaw_spark.operators.dedup import (
+    band_buckets,
+    connected_components,
+    minhash_signatures,
+)
+
+_EXACT = "dedup_exact"
+_SIGS = "dedup_sigs"
+_BUCKETS = "dedup_buckets"
+
+
+class IncrementalDeduper:
+    """Stateful exact→fuzzy deduper over a document stream.
+
+    ``store`` is a :class:`ParquetStateStore` (or compatible backend
+    exposing ``exists/read/merge`` plus the ``_bucket_col`` keyed-hash
+    used for pruned lookups). One deduper instance per corpus;
+    reopening a new instance on the same store directory resumes from
+    the committed state (restart test).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n: int = 3,
+        num_hashes: int = 8,
+        bands: int = 4,
+        sim_threshold: float = 0.7,
+    ) -> None:
+        self.spark = spark
+        self.store = store
+        self.text_col = text_col
+        self.id_col = id_col
+        self.n = n
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.sim_threshold = sim_threshold
+
+    # -- state accessors ---------------------------------------------------
+
+    def _pruned_read(
+        self,
+        entity: str,
+        schema: str,
+        keys: DataFrame,
+        key_cols: Sequence[str],
+    ) -> DataFrame:
+        """State read restricted to the hash buckets that can contain
+        ``keys`` — the lookup-side mirror of ``merge()``'s touched-bucket
+        pruning. The collect is bounded by ``n_buckets`` ids."""
+        if not self.store.exists(entity):
+            return self.spark.createDataFrame([], schema)
+        ids = [
+            r["__b"]
+            for r in keys.select(
+                self.store._bucket_col(key_cols).alias("__b")
+            )
+            .distinct()
+            .collect()
+        ]
+        return (
+            self.store.read(entity)
+            .where(F.col("__bucket").isin(ids))
+            .drop("__bucket")
+        )
+
+    def _sig_schema(self) -> str:
+        hs = ", ".join(f"h{i} string" for i in range(self.num_hashes))
+        return f"{self.id_col} long, {hs}"
+
+    def _agree_frac(self, left_prefix: str, right_prefix: str):
+        terms = [
+            F.when(
+                F.col(f"{left_prefix}h{i}") == F.col(f"{right_prefix}h{i}"), 1.0
+            ).otherwise(0.0)
+            for i in range(self.num_hashes)
+        ]
+        total = terms[0]
+        for t in terms[1:]:
+            total = total + t
+        return total / F.lit(float(self.num_hashes))
+
+    # -- the per-batch cascade --------------------------------------------
+
+    def process_batch(self, docs: DataFrame) -> DataFrame:
+        """Run one batch through the cascade; update state; return the
+        decision log: (doc_id, status ∈ kept|exact_dup|near_dup,
+        keeper_id). Decisions are materialized (localCheckpoint) before
+        state merges commit, so the returned frame is stable however
+        late the caller consumes it."""
+        ic, tc = self.id_col, self.text_col
+        hashed = docs.select(
+            F.col(ic), F.col(tc),
+            F.md5(F.col(tc).cast("binary")).alias("content_hash"),
+        )
+
+        # ---- exact stage: pruned pointer lookup, then within-batch group
+        prior_exact = self._pruned_read(
+            _EXACT, "content_hash string, keep_id long",
+            hashed.select("content_hash"), ["content_hash"],
+        )
+        with_prior = hashed.join(prior_exact, "content_hash", "left")
+        exact_state_dups = with_prior.where(F.col("keep_id").isNotNull()).select(
+            F.col(ic), F.lit("exact_dup").alias("status"),
+            F.col("keep_id").alias("keeper_id"),
+        )
+        fresh = with_prior.where(F.col("keep_id").isNull()).drop("keep_id")
+        batch_keeper = fresh.groupBy("content_hash").agg(F.min(ic).alias("__bk"))
+        fresh = fresh.join(batch_keeper, "content_hash")
+        exact_batch_dups = fresh.where(F.col(ic) != F.col("__bk")).select(
+            F.col(ic), F.lit("exact_dup").alias("status"),
+            F.col("__bk").alias("keeper_id"),
+        )
+        # one survivor per distinct new content
+        survivors = fresh.where(F.col(ic) == F.col("__bk")).select(
+            ic, tc, "content_hash"
+        )
+
+        # ---- fuzzy stage: signatures + band buckets for survivors.
+        # Docs too short for a single shingle carry no fuzzy evidence —
+        # they bypass this stage (kept unless exact dups), same as the
+        # batch operators.
+        sigs_new = minhash_signatures(survivors, tc, ic, self.n, self.num_hashes)
+        buckets_new = band_buckets(sigs_new, ic, self.num_hashes, self.bands)
+
+        # (a) vs kept state: pruned inverted-index equi-join, then
+        # signature agreement. Work ∝ batch buckets × their collisions.
+        idx_schema = "band int, bucket string, ids array<long>"
+        prior_idx = self._pruned_read(
+            _BUCKETS, idx_schema,
+            buckets_new.select("band", "bucket"), ["band", "bucket"],
+        )
+        cand_old = (
+            buckets_new.join(prior_idx, ["band", "bucket"])
+            .select(F.col(ic), F.explode("ids").alias("__old_id"))
+            .distinct()
+        )
+        old_sigs = self._pruned_read(
+            _SIGS, self._sig_schema(),
+            cand_old.select(F.col("__old_id").alias(ic)), [ic],
+        ).select(
+            F.col(ic).alias("__old_id"),
+            *[F.col(f"h{i}").alias(f"__oh{i}") for i in range(self.num_hashes)],
+        )
+        sig_l = sigs_new.select(
+            F.col(ic),
+            *[F.col(f"h{i}").alias(f"__nh{i}") for i in range(self.num_hashes)],
+        )
+        scored_old = (
+            cand_old.join(sig_l, ic).join(old_sigs, "__old_id")
+            .withColumn("__sim", self._agree_frac("__n", "__o"))
+            .where(F.col("__sim") >= self.sim_threshold)
+        )
+        near_state = (
+            scored_old.groupBy(ic)
+            .agg(F.min("__old_id").alias("keeper_id"))
+            .select(F.col(ic), F.lit("near_dup").alias("status"), "keeper_id")
+        )
+
+        still_in = survivors.join(near_state.select(ic), ic, "left_anti")
+
+        # (b) within-batch: bucket self-join among remaining survivors,
+        # agreement-verified edges, connected components, min-id keeps.
+        rb = buckets_new.join(still_in.select(ic), ic)
+        a = rb.select(F.col(ic).alias("id_a"), "band", "bucket")
+        b = rb.select(F.col(ic).alias("id_b"), "band", "bucket")
+        pairs = (
+            a.join(b, ["band", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        sa = sigs_new.select(
+            F.col(ic).alias("id_a"),
+            *[F.col(f"h{i}").alias(f"__nh{i}") for i in range(self.num_hashes)],
+        )
+        sb = sigs_new.select(
+            F.col(ic).alias("id_b"),
+            *[F.col(f"h{i}").alias(f"__oh{i}") for i in range(self.num_hashes)],
+        )
+        edges = (
+            pairs.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("__sim", self._agree_frac("__n", "__o"))
+            .where(F.col("__sim") >= self.sim_threshold)
+            .select("id_a", "id_b")
+        )
+        if edges.limit(1).count():
+            comps = connected_components(edges)
+            near_batch = comps.where(F.col("id") != F.col("cluster_id")).select(
+                F.col("id").alias(ic),
+                F.lit("near_dup").alias("status"),
+                F.col("cluster_id").alias("keeper_id"),
+            )
+        else:
+            near_batch = self.spark.createDataFrame(
+                [], f"{ic} long, status string, keeper_id long"
+            )
+
+        dropped_fuzzy = near_state.unionByName(near_batch)
+        kept = still_in.join(dropped_fuzzy.select(ic), ic, "left_anti")
+        kept_dec = kept.select(
+            F.col(ic), F.lit("kept").alias("status"),
+            F.col(ic).alias("keeper_id"),
+        )
+
+        # resolve batch-exact-dup pointers whose keeper was itself
+        # dropped in the fuzzy stage (keepers must always be kept docs)
+        resolve = dropped_fuzzy.select(
+            F.col(ic).alias("__via"), F.col("keeper_id").alias("__final")
+        )
+        exact_batch_dups = exact_batch_dups.join(
+            resolve, exact_batch_dups["keeper_id"] == resolve["__via"], "left"
+        ).select(
+            F.col(ic), F.col("status"),
+            F.coalesce("__final", "keeper_id").alias("keeper_id"),
+        )
+        decisions = (
+            kept_dec.unionByName(exact_state_dups)
+            .unionByName(exact_batch_dups)
+            .unionByName(dropped_fuzzy)
+        ).localCheckpoint()
+
+        # ---- state updates (kept docs only; the pointer table records
+        # the RESOLVED keeper so future exact copies point at a kept doc)
+        final_ptr = survivors.join(
+            decisions.select(ic, F.col("keeper_id").alias("__kid")), ic
+        ).select("content_hash", F.col("__kid").alias("keep_id"))
+        self.store.merge(_EXACT, final_ptr, None, ["content_hash"])
+
+        kept_sigs = sigs_new.join(kept.select(ic), ic)
+        self.store.merge(_SIGS, kept_sigs, None, [ic])
+
+        # inverted-index read-modify-write: union new kept ids into the
+        # touched (band, bucket) rows — prior_idx is already the pruned
+        # superset of every row this batch can touch
+        new_members = (
+            buckets_new.join(kept.select(ic), ic)
+            .groupBy("band", "bucket")
+            .agg(F.collect_list(ic).alias("__new_ids"))
+        )
+        combined = (
+            new_members.join(prior_idx, ["band", "bucket"], "left")
+            .select(
+                "band", "bucket",
+                F.array_distinct(
+                    F.concat(
+                        F.coalesce(F.col("ids"), F.array().cast("array<long>")),
+                        F.col("__new_ids"),
+                    )
+                ).alias("ids"),
+            )
+        )
+        self.store.merge(_BUCKETS, combined, None, ["band", "bucket"])
+        return decisions
+
+    def kept_ids(self) -> DataFrame:
+        """All fuzzy-eligible kept doc ids (signature-table keys).
+        Shingle-less kept docs appear only in the decision logs."""
+        if not self.store.exists(_SIGS):
+            return self.spark.createDataFrame([], f"{self.id_col} long")
+        return self.store.read(_SIGS).select(self.id_col)

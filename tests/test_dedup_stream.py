@@ -1,0 +1,120 @@
+"""Incremental deduper: cascade correctness, cross-batch state matching,
+greedy chunking semantics, and restart-from-committed-state.
+
+Corpus construction note: repeated-pattern docs ("x y z x y z …" with
+different repeat counts) have IDENTICAL distinct word-3-gram sets but
+different text — so their MinHash signatures agree exactly (similarity
+1.0, no estimator noise) while the exact stage sees distinct content.
+That makes near-dup expectations deterministic.
+"""
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from southpaw_spark.streaming import ParquetStateStore
+from southpaw_spark.streaming.dedup_stream import IncrementalDeduper
+
+
+def _rep(words: str, k: int) -> str:
+    return " ".join(words.split() * k)
+
+
+DOCS = {
+    # family P: mutual near-dups (equal shingle sets)
+    1: _rep("p0 p1 p2", 10),
+    2: _rep("p0 p1 p2", 12),
+    3: _rep("p0 p1 p2", 14),
+    # family Q
+    11: _rep("q0 q1 q2", 10),
+    12: _rep("q0 q1 q2", 12),
+    # exact pair
+    21: "u0 u1 u2 u3 u4 u5 u6 u7",
+    22: "u0 u1 u2 u3 u4 u5 u6 u7",
+    # unique
+    31: "v0 v1 v2 v3 v4 v5 v6 v7",
+    # shingle-less (shorter than n=3 words)
+    41: "tiny doc"[:8],
+}
+
+
+def _df(spark, ids):
+    return spark.createDataFrame(
+        [(i, DOCS[i]) for i in ids], "doc_id long, text string"
+    )
+
+
+def _decisions(df):
+    return {r["doc_id"]: (r["status"], r["keeper_id"]) for r in df.collect()}
+
+
+def test_single_batch_matches_cascade(spark, tmp_path):
+    store = ParquetStateStore(spark, str(tmp_path / "st"), n_buckets=4)
+    d = IncrementalDeduper(spark, store)
+    out = _decisions(d.process_batch(_df(spark, sorted(DOCS))))
+    assert out[1] == ("kept", 1)
+    assert out[2] == ("near_dup", 1)
+    assert out[3] == ("near_dup", 1)
+    assert out[11] == ("kept", 11)
+    assert out[12] == ("near_dup", 11)
+    assert out[21] == ("kept", 21)
+    assert out[22] == ("exact_dup", 21)
+    assert out[31] == ("kept", 31)
+    assert out[41] == ("kept", 41)  # shingle-less → fuzzy bypass
+    assert len(out) == len(DOCS)
+
+
+def test_chunked_state_matching_and_greedy_semantics(spark, tmp_path):
+    store = ParquetStateStore(spark, str(tmp_path / "st"), n_buckets=4)
+    d = IncrementalDeduper(spark, store)
+
+    b1 = _decisions(d.process_batch(_df(spark, [1, 21, 31])))
+    assert b1 == {1: ("kept", 1), 21: ("kept", 21), 31: ("kept", 31)}
+
+    b2 = _decisions(d.process_batch(_df(spark, [2, 12, 22, 41])))
+    # 2 matches kept 1 through the persisted LSH index; 22 matches kept
+    # 21 through the pointer table; 12 is the first of its family → kept
+    assert b2[2] == ("near_dup", 1)
+    assert b2[22] == ("exact_dup", 21)
+    assert b2[12] == ("kept", 12)
+    assert b2[41] == ("kept", 41)
+
+    b3 = _decisions(d.process_batch(_df(spark, [3, 11])))
+    assert b3[3] == ("near_dup", 1)
+    # greedy incremental semantics: 12 was kept first, so the
+    # lower-id 11 arriving later is the one dropped
+    assert b3[11] == ("near_dup", 12)
+
+    # invariants: every dropped doc's keeper is a kept doc
+    all_dec = {**b1, **b2, **b3}
+    kept = {i for i, (s, _) in all_dec.items() if s == "kept"}
+    for i, (status, keeper) in all_dec.items():
+        if status != "kept":
+            assert keeper in kept, (i, status, keeper)
+    assert set(r["doc_id"] for r in d.kept_ids().collect()) == kept - {41}
+
+
+def test_restart_resumes_from_committed_state(spark, tmp_path):
+    path = str(tmp_path / "st")
+    d1 = IncrementalDeduper(spark, ParquetStateStore(spark, path, n_buckets=4))
+    d1.process_batch(_df(spark, [1, 21]))
+
+    # a NEW deduper over the same directory sees the committed state
+    d2 = IncrementalDeduper(spark, ParquetStateStore(spark, path))
+    out = _decisions(d2.process_batch(_df(spark, [2, 22, 31])))
+    assert out[2] == ("near_dup", 1)
+    assert out[22] == ("exact_dup", 21)
+    assert out[31] == ("kept", 31)
+
+
+def test_exact_dup_pointer_resolves_through_dropped_keeper(spark, tmp_path):
+    """A doc whose batch exact-keeper is itself dropped as a near-dup
+    must point at the transitively-kept doc, never a dropped one."""
+    store = ParquetStateStore(spark, str(tmp_path / "st"), n_buckets=4)
+    d = IncrementalDeduper(spark, store)
+    d.process_batch(_df(spark, [1]))
+    # 2 and its exact copy arrive together; 2 is near-dup of kept 1
+    dup_of_2 = spark.createDataFrame(
+        [(2, DOCS[2]), (5, DOCS[2])], "doc_id long, text string"
+    )
+    out = _decisions(d.process_batch(dup_of_2))
+    assert out[2] == ("near_dup", 1)
+    assert out[5] == ("exact_dup", 1)
