@@ -317,3 +317,45 @@ class IncrementalDeduper:
         if not self.store.exists(_SIGS):
             return self.spark.createDataFrame([], f"{self.id_col} long")
         return self.store.read(_SIGS).select(self.id_col)
+
+
+def attach_dedup_stream(
+    deduper: IncrementalDeduper,
+    source: DataFrame,
+    checkpoint_dir: str,
+    sink=None,
+    trigger: dict | None = None,
+):
+    """Wire a document stream into the deduper via foreachBatch.
+
+    ``source`` is any streaming DataFrame carrying the deduper's
+    (id_col, text_col) — a Kafka topic of documents, a file stream of
+    landed batches. Each micro-batch runs the exact→fuzzy cascade
+    against the persistent state; ``sink(decisions_df, batch_id)``
+    (optional) receives the materialized decision log — e.g. a writer
+    appending to a decisions table the downstream corpus build filters
+    on. Decisions are computed and handed to the sink BEFORE the state
+    merges commit inside ``process_batch`` would matter for replay: on
+    restart the last uncommitted batch replays from the checkpoint and
+    re-derives the same decisions against the prior state version
+    (at-least-once, same as the IVM loop).
+    """
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.cache()
+        try:
+            if batch_df.limit(1).count() == 0:
+                return
+            decisions = deduper.process_batch(batch_df)
+            if sink is not None:
+                sink(decisions, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        source.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -118,3 +118,58 @@ def test_exact_dup_pointer_resolves_through_dropped_keeper(spark, tmp_path):
     out = _decisions(d.process_batch(dup_of_2))
     assert out[2] == ("near_dup", 1)
     assert out[5] == ("exact_dup", 1)
+
+
+def test_attach_dedup_stream_file_source(spark, tmp_path):
+    """Real Structured Streaming wiring: documents drip-fed as file
+    micro-batches; decisions accumulate via the sink; state matching
+    works across micro-batches."""
+    import json
+    import time
+
+    from southpaw_spark.streaming.dedup_stream import attach_dedup_stream
+
+    store = ParquetStateStore(spark, str(tmp_path / "st"), n_buckets=4)
+    d = IncrementalDeduper(spark, store)
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    results: dict = {}
+
+    def sink(decisions, batch_id):
+        for r in decisions.collect():
+            results[r["doc_id"]] = (r["status"], r["keeper_id"])
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    query = attach_dedup_stream(
+        d, stream, checkpoint_dir=str(tmp_path / "ckpt"), sink=sink
+    )
+    try:
+        (src / "a.json").write_text(
+            "\n".join(
+                json.dumps({"doc_id": i, "text": DOCS[i]}) for i in [1, 21]
+            )
+        )
+        (src / "b.json").write_text(
+            "\n".join(
+                json.dumps({"doc_id": i, "text": DOCS[i]}) for i in [2, 22, 31]
+            )
+        )
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            query.processAllAvailable()
+            if 31 in results:
+                break
+            time.sleep(1)
+    finally:
+        query.stop()
+
+    assert results[1] == ("kept", 1)
+    assert results[21] == ("kept", 21)
+    assert results[2] == ("near_dup", 1)
+    assert results[22] == ("exact_dup", 21)
+    assert results[31] == ("kept", 31)
