@@ -177,3 +177,35 @@ def query_ann_index(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+def add_to_ann_index(
+    new_vectors: DataFrame,
+    index_dir: str,
+    vec_col: str,
+    id_col: str,
+) -> None:
+    """Incrementally add vectors to an existing index — the continuous-
+    ingest path (nightly full rebuilds don't survive a corpus that grows
+    hourly). The sidecar's pinned hyperplanes assign the new vectors to
+    the SAME buckets a full rebuild would, and the write appends files
+    into the matching prefix partitions: build(A) + add(B) answers
+    queries identically to build(A ∪ B) (pinned by test).
+
+    Callers own id uniqueness (appending an existing id duplicates it —
+    run the dedup cascade upstream). Plane count is fixed at build time,
+    so expected bucket occupancy grows with the corpus; rebuild with
+    more planes when buckets outgrow ``target_bucket`` — the meta's
+    ``n_planes`` vs current count tells you when.
+    """
+    with open(os.path.join(index_dir, _META)) as f:
+        meta = json.load(f)
+    planes, pb = meta["planes"], meta["prefix_bits"]
+    bits = _bucket_bits(F.col(vec_col), planes)
+    rows = new_vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _bucket_str(bits).alias("bucket"),
+        _bucket_str(bits[:pb]).alias("bprefix"),
+    )
+    rows.write.partitionBy("bprefix").mode("append").parquet(index_dir)

@@ -173,3 +173,60 @@ def test_attach_dedup_stream_file_source(spark, tmp_path):
     assert results[2] == ("near_dup", 1)
     assert results[22] == ("exact_dup", 21)
     assert results[31] == ("kept", 31)
+
+
+def test_randomized_chunking_invariants(spark, tmp_path):
+    """Fuzz: a corpus of known duplicate families, shuffled and split
+    into random chunks — however the docs arrive, exactly one member of
+    each family survives, every drop points at a kept doc, and the
+    decision log partitions the corpus."""
+    import random
+
+    rng = random.Random(20260814)
+    docs = {}
+    fam_of = {}
+    next_id = 1
+    for fam in range(6):
+        words = f"f{fam}a f{fam}b f{fam}c"
+        for _ in range(rng.randint(2, 4)):
+            docs[next_id] = _rep(words, rng.randint(8, 15))
+            fam_of[next_id] = ("fam", fam)
+            next_id += 1
+    # exact-copy family + uniques
+    for _ in range(3):
+        docs[next_id] = "e0 e1 e2 e3 e4 e5 e6"
+        fam_of[next_id] = ("exact", 0)
+        next_id += 1
+    for u in range(4):
+        docs[next_id] = f"u{u}0 u{u}1 u{u}2 u{u}3 u{u}4 u{u}5"
+        fam_of[next_id] = ("uniq", u)
+        next_id += 1
+
+    ids = sorted(docs)
+    rng.shuffle(ids)
+    n_chunks = rng.randint(2, 4)
+    chunks = [ids[i::n_chunks] for i in range(n_chunks)]
+
+    store = ParquetStateStore(spark, str(tmp_path / "st"), n_buckets=4)
+    d = IncrementalDeduper(spark, store)
+    all_dec = {}
+    for chunk in chunks:
+        batch = spark.createDataFrame(
+            [(i, docs[i]) for i in chunk], "doc_id long, text string"
+        )
+        all_dec.update(_decisions(d.process_batch(batch)))
+
+    assert set(all_dec) == set(docs)  # decision log partitions the corpus
+    kept = {i for i, (s, _) in all_dec.items() if s == "kept"}
+    # exactly one survivor per family (exact copies + near-dup families)
+    by_family = {}
+    for i in kept:
+        by_family.setdefault(fam_of[i], []).append(i)
+    for fam, members in by_family.items():
+        assert len(members) == 1, (fam, members)
+    assert len(by_family) == 6 + 1 + 4
+    # every drop points at a kept doc of the same family
+    for i, (status, keeper) in all_dec.items():
+        if status != "kept":
+            assert keeper in kept
+            assert fam_of[keeper] == fam_of[i]

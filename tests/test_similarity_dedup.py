@@ -367,3 +367,35 @@ def test_ann_index_partition_pruned_read(spark, sf_dir, tmp_path):
         for ln in idx_scans
     ), "\n".join(idx_scans)
     assert out.count() > 0
+
+
+def test_ann_index_incremental_add_parity(spark, sf_dir, tmp_path):
+    """build(A) + add(B) answers queries identically to build(A ∪ B):
+    pinned planes assign appended vectors to the same buckets a full
+    rebuild would."""
+    from southpaw_spark.operators.ann_index import (
+        add_to_ann_index,
+        build_ann_index,
+        query_ann_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    part_a = emb.where(F.col("vec_id") % 2 == 0)
+    part_b = emb.where(F.col("vec_id") % 2 == 1)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    full = str(tmp_path / "full")
+    build_ann_index(emb, full, "embedding", "vec_id", n_planes=6, seed=42)
+    inc = str(tmp_path / "inc")
+    build_ann_index(part_a, inc, "embedding", "vec_id", n_planes=6, seed=42)
+    add_to_ann_index(part_b, inc, "embedding", "vec_id")
+
+    def rows(d):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+            for r in query_ann_index(spark, d, queries, k=5).collect()
+        )
+
+    assert rows(inc) == rows(full) and rows(full)
