@@ -230,3 +230,28 @@ def test_randomized_chunking_invariants(spark, tmp_path):
         if status != "kept":
             assert keeper in kept
             assert fam_of[keeper] == fam_of[i]
+
+
+def test_pruned_state_read_carries_partition_filter(spark, tmp_path):
+    """The lookup-side mirror of merge()'s touched-bucket pruning must
+    show up in the physical plan: the state scan's PartitionFilters is
+    a non-empty __bucket filter, so lookup I/O tracks the batch's hash
+    buckets, not the state size."""
+    store = ParquetStateStore(spark, str(tmp_path / "st"), n_buckets=8)
+    d = IncrementalDeduper(spark, store)
+    d.process_batch(_df(spark, sorted(DOCS)))
+
+    probe_keys = spark.createDataFrame(
+        [("aaaa",), ("bbbb",)], "content_hash string"
+    )
+    pruned = d._pruned_read(
+        "dedup_exact", "content_hash string, keep_id long",
+        probe_keys, ["content_hash"],
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "__bucket" in ln
+    ]
+    assert scans, plan
+    assert all("PartitionFilters: []" not in ln for ln in scans), "\n".join(scans)
