@@ -7,7 +7,11 @@ from southpaw_spark.streaming.avro_cdc import (
     attach_avro_cdc_multi_stream,
     attach_avro_cdc_stream,
 )
-from southpaw_spark.streaming.dedup_stream import IncrementalDeduper
+from southpaw_spark.streaming.dedup_stream import (
+    IncrementalDeduper,
+    IncrementalVectorDeduper,
+    attach_dedup_stream,
+)
 from southpaw_spark.streaming.ivm import IncrementalDenormalizer
 from southpaw_spark.streaming.metrics import Metrics, SouthpawStreamingListener
 from southpaw_spark.streaming.state import ParquetStateStore
@@ -20,9 +24,11 @@ from southpaw_spark.streaming.temporal import (
 __all__ = [
     "AvroCdcDecoder",
     "IncrementalDeduper",
+    "IncrementalVectorDeduper",
     "IncrementalDenormalizer",
     "Metrics",
     "ParquetStateStore",
+    "attach_dedup_stream",
     "SouthpawStreamingListener",
     "asof_join_stream",
     "asof_join_stream_stream",

@@ -359,3 +359,249 @@ def attach_dedup_stream(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+class IncrementalVectorDeduper:
+    """Embedding-cosine near-dup dedup over a vector stream — the
+    vector-modality sibling of :class:`IncrementalDeduper` (text) and the
+    streaming counterpart of ``dedup.embedding_near_duplicates``.
+
+    State (same ParquetStateStore, same pruned-lookup discipline):
+
+    * ``vdedup_index`` — (table, bucket) → kept-vector id array: the
+      multi-table random-hyperplane inverted index
+    * ``vdedup_vecs``  — kept id → vector (needed for exact cosine
+      verification of bucket collisions)
+
+    The hyperplanes are drawn once from ``seed`` and PERSISTED to a
+    sidecar in the store root — a restarted deduper must bucket new
+    vectors against the same planes the index was built with, or every
+    lookup silently misses. Reopening with conflicting geometry params
+    fails loudly.
+
+    A new vector is dropped iff some bucket-colliding KEPT vector has
+    exact cosine ≥ ``threshold`` (min old id wins), or it lands in a
+    within-batch near-dup cluster and is not the cluster min. Same
+    greedy incremental semantics and invariants as the text deduper.
+    """
+
+    _META = "_VDEDUP_META.json"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        threshold: float = 0.95,
+        n_planes: int = 8,
+        n_tables: int = 2,
+        seed: int = 42,
+    ) -> None:
+        self.spark = spark
+        self.store = store
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.threshold = threshold
+        self.n_planes = n_planes
+        self.n_tables = n_tables
+        self.seed = seed
+        self._planes: list | None = None  # resolved on first batch / reopen
+        self._load_meta()
+
+    # -- plane persistence -------------------------------------------------
+
+    def _meta_file(self) -> str:
+        import os
+
+        return os.path.join(self.store.root, self._META)
+
+    def _load_meta(self) -> None:
+        import json
+        import os
+
+        if not os.path.exists(self._meta_file()):
+            return
+        with open(self._meta_file()) as f:
+            meta = json.load(f)
+        for k in ("n_planes", "n_tables", "seed"):
+            if meta[k] != getattr(self, k):
+                raise ValueError(
+                    f"vector-dedup state at {self.store.root!r} was built "
+                    f"with {k}={meta[k]}, got {getattr(self, k)} — lookups "
+                    "would miss; open with the persisted geometry or use a "
+                    "fresh store"
+                )
+        self._planes = meta["planes"]
+
+    def _ensure_planes(self, batch: DataFrame) -> None:
+        import json
+
+        if self._planes is not None:
+            return
+        import numpy as np
+
+        dim = batch.select(F.size(self.vec_col).alias("d")).first()["d"]
+        rng = np.random.default_rng(self.seed)
+        self._planes = [
+            rng.standard_normal((self.n_planes, dim)).tolist()
+            for _ in range(self.n_tables)
+        ]
+        with open(self._meta_file(), "w") as f:
+            json.dump(
+                {
+                    "n_planes": self.n_planes,
+                    "n_tables": self.n_tables,
+                    "seed": self.seed,
+                    "dim": int(dim),
+                    "planes": self._planes,
+                },
+                f,
+            )
+
+    # -- vector math (JVM-side) -------------------------------------------
+
+    @staticmethod
+    def _cos(a, b):
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+        def norm(c):
+            return F.sqrt(
+                F.aggregate(
+                    F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+
+        return dot / (norm(a) * norm(b))
+
+    def _bucketed(self, df: DataFrame) -> DataFrame:
+        """(id, table, bucket) — every table's bucket in one scan."""
+        v = F.col(self.vec_col)
+        table_buckets = []
+        for planes in self._planes:
+            bits = [
+                (
+                    F.aggregate(
+                        F.zip_with(
+                            v,
+                            F.array(*[F.lit(float(x)) for x in p]),
+                            lambda a, b: a.cast("double") * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    > 0
+                ).cast("int")
+                for p in planes
+            ]
+            table_buckets.append(
+                F.concat_ws("", *[b.cast("string") for b in bits])
+            )
+        return df.select(
+            F.col(self.id_col),
+            F.posexplode(F.array(*table_buckets)).alias("table", "bucket"),
+        )
+
+    # -- the per-batch cascade --------------------------------------------
+
+    def process_batch(self, vectors: DataFrame) -> DataFrame:
+        """(id, vec) batch → decision log (id, status ∈ kept|near_dup,
+        keeper_id); state updated. Same contract as the text deduper."""
+        ic, vc = self.id_col, self.vec_col
+        self._ensure_planes(vectors)
+        batch = vectors.select(ic, vc)
+        buckets_new = self._bucketed(batch)
+
+        idx_schema = "table int, bucket string, ids array<long>"
+        prior_idx = self._pruned_read(
+            "vdedup_index", idx_schema,
+            buckets_new.select("table", "bucket"), ["table", "bucket"],
+        )
+        cand_old = (
+            buckets_new.join(prior_idx, ["table", "bucket"])
+            .select(F.col(ic), F.explode("ids").alias("__old_id"))
+            .distinct()
+        )
+        old_vecs = self._pruned_read(
+            "vdedup_vecs", f"{ic} long, {vc} array<float>",
+            cand_old.select(F.col("__old_id").alias(ic)), [ic],
+        ).select(F.col(ic).alias("__old_id"), F.col(vc).alias("__ov"))
+        scored = (
+            cand_old.join(batch, ic).join(old_vecs, "__old_id")
+            .withColumn("__cos", self._cos(F.col(vc), F.col("__ov")))
+            .where(F.col("__cos") >= self.threshold)
+        )
+        near_state = (
+            scored.groupBy(ic)
+            .agg(F.min("__old_id").alias("keeper_id"))
+            .select(F.col(ic), F.lit("near_dup").alias("status"), "keeper_id")
+        )
+
+        still_in = batch.join(near_state.select(ic), ic, "left_anti")
+        rb = buckets_new.join(still_in.select(ic), ic)
+        pairs = (
+            rb.select(F.col(ic).alias("id_a"), "table", "bucket")
+            .join(
+                rb.select(F.col(ic).alias("id_b"), "table", "bucket"),
+                ["table", "bucket"],
+            )
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        va = batch.select(F.col(ic).alias("id_a"), F.col(vc).alias("__va"))
+        vb = batch.select(F.col(ic).alias("id_b"), F.col(vc).alias("__vb"))
+        edges = (
+            pairs.join(va, "id_a").join(vb, "id_b")
+            .withColumn("__cos", self._cos(F.col("__va"), F.col("__vb")))
+            .where(F.col("__cos") >= self.threshold)
+            .select("id_a", "id_b")
+        )
+        if edges.limit(1).count():
+            comps = connected_components(edges)
+            near_batch = comps.where(F.col("id") != F.col("cluster_id")).select(
+                F.col("id").alias(ic),
+                F.lit("near_dup").alias("status"),
+                F.col("cluster_id").alias("keeper_id"),
+            )
+        else:
+            near_batch = self.spark.createDataFrame(
+                [], f"{ic} long, status string, keeper_id long"
+            )
+
+        dropped = near_state.unionByName(near_batch)
+        kept = still_in.join(dropped.select(ic), ic, "left_anti")
+        decisions = (
+            kept.select(
+                F.col(ic), F.lit("kept").alias("status"),
+                F.col(ic).alias("keeper_id"),
+            )
+            .unionByName(dropped)
+        ).localCheckpoint()
+
+        self.store.merge("vdedup_vecs", kept, None, [ic])
+        new_members = (
+            buckets_new.join(kept.select(ic), ic)
+            .groupBy("table", "bucket")
+            .agg(F.collect_list(ic).alias("__new_ids"))
+        )
+        combined = new_members.join(prior_idx, ["table", "bucket"], "left").select(
+            "table", "bucket",
+            F.array_distinct(
+                F.concat(
+                    F.coalesce(F.col("ids"), F.array().cast("array<long>")),
+                    F.col("__new_ids"),
+                )
+            ).alias("ids"),
+        )
+        self.store.merge("vdedup_index", combined, None, ["table", "bucket"])
+        return decisions
+
+    # reuse the text deduper's pruned-lookup helper
+    _pruned_read = IncrementalDeduper._pruned_read

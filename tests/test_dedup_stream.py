@@ -255,3 +255,74 @@ def test_pruned_state_read_carries_partition_filter(spark, tmp_path):
     ]
     assert scans, plan
     assert all("PartitionFilters: []" not in ln for ln in scans), "\n".join(scans)
+
+
+def test_vector_deduper_cross_batch_and_restart(spark, sf_dir, tmp_path):
+    """Embedding near-dups detected against state across batches; a
+    reopened deduper resumes with the persisted hyperplanes; conflicting
+    geometry fails loudly."""
+    import pytest
+
+    from southpaw_spark.streaming.dedup_stream import IncrementalVectorDeduper
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = emb.where(F.col("vec_id") < 50)
+    # near-identical copies of vectors 1 and 2 (cosine ≈ 1)
+    copies = emb.where(F.col("vec_id").isin([1, 2])).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.0001)).alias("embedding"),
+    )
+
+    path = str(tmp_path / "vst")
+    d1 = IncrementalVectorDeduper(
+        spark, ParquetStateStore(spark, path, n_buckets=4), threshold=0.999
+    )
+    b1 = {r["vec_id"]: r["status"] for r in d1.process_batch(base).collect()}
+    assert b1[1] == "kept" and b1[2] == "kept"
+
+    # reopen: planes come from the sidecar, state from the store
+    d2 = IncrementalVectorDeduper(
+        spark, ParquetStateStore(spark, path), threshold=0.999
+    )
+    b2 = {
+        r["vec_id"]: (r["status"], r["keeper_id"])
+        for r in d2.process_batch(copies).collect()
+    }
+    assert b2[1001] == ("near_dup", 1)
+    assert b2[1002] == ("near_dup", 2)
+
+    with pytest.raises(ValueError, match="geometry|persisted"):
+        IncrementalVectorDeduper(
+            spark, ParquetStateStore(spark, path), n_planes=5
+        )
+
+
+def test_vector_deduper_within_batch_cluster(spark, sf_dir, tmp_path):
+    from southpaw_spark.streaming.dedup_stream import IncrementalVectorDeduper
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    one = emb.where(F.col("vec_id") == 7)
+    batch = one.unionByName(
+        one.select(
+            (F.col("vec_id") + 100).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(1.0001)).alias(
+                "embedding"
+            ),
+        )
+    ).unionByName(emb.where(F.col("vec_id") == 8))
+    d = IncrementalVectorDeduper(
+        spark,
+        ParquetStateStore(spark, str(tmp_path / "vst"), n_buckets=4),
+        threshold=0.999,
+    )
+    out = {
+        r["vec_id"]: (r["status"], r["keeper_id"])
+        for r in d.process_batch(batch).collect()
+    }
+    assert out[7] == ("kept", 7)
+    assert out[107] == ("near_dup", 7)
+    assert out[8] == ("kept", 8)
