@@ -93,6 +93,9 @@ class IncrementalDeduper:
         self.num_hashes = num_hashes
         self.bands = bands
         self.sim_threshold = sim_threshold
+        #: cumulative counters (docs/kept/exact_dups/near_dups), the
+        #: same plain surface the IVM loop exposes for its listeners
+        self.metrics: dict = {}
 
     # -- state accessors ---------------------------------------------------
 
@@ -309,7 +312,26 @@ class IncrementalDeduper:
             )
         )
         self.store.merge(_BUCKETS, combined, None, ["band", "bucket"])
+        self._bump_from(decisions)
         return decisions
+
+    def _bump_from(self, decisions: DataFrame) -> None:
+        # decisions is localCheckpoint'ed — this groupBy is a small job
+        # over materialized rows, not a recompute of the cascade
+        counts = {
+            r["status"]: r["n"]
+            for r in decisions.groupBy("status")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        total = sum(counts.values())
+        for key, n in [
+            ("dedup.docs", total),
+            ("dedup.kept", counts.get("kept", 0)),
+            ("dedup.exact_dups", counts.get("exact_dup", 0)),
+            ("dedup.near_dups", counts.get("near_dup", 0)),
+        ]:
+            self.metrics[key] = self.metrics.get(key, 0) + n
 
     def kept_ids(self) -> DataFrame:
         """All fuzzy-eligible kept doc ids (signature-table keys).
@@ -406,6 +428,7 @@ class IncrementalVectorDeduper:
         self.n_planes = n_planes
         self.n_tables = n_tables
         self.seed = seed
+        self.metrics: dict = {}
         self._planes: list | None = None  # resolved on first batch / reopen
         self._load_meta()
 
@@ -601,7 +624,9 @@ class IncrementalVectorDeduper:
             ).alias("ids"),
         )
         self.store.merge("vdedup_index", combined, None, ["table", "bucket"])
+        self._bump_from(decisions)
         return decisions
 
-    # reuse the text deduper's pruned-lookup helper
+    # reuse the text deduper's pruned-lookup + metrics helpers
     _pruned_read = IncrementalDeduper._pruned_read
+    _bump_from = IncrementalDeduper._bump_from

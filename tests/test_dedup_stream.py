@@ -60,6 +60,12 @@ def test_single_batch_matches_cascade(spark, tmp_path):
     assert out[31] == ("kept", 31)
     assert out[41] == ("kept", 41)  # shingle-less → fuzzy bypass
     assert len(out) == len(DOCS)
+    assert d.metrics == {
+        "dedup.docs": 9,
+        "dedup.kept": 5,
+        "dedup.exact_dups": 1,
+        "dedup.near_dups": 3,
+    }
 
 
 def test_chunked_state_matching_and_greedy_semantics(spark, tmp_path):
