@@ -150,6 +150,11 @@ class IncrementalDeduper:
         state merges commit, so the returned frame is stable however
         late the caller consumes it."""
         ic, tc = self.id_col, self.text_col
+        if docs.limit(1).count() == 0:
+            # nothing to do — and don't create empty state entities
+            return self.spark.createDataFrame(
+                [], f"{ic} long, status string, keeper_id long"
+            )
         hashed = docs.select(
             F.col(ic), F.col(tc),
             F.md5(F.col(tc).cast("binary")).alias("content_hash"),
@@ -537,6 +542,11 @@ class IncrementalVectorDeduper:
         """(id, vec) batch → decision log (id, status ∈ kept|near_dup,
         keeper_id); state updated. Same contract as the text deduper."""
         ic, vc = self.id_col, self.vec_col
+        if vectors.limit(1).count() == 0:
+            # an empty FIRST batch must not pin geometry off a missing dim
+            return self.spark.createDataFrame(
+                [], f"{ic} long, status string, keeper_id long"
+            )
         self._ensure_planes(vectors)
         batch = vectors.select(ic, vc)
         buckets_new = self._bucketed(batch)

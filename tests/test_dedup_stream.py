@@ -332,3 +332,26 @@ def test_vector_deduper_within_batch_cluster(spark, sf_dir, tmp_path):
     assert out[7] == ("kept", 7)
     assert out[107] == ("near_dup", 7)
     assert out[8] == ("kept", 8)
+
+
+def test_empty_batches_are_noops(spark, sf_dir, tmp_path):
+    from southpaw_spark.streaming.dedup_stream import IncrementalVectorDeduper
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    d = IncrementalDeduper(
+        spark, ParquetStateStore(spark, str(tmp_path / "t"), n_buckets=4)
+    )
+    assert d.process_batch(empty_docs).count() == 0
+    assert not d.store.exists("dedup_exact")  # no empty state entities
+
+    empty_vecs = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    vstore = ParquetStateStore(spark, str(tmp_path / "v"), n_buckets=4)
+    vd = IncrementalVectorDeduper(spark, vstore)
+    assert vd.process_batch(empty_vecs).count() == 0
+    # geometry must NOT be pinned by an empty batch: the real first
+    # batch still establishes the dimension
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).limit(20)
+    out = vd.process_batch(emb)
+    assert out.where("status = 'kept'").count() > 0
