@@ -291,10 +291,14 @@ class IncrementalDeduper:
         final_ptr = survivors.join(
             decisions.select(ic, F.col("keeper_id").alias("__kid")), ic
         ).select("content_hash", F.col("__kid").alias("keep_id"))
-        self.store.merge(_EXACT, final_ptr, None, ["content_hash"])
+        staged = [(_EXACT, self.store.merge(
+            _EXACT, final_ptr, None, ["content_hash"], commit=False
+        ))]
 
         kept_sigs = sigs_new.join(kept.select(ic), ic)
-        self.store.merge(_SIGS, kept_sigs, None, [ic])
+        staged.append(
+            (_SIGS, self.store.merge(_SIGS, kept_sigs, None, [ic], commit=False))
+        )
 
         # inverted-index read-modify-write: union new kept ids into the
         # touched (band, bucket) rows — prior_idx is already the pruned
@@ -316,7 +320,19 @@ class IncrementalDeduper:
                 ).alias("ids"),
             )
         )
-        self.store.merge(_BUCKETS, combined, None, ["band", "bucket"])
+        staged.append((_BUCKETS, self.store.merge(
+            _BUCKETS, combined, None, ["band", "bucket"], commit=False
+        )))
+        # All three entities stage first, then the pointers flip
+        # back-to-back: a crash before this loop replays against the
+        # prior versions of ALL state (clean re-derivation); the window
+        # where the pointer table leads the LSH index is the pointer
+        # flips themselves, not the data writes. Replay with a committed
+        # pointer re-reports that doc as exact_dup with keeper == its own
+        # id — which is why the kept-set contract is "keeper_id ==
+        # doc_id", stable under at-least-once replay.
+        for entity, version in staged:
+            self.store.commit(entity, version)
         self._bump_from(decisions)
         return decisions
 
@@ -618,7 +634,9 @@ class IncrementalVectorDeduper:
             .unionByName(dropped)
         ).localCheckpoint()
 
-        self.store.merge("vdedup_vecs", kept, None, [ic])
+        staged = [("vdedup_vecs", self.store.merge(
+            "vdedup_vecs", kept, None, [ic], commit=False
+        ))]
         new_members = (
             buckets_new.join(kept.select(ic), ic)
             .groupBy("table", "bucket")
@@ -633,7 +651,11 @@ class IncrementalVectorDeduper:
                 )
             ).alias("ids"),
         )
-        self.store.merge("vdedup_index", combined, None, ["table", "bucket"])
+        staged.append(("vdedup_index", self.store.merge(
+            "vdedup_index", combined, None, ["table", "bucket"], commit=False
+        )))
+        for entity, version in staged:  # stage both, then flip pointers
+            self.store.commit(entity, version)
         self._bump_from(decisions)
         return decisions
 

@@ -355,3 +355,20 @@ def test_empty_batches_are_noops(spark, sf_dir, tmp_path):
     ).limit(20)
     out = vd.process_batch(emb)
     assert out.where("status = 'kept'").count() > 0
+
+
+def test_replayed_batch_keeps_kept_set_stable(spark, tmp_path):
+    """At-least-once replay: re-processing an already-committed batch
+    re-reports its keepers as exact_dups of themselves — the kept-set
+    contract (keeper_id == doc_id) is stable across replays."""
+    store = ParquetStateStore(spark, str(tmp_path / "st"), n_buckets=4)
+    d = IncrementalDeduper(spark, store)
+    first = _decisions(d.process_batch(_df(spark, [1, 2, 21])))
+    replay = _decisions(d.process_batch(_df(spark, [1, 2, 21])))
+
+    def kept_set(dec):
+        return {i for i, (_, keeper) in dec.items() if keeper == i}
+
+    assert kept_set(first) == kept_set(replay) == {1, 21}
+    # and the dropped doc still points at the same keeper
+    assert replay[2][1] == first[2][1] == 1
