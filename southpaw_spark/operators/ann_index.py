@@ -100,7 +100,9 @@ def build_ann_index(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         _bucket_str(bits).alias("bucket"),
-        _bucket_str(bits[:prefix_bits]).alias("bprefix"),
+        # leading "p" keeps partition-value inference from reading
+        # "011" as integer 11 — the partition column stays a string
+        F.concat(F.lit("p"), _bucket_str(bits[:prefix_bits])).alias("bprefix"),
     )
     rows.write.partitionBy("bprefix").mode("overwrite").parquet(index_dir)
     meta = {
@@ -151,7 +153,9 @@ def query_ann_index(
         "query_id",
         "query_vec",
         F.explode(F.array_distinct(F.array(*probes))).alias("bucket"),
-    ).withColumn("bprefix", F.substring("bucket", 1, pb))
+    ).withColumn(
+        "bprefix", F.concat(F.lit("p"), F.substring("bucket", 1, pb))
+    )
 
     # Collecting the probed prefixes to the driver is bounded work
     # (≤ |queries| × (n_planes+1) short strings) and is what turns the
@@ -206,6 +210,6 @@ def add_to_ann_index(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         _bucket_str(bits).alias("bucket"),
-        _bucket_str(bits[:pb]).alias("bprefix"),
+        F.concat(F.lit("p"), _bucket_str(bits[:pb])).alias("bprefix"),
     )
     rows.write.partitionBy("bprefix").mode("append").parquet(index_dir)
