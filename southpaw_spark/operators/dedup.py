@@ -212,14 +212,18 @@ def connected_components(
     vertex takes the min label among itself and its neighbors; converges
     in O(component diameter) rounds (the same equi-join recipe GraphX's
     ConnectedComponents runs). Each round is one shuffle-join + groupBy;
-    ``localCheckpoint`` truncates lineage so plans stay flat. The driver
-    loop carries only a convergence *count*, never data.
+    each label generation is persisted (the convergence count
+    materializes it) and unpersisted as soon as it is superseded, so
+    long-lived sessions accumulate no storage blocks. The RETURNED
+    frame is persisted — callers that care about storage hygiene
+    ``unpersist()`` it once consumed. The driver loop carries only a
+    convergence *count*, never data.
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
     verts = sym.select(F.col("a").alias("id")).distinct()
-    labels = verts.withColumn("label", F.col("id")).localCheckpoint()
+    labels = verts.withColumn("label", F.col("id")).persist()
     changed = 0
     for _ in range(max_iter):
         nbr_min = (
@@ -235,7 +239,7 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .persist()
         )
         changed = (
             new_labels.alias("n")
@@ -243,6 +247,7 @@ def connected_components(
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -255,7 +260,12 @@ def connected_components(
             f"({changed} labels still changing); raise max_iter — rounds "
             "needed grow with the largest component's diameter"
         )
-    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+    final = labels.select(
+        F.col("id"), F.col("label").alias("cluster_id")
+    ).persist()
+    final.count()
+    labels.unpersist()
+    return final
 
 
 def auto_n_planes(n_rows: int, target_bucket: int = 200) -> int:

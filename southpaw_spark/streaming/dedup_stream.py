@@ -96,6 +96,7 @@ class IncrementalDeduper:
         #: cumulative counters (docs/kept/exact_dups/near_dups), the
         #: same plain surface the IVM loop exposes for its listeners
         self.metrics: dict = {}
+        self._prev_decisions: DataFrame | None = None
 
     # -- state accessors ---------------------------------------------------
 
@@ -150,6 +151,7 @@ class IncrementalDeduper:
         state merges commit, so the returned frame is stable however
         late the caller consumes it."""
         ic, tc = self.id_col, self.text_col
+        self._release_prev()
         if docs.limit(1).count() == 0:
             # nothing to do — and don't create empty state entities
             return self.spark.createDataFrame(
@@ -250,6 +252,7 @@ class IncrementalDeduper:
             .where(F.col("__sim") >= self.sim_threshold)
             .select("id_a", "id_b")
         )
+        comps = None
         if edges.limit(1).count():
             comps = connected_components(edges)
             near_batch = comps.where(F.col("id") != F.col("cluster_id")).select(
@@ -280,11 +283,18 @@ class IncrementalDeduper:
             F.col(ic), F.col("status"),
             F.coalesce("__final", "keeper_id").alias("keeper_id"),
         )
+        # persist (not localCheckpoint — those blocks can never be
+        # freed programmatically); _bump_from's collect materializes it,
+        # and the NEXT process_batch / close() releases it
         decisions = (
             kept_dec.unionByName(exact_state_dups)
             .unionByName(exact_batch_dups)
             .unionByName(dropped_fuzzy)
-        ).localCheckpoint()
+        ).persist()
+        decisions.count()
+        if comps is not None:
+            comps.unpersist()
+        self._prev_decisions = decisions
 
         # ---- state updates (kept docs only; the pointer table records
         # the RESOLVED keeper so future exact copies point at a kept doc)
@@ -335,6 +345,15 @@ class IncrementalDeduper:
             self.store.commit(entity, version)
         self._bump_from(decisions)
         return decisions
+
+    def _release_prev(self) -> None:
+        if self._prev_decisions is not None:
+            self._prev_decisions.unpersist()
+            self._prev_decisions = None
+
+    def close(self) -> None:
+        """Release the last batch's cached decision log."""
+        self._release_prev()
 
     def _bump_from(self, decisions: DataFrame) -> None:
         # decisions is localCheckpoint'ed — this groupBy is a small job
@@ -450,6 +469,7 @@ class IncrementalVectorDeduper:
         self.n_tables = n_tables
         self.seed = seed
         self.metrics: dict = {}
+        self._prev_decisions: DataFrame | None = None
         self._planes: list | None = None  # resolved on first batch / reopen
         self._load_meta()
 
@@ -558,6 +578,7 @@ class IncrementalVectorDeduper:
         """(id, vec) batch → decision log (id, status ∈ kept|near_dup,
         keeper_id); state updated. Same contract as the text deduper."""
         ic, vc = self.id_col, self.vec_col
+        self._release_prev()
         if vectors.limit(1).count() == 0:
             # an empty FIRST batch must not pin geometry off a missing dim
             return self.spark.createDataFrame(
@@ -612,6 +633,7 @@ class IncrementalVectorDeduper:
             .where(F.col("__cos") >= self.threshold)
             .select("id_a", "id_b")
         )
+        comps = None
         if edges.limit(1).count():
             comps = connected_components(edges)
             near_batch = comps.where(F.col("id") != F.col("cluster_id")).select(
@@ -632,7 +654,11 @@ class IncrementalVectorDeduper:
                 F.col(ic).alias("keeper_id"),
             )
             .unionByName(dropped)
-        ).localCheckpoint()
+        ).persist()
+        decisions.count()
+        if comps is not None:
+            comps.unpersist()
+        self._prev_decisions = decisions
 
         staged = [("vdedup_vecs", self.store.merge(
             "vdedup_vecs", kept, None, [ic], commit=False
@@ -659,6 +685,8 @@ class IncrementalVectorDeduper:
         self._bump_from(decisions)
         return decisions
 
-    # reuse the text deduper's pruned-lookup + metrics helpers
+    # reuse the text deduper's pruned-lookup + metrics + cache helpers
     _pruned_read = IncrementalDeduper._pruned_read
     _bump_from = IncrementalDeduper._bump_from
+    _release_prev = IncrementalDeduper._release_prev
+    close = IncrementalDeduper.close

@@ -8,10 +8,20 @@ different text — so their MinHash signatures agree exactly (similarity
 That makes near-dup expectations deterministic.
 """
 
+import pytest
 from pyspark.sql import functions as F  # noqa: F401
 
 from southpaw_spark.streaming import ParquetStateStore
 from southpaw_spark.streaming.dedup_stream import IncrementalDeduper
+
+
+@pytest.fixture(autouse=True)
+def _no_block_leaks(spark):
+    """Dedupers keep the last decision log persisted until close(); the
+    shared-session leak test (test_old_filters_state) asserts zero
+    storage blocks, so drop everything this module cached."""
+    yield
+    spark.catalog.clearCache()
 
 
 def _rep(words: str, k: int) -> str:
