@@ -212,18 +212,21 @@ def connected_components(
     vertex takes the min label among itself and its neighbors; converges
     in O(component diameter) rounds (the same equi-join recipe GraphX's
     ConnectedComponents runs). Each round is one shuffle-join + groupBy;
-    each label generation is persisted (the convergence count
-    materializes it) and unpersisted as soon as it is superseded, so
-    long-lived sessions accumulate no storage blocks. The RETURNED
-    frame is persisted — callers that care about storage hygiene
-    ``unpersist()`` it once consumed. The driver loop carries only a
-    convergence *count*, never data.
+    ``localCheckpoint`` truncates lineage so plans stay flat (a pure
+    persist() chain stack-overflows Catalyst's tree printer after
+    enough rounds). Storage hygiene: each generation's checkpoint
+    blocks are only referenced through the next generation's plan, so
+    once the caller releases the result the whole chain is
+    ContextCleaner-collectable; callers that need deterministic release
+    (long-lived sessions) unpersist via
+    ``sparkContext._jsc.getPersistentRDDs()``. The driver loop carries
+    only a convergence *count*, never data.
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
     verts = sym.select(F.col("a").alias("id")).distinct()
-    labels = verts.withColumn("label", F.col("id")).persist()
+    labels = verts.withColumn("label", F.col("id")).localCheckpoint()
     changed = 0
     for _ in range(max_iter):
         nbr_min = (
@@ -239,7 +242,7 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -247,7 +250,6 @@ def connected_components(
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -260,12 +262,7 @@ def connected_components(
             f"({changed} labels still changing); raise max_iter — rounds "
             "needed grow with the largest component's diameter"
         )
-    final = labels.select(
-        F.col("id"), F.col("label").alias("cluster_id")
-    ).persist()
-    final.count()
-    labels.unpersist()
-    return final
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 
 def auto_n_planes(n_rows: int, target_bucket: int = 200) -> int:

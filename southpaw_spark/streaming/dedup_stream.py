@@ -292,8 +292,6 @@ class IncrementalDeduper:
             .unionByName(dropped_fuzzy)
         ).persist()
         decisions.count()
-        if comps is not None:
-            comps.unpersist()
         self._prev_decisions = decisions
 
         # ---- state updates (kept docs only; the pointer table records
@@ -656,8 +654,6 @@ class IncrementalVectorDeduper:
             .unionByName(dropped)
         ).persist()
         decisions.count()
-        if comps is not None:
-            comps.unpersist()
         self._prev_decisions = decisions
 
         staged = [("vdedup_vecs", self.store.merge(

@@ -22,6 +22,12 @@ def _no_block_leaks(spark):
     storage blocks, so drop everything this module cached."""
     yield
     spark.catalog.clearCache()
+    # clearCache covers DataFrame persist(); localCheckpoint blocks
+    # (connected_components generations) live as plain persistent RDDs —
+    # release them deterministically instead of waiting on the
+    # ContextCleaner's async GC-driven sweep
+    for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        jrdd.unpersist()
 
 
 def _rep(words: str, k: int) -> str:
