@@ -112,8 +112,12 @@ def build_ann_index(
         "seed": int(seed),
         "planes": planes,
     }
-    with open(os.path.join(index_dir, _META), "w") as f:
+    # tmp + os.replace: a crash mid-write must not leave truncated JSON
+    # (every later open would die in json.load instead of a loud error)
+    tmp = os.path.join(index_dir, _META + ".tmp")
+    with open(tmp, "w") as f:
         json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, _META))
     return meta
 
 

@@ -46,29 +46,61 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def auto_max_doc_freq(n_docs: int) -> int:
+    """Corpus-scaled stop-shingle cap: hot enough to bound the worst
+    self-join key (a shingle in D docs contributes D² join rows, so the
+    worst key costs ≤ cap²), low enough that the hot-shingle key set
+    (≤ total_postings / cap entries) stays join-able. Grows mildly with
+    the corpus so moderately-common phrases stay usable as candidate
+    evidence; hard-clamped at 4096 (worst key ≤ 16.8M rows — one AQE
+    skew-split away from healthy) regardless of corpus size."""
+    import math
+
+    return min(4096, max(128, math.ceil(0.01 * n_docs)))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | str | None = "auto",
 ) -> DataFrame:
-    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+    """Near-duplicate pairs by **exact** n-gram Jaccard similarity,
+    skew-bounded by default (two-phase).
 
-    Candidate generation is a shingle equi-join (documents sharing zero
-    shingles never meet), then |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
-    At scale: the shingle join shuffles on the shingle hash; frequent
-    shingles are the skew risk. AQE skew-join handles moderate skew;
-    ``max_doc_freq`` is the structural fix for adversarial corpora — a
-    *stop-shingle* prefilter dropping shingles that appear in more than
-    that many documents before the self-join. A shingle in D docs
-    contributes D² join rows, so capping D bounds the worst key at
-    max_doc_freq² while leaving rare (discriminative) shingles — the
-    evidence Jaccard actually needs — untouched. Note the tradeoff:
-    dropped shingles shrink BOTH the intersection and the union, so
-    scores shift slightly; near-identical pairs still share many rare
-    shingles and survive (recall pinned in tests).
+    Phase 1 — candidates from *rare* shingles only: shingles are split
+    at a doc-frequency cap (``max_doc_freq``; ``"auto"`` scales it with
+    the corpus via :func:`auto_max_doc_freq`). The self-join that
+    generates candidate pairs and counts their rare-shingle overlap
+    runs on rare shingles, so the worst join key is structurally
+    bounded at cap² rows — a boilerplate phrase shared by a million
+    documents can no longer go quadratic (witness: the reference's
+    1,000+ fan-out production note, southpaw CHANGELOG.md §0.6.0, and
+    BASELINE.md §7's 44× stress measurement).
+
+    Phase 2 — exact re-score: for each candidate pair the shared *hot*
+    shingles are counted back via a postings join driven by the
+    candidate list (expansion = Σ per-candidate hot-shingle count, tiny
+    by construction since hot shingles are the distribution's head),
+    and set sizes are the FULL per-doc shingle counts. The reported
+    Jaccard is therefore exact — identical to the single-phase value —
+    for every emitted pair.
+
+    Completeness caveat: a pair whose shared shingles are ALL above the
+    cap (two documents overlapping in nothing but boilerplate) is never
+    generated as a candidate. For natural corpora and cap ≥ 128 a true
+    near-dup shares many rare shingles, so in practice output is
+    byte-identical to the exact single-phase (hash-checked against the
+    exact DuckDB oracle at sf0.001/0.01/0.1 and the sf1 stress corpus).
+    ``max_doc_freq=None`` disables phase 1 entirely (single-phase exact,
+    no skew bound) for corpora where that guarantee must be absolute.
+
+    At 100 TB: the hot-shingle key set has ≤ total_postings/cap entries,
+    so the rare/hot split joins are AQE-broadcastable in the common case
+    and plain hash joins otherwise; no stage depends on a driver-side
+    collect of the hot set.
     """
     # Join on a 64-bit hash of the shingle instead of the string: the
     # shuffle carries 8-byte keys instead of ~n·word-length strings.
@@ -77,24 +109,59 @@ def ngram_jaccard_pairs(
     sh = shingles(df, text_col, id_col, n).select(
         F.col(id_col), F.xxhash64("shingle").alias("sh")
     )
-    if max_doc_freq is not None:
-        rare = (
+    cap: int | None
+    if max_doc_freq == "auto":
+        cap = auto_max_doc_freq(df.count())
+    else:
+        cap = max_doc_freq  # type: ignore[assignment]
+    sh = sh.cache()
+    # FULL set sizes — the denominator is always the exact one.
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    if cap is None:
+        join_sh = sh
+        hot = None
+    else:
+        hot = (
             sh.groupBy("sh")
             .agg(F.count("*").alias("df_"))
-            .where(F.col("df_") <= max_doc_freq)
+            .where(F.col("df_") > cap)
             .select("sh")
         )
-        sh = sh.join(rare, "sh")
-    sh = sh.cache()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "sh")
-    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+        # Rare postings drive candidate generation; hot side is small
+        # (≤ postings/cap keys) so AQE broadcasts the anti/inner joins.
+        join_sh = sh.join(hot, "sh", "left_anti")
+    a = join_sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = join_sh.select(F.col(id_col).alias("id_b"), "sh")
     inter = (
         a.join(b, ["sh"])
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )
+    if hot is not None:
+        # Add back each candidate pair's shared-hot-shingle count so the
+        # intersection (hence the Jaccard) is exact. Candidate-driven:
+        # cand ⋈ hot_postings(id_a) ⋈ hot_postings(id_b, sh).
+        hot_post = sh.join(hot, "sh")
+        hp_a = hot_post.select(F.col(id_col).alias("id_a"), "sh")
+        hp_b = hot_post.select(F.col(id_col).alias("id_b"), "sh")
+        hot_shared = (
+            inter.select("id_a", "id_b")
+            .join(hp_a, "id_a")
+            .join(hp_b, ["id_b", "sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_hot"))
+        )
+        inter = (
+            inter.join(hot_shared, ["id_a", "id_b"], "left")
+            .select(
+                "id_a",
+                "id_b",
+                (F.col("n_inter") + F.coalesce(F.col("n_hot"), F.lit(0))).alias(
+                    "n_inter"
+                ),
+            )
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_inter").cast("double") / (

@@ -64,6 +64,20 @@ _SIGS = "dedup_sigs"
 _BUCKETS = "dedup_buckets"
 
 
+def _write_json_atomic(path: str, payload: dict) -> None:
+    """tmp + os.replace so a crash mid-write can't leave truncated JSON
+    (the same atomic-sidecar convention ParquetStateStore._write_meta
+    uses) — a torn sidecar would turn every later reopen into an
+    unhandled JSONDecodeError instead of a loud validation error."""
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+
+
 class IncrementalDeduper:
     """Stateful exact→fuzzy deduper over a document stream.
 
@@ -72,7 +86,17 @@ class IncrementalDeduper:
     used for pruned lookups). One deduper instance per corpus;
     reopening a new instance on the same store directory resumes from
     the committed state (restart test).
+
+    Signature geometry (``n``, ``num_hashes``, ``bands``) is persisted
+    to a sidecar in the store root on the first batch and validated on
+    reopen: state built with different geometry computes band buckets
+    that never match the persisted inverted index, so cross-batch
+    lookups would silently miss and duplicates leak into the kept set.
+    ``sim_threshold`` is NOT pinned — it only scores candidates, so it
+    may be tuned between runs without invalidating state.
     """
+
+    _META = "_DEDUP_META.json"
 
     def __init__(
         self,
@@ -97,6 +121,42 @@ class IncrementalDeduper:
         #: same plain surface the IVM loop exposes for its listeners
         self.metrics: dict = {}
         self._prev_decisions: DataFrame | None = None
+        self._check_meta()
+
+    # -- geometry persistence ----------------------------------------------
+
+    def _meta_file(self) -> str:
+        import os
+
+        return os.path.join(self.store.root, self._META)
+
+    def _check_meta(self) -> None:
+        import json
+        import os
+
+        if not os.path.exists(self._meta_file()):
+            return
+        with open(self._meta_file()) as f:
+            meta = json.load(f)
+        for k in ("n", "num_hashes", "bands"):
+            if meta[k] != getattr(self, k):
+                raise ValueError(
+                    f"dedup state at {self.store.root!r} was built with "
+                    f"{k}={meta[k]}, got {getattr(self, k)} — band buckets "
+                    "would never match the persisted index and duplicates "
+                    "would silently leak; open with the persisted geometry "
+                    "or use a fresh store"
+                )
+
+    def _ensure_meta(self) -> None:
+        import os
+
+        if os.path.exists(self._meta_file()):
+            return
+        _write_json_atomic(
+            self._meta_file(),
+            {"n": self.n, "num_hashes": self.num_hashes, "bands": self.bands},
+        )
 
     # -- state accessors ---------------------------------------------------
 
@@ -147,9 +207,10 @@ class IncrementalDeduper:
     def process_batch(self, docs: DataFrame) -> DataFrame:
         """Run one batch through the cascade; update state; return the
         decision log: (doc_id, status ∈ kept|exact_dup|near_dup,
-        keeper_id). Decisions are materialized (localCheckpoint) before
-        state merges commit, so the returned frame is stable however
-        late the caller consumes it."""
+        keeper_id). Decisions are materialized (persist()+count(),
+        released by the next process_batch or close()) before state
+        merges commit, so the returned frame is stable however late the
+        caller consumes it."""
         ic, tc = self.id_col, self.text_col
         self._release_prev()
         if docs.limit(1).count() == 0:
@@ -157,6 +218,7 @@ class IncrementalDeduper:
             return self.spark.createDataFrame(
                 [], f"{ic} long, status string, keeper_id long"
             )
+        self._ensure_meta()  # pin n/num_hashes/bands before any state write
         hashed = docs.select(
             F.col(ic), F.col(tc),
             F.md5(F.col(tc).cast("binary")).alias("content_hash"),
@@ -354,8 +416,8 @@ class IncrementalDeduper:
         self._release_prev()
 
     def _bump_from(self, decisions: DataFrame) -> None:
-        # decisions is localCheckpoint'ed — this groupBy is a small job
-        # over materialized rows, not a recompute of the cascade
+        # decisions is persist()ed and counted — this groupBy is a small
+        # job over cached rows, not a recompute of the cascade
         counts = {
             r["status"]: r["n"]
             for r in decisions.groupBy("status")
@@ -394,11 +456,15 @@ def attach_dedup_stream(
     against the persistent state; ``sink(decisions_df, batch_id)``
     (optional) receives the materialized decision log — e.g. a writer
     appending to a decisions table the downstream corpus build filters
-    on. Decisions are computed and handed to the sink BEFORE the state
-    merges commit inside ``process_batch`` would matter for replay: on
-    restart the last uncommitted batch replays from the checkpoint and
-    re-derives the same decisions against the prior state version
-    (at-least-once, same as the IVM loop).
+    on. Replay contract (at-least-once, same as the IVM loop):
+    ``process_batch`` commits all three state entities BEFORE the sink
+    sees the decisions, so a crash between the state commit and the
+    sink's output replays the batch against already-updated state —
+    previously-kept docs are then re-reported as ``exact_dup`` with
+    ``keeper_id`` equal to their own id, and ``deduper.metrics`` counts
+    the batch twice. Only the kept-set contract is replay-stable:
+    a doc is kept iff some decision row has ``keeper_id == doc_id``.
+    Downstream consumers must filter on that, not on ``status``.
     """
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -497,8 +563,6 @@ class IncrementalVectorDeduper:
         self._planes = meta["planes"]
 
     def _ensure_planes(self, batch: DataFrame) -> None:
-        import json
-
         if self._planes is not None:
             return
         import numpy as np
@@ -509,17 +573,16 @@ class IncrementalVectorDeduper:
             rng.standard_normal((self.n_planes, dim)).tolist()
             for _ in range(self.n_tables)
         ]
-        with open(self._meta_file(), "w") as f:
-            json.dump(
-                {
-                    "n_planes": self.n_planes,
-                    "n_tables": self.n_tables,
-                    "seed": self.seed,
-                    "dim": int(dim),
-                    "planes": self._planes,
-                },
-                f,
-            )
+        _write_json_atomic(
+            self._meta_file(),
+            {
+                "n_planes": self.n_planes,
+                "n_tables": self.n_tables,
+                "seed": self.seed,
+                "dim": int(dim),
+                "planes": self._planes,
+            },
+        )
 
     # -- vector math (JVM-side) -------------------------------------------
 

@@ -127,6 +127,26 @@ def test_restart_resumes_from_committed_state(spark, tmp_path):
     assert out[31] == ("kept", 31)
 
 
+def test_reopen_with_conflicting_geometry_fails_loudly(spark, tmp_path):
+    """State built with one (n, num_hashes, bands) must refuse to open
+    under different geometry — mismatched band buckets would silently
+    miss the persisted index and leak duplicates into the kept set."""
+    path = str(tmp_path / "st")
+    d1 = IncrementalDeduper(spark, ParquetStateStore(spark, path, n_buckets=4))
+    d1.process_batch(_df(spark, [1, 21]))
+
+    for kwargs in ({"bands": 2}, {"num_hashes": 4}, {"n": 2}):
+        with pytest.raises(ValueError, match="geometry|built with"):
+            IncrementalDeduper(
+                spark, ParquetStateStore(spark, path), **kwargs
+            )
+    # sim_threshold is a scoring knob, not geometry — reopen is fine
+    d2 = IncrementalDeduper(
+        spark, ParquetStateStore(spark, path), sim_threshold=0.9
+    )
+    assert _decisions(d2.process_batch(_df(spark, [31])))[31] == ("kept", 31)
+
+
 def test_exact_dup_pointer_resolves_through_dropped_keeper(spark, tmp_path):
     """A doc whose batch exact-keeper is itself dropped as a near-dup
     must point at the transitively-kept doc, never a dropped one."""
