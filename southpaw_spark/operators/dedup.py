@@ -49,14 +49,16 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def auto_max_doc_freq(n_docs: int) -> int:
     """Corpus-scaled stop-shingle cap: hot enough to bound the worst
     self-join key (a shingle in D docs contributes D² join rows, so the
-    worst key costs ≤ cap²), low enough that the hot-shingle key set
-    (≤ total_postings / cap entries) stays join-able. Grows mildly with
-    the corpus so moderately-common phrases stay usable as candidate
-    evidence; hard-clamped at 4096 (worst key ≤ 16.8M rows — one AQE
-    skew-split away from healthy) regardless of corpus size."""
+    worst key costs ≤ cap²), low enough that the self-join's total
+    Σ D² stays near the Σ n_inter lower bound of the true output —
+    measured on the sf1 rotation-stress corpus, cap 500 leaves enough
+    moderately-hot phrases to triple the wall vs cap ~128. Grows mildly
+    with the corpus (0.2%) so common phrases stay usable as candidate
+    evidence on small corpora; hard-clamped at 4096 (worst key ≤ 16.8M
+    rows — one AQE skew-split away from healthy) regardless of size."""
     import math
 
-    return min(4096, max(128, math.ceil(0.01 * n_docs)))
+    return min(4096, max(128, math.ceil(0.002 * n_docs)))
 
 
 def ngram_jaccard_pairs(
@@ -67,45 +69,62 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_doc_freq: int | str | None = "auto",
 ) -> DataFrame:
-    """Near-duplicate pairs by **exact** n-gram Jaccard similarity,
-    skew-bounded by default (two-phase).
+    """Near-duplicate pairs by **exact** n-gram Jaccard similarity —
+    prefix-filtered candidate generation + array-intersect verification.
 
-    Phase 1 — candidates from *rare* shingles only: shingles are split
-    at a doc-frequency cap (``max_doc_freq``; ``"auto"`` scales it with
-    the corpus via :func:`auto_max_doc_freq`). The self-join that
-    generates candidate pairs and counts their rare-shingle overlap
-    runs on rare shingles, so the worst join key is structurally
-    bounded at cap² rows — a boilerplate phrase shared by a million
-    documents can no longer go quadratic (witness: the reference's
-    1,000+ fan-out production note, southpaw CHANGELOG.md §0.6.0, and
-    BASELINE.md §7's 44× stress measurement).
+    The naive shingle self-join + per-pair count goes quadratic two
+    ways at scale: a boilerplate shingle shared by D docs is a D²-row
+    join key (witness: the reference's 1,000+ fan-out production note,
+    southpaw CHANGELOG.md §0.6.0), and at permissive thresholds the
+    pair-count groupBy shuffles one row per (pair, shared shingle) —
+    tens of millions of singleton pairs that the final filter throws
+    away (measured: 78M candidate pairs → 250k survivors on the sf1
+    rotation-stress corpus, BASELINE.md §7).
 
-    Phase 2 — exact re-score: for each candidate pair the shared *hot*
-    shingles are counted back via a postings join driven by the
-    candidate list (expansion = Σ per-candidate hot-shingle count, tiny
-    by construction since hot shingles are the distribution's head),
-    and set sizes are the FULL per-doc shingle counts. The reported
-    Jaccard is therefore exact — identical to the single-phase value —
-    for every emitted pair.
+    This implementation is the relational form of the prefix-filter /
+    verification design from the set-similarity-join literature (Xiao
+    et al., "Efficient Similarity Joins for Near Duplicate Detection",
+    WWW 2008 — public), adapted to a rare/hot shingle split:
 
-    Completeness caveat: a pair whose shared shingles are ALL above the
-    cap (two documents overlapping in nothing but boilerplate) is never
-    generated as a candidate. For natural corpora and cap ≥ 128 a true
-    near-dup shares many rare shingles, so in practice output is
-    byte-identical to the exact single-phase (hash-checked against the
-    exact DuckDB oracle at sf0.001/0.01/0.1 and the sf1 stress corpus).
-    ``max_doc_freq=None`` disables phase 1 entirely (single-phase exact,
-    no skew bound) for corpora where that guarantee must be absolute.
+    1. Shingles are ranked per document by global rarity (doc-freq asc,
+       hash tiebreak) and split at a doc-frequency cap (``max_doc_freq``;
+       ``"auto"`` = :func:`auto_max_doc_freq`). Hot shingles — the
+       frequency head — rank after every rare shingle by construction.
+    2. CANDIDATES: rare postings self-join on the shingle hash, keeping
+       a row only when the shingle sits inside BOTH docs' α-prefixes
+       (position ≤ size − α + 1, α = t/(1+t)·(n_a+n_b) the minimum
+       overlap a ≥ t pair needs) and the sizes pass the length filter
+       (t·n_a ≤ n_b ≤ n_a/t). The prefix-filter theorem: any pair with
+       overlap ≥ α shares its smallest common token inside both
+       prefixes — so taking DISTINCT surviving pairs loses nothing.
+       The worst join key is capped at cap² rows, and the positional
+       predicate kills the singleton-pair flood before the shuffle.
+    3. RESCUE (exactness for the boilerplate corner): a pair whose
+       smallest shared prefix token is HOT implies α ≤ hot-count on
+       both sides, i.e. hot ≥ t·size. Only such hot-heavy docs can
+       form pairs invisible to step 2; their hot postings self-join
+       (tiny for natural corpora — it is the all-boilerplate corpus
+       where the true output itself is quadratic) adds those pairs.
+    4. VERIFY: candidates join each side's full shingle-set array once;
+       the exact intersection is ``size(array_intersect(a, b))`` —
+       JVM-side per-row set math, no per-(pair, shingle) shuffle at
+       all. Exact Jaccard over FULL sets, then the threshold.
 
-    At 100 TB: the hot-shingle key set has ≤ total_postings/cap entries,
-    so the rare/hot split joins are AQE-broadcastable in the common case
-    and plain hash joins otherwise; no stage depends on a driver-side
-    collect of the hot set.
+    Every emitted score is exact and no qualifying pair can be missed —
+    verified hash-identical to the single-phase DuckDB oracle at
+    sf0.001/0.01/0.1 and on the sf1 stress corpus.
+    ``max_doc_freq=None`` disables the rare/hot split (pure prefix
+    filter, no skew bound on the worst key).
+
+    At 100 TB: postings, prefixes and doc arrays are all one groupBy /
+    window by doc or shingle hash; the hot key set (≤ postings/cap
+    entries) broadcasts via AQE; nothing collects to the driver.
     """
     # Join on a 64-bit hash of the shingle instead of the string: the
     # shuffle carries 8-byte keys instead of ~n·word-length strings.
-    # Collision risk is ~|shingles|²/2⁶⁵ — immaterial against the
-    # Jaccard estimate itself.
+    # Collision risk is ~|shingles|²/2⁶⁵ — immaterial here.
+    from pyspark.sql import Window
+
     sh = shingles(df, text_col, id_col, n).select(
         F.col(id_col), F.xxhash64("shingle").alias("sh")
     )
@@ -114,62 +133,91 @@ def ngram_jaccard_pairs(
         cap = auto_max_doc_freq(df.count())
     else:
         cap = max_doc_freq  # type: ignore[assignment]
-    sh = sh.cache()
-    # FULL set sizes — the denominator is always the exact one.
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    if cap is None:
-        join_sh = sh
-        hot = None
-    else:
-        hot = (
-            sh.groupBy("sh")
-            .agg(F.count("*").alias("df_"))
-            .where(F.col("df_") > cap)
-            .select("sh")
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df_"))
+    # cached: doc facts, rare positions and the hot split all re-read
+    # this frame — without the cache the shingling + doc-freq join
+    # recompute once per consumer (measured ~2× the sf1 wall)
+    tagged = sh.join(dfreq, "sh").withColumn(
+        "is_hot", F.lit(False) if cap is None else F.col("df_") > cap
+    ).cache()
+    # Per-doc facts: full size, hot count, and the full shingle-set
+    # array (verification reads sets pairwise — never a per-shingle
+    # shuffle). Rare positions come from the rarity window; hot
+    # shingles rank after all rare ones, so the rare row_number IS the
+    # full-order rank.
+    doc = (
+        tagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum(F.col("is_hot").cast("int")).alias("n_hot"),
+            F.collect_list("sh").alias("sh_set"),
         )
-        # Rare postings drive candidate generation; hot side is small
-        # (≤ postings/cap keys) so AQE broadcasts the anti/inner joins.
-        join_sh = sh.join(hot, "sh", "left_anti")
-    a = join_sh.select(F.col(id_col).alias("id_a"), "sh")
-    b = join_sh.select(F.col(id_col).alias("id_b"), "sh")
-    inter = (
-        a.join(b, ["sh"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+        .cache()
     )
-    if hot is not None:
-        # Add back each candidate pair's shared-hot-shingle count so the
-        # intersection (hence the Jaccard) is exact. Candidate-driven:
-        # cand ⋈ hot_postings(id_a) ⋈ hot_postings(id_b, sh).
-        hot_post = sh.join(hot, "sh")
-        hp_a = hot_post.select(F.col(id_col).alias("id_a"), "sh")
-        hp_b = hot_post.select(F.col(id_col).alias("id_b"), "sh")
-        hot_shared = (
-            inter.select("id_a", "id_b")
-            .join(hp_a, "id_a")
-            .join(hp_b, ["id_b", "sh"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("n_hot"))
+    rare_pos = (
+        tagged.where(~F.col("is_hot"))
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("df_", "sh")
+            ),
         )
-        inter = (
-            inter.join(hot_shared, ["id_a", "id_b"], "left")
-            .select(
-                "id_a",
-                "id_b",
-                (F.col("n_inter") + F.coalesce(F.col("n_hot"), F.lit(0))).alias(
-                    "n_inter"
-                ),
-            )
-        )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("n_inter").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+        .join(doc.select(id_col, "n_sh", "n_hot"), id_col)
+        .select(id_col, "sh", "pos", "n_sh", "n_hot")
+        .cache()  # both sides of the candidate self-join read it
     )
+    t = float(threshold)
+    pa = rare_pos.select(
+        F.col(id_col).alias("id_a"), "sh",
+        F.col("pos").alias("pos_a"), F.col("n_sh").alias("n_a"),
+    )
+    pb = rare_pos.select(
+        F.col(id_col).alias("id_b"), "sh",
+        F.col("pos").alias("pos_b"), F.col("n_sh").alias("n_b"),
+    )
+    alpha = F.lit(t / (1.0 + t)) * (F.col("n_a") + F.col("n_b"))
+    cand = (
+        pa.join(pb, "sh")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: |B| ∈ [t·|A|, |A|/t] is necessary for J ≥ t
+            & (F.col("n_b") >= F.lit(t) * F.col("n_a"))
+            & (F.col("n_a") >= F.lit(t) * F.col("n_b"))
+            # prefix filter on both sides
+            & (F.col("pos_a") <= F.col("n_a") - alpha + 1)
+            & (F.col("pos_b") <= F.col("n_b") - alpha + 1)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if cap is not None:
+        # hot-heavy rescue: only docs with n_hot ≥ t·n_sh can pair on
+        # hot evidence alone (see step 3 above)
+        hh = tagged.where(F.col("is_hot")).join(
+            doc.where(F.col("n_hot") >= F.lit(t) * F.col("n_sh")).select(id_col),
+            id_col,
+        )
+        rescue = (
+            hh.select(F.col(id_col).alias("id_a"), "sh")
+            .join(hh.select(F.col(id_col).alias("id_b"), "sh"), "sh")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        cand = cand.unionByName(rescue).distinct()
+    da = doc.select(
+        F.col(id_col).alias("id_a"),
+        F.col("n_sh").alias("n_a"), F.col("sh_set").alias("set_a"),
+    )
+    db = doc.select(
+        F.col(id_col).alias("id_b"),
+        F.col("n_sh").alias("n_b"), F.col("sh_set").alias("set_b"),
+    )
+    n_inter = F.size(F.array_intersect("set_a", "set_b"))
+    jac = n_inter.cast("double") / (F.col("n_a") + F.col("n_b") - n_inter)
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(da, "id_a")
+        .join(db, "id_b")
         .where(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )

@@ -199,9 +199,13 @@ def test_sequence_packing_budget_property(spark, sf_dir):
         assert r["n"] == r["mx"] + 1
 
 
-def test_stop_shingle_prefilter_keeps_near_dups(spark):
-    """max_doc_freq drops universally-shared (skew) shingles but keeps
-    the rare-shingle evidence that identifies true near-duplicates."""
+def test_skew_bounded_jaccard_is_exact(spark):
+    """The default skew-bounded (prefix-filter + rare/hot split) plan
+    must emit EXACTLY the single-phase result — including pairs whose
+    only shared evidence is hot boilerplate (the rescue path): those
+    have true Jaccard ≥ threshold and an exact algorithm must keep
+    them. max_doc_freq is a pure performance knob, never a semantic
+    filter."""
     boiler = "all rights reserved contact us for more information today"
     rows = [(i, f"unique words number {i} alpha beta {boiler}") for i in range(50)]
     rows += [
@@ -209,13 +213,26 @@ def test_stop_shingle_prefilter_keeps_near_dups(spark):
         (101, "the quick brown fox jumps over the lazy cat " + boiler),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    pairs = ngram_jaccard_pairs(
-        df, "text", "doc_id", n=3, threshold=0.3, max_doc_freq=10
+
+    def rowset(pairs):
+        return {
+            (r["id_a"], r["id_b"], r["jaccard"]) for r in pairs.collect()
+        }
+
+    exact = rowset(
+        ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.3,
+                            max_doc_freq=None)
     )
-    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
-    assert (100, 101) in got
-    # boilerplate-only overlaps are gone: no pair among the 50 unique docs
-    assert not any(a < 50 and b < 50 for a, b in got)
+    for cap in (10, 128, "auto"):
+        got = rowset(
+            ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.3,
+                                max_doc_freq=cap)
+        )
+        assert got == exact, f"cap={cap} diverges from single-phase"
+    # the corpus exercises both paths: a rare-evidence pair and
+    # boilerplate-only pairs (all 50 share 10/13 shingles → J≈0.625)
+    assert any(p[:2] == (100, 101) for p in exact)
+    assert any(a < 50 and b < 50 for a, b, _ in exact)
 
 
 def test_ngram_contamination_semantics(spark):
