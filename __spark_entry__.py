@@ -49,8 +49,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query. The flagship q13 is
-    hash-checked too: its oracle reassembles the identical nested JSON
-    bottom-up (struct_pack + LIST ORDER BY + to_json). Only the declared
-    approximate/sketch queries (d05, s02, e03) are rows-only."""
+    """DuckDB-runnable ANSI SQL oracle per query — every registry row
+    has one. The flagship q13 is hash-checked too: its oracle
+    reassembles the identical nested JSON bottom-up (struct_pack + LIST
+    ORDER BY + to_json). The LSH rows (d05, s02) pin their seeded
+    hyperplanes and embed them as SQL literals so DuckDB reproduces the
+    bucketing bit-for-bit; the sketch row (e03) hashes exact counts
+    plus an estimate-within-3×rsd invariant boolean the oracle pins to
+    TRUE."""
     return dict(suite.ORACLES)

@@ -1007,16 +1007,75 @@ D03_SQL = _d03_sql()
 
 def d05_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via random-hyperplane LSH buckets
-    (approximate → rows-only; the planted-pair quality gate lives in
-    tests/test_similarity_dedup.py)."""
+    — as an oracle-CHECKED row: the hyperplanes are a deterministic
+    function of (seed, n_planes, n_tables, dim), so the oracle SQL
+    embeds the very same plane values as literals and DuckDB reproduces
+    the bucketing + exact-cosine rescore bit-for-bit (D05_SQL below).
+    The registry pins n_planes=4 for that reason (the library default
+    auto-scales planes to the corpus via auto_n_planes — recall gates
+    for that path live in tests/test_similarity_dedup.py)."""
     from southpaw_spark.operators.dedup import embedding_near_duplicates
 
     emb = _read(spark, sf_dir, "embeddings")
-    # n_planes auto-scales to the corpus (auto_n_planes) with 2 OR-ed
-    # hash tables, so bucket population stays bounded as data grows
     return embedding_near_duplicates(
-        emb, "embedding", "vec_id", threshold=0.2, n_tables=2
+        emb, "embedding", "vec_id", threshold=0.2, n_planes=4, n_tables=2
     )
+
+
+def _hyperplanes(n_planes: int, n_tables: int, dim: int = 64, seed: int = 42):
+    """The exact plane draw embedding_near_duplicates / ivf_topk make:
+    one seeded generator, one (n_planes, dim) block per table, in table
+    order. Testdata embeddings are dim=64 at every SF (TESTDATA.md)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [rng.standard_normal((n_planes, dim)).tolist() for _ in range(n_tables)]
+
+
+def _sql_dot(vec_expr: str, plane: list) -> str:
+    # repr() emits shortest-roundtrip doubles; DuckDB parses them to the
+    # identical float64 Spark's F.lit carries, and the left-to-right
+    # "+" chain matches F.aggregate's sequential fold.
+    return " + ".join(
+        f"({vec_expr}[{i + 1}] * ({x!r}))" for i, x in enumerate(plane)
+    )
+
+
+def _sql_bucket(vec_expr: str, planes: list) -> str:
+    """'0'/'1' sign-bit string — the SQL twin of the operators'
+    concat_ws of (dot > 0) casts."""
+    return " || ".join(
+        f"CASE WHEN {_sql_dot(vec_expr, p)} > 0 THEN '1' ELSE '0' END"
+        for p in planes
+    )
+
+
+def _d05_sql() -> str:
+    t0, t1 = _hyperplanes(n_planes=4, n_tables=2)
+    cos = (
+        "list_sum(list_transform(range(1, 65), i -> a.ev[i] * b.ev[i]))"
+        " / (sqrt(list_sum(list_transform(range(1, 65), i -> a.ev[i] * a.ev[i])))"
+        " * sqrt(list_sum(list_transform(range(1, 65), i -> b.ev[i] * b.ev[i]))))"
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    bkt AS (SELECT vec_id, {_sql_bucket("ev", t0)} AS b0,
+                   {_sql_bucket("ev", t1)} AS b1 FROM v),
+    cand AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM bkt x JOIN bkt y ON x.b0 = y.b0 AND x.vec_id < y.vec_id
+      UNION
+      SELECT x.vec_id, y.vec_id
+      FROM bkt x JOIN bkt y ON x.b1 = y.b1 AND x.vec_id < y.vec_id),
+    scored AS (
+      SELECT c.id_a, c.id_b, ROUND({cos}, 6) AS cosine
+      FROM cand c JOIN v a ON a.vec_id = c.id_a
+                  JOIN v b ON b.vec_id = c.id_b)
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.2
+"""
+
+
+D05_SQL = _d05_sql()
 
 
 def d08_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1260,13 +1319,39 @@ T07_SQL = """
 
 def e03_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting (HLL++) per event_type — the
-    approximate-aggregation family. Engine sketches differ, so this is
-    rows-only; tests assert relative error vs exact."""
+    approximate-aggregation family, as an oracle-CHECKED row. Engine
+    sketches differ bit-wise, so the hashed output carries the exact
+    distinct count (a real data check DuckDB recomputes) plus the
+    INVARIANT that Spark's HLL++ estimate lands within 3×rsd of exact
+    (rsd=0.05 → ±15%); the oracle pins that assertion to TRUE, so a
+    sketch drifting out of bound flips the boolean and fails the
+    driver's hash compare instead of hiding behind a rows-only check."""
     ev = _read(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.count("*").alias("n_events"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.05).alias("__approx"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "exact_users",
+            (
+                F.abs(F.col("__approx") - F.col("exact_users"))
+                <= F.lit(0.15) * F.col("exact_users")
+            ).alias("hll_within_3rsd"),
+        )
     )
+
+
+E03_SQL = """
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_within_3rsd
+    FROM events GROUP BY event_type
+"""
 
 
 def e01_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1762,16 +1847,67 @@ M03_SQL = """
 
 
 def s02_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: random-hyperplane LSH bucket pruning + exact
-    rescoring (single-probe IVF). Approximate by design → rows-only
-    check; recall vs s01 is asserted in tests."""
+    """ANN scale path: random-hyperplane LSH bucket pruning + 1-bit
+    multiprobe + exact rescoring (IVF-style) — as an oracle-CHECKED
+    row: with n_planes pinned the plane draw is deterministic, so the
+    oracle SQL embeds the same planes as literals and reproduces
+    bucketing, probing and the top-k window bit-for-bit (S02_SQL).
+    Recall-vs-s01 gates for the auto-scaled plane path live in tests."""
     from southpaw_spark.operators.similarity import ivf_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ivf_topk(emb, queries, "embedding", "vec_id", k=5)
+    return ivf_topk(emb, queries, "embedding", "vec_id", k=5, n_planes=4)
+
+
+def _s02_sql() -> str:
+    (planes,) = _hyperplanes(n_planes=4, n_tables=1)
+    n = len(planes)
+    bit_cases = ", ".join(
+        f"CASE WHEN {_sql_dot('qv', p)} > 0 THEN 1 ELSE 0 END AS bit{i}"
+        for i, p in enumerate(planes)
+    )
+    plain = " || ".join(f"CAST(bit{i} AS VARCHAR)" for i in range(n))
+    probes = [plain]
+    for flip in range(n):
+        probes.append(
+            " || ".join(
+                f"CAST({'1 - ' if i == flip else ''}bit{i} AS VARCHAR)"
+                for i in range(n)
+            )
+        )
+    probe_list = ",\n        ".join(probes)
+    cos = (
+        "list_sum(list_transform(range(1, 65), i -> qp.qv[i] * c.cv[i]))"
+        " / (sqrt(list_sum(list_transform(range(1, 65), i -> qp.qv[i] * qp.qv[i])))"
+        " * sqrt(list_sum(list_transform(range(1, 65), i -> c.cv[i] * c.cv[i]))))"
+    )
+    return f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS cv,
+                      {_sql_bucket("(embedding::DOUBLE[])", planes)} AS bucket
+               FROM embeddings),
+    q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+    qb AS (SELECT query_id, qv, {bit_cases} FROM q0),
+    qp AS (SELECT query_id, qv, unnest([
+        {probe_list}]) AS bucket FROM qb),
+    sims AS (
+      SELECT qp.query_id, c.vec_id, {cos} AS cosine
+      FROM c JOIN qp ON c.bucket = qp.bucket
+      WHERE qp.query_id <> c.vec_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY ROUND(cosine, 8) DESC, vec_id) AS rk
+      FROM sims)
+    SELECT query_id, vec_id AS neighbor_id, rk AS rank,
+           ROUND(cosine, 6) AS cosine
+    FROM ranked WHERE rk <= 5
+"""
+
+
+S02_SQL = _s02_sql()
 
 
 def q17_dynamic_schema_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1972,10 +2108,11 @@ ORACLES: dict[str, str] = {
     "d02_ngram_jaccard": D02_SQL,
     "d03_minhash_lsh": D03_SQL,
     "d04_simhash": D04_SQL,
-    # d05 intentionally absent: approximate LSH near-dup, rows-only
+    # d05/s02: planes pinned + embedded as SQL literals -> fully checked
+    "d05_embedding_near_dup": D05_SQL,
     "d07_dup_clusters": D07_SQL,
     "d08_dedup_apply": D08_SQL,
-    # s02 intentionally absent: approximate ANN, rows-only
+    "s02_ivf_topk": S02_SQL,
     "s01_cosine_topk": S01_SQL,
     "t02_quality_score": T02_SQL,
     "t03_lang_guess": T03_SQL,
@@ -1992,7 +2129,8 @@ ORACLES: dict[str, str] = {
     "a04_pivot_unpivot": A04_SQL,
     "a05_cohort_retention": A05_SQL,
     "a06_salted_agg": A06_SQL,
-    # e03 intentionally absent: HLL sketches differ across engines
+    # e03: exact counts hashed + sketch-invariant boolean (see e03 docstring)
+    "e03_approx_distinct": E03_SQL,
     "e01_windowed_agg": E01_SQL,
     "e02_sessionize": E02_SQL,
     "e04_asof_join": E04_SQL,

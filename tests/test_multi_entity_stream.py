@@ -110,10 +110,14 @@ def test_attach_stream_multi_entity(spark, tmp_path):
 
 
 def test_approx_distinct_quality(spark, sf_dir):
+    """e03 carries the sketch invariant in-row: exact_users must equal
+    an independently computed exact count, and the HLL++ estimate must
+    sit within the 3×rsd bound (the in-row boolean the driver oracle
+    pins to TRUE)."""
     from southpaw_spark import suite
 
-    approx = {
-        r["event_type"]: r["approx_users"]
+    rows = {
+        r["event_type"]: r
         for r in suite.e03_approx_distinct(spark, sf_dir).collect()
     }
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -123,9 +127,10 @@ def test_approx_distinct_quality(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
+    assert set(rows) == set(exact)
     for k, n in exact.items():
-        rel_err = abs(approx[k] - n) / n
-        assert rel_err < 0.1, (k, approx[k], n)
+        assert rows[k]["exact_users"] == n
+        assert rows[k]["hll_within_3rsd"] is True, (k, n)
 
 
 def test_offset_total_parses_kafka_json_offsets():
