@@ -160,29 +160,38 @@ class IncrementalDeduper:
 
     # -- state accessors ---------------------------------------------------
 
+    def _bucket_ids(self, keys: DataFrame, key_cols: Sequence[str]) -> list:
+        """Distinct state-bucket ids the given keys can live in — one
+        bounded (≤ n_buckets) collect. Exposed separately so callers can
+        reuse the list across a lookup AND the later merge (saving the
+        merge's own touched-bucket collect)."""
+        return [
+            r["__b"]
+            for r in keys.select(self.store._bucket_col(key_cols).alias("__b"))
+            .distinct()
+            .collect()
+        ]
+
     def _pruned_read(
         self,
         entity: str,
         schema: str,
-        keys: DataFrame,
-        key_cols: Sequence[str],
+        keys: DataFrame | None = None,
+        key_cols: Sequence[str] | None = None,
+        ids: Sequence[int] | None = None,
     ) -> DataFrame:
         """State read restricted to the hash buckets that can contain
         ``keys`` — the lookup-side mirror of ``merge()``'s touched-bucket
-        pruning. The collect is bounded by ``n_buckets`` ids."""
+        pruning. Pass ``ids`` when the bucket ids were already collected
+        (no extra job); else they are derived from ``keys``/``key_cols``
+        (one bounded ≤ n_buckets collect)."""
         if not self.store.exists(entity):
             return self.spark.createDataFrame([], schema)
-        ids = [
-            r["__b"]
-            for r in keys.select(
-                self.store._bucket_col(key_cols).alias("__b")
-            )
-            .distinct()
-            .collect()
-        ]
+        if ids is None:
+            ids = self._bucket_ids(keys, key_cols)
         return (
             self.store.read(entity)
-            .where(F.col("__bucket").isin(ids))
+            .where(F.col("__bucket").isin(list(ids)))
             .drop("__bucket")
         )
 
@@ -213,21 +222,33 @@ class IncrementalDeduper:
         caller consumes it."""
         ic, tc = self.id_col, self.text_col
         self._release_prev()
-        if docs.limit(1).count() == 0:
+        # Batch-scoped persist set: each frame below feeds several
+        # actions (pruned-lookup collects, the decision count, three
+        # merges) — without the caches every action re-runs the whole
+        # cascade from the source. Released after the commits.
+        scoped: list[DataFrame] = []
+        hashed = docs.select(
+            F.col(ic), F.col(tc),
+            F.md5(F.col(tc).cast("binary")).alias("content_hash"),
+        ).persist()
+        scoped.append(hashed)
+        # One job: the exact-pointer bucket ids double as the empty-batch
+        # check (empty ids ⟺ empty batch), and are reused verbatim as
+        # the exact merge's touched set.
+        exact_ids = self._bucket_ids(
+            hashed.select("content_hash"), ["content_hash"]
+        )
+        if not exact_ids:
             # nothing to do — and don't create empty state entities
+            hashed.unpersist()
             return self.spark.createDataFrame(
                 [], f"{ic} long, status string, keeper_id long"
             )
         self._ensure_meta()  # pin n/num_hashes/bands before any state write
-        hashed = docs.select(
-            F.col(ic), F.col(tc),
-            F.md5(F.col(tc).cast("binary")).alias("content_hash"),
-        )
 
         # ---- exact stage: pruned pointer lookup, then within-batch group
         prior_exact = self._pruned_read(
-            _EXACT, "content_hash string, keep_id long",
-            hashed.select("content_hash"), ["content_hash"],
+            _EXACT, "content_hash string, keep_id long", ids=exact_ids
         )
         with_prior = hashed.join(prior_exact, "content_hash", "left")
         exact_state_dups = with_prior.where(F.col("keep_id").isNotNull()).select(
@@ -250,21 +271,32 @@ class IncrementalDeduper:
         # Docs too short for a single shingle carry no fuzzy evidence —
         # they bypass this stage (kept unless exact dups), same as the
         # batch operators.
-        sigs_new = minhash_signatures(survivors, tc, ic, self.n, self.num_hashes)
-        buckets_new = band_buckets(sigs_new, ic, self.num_hashes, self.bands)
+        sigs_new = minhash_signatures(
+            survivors, tc, ic, self.n, self.num_hashes
+        ).persist()
+        buckets_new = band_buckets(
+            sigs_new, ic, self.num_hashes, self.bands
+        ).persist()
+        scoped += [sigs_new, buckets_new]
+        # One job materializes signatures + band buckets AND yields the
+        # band-bucket ids — reused for the index lookup here and as the
+        # index merge's touched set below.
+        band_ids = self._bucket_ids(
+            buckets_new.select("band", "bucket"), ["band", "bucket"]
+        )
 
         # (a) vs kept state: pruned inverted-index equi-join, then
         # signature agreement. Work ∝ batch buckets × their collisions.
         idx_schema = "band int, bucket string, ids array<long>"
-        prior_idx = self._pruned_read(
-            _BUCKETS, idx_schema,
-            buckets_new.select("band", "bucket"), ["band", "bucket"],
-        )
+        prior_idx = self._pruned_read(_BUCKETS, idx_schema, ids=band_ids).persist()
+        scoped.append(prior_idx)
         cand_old = (
             buckets_new.join(prior_idx, ["band", "bucket"])
             .select(F.col(ic), F.explode("ids").alias("__old_id"))
             .distinct()
+            .persist()
         )
+        scoped.append(cand_old)
         old_sigs = self._pruned_read(
             _SIGS, self._sig_schema(),
             cand_old.select(F.col("__old_id").alias(ic)), [ic],
@@ -362,7 +394,8 @@ class IncrementalDeduper:
             decisions.select(ic, F.col("keeper_id").alias("__kid")), ic
         ).select("content_hash", F.col("__kid").alias("keep_id"))
         staged = [(_EXACT, self.store.merge(
-            _EXACT, final_ptr, None, ["content_hash"], commit=False
+            _EXACT, final_ptr, None, ["content_hash"], commit=False,
+            touched_ids=exact_ids,  # final_ptr hashes ⊆ batch hashes
         ))]
 
         kept_sigs = sigs_new.join(kept.select(ic), ic)
@@ -391,7 +424,10 @@ class IncrementalDeduper:
             )
         )
         staged.append((_BUCKETS, self.store.merge(
-            _BUCKETS, combined, None, ["band", "bucket"], commit=False
+            _BUCKETS, combined, None, ["band", "bucket"], commit=False,
+            # combined keys ⊆ buckets_new keys ∪ prior_idx keys, and
+            # prior_idx was read from exactly these partitions
+            touched_ids=band_ids,
         )))
         # All three entities stage first, then the pointers flip
         # back-to-back: a crash before this loop replays against the
@@ -404,6 +440,8 @@ class IncrementalDeduper:
         for entity, version in staged:
             self.store.commit(entity, version)
         self._bump_from(decisions)
+        for frame in scoped:  # decisions stays cached until next batch
+            frame.unpersist()
         return decisions
 
     def _release_prev(self) -> None:
@@ -745,6 +783,7 @@ class IncrementalVectorDeduper:
         return decisions
 
     # reuse the text deduper's pruned-lookup + metrics + cache helpers
+    _bucket_ids = IncrementalDeduper._bucket_ids
     _pruned_read = IncrementalDeduper._pruned_read
     _bump_from = IncrementalDeduper._bump_from
     _release_prev = IncrementalDeduper._release_prev

@@ -125,11 +125,13 @@ class DeltaStateStore:
         delete_keys: DataFrame | None,
         key_cols: Sequence[str],
         commit: bool = True,
+        touched_ids: Sequence[int] | None = None,
     ) -> int:
         """Upsert + delete via ``MERGE INTO`` — Delta rewrites only the
         files containing matched keys (its native copy-on-write), the
         table-format analog of the parquet store's touched-bucket merge
-        + hardlinked untouched buckets."""
+        + hardlinked untouched buckets. ``touched_ids`` is accepted for
+        interface parity and ignored: MERGE INTO prunes natively."""
         if self._version_of(entity) is None:
             return self.init(entity, upserts, key_cols, commit=commit)
         path = self._table_path(entity)

@@ -213,6 +213,7 @@ class ParquetStateStore:
         key_cols: Sequence[str],
         commit: bool = True,
         allow_schema_evolution: bool = False,
+        touched_ids: Sequence[int] | None = None,
     ) -> int:
         """Upsert + delete merge. Work is proportional to the *touched*
         buckets, not the table: the anti-join scans only the bucket
@@ -250,12 +251,19 @@ class ParquetStateStore:
         delta_keys = upserts.select(*key_cols)
         if delete_keys is not None:
             delta_keys = delta_keys.unionByName(delete_keys.select(*key_cols))
-        touched = (
-            delta_keys.withColumn("__bucket", self._bucket_col(key_cols))
-            .select("__bucket")
-            .distinct()
-        )
-        touched_ids = [r["__bucket"] for r in touched.collect()]
+        if touched_ids is None:
+            touched = (
+                delta_keys.withColumn("__bucket", self._bucket_col(key_cols))
+                .select("__bucket")
+                .distinct()
+            )
+            touched_ids = [r["__bucket"] for r in touched.collect()]
+        else:
+            # caller-supplied superset of the delta keys' bucket ids
+            # (saves the collect job when the caller already holds them
+            # from its own pruned lookups); extra ids only widen the
+            # rewrite, never lose rows
+            touched_ids = list(touched_ids)
 
         # Bucket-prune BEFORE the anti-join: only touched partitions are
         # scanned (partition filter on the __bucket directory column).
