@@ -109,6 +109,77 @@ def decode_image_stub(
     return df.select(*cols).mapInPandas(decode, schema)
 
 
+def decode_images(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """REAL image decode (PIL) — the production swap-in for
+    :func:`decode_image_stub`: identical output schema
+    (id, carried..., width, height, mode) and identical Arrow
+    mapInPandas batch shape, but dimensions/mode come from actually
+    parsing the image bytes. Undecodable or null bytes yield null
+    metadata (a poison image must not kill a 100 TB scan).
+
+    Requires Pillow on driver AND executors; checked eagerly driver-side
+    so a missing dependency fails at plan-build time with a clear
+    message, not mid-job on an executor."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "decode_images needs Pillow (pip install Pillow) on the "
+            "driver and every executor; use decode_image_stub for "
+            "plumbing tests without it"
+        ) from e
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    carried = [df.schema[c] for c in carry_cols]
+    schema = StructType(
+        [df.schema[id_col]]
+        + [StructField(f.name, f.dataType, True) for f in carried]
+        + [
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+            StructField("mode", StringType(), True),
+        ]
+    )
+
+    def real_decode(b):
+        if b is None:
+            return None, None, None
+        import io
+
+        from PIL import Image
+
+        try:
+            with Image.open(io.BytesIO(bytes(b))) as im:
+                return im.width, im.height, im.mode
+        except Exception:
+            return None, None, None
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [real_decode(b) for b in pdf[content_col]]
+            out = {id_col: pdf[id_col]}
+            for c in carry_cols:
+                out[c] = pdf[c]
+            out["width"] = [d[0] for d in decoded]
+            out["height"] = [d[1] for d in decoded]
+            out["mode"] = [d[2] for d in decoded]
+            yield pd.DataFrame(out)
+
+    cols = [id_col, *carry_cols, content_col]
+    return df.select(*cols).mapInPandas(decode, schema)
+
+
 def frame_sample_stub(
     df: DataFrame, content_col: str, id_col: str, max_frames: int = 4
 ) -> DataFrame:

@@ -135,15 +135,60 @@ class FileSchemaRegistry:
 
 class HttpSchemaRegistry:
     """Confluent Schema Registry REST client (``GET
-    /schemas/ids/{id}``). Stdlib-only; auth via an optional
-    ``Authorization`` header value (e.g. ``"Basic ..."``)."""
+    /schemas/ids/{id}``). Stdlib-only. Auth options (production
+    registries nearly always require one):
+
+    * ``basic_auth`` — ``"user:password"`` (the exact value Confluent
+      clients put in ``basic.auth.user.info``) or a ``(user, password)``
+      pair; encoded into the ``Authorization: Basic`` header.
+    * ``authorization`` — a raw header value (e.g. ``"Bearer <token>"``)
+      when the scheme isn't basic.
+    * TLS: ``ca_file`` pins a private CA; ``cert_file``/``key_file``
+      present a client certificate (mTLS). The SSL context is built
+      lazily per fetch — contexts don't pickle, and registry objects
+      ship to executors for on-demand schema fetches (the process-wide
+      id cache keeps that to one round-trip per new id per executor).
+    """
 
     def __init__(
-        self, base_url: str, timeout: float = 10.0, authorization: str | None = None
+        self,
+        base_url: str,
+        timeout: float = 10.0,
+        authorization: str | None = None,
+        basic_auth: str | tuple[str, str] | None = None,
+        ca_file: str | None = None,
+        cert_file: str | None = None,
+        key_file: str | None = None,
     ) -> None:
+        if authorization is not None and basic_auth is not None:
+            raise ValueError("pass either authorization or basic_auth, not both")
+        if basic_auth is not None:
+            import base64
+
+            user_info = (
+                ":".join(basic_auth)
+                if isinstance(basic_auth, (tuple, list))
+                else basic_auth
+            )
+            authorization = "Basic " + base64.b64encode(
+                user_info.encode()
+            ).decode()
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
         self.authorization = authorization
+        self.ca_file = ca_file
+        self.cert_file = cert_file
+        self.key_file = key_file
+
+    def _ssl_context(self):
+        if not (self.ca_file or self.cert_file):
+            return None
+        import ssl
+
+        ctx = ssl.create_default_context(cafile=self.ca_file)
+        if self.cert_file:
+            ctx.load_cert_chain(self.cert_file, self.key_file)
+        return ctx
 
     def get_schema(self, schema_id: int) -> str:
         import urllib.error
@@ -152,8 +197,12 @@ class HttpSchemaRegistry:
         req = urllib.request.Request(f"{self.base_url}/schemas/ids/{schema_id}")
         if self.authorization:
             req.add_header("Authorization", self.authorization)
+        kwargs: dict = {"timeout": self.timeout}
+        ctx = self._ssl_context()
+        if ctx is not None:
+            kwargs["context"] = ctx
         try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            with urllib.request.urlopen(req, **kwargs) as resp:
                 return json.loads(resp.read())["schema"]
         except urllib.error.HTTPError as e:
             if e.code == 404:

@@ -42,15 +42,38 @@ _ROW = "__row"
 
 
 def asof_state(
-    right: DataFrame, on: Sequence[str], right_ts: str
+    right: DataFrame,
+    on: Sequence[str],
+    right_ts: str,
+    max_state_rows: int | None = 10_000_000,
 ) -> DataFrame:
     """Build broadcastable as-of state: one row per ``on`` key with all
     (timestamp, payload) entries sorted ascending by (ts, payload) —
     the deterministic duplicate-ts tie-break of the batch operator.
     Null-timestamp rows can never match; they are dropped here, exactly
     as in the batch plan. Call ``.cache()`` on the result so the
-    groupBy runs once, not once per trigger."""
+    groupBy runs once, not once per trigger.
+
+    ``max_state_rows`` guards the broadcast assumption: the stream plan
+    ships this whole table to every executor, so state past broadcast
+    size is a silent executor-OOM footgun at scale. The build counts the
+    right side (one job, once per state refresh — not per trigger) and
+    fails loudly past the threshold, naming the non-broadcast fallbacks.
+    Pass ``None`` to disable (e.g. state known-bounded upstream)."""
     on = list(on)
+    if max_state_rows is not None:
+        n = right.count()
+        if n > max_state_rows:
+            raise ValueError(
+                f"asof_state: right side has {n:,} rows > max_state_rows="
+                f"{max_state_rows:,} — broadcast state this large risks "
+                "executor OOM. Raise max_state_rows only if every executor "
+                "can hold it; otherwise use the non-broadcast fallbacks: "
+                "foreachBatch + operators.temporal.asof_join (per-batch "
+                "union-and-window, shuffles the state each trigger) or "
+                "asof_join_stream_stream (watermarked interval join, "
+                "horizon-bounded state) for stream-stream."
+            )
     rcols = [c for c in right.columns if c not in on and c != right_ts]
     entry = F.struct(
         F.col(right_ts).alias(_TS),

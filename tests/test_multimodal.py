@@ -1,0 +1,51 @@
+"""Multimodal decode seam: the real PIL-backed decoder (skipped where
+Pillow is absent) and the loud failure when it's missing — so the
+stub→real swap-in point is proven wherever the dependency exists and
+diagnosable everywhere else."""
+
+import pytest
+
+
+def _png_rows(spark):
+    """(id, content) frame: a real 2x3 RGB PNG, a corrupt blob, a null."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (2, 3), (255, 0, 0)).save(buf, format="PNG")
+    return spark.createDataFrame(
+        [(1, bytearray(buf.getvalue())), (2, bytearray(b"not an image")), (3, None)],
+        "img_id long, content binary",
+    )
+
+
+def test_decode_images_real_pil(spark):
+    pytest.importorskip("PIL")
+    from southpaw_spark.operators.multimodal import (
+        decode_image_stub,
+        decode_images,
+    )
+
+    df = _png_rows(spark)
+    out = decode_images(df, "content", "img_id")
+    rows = {r["img_id"]: r for r in out.collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["mode"]) == (2, 3, "RGB")
+    # poison inputs yield null metadata, never a task failure
+    assert rows[2]["width"] is None and rows[3]["width"] is None
+    # drop-in contract: identical output schema to the stub
+    assert out.schema == decode_image_stub(df, "content", "img_id").schema
+
+
+def test_decode_images_missing_pil_fails_loudly(spark):
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed — loud-failure path not reachable")
+    except ImportError:
+        pass
+    from southpaw_spark.operators.multimodal import decode_images
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "img_id long, content binary")
+    with pytest.raises(ImportError, match="Pillow"):
+        decode_images(df, "content", "img_id")

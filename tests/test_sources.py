@@ -366,6 +366,55 @@ def test_http_schema_registry_parses_confluent_response(monkeypatch):
     assert seen["auth"] == "Basic xyz"
 
 
+def test_http_schema_registry_basic_auth_against_live_stub():
+    """Real HTTP round-trip against an authed local stub: correct
+    basic_auth (Confluent basic.auth.user.info format and tuple form)
+    fetches the schema; missing/wrong credentials get the 401 back."""
+    import base64 as _b64
+    import json as _json
+    import threading
+    import urllib.error
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import pytest
+
+    from southpaw_spark.sources.schema_registry import HttpSchemaRegistry
+
+    expected = "Basic " + _b64.b64encode(b"sr-user:sr-pass").decode()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.headers.get("Authorization") != expected:
+                self.send_response(401)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(_json.dumps({"schema": V1}).encode())
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        assert HttpSchemaRegistry(url, basic_auth="sr-user:sr-pass").get_schema(7) == V1
+        assert (
+            HttpSchemaRegistry(url, basic_auth=("sr-user", "sr-pass")).get_schema(7)
+            == V1
+        )
+        with pytest.raises(urllib.error.HTTPError):
+            HttpSchemaRegistry(url).get_schema(7)
+        with pytest.raises(urllib.error.HTTPError):
+            HttpSchemaRegistry(url, basic_auth="sr-user:wrong").get_schema(7)
+        with pytest.raises(ValueError, match="not both"):
+            HttpSchemaRegistry(url, authorization="Bearer x", basic_auth="a:b")
+    finally:
+        srv.shutdown()
+
+
 def test_parse_cdc_mixed_json_key_avro_value(spark):
     """Reference parity: key.serde.class and value.serde.class are
     independent — a JSON key with a registry-resolved Avro value must

@@ -72,6 +72,22 @@ def test_forward_and_tolerance_parity(spark):
         assert _rows(probed) == _rows(batch), (direction, tol)
 
 
+def test_asof_state_size_guard(spark):
+    """asof_state must refuse to build broadcast state past
+    max_state_rows (naming the non-broadcast fallbacks), pass under the
+    threshold, and allow opting out with None."""
+    import pytest
+
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 30, "c")],
+        "k long, rts long, tag string",
+    )
+    with pytest.raises(ValueError, match="max_state_rows.*fallback"):
+        asof_state(right, ["k"], "rts", max_state_rows=2)
+    assert asof_state(right, ["k"], "rts", max_state_rows=3).count() == 2
+    assert asof_state(right, ["k"], "rts", max_state_rows=None).count() == 2
+
+
 def test_duplicate_right_ts_tiebreak_matches_batch(spark):
     """Equal right timestamps must resolve to the same (max-struct)
     winner as the batch operator."""
