@@ -86,6 +86,26 @@ def ivm_delta_batch(spark, sf_dir: str, state_dir: str) -> float:
     return round(time.monotonic() - t0, 3)
 
 
+def s03_ivf_kmeans(spark, sf_dir: str) -> float:
+    """Trained-quantizer ANN headline (ivf_kmeans_topk): k-means coarse
+    cells + 2-probe exact rescore over the embeddings table, same 10
+    queries as s01/s02. Lives here rather than in the 50-row driver
+    registry; the recall-vs-exact gate is in tests."""
+    from pyspark.sql import functions as F
+
+    from southpaw_spark.operators.similarity import ivf_kmeans_topk
+
+    t0 = time.monotonic()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ivf_kmeans_topk(emb, queries, "embedding", "vec_id", k=5).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    return round(time.monotonic() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -107,6 +127,7 @@ def main() -> None:
                 "overwrite"
             ).save()
         ivm_delta_batch(spark, warm_dir, "/tmp/southpaw_bench_warm_state")
+        s03_ivf_kmeans(spark, warm_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -118,6 +139,7 @@ def main() -> None:
     timings["ivm_delta_batch"] = ivm_delta_batch(
         spark, sf_dir, "/tmp/southpaw_bench_state"
     )
+    timings["s03_ivf_kmeans"] = s03_ivf_kmeans(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(
