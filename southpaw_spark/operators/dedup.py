@@ -312,72 +312,104 @@ def simhash(
     return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every node points its LARGER neighbors at the
+    minimum of its closed neighborhood. Preserves connectivity."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: every node repoints its SMALLER-or-equal
+    neighborhood (itself included) at that set's minimum. Output edges
+    are canonically (node > root)-oriented and duplicate-free."""
+    o = (
+        e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = o.groupBy("u").agg(F.min("v").alias("mn"))  # mn < u always
+    repointed = (
+        o.join(mins, "u")
+        .where(F.col("v") != F.col("mn"))
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+    )
+    self_edges = mins.select("u", F.col("mn").alias("v"))
+    return repointed.unionByName(self_edges).distinct()
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Connected components over a (near-)duplicate pair graph → one
     ``cluster_id`` (the component's minimum vertex id) per vertex. This
     turns pairwise dedup output into the *dedup groups* a training
     pipeline actually keeps/drops.
 
-    Spark-first: iterative min-label propagation — per round, every
-    vertex takes the min label among itself and its neighbors; converges
-    in O(component diameter) rounds (the same equi-join recipe GraphX's
-    ConnectedComponents runs). Each round is one shuffle-join + groupBy;
-    ``localCheckpoint`` truncates lineage so plans stay flat (a pure
-    persist() chain stack-overflows Catalyst's tree printer after
-    enough rounds). Storage hygiene: each generation's checkpoint
-    blocks are only referenced through the next generation's plan, so
-    once the caller releases the result the whole chain is
-    ContextCleaner-collectable; callers that need deterministic release
-    (long-lived sessions) unpersist via
-    ``sparkContext._jsc.getPersistentRDDs()``. The driver loop carries
-    only a convergence *count*, never data.
+    Spark-first: alternating large-star / small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014 — public) — each round is two join+groupBy shuffles, and
+    the edge set converges to a star forest (every node → its
+    component's min id) in O(log²) rounds REGARDLESS of component
+    diameter. The previous min-label-propagation design needed
+    O(diameter) rounds, which a long near-dup chain (doc A≈B≈C≈…)
+    turns into thousands of shuffles at corpus scale; star contraction
+    collapses such chains exponentially. ``localCheckpoint`` truncates
+    lineage per round so plans stay flat; the driver loop carries only
+    a changed-row existence check, never data. Convergence is verified
+    (both-direction anti-join empty) and non-convergence fails loudly —
+    a silently split component would let downstream keep/drop logic
+    keep real duplicates.
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    cur = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
     )
-    verts = sym.select(F.col("a").alias("id")).distinct()
-    labels = verts.withColumn("label", F.col("id")).localCheckpoint()
-    changed = 0
+    converged = cur.limit(1).count() == 0  # no edges → nothing to do
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym["b"] == labels["id"])
-            .groupBy("a")
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
-            .select(
-                F.col("id"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        if converged:
             break
-    if changed != 0:
-        # silent non-convergence would split one real component into
-        # several clusters — downstream keep/drop logic would then keep
-        # duplicates, and exact oracles diverge. Fail loudly instead.
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); raise max_iter — rounds "
-            "needed grow with the largest component's diameter"
+        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        # set equality of canonically-oriented edge frames
+        converged = (
+            nxt.join(cur, ["u", "v"], "left_anti").limit(1).count() == 0
+            and cur.join(nxt, ["u", "v"], "left_anti").limit(1).count() == 0
         )
-    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+        cur = nxt
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "alternating rounds — pathological input (the algorithm is "
+            "O(log²) rounds in component size); raise max_iter"
+        )
+    # fixpoint is a star forest: (leaf → root) edges; roots label themselves
+    labels = cur.select(
+        F.col("u").alias("id"), F.col("v").alias("cluster_id")
+    ).unionByName(
+        cur.select(F.col("v").alias("id"), F.col("v").alias("cluster_id"))
+    )
+    return labels.groupBy("id").agg(F.min("cluster_id").alias("cluster_id"))
 
 
 def auto_n_planes(n_rows: int, target_bucket: int = 200) -> int:

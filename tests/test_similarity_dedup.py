@@ -277,15 +277,59 @@ def test_connected_components_raises_on_non_convergence(spark):
     from southpaw_spark.operators.dedup import connected_components
     import pytest as _pytest
 
-    # a 12-vertex chain needs ~11 rounds; max_iter=3 must fail LOUDLY
+    # star contraction needs a few rounds even on a 12-vertex chain;
+    # max_iter=1 must fail LOUDLY rather than return split components
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(11)], "id_a long, id_b long"
     )
     with _pytest.raises(RuntimeError, match="converge"):
-        connected_components(edges, max_iter=3)
-    # and with enough rounds the same chain is ONE cluster
-    out = connected_components(edges, max_iter=15)
+        connected_components(edges, max_iter=1)
+    # and with the default budget the same chain is ONE cluster
+    out = connected_components(edges)
     assert {r.cluster_id for r in out.collect()} == {0}
+
+
+def test_connected_components_matches_union_find_fuzz(spark):
+    """Randomized parity vs a driver-side union-find oracle, plus a
+    200-vertex chain — the diameter shape the old label-propagation
+    design needed 200 rounds for; star contraction stays in its
+    default round budget."""
+    import random
+
+    from southpaw_spark.operators.dedup import connected_components
+
+    def union_find_labels(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    rng = random.Random(6)
+    cases = [
+        [(i, i + 1) for i in range(199)],  # long chain
+        [(rng.randrange(60), rng.randrange(60)) for _ in range(80)],
+        [(rng.randrange(1000), rng.randrange(1000)) for _ in range(300)],
+    ]
+    for pairs in cases:
+        pairs = [(a, b) for a, b in pairs if a != b]
+        expected = union_find_labels(pairs)
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(
+                spark.createDataFrame(pairs, "id_a long, id_b long")
+            ).collect()
+        }
+        assert got == expected
 
 
 def test_ivf_kmeans_recall_and_plan(spark, sf_dir):
