@@ -11,15 +11,12 @@ def test_every_oracle_has_a_query():
     assert not missing, f"oracles without queries: {missing}"
 
 
-def test_rows_only_queries_are_documented():
+def test_every_query_has_an_oracle():
+    # round 6: the last rows-only rows gained real oracles — d05/s02 by
+    # pinning + embedding their seeded hyperplanes as SQL literals,
+    # e03 by hashing exact counts plus a sketch-invariant boolean
     rows_only = set(suite.QUERIES) - set(suite.ORACLES)
-    # exactly the approximate / non-SQL-expressible ops (q13 gained a
-    # full JSON-reassembly oracle in round 2)
-    assert rows_only == {
-        "d05_embedding_near_dup",
-        "s02_ivf_topk",
-        "e03_approx_distinct",
-    }
+    assert rows_only == set(), f"rows without oracles: {rows_only}"
 
 
 @pytest.mark.parametrize("name", sorted(suite.QUERIES))
