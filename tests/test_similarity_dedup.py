@@ -289,6 +289,63 @@ def test_connected_components_raises_on_non_convergence(spark):
     assert {r.cluster_id for r in out.collect()} == {0}
 
 
+def test_ngram_jaccard_matches_python_oracle_fuzz(spark):
+    """Randomized exactness: the default skew-bounded plan must emit
+    exactly the pairs a brute-force pure-Python Jaccard finds — across
+    corpora with heavy shared vocabulary (stop-shingle pressure),
+    near-dup families, and varied thresholds."""
+    import random
+
+    rng = random.Random(60)
+    common = [f"w{i}" for i in range(12)]
+    rare = [f"r{i}" for i in range(400)]
+
+    def make_doc():
+        n_words = rng.randrange(3, 24)
+        return " ".join(
+            rng.choice(common if rng.random() < 0.55 else rare)
+            for _ in range(n_words)
+        )
+
+    for trial, threshold in [(0, 0.15), (1, 0.4), (2, 0.8)]:
+        docs = []
+        for i in range(70):
+            if docs and rng.random() < 0.3:
+                # near-dup: mutate one word of an earlier doc
+                base = docs[rng.randrange(len(docs))][1].split()
+                base[rng.randrange(len(base))] = rng.choice(rare)
+                docs.append((100 * trial + i, " ".join(base)))
+            else:
+                docs.append((100 * trial + i, make_doc()))
+
+        def sh_set(text, n=3):
+            w = text.split()
+            return {
+                " ".join(w[i:i + n]) for i in range(len(w) - n + 1)
+            } if len(w) >= n else set()
+
+        expected = set()
+        sets = {i: sh_set(t) for i, t in docs}
+        for a in sets:
+            for b in sets:
+                if a < b and sets[a] and sets[b]:
+                    inter = len(sets[a] & sets[b])
+                    union = len(sets[a] | sets[b])
+                    jac = inter / union
+                    # the operator thresholds on the UNROUNDED score
+                    if jac >= threshold:
+                        expected.add((a, b, round(jac, 6)))
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(
+                df, "text", "doc_id", n=3, threshold=threshold
+            ).collect()
+        }
+        assert got == expected, (trial, threshold)
+
+
 def test_connected_components_matches_union_find_fuzz(spark):
     """Randomized parity vs a driver-side union-find oracle, plus a
     200-vertex chain — the diameter shape the old label-propagation
