@@ -108,6 +108,7 @@ class IncrementalDeduper:
         num_hashes: int = 8,
         bands: int = 4,
         sim_threshold: float = 0.7,
+        auto_vacuum: bool = True,
     ) -> None:
         self.spark = spark
         self.store = store
@@ -117,6 +118,10 @@ class IncrementalDeduper:
         self.num_hashes = num_hashes
         self.bands = bands
         self.sim_threshold = sim_threshold
+        #: vacuum old state versions (keep=2) after each batch's commits
+        #: — without it a long stream grows one version dir per entity
+        #: per batch (the same hygiene the IVM loop applies)
+        self.auto_vacuum = auto_vacuum
         #: cumulative counters (docs/kept/exact_dups/near_dups), the
         #: same plain surface the IVM loop exposes for its listeners
         self.metrics: dict = {}
@@ -439,10 +444,22 @@ class IncrementalDeduper:
         # doc_id", stable under at-least-once replay.
         for entity, version in staged:
             self.store.commit(entity, version)
+        self._vacuum()
         self._bump_from(decisions)
         for frame in scoped:  # decisions stays cached until next batch
             frame.unpersist()
         return decisions
+
+    def _vacuum(self) -> None:
+        if not getattr(self, "auto_vacuum", True):
+            return
+        vacuum = getattr(self.store, "vacuum", None)
+        if not callable(vacuum):
+            return
+        try:
+            vacuum(keep=2)  # parquet/orc store: version-count retention
+        except TypeError:
+            vacuum()  # Delta backend: hours-based retention signature
 
     def _release_prev(self) -> None:
         if self._prev_decisions is not None:
@@ -561,6 +578,7 @@ class IncrementalVectorDeduper:
         n_planes: int = 8,
         n_tables: int = 2,
         seed: int = 42,
+        auto_vacuum: bool = True,
     ) -> None:
         self.spark = spark
         self.store = store
@@ -570,6 +588,7 @@ class IncrementalVectorDeduper:
         self.n_planes = n_planes
         self.n_tables = n_tables
         self.seed = seed
+        self.auto_vacuum = auto_vacuum
         self.metrics: dict = {}
         self._prev_decisions: DataFrame | None = None
         self._planes: list | None = None  # resolved on first batch / reopen
@@ -779,12 +798,14 @@ class IncrementalVectorDeduper:
         )))
         for entity, version in staged:  # stage both, then flip pointers
             self.store.commit(entity, version)
+        self._vacuum()
         self._bump_from(decisions)
         return decisions
 
     # reuse the text deduper's pruned-lookup + metrics + cache helpers
     _bucket_ids = IncrementalDeduper._bucket_ids
     _pruned_read = IncrementalDeduper._pruned_read
+    _vacuum = IncrementalDeduper._vacuum
     _bump_from = IncrementalDeduper._bump_from
     _release_prev = IncrementalDeduper._release_prev
     close = IncrementalDeduper.close

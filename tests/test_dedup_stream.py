@@ -127,6 +127,40 @@ def test_restart_resumes_from_committed_state(spark, tmp_path):
     assert out[31] == ("kept", 31)
 
 
+def test_auto_vacuum_bounds_state_versions(spark, tmp_path):
+    """A long dedup stream must not grow one version dir per entity per
+    batch: auto_vacuum (default on) keeps ≤2 committed versions, and
+    auto_vacuum=False preserves the full history for callers managing
+    retention themselves."""
+    import os
+
+    def n_versions(root):
+        out = {}
+        for ent in os.listdir(root):
+            edir = os.path.join(root, ent)
+            if os.path.isdir(edir):
+                out[ent] = len(
+                    [d for d in os.listdir(edir) if d.startswith("v")]
+                )
+        return out
+
+    path = str(tmp_path / "st")
+    d = IncrementalDeduper(spark, ParquetStateStore(spark, path, n_buckets=4))
+    for ids in ([1, 21], [2, 22], [31], [11, 12]):
+        d.process_batch(_df(spark, ids))
+    assert all(v <= 2 for v in n_versions(path).values()), n_versions(path)
+    d.close()
+
+    path2 = str(tmp_path / "st2")
+    d2 = IncrementalDeduper(
+        spark, ParquetStateStore(spark, path2, n_buckets=4), auto_vacuum=False
+    )
+    for ids in ([1, 21], [2, 22], [31]):
+        d2.process_batch(_df(spark, ids))
+    assert max(n_versions(path2).values()) >= 3
+    d2.close()
+
+
 def test_reopen_with_conflicting_geometry_fails_loudly(spark, tmp_path):
     """State built with one (n, num_hashes, bands) must refuse to open
     under different geometry — mismatched band buckets would silently
