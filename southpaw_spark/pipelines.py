@@ -1,0 +1,149 @@
+"""End-to-end training-corpus build: the composition a pipeline user
+actually ships, wiring the individually-tested operators into one
+declarative pass — annotate → filter → decontaminate → exact dedup →
+fuzzy dedup → sample → pack.
+
+Every stage is the already-oracle-checked operator (text.*, dedup.*);
+this module adds only the glue: stage ordering, survivor threading, and
+a per-stage count report. The whole pipeline stays one lazy DataFrame
+program per stage boundary — nothing collects to the driver except the
+bounded report counts (one count job per enabled stage, skippable with
+``collect_report=False``).
+
+Stage order rationale (the standard corpus-build order):
+quality/language/contamination filters run FIRST (cheap, map-side or
+broadcast-probe — shrink the corpus before anything that shuffles),
+exact dedup before fuzzy (content-hash groupBy is near-free and removes
+the easy mass), sampling after dedup (sampling first would let a kept
+duplicate re-enter), packing last (it assigns output shards to the
+final survivor set).
+
+At 100 TB: filters are scan-speed predicates; decontamination is a
+broadcast probe (benchmark sets are MBs); exact dedup a combiner
+groupBy; fuzzy dedup the skew-bounded exact Jaccard join + star
+contraction clustering; sampling a hash-threshold filter (no shuffle);
+packing a per-shard window. No stage introduces a driver loop or an
+unbounded collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from southpaw_spark.operators.dedup import (
+    connected_components,
+    exact_duplicates,
+    ngram_jaccard_pairs,
+)
+from southpaw_spark.operators.text import (
+    ngram_contamination,
+    sequence_packing,
+    stratified_sample,
+    with_lang_guess,
+    with_quality_score,
+)
+
+
+def build_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_quality: float | None = None,
+    min_tokens: int | None = None,
+    langs: list[str] | None = None,
+    benchmark: DataFrame | None = None,
+    max_contamination_rate: float = 0.0,
+    contamination_n: int = 5,
+    exact_dedup: bool = True,
+    fuzzy_threshold: float | None = None,
+    fuzzy_n: int = 3,
+    sample_rates: dict[str, float] | None = None,
+    sample_default_rate: float = 0.0,
+    sample_salt: str = "",
+    pack_token_budget: int | None = None,
+    collect_report: bool = True,
+) -> tuple[DataFrame, dict]:
+    """Run the corpus build; return ``(kept_docs, report)``.
+
+    ``kept_docs`` carries the input columns plus the annotation columns
+    (n_tokens / quality_score / lang_guess, and pack_id/n_tokens when
+    packing is enabled). ``report`` maps stage name → surviving doc
+    count after that stage (empty dict when ``collect_report=False``).
+
+    Stages are enabled by their arguments: ``min_quality``/``min_tokens``
+    gate on :func:`with_quality_score`; ``langs`` keeps only those
+    :func:`with_lang_guess` labels; ``benchmark`` drops docs whose
+    n-gram ``contamination_rate`` exceeds ``max_contamination_rate``
+    (docs too short to carry an n-gram are KEPT — no evidence is not
+    contamination); ``exact_dedup`` keeps the min-id copy per content
+    hash; ``fuzzy_threshold`` drops every non-minimum member of each
+    near-dup cluster (exact Jaccard pairs → connected components —
+    transitive, unlike the greedy pairwise drop in the d08 registry
+    row); ``sample_rates`` stratifies on ``lang_guess``;
+    ``pack_token_budget`` appends shard-local pack assignments
+    (sharded by ``lang_guess``).
+    """
+    report: dict[str, int] = {}
+
+    def note(stage: str, df: DataFrame) -> DataFrame:
+        if collect_report:
+            report[stage] = df.count()
+        return df
+
+    cur = with_lang_guess(
+        with_quality_score(docs, text_col), text_col
+    )
+    note("input", cur)
+
+    if min_tokens is not None:
+        cur = note("min_tokens", cur.where(F.col("n_tokens") >= min_tokens))
+    if min_quality is not None:
+        cur = note(
+            "min_quality", cur.where(F.col("quality_score") >= min_quality)
+        )
+    if langs is not None:
+        cur = note("langs", cur.where(F.col("lang_guess").isin(list(langs))))
+
+    if benchmark is not None:
+        contam = ngram_contamination(
+            cur, benchmark, text_col, id_col, n=contamination_n
+        )
+        dirty = contam.where(
+            F.col("contamination_rate") > max_contamination_rate
+        ).select(id_col)
+        cur = note("decontaminated", cur.join(dirty, id_col, "left_anti"))
+
+    if exact_dedup:
+        losers = exact_duplicates(cur, text_col, id_col).select(
+            F.explode("doc_ids").alias(id_col), F.col("keep_id")
+        ).where(F.col(id_col) != F.col("keep_id")).select(id_col)
+        cur = note("exact_dedup", cur.join(losers, id_col, "left_anti"))
+
+    if fuzzy_threshold is not None:
+        pairs = ngram_jaccard_pairs(
+            cur, text_col, id_col, n=fuzzy_n, threshold=fuzzy_threshold
+        )
+        clusters = connected_components(pairs)
+        fuzzy_losers = clusters.where(
+            F.col("id") != F.col("cluster_id")
+        ).select(F.col("id").alias(id_col))
+        cur = note("fuzzy_dedup", cur.join(fuzzy_losers, id_col, "left_anti"))
+
+    if sample_rates is not None:
+        cur = note(
+            "sampled",
+            stratified_sample(
+                cur, "lang_guess", id_col, sample_rates,
+                default_rate=sample_default_rate, salt=sample_salt,
+            ),
+        )
+
+    if pack_token_budget is not None:
+        packs = sequence_packing(
+            cur, text_col, id_col, "lang_guess", token_budget=pack_token_budget
+        ).select(id_col, "pack_id")
+        cur = note("packed", cur.join(packs, id_col))
+
+    return cur, report

@@ -346,6 +346,19 @@ def test_ngram_jaccard_matches_python_oracle_fuzz(spark):
         assert got == expected, (trial, threshold)
 
 
+def test_ngram_jaccard_plan_shape(spark, sf_dir):
+    """The skew-bounded Jaccard plan must stay shuffle-native: every
+    join an equi-join (candidate generation on the shingle hash,
+    verification on ids) — never a cross product — and no per-row
+    Python in the plan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
 def test_connected_components_matches_union_find_fuzz(spark):
     """Randomized parity vs a driver-side union-find oracle, plus a
     200-vertex chain — the diameter shape the old label-propagation
