@@ -61,6 +61,16 @@ def auto_max_doc_freq(n_docs: int) -> int:
     return min(4096, max(128, math.ceil(0.002 * n_docs)))
 
 
+def release(df: DataFrame) -> None:
+    """Unpersist any intermediate frames an operator cached while
+    building ``df`` (attached as ``df._southpaw_cached``). Call after
+    the result has been materialized (written / collected); repeated
+    calls in one session without release accumulate executor storage
+    until LRU eviction. No-op for frames with nothing attached."""
+    for frame in getattr(df, "_southpaw_cached", []):
+        frame.unpersist()
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -116,57 +126,79 @@ def ngram_jaccard_pairs(
     ``max_doc_freq=None`` disables the rare/hot split (pure prefix
     filter, no skew bound on the worst key).
 
-    At 100 TB: postings, prefixes and doc arrays are all one groupBy /
-    window by doc or shingle hash; the hot key set (≤ postings/cap
-    entries) broadcasts via AQE; nothing collects to the driver.
+    At 100 TB: postings, prefixes and doc arrays all come from ONE
+    groupBy-by-doc over the doc-freq-tagged postings (per-doc rarity
+    order via ``sort_array`` on (df, hash) structs — array math inside
+    codegen, no window function, no second sort shuffle); the candidate
+    join's input holds ONLY prefix tokens (≤ (1−t)·n+1 per doc), and
+    nothing collects to the driver. One intermediate frame (the per-doc
+    facts) is cached because four plan branches read it; it is attached
+    to the result as ``_southpaw_cached`` — call :func:`release` after
+    materializing if you invoke this repeatedly in one session.
     """
+    if not (
+        max_doc_freq is None
+        or max_doc_freq == "auto"
+        or isinstance(max_doc_freq, int)
+    ):
+        raise ValueError(
+            "max_doc_freq must be None, an int, or exactly 'auto'; got "
+            f"{max_doc_freq!r}"
+        )
     # Join on a 64-bit hash of the shingle instead of the string: the
     # shuffle carries 8-byte keys instead of ~n·word-length strings.
     # Collision risk is ~|shingles|²/2⁶⁵ — immaterial here.
-    from pyspark.sql import Window
-
     sh = shingles(df, text_col, id_col, n).select(
         F.col(id_col), F.xxhash64("shingle").alias("sh")
     )
     cap: int | None
     if max_doc_freq == "auto":
-        cap = auto_max_doc_freq(df.count())
+        n_docs = df.count()
+        # Small-corpus fast path: below ~10k docs the worst possible
+        # join key (a shingle in EVERY doc) is ≤ 1e8 candidate rows —
+        # one AQE skew-split from healthy — so the split machinery's
+        # extra stages (rescue self-join + union-distinct + array
+        # filters) cost more than the skew bound saves. Output is
+        # identical either way (both plans are exact); this is a pure
+        # plan choice, like an optimizer's size-based join selection.
+        cap = None if n_docs <= 10_000 else auto_max_doc_freq(n_docs)
     else:
-        cap = max_doc_freq  # type: ignore[assignment]
+        cap = max_doc_freq
+    t = float(threshold)
     dfreq = sh.groupBy("sh").agg(F.count("*").alias("df_"))
-    # cached: doc facts, rare positions and the hot split all re-read
-    # this frame — without the cache the shingling + doc-freq join
-    # recompute once per consumer (measured ~2× the sf1 wall)
-    tagged = sh.join(dfreq, "sh").withColumn(
-        "is_hot", F.lit(False) if cap is None else F.col("df_") > cap
-    ).cache()
-    # Per-doc facts: full size, hot count, and the full shingle-set
-    # array (verification reads sets pairwise — never a per-shingle
-    # shuffle). Rare positions come from the rarity window; hot
-    # shingles rank after all rare ones, so the rare row_number IS the
-    # full-order rank.
+    tagged = sh.join(dfreq, "sh")
+    # ONE per-doc aggregation carries everything downstream: the
+    # rarity-sorted (df, hash) struct array yields the full shingle
+    # set (verification), the rare/hot split (array filter — hot sort
+    # after every rare because df > cap), the prefix (array slice: the
+    # largest useful rank is n − ⌈t·n⌉ + 1, from α ≥ t·n for any
+    # length-feasible partner), and the hot evidence for the rescue.
+    # Cached: the prefix explode, the rescue, and both verify sides
+    # read it; everything before this agg runs exactly once.
+    rare = (
+        F.col("srt") if cap is None
+        else F.filter("srt", lambda x: x["df_"] <= F.lit(cap))
+    )
+    plen = (F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1).cast("int")
     doc = (
         tagged.groupBy(id_col)
         .agg(
-            F.count("*").alias("n_sh"),
-            F.sum(F.col("is_hot").cast("int")).alias("n_hot"),
-            F.collect_list("sh").alias("sh_set"),
+            F.sort_array(F.collect_list(F.struct("df_", "sh"))).alias("srt")
         )
+        .withColumn("n_sh", F.size("srt"))
+        .withColumn("sh_set", F.transform("srt", lambda x: x["sh"]))
+        .withColumn(
+            "prefix",
+            F.transform(F.slice(rare, F.lit(1), plen), lambda x: x["sh"]),
+        )
+        .withColumn("n_hot", F.col("n_sh") - F.size(rare))
+        .drop("srt")
         .cache()
     )
-    rare_pos = (
-        tagged.where(~F.col("is_hot"))
-        .withColumn(
-            "pos",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy("df_", "sh")
-            ),
-        )
-        .join(doc.select(id_col, "n_sh", "n_hot"), id_col)
-        .select(id_col, "sh", "pos", "n_sh", "n_hot")
-        .cache()  # both sides of the candidate self-join read it
-    )
-    t = float(threshold)
+    rare_pos = doc.select(
+        F.col(id_col), "n_sh",
+        F.posexplode("prefix").alias("pos0", "sh"),
+    ).select(id_col, "sh", (F.col("pos0") + 1).alias("pos"), "n_sh")
     pa = rare_pos.select(
         F.col(id_col).alias("id_a"), "sh",
         F.col("pos").alias("pos_a"), F.col("n_sh").alias("n_a"),
@@ -183,7 +215,8 @@ def ngram_jaccard_pairs(
             # length filter: |B| ∈ [t·|A|, |A|/t] is necessary for J ≥ t
             & (F.col("n_b") >= F.lit(t) * F.col("n_a"))
             & (F.col("n_a") >= F.lit(t) * F.col("n_b"))
-            # prefix filter on both sides
+            # pair-exact prefix filter on both sides (tighter than the
+            # worst-case slice that built the prefix arrays)
             & (F.col("pos_a") <= F.col("n_a") - alpha + 1)
             & (F.col("pos_b") <= F.col("n_b") - alpha + 1)
         )
@@ -192,10 +225,20 @@ def ngram_jaccard_pairs(
     )
     if cap is not None:
         # hot-heavy rescue: only docs with n_hot ≥ t·n_sh can pair on
-        # hot evidence alone (see step 3 above)
-        hh = tagged.where(F.col("is_hot")).join(
-            doc.where(F.col("n_hot") >= F.lit(t) * F.col("n_sh")).select(id_col),
-            id_col,
+        # hot evidence alone (see step 3 above). Hot shingles are the
+        # sorted array's tail — everything past the rare prefix count.
+        hh = (
+            doc.where(F.col("n_hot") >= F.lit(t) * F.col("n_sh"))
+            .select(
+                F.col(id_col),
+                F.explode(
+                    F.slice(
+                        "sh_set",
+                        F.col("n_sh") - F.col("n_hot") + 1,
+                        F.col("n_hot"),
+                    )
+                ).alias("sh"),
+            )
         )
         rescue = (
             hh.select(F.col(id_col).alias("id_a"), "sh")
@@ -215,12 +258,14 @@ def ngram_jaccard_pairs(
     )
     n_inter = F.size(F.array_intersect("set_a", "set_b"))
     jac = n_inter.cast("double") / (F.col("n_a") + F.col("n_b") - n_inter)
-    return (
+    out = (
         cand.join(da, "id_a")
         .join(db, "id_b")
         .where(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
+    out._southpaw_cached = [doc]  # type: ignore[attr-defined]
+    return out
 
 
 def minhash_signatures(
@@ -376,9 +421,17 @@ def connected_components(
     (both-direction anti-join empty) and non-convergence fails loudly —
     a silently split component would let downstream keep/drop logic
     keep real duplicates.
+
+    Every vertex that appears in ``edges`` gets a row — including a
+    vertex whose only edges are self-loops (it is its own singleton
+    cluster), matching the label-propagation semantics this replaced.
     """
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    verts = (
+        raw.select("u").unionByName(raw.select(F.col("v").alias("u"))).distinct()
+    )
     cur = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        raw
         .where(F.col("u") != F.col("v"))
         .select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
@@ -403,11 +456,15 @@ def connected_components(
             "alternating rounds — pathological input (the algorithm is "
             "O(log²) rounds in component size); raise max_iter"
         )
-    # fixpoint is a star forest: (leaf → root) edges; roots label themselves
+    # fixpoint is a star forest: (leaf → root) edges; roots label
+    # themselves, and isolated vertices (self-loop-only input) label
+    # themselves via the vertex union
     labels = cur.select(
         F.col("u").alias("id"), F.col("v").alias("cluster_id")
     ).unionByName(
         cur.select(F.col("v").alias("id"), F.col("v").alias("cluster_id"))
+    ).unionByName(
+        verts.select(F.col("u").alias("id"), F.col("u").alias("cluster_id"))
     )
     return labels.groupBy("id").agg(F.min("cluster_id").alias("cluster_id"))
 

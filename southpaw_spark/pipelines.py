@@ -35,6 +35,7 @@ from southpaw_spark.operators.dedup import (
     connected_components,
     exact_duplicates,
     ngram_jaccard_pairs,
+    release,
 )
 from southpaw_spark.operators.text import (
     ngram_contamination,
@@ -71,6 +72,10 @@ def build_corpus(
     (n_tokens / quality_score / lang_guess, and pack_id/n_tokens when
     packing is enabled). ``report`` maps stage name → surviving doc
     count after that stage (empty dict when ``collect_report=False``).
+    With ``collect_report=True`` the returned ``kept_docs`` is already
+    persisted and counted (the last stage boundary) — ``.unpersist()``
+    it when done; intermediate stage caches are dropped as each
+    successor materializes.
 
     Stages are enabled by their arguments: ``min_quality``/``min_tokens``
     gate on :func:`with_quality_score`; ``langs`` keeps only those
@@ -86,10 +91,22 @@ def build_corpus(
     (sharded by ``lang_guess``).
     """
     report: dict[str, int] = {}
+    persisted: list[DataFrame] = []
 
     def note(stage: str, df: DataFrame) -> DataFrame:
         if collect_report:
+            # Persist each stage boundary before counting: the count job
+            # materializes the stage once, and every later stage (and its
+            # count) reads the persisted frame instead of re-executing the
+            # whole upstream lineage — without this the report multiplies
+            # pipeline cost by the number of enabled stages at scale. The
+            # previous boundary is unpersisted only after its successor is
+            # materialized, so nothing recomputes.
+            df = df.persist()
             report[stage] = df.count()
+            while persisted:
+                persisted.pop().unpersist()
+            persisted.append(df)
         return df
 
     cur = with_lang_guess(
@@ -126,6 +143,10 @@ def build_corpus(
             cur, text_col, id_col, n=fuzzy_n, threshold=fuzzy_threshold
         )
         clusters = connected_components(pairs)
+        # connected_components consumed pairs eagerly (its star-contraction
+        # loop localCheckpoints, truncating lineage) — the Jaccard join's
+        # internal cache is no longer referenced by anything downstream
+        release(pairs)
         fuzzy_losers = clusters.where(
             F.col("id") != F.col("cluster_id")
         ).select(F.col("id").alias(id_col))

@@ -456,9 +456,18 @@ class IncrementalDeduper:
         vacuum = getattr(self.store, "vacuum", None)
         if not callable(vacuum):
             return
+        # Dispatch on the declared signature, not by catching TypeError —
+        # a genuine TypeError raised INSIDE a store's vacuum must
+        # propagate, not be silently retried with defaults.
+        import inspect
+
         try:
+            params = inspect.signature(vacuum).parameters
+        except (TypeError, ValueError):  # builtins without signatures
+            params = {}
+        if "keep" in params:
             vacuum(keep=2)  # parquet/orc store: version-count retention
-        except TypeError:
+        else:
             vacuum()  # Delta backend: hours-based retention signature
 
     def _release_prev(self) -> None:

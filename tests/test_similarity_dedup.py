@@ -530,3 +530,54 @@ def test_ann_index_incremental_add_parity(spark, sf_dir, tmp_path):
         )
 
     assert rows(inc) == rows(full) and rows(full)
+
+
+def test_ngram_jaccard_rejects_bad_max_doc_freq(spark):
+    """A typo'd max_doc_freq must fail eagerly with a clear ValueError,
+    not fall through to an opaque Spark analysis error comparing a
+    string to the numeric doc-frequency column."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+    )
+    for bad in ("Auto", "none", 1.5):
+        with pytest.raises(ValueError, match="max_doc_freq"):
+            ngram_jaccard_pairs(
+                df, "text", "doc_id", n=3, threshold=0.5, max_doc_freq=bad
+            )
+
+
+def test_ngram_jaccard_release_unpersists(spark):
+    """The operator caches one internal frame (per-doc facts); release()
+    must unpersist it so repeated calls in one session don't accumulate
+    executor storage."""
+    from southpaw_spark.operators.dedup import release
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} x y z common tail words here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.2)
+    out.count()  # materialize → populates the internal cache
+    cached = out._southpaw_cached
+    assert cached and any(f.storageLevel.useMemory for f in cached)
+    release(out)
+    assert all(not f.storageLevel.useMemory for f in cached)
+
+
+def test_connected_components_self_loop_singleton(spark):
+    """A vertex whose only edges are self-loops is its own singleton
+    cluster — parity with the label-propagation semantics the star
+    contraction replaced (it must not silently vanish from the
+    output)."""
+    from southpaw_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(7, 7), (2, 3)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {7: 7, 2: 2, 3: 2}
