@@ -3,11 +3,21 @@
 
 Prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...}
+   "queries": {name: median_sec, ...}, "spread": {name: [min, max]},
+   "reps": N, "sf": ...}
 
 Every query is fully materialized through the noop sink (format="noop")
 so serialization and all shuffles execute; nothing collects to the
 driver.
+
+Methodology (BASELINE.md §10): each query runs SPARK_GRAFT_BENCH_REPS
+times (default 3) with the cache cleared between reps; the recorded
+number is the per-query MEDIAN and "spread" records [min, max]. The
+shared-box noise floor (±50% observed on single runs) exceeds most real
+plan deltas, so single-run numbers routinely masquerade as regressions.
+A wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default 900) guards
+the total: once the timed phase exceeds it, remaining queries run once
+and are listed in "reps_truncated".
 """
 
 from __future__ import annotations
@@ -129,30 +139,58 @@ def main() -> None:
         ivm_delta_batch(spark, warm_dir, "/tmp/southpaw_bench_warm_state")
         s03_ivf_kmeans(spark, warm_dir)
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = suite.QUERIES[name]
-        t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
-    timings["ivm_delta_batch"] = ivm_delta_batch(
-        spark, sf_dir, "/tmp/southpaw_bench_state"
-    )
-    timings["s03_ivf_kmeans"] = s03_ivf_kmeans(spark, sf_dir)
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "900"))
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "southpaw_spark headline suite wall-clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    def run_query(name: str) -> float:
+        t0 = time.monotonic()
+        suite.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.monotonic() - t0, 3)
+
+    runners = [(n, lambda n=n: run_query(n)) for n in HEADLINE]
+    runners.append(
+        (
+            "ivm_delta_batch",
+            lambda: ivm_delta_batch(spark, sf_dir, "/tmp/southpaw_bench_state"),
         )
     )
+    runners.append(("s03_ivf_kmeans", lambda: s03_ivf_kmeans(spark, sf_dir)))
+
+    timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    truncated: list[str] = []
+    bench_t0 = time.monotonic()
+    for name, runner in runners:
+        n_reps = reps
+        if time.monotonic() - bench_t0 > budget:
+            n_reps = 1
+            truncated.append(name)
+        samples = []
+        for _ in range(n_reps):
+            # clear caches so every rep pays identical (cache-population)
+            # cost — reps measure run-to-run machine noise, not a
+            # first-rep-cold / later-reps-cached mixture
+            spark.catalog.clearCache()
+            samples.append(runner())
+        samples.sort()
+        timings[name] = samples[len(samples) // 2]
+        spread[name] = [samples[0], samples[-1]]
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "southpaw_spark headline suite wall-clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "reps": reps,
+        "sf": sf,
+    }
+    if truncated:
+        out["reps_truncated"] = truncated
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
