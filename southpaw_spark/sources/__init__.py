@@ -3,6 +3,7 @@
 from southpaw_spark.sources.files import read_changelog_json, read_snapshot
 from southpaw_spark.sources.kafka import (
     kafka_cdc_stream,
+    kafka_source_options,
     parse_cdc_json,
     parse_cdc_mixed,
     to_kafka_sink_frame,
@@ -21,6 +22,7 @@ __all__ = [
     "StaticSchemaRegistry",
     "decode_confluent_avro",
     "kafka_cdc_stream",
+    "kafka_source_options",
     "parse_cdc_avro_with_registry",
     "parse_cdc_json",
     "parse_cdc_mixed",

@@ -26,6 +26,31 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def kafka_source_options(
+    bootstrap_servers: str,
+    topics: Sequence[str],
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = 250_000,
+    options: Mapping[str, str] | None = None,
+) -> dict[str, str]:
+    """The EXACT option map handed to ``readStream.format("kafka")`` —
+    a pure function so the source spec is assertable without a broker
+    or the `spark-sql-kafka` jar on the classpath (the sandbox has
+    neither; see README "O1 environment gate"). Caller-supplied
+    ``options`` override the defaults, matching DataStreamReader's
+    last-write-wins option semantics."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": ",".join(topics),
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "false",
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    opts.update(options or {})
+    return opts
+
+
 def kafka_cdc_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -37,16 +62,11 @@ def kafka_cdc_stream(
     """Raw CDC stream over one or more topics. ``maxOffsetsPerTrigger``
     bounds micro-batch size — the backpressure role of the reference's
     ``topic.lag.trigger``/``create.records.trigger`` knobs (SURVEY §4.2)."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", ",".join(topics))
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", "false")
-    )
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    for k, v in (options or {}).items():
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(
+        bootstrap_servers, topics, starting_offsets,
+        max_offsets_per_trigger, options,
+    ).items():
         reader = reader.option(k, v)
     return reader.load()
 

@@ -4,7 +4,11 @@ import pytest
 from pyspark.sql import functions as F, types as T
 
 from southpaw_spark.sources.files import read_changelog_json
-from southpaw_spark.sources.kafka import parse_cdc_json, to_kafka_sink_frame
+from southpaw_spark.sources.kafka import (
+    kafka_cdc_stream,
+    parse_cdc_json,
+    to_kafka_sink_frame,
+)
 
 
 def test_parse_cdc_json_roundtrip(spark):
@@ -446,3 +450,52 @@ def test_parse_cdc_mixed_json_key_avro_value(spark):
     state = current_state(parsed, ["id"])
     got = {r["id"]: r["name"] for r in state.collect()}
     assert got == {1: "a2"}
+
+
+def test_kafka_source_options_exact():
+    """The pure source spec IS the O1 plan surface the sandbox can
+    assert: these options, applied to readStream.format("kafka"),
+    are the documented Structured Streaming Kafka source contract."""
+    from southpaw_spark.sources.kafka import kafka_source_options
+
+    opts = kafka_source_options(
+        "b1:9092,b2:9092", ["db.users", "db.orders"],
+        options={"kafka.security.protocol": "SASL_SSL"},
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "db.users,db.orders",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+        "maxOffsetsPerTrigger": "250000",
+        "kafka.security.protocol": "SASL_SSL",
+    }
+    # backpressure knob off → option absent (unbounded batches)
+    assert "maxOffsetsPerTrigger" not in kafka_source_options(
+        "b:9092", ["t"], max_offsets_per_trigger=None
+    )
+    # caller overrides win (DataStreamReader last-write-wins semantics)
+    assert kafka_source_options(
+        "b:9092", ["t"], options={"startingOffsets": "latest"}
+    )["startingOffsets"] == "latest"
+
+
+def test_kafka_builder_reaches_data_source_resolution(spark):
+    """Drive kafka_cdc_stream all the way into Spark's data-source
+    resolution. With the spark-sql-kafka jar on the classpath this
+    returns the streaming frame (and we pin its schema); without it —
+    this sandbox: no network, no jar, broker tarball unobtainable (see
+    README "O1 environment gate") — Spark must fail precisely at
+    DATA_SOURCE_NOT_FOUND for "kafka", proving the builder wiring is
+    correct up to the missing artifact, not silently misconfigured."""
+    try:
+        raw = kafka_cdc_stream(spark, "localhost:9092", ["t"])
+    except Exception as e:  # noqa: BLE001 — asserting the exact failure
+        msg = str(e)
+        assert "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg, msg
+        assert "kafka" in msg.lower()
+        return
+    assert raw.isStreaming
+    assert {f.name for f in raw.schema.fields} >= {
+        "key", "value", "topic", "partition", "offset", "timestamp",
+    }
