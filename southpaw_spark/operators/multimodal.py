@@ -222,3 +222,97 @@ def frame_sample_stub(
             )
 
     return df.select(id_col, content_col).mapInPandas(sample, schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    max_frames: int = 4,
+) -> DataFrame:
+    """REAL video frame sampling (imageio) — the production swap-in for
+    :func:`frame_sample_stub`: identical fan-out plan (1 binary row in →
+    ≤ ``max_frames`` frame rows out via Arrow mapInPandas) but frames
+    come from actually decoding the clip bytes. Output schema adds the
+    decoded dimensions: (id, frame_idx, n_frames, width, height,
+    frame_md5) where ``frame_idx`` is the sampled frame's index within
+    the clip, ``n_frames`` the clip's total decoded frame count, and
+    ``frame_md5`` the digest of the decoded RGB buffer. Frames are
+    sampled evenly across the clip (first/last always included when
+    ``max_frames ≥ 2``). Null or undecodable bytes yield ZERO rows —
+    a poison clip must not kill a 100 TB scan (mirrors the stub's
+    null contract; failures are droppable, not nullable, because the
+    output grain is frames, not clips).
+
+    Requires ``imageio`` (plus a codec backend such as imageio-ffmpeg
+    or Pillow, matching the container formats you feed it) on driver
+    AND executors; checked eagerly driver-side so a missing dependency
+    fails at plan-build time, not mid-job on an executor.
+    """
+    try:
+        import imageio.v3  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "sample_frames needs imageio (pip install imageio "
+            "imageio-ffmpeg) on the driver and every executor; use "
+            "frame_sample_stub for plumbing tests without it"
+        ) from e
+
+    schema = (
+        f"{id_col} long, frame_idx int, n_frames int, "
+        "width int, height int, frame_md5 string"
+    )
+
+    def real_frames(b):
+        if b is None:
+            return []
+        import io
+
+        import imageio.v3 as iio
+
+        try:
+            frames = list(iio.imiter(io.BytesIO(bytes(b))))
+        except Exception:
+            return []
+        n = len(frames)
+        if n == 0:
+            return []
+        if max_frames >= n:
+            idxs = list(range(n))
+        elif max_frames == 1:
+            idxs = [0]
+        else:
+            step = (n - 1) / (max_frames - 1)
+            idxs = sorted({round(i * step) for i in range(max_frames)})
+        out = []
+        for i in idxs:
+            fr = frames[i]
+            h, w = fr.shape[0], fr.shape[1]
+            out.append(
+                (i, n, w, h, hashlib.md5(fr.tobytes()).hexdigest())
+            )
+        return out
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ns, ws, hs, digests = [], [], [], [], [], []
+            for doc_id, b in zip(pdf[id_col], pdf[content_col]):
+                for i, n, w, h, d in real_frames(b):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    ns.append(n)
+                    ws.append(w)
+                    hs.append(h)
+                    digests.append(d)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_frames": pd.Series(ns, dtype="int32"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "frame_md5": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(sample, schema)

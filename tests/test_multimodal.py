@@ -49,3 +49,57 @@ def test_decode_images_missing_pil_fails_loudly(spark):
     df = spark.createDataFrame([(1, bytearray(b"x"))], "img_id long, content binary")
     with pytest.raises(ImportError, match="Pillow"):
         decode_images(df, "content", "img_id")
+
+
+def test_sample_frames_real_imageio(spark):
+    """Real video decode behind importorskip (mirror of the PIL image
+    path): a tiny generated clip round-trips through the fan-out plan —
+    even sampling, true frame count, decoded dimensions."""
+    iio = pytest.importorskip("imageio.v3")
+    import numpy as np
+
+    from southpaw_spark.operators.multimodal import sample_frames
+
+    frames = [np.full((8, 6, 3), i * 30, dtype=np.uint8) for i in range(6)]
+    data = None
+    for ext in (".gif", ".mp4"):  # take whichever codec backend exists
+        try:
+            data = iio.imwrite("<bytes>", frames, extension=ext)
+            break
+        except Exception:
+            continue
+    if data is None:
+        pytest.skip("imageio present but no gif/mp4 codec backend")
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(data)),
+            (2, bytearray(b"not a video")),  # poison → zero rows
+            (3, None),
+        ],
+        "video_id long, content binary",
+    )
+    rows = sample_frames(df, "content", "video_id", max_frames=4).collect()
+    assert {r["video_id"] for r in rows} == {1}
+    assert len(rows) == 4
+    idxs = sorted(r["frame_idx"] for r in rows)
+    assert idxs[0] == 0 and idxs[-1] == 5  # first/last always sampled
+    for r in rows:
+        assert r["n_frames"] == 6
+        assert (r["width"], r["height"]) == (6, 8)
+        assert len(r["frame_md5"]) == 32
+
+
+def test_sample_frames_missing_imageio_fails_loudly(spark):
+    try:
+        import imageio  # noqa: F401
+
+        pytest.skip("imageio installed — loud-failure path not reachable")
+    except ImportError:
+        pass
+    from southpaw_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x"))], "video_id long, content binary"
+    )
+    with pytest.raises(ImportError, match="imageio"):
+        sample_frames(df, "content", "video_id")
