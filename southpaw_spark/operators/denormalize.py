@@ -46,6 +46,59 @@ CHILDREN_FIELD = "Children"
 _DOC = "__doc"
 
 
+def bucketize_states(
+    states: Mapping[str, DataFrame],
+    bucket_keys: Mapping[str, Sequence[str]],
+    n_buckets: int = 16,
+    prefix: str = "southpaw_bucketed_",
+) -> dict[str, DataFrame]:
+    """Opt-in co-located state layout: materialize each entity state as
+    a Spark bucketed table (``bucketBy`` + in-bucket ``sortBy``) on its
+    JOIN key, and return reads of those tables.
+
+    Feeding the result into :func:`denormalize` lets the child
+    ``groupBy(join_key)`` and the parent⋈children joins consume the
+    scan's bucketing directly — zero exchanges on the fact-fact path
+    (BASELINE.md §6 measured 0.68 → 0.32 s for orders⋈lineitem at
+    sf0.1 with broadcast disabled; §11 records the full-flagship
+    numbers). The write-side shuffle is paid ONCE per state version;
+    every later rebuild/query over the same keys skips its read-side
+    exchange — the persistent-bucketing trade every warehouse makes
+    for repeatedly-joined fact tables. At 100 TB, size ``n_buckets``
+    so a bucket fits an executor (table_bytes / n_buckets), matching
+    the parquet state store's hash-bucket sizing rule (SCALE.md).
+
+    Tables land in the session warehouse as ``{prefix}{entity}``
+    (overwritten if present). Bucket keys are the JOIN keys, which may
+    be a strict subset of the entity's PK columns."""
+    out: dict[str, DataFrame] = {}
+    for entity, df in states.items():
+        spark = df.sparkSession
+        keys = list(bucket_keys[entity])
+        table = f"{prefix}{entity}"
+        spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+        # a previous SESSION's table leaves its warehouse location
+        # behind after its metastore is gone; saveAsTable refuses to
+        # adopt an existing location, so scrub the orphan explicitly
+        # (Hadoop FS API — works for object stores too)
+        jvm = spark._jvm
+        loc = jvm.org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"), table.lower()
+        )
+        fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(loc):
+            fs.delete(loc, True)
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, keys[0], *keys[1:])
+            .sortBy(keys[0], *keys[1:])
+            .saveAsTable(table)
+        )
+        out[entity] = spark.table(table)
+    return out
+
+
 def _byte_order_key(df: DataFrame, pk_cols: Sequence[str]):
     """Binary child-sort key replicating the reference's TreeMap ordering
     over stripped-big-endian ByteArray keys (``util/ByteArray.java:37,

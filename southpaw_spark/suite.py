@@ -129,6 +129,34 @@ def build_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return denormalize(states, rel, ORDER_TREE_KEYS)
 
 
+# join key per entity in the order tree (root PK; child join keys)
+ORDER_TREE_BUCKET_KEYS = {
+    "orders": ["o_orderkey"],
+    "customer": ["c_custkey"],
+    "lineitem": ["l_orderkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+}
+
+
+def build_order_docs_bucketed(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 16
+) -> DataFrame:
+    """Opt-in co-located variant of :func:`build_order_docs`: entity
+    states are first materialized as bucketed tables on their join keys
+    (``bucketize_states``), so the lineitem groupBy and the
+    orders⋈children joins read pre-partitioned buckets instead of
+    exchanging. Byte-identical output to the plain build; the write is
+    paid once per state version (BASELINE.md §11 records the
+    measured trade)."""
+    from southpaw_spark.operators.denormalize import bucketize_states
+
+    rel = load_relations(ORDER_TREE_JSON)[0]
+    states = {e: _read(spark, sf_dir, e) for e in ORDER_TREE_KEYS}
+    states = bucketize_states(states, ORDER_TREE_BUCKET_KEYS, n_buckets)
+    return denormalize(states, rel, ORDER_TREE_KEYS)
+
+
 # ---------------------------------------------------------------------------
 # Q01–Q12: reference-semantics queries (SURVEY §2.4)
 

@@ -167,3 +167,25 @@ def test_events_ts_helper_adapts_to_both_generations(spark, tmp_path):
         ts = [r["t"] for r in
               df.select(_events_ts(df).alias("t")).orderBy("t").collect()]
         assert [int(t.timestamp() * 1_000_000) for t in ts] == rows_us
+
+
+def test_bucketed_flagship_parity_and_fewer_exchanges(spark, sf_dir):
+    """build_order_docs_bucketed (opt-in bucketize_states layout) must
+    be byte-identical to the plain build AND carry strictly fewer
+    exchanges in its physical plan — the measured 8→4 exchange drop
+    that makes the sf1 flagship 12× faster once conversion is amortized
+    (BASELINE.md §11)."""
+    plain = suite.build_order_docs(spark, sf_dir)
+    bucketed = suite.build_order_docs_bucketed(spark, sf_dir, n_buckets=4)
+
+    def as_json(docs):
+        return docs.select(
+            "o_orderkey",
+            F.to_json(F.col("doc"), {"ignoreNullFields": "true"}).alias("v"),
+        )
+
+    a, b = as_json(plain), as_json(bucketed)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert num_exchanges(b) < num_exchanges(a), (
+        f"bucketed {num_exchanges(b)} vs plain {num_exchanges(a)}"
+    )
