@@ -94,6 +94,17 @@ class IncrementalDeduper:
     lookups would silently miss and duplicates leak into the kept set.
     ``sim_threshold`` is NOT pinned — it only scores candidates, so it
     may be tuned between runs without invalidating state.
+
+    **Batch sizing (measured, BASELINE.md §9):** each batch carries a
+    ~14 s FIXED orchestration cost on local[32] (three pruned state
+    lookups with bounded collects, connected-components rounds, three
+    store merges — dozens of small Spark jobs), while the variable
+    cost scales with batch size: 5× the docs measured ≈ 1.2× the
+    wall. Size triggers so batches hold THOUSANDS of documents, not
+    hundreds — e.g. file sources: ``maxFilesPerTrigger`` ≥ several
+    thousand docs' worth; Kafka: ``maxOffsetsPerTrigger`` ≥ 5_000;
+    or a processing-time trigger long enough to accumulate that much.
+    A 500-doc trigger spends ~95% of its wall on the fixed cost.
     """
 
     _META = "_DEDUP_META.json"

@@ -103,3 +103,48 @@ def test_build_corpus_sampling_and_lang_filter(spark, sf_dir):
     a = {r["doc_id"] for r in kept.select("doc_id").collect()}
     b = {r["doc_id"] for r in kept_b.select("doc_id").collect()}
     assert a != b
+
+
+def test_build_corpus_stage_composition_fuzz(spark):
+    """Property fuzz over randomized stage combinations at sf0.01: for
+    any enabled-stage subset, (1) the report walks a subsequence of the
+    canonical stage order with monotonically nonincreasing counts
+    ending at the kept count, (2) kept ids ⊆ input ids, and (3) the
+    report machinery itself is inert — collect_report=False yields the
+    identical kept set (persist/count bookkeeping must never change
+    results)."""
+    import random
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).select("doc_id", "text")
+    input_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    canonical = [
+        "input", "min_tokens", "min_quality", "langs", "decontaminated",
+        "exact_dedup", "fuzzy_dedup", "sampled", "packed",
+    ]
+    rng = random.Random(20260814)
+    for trial in range(4):
+        kw = dict(
+            min_tokens=rng.choice([None, 3, 10]),
+            min_quality=rng.choice([None, 0.1]),
+            langs=rng.choice([None, ["en"], ["en", "de"]]),
+            exact_dedup=rng.choice([True, False]),
+            fuzzy_threshold=rng.choice([None, 0.8]),
+            sample_rates=rng.choice([None, {"en": 0.5}]),
+            sample_default_rate=1.0,
+            pack_token_budget=rng.choice([None, 512]),
+        )
+        kept, report = build_corpus(docs, **kw, collect_report=True)
+        ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+        kept.unpersist()
+        assert ids <= input_ids
+        stages = list(report)
+        assert stages == [s for s in canonical if s in report], (kw, stages)
+        counts = [report[s] for s in stages]
+        assert all(a >= b for a, b in zip(counts, counts[1:])), (kw, report)
+        assert counts[-1] == len(ids), (kw, report)
+        kept2, report2 = build_corpus(docs, **kw, collect_report=False)
+        assert report2 == {}
+        ids2 = {r["doc_id"] for r in kept2.select("doc_id").collect()}
+        assert ids2 == ids, f"report bookkeeping changed results: {kw}"
