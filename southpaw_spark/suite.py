@@ -1723,6 +1723,111 @@ def _d04_sql() -> str:
 D04_SQL = _d04_sql()
 
 
+def d06_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (≤ 3 differing bits of the 32-bit md5
+    signature) via banded Hamming blocking — the production operator
+    (`operators.dedup.hamming_near_pairs`) over the d04 signature
+    frame, so the oracle reproduces the signatures bit-for-bit and the
+    banding/verification logic under test is the real code path."""
+    from southpaw_spark.operators.dedup import hamming_near_pairs
+
+    return hamming_near_pairs(
+        d04_simhash(spark, sf_dir), "doc_id", "simhash",
+        bits=32, max_hamming=3,
+    )
+
+
+D06_SQL = f"""
+    WITH s AS ({D04_SQL}),
+    bands(band) AS (VALUES (0), (1), (2), (3)),
+    banded AS (
+      SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bv
+      FROM s, bands),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, bit_count(xor(sa, sb))::INTEGER AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
+def t12_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the word distribution (bits) +
+    size facts — the information-density quality signal a filtering
+    pipeline pairs with t02's surface heuristics (low-entropy docs are
+    boilerplate/templates even when long). One explode + two combiner-
+    friendly groupBys; H = log2(n) − Σc·ln(c)/(n·ln 2) keeps the
+    aggregation a plain SUM (no per-row division before the combine)."""
+    import math
+
+    docs = _read(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count("*").alias("n_distinct"),
+            F.sum(F.col("c") * F.log("c")).alias("_sclc"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct",
+            F.round(
+                F.log2("n_words")
+                - F.col("_sclc") / (F.col("n_words") * F.lit(math.log(2.0))),
+                6,
+            ).alias("entropy_bits"),
+        )
+    )
+
+
+T12_SQL = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    cnt AS (
+      SELECT doc_id, t, count(*)::DOUBLE AS c FROM tok GROUP BY doc_id, t),
+    agg AS (
+      SELECT doc_id, SUM(c) AS n, COUNT(*) AS nd, SUM(c * ln(c)) AS sclc
+      FROM cnt GROUP BY doc_id)
+    SELECT doc_id, n::BIGINT AS n_words, nd::BIGINT AS n_distinct,
+           ROUND(log2(n) - sclc / (n * ln(2)), 6) AS entropy_bits
+    FROM agg
+"""
+
+
+def a03_top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 events per event_type by value (deterministic tiebreak on
+    event_id) — the classic per-group top-N: one window over the group
+    key, no global sort, no collect."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), "event_id"
+    )
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("event_type", "event_id", "user_id", "value", "rnk")
+    )
+
+
+A03_SQL = """
+    WITH ranked AS (
+      SELECT event_type, event_id, user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rnk
+      FROM events)
+    SELECT event_type, event_id, user_id, value, rnk::INTEGER AS rnk
+    FROM ranked WHERE rnk <= 5
+"""
+
+
 def e02_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization over the events stream (30-minute
     inactivity closes a session) — the batch shape of
@@ -2164,4 +2269,23 @@ ORACLES: dict[str, str] = {
     "e04_asof_join": E04_SQL,
     "e05_range_join": E05_SQL,
     "e06_moving_avg": E06_SQL,
+}
+
+# The driver's correctness gate checks AT MOST 50 rows per round
+# (CORRECTNESS_r02 stopped at 50 of 54), so QUERIES stays pinned at
+# exactly 50: pushing new entries into it would silently uncheck tail
+# queries. Operators added past the budget live here instead — same
+# (query, DuckDB-oracle) contract, enforced by the local gate
+# (tools/check_oracles.py runs BOTH registries at all three SFs) and
+# by the registry pytest guards, just not by the driver's 50-row pass.
+EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "d06_simhash_near_pairs": d06_simhash_near_pairs,
+    "t12_word_entropy": t12_word_entropy,
+    "a03_top_n_per_group": a03_top_n_per_group,
+}
+
+EXTRA_ORACLES: dict[str, str] = {
+    "d06_simhash_near_pairs": D06_SQL,
+    "t12_word_entropy": T12_SQL,
+    "a03_top_n_per_group": A03_SQL,
 }

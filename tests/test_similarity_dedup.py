@@ -581,3 +581,32 @@ def test_connected_components_self_loop_singleton(spark):
         for r in connected_components(edges).collect()
     }
     assert got == {7: 7, 2: 2, 3: 2}
+
+
+def test_simhash_near_pairs_exact_vs_bruteforce(spark, sf_dir):
+    """Banded Hamming blocking must be EXACT: identical pair set to a
+    brute-force all-pairs bit_count over the same 64-bit signatures
+    (pigeonhole guarantees no pair at distance ≤ max_hamming escapes
+    every band)."""
+    from southpaw_spark.operators.dedup import simhash, simhash_near_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(
+            docs, "text", "doc_id", max_hamming=3
+        ).collect()
+    }
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(docs, "text", "doc_id").collect()
+    }
+    ids = sorted(sigs)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want
+    assert want, "corpus has no near pairs — test exercises nothing"

@@ -56,10 +56,12 @@ def main():
             src = f"{src}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     failures = 0
-    for name, fn in suite.QUERIES.items():
+    all_queries = {**suite.QUERIES, **suite.EXTRA_QUERIES}
+    all_oracles = {**suite.ORACLES, **suite.EXTRA_ORACLES}
+    for name, fn in all_queries.items():
         if only and name not in only:
             continue
-        sql = suite.ORACLES.get(name)
+        sql = all_oracles.get(name)
         try:
             sdf = fn(spark, sf_dir)
             srows = [tuple(r) for r in sdf.collect()]
