@@ -103,3 +103,71 @@ def test_sample_frames_missing_imageio_fails_loudly(spark):
     )
     with pytest.raises(ImportError, match="imageio"):
         sample_frames(df, "content", "video_id")
+
+
+def _wav_bytes(sr=8000, seconds=0.25, freq=440.0, channels=1, amp=0.5):
+    import io
+    import math
+    import struct
+    import wave
+
+    n = int(sr * seconds)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        frames = bytearray()
+        for i in range(n):
+            v = int(amp * 32767 * math.sin(2 * math.pi * freq * i / sr))
+            frames += struct.pack("<h", v) * channels
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def test_decode_audio_real_wav(spark):
+    """Real audio decode with zero external deps (stdlib wave): metadata
+    from actual RIFF parsing; poison/null bytes yield null metadata."""
+    from southpaw_spark.operators.multimodal import decode_audio
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_wav_bytes(sr=8000, seconds=0.25))),
+            (2, bytearray(_wav_bytes(sr=16000, seconds=0.5, channels=2))),
+            (3, bytearray(b"not audio")),
+            (4, None),
+        ],
+        "clip_id long, content binary",
+    )
+    rows = {r["clip_id"]: r for r in decode_audio(df, "content", "clip_id").collect()}
+    assert (rows[1]["sample_rate"], rows[1]["n_channels"]) == (8000, 1)
+    assert rows[1]["n_frames"] == 2000 and abs(rows[1]["duration_s"] - 0.25) < 1e-9
+    assert (rows[2]["sample_rate"], rows[2]["n_channels"]) == (16000, 2)
+    assert rows[3]["sample_rate"] is None and rows[4]["sample_rate"] is None
+
+
+def test_audio_rms_windows_fanout(spark):
+    """Windowed RMS fan-out: a 0.25s sine at amplitude 0.5 has RMS
+    ≈ 0.5·32767/√2 in every full window; silence is ~0; poison rows
+    contribute zero output rows."""
+    from southpaw_spark.operators.multimodal import audio_rms_windows
+
+    loud = _wav_bytes(sr=8000, seconds=0.25, amp=0.5)
+    silent = _wav_bytes(sr=8000, seconds=0.3, amp=0.0)
+    df = spark.createDataFrame(
+        [(1, bytearray(loud)), (2, bytearray(silent)), (3, bytearray(b"x"))],
+        "clip_id long, content binary",
+    )
+    rows = audio_rms_windows(df, "content", "clip_id", window_s=0.1).collect()
+    by_clip = {}
+    for r in rows:
+        by_clip.setdefault(r["clip_id"], []).append(r)
+    assert set(by_clip) == {1, 2}
+    # 0.25s at 0.1s windows → 3 windows (last partial)
+    assert sorted(r["window_idx"] for r in by_clip[1]) == [0, 1, 2]
+    assert all(r["n_windows"] == 3 for r in by_clip[1])
+    expected = 0.5 * 32767 / (2 ** 0.5)
+    full = [r for r in by_clip[1] if r["window_idx"] < 2]
+    for r in full:
+        assert abs(r["rms"] - expected) / expected < 0.02, r
+    assert all(r["rms"] < 1.0 for r in by_clip[2])
