@@ -1723,7 +1723,7 @@ def _d04_sql() -> str:
 D04_SQL = _d04_sql()
 
 
-def d06_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d09_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (≤ 3 differing bits of the 32-bit md5
     signature) via banded Hamming blocking — the production operator
     (`operators.dedup.hamming_near_pairs`) over the d04 signature
@@ -1737,7 +1737,7 @@ def d06_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-D06_SQL = f"""
+D09_SQL = f"""
     WITH s AS ({D04_SQL}),
     bands(band) AS (VALUES (0), (1), (2), (3)),
     banded AS (
@@ -1802,7 +1802,7 @@ T12_SQL = """
 """
 
 
-def a03_top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a07_top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 events per event_type by value (deterministic tiebreak on
     event_id) — the classic per-group top-N: one window over the group
     key, no global sort, no collect."""
@@ -1817,7 +1817,7 @@ def a03_top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-A03_SQL = """
+A07_SQL = """
     WITH ranked AS (
       SELECT event_type, event_id, user_id, value,
              ROW_NUMBER() OVER (PARTITION BY event_type
@@ -2279,13 +2279,13 @@ ORACLES: dict[str, str] = {
 # (tools/check_oracles.py runs BOTH registries at all three SFs) and
 # by the registry pytest guards, just not by the driver's 50-row pass.
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "d06_simhash_near_pairs": d06_simhash_near_pairs,
+    "d09_simhash_near_pairs": d09_simhash_near_pairs,
     "t12_word_entropy": t12_word_entropy,
-    "a03_top_n_per_group": a03_top_n_per_group,
+    "a07_top_n_per_group": a07_top_n_per_group,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
-    "d06_simhash_near_pairs": D06_SQL,
+    "d09_simhash_near_pairs": D09_SQL,
     "t12_word_entropy": T12_SQL,
-    "a03_top_n_per_group": A03_SQL,
+    "a07_top_n_per_group": A07_SQL,
 }
