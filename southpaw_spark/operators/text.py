@@ -297,3 +297,56 @@ def repetition_signals(
         "dup_word_frac",
         F.round(F.col("mx") / F.col("n_bg"), 6).alias("top_bigram_frac"),
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Per-document mean log-probability under a corpus-trained
+    add-one-smoothed bigram LM → (id, n_bigrams, avg_logprob).
+
+    The in-domain fluency signal a quality pipeline uses where a real
+    LM is unavailable: shuffled/garbled text scores LOW because the
+    model punishes improbable word TRANSITIONS, which surface stats
+    (length/punctuation/entropy) cannot see. Docs under two words are
+    dropped (no transition evidence).
+
+    Plan: one bigram explode, two combiner-friendly count groupBys
+    (bigram, context), two equi-joins back, one per-doc avg; the
+    vocabulary size is the single bounded scalar collected to the
+    driver. At 100 TB the count tables shuffle on their keys and AQE
+    picks SMJ — nothing is corpus × corpus."""
+    w = F.split(F.col(text_col), " ")
+    big = (
+        df.where(F.size(w) >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.struct(
+                        F.element_at(w, i).alias("w1"),
+                        F.element_at(w, (i + 1).cast("int")).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select(id_col, "b.w1", "b.w2")
+    )
+    cnt2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    cnt1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        df.select(F.explode(w).alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+        .collect()[0]["v"]
+    )
+    logp = F.log((F.col("c2") + 1.0) / (F.col("c1") + F.lit(float(vocab))))
+    return (
+        big.join(cnt2, ["w1", "w2"])
+        .join(cnt1, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
+        )
+    )

@@ -1802,6 +1802,39 @@ T12_SQL = """
 """
 
 
+def t13_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log-probability under a corpus-trained
+    add-one-smoothed bigram LM (`operators.text.bigram_lm_scores`) —
+    the in-domain fluency signal quality pipelines use where a real LM
+    is unavailable: low scores flag shuffled/garbled text that surface
+    stats like t02/t12 miss, because the model punishes improbable
+    word TRANSITIONS, not word choice."""
+    from southpaw_spark.operators.text import bigram_lm_scores
+
+    return bigram_lm_scores(_read(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+T13_SQL = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    big AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM toks, UNNEST(range(1, len(ws))) AS r(i)
+      WHERE len(ws) >= 2),
+    cnt2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+    cnt1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+    vocab AS (
+      SELECT count(DISTINCT t) AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents))
+    SELECT big.doc_id, count(*) AS n_bigrams,
+           ROUND(AVG(ln((c2 + 1.0) / (c1 + v))), 6) AS avg_logprob
+    FROM big
+    JOIN cnt2 USING (w1, w2)
+    JOIN cnt1 USING (w1), vocab
+    GROUP BY big.doc_id
+"""
+
+
 def a07_top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 events per event_type by value (deterministic tiebreak on
     event_id) — the classic per-group top-N: one window over the group
@@ -2281,11 +2314,13 @@ ORACLES: dict[str, str] = {
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d09_simhash_near_pairs": d09_simhash_near_pairs,
     "t12_word_entropy": t12_word_entropy,
+    "t13_bigram_lm_score": t13_bigram_lm_score,
     "a07_top_n_per_group": a07_top_n_per_group,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
     "d09_simhash_near_pairs": D09_SQL,
     "t12_word_entropy": T12_SQL,
+    "t13_bigram_lm_score": T13_SQL,
     "a07_top_n_per_group": A07_SQL,
 }

@@ -610,3 +610,22 @@ def test_simhash_near_pairs_exact_vs_bruteforce(spark, sf_dir):
                 want[(a, b)] = h
     assert got == want
     assert want, "corpus has no near pairs — test exercises nothing"
+
+
+def test_bigram_lm_scores_flag_shuffled_text(spark):
+    """The corpus-trained bigram LM must score a word-scrambled doc
+    BELOW its naturally-ordered siblings (same vocabulary, broken
+    transitions) — the signal surface stats cannot produce."""
+    from southpaw_spark.operators.text import bigram_lm_scores
+
+    natural = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, natural) for i in range(8)]
+    rows.append((100, "dog the over quick lazy jumps fox brown the"))
+    rows.append((101, "hi"))  # single word: no transition evidence
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r for r in bigram_lm_scores(df, "text", "doc_id").collect()
+    }
+    assert 101 not in got
+    assert all(got[i]["n_bigrams"] == 8 for i in range(8))
+    assert got[100]["avg_logprob"] < got[0]["avg_logprob"]
