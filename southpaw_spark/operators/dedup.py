@@ -268,6 +268,99 @@ def ngram_jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs: (id_a, id_b, containment) where
+    containment = |shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ t —
+    i.e. document a is (nearly) a subset of document b. The asymmetric
+    relation Jaccard structurally misses: a quoted article inside a
+    10× larger page has tiny Jaccard but containment ≈ 1. Output is
+    directional (both (a,b) and (b,a) appear when containment is
+    mutual).
+
+    Same prefix-filter skeleton as :func:`ngram_jaccard_pairs` but
+    one-sided: overlap ≥ t·|A| needs a shared token ranked ≤
+    |A| − t·|A| + 1 in A AND ≤ |B| − t·|A| + 1 in B (global rarity
+    order), so only A's prefix explodes while B posts all tokens with
+    positions; the pair-specific positional predicate applies at join
+    time and ``array_intersect`` verification makes every emitted
+    score exact.
+
+    SCALE CAVEAT (deliberate, unlike d02): containment's one-sided
+    bound precludes the rare/hot skew cap — a corpus-wide boilerplate
+    shingle is a GENUINE containment witness for any tiny doc, so the
+    B side cannot drop hot tokens without losing exactness. The worst
+    join key is the global doc-frequency squared. At corpus scale,
+    bound it upstream: min-length floor on A (short docs are the ones
+    hot keys pair), stop-shingle removal as an explicit corpus-prep
+    step, or AQE skew-split absorbing the residue. Documented in
+    SCALE.md."""
+    sh = shingles(df, text_col, id_col, n).select(
+        F.col(id_col), F.xxhash64("shingle").alias("sh")
+    )
+    t = float(threshold)
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df_"))
+    plen = (F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1).cast("int")
+    doc = (
+        sh.join(dfreq, "sh")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("df_", "sh"))).alias("srt"))
+        .withColumn("n_sh", F.size("srt"))
+        .withColumn("sh_set", F.transform("srt", lambda x: x["sh"]))
+        .withColumn(
+            "prefix",
+            F.transform(F.slice("srt", F.lit(1), plen), lambda x: x["sh"]),
+        )
+        .drop("srt")
+        .cache()
+    )
+    pa = doc.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"),
+        F.posexplode("prefix").alias("pos0", "sh"),
+    ).select("id_a", "n_a", (F.col("pos0") + 1).alias("pos_a"), "sh")
+    pb = doc.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"),
+        F.posexplode("sh_set").alias("pos0", "sh"),
+    ).select("id_b", "n_b", (F.col("pos0") + 1).alias("pos_b"), "sh")
+    alpha = F.lit(t) * F.col("n_a")
+    cand = (
+        pa.join(pb, "sh")
+        .where(
+            (F.col("id_a") != F.col("id_b"))
+            # overlap ≥ t·n_a needs |B| ≥ t·n_a
+            & (F.col("n_b") >= alpha)
+            & (F.col("pos_a") <= F.col("n_a") - alpha + 1)
+            & (F.col("pos_b") <= F.col("n_b") - alpha + 1)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    da = doc.select(
+        F.col(id_col).alias("id_a"),
+        F.col("n_sh").alias("n_a"), F.col("sh_set").alias("set_a"),
+    )
+    db = doc.select(
+        F.col(id_col).alias("id_b"), F.col("sh_set").alias("set_b")
+    )
+    cont = (
+        F.size(F.array_intersect("set_a", "set_b")).cast("double")
+        / F.col("n_a")
+    )
+    out = (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .where(cont >= threshold)
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+    )
+    out._southpaw_cached = [doc]  # type: ignore[attr-defined]
+    return out
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 8
 ) -> DataFrame:

@@ -1802,6 +1802,40 @@ T12_SQL = """
 """
 
 
+def d10_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs (doc a ⊆-nearly doc b) — the
+    asymmetric quote/subset relation Jaccard structurally misses
+    (`operators.dedup.containment_pairs`). Directional output."""
+    from southpaw_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _read(spark, sf_dir, "documents"), "text", "doc_id",
+        n=3, threshold=0.8,
+    )
+
+
+D10_SQL = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(w) - 2),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+      FROM toks WHERE len(w) >= 3),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id != b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    sized AS (SELECT doc_id, len(shingles) AS n_sh FROM sh)
+    SELECT i.id_a, i.id_b,
+           ROUND(i.n_inter::DOUBLE / sa.n_sh, 6) AS containment
+    FROM inter i
+    JOIN sized sa ON sa.doc_id = i.id_a
+    WHERE i.n_inter::DOUBLE / sa.n_sh >= 0.8
+"""
+
+
 def t13_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean log-probability under a corpus-trained
     add-one-smoothed bigram LM (`operators.text.bigram_lm_scores`) —
@@ -2313,6 +2347,7 @@ ORACLES: dict[str, str] = {
 # by the registry pytest guards, just not by the driver's 50-row pass.
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d09_simhash_near_pairs": d09_simhash_near_pairs,
+    "d10_containment_pairs": d10_containment_pairs,
     "t12_word_entropy": t12_word_entropy,
     "t13_bigram_lm_score": t13_bigram_lm_score,
     "a07_top_n_per_group": a07_top_n_per_group,
@@ -2320,6 +2355,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 EXTRA_ORACLES: dict[str, str] = {
     "d09_simhash_near_pairs": D09_SQL,
+    "d10_containment_pairs": D10_SQL,
     "t12_word_entropy": T12_SQL,
     "t13_bigram_lm_score": T13_SQL,
     "a07_top_n_per_group": A07_SQL,

@@ -629,3 +629,71 @@ def test_bigram_lm_scores_flag_shuffled_text(spark):
     assert 101 not in got
     assert all(got[i]["n_bigrams"] == 8 for i in range(8))
     assert got[100]["avg_logprob"] < got[0]["avg_logprob"]
+
+
+def test_containment_pairs_asymmetric_and_exact(spark):
+    """Planted quote-in-page: the small doc is ≥0.9-contained in the
+    big page (detected a→b) while the reverse direction and the
+    Jaccard score stay low — plus a randomized brute-force exactness
+    sweep over a shared-vocabulary corpus."""
+    import random
+
+    from southpaw_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+        release,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog again today"
+    page = (
+        "intro words before the quoted passage begins now "
+        + quote
+        + " trailing commentary words continue for quite a while after the quote ends"
+    )
+    df = spark.createDataFrame(
+        [(1, quote), (2, page), (3, "completely unrelated words everywhere")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df, "text", "doc_id", threshold=0.9).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 0.9
+    assert (2, 1) not in got  # asymmetry: the page is not inside the quote
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", threshold=0.9
+        ).collect()
+    }
+    assert (1, 2) not in jac  # Jaccard misses the quote relation
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(50):
+        n_words = rng.randrange(3, 18)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n_words))))
+        if rng.random() < 0.3:  # plant a substring-quote of an earlier doc
+            base = docs[rng.randrange(len(docs))][1].split()
+            lo = rng.randrange(max(1, len(base) - 3))
+            docs.append((1000 + i, " ".join(base[lo: lo + rng.randrange(3, 9)])))
+    fdf = spark.createDataFrame(docs, "doc_id long, text string")
+    t = 0.7
+    out = containment_pairs(fdf, "text", "doc_id", threshold=t)
+    got = {(r["id_a"], r["id_b"]): r["containment"] for r in out.collect()}
+    release(out)
+
+    def sh_set(text, n=3):
+        w = text.split()
+        return {" ".join(w[i: i + n]) for i in range(len(w) - n + 1)}
+
+    sets = {i: sh_set(tx) for i, tx in docs if len(tx.split()) >= 3}
+    want = {}
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a != b:
+                c = len(sa & sb) / len(sa)
+                if c >= t:
+                    want[(a, b)] = round(c, 6)
+    assert got == want
