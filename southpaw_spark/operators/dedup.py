@@ -634,6 +634,50 @@ def connected_components(
     return labels.groupBy("id").agg(F.min("cluster_id").alias("cluster_id"))
 
 
+def cluster_keepers(
+    clusters: DataFrame,
+    scored: DataFrame,
+    id_col: str,
+    score_col: str | None = None,
+) -> DataFrame:
+    """Pick ONE keeper per duplicate cluster → (id, cluster_id, keep_id,
+    is_keeper). With ``score_col`` the keeper is the cluster's
+    highest-scoring member (ties → min id); without it, the min id —
+    what a production dedup actually wants: keep the BEST copy of each
+    near-dup family (longest / highest-quality / canonical source),
+    not whichever happened to carry the smallest id.
+
+    ``clusters`` is :func:`connected_components` output (id,
+    cluster_id); ``scored`` carries ``id_col`` (+ ``score_col``). Plan:
+    one combiner-friendly min-struct groupBy on cluster_id plus the
+    join back — map-side partial aggregation, no window sort, nothing
+    quadratic. Vertices absent from ``scored`` rank last (score null)."""
+    joined = clusters.join(
+        scored.select(
+            F.col(id_col).alias("id"),
+            *([F.col(score_col).alias("__score")] if score_col else []),
+        ),
+        "id",
+        "left",
+    )
+    if score_col:
+        # lexicographic min over (-score, id): highest score wins, ties
+        # (and null scores, ranked last via +inf) break to the min id
+        k1 = F.when(
+            F.col("__score").isNotNull(), -F.col("__score").cast("double")
+        ).otherwise(F.lit(float("inf")))
+    else:
+        k1 = F.lit(0.0)
+    key = F.struct(k1.alias("k1"), F.col("id").alias("k2"))
+    winners = joined.groupBy("cluster_id").agg(
+        F.min(key).alias("__w")
+    ).select("cluster_id", F.col("__w.k2").alias("keep_id"))
+    return joined.join(winners, "cluster_id").select(
+        "id", "cluster_id", "keep_id",
+        (F.col("id") == F.col("keep_id")).alias("is_keeper"),
+    )
+
+
 def auto_n_planes(n_rows: int, target_bucket: int = 200) -> int:
     """Corpus-scaled hyperplane count: enough planes that the *expected*
     bucket holds ~``target_bucket`` vectors, so within-bucket pairing

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from southpaw_spark.operators.dedup import (
+    cluster_keepers,
     connected_components,
     exact_duplicates,
     ngram_jaccard_pairs,
@@ -60,6 +61,7 @@ def build_corpus(
     exact_dedup: bool = True,
     fuzzy_threshold: float | None = None,
     fuzzy_n: int = 3,
+    fuzzy_keep: str = "min_id",
     sample_rates: dict[str, float] | None = None,
     sample_default_rate: float = 0.0,
     sample_salt: str = "",
@@ -83,10 +85,13 @@ def build_corpus(
     n-gram ``contamination_rate`` exceeds ``max_contamination_rate``
     (docs too short to carry an n-gram are KEPT — no evidence is not
     contamination); ``exact_dedup`` keeps the min-id copy per content
-    hash; ``fuzzy_threshold`` drops every non-minimum member of each
-    near-dup cluster (exact Jaccard pairs → connected components —
-    transitive, unlike the greedy pairwise drop in the d08 registry
-    row); ``sample_rates`` stratifies on ``lang_guess``;
+    hash; ``fuzzy_threshold`` drops all but one member of each near-dup
+    cluster (exact Jaccard pairs → connected components — transitive,
+    unlike the greedy pairwise drop in the d08 registry row), the
+    keeper chosen by ``fuzzy_keep``: ``"min_id"`` (default,
+    deterministic canonical id) or ``"best_quality"`` (each family's
+    highest ``quality_score`` member, ties → min id — keep the BEST
+    copy, not the earliest); ``sample_rates`` stratifies on ``lang_guess``;
     ``pack_token_budget`` appends shard-local pack assignments
     (sharded by ``lang_guess``).
     """
@@ -147,9 +152,25 @@ def build_corpus(
         # loop localCheckpoints, truncating lineage) — the Jaccard join's
         # internal cache is no longer referenced by anything downstream
         release(pairs)
-        fuzzy_losers = clusters.where(
-            F.col("id") != F.col("cluster_id")
-        ).select(F.col("id").alias(id_col))
+        if fuzzy_keep == "best_quality":
+            # keep each near-dup family's HIGHEST-QUALITY member (ties →
+            # min id) instead of the min id — the keeper a production
+            # corpus build actually wants
+            keepers = cluster_keepers(
+                clusters, cur, id_col, score_col="quality_score"
+            )
+            fuzzy_losers = keepers.where(~F.col("is_keeper")).select(
+                F.col("id").alias(id_col)
+            )
+        elif fuzzy_keep == "min_id":
+            fuzzy_losers = clusters.where(
+                F.col("id") != F.col("cluster_id")
+            ).select(F.col("id").alias(id_col))
+        else:
+            raise ValueError(
+                "fuzzy_keep must be 'min_id' or 'best_quality'; got "
+                f"{fuzzy_keep!r}"
+            )
         cur = note("fuzzy_dedup", cur.join(fuzzy_losers, id_col, "left_anti"))
 
     if sample_rates is not None:

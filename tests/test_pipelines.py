@@ -148,3 +148,35 @@ def test_build_corpus_stage_composition_fuzz(spark):
         assert report2 == {}
         ids2 = {r["doc_id"] for r in kept2.select("doc_id").collect()}
         assert ids2 == ids, f"report bookkeeping changed results: {kw}"
+
+
+def test_build_corpus_fuzzy_keep_best_quality(spark):
+    """fuzzy_keep='best_quality' must keep each near-dup family's
+    highest-quality member while min_id keeps the smallest id — same
+    survivor COUNT, different (and better) survivors."""
+    import pytest
+
+    # two near-dup families with deliberately asymmetric quality: the
+    # higher doc_id carries the longer (higher-quality) text
+    fam = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, fam),
+        (2, fam + " with extra descriptive context making this copy longer and richer"),
+        (10, "completely different content about spark shuffles and partitions here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept_min, _ = build_corpus(
+        docs, fuzzy_threshold=0.5, collect_report=False
+    )
+    kept_best, _ = build_corpus(
+        docs, fuzzy_threshold=0.5, fuzzy_keep="best_quality",
+        collect_report=False,
+    )
+    ids_min = {r["doc_id"] for r in kept_min.select("doc_id").collect()}
+    ids_best = {r["doc_id"] for r in kept_best.select("doc_id").collect()}
+    assert ids_min == {1, 10}
+    assert 10 in ids_best and len(ids_best) == 2
+    assert ids_best != ids_min  # the quality keeper differs from min-id
+
+    with pytest.raises(ValueError, match="fuzzy_keep"):
+        build_corpus(docs, fuzzy_threshold=0.5, fuzzy_keep="bestest")
