@@ -189,3 +189,29 @@ def build_corpus(
         cur = note("packed", cur.join(packs, id_col))
 
     return cur, report
+
+
+def write_corpus(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = 100_000,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Ship the kept corpus as a sharded dataset a training loader can
+    stream: hive-partitioned directories (``partition_by``, e.g.
+    ``["lang_guess"]`` — downstream readers get partition pruning for
+    free) with ``maxRecordsPerFile`` bounding every shard (loaders want
+    ~uniform shards; one giant file serializes a 1000-worker read).
+    At 100 TB this is one distributed write — no repartition is forced
+    here: shard count follows the upstream partitioning, and callers
+    needing fewer/larger files should coalesce explicitly with that
+    trade in view."""
+    w = df.write.mode(mode).format(fmt)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)

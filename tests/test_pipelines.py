@@ -180,3 +180,29 @@ def test_build_corpus_fuzzy_keep_best_quality(spark):
 
     with pytest.raises(ValueError, match="fuzzy_keep"):
         build_corpus(docs, fuzzy_threshold=0.5, fuzzy_keep="bestest")
+
+
+def test_write_corpus_partitioned_and_shard_bounded(spark, tmp_path):
+    """The shipped dataset round-trips exactly, lands in hive partition
+    dirs, and no shard exceeds maxRecordsPerFile."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from southpaw_spark.pipelines import write_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kept, _ = build_corpus(docs, collect_report=False)
+    out = str(tmp_path / "corpus")
+    write_corpus(
+        kept, out, partition_by=["lang_guess"], max_records_per_file=100
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == kept.count()
+    a = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    b = {r["doc_id"] for r in back.select("doc_id").collect()}
+    assert a == b
+    part_dirs = glob.glob(f"{out}/lang_guess=*")
+    assert len(part_dirs) >= 2, part_dirs
+    for f in glob.glob(f"{out}/lang_guess=*/*.parquet"):
+        assert pq.ParquetFile(f).metadata.num_rows <= 100, f
