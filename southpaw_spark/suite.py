@@ -1836,6 +1836,43 @@ D10_SQL = """
 """
 
 
+def d11_quality_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper selection over the d07 dup clusters
+    (`operators.dedup.cluster_keepers`): each near-dup family keeps its
+    highest-quality_score member (ties → min doc_id) — the decision a
+    production dedup ships instead of keep-the-smallest-id. Min-struct
+    groupBy + join back; no window sort."""
+    from southpaw_spark.operators.dedup import cluster_keepers
+    from southpaw_spark.operators.text import with_quality_score
+
+    clusters = d07_dup_clusters(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), "cluster_id"
+    )
+    scored = with_quality_score(
+        _read(spark, sf_dir, "documents"), "text"
+    ).select("doc_id", "quality_score")
+    return cluster_keepers(clusters, scored, "doc_id", "quality_score").select(
+        F.col("id").alias("doc_id"), "cluster_id", "keep_id", "is_keeper"
+    )
+
+
+D11_SQL = f"""
+    WITH clusters AS ({D07_SQL}),
+    q AS ({T02_SQL}),
+    j AS (
+      SELECT c.doc_id, c.cluster_id, q.quality_score
+      FROM clusters c JOIN q USING (doc_id)),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+               ORDER BY quality_score DESC, doc_id) AS rn
+      FROM j),
+    w AS (SELECT cluster_id, doc_id AS keep_id FROM r WHERE rn = 1)
+    SELECT j.doc_id, j.cluster_id, w.keep_id,
+           (j.doc_id = w.keep_id) AS is_keeper
+    FROM j JOIN w USING (cluster_id)
+"""
+
+
 def t13_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean log-probability under a corpus-trained
     add-one-smoothed bigram LM (`operators.text.bigram_lm_scores`) —
@@ -2348,6 +2385,7 @@ ORACLES: dict[str, str] = {
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d09_simhash_near_pairs": d09_simhash_near_pairs,
     "d10_containment_pairs": d10_containment_pairs,
+    "d11_quality_keepers": d11_quality_keepers,
     "t12_word_entropy": t12_word_entropy,
     "t13_bigram_lm_score": t13_bigram_lm_score,
     "a07_top_n_per_group": a07_top_n_per_group,
@@ -2356,6 +2394,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 EXTRA_ORACLES: dict[str, str] = {
     "d09_simhash_near_pairs": D09_SQL,
     "d10_containment_pairs": D10_SQL,
+    "d11_quality_keepers": D11_SQL,
     "t12_word_entropy": T12_SQL,
     "t13_bigram_lm_score": T13_SQL,
     "a07_top_n_per_group": A07_SQL,
