@@ -248,3 +248,54 @@ def ivf_kmeans_topk(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+def cosine_topk_filtered(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    filter_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Metadata-FILTERED exact top-k by cosine — "filtered vector
+    search", the production ANN feature: each query ranks only corpus
+    rows agreeing with it on every ``filter_cols`` column (tenant,
+    language, label, …). ``queries`` carries (query_id, query_vec) plus
+    the filter columns under their corpus names.
+
+    Pre-filtering happens IN the join predicate, so Catalyst plans an
+    equi-join on the filter columns (hash-partitioned by filter value,
+    never query×corpus) with the small query side broadcast — at scale
+    the candidate set per query is its filter partition, not the
+    corpus. Ties break deterministically like :func:`cosine_topk`.
+    The IVF composition (filter within probed cells) follows by
+    passing a pre-filtered corpus to :func:`ivf_topk` when the filter
+    is query-independent."""
+    qren = queries.select(
+        "query_id", "query_vec",
+        *[F.col(c).alias(f"__f_{c}") for c in filter_cols],
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        *[F.col(col) for col in filter_cols],
+    )
+    cond = F.col("query_id") != F.col("neighbor_id")
+    for col in filter_cols:
+        cond = cond & (F.col(f"__f_{col}") == F.col(col))
+    joined = c.join(F.broadcast(qren), cond)
+    cos = _dot(F.col("query_vec"), F.col("cv")) / (
+        _norm(F.col("query_vec")) * _norm(F.col("cv"))
+    )
+    scored = joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 8).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

@@ -1836,6 +1836,121 @@ D10_SQL = """
 """
 
 
+def s04_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered exact top-k ("filtered vector search"): each
+    query ranks only same-``label`` corpus vectors
+    (`operators.similarity.cosine_topk_filtered`) — the
+    tenant/language/label-scoped ANN every production vector store
+    exposes; the filter lives in the join predicate so candidates are
+    the filter partition, never the corpus."""
+    from southpaw_spark.operators.similarity import cosine_topk_filtered
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        "label",
+    )
+    return cosine_topk_filtered(
+        emb, queries, "embedding", "vec_id", k=5, filter_cols=("label",)
+    )
+
+
+S04_SQL = """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label
+      FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv, label FROM embeddings),
+    sims AS (
+      SELECT q.query_id, c.vec_id,
+             list_sum(list_transform(range(1, 65),
+               i -> q.qv[i] * c.cv[i]))
+             / (sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])))
+                * sqrt(list_sum(list_transform(range(1, 65), i -> c.cv[i] * c.cv[i]))))
+             AS cosine
+      FROM q JOIN c ON q.label = c.label AND q.query_id <> c.vec_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY ROUND(cosine, 8) DESC, vec_id) AS rk
+      FROM sims)
+    SELECT query_id, vec_id AS neighbor_id, rk AS rank,
+           ROUND(cosine, 6) AS cosine
+    FROM ranked WHERE rk <= 5
+"""
+
+
+def e07_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inactivity gaps over one hour: consecutive-event deltas
+    via a lag window — the outage/churn-signal dual of e02's
+    sessionization (e02 counts sessions; this names the exact gaps)."""
+    ev = _read(spark, sf_dir, "events")
+    sec = (_events_ts_us(ev) / F.lit(1_000_000)).cast("long")
+    w = Window.partitionBy("user_id").orderBy(sec, "event_id")
+    gap = (sec - F.lag(sec).over(w)).alias("gap_s")
+    prev_id = F.lag("event_id").over(w)
+    return (
+        ev.select(
+            "user_id",
+            prev_id.alias("prev_event_id"),
+            "event_id",
+            gap,
+        )
+        .where(F.col("gap_s") > 3600)
+    )
+
+
+E07_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS sec FROM events),
+    lagged AS (
+      SELECT user_id,
+             LAG(event_id) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+               AS prev_event_id,
+             event_id,
+             sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+               AS gap_s
+      FROM e)
+    SELECT user_id, prev_event_id, event_id, gap_s
+    FROM lagged WHERE gap_s > 3600
+"""
+
+
+def d12_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup: case/punctuation variants that
+    byte-exact d01 misses collapse after t06's canonicalization. The
+    corpus is augmented with UPPERCASED copies (doc_id + 200000, the
+    d08 self-test pattern) so the semantic difference from d01 is
+    exercised, not asserted: every original∪copy family groups here
+    and would NOT group raw."""
+    from southpaw_spark.operators.dedup import exact_duplicates
+    from southpaw_spark.operators.text import with_normalized_text
+
+    docs = _read(spark, sf_dir, "documents")
+    copies = docs.where(F.col("doc_id") % 100 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 200000
+    ).withColumn("text", F.upper(F.col("text")))
+    corpus = with_normalized_text(docs.unionByName(copies), "text")
+    return exact_duplicates(corpus, "norm_text", "doc_id")
+
+
+D12_SQL = """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000, upper(text) FROM documents WHERE doc_id % 100 = 0),
+    n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                  ' +', ' ', 'g')) AS norm_text
+      FROM corpus)
+    SELECT md5(norm_text) AS content_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies,
+           list_sort(list(doc_id)) AS doc_ids
+    FROM n GROUP BY norm_text HAVING COUNT(*) > 1
+"""
+
+
 def d11_quality_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware keeper selection over the d07 dup clusters
     (`operators.dedup.cluster_keepers`): each near-dup family keeps its
@@ -2386,6 +2501,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d09_simhash_near_pairs": d09_simhash_near_pairs,
     "d10_containment_pairs": d10_containment_pairs,
     "d11_quality_keepers": d11_quality_keepers,
+    "d12_normalized_dedup": d12_normalized_dedup,
+    "s04_filtered_topk": s04_filtered_topk,
+    "e07_event_gaps": e07_event_gaps,
     "t12_word_entropy": t12_word_entropy,
     "t13_bigram_lm_score": t13_bigram_lm_score,
     "a07_top_n_per_group": a07_top_n_per_group,
@@ -2395,6 +2513,9 @@ EXTRA_ORACLES: dict[str, str] = {
     "d09_simhash_near_pairs": D09_SQL,
     "d10_containment_pairs": D10_SQL,
     "d11_quality_keepers": D11_SQL,
+    "d12_normalized_dedup": D12_SQL,
+    "s04_filtered_topk": S04_SQL,
+    "e07_event_gaps": E07_SQL,
     "t12_word_entropy": T12_SQL,
     "t13_bigram_lm_score": T13_SQL,
     "a07_top_n_per_group": A07_SQL,

@@ -697,3 +697,37 @@ def test_containment_pairs_asymmetric_and_exact(spark):
                 if c >= t:
                     want[(a, b)] = round(c, 6)
     assert got == want
+
+
+def test_filtered_topk_respects_filter_and_matches_bruteforce(spark, sf_dir):
+    """Every filtered neighbor shares the query's label, and the result
+    equals brute-force cosine over the label-restricted corpus."""
+    from southpaw_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_filtered,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        "label",
+    )
+    got = cosine_topk_filtered(
+        emb, q, "embedding", "vec_id", k=5, filter_cols=("label",)
+    ).collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    for r in got:
+        assert labels[r["neighbor_id"]] == labels[r["query_id"]]
+    # parity: per query, filtering the corpus first gives identical rows
+    for qid in range(2):
+        lbl = labels[qid]
+        sub = cosine_topk(
+            emb.where(F.col("label") == lbl),
+            q.where(F.col("query_id") == qid).drop("label"),
+            "embedding", "vec_id", k=5,
+        ).collect()
+        mine = [r for r in got if r["query_id"] == qid]
+        assert sorted((r["neighbor_id"], r["rank"]) for r in mine) == sorted(
+            (r["neighbor_id"], r["rank"]) for r in sub
+        )
