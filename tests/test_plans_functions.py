@@ -189,3 +189,38 @@ def test_bucketed_flagship_parity_and_fewer_exchanges(spark, sf_dir):
     assert num_exchanges(b) < num_exchanges(a), (
         f"bucketed {num_exchanges(b)} vs plain {num_exchanges(a)}"
     )
+
+
+def test_new_round7_ops_plan_shapes(spark, sf_dir):
+    """Round-7 operators stay shuffle-native: filtered ANN joins on the
+    filter column with the query side broadcast (never a cartesian over
+    the corpus); containment and Hamming candidates are equi-joins; no
+    per-row Python anywhere."""
+    from southpaw_spark.operators.dedup import (
+        containment_pairs,
+        simhash_near_pairs,
+    )
+    from southpaw_spark.operators.similarity import cosine_topk_filtered
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        "label",
+    )
+    filtered = cosine_topk_filtered(
+        emb, q, "embedding", "vec_id", k=5, filter_cols=("label",)
+    )
+    fplan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in fplan
+    assert "BroadcastNestedLoopJoin" not in fplan
+    assert join_strategies(filtered).get("BroadcastHashJoin", 0) >= 1, fplan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for frame in (
+        containment_pairs(docs, "text", "doc_id", threshold=0.8),
+        simhash_near_pairs(docs, "text", "doc_id", max_hamming=3),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
