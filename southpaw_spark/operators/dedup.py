@@ -775,3 +775,27 @@ def embedding_near_duplicates(
         .where(F.col("cosine") >= threshold)
         .distinct()  # same pair may collide in several tables
     )
+
+
+def bag_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Order-insensitive exact dedup: documents with the same word
+    MULTISET group together (hash of the sorted token list). Catches
+    rotations / shuffles / reorderings that byte-exact dedup misses and
+    the Jaccard join finds only at quadratic candidate cost — e.g. the
+    sf1 rotation-stress families (circular shifts preserve the bag) all
+    collapse here in ONE combiner-friendly groupBy. Same output
+    contract as :func:`exact_duplicates`."""
+    canon = F.md5(
+        F.concat_ws(
+            " ", F.sort_array(F.split(F.col(text_col), " "))
+        ).cast("binary")
+    )
+    return (
+        df.groupBy(canon.alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .where(F.col("n_copies") > 1)
+    )

@@ -299,3 +299,33 @@ def cosine_topk_filtered(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+def cosine_radius(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    radius: float,
+) -> DataFrame:
+    """Radius (range) search: EVERY corpus vector with cosine ≥
+    ``radius`` per query — the recall-complete dual of top-k (near-dup
+    audits and contamination sweeps want "everything this close", not
+    a fixed k). Same broadcast-query scan shape as :func:`cosine_topk`;
+    no window, so the plan is one scan + filter."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    joined = c.join(
+        F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = _dot(F.col("query_vec"), F.col("cv")) / (
+        _norm(F.col("query_vec")) * _norm(F.col("cv"))
+    )
+    return (
+        joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .where(F.col("cosine") >= radius)
+        .select(
+            "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
+        )
+    )

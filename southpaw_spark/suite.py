@@ -1951,6 +1951,131 @@ D12_SQL = """
 """
 
 
+def d13_bag_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive exact dedup (`operators.dedup.bag_duplicates`):
+    same word MULTISET ⇒ same group. The corpus is augmented with
+    word-ROTATED copies (doc_id + 300000) — invisible to byte-exact
+    d01, quadratic-candidate work for d02, one combiner groupBy here."""
+    from southpaw_spark.operators.dedup import bag_duplicates
+
+    docs = _read(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    rotated = docs.where(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.array_join(
+            F.concat(F.slice(w, 2, F.size(w) - 1), F.slice(w, 1, 1)), " "
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(rotated)
+    return bag_duplicates(corpus, "text", "doc_id")
+
+
+D13_SQL = """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 300000,
+             concat_ws(' ',
+               array_to_string(string_split(text, ' ')[2:], ' '),
+               string_split(text, ' ')[1])
+      FROM documents WHERE doc_id % 100 = 0),
+    canon AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+               AS content_hash
+      FROM corpus)
+    SELECT content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+           list_sort(list(doc_id)) AS doc_ids
+    FROM canon GROUP BY content_hash HAVING COUNT(*) > 1
+"""
+
+
+def s05_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) vector search: every neighbor with cosine ≥ 0.25
+    (`operators.similarity.cosine_radius`) — the recall-complete dual
+    of top-k that near-dup audits want."""
+    from southpaw_spark.operators.similarity import cosine_radius
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_radius(emb, queries, "embedding", "vec_id", radius=0.25)
+
+
+S05_SQL = """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    sims AS (
+      SELECT q.query_id, c.vec_id,
+             list_sum(list_transform(range(1, 65),
+               i -> q.qv[i] * c.cv[i]))
+             / (sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])))
+                * sqrt(list_sum(list_transform(range(1, 65), i -> c.cv[i] * c.cv[i]))))
+             AS cosine
+      FROM q CROSS JOIN c WHERE q.query_id <> c.vec_id)
+    SELECT query_id, vec_id AS neighbor_id, ROUND(cosine, 6) AS cosine
+    FROM sims WHERE cosine >= 0.25
+"""
+
+
+def e09_trending_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per hourly window by volume — the trending/
+    leaderboard shape: windowed count then per-window rank, no global
+    sort."""
+    ev = _read(spark, sf_dir, "events").withColumn("ts", _events_ts(_read(spark, sf_dir, "events")))
+    counts = ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("window_start", "event_type", "n_events", "rnk")
+    )
+
+
+E09_SQL = """
+    WITH counts AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                 ORDER BY n_events DESC, event_type) AS rnk
+      FROM counts)
+    SELECT window_start, event_type, n_events, rnk::INTEGER AS rnk
+    FROM ranked WHERE rnk <= 3
+"""
+
+
+def a08_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, user cohort): all four grouping levels in
+    one pass — the OLAP companion to a01's hierarchical ROLLUP."""
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "cohort", (F.col("user_id") % 5).cast("long")
+    )
+    return ev.cube("event_type", "cohort").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+A08_SQL = """
+    WITH e AS (SELECT event_type, user_id % 5 AS cohort, value FROM events)
+    SELECT event_type, cohort, COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM e GROUP BY CUBE (event_type, cohort)
+"""
+
+
 def d11_quality_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware keeper selection over the d07 dup clusters
     (`operators.dedup.cluster_keepers`): each near-dup family keeps its
@@ -2502,6 +2627,10 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d10_containment_pairs": d10_containment_pairs,
     "d11_quality_keepers": d11_quality_keepers,
     "d12_normalized_dedup": d12_normalized_dedup,
+    "d13_bag_dedup": d13_bag_dedup,
+    "s05_radius_search": s05_radius_search,
+    "e09_trending_windows": e09_trending_windows,
+    "a08_cube": a08_cube,
     "s04_filtered_topk": s04_filtered_topk,
     "e07_event_gaps": e07_event_gaps,
     "t12_word_entropy": t12_word_entropy,
@@ -2514,6 +2643,10 @@ EXTRA_ORACLES: dict[str, str] = {
     "d10_containment_pairs": D10_SQL,
     "d11_quality_keepers": D11_SQL,
     "d12_normalized_dedup": D12_SQL,
+    "d13_bag_dedup": D13_SQL,
+    "s05_radius_search": S05_SQL,
+    "e09_trending_windows": E09_SQL,
+    "a08_cube": A08_SQL,
     "s04_filtered_topk": S04_SQL,
     "e07_event_gaps": E07_SQL,
     "t12_word_entropy": T12_SQL,
