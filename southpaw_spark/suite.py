@@ -2025,7 +2025,8 @@ def e09_trending_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 event types per hourly window by volume — the trending/
     leaderboard shape: windowed count then per-window rank, no global
     sort."""
-    ev = _read(spark, sf_dir, "events").withColumn("ts", _events_ts(_read(spark, sf_dir, "events")))
+    ev = _read(spark, sf_dir, "events")
+    ev = ev.withColumn("ts", _events_ts(ev))
     counts = ev.groupBy(
         F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
             "window_start"
