@@ -179,7 +179,14 @@ def ngram_jaccard_pairs(
         F.col("srt") if cap is None
         else F.filter("srt", lambda x: x["df_"] <= F.lit(cap))
     )
-    plen = (F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1).cast("int")
+    # Safe prefix length: the exact bound is n − ⌈t·n⌉ + 1, but ceil on
+    # a binary double can round UP past an exact integer product (e.g.
+    # t=0.54, n=50: 0.54·50 → 27.000000000000004 → ceil 28), silently
+    # shortening the prefix by one and MISSING a qualifying pair.
+    # floor(t·n) ≤ ⌈t·n⌉ always holds under double rounding, so
+    # n − floor(t·n) + 1 is ≥ the exact length (over by at most one
+    # token, pruned by the pair-exact filter and verification below).
+    plen = (F.col("n_sh") - F.floor(F.lit(t) * F.col("n_sh")) + 1).cast("int")
     doc = (
         tagged.groupBy(id_col)
         .agg(
@@ -207,18 +214,27 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id_b"), "sh",
         F.col("pos").alias("pos_b"), F.col("n_sh").alias("n_b"),
     )
-    alpha = F.lit(t / (1.0 + t)) * (F.col("n_a") + F.col("n_b"))
+    # All candidate-side bounds are floor-relaxed: sizes/positions are
+    # integers, so comparing against floor(float bound) admits exactly
+    # the integer values the real-valued bound admits — plus at most
+    # one extra when the double product rounds across an integer —
+    # and can never EXCLUDE a qualifying pair the way a raw float
+    # comparison can (n_a ≥ t·n_b fails for n_a=27, t=0.54, n_b=50
+    # because the double product is 27.000000000000004).
+    alpha_f = F.floor(
+        F.lit(t / (1.0 + t)) * (F.col("n_a") + F.col("n_b"))
+    )
     cand = (
         pa.join(pb, "sh")
         .where(
             (F.col("id_a") < F.col("id_b"))
             # length filter: |B| ∈ [t·|A|, |A|/t] is necessary for J ≥ t
-            & (F.col("n_b") >= F.lit(t) * F.col("n_a"))
-            & (F.col("n_a") >= F.lit(t) * F.col("n_b"))
+            & (F.col("n_b") >= F.floor(F.lit(t) * F.col("n_a")))
+            & (F.col("n_a") >= F.floor(F.lit(t) * F.col("n_b")))
             # pair-exact prefix filter on both sides (tighter than the
             # worst-case slice that built the prefix arrays)
-            & (F.col("pos_a") <= F.col("n_a") - alpha + 1)
-            & (F.col("pos_b") <= F.col("n_b") - alpha + 1)
+            & (F.col("pos_a") <= F.col("n_a") - alpha_f + 1)
+            & (F.col("pos_b") <= F.col("n_b") - alpha_f + 1)
         )
         .select("id_a", "id_b")
         .distinct()
@@ -228,7 +244,7 @@ def ngram_jaccard_pairs(
         # hot evidence alone (see step 3 above). Hot shingles are the
         # sorted array's tail — everything past the rare prefix count.
         hh = (
-            doc.where(F.col("n_hot") >= F.lit(t) * F.col("n_sh"))
+            doc.where(F.col("n_hot") >= F.floor(F.lit(t) * F.col("n_sh")))
             .select(
                 F.col(id_col),
                 F.explode(
@@ -274,6 +290,8 @@ def containment_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.9,
+    max_doc_freq: int | str | None = "auto",
+    min_len: int = 1,
 ) -> DataFrame:
     """Exact n-gram CONTAINMENT pairs: (id_a, id_b, containment) where
     containment = |shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ t —
@@ -286,26 +304,61 @@ def containment_pairs(
     Same prefix-filter skeleton as :func:`ngram_jaccard_pairs` but
     one-sided: overlap ≥ t·|A| needs a shared token ranked ≤
     |A| − t·|A| + 1 in A AND ≤ |B| − t·|A| + 1 in B (global rarity
-    order), so only A's prefix explodes while B posts all tokens with
-    positions; the pair-specific positional predicate applies at join
+    order); the pair-specific positional predicate applies at join
     time and ``array_intersect`` verification makes every emitted
     score exact.
 
-    SCALE CAVEAT (deliberate, unlike d02): containment's one-sided
-    bound precludes the rare/hot skew cap — a corpus-wide boilerplate
-    shingle is a GENUINE containment witness for any tiny doc, so the
-    B side cannot drop hot tokens without losing exactness. The worst
-    join key is the global doc-frequency squared. At corpus scale,
-    bound it upstream: min-length floor on A (short docs are the ones
-    hot keys pair), stop-shingle removal as an explicit corpus-prep
-    step, or AQE skew-split absorbing the residue. Documented in
-    SCALE.md."""
+    SKEW BOUND (default on, exactness-preserving): the naive form
+    joins A-prefixes against ALL of B's postings, so one corpus-wide
+    boilerplate shingle makes a doc-freq² join key. The rare/hot
+    split restores the d02 bound without losing a pair:
+
+    * RARE path: postings with doc-freq ≤ ``max_doc_freq`` on BOTH
+      sides — worst join key ≤ cap². Rarity order puts every rare
+      token before every hot one, so if ANY shared token is rare,
+      the globally smallest shared token is rare and (by the prefix
+      theorem) lands inside both positional windows → caught here.
+    * HOT rescue: a pair invisible to the rare path shares ONLY hot
+      tokens, so |A∩B| ≤ n_hot(A) and containment ≥ t forces
+      n_hot(A) ≥ t·n_sh(A) — A is hot-heavy (for containment that
+      means small or boilerplate docs; the ``min_len`` floor bounds
+      them further). Only such A docs post hot tokens against B hot
+      postings; the residual key is |hot-heavy A| × doc-freq, with
+      AQE skew-join absorbing what remains. Measured on a synthetic
+      every-doc-shares-one-shingle corpus in BASELINE.md §13.
+
+    ``max_doc_freq=None`` disables the split (pure one-sided prefix
+    filter); ``"auto"`` picks :func:`auto_max_doc_freq`, with the
+    same ≤10k-doc single-phase fast path as d02. ``min_len`` drops
+    A-side docs with fewer than ``min_len`` shingles (B side is
+    unaffected, so larger docs still find their containers); the
+    default 1 changes nothing. All float bounds are floor-relaxed —
+    see the d02 comment on double rounding."""
+    if not (
+        max_doc_freq is None
+        or max_doc_freq == "auto"
+        or isinstance(max_doc_freq, int)
+    ):
+        raise ValueError(
+            "max_doc_freq must be None, an int, or exactly 'auto'; got "
+            f"{max_doc_freq!r}"
+        )
     sh = shingles(df, text_col, id_col, n).select(
         F.col(id_col), F.xxhash64("shingle").alias("sh")
     )
     t = float(threshold)
+    cap: int | None
+    if max_doc_freq == "auto":
+        n_docs = df.count()
+        cap = None if n_docs <= 10_000 else auto_max_doc_freq(n_docs)
+    else:
+        cap = max_doc_freq
     dfreq = sh.groupBy("sh").agg(F.count("*").alias("df_"))
-    plen = (F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1).cast("int")
+    rare = (
+        F.col("srt") if cap is None
+        else F.filter("srt", lambda x: x["df_"] <= F.lit(cap))
+    )
+    plen = (F.col("n_sh") - F.floor(F.lit(t) * F.col("n_sh")) + 1).cast("int")
     doc = (
         sh.join(dfreq, "sh")
         .groupBy(id_col)
@@ -314,32 +367,78 @@ def containment_pairs(
         .withColumn("sh_set", F.transform("srt", lambda x: x["sh"]))
         .withColumn(
             "prefix",
-            F.transform(F.slice("srt", F.lit(1), plen), lambda x: x["sh"]),
+            F.transform(F.slice(rare, F.lit(1), plen), lambda x: x["sh"]),
         )
+        .withColumn("rare_set", F.transform(rare, lambda x: x["sh"]))
+        .withColumn("n_hot", F.col("n_sh") - F.size(rare))
         .drop("srt")
         .cache()
     )
-    pa = doc.select(
+    # rare positions are ranks in the FULL rarity order (rare tokens
+    # all precede hot ones, so rare-array index == global rank)
+    pa = doc.where(F.col("n_sh") >= F.lit(int(min_len))).select(
         F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"),
         F.posexplode("prefix").alias("pos0", "sh"),
     ).select("id_a", "n_a", (F.col("pos0") + 1).alias("pos_a"), "sh")
     pb = doc.select(
         F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"),
-        F.posexplode("sh_set").alias("pos0", "sh"),
+        F.posexplode("rare_set").alias("pos0", "sh"),
     ).select("id_b", "n_b", (F.col("pos0") + 1).alias("pos_b"), "sh")
-    alpha = F.lit(t) * F.col("n_a")
+    alpha_f = F.floor(F.lit(t) * F.col("n_a"))
+    pair_pred = (
+        (F.col("id_a") != F.col("id_b"))
+        # overlap ≥ t·n_a needs |B| ≥ t·n_a
+        & (F.col("n_b") >= alpha_f)
+        & (F.col("pos_a") <= F.col("n_a") - alpha_f + 1)
+        & (F.col("pos_b") <= F.col("n_b") - alpha_f + 1)
+    )
     cand = (
         pa.join(pb, "sh")
-        .where(
-            (F.col("id_a") != F.col("id_b"))
-            # overlap ≥ t·n_a needs |B| ≥ t·n_a
-            & (F.col("n_b") >= alpha)
-            & (F.col("pos_a") <= F.col("n_a") - alpha + 1)
-            & (F.col("pos_b") <= F.col("n_b") - alpha + 1)
-        )
+        .where(pair_pred)
         .select("id_a", "id_b")
         .distinct()
     )
+    if cap is not None:
+        # hot postings with positions: hot tokens are the rarity
+        # order's tail, global rank = n_rare + index-in-tail
+        hot = doc.select(
+            F.col(id_col), "n_sh", "n_hot",
+            F.posexplode(
+                F.slice(
+                    "sh_set",
+                    F.col("n_sh") - F.col("n_hot") + 1,
+                    F.col("n_hot"),
+                )
+            ).alias("pos0", "sh"),
+            (F.col("n_sh") - F.col("n_hot")).alias("n_rare_"),
+        ).select(
+            id_col, "n_sh",
+            (F.col("n_rare_") + F.col("pos0") + 1).alias("pos"), "sh",
+        )
+        ha = (
+            doc.where(
+                (F.col("n_hot") >= F.floor(F.lit(t) * F.col("n_sh")))
+                & (F.col("n_sh") >= F.lit(int(min_len)))
+            )
+            .select(F.col(id_col).alias("__a_id"))
+            .join(hot.withColumnRenamed(id_col, "__a_id"), "__a_id")
+            .select(
+                F.col("__a_id").alias("id_a"),
+                F.col("n_sh").alias("n_a"),
+                F.col("pos").alias("pos_a"), "sh",
+            )
+        )
+        hb = hot.select(
+            F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"),
+            F.col("pos").alias("pos_b"), "sh",
+        )
+        rescue = (
+            ha.join(hb, "sh")
+            .where(pair_pred)
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        cand = cand.unionByName(rescue).distinct()
     da = doc.select(
         F.col(id_col).alias("id_a"),
         F.col("n_sh").alias("n_a"), F.col("sh_set").alias("set_a"),
@@ -591,7 +690,15 @@ def connected_components(
     vertex whose only edges are self-loops (it is its own singleton
     cluster), matching the label-propagation semantics this replaced.
     """
-    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # Checkpoint the RAW edge frame once: both `cur` (the contraction
+    # loop) and `verts` (the final label union) derive from it, and
+    # `verts` is read by every downstream materialization of the
+    # labels — without this, unpersisting the caller's upstream plan
+    # (e.g. pipelines.release(pairs)) would re-execute the entire
+    # edge-producing job on every later read of the labels.
+    raw = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint()
     verts = (
         raw.select("u").unionByName(raw.select(F.col("v").alias("u"))).distinct()
     )

@@ -148,9 +148,11 @@ def build_corpus(
             cur, text_col, id_col, n=fuzzy_n, threshold=fuzzy_threshold
         )
         clusters = connected_components(pairs)
-        # connected_components consumed pairs eagerly (its star-contraction
-        # loop localCheckpoints, truncating lineage) — the Jaccard join's
-        # internal cache is no longer referenced by anything downstream
+        # connected_components consumed pairs eagerly (it localCheckpoints
+        # the raw edge frame up front, so both the contraction loop AND
+        # the vertex union for the labels are lineage-truncated) — the
+        # Jaccard join's internal cache is no longer referenced by
+        # anything downstream
         release(pairs)
         if fuzzy_keep == "best_quality":
             # keep each near-dup family's HIGHEST-QUALITY member (ties →

@@ -605,7 +605,9 @@ def test_simhash_near_pairs_exact_vs_bruteforce(spark, sf_dir):
     want = {}
     for i, a in enumerate(ids):
         for b in ids[i + 1:]:
-            h = bin(sigs[a] ^ sigs[b]).count("1")
+            # mask to 64 bits: signatures are signed 64-bit, and bin()
+            # of a negative XOR is sign-magnitude, not two's-complement
+            h = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
             if h <= 3:
                 want[(a, b)] = h
     assert got == want
@@ -731,3 +733,122 @@ def test_filtered_topk_respects_filter_and_matches_bruteforce(spark, sf_dir):
         assert sorted((r["neighbor_id"], r["rank"]) for r in mine) == sorted(
             (r["neighbor_id"], r["rank"]) for r in sub
         )
+
+
+def test_ngram_jaccard_integer_threshold_boundary(spark):
+    """Double-rounding regression (ADVICE r7): when t·n is exactly an
+    integer but the binary product rounds up (0.54·50 →
+    27.000000000000004), a raw float length filter rejects the valid
+    partner size and a ceil-based prefix slice drops the boundary
+    token — silently missing a pair with Jaccard EXACTLY equal to the
+    threshold. The floor-relaxed bounds must find it.
+
+    Construction (n=1 shingles = distinct words): A = 27 words, all
+    shared; B = those 27 plus 23 unique → J = 27/50 = 0.54 at
+    t = 0.54, with the smallest shared token ranked 24th in B (its 23
+    unique words are globally rarer), exactly the position a one-short
+    prefix loses."""
+    from southpaw_spark.operators.dedup import ngram_jaccard_pairs, release
+
+    shared = [f"s{i:02d}" for i in range(27)]
+    uniq = [f"u{i:02d}" for i in range(23)]
+    df = spark.createDataFrame(
+        [(1, " ".join(shared)), (2, " ".join(shared + uniq))],
+        "doc_id long, text string",
+    )
+    for cap in ("auto", None, 1):
+        out = ngram_jaccard_pairs(
+            df, "text", "doc_id", n=1, threshold=0.54, max_doc_freq=cap
+        )
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+        release(out)
+        assert got == {(1, 2): 0.54}, f"missed boundary pair at cap={cap!r}"
+
+
+def test_containment_integer_threshold_boundary(spark):
+    """Same double-rounding boundary for containment: A = 50 words
+    (23 unique + 27 shared), B = the 27 shared words only. Containment
+    A→B = 27/50 = 0.54 exactly at t = 0.54: the buggy bounds reject it
+    twice (|B| ≥ t·|A| fails as 27 ≥ 27.000000000000004, and A's
+    ceil-shortened prefix stops one token before its smallest shared
+    word at rank 24). B→A is full containment (1.0) and must appear in
+    the same output."""
+    from southpaw_spark.operators.dedup import containment_pairs, release
+
+    shared = [f"s{i:02d}" for i in range(27)]
+    uniq = [f"u{i:02d}" for i in range(23)]
+    df = spark.createDataFrame(
+        [(1, " ".join(uniq + shared)), (2, " ".join(shared))],
+        "doc_id long, text string",
+    )
+    for cap in ("auto", None, 1):
+        out = containment_pairs(
+            df, "text", "doc_id", n=1, threshold=0.54, max_doc_freq=cap
+        )
+        got = {(r["id_a"], r["id_b"]): r["containment"] for r in out.collect()}
+        release(out)
+        assert got == {(1, 2): 0.54, (2, 1): 1.0}, (
+            f"boundary miss at cap={cap!r}: {got}"
+        )
+
+
+def test_containment_pairs_skew_split_parity(spark):
+    """The default rare/hot split (and an adversarial tiny cap) must
+    emit EXACTLY the single-phase (cap=None) pair set — including on a
+    boilerplate corpus where every doc shares one hot shingle, the
+    shape whose doc-freq² join key the split exists to bound."""
+    import random
+
+    from southpaw_spark.operators.dedup import containment_pairs, release
+
+    rng = random.Random(88)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = []
+    for i in range(80):
+        words = ["common boiler plate"]  # shared 3-gram in EVERY doc
+        words += [rng.choice(vocab) for _ in range(rng.randrange(2, 14))]
+        rng.shuffle(words)
+        docs.append((i, " ".join(" ".join(w.split()) for w in words)))
+        if rng.random() < 0.25:  # plant a contained quote
+            base = docs[rng.randrange(len(docs))][1].split()
+            lo = rng.randrange(max(1, len(base) - 4))
+            docs.append(
+                (1000 + i, " ".join(base[lo: lo + rng.randrange(4, 10)]))
+            )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    outs = {}
+    for cap in (None, 2, 8):
+        out = containment_pairs(
+            df, "text", "doc_id", threshold=0.6, max_doc_freq=cap
+        )
+        outs[cap] = {
+            (r["id_a"], r["id_b"]): r["containment"] for r in out.collect()
+        }
+        release(out)
+    assert outs[None], "corpus produced no containment pairs"
+    assert outs[2] == outs[None]
+    assert outs[8] == outs[None]
+
+
+def test_containment_min_len_floors_a_side_only(spark):
+    """min_len drops SHORT docs from the A (contained) side only: big
+    docs must still find their containers, and the default min_len=1
+    must change nothing."""
+    from southpaw_spark.operators.dedup import containment_pairs, release
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    page = "prefix words here " + quote + " suffix words trail after"
+    df = spark.createDataFrame(
+        [(1, quote), (2, page)], "doc_id long, text string"
+    )
+    base = containment_pairs(df, "text", "doc_id", threshold=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in base.collect()}
+    release(base)
+    assert (1, 2) in got
+    # quote has 4 3-gram shingles; floor at 5 removes it as an A doc
+    floored = containment_pairs(
+        df, "text", "doc_id", threshold=0.9, min_len=5
+    )
+    got_f = {(r["id_a"], r["id_b"]) for r in floored.collect()}
+    release(floored)
+    assert (1, 2) not in got_f
