@@ -106,8 +106,13 @@ class DeltaStateStore:
         rows: DataFrame,
         key_cols: Sequence[str],
         commit: bool = True,
+        bucket_cols: Sequence[str] | None = None,
     ) -> int:
-        """Full (re)write. The Delta log records it immediately as a new
+        """Full (re)write. ``bucket_cols`` is accepted for interface
+        parity with ``ParquetStateStore`` and ignored — Delta's file
+        layout is managed by the Delta log, and co-located reads would
+        come from liquid clustering / OPTIMIZE ZORDER instead.
+        The Delta log records it immediately as a new
         table version; the store's readers only see it after
         ``commit()`` flips the pointer."""
         rows.write.format("delta").mode("overwrite").option(
@@ -126,6 +131,7 @@ class DeltaStateStore:
         key_cols: Sequence[str],
         commit: bool = True,
         touched_ids: Sequence[int] | None = None,
+        bucket_cols: Sequence[str] | None = None,
     ) -> int:
         """Upsert + delete via ``MERGE INTO`` — Delta rewrites only the
         files containing matched keys (its native copy-on-write), the

@@ -107,10 +107,46 @@ class IncrementalDenormalizer:
     backup_dir: str | None = None
     backup_every_n_batches: int = 0
     backup_retention: int | None = None
+    #: native co-located rebuilds (BASELINE.md §11, now default): state
+    #: is bucketed by each entity's TREE JOIN KEY at bootstrap (when
+    #: that key is a subset of the entity PK — the correctness bound for
+    #: merge pruning) and rebuild reads go through
+    #: ``ParquetStateStore.read_bucketed``, so the per-level
+    #: ``groupBy(join_key)`` + parent⋈children joins run with zero
+    #: exchanges. Rows are byte-identical to plain reads; legacy state
+    #: dirs without the ``_BUCKETCOLS`` sidecar fall back silently.
+    bucketed_reads: bool = True
     _batches_since_backup: int = field(default=0, init=False, repr=False)
 
     def _bump(self, name: str, n: int) -> None:
         self.metrics[name] = self.metrics.get(name, 0) + n
+
+    def _tree_bucket_cols(self, entity: str) -> list[str]:
+        """The bucket layout for an entity: its join key where it is a
+        child (first relation wins), its PK where it is only a root —
+        restricted to join keys that are PK subsets, because merge
+        pruning locates OLD rows by delta-key hash: a non-key bucket
+        column (an FK that can repoint) would strand the old row in an
+        unscanned bucket."""
+        key_cols = list(self.keys[entity])
+        for rel in self.relations:
+            node = rel.find_entity(entity)
+            if node is None or entity == rel.entity:
+                continue
+            jk = getattr(node, "join_key", None)
+            if jk is not None and set([jk]) <= set(key_cols):
+                return [jk]
+        return key_cols
+
+    def _state_read(self, entity: str, version: int | None = None) -> DataFrame:
+        if self.bucketed_reads:
+            try:
+                return self.store.read_bucketed(entity, version)
+            except (ValueError, AttributeError):
+                pass  # legacy layout / store without bucketed reads
+        if version is not None:
+            return self.store.read_version(entity, version)
+        return self.store.read(entity)
 
     def _entities(self) -> list[str]:
         seen: list[str] = []
@@ -131,11 +167,19 @@ class IncrementalDenormalizer:
         tree entity that never receives a delta would fail state reads
         mid-stream with FileNotFoundError."""
         for entity in self._entities():
+            bcols = (
+                self._tree_bucket_cols(entity) if self.bucketed_reads else None
+            )
             if entity in snapshots:
-                self.store.init(entity, snapshots[entity], self.keys[entity])
+                self.store.init(
+                    entity, snapshots[entity], self.keys[entity],
+                    bucket_cols=bcols,
+                )
             elif schemas and entity in schemas:
                 empty = self.spark.createDataFrame([], schemas[entity])
-                self.store.init(entity, empty, self.keys[entity])
+                self.store.init(
+                    entity, empty, self.keys[entity], bucket_cols=bcols
+                )
 
     # -- the per-batch step -------------------------------------------
 
@@ -210,9 +254,9 @@ class IncrementalDenormalizer:
             states: dict[str, DataFrame] = {}
             for e in self._entities():
                 if e in staged:
-                    states[e] = self.store.read_version(e, staged[e])
+                    states[e] = self._state_read(e, staged[e])
                 elif self.store.exists(e):
-                    states[e] = self.store.read(e)
+                    states[e] = self._state_read(e)
                 else:
                     raise FileNotFoundError(
                         f"no state for entity {e!r}: bootstrap() every tree "

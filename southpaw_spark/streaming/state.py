@@ -145,6 +145,125 @@ class ParquetStateStore:
             .drop("__bucket")
         )
 
+    def read_bucketed(self, entity: str, version: int | None = None) -> DataFrame:
+        """Read state as a Spark BUCKETED table scan — byte-identical
+        rows to :meth:`read`, but the plan carries
+        ``HashPartitioning(bucket_cols, n_buckets)``, so a downstream
+        ``groupBy(bucket_cols)`` or equi-join on them runs with ZERO
+        exchanges (the 8–12× co-located-flagship win of BASELINE.md §11,
+        now native to the store instead of an opt-in conversion pass).
+
+        Zero data movement: the store's physical layout already IS
+        Spark's bucket function (``__bucket = pmod(hash(cols), n)`` is
+        exactly ``HashPartitioning.partitionIdExpression``), so the
+        version's files are HARDLINKED once into a ``v{N}.bucketed``
+        mirror under Spark's bucket-encoded file naming and registered
+        as an external ``CLUSTERED BY`` table (session-scoped catalog
+        entry; the mirror itself is reused across sessions and vacuumed
+        with its version). Requires the entity's ``_BUCKETCOLS`` sidecar
+        (written by every post-round-8 init/merge); raises for legacy
+        layouts — fall back to :meth:`read`."""
+        if version is None:
+            version = self._version_of(entity)
+            if version is None:
+                raise FileNotFoundError(f"no state for entity {entity!r}")
+        bcols = self._read_bucket_cols(entity)
+        if bcols is None:
+            raise ValueError(
+                f"entity {entity!r} has no _BUCKETCOLS sidecar (legacy "
+                "layout) — re-init the state or use read()/read_version()"
+            )
+        mirror = self._ensure_bucket_mirror(entity, version)
+        table = self._bucket_table_name(entity, version)
+        spark = self.spark
+        if not spark.catalog.tableExists(table):
+            schema = self._read_schema(entity, version)
+            cols_ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in schema.fields
+                if f.name != "__bucket"
+            )
+            clustered = ", ".join(f"`{c}`" for c in bcols)
+            spark.sql(
+                f"CREATE TABLE `{table}` ({cols_ddl}) "
+                f"USING {self.data_format} "
+                f"CLUSTERED BY ({clustered}) INTO {self.n_buckets} BUCKETS "
+                f"LOCATION '{mirror}'"
+            )
+        return spark.table(table)
+
+    def _store_id(self) -> str:
+        """A random id minted once per state-root INCARNATION (persisted
+        in ``_STORE_ID``): bucketed-table names embed it, so deleting a
+        state dir and re-creating one at the same path can never collide
+        with the session catalog's entries for the dead store (whose
+        cached file listings would point at unlinked files). Within one
+        incarnation, version dirs are write-once, so catalog reuse is
+        safe without REFRESH."""
+        path = os.path.join(self.root, "_STORE_ID")
+        try:
+            with open(path) as f:
+                return f.read().strip()
+        except OSError:
+            import uuid as _uuid
+
+            sid = _uuid.uuid4().hex[:12]
+            try:
+                with open(path, "x") as f:  # O_EXCL: first writer wins
+                    f.write(sid)
+            except FileExistsError:
+                pass
+            with open(path) as f:
+                return f.read().strip()
+
+    def _bucket_table_name(self, entity: str, version: int) -> str:
+        import re
+
+        safe = re.sub(r"[^0-9A-Za-z_]", "_", entity)
+        return f"southpaw_state_{self._store_id()}_{safe}_v{version}"
+
+    def _ensure_bucket_mirror(self, entity: str, version: int) -> str:
+        """Hardlink a version's data files into Spark bucket-file naming
+        (``part-<i>-<uuid>_<bucket05d>.c000...``). O(file count) metadata
+        ops, idempotent, atomic publish via directory rename — safe
+        against concurrent readers building the same mirror."""
+        import shutil
+        import uuid as _uuid
+
+        src = self._data_dir(entity, version)
+        dst = src + ".bucketed"
+        if os.path.isdir(dst):
+            return dst
+        tmp = f"{dst}.tmp-{_uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp)
+        i = 0
+        for name in sorted(os.listdir(src)) if os.path.isdir(src) else []:
+            if not name.startswith("__bucket="):
+                continue
+            bucket_id = int(name.split("=", 1)[1])
+            bdir = os.path.join(src, name)
+            for fn in sorted(os.listdir(bdir)):
+                if fn.startswith((".", "_")) or fn.endswith((".crc", ".tmp")):
+                    continue
+                link = os.path.join(
+                    tmp,
+                    f"part-{i:05d}-{_uuid.uuid4()}_{bucket_id:05d}"
+                    ".c000" + os.path.splitext(fn)[1],
+                )
+                try:
+                    os.link(os.path.join(bdir, fn), link)
+                except OSError:
+                    shutil.copy2(os.path.join(bdir, fn), link)
+                i += 1
+        try:
+            os.rename(tmp, dst)
+        except OSError:
+            # concurrent builder published first — use theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(dst):
+                raise
+        return dst
+
     def _schema_path(self, entity: str, version: int | None = None) -> str:
         # Schemas are staged per version (``_SCHEMA.v{N}``) so a schema
         # change rides the same staged-commit protocol as the data: until
@@ -180,6 +299,67 @@ class ParquetStateStore:
         with open(path) as f:
             return T.StructType.fromJson(__import__("json").loads(f.read()))
 
+    # -- bucket-column layout sidecar ----------------------------------
+
+    def _bucket_cols_path(self, entity: str) -> str:
+        return os.path.join(self._entity_dir(entity), "_BUCKETCOLS")
+
+    def _read_bucket_cols(self, entity: str) -> list[str] | None:
+        import json as _json
+
+        try:
+            with open(self._bucket_cols_path(entity)) as f:
+                return [str(c) for c in _json.loads(f.read())]
+        except (OSError, ValueError):
+            return None
+
+    def _write_bucket_cols(self, entity: str, cols: Sequence[str]) -> None:
+        import json as _json
+
+        os.makedirs(self._entity_dir(entity), exist_ok=True)
+        tmp = self._bucket_cols_path(entity) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(_json.dumps(list(cols)))
+        os.replace(tmp, self._bucket_cols_path(entity))
+
+    def _resolve_bucket_cols(
+        self,
+        entity: str,
+        key_cols: Sequence[str],
+        bucket_cols: Sequence[str] | None,
+    ) -> list[str]:
+        """The bucket columns are a physical layout invariant like
+        ``n_buckets`` (merge prunes by ``hash(bucket_cols) % n``): the
+        persisted per-entity sidecar wins, a conflicting explicit value
+        fails loudly, and entities laid out before the sidecar existed
+        default to the full key (their historical bucket function)."""
+        persisted = self._read_bucket_cols(entity)
+        if persisted is not None:
+            if bucket_cols is not None and list(bucket_cols) != persisted:
+                raise ValueError(
+                    f"entity {entity!r} state is bucketed by {persisted}, "
+                    f"got bucket_cols={list(bucket_cols)}; bucket pruning "
+                    "would silently miss rows — delete the state or open "
+                    "with the persisted columns"
+                )
+            return persisted
+        resolved = list(bucket_cols) if bucket_cols is not None else list(key_cols)
+        if not set(resolved) <= set(key_cols):
+            raise ValueError(
+                f"bucket_cols {resolved} must be a subset of key_cols "
+                f"{list(key_cols)} — merge computes delta buckets from "
+                "the delta KEYS, so a non-key bucket column could not be "
+                "pruned correctly"
+            )
+        return resolved
+
+    def bucket_layout(self, entity: str) -> list[str] | None:
+        """The persisted bucket columns for ``entity`` (None for a
+        pre-sidecar legacy layout — such entities still bucket by their
+        full key, but :meth:`read_bucketed` needs the sidecar to know
+        which columns to declare)."""
+        return self._read_bucket_cols(entity)
+
     # -- write ---------------------------------------------------------
 
     def _bucket_col(self, key_cols: Sequence[str]):
@@ -191,16 +371,28 @@ class ParquetStateStore:
         rows: DataFrame,
         key_cols: Sequence[str],
         commit: bool = True,
+        bucket_cols: Sequence[str] | None = None,
     ) -> int:
         """Full (re)write of an entity's state. With ``commit=False`` the
         version is staged (files + schema written, pointer untouched) —
-        readers keep seeing the prior version until ``commit()``."""
+        readers keep seeing the prior version until ``commit()``.
+
+        ``bucket_cols`` (subset of ``key_cols``, default the full key)
+        picks the hash-layout columns. Bucketing by the column the
+        entity is JOINED on (e.g. ``l_orderkey`` alone rather than the
+        composite lineitem PK) lets :meth:`read_bucketed` expose the
+        layout as a Spark bucketed table whose scans feed joins and
+        aggregations with ZERO exchanges. Persisted per entity on first
+        write; later writes must agree."""
+        resolved = self._resolve_bucket_cols(entity, key_cols, bucket_cols)
         version = (self._version_of(entity) or 0) + 1
-        out = rows.withColumn("__bucket", self._bucket_col(key_cols))
+        out = rows.withColumn("__bucket", self._bucket_col(resolved))
         out.write.partitionBy("__bucket").mode("overwrite").format(
             self.data_format
         ).save(self._data_dir(entity, version))
         self._write_schema(entity, rows, version)
+        if self._read_bucket_cols(entity) is None:
+            self._write_bucket_cols(entity, resolved)
         if commit:
             self._commit(entity, version)
         return version
@@ -214,6 +406,7 @@ class ParquetStateStore:
         commit: bool = True,
         allow_schema_evolution: bool = False,
         touched_ids: Sequence[int] | None = None,
+        bucket_cols: Sequence[str] | None = None,
     ) -> int:
         """Upsert + delete merge. Work is proportional to the *touched*
         buckets, not the table: the anti-join scans only the bucket
@@ -242,7 +435,11 @@ class ParquetStateStore:
         drift."""
         version = self._version_of(entity)
         if version is None:
-            return self.init(entity, upserts, key_cols, commit=commit)
+            return self.init(
+                entity, upserts, key_cols, commit=commit,
+                bucket_cols=bucket_cols,
+            )
+        bcols = self._resolve_bucket_cols(entity, key_cols, bucket_cols)
         current = (
             self.spark.read.schema(self._read_schema(entity, version))
             .format(self.data_format)
@@ -253,7 +450,7 @@ class ParquetStateStore:
             delta_keys = delta_keys.unionByName(delete_keys.select(*key_cols))
         if touched_ids is None:
             touched = (
-                delta_keys.withColumn("__bucket", self._bucket_col(key_cols))
+                delta_keys.withColumn("__bucket", self._bucket_col(bcols))
                 .select("__bucket")
                 .distinct()
             )
@@ -271,7 +468,7 @@ class ParquetStateStore:
             F.broadcast(delta_keys.distinct()), on=list(key_cols), how="left_anti"
         )
         merged = kept.unionByName(
-            upserts.withColumn("__bucket", self._bucket_col(key_cols)),
+            upserts.withColumn("__bucket", self._bucket_col(bcols)),
             allowMissingColumns=allow_schema_evolution,
         )
         new_version = version + 1
@@ -281,6 +478,8 @@ class ParquetStateStore:
             self.data_format
         ).save(new_dir)
         self._write_schema(entity, merged, new_version)
+        if self._read_bucket_cols(entity) is None:
+            self._write_bucket_cols(entity, bcols)
         self._link_untouched(entity, version, new_version, touched_ids)
         if commit:
             self._commit(entity, new_version)
@@ -357,12 +556,28 @@ class ParquetStateStore:
                     continue
                 if not name.startswith("v"):
                     continue
+                base = name
+                is_mirror = False
+                if name.endswith(".bucketed"):
+                    base, is_mirror = name[: -len(".bucketed")], True
+                elif ".bucketed.tmp-" in name:
+                    # abandoned mirror build (crash mid-hardlink)
+                    base = name.split(".bucketed.tmp-", 1)[0]
+                    is_mirror = True
                 try:
-                    v = int(name[1:])
+                    v = int(base[1:])
                 except ValueError:
                     continue
-                if v < cutoff:
+                if v < cutoff or (is_mirror and ".tmp-" in name):
                     shutil.rmtree(os.path.join(edir, name), ignore_errors=True)
+                    if is_mirror:
+                        try:
+                            self.spark.sql(
+                                "DROP TABLE IF EXISTS "
+                                f"`{self._bucket_table_name(entity, v)}`"
+                            )
+                        except Exception:
+                            pass
 
     # -- backup / restore (reference O18, state/RocksDBState.java:247-265,
     # 639-708: BackupEngine to local/S3 with restore modes + rollback) ----

@@ -194,8 +194,14 @@ def test_vacuum_bounds_version_dirs(spark, tmp_path):
             {"child": _child_delta(spark, [(100, 1, f"v{i}", 10 + i, False)])}
         )
     child_dir = os.path.join(str(tmp_path / "state"), "child")
-    versions = [n for n in os.listdir(child_dir) if n.startswith("v")]
+    listing = [n for n in os.listdir(child_dir) if n.startswith("v")]
+    versions = [n for n in listing if "." not in n]
+    mirrors = [n for n in listing if n.endswith(".bucketed")]
     assert len(versions) <= 2  # vacuum(keep=2)
+    # bucketed read mirrors ride the same retention
+    assert len(mirrors) <= 2 and all(
+        m[: -len(".bucketed")] in versions for m in mirrors
+    )
     assert d.store.read("child").collect()[0]["val"] == "v3"
 
 
@@ -352,7 +358,9 @@ def test_long_stream_no_cache_or_disk_leak(spark, tmp_path):
     # version dirs bounded by vacuum, not 22-deep
     for entity in ("parent", "child"):
         edir = os.path.join(str(tmp_path / "state"), entity)
-        versions = [n for n in os.listdir(edir) if n.startswith("v")]
+        versions = [
+            n for n in os.listdir(edir) if n.startswith("v") and "." not in n
+        ]
         assert len(versions) <= 2, f"{entity}: {sorted(versions)}"
 
 

@@ -233,3 +233,159 @@ def test_ivm_schema_evolution_end_to_end(spark, tmp_path):
     # null email serializes as ABSENT (documented canonicalization:
     # ignoreNullFields identifies null with absent)
     assert doc2["Record"] == {"id": 2, "val": "b2"}
+
+
+# -- native bucketed reads (round 8: BASELINE §11 win without the
+#    opt-in bucketize_states conversion pass) --------------------------
+
+
+def _composite_rows(spark, n=64):
+    return spark.createDataFrame(
+        [(i % 8, i, f"r{i}") for i in range(n)], "a long, b long, val string"
+    )
+
+
+def test_read_bucketed_parity_and_zero_exchange(spark, tmp_path, fmt):
+    """read_bucketed must return byte-identical rows to read(), and its
+    scan must carry the bucket layout: groupBy(bucket col) and a
+    self-equi-join on it plan with ZERO shuffle exchanges."""
+    store = ParquetStateStore(
+        spark, str(tmp_path / "s"), n_buckets=8, data_format=fmt
+    )
+    store.init(
+        "e", _composite_rows(spark), ["a", "b"], bucket_cols=["a"]
+    )
+    plain, bucketed = store.read("e"), store.read_bucketed("e")
+    assert bucketed.exceptAll(plain).count() == 0
+    assert plain.exceptAll(bucketed).count() == 0
+    g = bucketed.groupBy("a").agg(F.count("*").alias("n"))
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = store.read_bucketed("e").join(
+            store.read_bucketed("e").groupBy("a").agg(F.max("b").alias("mx")),
+            "a",
+        )
+        jplan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in jplan, jplan
+        assert j.count() == 64
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucket_subset_merge_prunes_and_persists_layout(spark, tmp_path):
+    """Bucketing by a PK SUBSET (the join key) must keep merge pruning
+    exact — old rows located via the subset hash — and the layout must
+    persist: a conflicting explicit bucket_cols on reopen fails, a
+    non-key bucket column fails."""
+    store = ParquetStateStore(spark, str(tmp_path / "s"), n_buckets=8)
+    store.init("li", _composite_rows(spark), ["a", "b"], bucket_cols=["a"])
+    store.merge(
+        "li",
+        spark.createDataFrame([(3, 27, "NEW")], "a long, b long, val string"),
+        spark.createDataFrame([(5, 13)], "a long, b long"),
+        ["a", "b"],
+    )
+    got = {(r["a"], r["b"]): r["val"] for r in store.read("li").collect()}
+    assert got[(3, 27)] == "NEW"
+    assert (5, 13) not in got
+    assert len(got) == 63  # 64 - 1 delete (upsert replaced, not added)
+    assert store.bucket_layout("li") == ["a"]
+    with pytest.raises(ValueError, match="bucketed by"):
+        store.merge(
+            "li",
+            spark.createDataFrame([(1, 1, "x")], "a long, b long, val string"),
+            None,
+            ["a", "b"],
+            bucket_cols=["b"],
+        )
+    with pytest.raises(ValueError, match="subset"):
+        store.init("bad", _composite_rows(spark), ["b"], bucket_cols=["val"])
+
+
+def test_read_bucketed_legacy_layout_raises_and_ivm_falls_back(
+    spark, tmp_path
+):
+    """Pre-sidecar state dirs keep working: read_bucketed refuses loudly
+    and the IVM read helper falls back to the plain read."""
+    import os
+
+    from southpaw_spark.relations import load_relations
+    from southpaw_spark.streaming.ivm import IncrementalDenormalizer
+
+    store = ParquetStateStore(spark, str(tmp_path / "s"), n_buckets=4)
+    store.init("e", _rows(spark, [(1, "a")]), ["id"])
+    os.remove(os.path.join(str(tmp_path / "s"), "e", "_BUCKETCOLS"))
+    with pytest.raises(ValueError, match="legacy"):
+        store.read_bucketed("e")
+    rel = load_relations(
+        '[{"DenormalizedName":"D","Entity":"e","Children":[]}]'
+    )[0]
+    d = IncrementalDenormalizer(
+        spark=spark, relations=[rel], keys={"e": ["id"]}, store=store
+    )
+    assert {r["id"]: r["val"] for r in d._state_read("e").collect()} == {1: "a"}
+
+
+def test_ivm_bucketed_rebuild_parity(spark, tmp_path):
+    """The default bucketed-read rebuild must emit byte-identical docs
+    to the plain-read path across a batch sequence that exercises
+    upserts, FK repointing, and tombstones."""
+    from southpaw_spark.relations import load_relations
+    from southpaw_spark.streaming.ivm import IncrementalDenormalizer
+
+    rel_json = (
+        '[{"DenormalizedName":"DParent","Entity":"parent","Children":['
+        '{"Entity":"child","JoinKey":"pid","ParentKey":"id"}]}]'
+    )
+    keys = {"parent": ["id"], "child": ["pid", "cid"]}
+    parents = spark.createDataFrame(
+        [(1, "p1"), (2, "p2"), (3, "p3")], "id long, name string"
+    )
+    children = spark.createDataFrame(
+        [(1, 10, "c10"), (1, 11, "c11"), (2, 20, "c20")],
+        "pid long, cid long, cval string",
+    )
+    batches = [
+        {  # child upsert + FK repoint of (1,11) -> parent 3
+            "child": spark.createDataFrame(
+                [(3, 11, "c11-moved", 1, False), (2, 21, "c21", 2, False)],
+                "pid long, cid long, cval string, seq long, is_tombstone boolean",
+            )
+        },
+        {  # parent tombstone
+            "parent": spark.createDataFrame(
+                [(2, None, 1, True)],
+                "id long, name string, seq long, is_tombstone boolean",
+            )
+        },
+    ]
+    results = {}
+    for mode in (True, False):
+        store = ParquetStateStore(
+            spark, str(tmp_path / f"s_{mode}"), n_buckets=4
+        )
+        d = IncrementalDenormalizer(
+            spark=spark,
+            relations=load_relations(rel_json),
+            keys=keys,
+            store=store,
+            bucketed_reads=mode,
+        )
+        d.bootstrap({"parent": parents, "child": children})
+        outs = []
+        for b in batches:
+            out = d.process_batch(b)
+            outs.append(
+                sorted(
+                    (r["id"], r["value"])
+                    for r in out["DParent"].collect()
+                )
+            )
+        results[mode] = outs
+        if mode:
+            assert store.bucket_layout("child") == ["pid"]
+            assert store.bucket_layout("parent") == ["id"]
+    assert results[True] == results[False]
