@@ -76,27 +76,60 @@ def bucketize_states(
         spark = df.sparkSession
         keys = list(bucket_keys[entity])
         table = f"{prefix}{entity}"
+        # EXTERNAL table at an explicit LOCATION: the path is ours by
+        # construction (the ``prefix`` namespaces it under the
+        # warehouse dir), independent of the session's current
+        # database — so the orphan scrub below deletes exactly the
+        # files this function wrote in a previous session whose
+        # metastore is gone (saveAsTable refuses to adopt an existing
+        # location), never a same-named managed table's data in some
+        # other database.
+        loc = _table_location(spark, table)
         spark.sql(f"DROP TABLE IF EXISTS `{table}`")
-        # a previous SESSION's table leaves its warehouse location
-        # behind after its metastore is gone; saveAsTable refuses to
-        # adopt an existing location, so scrub the orphan explicitly
-        # (Hadoop FS API — works for object stores too)
-        jvm = spark._jvm
-        loc = jvm.org.apache.hadoop.fs.Path(
-            spark.conf.get("spark.sql.warehouse.dir"), table.lower()
-        )
-        fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(loc):
-            fs.delete(loc, True)
+        _scrub_location(spark, loc)
         (
             df.write.mode("overwrite")
             .format("parquet")
+            .option("path", loc)
             .bucketBy(n_buckets, keys[0], *keys[1:])
             .sortBy(keys[0], *keys[1:])
             .saveAsTable(table)
         )
         out[entity] = spark.table(table)
     return out
+
+
+def _table_location(spark, table: str) -> str:
+    base = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    return f"{base}/{table.lower()}"
+
+
+def _scrub_location(spark, loc: str) -> None:
+    """Delete a table location left behind by a dead session. Local
+    ``file:`` locations (every test/dev setup) use a pure-Python
+    removal — no ``spark._jvm``, so the path is Spark-Connect-safe.
+    Remote locations (object stores) go through the Hadoop FS API
+    where the classic JVM gateway exists, else fail with a clear
+    instruction instead of a cryptic saveAsTable LOCATION error."""
+    import shutil
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(loc)
+    if u.scheme in ("", "file"):
+        shutil.rmtree(unquote(u.path) if u.scheme else loc, ignore_errors=True)
+        return
+    jvm = getattr(spark, "_jvm", None)
+    if jvm is not None:
+        path = jvm.org.apache.hadoop.fs.Path(loc)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(path):
+            fs.delete(path, True)
+        return
+    raise RuntimeError(
+        f"cannot scrub orphan table location {loc!r} from a Spark "
+        "Connect session — delete it with your object-store tooling "
+        "or run bucketize_states once from a classic session"
+    )
 
 
 def _byte_order_key(df: DataFrame, pk_cols: Sequence[str]):

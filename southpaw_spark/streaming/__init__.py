@@ -16,6 +16,7 @@ from southpaw_spark.streaming.ivm import IncrementalDenormalizer
 from southpaw_spark.streaming.metrics import Metrics, SouthpawStreamingListener
 from southpaw_spark.streaming.state import ParquetStateStore
 from southpaw_spark.streaming.temporal import (
+    asof_join_auto,
     asof_join_stream,
     asof_join_stream_stream,
     asof_state,
@@ -30,6 +31,7 @@ __all__ = [
     "ParquetStateStore",
     "attach_dedup_stream",
     "SouthpawStreamingListener",
+    "asof_join_auto",
     "asof_join_stream",
     "asof_join_stream_stream",
     "asof_state",

@@ -68,7 +68,8 @@ def asof_state(
                 f"asof_state: right side has {n:,} rows > max_state_rows="
                 f"{max_state_rows:,} — broadcast state this large risks "
                 "executor OOM. Raise max_state_rows only if every executor "
-                "can hold it; otherwise use the non-broadcast fallbacks: "
+                "can hold it; otherwise use asof_join_auto (picks the "
+                "non-broadcast fallback automatically) or wire one by hand: "
                 "foreachBatch + operators.temporal.asof_join (per-batch "
                 "union-and-window, shuffles the state each trigger) or "
                 "asof_join_stream_stream (watermarked interval join, "
@@ -107,6 +108,7 @@ def asof_join_stream(
     right_ts: str,
     tolerance: int | None = None,
     direction: str = "backward",
+    broadcast_state: bool = True,
 ) -> DataFrame:
     """As-of join a (streaming or batch) left side against prepared
     :func:`asof_state`. Output schema and semantics match the batch
@@ -116,9 +118,13 @@ def asof_join_stream(
     ``direction="backward"`` picks the latest entry with
     ``ts <= left_ts`` (inclusive); ``"forward"`` the earliest with
     ``ts >= left_ts``. ``tolerance`` (timestamp units) bounds the match
-    distance. The state side is broadcast — the streaming plan is a
-    stateless map-side probe, so watermarks and output modes behave as
-    if this were a projection.
+    distance. With ``broadcast_state=True`` (default) the state side is
+    broadcast — the streaming plan is a stateless map-side probe, so
+    watermarks and output modes behave as if this were a projection.
+    ``broadcast_state=False`` is the past-broadcast-size fallback
+    (:func:`asof_join_auto` picks it automatically): the stream-static
+    join shuffles instead, trading per-trigger state reshuffle for
+    unbounded state size — same rows either way.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -134,7 +140,8 @@ def asof_join_stream(
     if dup:
         raise ValueError(f"right columns collide with left: {sorted(dup)}")
 
-    joined = left.join(F.broadcast(state), on=on, how="left")
+    state_side = F.broadcast(state) if broadcast_state else state
+    joined = left.join(state_side, on=on, how="left")
     lts = F.col(left_ts)
 
     def in_range(e):
@@ -156,6 +163,60 @@ def asof_join_stream(
         *[F.col(c) for c in left.columns],
         pick[_TS].alias(right_ts),
         *[pick[_ROW][c].alias(c) for c in rcols],
+    )
+
+
+def asof_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    tolerance: int | None = None,
+    direction: str = "backward",
+    max_broadcast_rows: int | None = 10_000_000,
+) -> DataFrame:
+    """As-of join that is TOTAL in the state size — the automatic
+    switch the :func:`asof_state` guard's error message used to make
+    the caller wire by hand (reference analogy: the index's LRU/size
+    threshold picks its own storage strategy, ``index/Index.java:39-75``
+    — callers never choose).
+
+    One count job on the right side (once per plan build, never per
+    trigger) picks the physical strategy; the ROWS are identical on
+    every path:
+
+    * right ≤ ``max_broadcast_rows`` → grouped broadcast state + the
+      map-side probe of :func:`asof_join_stream` (zero shuffles per
+      micro-batch — the 100 TB stream plan when state fits).
+    * right larger, batch left → the batch union-and-window
+      ``operators.temporal.asof_join`` (one shuffle, never groups a
+      key's history into a single row, so a hot key cannot build a
+      giant array row).
+    * right larger, streaming left → the same grouped-state probe as a
+      NON-broadcast stream-static join: Spark shuffles state per
+      trigger (the documented cost of totality past broadcast size)
+      but executor memory sees only its partition of state.
+
+    ``max_broadcast_rows=None`` forces the broadcast path (caller
+    asserts it fits)."""
+    if max_broadcast_rows is None or right.count() <= max_broadcast_rows:
+        state = asof_state(right, on, right_ts, max_state_rows=None)
+        return asof_join_stream(
+            left, state, on, left_ts, right_ts,
+            tolerance=tolerance, direction=direction,
+        )
+    if not left.isStreaming:
+        from southpaw_spark.operators.temporal import asof_join
+
+        return asof_join(
+            left, right, on, left_ts, right_ts,
+            tolerance=tolerance, direction=direction,
+        )
+    state = asof_state(right, on, right_ts, max_state_rows=None)
+    return asof_join_stream(
+        left, state, on, left_ts, right_ts,
+        tolerance=tolerance, direction=direction, broadcast_state=False,
     )
 
 

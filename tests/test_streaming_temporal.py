@@ -336,3 +336,98 @@ def test_probe_with_empty_state_keeps_left_rows(spark):
     rows = probed.collect()
     assert len(rows) == 2 and all(r["rts"] is None and r["tag"] is None
                                   for r in rows)
+
+
+def test_asof_join_auto_total_at_any_state_size(spark, sf_dir):
+    """asof_join_auto must be TOTAL: where asof_state raises past the
+    broadcast cap, auto silently switches strategy — and every arm
+    (broadcast probe, batch union-window, non-broadcast probe) emits
+    exactly the batch asof_join rows."""
+    import pytest as _pytest
+
+    from southpaw_spark.streaming.temporal import asof_join_auto
+
+    clicks, views = _clicks_views(spark, sf_dir)
+    batch = _rows(
+        asof_join(
+            clicks, views, on=["user_id"], left_ts="ts_us",
+            right_ts="view_ts_us",
+        )
+    )
+    # the raw guard still raises at this size...
+    with _pytest.raises(ValueError, match="asof_join_auto"):
+        asof_state(views, ["user_id"], "view_ts_us", max_state_rows=5)
+    # ...auto does not: tiny cap -> batch union-window arm
+    assert _rows(
+        asof_join_auto(
+            clicks, views, on=["user_id"], left_ts="ts_us",
+            right_ts="view_ts_us", max_broadcast_rows=5,
+        )
+    ) == batch
+    # big cap -> broadcast probe arm
+    assert _rows(
+        asof_join_auto(
+            clicks, views, on=["user_id"], left_ts="ts_us",
+            right_ts="view_ts_us", max_broadcast_rows=10_000_000,
+        )
+    ) == batch
+    # None -> forced broadcast arm
+    assert _rows(
+        asof_join_auto(
+            clicks, views, on=["user_id"], left_ts="ts_us",
+            right_ts="view_ts_us", max_broadcast_rows=None,
+        )
+    ) == batch
+
+
+def test_asof_join_auto_streaming_nonbroadcast_parity(spark, tmp_path):
+    """Streaming left past the broadcast cap: the auto fallback is a
+    NON-broadcast stream-static join — outputs must equal the batch
+    operator, and the plan must not carry a BroadcastExchange for the
+    state side."""
+    from southpaw_spark.streaming.temporal import (
+        asof_join_auto,
+        asof_join_stream,
+        asof_state,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 5), (2, 250), (3, 40)], "k long, lts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 90, "b"), (2, 200, "c"), (9, 1, "z")],
+        "k long, rts long, tag string",
+    )
+    batch = _rows(asof_join(left, right, ["k"], "lts", "rts"))
+    # plan shape on the batch-left equivalent of the streaming arm
+    probe = asof_join_stream(
+        left, asof_state(right, ["k"], "rts"), ["k"], "lts", "rts",
+        broadcast_state=False,
+    )
+    assert "BroadcastExchange" not in (
+        probe._jdf.queryExecution().executedPlan().toString()
+    )
+    assert _rows(probe) == batch
+
+    # real micro-batch replay through the auto switch at a tiny cap
+    src = str(tmp_path / "left_src")
+    left.repartition(2).write.format("parquet").save(src)
+    stream_left = (
+        spark.readStream.schema("k long, lts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = asof_join_auto(
+        stream_left, right, on=["k"], left_ts="lts", right_ts="rts",
+        max_broadcast_rows=2,
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _rows(spark.read.parquet(sink)) == batch
