@@ -120,7 +120,14 @@ class IncrementalDeduper:
         bands: int = 4,
         sim_threshold: float = 0.7,
         auto_vacuum: bool = True,
+        fuzzy_keep: str = "min_id",
+        score_col: str = "quality_score",
     ) -> None:
+        if fuzzy_keep not in ("min_id", "best_quality"):
+            raise ValueError(
+                "fuzzy_keep must be 'min_id' or 'best_quality', got "
+                f"{fuzzy_keep!r}"
+            )
         self.spark = spark
         self.store = store
         self.text_col = text_col
@@ -129,6 +136,17 @@ class IncrementalDeduper:
         self.num_hashes = num_hashes
         self.bands = bands
         self.sim_threshold = sim_threshold
+        #: within-batch near-dup keeper policy, mirroring
+        #: ``pipelines.build_corpus(fuzzy_keep=...)``: ``best_quality``
+        #: keeps each NEW family's highest-``score_col`` member (ties →
+        #: min id) instead of the min id. Cross-batch semantics stay
+        #: first-seen-wins — a doc already kept (and emitted) in an
+        #: earlier batch cannot be retroactively unkept by a later,
+        #: higher-quality duplicate; that re-choice is only possible in
+        #: the all-at-once batch path. ``sim_threshold``-style tunable:
+        #: not part of the persisted geometry.
+        self.fuzzy_keep = fuzzy_keep
+        self.score_col = score_col
         #: vacuum old state versions (keep=2) after each batch's commits
         #: — without it a long stream grows one version dir per entity
         #: per batch (the same hygiene the IVM loop applies)
@@ -365,11 +383,34 @@ class IncrementalDeduper:
         comps = None
         if edges.limit(1).count():
             comps = connected_components(edges)
-            near_batch = comps.where(F.col("id") != F.col("cluster_id")).select(
-                F.col("id").alias(ic),
-                F.lit("near_dup").alias("status"),
-                F.col("cluster_id").alias("keeper_id"),
-            )
+            if self.fuzzy_keep == "best_quality":
+                from southpaw_spark.operators.dedup import cluster_keepers
+
+                if self.score_col not in docs.columns:
+                    raise ValueError(
+                        f"fuzzy_keep='best_quality' needs a {self.score_col!r}"
+                        " column on the batch frame (set score_col= to the "
+                        "column that carries document quality)"
+                    )
+                kp = cluster_keepers(
+                    comps,
+                    docs.select(ic, self.score_col),
+                    ic,
+                    score_col=self.score_col,
+                )
+                near_batch = kp.where(~F.col("is_keeper")).select(
+                    F.col("id").alias(ic),
+                    F.lit("near_dup").alias("status"),
+                    F.col("keep_id").alias("keeper_id"),
+                )
+            else:
+                near_batch = comps.where(
+                    F.col("id") != F.col("cluster_id")
+                ).select(
+                    F.col("id").alias(ic),
+                    F.lit("near_dup").alias("status"),
+                    F.col("cluster_id").alias("keeper_id"),
+                )
         else:
             near_batch = self.spark.createDataFrame(
                 [], f"{ic} long, status string, keeper_id long"

@@ -442,3 +442,47 @@ def test_replayed_batch_keeps_kept_set_stable(spark, tmp_path):
     assert kept_set(first) == kept_set(replay) == {1, 21}
     # and the dropped doc still points at the same keeper
     assert replay[2][1] == first[2][1] == 1
+
+
+def test_best_quality_keeper_within_batch(spark, tmp_path):
+    """fuzzy_keep='best_quality': a within-batch near-dup family keeps
+    its highest-quality member (not the min id); dropped members point
+    at it; the kept doc's signature enters state so a LATER batch's
+    duplicate still resolves to the quality keeper (first-seen-wins
+    across batches)."""
+    store = ParquetStateStore(spark, str(tmp_path / "st"), n_buckets=4)
+    d = IncrementalDeduper(
+        spark, store, fuzzy_keep="best_quality", score_col="q"
+    )
+
+    def scored(ids_scores):
+        return spark.createDataFrame(
+            [(i, DOCS[i], s) for i, s in ids_scores],
+            "doc_id long, text string, q double",
+        )
+
+    # family P: doc 3 has the best score — min-id keeper would be 1
+    dec = _decisions(d.process_batch(scored([(1, 0.2), (2, 0.5), (3, 0.9)])))
+    assert dec[3] == ("kept", 3)
+    assert dec[1] == ("near_dup", 3)
+    assert dec[2] == ("near_dup", 3)
+    # later batch: another P-family doc, even higher quality — state
+    # keeper still wins (documented streaming first-seen-wins)
+    later = spark.createDataFrame(
+        [(4, _rep("p0 p1 p2", 13), 0.99)],
+        "doc_id long, text string, q double",
+    )
+    dec2 = _decisions(d.process_batch(later))
+    assert dec2[4] == ("near_dup", 3)
+    d.close()
+
+
+def test_best_quality_requires_score_column(spark, tmp_path):
+    store = ParquetStateStore(spark, str(tmp_path / "st"), n_buckets=4)
+    d = IncrementalDeduper(spark, store, fuzzy_keep="best_quality")
+    with pytest.raises(ValueError, match="quality_score"):
+        # family docs WITHOUT a quality_score column -> loud error
+        d.process_batch(_df(spark, [1, 2]))
+    with pytest.raises(ValueError, match="fuzzy_keep"):
+        IncrementalDeduper(spark, store, fuzzy_keep="bogus")
+    d.close()

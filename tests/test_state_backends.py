@@ -389,3 +389,53 @@ def test_ivm_bucketed_rebuild_parity(spark, tmp_path):
             assert store.bucket_layout("child") == ["pid"]
             assert store.bucket_layout("parent") == ["id"]
     assert results[True] == results[False]
+
+
+def test_full_rebuild_from_store_halves_exchanges(spark, tmp_path, sf_dir):
+    """The round-8 headline: a FULL doc rebuild reading the store's
+    native bucketed layout must carry at most half the shuffle
+    exchanges of the plain-read plan (measured 8 -> 4 at sf0.1) with
+    byte-identical output."""
+    from pyspark.sql import functions as F
+
+    from southpaw_spark.operators.denormalize import denormalize
+    from southpaw_spark.relations import load_relations
+    from southpaw_spark.streaming.ivm import IncrementalDenormalizer
+    from southpaw_spark.suite import ORDER_TREE_JSON, ORDER_TREE_KEYS
+
+    store = ParquetStateStore(spark, str(tmp_path / "s"), n_buckets=8)
+    ivm = IncrementalDenormalizer(
+        spark=spark,
+        relations=load_relations(ORDER_TREE_JSON),
+        keys=ORDER_TREE_KEYS,
+        store=store,
+    )
+    ivm.bootstrap(
+        {
+            e: spark.read.parquet(f"{sf_dir}/{e}.parquet")
+            for e in ORDER_TREE_KEYS
+        }
+    )
+    rel = load_relations(ORDER_TREE_JSON)[0]
+
+    def build(reader):
+        states = {e: reader(e) for e in ORDER_TREE_KEYS}
+        docs = denormalize(states, rel, ORDER_TREE_KEYS)
+        return docs.select(
+            "o_orderkey",
+            F.to_json(F.col("doc"), {"ignoreNullFields": "true"}).alias(
+                "value"
+            ),
+        )
+
+    plain = build(store.read)
+    native = build(store.read_bucketed)
+    n_plain = plain._jdf.queryExecution().executedPlan().toString().count(
+        "Exchange hashpartitioning"
+    )
+    n_native = native._jdf.queryExecution().executedPlan().toString().count(
+        "Exchange hashpartitioning"
+    )
+    assert n_native <= n_plain // 2, (n_plain, n_native)
+    assert native.exceptAll(plain).count() == 0
+    assert plain.exceptAll(native).count() == 0
