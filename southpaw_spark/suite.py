@@ -2245,6 +2245,51 @@ E04_SQL = """
 """
 
 
+def e10_asof_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both physical arms of the total as-of join
+    (`streaming.temporal.asof_join_auto`, round 8) checked against ONE
+    oracle: `max_broadcast_rows=None` forces the broadcast grouped-state
+    probe, `=1` forces the past-cap fallback (batch left → the
+    union-and-window plan). Each arm's rows are tagged and unioned, so
+    the hash gate proves the strategy switch is row-invisible."""
+    from southpaw_spark.streaming.temporal import asof_join_auto
+
+    raw = _read(spark, sf_dir, "events")
+    ev = raw.withColumn("ts_us", _events_ts_us(raw))
+    clicks = ev.where("event_type = 'click'").select(
+        "event_id", "user_id", "ts_us"
+    )
+    views = ev.where("event_type = 'view'").select(
+        F.col("user_id"),
+        F.col("ts_us").alias("view_ts_us"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    arms = []
+    for arm, cap in (("probe", None), ("fallback", 1)):
+        arms.append(
+            asof_join_auto(
+                clicks, views, on=["user_id"], left_ts="ts_us",
+                right_ts="view_ts_us", max_broadcast_rows=cap,
+            ).withColumn("arm", F.lit(arm))
+        )
+    return arms[0].unionByName(arms[1])
+
+
+E10_SQL = """
+    WITH clicks AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'click'),
+    views AS (
+      SELECT event_id AS view_event_id, user_id, epoch_us(ts) AS view_ts_us
+      FROM events WHERE event_type = 'view')
+    SELECT c.event_id, c.user_id, c.ts_us, v.view_ts_us, v.view_event_id,
+           arms.arm
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts_us >= v.view_ts_us
+    CROSS JOIN (VALUES ('probe'), ('fallback')) arms(arm)
+"""
+
+
 def e05_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join: (click, view) pairs where the same user's view fell
     within the hour before the click. Spark-side: time-bucketed equi-join
@@ -2637,6 +2682,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t12_word_entropy": t12_word_entropy,
     "t13_bigram_lm_score": t13_bigram_lm_score,
     "a07_top_n_per_group": a07_top_n_per_group,
+    "e10_asof_auto": e10_asof_auto,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -2653,4 +2699,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "t12_word_entropy": T12_SQL,
     "t13_bigram_lm_score": T13_SQL,
     "a07_top_n_per_group": A07_SQL,
+    "e10_asof_auto": E10_SQL,
 }
