@@ -2021,6 +2021,55 @@ S05_SQL = """
 """
 
 
+def s06_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized vector search (round 8,
+    `operators.similarity.cosine_topk_quantized`): per-vector symmetric
+    scalar quantization — the 100 TB bandwidth lever (int8 codes move
+    4× fewer bytes than float32 through every shuffle/broadcast).
+    Cosine over symmetric codes is SCALE-FREE (both scales cancel), so
+    the score is integer-dot / (√int·√int) — exactly reproducible in
+    DuckDB, which is what this row's hash gate proves. The exact-rescore
+    two-stage variant is recall-gated in tests (1.0 vs s01 at sf0.01)."""
+    from southpaw_spark.operators.similarity import cosine_topk_quantized
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk_quantized(emb, queries, "embedding", "vec_id", k=5)
+
+
+S06_SQL = """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scaled AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+      FROM base),
+    codes AS (
+      SELECT vec_id,
+             CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
+                  ELSE list_transform(v, x -> round(x / s, 0)) END AS c
+      FROM scaled),
+    q AS (SELECT vec_id AS query_id, c AS qc FROM codes WHERE vec_id < 10),
+    cc AS (SELECT vec_id, c AS nc FROM codes),
+    sims AS (
+      SELECT q.query_id, cc.vec_id,
+             list_sum(list_transform(range(1, 65),
+               i -> q.qc[i] * cc.nc[i]))
+             / (sqrt(list_sum(list_transform(range(1, 65), i -> q.qc[i] * q.qc[i])))
+                * sqrt(list_sum(list_transform(range(1, 65), i -> cc.nc[i] * cc.nc[i]))))
+             AS cosine
+      FROM q CROSS JOIN cc WHERE q.query_id <> cc.vec_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY ROUND(cosine, 8) DESC, vec_id) AS rk
+      FROM sims)
+    SELECT query_id, vec_id AS neighbor_id, rk AS rank,
+           ROUND(cosine, 6) AS cosine
+    FROM ranked WHERE rk <= 5
+"""
+
+
 def e09_trending_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 event types per hourly window by volume — the trending/
     leaderboard shape: windowed count then per-window rank, no global
@@ -2683,6 +2732,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t13_bigram_lm_score": t13_bigram_lm_score,
     "a07_top_n_per_group": a07_top_n_per_group,
     "e10_asof_auto": e10_asof_auto,
+    "s06_quantized_topk": s06_quantized_topk,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -2700,4 +2750,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "t13_bigram_lm_score": T13_SQL,
     "a07_top_n_per_group": A07_SQL,
     "e10_asof_auto": E10_SQL,
+    "s06_quantized_topk": S06_SQL,
 }

@@ -852,3 +852,78 @@ def test_containment_min_len_floors_a_side_only(spark):
     got_f = {(r["id_a"], r["id_b"]) for r in floored.collect()}
     release(floored)
     assert (1, 2) not in got_f
+
+
+def test_quantized_topk_recall_and_rescore(spark, sf_dir):
+    """s06: int8-quantized top-k must track the exact ranking closely
+    (coarse recall ≥ 0.9 on the random corpus) and the two-stage
+    exact-rescore variant must reproduce the exact top-k verbatim. The
+    quantized score must be scale-free: scaling every vector by a
+    constant changes nothing."""
+    from southpaw_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_quantized,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, q, "embedding", "vec_id", k=5).collect()
+    }
+    coarse = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_quantized(
+            emb, q, "embedding", "vec_id", k=5
+        ).collect()
+    }
+    assert len(exact & coarse) / len(exact) >= 0.9
+    rescored = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in cosine_topk_quantized(
+            emb, q, "embedding", "vec_id", k=5, rescore=emb
+        ).collect()
+    }
+    exact_ranked = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in cosine_topk(emb, q, "embedding", "vec_id", k=5).collect()
+    }
+    assert rescored == exact_ranked
+    # scale invariance of the quantized score
+    scaled = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * F.lit(7.5)).alias("embedding"),
+    )
+    qs = scaled.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    coarse_scaled = {
+        (r["query_id"], r["neighbor_id"], r["cosine"])
+        for r in cosine_topk_quantized(
+            scaled, qs, "embedding", "vec_id", k=5
+        ).collect()
+    }
+    coarse_full = {
+        (r["query_id"], r["neighbor_id"], r["cosine"])
+        for r in cosine_topk_quantized(
+            emb, q, "embedding", "vec_id", k=5
+        ).collect()
+    }
+    assert coarse_scaled == coarse_full
+
+
+def test_quantize_embeddings_codes_bounded_and_zero_safe(spark):
+    from southpaw_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "id long, v array<double>",
+    )
+    rows = {r["id"]: r for r in quantize_embeddings(df, "v", "id").collect()}
+    assert all(abs(c) <= 127 for c in rows[1]["code"])
+    assert rows[1]["code"][1] == -127.0  # the max-|x| component
+    assert rows[2]["code"] == [0.0, 0.0, 0.0, 0.0] and rows[2]["scale"] == 0.0
