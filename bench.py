@@ -57,6 +57,11 @@ HEADLINE = [
 ]
 
 
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
 def ivm_delta_batch(spark, sf_dir: str, state_dir: str) -> float:
     """Streaming catch-up proxy: bootstrap entity state from snapshots,
     then apply one delta micro-batch updating 10% of customers and
@@ -71,7 +76,9 @@ def ivm_delta_batch(spark, sf_dir: str, state_dir: str) -> float:
     from southpaw_spark.suite import ORDER_TREE_JSON, ORDER_TREE_KEYS
 
     shutil.rmtree(state_dir, ignore_errors=True)
-    store = ParquetStateStore(spark, state_dir, n_buckets=16)
+    store = ParquetStateStore(
+        spark, state_dir, n_buckets=_bench_buckets(_sf_of(sf_dir))
+    )
     ivm = IncrementalDenormalizer(
         spark=spark,
         relations=load_relations(ORDER_TREE_JSON),
@@ -116,6 +123,16 @@ def s03_ivf_kmeans(spark, sf_dir: str) -> float:
     return round(time.monotonic() - t0, 3)
 
 
+
+def _bench_buckets(sf: float) -> int:
+    """Bucket count for the bucketed-layout rows: a bucketed scan's
+    parallelism IS its bucket count (a bucket cannot be split for the
+    co-located join), so at 10x data 16 buckets would cap the rebuild
+    at 16 tasks on 32 cores. Scale with the SF the way a deployment
+    sizes buckets to executors (SCALE.md): 16 up to ~sf0.2, 64 beyond."""
+    return 16 if sf <= 0.2 else 64
+
+
 _BUCKETED_STATES: dict = {}
 
 
@@ -145,7 +162,8 @@ def q13_bucketed(spark, sf_dir: str) -> float:
             for e in ORDER_TREE_KEYS
         }
         _BUCKETED_STATES[sf_dir] = bucketize_states(
-            states, ORDER_TREE_BUCKET_KEYS, n_buckets=16
+            states, ORDER_TREE_BUCKET_KEYS,
+            n_buckets=_bench_buckets(_sf_of(sf_dir)),
         )
     rel = load_relations(ORDER_TREE_JSON)[0]
     t0 = time.monotonic()
@@ -182,7 +200,9 @@ def q13_store_native(spark, sf_dir: str) -> float:
         import tempfile
 
         sd = tempfile.mkdtemp(prefix="southpaw_bench_native_state_")
-        store = ParquetStateStore(spark, sd, n_buckets=16)
+        store = ParquetStateStore(
+            spark, sd, n_buckets=_bench_buckets(_sf_of(sf_dir))
+        )
         ivm = IncrementalDenormalizer(
             spark=spark,
             relations=load_relations(ORDER_TREE_JSON),

@@ -906,3 +906,122 @@ def bag_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         )
         .where(F.col("n_copies") > 1)
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """EXACT edit-distance (Levenshtein) near-dup pairs: (id_a, id_b,
+    distance ≤ ``max_dist``) — the character-level dedup modality the
+    shingle family can't express (a one-char typo in every word defeats
+    word n-grams but is ``max_dist`` edits away). Reference scope: the
+    training-pipeline dedup surface of SURVEY §7.5.
+
+    Spark-first PassJoin-style plan (Li/Deng/Feng, "PassJoin: A
+    Partition-based Method for Similarity Joins", PVLDB 2012 — public
+    paper, no code): partition every string into ``max_dist+1``
+    contiguous segments; by pigeonhole, ed(a, b) ≤ d forces at least
+    one segment of b to appear VERBATIM in a, shifted by at most d.
+
+    * INDEX: each string emits its d+1 (segment, index, length,
+      position) rows.
+    * PROBE: each string emits, for every partner length within ±d and
+      every segment index, the substrings inside the ±d position
+      window (≤ (2d+1)²·(d+1) short rows per string — bounded, and all
+      ``Column.substr`` codegen).
+    * Join on (segment text, segment index, partner length) — an
+      equi-join Catalyst hash-partitions; the position window is
+      pair-exact (a superset of PassJoin's multi-match window, so no
+      candidate is lost). ``F.levenshtein`` verifies exactly.
+
+    Strings shorter than ``max_dist + 1`` characters cannot be
+    partitioned into d+1 non-empty segments and are dropped (their
+    pairs are degenerate — almost any short string is within d edits);
+    nulls/empties likewise. At 100 TB the worst join key is a segment
+    shared corpus-wide (boilerplate prefixes) — same rare/hot shape as
+    d02; bound upstream or let AQE skew-split absorb it (segments are
+    length-L/(d+1) strings, far more selective than word shingles)."""
+    d = int(max_dist)
+    if d < 0:
+        raise ValueError("max_dist must be >= 0")
+    k = d + 1
+    s = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__s"))
+        .where(F.col("__s").isNotNull())
+        .withColumn("__L", F.length("__s"))
+        .where(F.col("__L") >= F.lit(k))
+    )
+    # segment geometry for a string of length L (1-based): k segments,
+    # first k-rem of length base = L // k, the last L % k one longer
+    seg_i = F.explode(F.sequence(F.lit(1), F.lit(k))).alias("__i")
+    with_i = s.select("__id", "__s", "__L", seg_i)
+    b = (F.col("__L") / k).cast("int")
+    rem = F.col("__L") % k
+    seg_len = b + F.when(F.col("__i") > k - rem, 1).otherwise(0)
+    # start = 1 + (i-1)*base + max(0, i-1-(k-rem))  [longer segs at tail]
+    seg_pos = (
+        F.lit(1)
+        + (F.col("__i") - 1) * b
+        + F.greatest(F.lit(0), F.col("__i") - 1 - (k - rem))
+    )
+    index_side = with_i.select(
+        F.col("__id").alias("id_b"),
+        F.col("__L").alias("len_b"),
+        F.col("__i"),
+        F.col("__s").substr(seg_pos, seg_len).alias("__seg"),
+        seg_pos.alias("__p"),
+    )
+    # probe: for each partner length within ±d, same geometry formulas
+    probe_lens = F.explode(
+        F.sequence(F.col("__L") - d, F.col("__L") + d)
+    ).alias("__pl")
+    pr = s.select("__id", "__s", "__L", probe_lens).where(
+        F.col("__pl") >= F.lit(k)
+    )
+    pr = pr.select("__id", "__s", "__L", "__pl", seg_i)
+    pb = (F.col("__pl") / k).cast("int")
+    prem = F.col("__pl") % k
+    plen_seg = pb + F.when(F.col("__i") > k - prem, 1).otherwise(0)
+    ppos = (
+        F.lit(1)
+        + (F.col("__i") - 1) * pb
+        + F.greatest(F.lit(0), F.col("__i") - 1 - (k - prem))
+    )
+    starts = F.explode(
+        F.sequence(
+            F.greatest(F.lit(1), ppos - d),
+            F.least(F.col("__L") - plen_seg + 1, ppos + d),
+        )
+    ).alias("__q")
+    probe_side = (
+        pr.select("__id", "__s", "__L", "__pl", "__i", plen_seg.alias("__sl"),
+                  ppos.alias("__pp"), starts)
+        .where(F.col("__q") >= 1)  # empty sequence guard handled by least/greatest
+        .select(
+            F.col("__id").alias("id_a"),
+            F.col("__L").alias("len_a"),
+            F.col("__pl").alias("len_b"),
+            F.col("__i"),
+            F.col("__s").substr(F.col("__q"), F.col("__sl")).alias("__seg"),
+        )
+    )
+    cand = (
+        probe_side.join(index_side, ["__seg", "__i", "len_b"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    txt = s.select(F.col("__id"), F.col("__s"))
+    out = (
+        cand.join(txt.select(F.col("__id").alias("id_a"),
+                             F.col("__s").alias("__sa")), "id_a")
+        .join(txt.select(F.col("__id").alias("id_b"),
+                         F.col("__s").alias("__sb")), "id_b")
+        .withColumn("distance", F.levenshtein("__sa", "__sb"))
+        .where(F.col("distance") <= d)
+        .select("id_a", "id_b", F.col("distance").cast("long").alias("distance"))
+    )
+    return out

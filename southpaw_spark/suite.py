@@ -2021,6 +2021,44 @@ S05_SQL = """
 """
 
 
+def d14_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs by EXACT Levenshtein distance ≤ 2
+    (`operators.dedup.edit_distance_pairs`, PassJoin-style segment
+    pigeonhole — the modality word-shingle dedup can't see). Input: the
+    20-char document prefixes plus a deterministic typo'd copy of every
+    third doc (first char → 'x', id + 1,000,000) so true pairs exist at
+    every SF; the DuckDB oracle brute-forces levenshtein over the same
+    augmented corpus."""
+    from southpaw_spark.operators.dedup import edit_distance_pairs
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("substring(text, 1, 20)").alias("s")
+    )
+    mutated = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("x"), F.expr("substring(s, 2)")).alias("s"),
+    )
+    corpus = docs.unionByName(mutated)
+    return edit_distance_pairs(corpus, "s", "doc_id", max_dist=2)
+
+
+D14_SQL = """
+    WITH base AS (
+      SELECT doc_id, substr(text, 1, 20) AS s FROM documents),
+    mutated AS (
+      SELECT doc_id + 1000000 AS doc_id, 'x' || substr(s, 2) AS s
+      FROM base WHERE doc_id % 3 = 0),
+    corpus AS (
+      SELECT * FROM base UNION ALL SELECT * FROM mutated)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.s, b.s)::BIGINT AS distance
+    FROM corpus a JOIN corpus b ON a.doc_id < b.doc_id
+    WHERE length(a.s) >= 3 AND length(b.s) >= 3
+      AND abs(length(a.s) - length(b.s)) <= 2
+      AND levenshtein(a.s, b.s) <= 2
+"""
+
+
 def s06_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantized vector search (round 8,
     `operators.similarity.cosine_topk_quantized`): per-vector symmetric
@@ -2733,6 +2771,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a07_top_n_per_group": a07_top_n_per_group,
     "e10_asof_auto": e10_asof_auto,
     "s06_quantized_topk": s06_quantized_topk,
+    "d14_edit_distance_pairs": d14_edit_distance_pairs,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -2751,4 +2790,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "a07_top_n_per_group": A07_SQL,
     "e10_asof_auto": E10_SQL,
     "s06_quantized_topk": S06_SQL,
+    "d14_edit_distance_pairs": D14_SQL,
 }

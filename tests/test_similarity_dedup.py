@@ -927,3 +927,82 @@ def test_quantize_embeddings_codes_bounded_and_zero_safe(spark):
     assert all(abs(c) <= 127 for c in rows[1]["code"])
     assert rows[1]["code"][1] == -127.0  # the max-|x| component
     assert rows[2]["code"] == [0.0, 0.0, 0.0, 0.0] and rows[2]["scale"] == 0.0
+
+
+def test_edit_distance_pairs_matches_python_oracle_fuzz(spark):
+    """d14 exactness: the PassJoin segment plan must emit exactly the
+    pairs a brute-force Levenshtein sweep finds, across thresholds 0-3
+    on a corpus seeded with random substitutions/inserts/deletes."""
+    import random
+
+    from southpaw_spark.operators.dedup import edit_distance_pairs
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                cur = min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+                prev, dp[j] = dp[j], cur
+        return dp[n]
+
+    rng = random.Random(42)
+    alph = "abcdef"
+    words = []
+    for i in range(120):
+        base = "".join(rng.choice(alph) for _ in range(rng.randrange(4, 16)))
+        words.append((i, base))
+        if rng.random() < 0.6:
+            s = list(base)
+            for _ in range(rng.randrange(1, 4)):
+                op = rng.randrange(3)
+                if op == 0 and s:
+                    s[rng.randrange(len(s))] = rng.choice(alph)
+                elif op == 1:
+                    s.insert(rng.randrange(len(s) + 1), rng.choice(alph))
+                elif op == 2 and len(s) > 1:
+                    del s[rng.randrange(len(s))]
+            words.append((1000 + i, "".join(s)))
+    df = spark.createDataFrame(words, "id long, s string")
+    for d in (0, 1, 2, 3):
+        got = {
+            (r["id_a"], r["id_b"]): r["distance"]
+            for r in edit_distance_pairs(df, "s", "id", max_dist=d).collect()
+        }
+        strs = {i: t for i, t in words if len(t) >= d + 1}
+        ids = sorted(strs)
+        want = {}
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                dd = lev(strs[ids[x]], strs[ids[y]])
+                if dd <= d:
+                    want[(ids[x], ids[y])] = dd
+        assert got == want, f"mismatch at d={d}"
+
+
+def test_edit_distance_pairs_degenerate_inputs(spark):
+    import pytest as _pytest
+
+    from southpaw_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "ab"), (4, "ab"), (5, "abc")],
+        "id long, s string",
+    )
+    # max_dist=2: strings shorter than 3 chars are dropped (documented)
+    got = {
+        (r["id_a"], r["id_b"]) for r in
+        edit_distance_pairs(df, "s", "id", max_dist=2).collect()
+    }
+    assert got == set()  # only "abc" survives the length floor
+    # max_dist=1: "ab" pair is in scope
+    got1 = {
+        (r["id_a"], r["id_b"]): r["distance"] for r in
+        edit_distance_pairs(df, "s", "id", max_dist=1).collect()
+    }
+    assert got1 == {(3, 4): 0, (3, 5): 1, (4, 5): 1}
+    with _pytest.raises(ValueError, match="max_dist"):
+        edit_distance_pairs(df, "s", "id", max_dist=-1)
