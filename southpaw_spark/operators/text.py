@@ -350,3 +350,42 @@ def bigram_lm_scores(
             F.round(F.avg(logp), 6).alias("avg_logprob"),
         )
     )
+
+
+#: Redaction patterns: deliberately restricted to the regex subset with
+#: IDENTICAL semantics in Java (Spark) and RE2 (DuckDB/Go tooling) — no
+#: lookaround, no backreferences, no alternation whose leftmost-first vs
+#: leftmost-longest resolution could diverge. Order matters: emails
+#: before phones (a phone pattern would eat the digits of an address),
+#: IPs before generic digit runs.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d() -]{7,}\d", "<PHONE>"),
+    ("idnum", r"\b\d{8,}\b", "<IDNUM>"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str,
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+) -> DataFrame:
+    """PII scrubbing for training corpora: replace emails / IPv4s /
+    international phone numbers / long id-number runs with typed
+    placeholder tokens, and count what was removed per category
+    (``n_<name>`` columns — the redaction audit a data pipeline logs).
+
+    Pure chained ``regexp_replace``/``regexp_count`` — whole-stage
+    codegen, zero Python, embarrassingly parallel (no shuffle at all:
+    the plan is a projection). Patterns are applied in declared order
+    on the progressively-redacted text, so counts are
+    non-overlapping (an email's digits are never double-counted as an
+    id number). Engine-portable regex subset only — see
+    :data:`PII_PATTERNS`."""
+    out = df
+    cur = F.col(text_col)
+    for name, pat, rep in patterns:
+        out = out.withColumn(f"n_{name}", F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, rep)
+    return out.withColumn(f"{text_col}_redacted", cur)

@@ -2021,6 +2021,100 @@ S05_SQL = """
 """
 
 
+def t14_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit (`operators.text.redact_pii`): every doc gets
+    one deterministic synthetic PII item appended (rotating by doc_id %
+    4: email / IPv4 / phone / 8-digit id — the corpus itself is
+    synthetic prose with no real PII, so the fixture provides the
+    signal), then the chained regexp scrub runs and the oracle
+    replicates pattern-for-pattern in DuckDB's RE2 — which is exactly
+    the portability contract PII_PATTERNS declares."""
+    from southpaw_spark.operators.text import redact_pii
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    pii = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(" contact user"), did, F.lit("@example.com now")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0."), (F.col("doc_id") % 200).cast("string"),
+                F.lit(" logged"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit(" call +1 (555) 010-"),
+                (1000 + F.col("doc_id") % 9000).cast("string"),
+                F.lit(" today"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(" ref "),
+                (F.lit(90000000) + F.col("doc_id")).cast("string"),
+                F.lit(" end"),
+            )
+        )
+    )
+    staged = docs.select("doc_id", F.concat("text", pii).alias("text"))
+    return redact_pii(staged, "text").select(
+        "doc_id",
+        F.col("text_redacted").alias("redacted"),
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ip").cast("long").alias("n_ip"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_idnum").cast("long").alias("n_idnum"),
+    )
+
+
+T14_SQL = r"""
+    WITH staged AS (
+      SELECT doc_id,
+             text || CASE
+               WHEN doc_id % 4 = 0 THEN
+                 ' contact user' || doc_id::VARCHAR || '@example.com now'
+               WHEN doc_id % 4 = 1 THEN
+                 ' from 10.' || (doc_id % 256)::VARCHAR || '.0.'
+                 || (doc_id % 200)::VARCHAR || ' logged'
+               WHEN doc_id % 4 = 2 THEN
+                 ' call +1 (555) 010-' || (1000 + doc_id % 9000)::VARCHAR
+                 || ' today'
+               ELSE ' ref ' || (90000000 + doc_id)::VARCHAR || ' end'
+             END AS s
+      FROM documents),
+    r1 AS (SELECT doc_id,
+             len(regexp_extract_all(s,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+               AS n_email,
+             regexp_replace(s,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS s
+           FROM staged),
+    r2 AS (SELECT doc_id, n_email,
+             len(regexp_extract_all(s,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
+             regexp_replace(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+               '<IP>', 'g') AS s
+           FROM r1),
+    r3 AS (SELECT doc_id, n_email, n_ip,
+             len(regexp_extract_all(s, '\+\d[\d() -]{7,}\d'))::BIGINT
+               AS n_phone,
+             regexp_replace(s, '\+\d[\d() -]{7,}\d', '<PHONE>', 'g') AS s
+           FROM r2),
+    r4 AS (SELECT doc_id, n_email, n_ip, n_phone,
+             len(regexp_extract_all(s, '\b\d{8,}\b'))::BIGINT AS n_idnum,
+             regexp_replace(s, '\b\d{8,}\b', '<IDNUM>', 'g') AS s
+           FROM r3)
+    SELECT doc_id, s AS redacted, n_email, n_ip, n_phone, n_idnum FROM r4
+"""
+
+
 def d14_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level near-dup pairs by EXACT Levenshtein distance ≤ 2
     (`operators.dedup.edit_distance_pairs`, PassJoin-style segment
@@ -2772,6 +2866,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e10_asof_auto": e10_asof_auto,
     "s06_quantized_topk": s06_quantized_topk,
     "d14_edit_distance_pairs": d14_edit_distance_pairs,
+    "t14_redact_pii": t14_redact_pii,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -2791,4 +2886,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "e10_asof_auto": E10_SQL,
     "s06_quantized_topk": S06_SQL,
     "d14_edit_distance_pairs": D14_SQL,
+    "t14_redact_pii": T14_SQL,
 }

@@ -224,3 +224,38 @@ def test_new_round7_ops_plan_shapes(spark, sf_dir):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_redact_pii_categories_and_no_shuffle(spark):
+    """t14: each PII category redacts to its typed token, counts are
+    non-overlapping (an email's digits never double-count as an id
+    number), clean text passes through untouched — and the plan is a
+    pure projection: NO exchange at all."""
+    from pyspark.sql import functions as F
+
+    from southpaw_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org for details"),
+            (2, "server at 192.168.001.5 rebooted"),
+            (3, "call +44 20 7946 0958 now"),
+            (4, "case 123456789 closed"),
+            (5, "nothing sensitive here at all"),
+            (6, "two mails a@b.io and c@d.io plus 10.0.0.1"),
+        ],
+        "id long, text string",
+    )
+    out = redact_pii(df, "text")
+    rows = {r["id"]: r for r in out.collect()}
+    assert "<EMAIL>" in rows[1]["text_redacted"] and rows[1]["n_email"] == 1
+    assert "@" not in rows[1]["text_redacted"]
+    assert rows[2]["text_redacted"] == "server at <IP> rebooted"
+    assert rows[3]["text_redacted"] == "call <PHONE> now"
+    assert rows[4]["text_redacted"] == "case <IDNUM> closed"
+    assert rows[4]["n_idnum"] == 1 and rows[4]["n_phone"] == 0
+    assert rows[5]["text_redacted"] == rows[5]["text"]
+    assert sum(rows[5][c] for c in ("n_email", "n_ip", "n_phone", "n_idnum")) == 0
+    assert rows[6]["n_email"] == 2 and rows[6]["n_ip"] == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
