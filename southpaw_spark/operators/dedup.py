@@ -61,6 +61,16 @@ def auto_max_doc_freq(n_docs: int) -> int:
     return min(4096, max(128, math.ceil(0.002 * n_docs)))
 
 
+#: Tolerance for float-boundary candidate bounds (d02/d10): larger than
+#: any double rounding error of t·n for realistic sizes (≤ ~1e-10 at a
+#: million shingles), smaller than the 1e-6 grid spacing of products of
+#: ≤6-decimal thresholds with integer sizes — so ε-relaxed bounds are
+#: EXACT at every representable boundary and only ever widen (never
+#: narrow) in the unrepresentable corner cases. See the plen comment in
+#: ngram_jaccard_pairs.
+_EPS = 1e-7
+
+
 def release(df: DataFrame) -> None:
     """Unpersist any intermediate frames an operator cached while
     building ``df`` (attached as ``df._southpaw_cached``). Call after
@@ -183,10 +193,17 @@ def ngram_jaccard_pairs(
     # a binary double can round UP past an exact integer product (e.g.
     # t=0.54, n=50: 0.54·50 → 27.000000000000004 → ceil 28), silently
     # shortening the prefix by one and MISSING a qualifying pair.
-    # floor(t·n) ≤ ⌈t·n⌉ always holds under double rounding, so
-    # n − floor(t·n) + 1 is ≥ the exact length (over by at most one
-    # token, pruned by the pair-exact filter and verification below).
-    plen = (F.col("n_sh") - F.floor(F.lit(t) * F.col("n_sh")) + 1).cast("int")
+    # ceil(t·n − ε) with ε=1e-7 is the exact ⌈t·n⌉ whenever the true
+    # product is ≥ ε away from an integer (always, for thresholds with
+    # ≤6 decimal digits and ≤1e6 shingles — double rounding error is
+    # ≤ ~1e-10 there) and one LOWER when the product sits within ε of
+    # an integer — which only lengthens the prefix, never shortens it.
+    # A floor-based bound would be safe too but costs a full extra
+    # prefix token on EVERY doc — measured 1.8× d02 wall on the sf1
+    # family-stress corpus.
+    plen = (
+        F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh") - _EPS) + 1
+    ).cast("int")
     doc = (
         tagged.groupBy(id_col)
         .agg(
@@ -214,27 +231,25 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id_b"), "sh",
         F.col("pos").alias("pos_b"), F.col("n_sh").alias("n_b"),
     )
-    # All candidate-side bounds are floor-relaxed: sizes/positions are
-    # integers, so comparing against floor(float bound) admits exactly
-    # the integer values the real-valued bound admits — plus at most
-    # one extra when the double product rounds across an integer —
-    # and can never EXCLUDE a qualifying pair the way a raw float
-    # comparison can (n_a ≥ t·n_b fails for n_a=27, t=0.54, n_b=50
-    # because the double product is 27.000000000000004).
-    alpha_f = F.floor(
-        F.lit(t / (1.0 + t)) * (F.col("n_a") + F.col("n_b"))
-    )
+    # All candidate-side bounds are ε-relaxed (ε=1e-7, same argument
+    # as plen): subtracting ε admits at most the true boundary integer
+    # when the double product rounds across it — a raw float
+    # comparison can EXCLUDE a qualifying pair (n_a ≥ t·n_b fails for
+    # n_a=27, t=0.54, n_b=50: the product is 27.000000000000004) —
+    # while staying tight everywhere else (a floor() relaxation
+    # measured 1.8× d02 wall at sf1).
+    alpha = F.lit(t / (1.0 + t)) * (F.col("n_a") + F.col("n_b"))
     cand = (
         pa.join(pb, "sh")
         .where(
             (F.col("id_a") < F.col("id_b"))
             # length filter: |B| ∈ [t·|A|, |A|/t] is necessary for J ≥ t
-            & (F.col("n_b") >= F.floor(F.lit(t) * F.col("n_a")))
-            & (F.col("n_a") >= F.floor(F.lit(t) * F.col("n_b")))
+            & (F.col("n_b") >= F.lit(t) * F.col("n_a") - _EPS)
+            & (F.col("n_a") >= F.lit(t) * F.col("n_b") - _EPS)
             # pair-exact prefix filter on both sides (tighter than the
             # worst-case slice that built the prefix arrays)
-            & (F.col("pos_a") <= F.col("n_a") - alpha_f + 1)
-            & (F.col("pos_b") <= F.col("n_b") - alpha_f + 1)
+            & (F.col("pos_a") <= F.col("n_a") - alpha + 1 + _EPS)
+            & (F.col("pos_b") <= F.col("n_b") - alpha + 1 + _EPS)
         )
         .select("id_a", "id_b")
         .distinct()
@@ -244,7 +259,7 @@ def ngram_jaccard_pairs(
         # hot evidence alone (see step 3 above). Hot shingles are the
         # sorted array's tail — everything past the rare prefix count.
         hh = (
-            doc.where(F.col("n_hot") >= F.floor(F.lit(t) * F.col("n_sh")))
+            doc.where(F.col("n_hot") >= F.lit(t) * F.col("n_sh") - _EPS)
             .select(
                 F.col(id_col),
                 F.explode(
@@ -358,7 +373,9 @@ def containment_pairs(
         F.col("srt") if cap is None
         else F.filter("srt", lambda x: x["df_"] <= F.lit(cap))
     )
-    plen = (F.col("n_sh") - F.floor(F.lit(t) * F.col("n_sh")) + 1).cast("int")
+    plen = (
+        F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh") - _EPS) + 1
+    ).cast("int")
     doc = (
         sh.join(dfreq, "sh")
         .groupBy(id_col)
@@ -384,13 +401,13 @@ def containment_pairs(
         F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"),
         F.posexplode("rare_set").alias("pos0", "sh"),
     ).select("id_b", "n_b", (F.col("pos0") + 1).alias("pos_b"), "sh")
-    alpha_f = F.floor(F.lit(t) * F.col("n_a"))
+    alpha = F.lit(t) * F.col("n_a")
     pair_pred = (
         (F.col("id_a") != F.col("id_b"))
-        # overlap ≥ t·n_a needs |B| ≥ t·n_a
-        & (F.col("n_b") >= alpha_f)
-        & (F.col("pos_a") <= F.col("n_a") - alpha_f + 1)
-        & (F.col("pos_b") <= F.col("n_b") - alpha_f + 1)
+        # overlap ≥ t·n_a needs |B| ≥ t·n_a (ε-relaxed — see d02)
+        & (F.col("n_b") >= alpha - _EPS)
+        & (F.col("pos_a") <= F.col("n_a") - alpha + 1 + _EPS)
+        & (F.col("pos_b") <= F.col("n_b") - alpha + 1 + _EPS)
     )
     cand = (
         pa.join(pb, "sh")
@@ -417,7 +434,7 @@ def containment_pairs(
         )
         ha = (
             doc.where(
-                (F.col("n_hot") >= F.floor(F.lit(t) * F.col("n_sh")))
+                (F.col("n_hot") >= F.lit(t) * F.col("n_sh") - _EPS)
                 & (F.col("n_sh") >= F.lit(int(min_len)))
             )
             .select(F.col(id_col).alias("__a_id"))

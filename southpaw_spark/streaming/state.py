@@ -387,6 +387,13 @@ class ParquetStateStore:
         resolved = self._resolve_bucket_cols(entity, key_cols, bucket_cols)
         version = (self._version_of(entity) or 0) + 1
         out = rows.withColumn("__bucket", self._bucket_col(resolved))
+        # One file per bucket: without the repartition every write task
+        # fans a file into every bucket dir it holds rows for (observed:
+        # tasks × buckets files per version — the 100 TB small-file
+        # killer, and every file also becomes a mirror hardlink). Hash
+        # repartition by __bucket puts each bucket's rows in exactly one
+        # task → exactly one data file per bucket per version.
+        out = out.repartition(self.n_buckets, "__bucket")
         out.write.partitionBy("__bucket").mode("overwrite").format(
             self.data_format
         ).save(self._data_dir(entity, version))
@@ -473,7 +480,12 @@ class ParquetStateStore:
         )
         new_version = version + 1
         new_dir = self._data_dir(entity, new_version)
-        # rewrite only touched buckets; hardlink untouched bucket dirs through
+        # rewrite only touched buckets; hardlink untouched bucket dirs
+        # through. Repartition by __bucket first (same rationale as
+        # init): one data file per TOUCHED bucket per version instead of
+        # one per (write task × bucket) — the shuffle moves only the
+        # touched buckets' rows, which the write was reading anyway.
+        merged = merged.repartition(max(1, len(touched_ids)), "__bucket")
         merged.write.partitionBy("__bucket").mode("overwrite").format(
             self.data_format
         ).save(new_dir)

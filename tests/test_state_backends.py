@@ -439,3 +439,39 @@ def test_full_rebuild_from_store_halves_exchanges(spark, tmp_path, sf_dir):
     assert n_native <= n_plain // 2, (n_plain, n_native)
     assert native.exceptAll(plain).count() == 0
     assert plain.exceptAll(native).count() == 0
+
+
+def test_one_data_file_per_bucket_per_version(spark, tmp_path):
+    """Small-file guard (round 8): init and merge must leave exactly ONE
+    data file per (touched) bucket per version — without the pre-write
+    repartition each write task fans a file into every bucket dir it
+    holds rows for (observed 3 files/bucket after one merge), the 100 TB
+    small-file killer."""
+    import os
+
+    store = ParquetStateStore(spark, str(tmp_path / "s"), n_buckets=8)
+    rows = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(400)], "k long, v string"
+    ).repartition(8)  # multiple write tasks
+    store.init("e", rows, ["k"])
+    store.merge(
+        "e",
+        spark.createDataFrame(
+            [(i, "new") for i in range(0, 400, 7)], "k long, v string"
+        ).repartition(8),
+        None,
+        ["k"],
+    )
+    root = str(tmp_path / "s")
+    for version in ("v1", "v2"):
+        vdir = os.path.join(root, "e", version)
+        for name in os.listdir(vdir):
+            if not name.startswith("__bucket="):
+                continue
+            n = sum(
+                1 for f in os.listdir(os.path.join(vdir, name))
+                if f.endswith((".parquet", ".orc"))
+            )
+            assert n == 1, f"{version}/{name}: {n} files"
+    got = {r["k"]: r["v"] for r in store.read("e").collect()}
+    assert len(got) == 400 and got[7] == "new" and got[1] == "r1"
