@@ -259,3 +259,25 @@ def test_redact_pii_categories_and_no_shuffle(spark):
     assert rows[6]["n_email"] == 2 and rows[6]["n_ip"] == 1
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_new_extra_operator_plan_shapes(spark, sf_dir):
+    """Round-8 operators: d14's candidate generation must be an
+    equi-join (no CartesianProduct / no BroadcastNestedLoopJoin — the
+    PassJoin segment join is hash-partitionable); t14 must plan with
+    zero exchanges (projection); e10's union of both as-of arms must
+    not multiply shuffles (≤ 2: one per union-window arm level)."""
+    from southpaw_spark import suite
+
+    d14 = suite.EXTRA_QUERIES["d14_edit_distance_pairs"](spark, sf_dir)
+    p = d14._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    t14 = suite.EXTRA_QUERIES["t14_redact_pii"](spark, sf_dir)
+    p2 = t14._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p2
+
+    e10 = suite.EXTRA_QUERIES["e10_asof_auto"](spark, sf_dir)
+    p3 = e10._jdf.queryExecution().executedPlan().toString()
+    assert p3.count("Exchange hashpartitioning") <= 2
