@@ -475,3 +475,21 @@ def test_one_data_file_per_bucket_per_version(spark, tmp_path):
             assert n == 1, f"{version}/{name}: {n} files"
     got = {r["k"]: r["v"] for r in store.read("e").collect()}
     assert len(got) == 400 and got[7] == "new" and got[1] == "r1"
+
+
+def test_vacuum_sweeps_abandoned_mirror_tmp_dirs(spark, tmp_path):
+    """A crash mid-mirror-build leaves a v{N}.bucketed.tmp-* dir of
+    hardlinks; vacuum must sweep it regardless of version recency."""
+    import os
+
+    store = ParquetStateStore(spark, str(tmp_path / "s"), n_buckets=4)
+    store.init("e", _rows(spark, [(1, "a")]), ["id"])
+    edir = os.path.join(str(tmp_path / "s"), "e")
+    orphan = os.path.join(edir, "v1.bucketed.tmp-deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "partial"), "w") as f:
+        f.write("x")
+    store.vacuum(keep=2)
+    assert not os.path.exists(orphan)
+    # the committed version itself survives
+    assert {r["id"] for r in store.read("e").collect()} == {1}
