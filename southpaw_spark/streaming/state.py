@@ -635,8 +635,20 @@ class ParquetStateStore:
             if not os.path.exists(src_schema):
                 src_schema = self._schema_path(entity)
             shutil.copy(src_schema, os.path.join(edir, "_SCHEMA"))
+            # the bucket-layout sidecar MUST ride the backup: restoring
+            # join-key-bucketed data without it would make later merges
+            # resolve bucket_cols back to the full key — a different
+            # hash → pruned reads skip the buckets that actually hold
+            # the old rows → silent stale duplicates
+            bc = self._bucket_cols_path(entity)
+            if os.path.exists(bc):
+                shutil.copy(bc, os.path.join(edir, "_BUCKETCOLS"))
             with open(os.path.join(edir, _CURRENT), "w") as f:
                 f.write(str(version))
+        # the store-level layout sidecar rides along so restore can
+        # validate/adopt it (a backup is meaningless under a different
+        # bucket function)
+        shutil.copy(self._meta_path(), os.path.join(dest, "_META"))
         if retention is not None:
             names = sorted(
                 n
@@ -705,8 +717,38 @@ class ParquetStateStore:
             return False
         if mode not in ("always", "when_needed"):
             raise ValueError(f"unknown restore mode {mode!r}")
+        # layout compatibility: a backup made under a different
+        # n_buckets/data_format cannot be merged into this store's
+        # layout (pruning would hash to the wrong buckets). A FRESH
+        # store (no entities yet) adopts the backup's layout; a
+        # populated one fails loudly instead of corrupting silently.
+        backup_meta = os.path.join(backup_path, "_META")
+        if os.path.exists(backup_meta):
+            import json as _json
+
+            with open(backup_meta) as f:
+                bm = _json.loads(f.read())
+            b_buckets = int(bm["n_buckets"])
+            b_format = str(bm.get("data_format", "parquet"))
+            if (b_buckets, b_format) != (self.n_buckets, self.data_format):
+                has_entities = any(
+                    os.path.isdir(self._entity_dir(n))
+                    for n in os.listdir(self.root)
+                )
+                if has_entities:
+                    raise ValueError(
+                        f"backup layout (n_buckets={b_buckets}, "
+                        f"format={b_format!r}) conflicts with this "
+                        f"store (n_buckets={self.n_buckets}, "
+                        f"format={self.data_format!r}) — restore into "
+                        "a fresh store root"
+                    )
+                self.n_buckets, self.data_format = b_buckets, b_format
+                self._write_meta(b_buckets, b_format)
         for entity in os.listdir(backup_path):
             src = os.path.join(backup_path, entity)
+            if not os.path.isdir(src):
+                continue
             dst = self._entity_dir(entity)
             shutil.rmtree(dst, ignore_errors=True)
             shutil.copytree(src, dst)
@@ -757,7 +799,10 @@ class ParquetStateStore:
         from pyspark.sql import types as T
 
         try:
-            entities = os.listdir(backup_path)
+            entities = [
+                n for n in os.listdir(backup_path)
+                if os.path.isdir(os.path.join(backup_path, n))
+            ]
         except OSError:
             return False
         if not entities:

@@ -493,3 +493,49 @@ def test_vacuum_sweeps_abandoned_mirror_tmp_dirs(spark, tmp_path):
     assert not os.path.exists(orphan)
     # the committed version itself survives
     assert {r["id"] for r in store.read("e").collect()} == {1}
+
+
+def test_backup_restore_preserves_bucket_layout(spark, tmp_path):
+    """The _BUCKETCOLS sidecar and the store-level _META must ride
+    backups: restoring join-key-bucketed data without them would make
+    later merges hash delta keys with the WRONG bucket function —
+    pruned reads then skip the buckets holding the old rows and stale
+    duplicates survive silently."""
+    import os
+
+    root = str(tmp_path / "s")
+    store = ParquetStateStore(spark, root, n_buckets=8)
+    store.init("li", _composite_rows(spark), ["a", "b"], bucket_cols=["a"])
+    bdir = str(tmp_path / "bk")
+    store.backup(bdir)
+    snap = os.path.join(bdir, sorted(os.listdir(bdir))[0])
+    # wipe the live entity (sidecar included), then restore
+    import shutil
+
+    shutil.rmtree(os.path.join(root, "li"))
+    assert store.restore(snap)
+    assert store.bucket_layout("li") == ["a"]
+    # a merge after restore must still prune correctly (replaced row
+    # gone, upsert present, everything else intact)
+    store.merge(
+        "li",
+        spark.createDataFrame([(3, 27, "NEW")], "a long, b long, val string"),
+        None,
+        ["a", "b"],
+    )
+    got = {(r["a"], r["b"]): r["val"] for r in store.read("li").collect()}
+    assert got[(3, 27)] == "NEW" and len(got) == 64
+
+    # fresh store with a DIFFERENT default layout adopts the backup's
+    root2 = str(tmp_path / "s2")
+    store2 = ParquetStateStore(spark, root2, n_buckets=4)
+    assert store2.restore(snap)
+    assert store2.n_buckets == 8
+    assert {r["a"] for r in store2.read("li").collect()} == set(range(8))
+
+    # populated store with a conflicting layout refuses loudly
+    root3 = str(tmp_path / "s3")
+    store3 = ParquetStateStore(spark, root3, n_buckets=4)
+    store3.init("other", _rows(spark, [(1, "x")]), ["id"])
+    with pytest.raises(ValueError, match="conflicts"):
+        store3.restore(snap)
