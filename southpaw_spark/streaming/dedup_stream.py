@@ -640,7 +640,14 @@ class IncrementalVectorDeduper:
         n_tables: int = 2,
         seed: int = 42,
         auto_vacuum: bool = True,
+        fuzzy_keep: str = "min_id",
+        score_col: str = "quality_score",
     ) -> None:
+        if fuzzy_keep not in ("min_id", "best_quality"):
+            raise ValueError(
+                "fuzzy_keep must be 'min_id' or 'best_quality', got "
+                f"{fuzzy_keep!r}"
+            )
         self.spark = spark
         self.store = store
         self.vec_col = vec_col
@@ -650,6 +657,10 @@ class IncrementalVectorDeduper:
         self.n_tables = n_tables
         self.seed = seed
         self.auto_vacuum = auto_vacuum
+        #: same within-batch keeper policy (and cross-batch
+        #: first-seen-wins caveat) as IncrementalDeduper.fuzzy_keep
+        self.fuzzy_keep = fuzzy_keep
+        self.score_col = score_col
         self.metrics: dict = {}
         self._prev_decisions: DataFrame | None = None
         self._planes: list | None = None  # resolved on first batch / reopen
@@ -815,11 +826,33 @@ class IncrementalVectorDeduper:
         comps = None
         if edges.limit(1).count():
             comps = connected_components(edges)
-            near_batch = comps.where(F.col("id") != F.col("cluster_id")).select(
-                F.col("id").alias(ic),
-                F.lit("near_dup").alias("status"),
-                F.col("cluster_id").alias("keeper_id"),
-            )
+            if self.fuzzy_keep == "best_quality":
+                from southpaw_spark.operators.dedup import cluster_keepers
+
+                if self.score_col not in vectors.columns:
+                    raise ValueError(
+                        f"fuzzy_keep='best_quality' needs a {self.score_col!r}"
+                        " column on the batch frame (set score_col=)"
+                    )
+                kp = cluster_keepers(
+                    comps,
+                    vectors.select(ic, self.score_col),
+                    ic,
+                    score_col=self.score_col,
+                )
+                near_batch = kp.where(~F.col("is_keeper")).select(
+                    F.col("id").alias(ic),
+                    F.lit("near_dup").alias("status"),
+                    F.col("keep_id").alias("keeper_id"),
+                )
+            else:
+                near_batch = comps.where(
+                    F.col("id") != F.col("cluster_id")
+                ).select(
+                    F.col("id").alias(ic),
+                    F.lit("near_dup").alias("status"),
+                    F.col("cluster_id").alias("keeper_id"),
+                )
         else:
             near_batch = self.spark.createDataFrame(
                 [], f"{ic} long, status string, keeper_id long"

@@ -486,3 +486,45 @@ def test_best_quality_requires_score_column(spark, tmp_path):
     with pytest.raises(ValueError, match="fuzzy_keep"):
         IncrementalDeduper(spark, store, fuzzy_keep="bogus")
     d.close()
+
+
+def test_vector_deduper_best_quality_keeper(spark, sf_dir, tmp_path):
+    """Vector-modality best-quality keepers: a within-batch family of
+    near-identical vectors keeps its highest-scoring member."""
+    from southpaw_spark.streaming.dedup_stream import IncrementalVectorDeduper
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    fam = emb.where(F.col("vec_id") == 3)
+    batch = (
+        fam.select(F.lit(10).cast("long").alias("vec_id"), "embedding",
+                   F.lit(0.1).alias("q"))
+        .unionByName(
+            fam.select(
+                F.lit(11).cast("long").alias("vec_id"),
+                F.transform("embedding", lambda x: x * F.lit(1.0001)).alias(
+                    "embedding"
+                ),
+                F.lit(0.9).alias("q"),
+            )
+        )
+        .unionByName(
+            emb.where(F.col("vec_id") == 7).select(
+                "vec_id", "embedding", F.lit(0.5).alias("q")
+            )
+        )
+    )
+    d = IncrementalVectorDeduper(
+        spark,
+        ParquetStateStore(spark, str(tmp_path / "vq"), n_buckets=4),
+        threshold=0.999,
+        fuzzy_keep="best_quality",
+        score_col="q",
+    )
+    dec = {r["vec_id"]: (r["status"], r["keeper_id"])
+           for r in d.process_batch(batch).collect()}
+    d.close()
+    assert dec[11] == ("kept", 11)       # higher quality wins
+    assert dec[10] == ("near_dup", 11)   # min-id would have kept 10
+    assert dec[7][0] == "kept"
