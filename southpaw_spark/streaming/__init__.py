@@ -14,7 +14,7 @@ from southpaw_spark.streaming.dedup_stream import (
 )
 from southpaw_spark.streaming.ivm import IncrementalDenormalizer
 from southpaw_spark.streaming.metrics import Metrics, SouthpawStreamingListener
-from southpaw_spark.streaming.state import ParquetStateStore
+from southpaw_spark.streaming.state import ParquetStateStore, suggest_n_buckets
 from southpaw_spark.streaming.temporal import (
     asof_join_auto,
     asof_join_stream,
@@ -29,6 +29,7 @@ __all__ = [
     "IncrementalDenormalizer",
     "Metrics",
     "ParquetStateStore",
+    "suggest_n_buckets",
     "attach_dedup_stream",
     "SouthpawStreamingListener",
     "asof_join_auto",

@@ -25,6 +25,28 @@ from pyspark.sql import functions as F
 _CURRENT = "_CURRENT"
 
 
+def suggest_n_buckets(
+    est_bytes: int,
+    target_bucket_bytes: int = 256 * 1024 * 1024,
+    min_parallelism: int = 16,
+) -> int:
+    """Size the state layout's bucket count from the estimated state
+    size. Two forces (measured, BASELINE §15): a bucket must FIT an
+    executor's working memory (co-located joins load one bucket per
+    task — oversized buckets spill), and the bucket count IS the
+    rebuild's parallelism (a bucketed scan cannot split a bucket: 16
+    buckets capped a 10× rebuild at 16 tasks on 32 cores; 64 restored
+    the ~6× co-located edge). So: enough buckets that each holds ≤
+    ``target_bucket_bytes``, floored at ``min_parallelism`` (set it to
+    ≥ the cluster's total cores). The count is a write-once layout
+    property (persisted in ``_META``) — pick for the state size you
+    expect, not the bootstrap size."""
+    import math
+
+    need = math.ceil(max(1, est_bytes) / target_bucket_bytes)
+    return max(min_parallelism, need)
+
+
 class ParquetStateStore:
     """Entity → current-rows table, hash-bucketed by primary key."""
 

@@ -539,3 +539,16 @@ def test_backup_restore_preserves_bucket_layout(spark, tmp_path):
     store3.init("other", _rows(spark, [(1, "x")]), ["id"])
     with pytest.raises(ValueError, match="conflicts"):
         store3.restore(snap)
+
+
+def test_suggest_n_buckets_scales_with_state_size():
+    from southpaw_spark.streaming.state import suggest_n_buckets
+
+    # small state: parallelism floor dominates
+    assert suggest_n_buckets(10 * 1024 * 1024) == 16
+    # 100 GB at 256 MB buckets -> 400
+    assert suggest_n_buckets(100 * 1024**3) == 400
+    # the BASELINE §15 shape: ~10 GB state on 32 cores
+    assert suggest_n_buckets(10 * 1024**3, min_parallelism=32) == 40
+    # monotone in size
+    assert suggest_n_buckets(1024**4) > suggest_n_buckets(100 * 1024**3)
