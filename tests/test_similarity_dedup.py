@@ -283,9 +283,9 @@ def test_connected_components_raises_on_non_convergence(spark):
         [(i, i + 1) for i in range(11)], "id_a long, id_b long"
     )
     with _pytest.raises(RuntimeError, match="converge"):
-        connected_components(edges, max_iter=1)
+        connected_components(edges, max_iter=1, driver_max_edges=None)
     # and with the default budget the same chain is ONE cluster
-    out = connected_components(edges)
+    out = connected_components(edges, driver_max_edges=None)
     assert {r.cluster_id for r in out.collect()} == {0}
 
 
@@ -1006,3 +1006,37 @@ def test_edit_distance_pairs_degenerate_inputs(spark):
     assert got1 == {(3, 4): 0, (3, 5): 1, (4, 5): 1}
     with _pytest.raises(ValueError, match="max_dist"):
         edit_distance_pairs(df, "s", "id", max_dist=-1)
+
+
+def test_connected_components_fast_path_parity(spark):
+    """The driver union-find fast path must emit exactly the
+    distributed star-contraction labels — random graphs with chains,
+    self-loops, islands, and multi-merges; plus the cap boundary
+    (driver_max_edges below the edge count forces the distributed
+    path)."""
+    import random
+
+    from southpaw_spark.operators.dedup import connected_components
+
+    rng = random.Random(99)
+    for trial in range(4):
+        n = rng.randrange(10, 60)
+        edges = [(i, i) for i in rng.sample(range(n), k=min(5, n))]
+        for _ in range(rng.randrange(5, 40)):
+            edges.append((rng.randrange(n), rng.randrange(n)))
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        fast = {
+            (r["id"], r["cluster_id"])
+            for r in connected_components(df).collect()
+        }
+        dist = {
+            (r["id"], r["cluster_id"])
+            for r in connected_components(df, driver_max_edges=None).collect()
+        }
+        assert fast == dist, f"trial {trial}"
+        # cap below the edge count -> distributed path, same answer
+        capped = {
+            (r["id"], r["cluster_id"])
+            for r in connected_components(df, driver_max_edges=1).collect()
+        }
+        assert capped == dist
