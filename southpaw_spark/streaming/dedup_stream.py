@@ -880,9 +880,6 @@ class IncrementalVectorDeduper:
         decisions.count()
         self._prev_decisions = decisions
 
-        staged = [("vdedup_vecs", self.store.merge(
-            "vdedup_vecs", kept, None, [ic], commit=False
-        ))]
         new_members = (
             buckets_new.join(kept.select(ic), ic)
             .groupBy("table", "bucket")
@@ -897,9 +894,22 @@ class IncrementalVectorDeduper:
                 )
             ).alias("ids"),
         )
-        staged.append(("vdedup_index", self.store.merge(
-            "vdedup_index", combined, None, ["table", "bucket"], commit=False
-        )))
+        # independent entity merges stage concurrently (see the text
+        # deduper); both complete before any pointer flips
+        from concurrent.futures import ThreadPoolExecutor
+
+        merge_jobs = [
+            ("vdedup_vecs", lambda: self.store.merge(
+                "vdedup_vecs", kept, None, [ic], commit=False
+            )),
+            ("vdedup_index", lambda: self.store.merge(
+                "vdedup_index", combined, None, ["table", "bucket"],
+                commit=False,
+            )),
+        ]
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futures = [(e, pool.submit(fn)) for e, fn in merge_jobs]
+            staged = [(e, f.result()) for e, f in futures]
         for entity, version in staged:  # stage both, then flip pointers
             self.store.commit(entity, version)
         self._vacuum()

@@ -207,6 +207,7 @@ class IncrementalDenormalizer:
             new_fk_values: dict[str, DataFrame] = {}
             old_rows: dict[str, DataFrame] = {}
             batch_keys: dict[str, DataFrame] = {}
+            merge_jobs: list = []
             for entity, delta in deltas.items():
                 key_cols = list(self.keys[entity])
                 rules = self.filter_rules.get(entity, ())
@@ -244,10 +245,35 @@ class IncrementalDenormalizer:
                     F.coalesce(F.col(self.tombstone_col), F.lit(False))
                 ).select(*key_cols)
                 new_fk_values[entity] = upserts
-                staged[entity] = self.store.merge(
-                    entity, upserts, dels, key_cols, commit=False,
-                    allow_schema_evolution=self.allow_schema_evolution,
-                )
+                merge_jobs.append((entity, upserts, dels, key_cols))
+
+            # Per-entity merges are independent (separate state dirs and
+            # version pointers; each reads its own PRE-merge state for
+            # the anti-join, captured above) — stage them concurrently
+            # to overlap their small-job latency on multi-entity
+            # batches. All stages complete before any rebuild reads or
+            # pointer flips.
+            if merge_jobs:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                    max_workers=min(4, len(merge_jobs))
+                ) as pool:
+                    futures = [
+                        (
+                            e,
+                            pool.submit(
+                                self.store.merge, e, ups, dl, kc,
+                                commit=False,
+                                allow_schema_evolution=(
+                                    self.allow_schema_evolution
+                                ),
+                            ),
+                        )
+                        for e, ups, dl, kc in merge_jobs
+                    ]
+                    for e, fut in futures:
+                        staged[e] = fut.result()
 
             # 4+5: per tree — dirty roots, targeted rebuild, tombstones —
             # all against the staged (post-merge, uncommitted) state.
