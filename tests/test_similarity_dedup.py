@@ -701,6 +701,68 @@ def test_containment_pairs_asymmetric_and_exact(spark):
     assert got == want
 
 
+def test_containment_matches_python_oracle_fuzz(spark):
+    """Randomized exactness for d10, mirroring the d02 fuzz: across
+    corpora with heavy shared vocabulary (stop-shingle pressure),
+    planted quotes, and varied thresholds, the default plan AND an
+    adversarially tiny cap must both emit exactly the directional
+    pairs a brute-force pure-Python containment finds."""
+    import random
+
+    from southpaw_spark.operators.dedup import containment_pairs, release
+
+    rng = random.Random(61)
+    common = [f"w{i}" for i in range(10)]
+    rare = [f"r{i}" for i in range(300)]
+
+    def make_doc():
+        n_words = rng.randrange(3, 22)
+        return " ".join(
+            rng.choice(common if rng.random() < 0.6 else rare)
+            for _ in range(n_words)
+        )
+
+    for trial, threshold in [(0, 0.3), (1, 0.6), (2, 0.9)]:
+        docs = []
+        for i in range(60):
+            docs.append((100 * trial + i, make_doc()))
+            if rng.random() < 0.35:  # plant a quote of an earlier doc
+                base = docs[rng.randrange(len(docs))][1].split()
+                lo = rng.randrange(max(1, len(base) - 3))
+                docs.append((
+                    10_000 + 100 * trial + i,
+                    " ".join(base[lo: lo + rng.randrange(3, 10)]),
+                ))
+
+        def sh_set(text, n=3):
+            w = text.split()
+            return {
+                " ".join(w[i:i + n]) for i in range(len(w) - n + 1)
+            } if len(w) >= n else set()
+
+        sets = {i: s for i, t in docs if (s := sh_set(t))}
+        expected = {}
+        for a, sa in sets.items():
+            for b, sb in sets.items():
+                if a != b:
+                    c = len(sa & sb) / len(sa)
+                    if c >= threshold:
+                        expected[(a, b)] = round(c, 6)
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        for cap in ("auto", 3):  # auto disables at this size; 3 forces
+            out = containment_pairs(  # the rare/hot split + rescue
+                df, "text", "doc_id", n=3,
+                threshold=threshold, max_doc_freq=cap,
+            )
+            got = {
+                (r["id_a"], r["id_b"]): r["containment"]
+                for r in out.collect()
+            }
+            release(out)
+            assert got == expected, (trial, threshold, cap)
+
+
 def test_filtered_topk_respects_filter_and_matches_bruteforce(spark, sf_dir):
     """Every filtered neighbor shares the query's label, and the result
     equals brute-force cosine over the label-restricted corpus."""
