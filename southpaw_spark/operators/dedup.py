@@ -1092,3 +1092,168 @@ def edit_distance_pairs(
         .select("id_a", "id_b", F.col("distance").cast("long").alias("distance"))
     )
     return out
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_count: int = 2,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """EXACT duplicate-SPAN detection: for every document, the merged
+    token intervals covered by some k-token gram that occurs ≥
+    ``min_count`` times across the whole corpus (occurrences inside
+    the same document count — self-repetition is duplication too).
+    This is the substring-level dedup modality of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better" (ACL
+    2022 — public paper): document-level dedup (d01/d02/d03) keeps a
+    page that merely *contains* a widely-copied passage; span-level
+    dedup cuts the passage itself. Reference scope: SURVEY §7.5
+    training-pipeline dedup surface.
+
+    Returns one row per document that contains at least one duplicated
+    span: ``(id_col, spans array<struct<start,end>>, n_spans,
+    dup_tokens, n_tokens)`` — ``start`` inclusive / ``end`` exclusive,
+    0-based TOKEN positions (split-on-single-space, the module
+    determinism contract). Overlapping and touching intervals are
+    merged, so ``spans`` is the minimal disjoint cover.
+
+    Spark-first plan (the paper's suffix array is a single-machine
+    structure; the relational equivalent is three shuffles, all
+    combiner-friendly):
+
+    1. gram inventory: per doc, ``transform(sequence(...))`` emits the
+       (position, k-gram) list — pure codegen, no UDF.
+    2. ``groupBy(gram).count()`` — map-side partial aggregation absorbs
+       hot boilerplate grams (a gram repeated 1M× combines locally).
+    3. left-semi join occurrences against the duplicated-gram set —
+       each occurrence matches AT MOST ONE dup row, so a hot gram
+       cannot blow the join up (unlike pair-join dedup); AQE broadcasts
+       the dup side when it is small (boilerplate usually is).
+    4. per-doc interval merge: ``sort_array(collect_list(pos))`` (list
+       bounded by the doc's own length) + an ``F.aggregate`` fold —
+       fixed-length intervals sorted by start have monotone ends, so
+       the last-element merge is the full gaps-and-islands.
+
+    ``hash_grams=True`` groups on ``xxhash64(gram)`` instead of the
+    gram string — the 100 TB shuffle shape (8 bytes/gram vs ~k words);
+    a 2⁻⁶⁴ hash collision could mark an extra span as duplicated
+    (never miss one). The default keeps byte-exactness so DuckDB
+    oracles match bit-for-bit."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    w = F.split(F.col(text_col), " ")
+    toks = (
+        df.select(
+            F.col(id_col), w.alias("__w"), F.size(w).alias("__n")
+        )
+        .where(F.col("__n") >= k)
+    )
+    gram_txt = F.concat_ws(" ", F.slice(F.col("__w"), F.col("__g") + 1, k))
+    gram = F.xxhash64(gram_txt) if hash_grams else gram_txt
+    occ = toks.select(
+        F.col(id_col),
+        F.col("__w"),
+        F.col("__n"),
+        F.explode(
+            F.sequence(F.lit(0), F.col("__n") - k)
+        ).alias("__g"),
+    ).select(F.col(id_col), F.col("__n"), F.col("__g"), gram.alias("__gram"))
+    dup = (
+        occ.groupBy("__gram")
+        .agg(F.count("*").alias("__cnt"))
+        .where(F.col("__cnt") >= min_count)
+        .select("__gram")
+    )
+    hits = occ.join(dup, "__gram", "left_semi")
+    empty_spans = F.expr(
+        "CAST(array() AS array<struct<start:int,`end`:int>>)"
+    )
+    merged = F.aggregate(
+        F.sort_array(F.collect_list("__g")),
+        empty_spans,
+        lambda acc, p: F.when(
+            (F.size(acc) > 0)
+            & (p <= F.element_at(acc, -1)["end"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["start"].alias("start"),
+                        F.greatest(
+                            F.element_at(acc, -1)["end"], p + k
+                        ).alias("end"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        p.alias("start"), (p + k).alias("end")
+                    )
+                ),
+            )
+        ),
+    )
+    return (
+        hits.groupBy(F.col(id_col), F.col("__n"))
+        .agg(merged.alias("spans"))
+        .select(
+            F.col(id_col),
+            F.col("spans"),
+            F.size("spans").cast("long").alias("n_spans"),
+            F.aggregate(
+                "spans",
+                F.lit(0),
+                lambda acc, s: acc + s["end"] - s["start"],
+            ).cast("long").alias("dup_tokens"),
+            F.col("__n").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_count: int = 2,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Apply :func:`duplicate_spans`: rebuild every document's text
+    with the duplicated-span tokens cut out (Lee et al.'s corpus
+    transformation). Returns the input rows with ``{text_col}_clean``
+    (tokens outside every span, single-space-joined — empty string if
+    the whole doc was duplicated), ``n_tokens_before`` and
+    ``n_tokens_after``. Documents with no duplicated span pass through
+    unchanged. The coverage test is an ``F.exists`` over the doc's own
+    (merged, disjoint) span list — O(n_tokens · n_spans) per doc, no
+    shuffle beyond the :func:`duplicate_spans` build."""
+    spans = duplicate_spans(
+        df, text_col, id_col, k=k, min_count=min_count,
+        hash_grams=hash_grams,
+    ).select(F.col(id_col), "spans")
+    w = F.split(F.col(text_col), " ")
+    sp = F.coalesce(
+        F.col("spans"),
+        F.expr("CAST(array() AS array<struct<start:int,`end`:int>>)"),
+    )
+    kept = F.filter(
+        w,
+        lambda x, i: ~F.exists(
+            sp, lambda s: (i >= s["start"]) & (i < s["end"])
+        ),
+    )
+    return (
+        df.join(spans, id_col, "left")
+        .select(
+            *[F.col(c) for c in df.columns],
+            F.concat_ws(" ", kept).alias(f"{text_col}_clean"),
+            F.size(w).cast("long").alias("n_tokens_before"),
+            F.size(kept).cast("long").alias("n_tokens_after"),
+        )
+    )

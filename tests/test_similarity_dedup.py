@@ -1102,3 +1102,130 @@ def test_connected_components_fast_path_parity(spark):
             for r in connected_components(df, driver_max_edges=1).collect()
         }
         assert capped == dist
+
+
+def _py_dup_spans(docs, k=8, min_count=2):
+    """Brute-force oracle for duplicate_spans: global gram counts →
+    per-doc merged intervals."""
+    from collections import Counter
+
+    toks = {i: t.split(" ") for i, t in docs}
+    counts = Counter()
+    for w in toks.values():
+        for p in range(len(w) - k + 1):
+            counts[" ".join(w[p:p + k])] += 1
+    spans = {}
+    for i, w in toks.items():
+        starts = [
+            p for p in range(len(w) - k + 1)
+            if counts[" ".join(w[p:p + k])] >= min_count
+        ]
+        merged = []
+        for p in starts:
+            if merged and p <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], p + k))
+            else:
+                merged.append((p, p + k))
+        if merged:
+            spans[i] = merged
+    return spans
+
+
+def test_duplicate_spans_matches_python_oracle_fuzz(spark):
+    """d15: randomized exactness vs a brute-force Python oracle —
+    planted shared passages, self-repetition, and boilerplate
+    prefixes — for both the exact gram-string path and the
+    hash-grams scale path (identical on a collision-free corpus)."""
+    import random
+
+    from southpaw_spark.operators.dedup import duplicate_spans, release
+
+    rng = random.Random(62)
+    vocab = [f"v{i}" for i in range(200)]
+    boiler = " ".join(f"b{i}" for i in range(9))  # 9-token boilerplate
+    docs = []
+    for i in range(50):
+        words = [rng.choice(vocab) for _ in range(rng.randrange(4, 30))]
+        if rng.random() < 0.3:  # boilerplate prefix in ~1/3 of docs
+            words = boiler.split() + words
+        if docs and rng.random() < 0.3:  # copy a passage from earlier
+            src = docs[rng.randrange(len(docs))][1].split()
+            lo = rng.randrange(max(1, len(src) - 8))
+            words += src[lo: lo + rng.randrange(8, 14)]
+        if rng.random() < 0.1:  # self-repetition
+            words += words[: rng.randrange(8, min(14, len(words) + 1))]
+        docs.append((i, " ".join(words)))
+
+    k = 8
+    expected = _py_dup_spans(docs, k=k)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for hg in (False, True):
+        out = duplicate_spans(df, "text", "doc_id", k=k, hash_grams=hg)
+        got = {
+            r["doc_id"]: [(s["start"], s["end"]) for s in r["spans"]]
+            for r in out.collect()
+        }
+        release(out)
+        assert got == expected, f"hash_grams={hg}"
+        # derived scalars agree with the spans
+        for r in duplicate_spans(
+            df, "text", "doc_id", k=k, hash_grams=hg
+        ).collect():
+            assert r["n_spans"] == len(expected[r["doc_id"]])
+            assert r["dup_tokens"] == sum(
+                e - s for s, e in expected[r["doc_id"]]
+            )
+
+
+def test_remove_duplicate_spans_cuts_exactly_the_spans(spark):
+    """d16: the cleaned text is exactly the tokens outside the merged
+    spans; docs without spans pass through verbatim; a fully-duplicated
+    doc becomes the empty string; non-text columns survive."""
+    from southpaw_spark.operators.dedup import remove_duplicate_spans
+
+    docs = [
+        (1, "a b c d e f g h i j", "en"),
+        (2, "x a b c d e f g h y z", "en"),
+        (3, "p q r s t u v w", "de"),
+        (4, "m m m m m m m m m m m m", "fr"),
+        (5, "short doc", "en"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    rows = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(df, "text", "doc_id", k=8).collect()
+    }
+    assert rows[1]["text_clean"] == "i j"
+    assert rows[2]["text_clean"] == "x y z"
+    assert rows[3]["text_clean"] == "p q r s t u v w"  # untouched
+    assert rows[4]["text_clean"] == ""  # fully duplicated
+    assert rows[5]["text_clean"] == "short doc"  # < k tokens: no grams
+    assert rows[4]["n_tokens_before"] == 12 and rows[4]["n_tokens_after"] == 0
+    assert all(r["lang"] for r in rows.values())  # other columns kept
+    assert len(rows) == len(docs)  # one output row per input row
+
+
+def test_duplicate_spans_adjacent_intervals_merge(spark):
+    """Two duplicated grams whose intervals touch end-to-start must
+    merge into one span (the contiguous duplicated region), and k<1
+    must raise."""
+    import pytest as _pytest
+
+    from southpaw_spark.operators.dedup import duplicate_spans
+
+    # grams 'a1..a3' (pos 0) and 'c1..c3' (pos 3) both duplicated;
+    # intervals [0,3) and [3,6) touch -> one [0,6) span
+    d1 = "a1 a2 a3 c1 c2 c3"
+    df = spark.createDataFrame(
+        [(1, d1 + " tail1 one"), (2, d1 + " tail2 two"),
+         (3, "a1 a2 a3 q r s"), (4, "z y c1 c2 c3 w")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: [(s["start"], s["end"]) for s in r["spans"]]
+        for r in duplicate_spans(df, "text", "doc_id", k=3).collect()
+    }
+    assert rows[1] == [(0, 6)] and rows[2] == [(0, 6)]
+    assert rows[3] == [(0, 3)] and rows[4] == [(2, 5)]
+    with _pytest.raises(ValueError, match="k must be"):
+        duplicate_spans(df, "text", "doc_id", k=0)
