@@ -389,3 +389,100 @@ def redact_pii(
         out = out.withColumn(f"n_{name}", F.regexp_count(cur, F.lit(pat)))
         cur = F.regexp_replace(cur, pat, rep)
     return out.withColumn(f"{text_col}_redacted", cur)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    domain_col: str,
+    budgets: dict[str, int],
+    salt: str = "",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Token-budget DOMAIN MIXING: draw a deterministic sample whose
+    per-domain token totals hit the given budgets — the "sample 30B
+    web tokens, 5B code tokens" step every training-data mix performs.
+    Rows are ranked by an engine-portable hash priority (md5(salt|id),
+    as :func:`stratified_sample`) and taken greedily in that order
+    until the domain's running token total reaches its budget; the
+    crossing document is INCLUDED (budget + one overflowing doc, the
+    same greedy boundary as :func:`sequence_packing`). Domains absent
+    from ``budgets`` are dropped. Changing ``salt`` redraws.
+
+    Scale design — the naive form is one window sort per domain, i.e.
+    a single task sorting billions of rows at 100 TB. This plan never
+    globally sorts: the hash priority is range-bucketed
+    (``n_buckets`` monotone slices of hash space), a tiny per-(domain,
+    bucket) token-sum aggregate (combiner-friendly) is prefix-summed
+    on the driver-sized frame, whole buckets below the budget line are
+    taken with a broadcast join (pure filter, no sort), and only THE
+    one crossing bucket per domain (expected corpus/n_buckets rows)
+    pays a window sort. Output = exactly the global-sort answer,
+    because bucket id is a prefix of the priority order.
+
+    Returns the kept input rows plus ``n_tokens``."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1; got {n_buckets}")
+    from pyspark.sql import Window
+
+    w = tokens(F.col(text_col))
+    pri = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt + "|"), F.col(id_col).cast("string")
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    bcol = F.lit(None).cast("long")
+    for dom, b in sorted(budgets.items()):
+        bcol = F.when(
+            F.col(domain_col) == dom, F.lit(int(b))
+        ).otherwise(bcol)
+    width = (0xFFFFFFFF // n_buckets) + 1
+    base = (
+        df.withColumn("__nt", F.size(w).cast("long"))
+        .withColumn("__pri", pri)
+        .withColumn(
+            "__bk", F.floor(F.col("__pri") / F.lit(width)).cast("int")
+        )
+        .withColumn("__budget", bcol)
+        .where(F.col("__budget").isNotNull())
+    )
+    per_bucket = base.groupBy(domain_col, "__bk").agg(
+        F.sum("__nt").alias("__bt")
+    )
+    prefix_w = (
+        Window.partitionBy(domain_col)
+        .orderBy("__bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pref = per_bucket.withColumn(
+        "__prefix", F.coalesce(F.sum("__bt").over(prefix_w), F.lit(0))
+    )
+    joined = base.join(F.broadcast(pref), [domain_col, "__bk"])
+    full = joined.where(
+        F.col("__prefix") + F.col("__bt") <= F.col("__budget")
+    )
+    crossing = joined.where(
+        (F.col("__prefix") < F.col("__budget"))
+        & (F.col("__prefix") + F.col("__bt") > F.col("__budget"))
+    )
+    doc_w = (
+        Window.partitionBy(domain_col)
+        .orderBy("__pri", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    part = crossing.withColumn(
+        "__cum",
+        F.col("__prefix")
+        + F.coalesce(F.sum("__nt").over(doc_w), F.lit(0)),
+    ).where(F.col("__cum") < F.col("__budget"))
+    keep = [*df.columns, F.col("__nt").alias("n_tokens")]
+    return full.select(*keep).unionByName(part.select(*keep))

@@ -2842,6 +2842,42 @@ ORACLES: dict[str, str] = {
     "e06_moving_avg": E06_SQL,
 }
 
+def t15_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget domain mixing (round 8,
+    `operators.text.token_budget_sample`): deterministic greedy
+    hash-priority sampling until each language hits its token budget
+    (crossing doc included) — the "N tokens of web, M of code" mix
+    step. The bucketed no-global-sort plan must equal the oracle's
+    single ORDER BY exactly."""
+    from southpaw_spark.operators.text import token_budget_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return token_budget_sample(
+        docs, "text", "doc_id", "lang",
+        budgets={"en": 3000, "de": 1200, "fr": 700},
+    ).select("doc_id", "lang", "n_tokens")
+
+
+T15_SQL = """
+    WITH d AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' '))::BIGINT AS n_tokens,
+             ('0x' || substr(md5('|' || CAST(doc_id AS VARCHAR)), 1, 8)
+             )::BIGINT AS pri,
+             CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 1200
+                       WHEN 'fr' THEN 700 END AS budget
+      FROM documents),
+    c AS (
+      SELECT *,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY pri, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum
+      FROM d WHERE budget IS NOT NULL)
+    SELECT doc_id, lang, n_tokens FROM c WHERE cum < budget
+"""
+
+
 def d15_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level dedup (round 8,
     `operators.dedup.duplicate_spans`): every merged token interval
@@ -3005,6 +3041,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t14_redact_pii": t14_redact_pii,
     "d15_duplicate_spans": d15_duplicate_spans,
     "d16_span_removal": d16_span_removal,
+    "t15_token_budget_sample": t15_token_budget_sample,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -3027,4 +3064,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "t14_redact_pii": T14_SQL,
     "d15_duplicate_spans": D15_SQL,
     "d16_span_removal": D16_SQL,
+    "t15_token_budget_sample": T15_SQL,
 }

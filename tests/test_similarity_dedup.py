@@ -1229,3 +1229,58 @@ def test_duplicate_spans_adjacent_intervals_merge(spark):
     assert rows[3] == [(0, 3)] and rows[4] == [(2, 5)]
     with _pytest.raises(ValueError, match="k must be"):
         duplicate_spans(df, "text", "doc_id", k=0)
+
+
+def test_token_budget_sample_semantics_and_bucket_parity(spark, sf_dir):
+    """t15: per-domain token totals land in [budget, budget + max doc)
+    when the domain has enough tokens; the bucketed no-global-sort plan
+    equals the n_buckets=1 (pure window) answer exactly; re-running is
+    deterministic and salt redraws; unbudgeted domains are dropped."""
+    from southpaw_spark.operators.text import token_budget_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budgets = {"en": 2000, "de": 800}
+    ids = {}
+    for nb in (1, 8, 1024):
+        out = token_budget_sample(
+            docs, "text", "doc_id", "lang", budgets, n_buckets=nb
+        )
+        rows = out.collect()
+        ids[nb] = sorted(r["doc_id"] for r in rows)
+        per_dom = {}
+        for r in rows:
+            assert r["lang"] in budgets  # unbudgeted langs dropped
+            per_dom.setdefault(r["lang"], []).append(r["n_tokens"])
+        for dom, toks in per_dom.items():
+            total = sum(toks)
+            assert total >= budgets[dom]  # crossing doc included
+            assert total - max(toks) < budgets[dom]  # minus it: under
+    assert ids[1] == ids[8] == ids[1024]
+    again = token_budget_sample(
+        docs, "text", "doc_id", "lang", budgets
+    )
+    assert sorted(r["doc_id"] for r in again.collect()) == ids[1024]
+    redrawn = token_budget_sample(
+        docs, "text", "doc_id", "lang", budgets, salt="s2"
+    )
+    assert sorted(r["doc_id"] for r in redrawn.collect()) != ids[1024]
+
+
+def test_token_budget_sample_undersized_domain_keeps_everything(spark):
+    """A domain whose whole corpus is under budget is kept verbatim,
+    and n_buckets<1 raises."""
+    import pytest as _pytest
+
+    from southpaw_spark.operators.text import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "d e", "en"), (3, "x y z w", "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = token_budget_sample(
+        df, "text", "doc_id", "lang", {"en": 1_000_000}
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2]
+    with _pytest.raises(ValueError, match="n_buckets"):
+        token_budget_sample(df, "text", "doc_id", "lang", {"en": 5},
+                            n_buckets=0)
