@@ -484,5 +484,8 @@ def token_budget_sample(
         F.col("__prefix")
         + F.coalesce(F.sum("__nt").over(doc_w), F.lit(0)),
     ).where(F.col("__cum") < F.col("__budget"))
-    keep = [*df.columns, F.col("__nt").alias("n_tokens")]
+    keep = [
+        *[c for c in df.columns if c != "n_tokens"],
+        F.col("__nt").alias("n_tokens"),  # replaces a stale n_tokens
+    ]
     return full.select(*keep).unionByName(part.select(*keep))

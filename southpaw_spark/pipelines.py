@@ -62,9 +62,12 @@ def build_corpus(
     fuzzy_threshold: float | None = None,
     fuzzy_n: int = 3,
     fuzzy_keep: str = "min_id",
+    span_dedup_k: int | None = None,
+    span_min_count: int = 2,
     sample_rates: dict[str, float] | None = None,
     sample_default_rate: float = 0.0,
     sample_salt: str = "",
+    token_budgets: dict[str, int] | None = None,
     pack_token_budget: int | None = None,
     collect_report: bool = True,
 ) -> tuple[DataFrame, dict]:
@@ -91,9 +94,15 @@ def build_corpus(
     keeper chosen by ``fuzzy_keep``: ``"min_id"`` (default,
     deterministic canonical id) or ``"best_quality"`` (each family's
     highest ``quality_score`` member, ties → min id — keep the BEST
-    copy, not the earliest); ``sample_rates`` stratifies on ``lang_guess``;
-    ``pack_token_budget`` appends shard-local pack assignments
-    (sharded by ``lang_guess``).
+    copy, not the earliest); ``span_dedup_k`` rewrites every doc with
+    its duplicated ``k``-gram spans cut out
+    (:func:`remove_duplicate_spans`, Lee et al.-style substring dedup —
+    runs AFTER doc-level dedup so only cross-doc boilerplate is cut,
+    and docs left empty are dropped); ``sample_rates`` stratifies on
+    ``lang_guess``; ``token_budgets`` greedily samples each
+    ``lang_guess`` stratum to a token budget
+    (:func:`token_budget_sample`); ``pack_token_budget`` appends
+    shard-local pack assignments (sharded by ``lang_guess``).
     """
     report: dict[str, int] = {}
     persisted: list[DataFrame] = []
@@ -175,6 +184,21 @@ def build_corpus(
             )
         cur = note("fuzzy_dedup", cur.join(fuzzy_losers, id_col, "left_anti"))
 
+    if span_dedup_k is not None:
+        from southpaw_spark.operators.dedup import remove_duplicate_spans
+
+        cleaned = remove_duplicate_spans(
+            cur, text_col, id_col, k=span_dedup_k,
+            min_count=span_min_count,
+        )
+        cur = note(
+            "span_dedup",
+            cleaned.where(F.col("n_tokens_after") > 0)
+            .withColumn(text_col, F.col(f"{text_col}_clean"))
+            .withColumn("n_tokens", F.col("n_tokens_after"))
+            .drop(f"{text_col}_clean", "n_tokens_before", "n_tokens_after"),
+        )
+
     if sample_rates is not None:
         cur = note(
             "sampled",
@@ -182,6 +206,17 @@ def build_corpus(
                 cur, "lang_guess", id_col, sample_rates,
                 default_rate=sample_default_rate, salt=sample_salt,
             ),
+        )
+
+    if token_budgets is not None:
+        from southpaw_spark.operators.text import token_budget_sample
+
+        keep_ids = token_budget_sample(
+            cur, text_col, id_col, "lang_guess", token_budgets,
+            salt=sample_salt,
+        ).select(id_col)
+        cur = note(
+            "token_budgeted", cur.join(keep_ids, id_col, "left_semi")
         )
 
     if pack_token_budget is not None:

@@ -206,3 +206,59 @@ def test_write_corpus_partitioned_and_shard_bounded(spark, tmp_path):
     assert len(part_dirs) >= 2, part_dirs
     for f in glob.glob(f"{out}/lang_guess=*/*.parquet"):
         assert pq.ParquetFile(f).metadata.num_rows <= 100, f
+
+
+def test_build_corpus_span_dedup_and_token_budget_stages(spark):
+    """The span_dedup stage rewrites text with duplicated spans cut
+    (matching remove_duplicate_spans run standalone at the same point),
+    drops docs left empty, and keeps n_tokens consistent; the
+    token_budgets stage then bounds each lang's token total."""
+    from pyspark.sql import functions as F
+
+    from southpaw_spark.operators.dedup import remove_duplicate_spans
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    rows = []
+    for i in range(30):
+        body = " ".join(f"w{i}_{j}" for j in range(12))
+        rows.append((i, f"{boiler} {body}"))        # shared 8-gram prefix
+    rows.append((100, boiler))                       # becomes empty
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    kept, report = build_corpus(
+        docs, exact_dedup=False, span_dedup_k=8, collect_report=True,
+    )
+    got = {r["doc_id"]: r for r in kept.collect()}
+    kept.unpersist()
+    assert 100 not in got  # all-boilerplate doc dropped
+    # every surviving doc lost exactly the 8-token boilerplate prefix
+    for i in range(30):
+        assert not got[i]["text"].startswith("b0 "), got[i]["text"]
+        assert got[i]["n_tokens"] == 12
+        assert got[i]["n_tokens"] == len(got[i]["text"].split())
+    assert report["span_dedup"] == 30
+    # parity with the standalone operator applied to the same input
+    standalone = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_duplicate_spans(
+            docs, "text", "doc_id", k=8
+        ).collect()
+    }
+    for i in range(30):
+        assert got[i]["text"] == standalone[i]
+
+    # token_budgets stage on top: lang_guess is derived, so budget the
+    # observed stratum and check the greedy bound
+    stratum = kept.groupBy("lang_guess").count().collect()[0]["lang_guess"]
+    kept2, report2 = build_corpus(
+        docs, exact_dedup=False, span_dedup_k=8,
+        token_budgets={stratum: 50}, collect_report=True,
+    )
+    toks = [
+        r["n_tokens"] for r in kept2.where(
+            F.col("lang_guess") == stratum
+        ).collect()
+    ]
+    kept2.unpersist()
+    assert sum(toks) >= 50 and sum(toks) - max(toks) < 50
+    assert report2["token_budgeted"] <= report2["span_dedup"]
