@@ -1094,6 +1094,48 @@ def edit_distance_pairs(
     return out
 
 
+def merged_spans(sorted_starts, k: int):
+    """Column expression: fold a SORTED array of k-token span start
+    positions into the minimal disjoint ``array<struct<start,end>>``
+    cover (end exclusive; overlapping and touching intervals merge).
+    Fixed-length intervals sorted by start have monotone ends, so the
+    last-element merge IS the full gaps-and-islands. Shared by the
+    batch operator (:func:`duplicate_spans`) and the incremental
+    streaming deduper, which re-merges a doc's cumulative start set as
+    new duplicate evidence arrives."""
+    empty_spans = F.expr(
+        "CAST(array() AS array<struct<start:int,`end`:int>>)"
+    )
+    return F.aggregate(
+        sorted_starts,
+        empty_spans,
+        lambda acc, p: F.when(
+            (F.size(acc) > 0)
+            & (p <= F.element_at(acc, -1)["end"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["start"].alias("start"),
+                        F.greatest(
+                            F.element_at(acc, -1)["end"], p + k
+                        ).alias("end"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        p.alias("start"), (p + k).alias("end")
+                    )
+                ),
+            )
+        ),
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     text_col: str,
@@ -1168,37 +1210,7 @@ def duplicate_spans(
         .select("__gram")
     )
     hits = occ.join(dup, "__gram", "left_semi")
-    empty_spans = F.expr(
-        "CAST(array() AS array<struct<start:int,`end`:int>>)"
-    )
-    merged = F.aggregate(
-        F.sort_array(F.collect_list("__g")),
-        empty_spans,
-        lambda acc, p: F.when(
-            (F.size(acc) > 0)
-            & (p <= F.element_at(acc, -1)["end"]),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1),
-                F.array(
-                    F.struct(
-                        F.element_at(acc, -1)["start"].alias("start"),
-                        F.greatest(
-                            F.element_at(acc, -1)["end"], p + k
-                        ).alias("end"),
-                    )
-                ),
-            ),
-        ).otherwise(
-            F.concat(
-                acc,
-                F.array(
-                    F.struct(
-                        p.alias("start"), (p + k).alias("end")
-                    )
-                ),
-            )
-        ),
-    )
+    merged = merged_spans(F.sort_array(F.collect_list("__g")), k)
     return (
         hits.groupBy(F.col(id_col), F.col("__n"))
         .agg(merged.alias("spans"))

@@ -9,6 +9,7 @@ from southpaw_spark.streaming.avro_cdc import (
 )
 from southpaw_spark.streaming.dedup_stream import (
     IncrementalDeduper,
+    IncrementalSpanDeduper,
     IncrementalVectorDeduper,
     attach_dedup_stream,
 )
@@ -25,6 +26,7 @@ from southpaw_spark.streaming.temporal import (
 __all__ = [
     "AvroCdcDecoder",
     "IncrementalDeduper",
+    "IncrementalSpanDeduper",
     "IncrementalVectorDeduper",
     "IncrementalDenormalizer",
     "Metrics",

@@ -923,3 +923,375 @@ class IncrementalVectorDeduper:
     _bump_from = IncrementalDeduper._bump_from
     _release_prev = IncrementalDeduper._release_prev
     close = IncrementalDeduper.close
+
+
+_SPAN_GRAMS = "span_grams"
+_SPAN_HITS = "span_hits"
+
+
+class IncrementalSpanDeduper:
+    """Streaming counterpart of the batch span dedup (d15,
+    :func:`southpaw_spark.operators.dedup.duplicate_spans`): documents
+    arrive in batches, and every k-token gram that reaches
+    ``min_count`` occurrences CORPUS-CUMULATIVELY marks its spans —
+    including, retroactively, the occurrences that arrived in EARLIER
+    batches (a passage is not boilerplate until its second copy shows
+    up; when that copy arrives, the first doc's span must surface too).
+
+    State (same :class:`ParquetStateStore` protocol as the other
+    dedupers — versioned, crash-consistent, bucket-pruned):
+
+    * ``span_grams`` — gram_hash → (count, pending occurrences). The
+      pending list holds an occurrence ONLY while its gram's count is
+      below ``min_count`` (needed for the retroactive flag when the
+      threshold crosses) and is cleared at the crossing — so state per
+      gram is ≤ ``min_count − 1`` stored occurrences FOREVER, however
+      hot the gram gets. A 1M-copy boilerplate gram is one counter row.
+    * ``span_hits`` — doc_id → sorted flagged start positions (the
+      cumulative evidence; re-merged to spans on each update).
+
+    Per batch, work ∝ batch grams + their state collisions: both
+    lookups prune to the hash buckets the batch's keys map to, and
+    merges touch only those buckets. Grams are keyed by ``xxhash64``
+    (the d15 ``hash_grams=True`` scale path — 8-byte keys; a 2⁻⁶⁴
+    collision can only ADD a span, never miss one).
+
+    CONVERGENCE (pinned by the chunking fuzz test): unlike document-
+    level incremental dedup — where chunking changes which family
+    member survives — span evidence is MONOTONE (counts only grow), so
+    the cumulative per-doc spans after any batch partitioning of a
+    corpus equal the batch operator's output on the whole corpus
+    exactly. ``process_batch`` returns the docs whose span set changed
+    (new docs with spans + retroactively dirtied old docs) with their
+    FULL updated spans; :meth:`current_spans` reads the same from
+    state. Document ids must be unique across the stream (a re-sent id
+    double-counts its own grams — same contract as the other
+    dedupers). Reference scope: SURVEY §7.5 streaming dedup surface.
+    """
+
+    _META = "_SPAN_DEDUP_META.json"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        k: int = 8,
+        min_count: int = 2,
+        auto_vacuum: bool = True,
+    ) -> None:
+        if k < 1:
+            raise ValueError(f"k must be >= 1; got {k}")
+        if min_count < 2:
+            raise ValueError(
+                f"min_count must be >= 2; got {min_count}"
+            )
+        self.spark = spark
+        self.store = store
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+        self.min_count = min_count
+        self.auto_vacuum = auto_vacuum
+        self.metrics: dict = {}
+        self._prev_updates: DataFrame | None = None
+        self._check_meta()
+
+    # -- geometry persistence (k defines gram identity; min_count the
+    # -- threshold semantics — both baked into persisted counts) ------
+
+    def _meta_file(self) -> str:
+        import os
+
+        return os.path.join(self.store.root, self._META)
+
+    def _check_meta(self) -> None:
+        import json
+        import os
+
+        if not os.path.exists(self._meta_file()):
+            return
+        with open(self._meta_file()) as f:
+            meta = json.load(f)
+        for key in ("k", "min_count"):
+            if meta[key] != getattr(self, key):
+                raise ValueError(
+                    f"span-dedup state at {self.store.root!r} was built "
+                    f"with {key}={meta[key]}, got {getattr(self, key)} — "
+                    "persisted gram counts would be meaningless under "
+                    "the new geometry; open with the persisted values "
+                    "or use a fresh store"
+                )
+
+    def _ensure_meta(self) -> None:
+        import os
+
+        if os.path.exists(self._meta_file()):
+            return
+        _write_json_atomic(
+            self._meta_file(), {"k": self.k, "min_count": self.min_count}
+        )
+
+    # -- pruned state access (same shape as IncrementalDeduper) -------
+
+    def _bucket_ids(self, keys: DataFrame, key_cols) -> list:
+        return [
+            r["__b"]
+            for r in keys.select(
+                self.store._bucket_col(key_cols).alias("__b")
+            )
+            .distinct()
+            .collect()
+        ]
+
+    def _pruned_read(
+        self, entity: str, schema: str, ids,
+    ) -> DataFrame:
+        if not self.store.exists(entity):
+            return self.spark.createDataFrame([], schema)
+        return (
+            self.store.read(entity)
+            .where(F.col("__bucket").isin(list(ids)))
+            .drop("__bucket")
+        )
+
+    _PENDING_T = "array<struct<doc_id:bigint,pos:int>>"
+    _SPANS_T = "array<struct<start:int,`end`:int>>"
+
+    def _updates_schema(self) -> str:
+        return (
+            f"{self.id_col} long, spans {self._SPANS_T}, "
+            "n_spans long, dup_tokens long"
+        )
+
+    # -- the per-batch pass -------------------------------------------
+
+    def process_batch(self, docs: DataFrame) -> DataFrame:
+        """Ingest one batch; update state; return the span updates:
+        ``(id_col, spans, n_spans, dup_tokens)`` — one row per document
+        whose duplicated-span set changed, carrying the full updated
+        spans (empty result when no gram crossed the threshold)."""
+        from southpaw_spark.operators.dedup import merged_spans
+
+        ic, k, mc = self.id_col, self.k, self.min_count
+        self._release_prev()
+        scoped: list[DataFrame] = []
+        w = F.split(F.col(self.text_col), " ")
+        toks = docs.select(
+            F.col(ic), w.alias("__w"), F.size(w).alias("__n")
+        ).where(F.col("__n") >= k)
+        gram_txt = F.concat_ws(
+            " ", F.slice(F.col("__w"), F.col("__g") + 1, k)
+        )
+        occ = (
+            toks.select(
+                F.col(ic), F.col("__w"),
+                F.explode(
+                    F.sequence(F.lit(0), F.col("__n") - k)
+                ).alias("__g"),
+            )
+            .select(
+                F.xxhash64(gram_txt).alias("gram_hash"),
+                F.col(ic).alias("__doc"),
+                F.col("__g").alias("__pos"),
+            )
+            .persist()
+        )
+        scoped.append(occ)
+        # One job: bucket ids double as the empty-batch gate and the
+        # span_grams merge's touched set.
+        gram_ids = self._bucket_ids(
+            occ.select("gram_hash"), ["gram_hash"]
+        )
+        if not gram_ids:
+            occ.unpersist()
+            return self.spark.createDataFrame(
+                [], self._updates_schema()
+            )
+        self._ensure_meta()
+
+        prior = self._pruned_read(
+            _SPAN_GRAMS,
+            f"gram_hash long, count long, pending {self._PENDING_T}",
+            gram_ids,
+        )
+        empty_pending = F.expr(f"CAST(array() AS {self._PENDING_T})")
+        joined = (
+            occ.groupBy("gram_hash")
+            .agg(F.count("*").alias("__bc"))
+            .join(prior, "gram_hash", "left")
+            .select(
+                "gram_hash",
+                (F.coalesce(F.col("count"), F.lit(0))).alias("__pc"),
+                F.coalesce(F.col("pending"), empty_pending)
+                .alias("__pending"),
+                F.col("__bc"),
+            )
+            .withColumn("__total", F.col("__pc") + F.col("__bc"))
+            .persist()
+        )
+        scoped.append(joined)
+
+        dup_now = joined.where(F.col("__total") >= mc)
+        crossing = dup_now.where(F.col("__pc") < mc)
+        # batch occurrences of every currently-dup gram + the pending
+        # (earlier-batch) occurrences of grams crossing RIGHT NOW
+        batch_hits = occ.join(
+            dup_now.select("gram_hash"), "gram_hash", "left_semi"
+        ).select("__doc", "__pos")
+        retro_hits = crossing.select(
+            F.explode("__pending").alias("__p")
+        ).select(
+            F.col("__p.doc_id").alias("__doc"),
+            F.col("__p.pos").alias("__pos"),
+        )
+        new_starts = (
+            batch_hits.unionByName(retro_hits)
+            .groupBy("__doc")
+            .agg(F.collect_set("__pos").alias("__new"))
+            .persist()
+        )
+        scoped.append(new_starts)
+
+        doc_ids = self._bucket_ids(
+            new_starts.select(F.col("__doc").alias(ic)), [ic]
+        )
+        prior_hits = self._pruned_read(
+            _SPAN_HITS, f"{ic} long, starts array<int>", doc_ids
+        ).select(F.col(ic).alias("__doc"), F.col("starts"))
+        starts_upd = (
+            new_starts.join(prior_hits, "__doc", "left")
+            .select(
+                F.col("__doc").alias(ic),
+                F.array_sort(
+                    F.array_distinct(
+                        F.concat(
+                            F.coalesce(
+                                F.col("starts"),
+                                F.expr("CAST(array() AS array<int>)"),
+                            ),
+                            F.col("__new"),
+                        )
+                    )
+                ).alias("starts"),
+            )
+            .persist()
+        )
+        scoped.append(starts_upd)
+
+        updates = (
+            starts_upd.select(
+                F.col(ic),
+                merged_spans(F.col("starts"), k).alias("spans"),
+            )
+            .select(
+                F.col(ic),
+                "spans",
+                F.size("spans").cast("long").alias("n_spans"),
+                F.aggregate(
+                    "spans",
+                    F.lit(0),
+                    lambda acc, s: acc + s["end"] - s["start"],
+                ).cast("long").alias("dup_tokens"),
+            )
+            .persist()
+        )
+        updates.count()
+        self._prev_updates = updates
+
+        # state upserts: counts always advance; pending holds ONLY
+        # below-threshold occurrences (cleared at the crossing)
+        below = joined.where(F.col("__total") < mc)
+        batch_pending = (
+            occ.join(below.select("gram_hash"), "gram_hash", "left_semi")
+            .groupBy("gram_hash")
+            .agg(
+                F.collect_list(
+                    F.struct(
+                        F.col("__doc").alias("doc_id"),
+                        F.col("__pos").alias("pos"),
+                    )
+                ).alias("__badd")  # < min_count elements by definition
+            )
+        )
+        gram_upserts = (
+            joined.join(batch_pending, "gram_hash", "left")
+            .select(
+                "gram_hash",
+                F.col("__total").alias("count"),
+                F.when(
+                    F.col("__total") >= mc, empty_pending
+                ).otherwise(
+                    F.concat(
+                        F.col("__pending"),
+                        F.coalesce(F.col("__badd"), empty_pending),
+                    )
+                ).alias("pending"),
+            )
+        )
+        from concurrent.futures import ThreadPoolExecutor
+
+        merge_jobs = [
+            (_SPAN_GRAMS, lambda: self.store.merge(
+                _SPAN_GRAMS, gram_upserts, None, ["gram_hash"],
+                commit=False, touched_ids=gram_ids,
+            )),
+            (_SPAN_HITS, lambda: self.store.merge(
+                _SPAN_HITS, starts_upd, None, [ic],
+                commit=False, touched_ids=doc_ids,
+            )),
+        ]
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futures = [(e, pool.submit(fn)) for e, fn in merge_jobs]
+            staged = [(e, f.result()) for e, f in futures]
+        for entity, version in staged:  # stage both, then flip
+            self.store.commit(entity, version)
+        self._vacuum()
+
+        m = self.metrics
+        m["batches"] = m.get("batches", 0) + 1
+        m["docs_updated"] = (
+            m.get("docs_updated", 0) + updates.count()
+        )
+        for frame in scoped:  # updates stays cached until next batch
+            frame.unpersist()
+        return updates
+
+    def current_spans(self) -> DataFrame:
+        """The cumulative per-doc spans from committed state — equals
+        the batch d15 output (spans/n_spans/dup_tokens columns) on the
+        union of everything ingested, whatever the chunking."""
+        from southpaw_spark.operators.dedup import merged_spans
+
+        ic = self.id_col
+        if not self.store.exists(_SPAN_HITS):
+            return self.spark.createDataFrame([], self._updates_schema())
+        return (
+            self.store.read(_SPAN_HITS)
+            .select(
+                F.col(ic),
+                merged_spans(F.col("starts"), self.k).alias("spans"),
+            )
+            .select(
+                F.col(ic),
+                "spans",
+                F.size("spans").cast("long").alias("n_spans"),
+                F.aggregate(
+                    "spans",
+                    F.lit(0),
+                    lambda acc, s: acc + s["end"] - s["start"],
+                ).cast("long").alias("dup_tokens"),
+            )
+        )
+
+    _vacuum = IncrementalDeduper._vacuum
+
+    def _release_prev(self) -> None:
+        if self._prev_updates is not None:
+            self._prev_updates.unpersist()
+            self._prev_updates = None
+
+    def close(self) -> None:
+        """Release the last batch's cached update log."""
+        self._release_prev()

@@ -528,3 +528,146 @@ def test_vector_deduper_best_quality_keeper(spark, sf_dir, tmp_path):
     assert dec[11] == ("kept", 11)       # higher quality wins
     assert dec[10] == ("near_dup", 11)   # min-id would have kept 10
     assert dec[7][0] == "kept"
+
+
+def _spans_of(frame, id_col="doc_id"):
+    return {
+        r[id_col]: [(s["start"], s["end"]) for s in r["spans"]]
+        for r in frame.collect()
+    }
+
+
+def test_span_deduper_chunking_parity_fuzz(spark, tmp_path):
+    """Span evidence is monotone, so ANY batch partitioning of a corpus
+    must converge to the batch d15 answer exactly — including
+    retroactive flags for docs whose passage only became boilerplate
+    after a later batch. Fuzz several chunkings of a corpus with
+    planted copies, boilerplate, and self-repetition."""
+    import random
+
+    from southpaw_spark.operators.dedup import duplicate_spans
+    from southpaw_spark.streaming.dedup_stream import IncrementalSpanDeduper
+
+    rng = random.Random(63)
+    vocab = [f"v{i}" for i in range(150)]
+    boiler = " ".join(f"b{i}" for i in range(9))
+    docs = []
+    for i in range(40):
+        words = [rng.choice(vocab) for _ in range(rng.randrange(4, 25))]
+        if rng.random() < 0.3:
+            words = boiler.split() + words
+        if docs and rng.random() < 0.3:
+            src = docs[rng.randrange(len(docs))][1].split()
+            lo = rng.randrange(max(1, len(src) - 8))
+            words += src[lo: lo + rng.randrange(8, 13)]
+        docs.append((i, " ".join(words)))
+    df_all = spark.createDataFrame(docs, "doc_id long, text string")
+    expected = _spans_of(
+        duplicate_spans(df_all, "text", "doc_id", k=8, hash_grams=True)
+    )
+
+    for trial in range(2):
+        shuffled = docs[:]
+        rng.shuffle(shuffled)
+        chunks, i = [], 0
+        while i < len(shuffled):
+            step = rng.randrange(3, 12)
+            chunks.append(shuffled[i: i + step])
+            i += step
+        store = ParquetStateStore(
+            spark, str(tmp_path / f"span{trial}"), n_buckets=4
+        )
+        d = IncrementalSpanDeduper(spark, store, k=8)
+        last_update = {}
+        for chunk in chunks:
+            u = d.process_batch(
+                spark.createDataFrame(chunk, "doc_id long, text string")
+            )
+            last_update.update(_spans_of(u))
+        got = _spans_of(d.current_spans())
+        d.close()
+        assert got == expected, f"trial {trial}"
+        # the final emission for every doc equals its final spans
+        # (docs whose spans never changed after their last update)
+        assert {
+            i: s for i, s in last_update.items() if s
+        } == expected, f"trial {trial} emissions"
+
+
+def test_span_deduper_retro_flag_and_bounded_pending(spark, tmp_path):
+    """A gram crossing min_count retroactively surfaces the EARLIER
+    doc's span, and pending occurrence state stays < min_count per
+    gram forever — a 10-doc boilerplate gram is a counter row with an
+    empty pending list."""
+    from southpaw_spark.streaming.dedup_stream import (
+        IncrementalSpanDeduper,
+        _SPAN_GRAMS,
+    )
+
+    boiler = " ".join(f"c{i}" for i in range(8))
+    store = ParquetStateStore(spark, str(tmp_path / "st"), n_buckets=4)
+    d = IncrementalSpanDeduper(spark, store, k=8, min_count=3)
+    u1 = d.process_batch(spark.createDataFrame(
+        [(1, boiler + " tail one here")], "doc_id long, text string"
+    ))
+    assert u1.count() == 0  # count 1 < 3: nothing flagged yet
+    u2 = d.process_batch(spark.createDataFrame(
+        [(2, "pre " + boiler)], "doc_id long, text string"
+    ))
+    assert u2.count() == 0  # count 2 < 3: still pending
+    u3 = _spans_of(d.process_batch(spark.createDataFrame(
+        [(3, boiler + " zz yy xx ww")] + [
+            (10 + i, boiler + f" extra{i} word{i} more{i}")
+            for i in range(7)
+        ],
+        "doc_id long, text string",
+    )))
+    # crossing flags the new docs AND retro-flags docs 1 and 2
+    assert u3[1] == [(0, 8)] and u3[2] == [(1, 9)] and u3[3] == [(0, 8)]
+    state = store.read(_SPAN_GRAMS).collect()
+    boiler_rows = [r for r in state if r["count"] >= 3]
+    assert boiler_rows, "hot gram must persist a counter row"
+    for r in state:
+        assert len(r["pending"]) < 3  # bounded forever
+        if r["count"] >= 3:
+            assert r["pending"] == []  # cleared at the crossing
+    d.close()
+
+
+def test_span_deduper_restart_and_geometry_guard(spark, tmp_path):
+    """Reopening on the committed store resumes (cross-restart retro
+    flag works); conflicting k/min_count fail loudly; bad params
+    raise."""
+    from southpaw_spark.streaming.dedup_stream import IncrementalSpanDeduper
+
+    path = str(tmp_path / "st")
+    d1 = IncrementalSpanDeduper(
+        spark, ParquetStateStore(spark, path, n_buckets=4), k=8
+    )
+    d1.process_batch(spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string"
+    ))
+    d1.close()
+    d2 = IncrementalSpanDeduper(spark, ParquetStateStore(spark, path))
+    u = _spans_of(d2.process_batch(spark.createDataFrame(
+        [(2, "x a b c d e f g h y")], "doc_id long, text string"
+    )))
+    d2.close()
+    assert u[1] == [(0, 8)] and u[2] == [(1, 9)]  # retro across restart
+    with pytest.raises(ValueError, match="k=8"):
+        IncrementalSpanDeduper(spark, ParquetStateStore(spark, path), k=5)
+    with pytest.raises(ValueError, match="min_count=2"):
+        IncrementalSpanDeduper(
+            spark, ParquetStateStore(spark, path), k=8, min_count=4
+        )
+    with pytest.raises(ValueError, match="min_count must be"):
+        IncrementalSpanDeduper(
+            spark, ParquetStateStore(spark, str(tmp_path / "x")),
+            min_count=1,
+        )
+    # empty batch (all docs shorter than k) is a clean no-op
+    d3 = IncrementalSpanDeduper(spark, ParquetStateStore(spark, path))
+    assert d3.process_batch(spark.createDataFrame(
+        [(9, "too short")], "doc_id long, text string"
+    )).count() == 0
+    d3.close()
