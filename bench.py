@@ -306,6 +306,9 @@ def main() -> None:
         q13_bucketed(spark, warm_dir)
         q13_store_native(spark, warm_dir)
         dedup_stream_batch(spark, warm_dir)
+        suite.EXTRA_QUERIES["d15_duplicate_spans"](
+            spark, warm_dir
+        ).write.format("noop").mode("overwrite").save()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "900"))
@@ -332,6 +335,15 @@ def main() -> None:
     runners.append(
         ("dedup_stream_batch", lambda: dedup_stream_batch(spark, sf_dir))
     )
+
+    def run_d15() -> float:
+        t0 = time.monotonic()
+        suite.EXTRA_QUERIES["d15_duplicate_spans"](
+            spark, sf_dir
+        ).write.format("noop").mode("overwrite").save()
+        return round(time.monotonic() - t0, 3)
+
+    runners.append(("d15_duplicate_spans", run_d15))
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}

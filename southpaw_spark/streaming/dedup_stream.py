@@ -570,13 +570,19 @@ class IncrementalDeduper:
 
 
 def attach_dedup_stream(
-    deduper: IncrementalDeduper,
+    deduper,
     source: DataFrame,
     checkpoint_dir: str,
     sink=None,
     trigger: dict | None = None,
 ):
-    """Wire a document stream into the deduper via foreachBatch.
+    """Wire a document stream into a deduper via foreachBatch.
+
+    ``deduper`` is any of the incremental dedupers — the protocol is
+    just ``process_batch(batch_df) -> DataFrame``: the doc-level
+    :class:`IncrementalDeduper` (decision log), the span-level
+    :class:`IncrementalSpanDeduper` (span updates), or the vector
+    :class:`IncrementalVectorDeduper`.
 
     ``source`` is any streaming DataFrame carrying the deduper's
     (id_col, text_col) — a Kafka topic of documents, a file stream of

@@ -671,3 +671,57 @@ def test_span_deduper_restart_and_geometry_guard(spark, tmp_path):
         [(9, "too short")], "doc_id long, text string"
     )).count() == 0
     d3.close()
+
+
+def test_attach_span_deduper_file_source(spark, tmp_path):
+    """attach_dedup_stream is protocol-generic: the span deduper rides
+    the same foreachBatch wiring, and a later file micro-batch
+    retro-surfaces the earlier batch's doc through the sink."""
+    import json
+    import time
+
+    from southpaw_spark.streaming.dedup_stream import (
+        IncrementalSpanDeduper,
+        attach_dedup_stream,
+    )
+
+    store = ParquetStateStore(spark, str(tmp_path / "st"), n_buckets=4)
+    d = IncrementalSpanDeduper(spark, store, k=8)
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    results: dict = {}
+
+    def sink(updates, batch_id):
+        for r in updates.collect():
+            results[r["doc_id"]] = [
+                (s["start"], s["end"]) for s in r["spans"]
+            ]
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    query = attach_dedup_stream(
+        d, stream, checkpoint_dir=str(tmp_path / "ckpt"), sink=sink
+    )
+    try:
+        (src / "a.json").write_text(json.dumps(
+            {"doc_id": 1, "text": "a b c d e f g h i j"}
+        ))
+        (src / "b.json").write_text(json.dumps(
+            {"doc_id": 2, "text": "x a b c d e f g h y z"}
+        ))
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            query.processAllAvailable()
+            if 2 in results:
+                break
+            time.sleep(1)
+    finally:
+        query.stop()
+        d.close()
+
+    assert results[1] == [(0, 8)]  # retro-flagged by batch b
+    assert results[2] == [(1, 9)]
