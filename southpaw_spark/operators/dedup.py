@@ -1249,6 +1249,24 @@ def remove_duplicate_spans(
         df, text_col, id_col, k=k, min_count=min_count,
         hash_grams=hash_grams,
     ).select(F.col(id_col), "spans")
+    return cut_spans(df, spans, text_col, id_col)
+
+
+def cut_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Apply ANY spans frame ``(id_col, spans array<struct<start,end>>)``
+    to a corpus: rebuild each document's text with the covered tokens
+    cut out. Returns the input rows plus ``{text_col}_clean`` (empty
+    string if the whole doc was covered), ``n_tokens_before`` and
+    ``n_tokens_after``; docs absent from ``spans`` pass through
+    unchanged. Shared by :func:`remove_duplicate_spans` (corpus
+    self-dedup) and :func:`span_contamination` (benchmark scrub). The
+    coverage test is an ``F.exists`` over the doc's own merged span
+    list — O(n_tokens · n_spans) per doc, one left join."""
     w = F.split(F.col(text_col), " ")
     sp = F.coalesce(
         F.col("spans"),
@@ -1261,11 +1279,96 @@ def remove_duplicate_spans(
         ),
     )
     return (
-        df.join(spans, id_col, "left")
+        df.join(spans.select(F.col(id_col), "spans"), id_col, "left")
         .select(
             *[F.col(c) for c in df.columns],
             F.concat_ws(" ", kept).alias(f"{text_col}_clean"),
             F.size(w).cast("long").alias("n_tokens_before"),
             F.size(kept).cast("long").alias("n_tokens_after"),
+        )
+    )
+
+
+def span_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    bench_text_col: str | None = None,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Span-level benchmark DECONTAMINATION: for every corpus doc, the
+    merged token intervals covered by a k-gram occurring ANYWHERE in
+    the benchmark set — the span analogue of :func:`ngram_contamination`
+    (which only scores; this locates, so :func:`cut_spans` can surgically
+    remove the leaked passage instead of dropping the whole doc — the
+    scrub modern eval-hygiene pipelines apply).
+
+    Returns one row per contaminated doc: ``(id_col, spans, n_spans,
+    contaminated_tokens, n_tokens, contamination_frac)`` (frac rounded
+    to 6 decimals). Same tokenization and interval-merge contract as
+    :func:`duplicate_spans`.
+
+    Scale: benchmark sets are MBs against corpus TBs — the distinct
+    benchmark gram set broadcasts, so the corpus side never shuffles
+    (one scan + map-side semi-join + the per-doc groupBy). Same
+    ``hash_grams`` tradeoff as d15."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    btc = bench_text_col or text_col
+    bw = F.split(F.col(btc), " ")
+    bgram_txt = F.transform(
+        F.sequence(F.lit(1), F.size(bw) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(bw, i, k)),
+    )
+    bgrams = (
+        benchmark.where(F.size(bw) >= k)
+        .select(F.explode(bgram_txt).alias("__gt"))
+        .select(
+            (F.xxhash64("__gt") if hash_grams else F.col("__gt"))
+            .alias("__gram")
+        )
+        .distinct()
+    )
+    w = F.split(F.col(text_col), " ")
+    toks = df.select(
+        F.col(id_col), w.alias("__w"), F.size(w).alias("__n")
+    ).where(F.col("__n") >= k)
+    gram_txt = F.concat_ws(
+        " ", F.slice(F.col("__w"), F.col("__g") + 1, k)
+    )
+    gram = F.xxhash64(gram_txt) if hash_grams else gram_txt
+    occ = toks.select(
+        F.col(id_col),
+        F.col("__w"),
+        F.col("__n"),
+        F.explode(F.sequence(F.lit(0), F.col("__n") - k)).alias("__g"),
+    ).select(
+        F.col(id_col), F.col("__n"), F.col("__g"), gram.alias("__gram")
+    )
+    hits = occ.join(F.broadcast(bgrams), "__gram", "left_semi")
+    merged = merged_spans(F.sort_array(F.collect_list("__g")), k)
+    return (
+        hits.groupBy(F.col(id_col), F.col("__n"))
+        .agg(merged.alias("spans"))
+        .select(
+            F.col(id_col),
+            F.col("spans"),
+            F.size("spans").cast("long").alias("n_spans"),
+            F.aggregate(
+                "spans",
+                F.lit(0),
+                lambda acc, s: acc + s["end"] - s["start"],
+            ).cast("long").alias("contaminated_tokens"),
+            F.col("__n").cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "contamination_frac",
+            F.round(
+                F.col("contaminated_tokens")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ),
         )
     )

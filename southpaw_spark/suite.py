@@ -3014,6 +3014,89 @@ D16_SQL = """
 """
 
 
+def d17_span_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination (round 8,
+    `operators.dedup.span_contamination`): the merged token intervals
+    of each corpus doc covered by an 8-gram occurring anywhere in the
+    benchmark set (docs with doc_id % 50 == 0 play the benchmark; the
+    rest are the corpus) — locating the leak so `cut_spans` can remove
+    the passage instead of dropping the doc. Benchmark gram set
+    broadcasts; the corpus side never shuffles before the per-doc
+    groupBy."""
+    from southpaw_spark.operators.dedup import span_contamination
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    out = span_contamination(corpus, bench, "text", "doc_id", k=8)
+    spans_repr = F.concat_ws(
+        ";",
+        F.transform(
+            "spans",
+            lambda s: F.concat(
+                s["start"].cast("string"),
+                F.lit("-"),
+                s["end"].cast("string"),
+            ),
+        ),
+    )
+    return out.select(
+        "doc_id", "n_spans", "contaminated_tokens", "n_tokens",
+        "contamination_frac", spans_repr.alias("spans_repr"),
+    )
+
+
+D17_SQL = """
+    WITH bench AS (
+      SELECT text FROM documents WHERE doc_id % 5 = 0),
+    bgrams AS (
+      SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS gram
+      FROM (SELECT string_split(text, ' ') AS w FROM bench),
+           unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE doc_id % 5 <> 0),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(w[i:i+7], ' ') AS gram
+      FROM toks,
+           unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)),
+    occ AS (
+      SELECT doc_id, pos FROM grams
+      WHERE gram IN (SELECT gram FROM bgrams)),
+    pts AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos <= COALESCE(
+                    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                    -1000000) + 8
+                  THEN 0 ELSE 1 END AS brk
+      FROM occ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS island
+      FROM pts),
+    spans AS (
+      SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 8 AS e
+      FROM isl GROUP BY doc_id, island)
+    SELECT a.doc_id,
+           a.n_spans::BIGINT AS n_spans,
+           a.contaminated_tokens::BIGINT AS contaminated_tokens,
+           len(t.w)::BIGINT AS n_tokens,
+           round(a.contaminated_tokens / len(t.w), 6)
+             AS contamination_frac,
+           a.spans_repr
+    FROM (
+      SELECT doc_id,
+             COUNT(*) AS n_spans,
+             SUM(e - s) AS contaminated_tokens,
+             string_agg(s || '-' || e, ';' ORDER BY s) AS spans_repr
+      FROM spans GROUP BY doc_id) a
+    JOIN toks t USING (doc_id)
+"""
+
+
 # The driver's correctness gate checks AT MOST 50 rows per round
 # (CORRECTNESS_r02 stopped at 50 of 54), so QUERIES stays pinned at
 # exactly 50: pushing new entries into it would silently uncheck tail
@@ -3042,6 +3125,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d15_duplicate_spans": d15_duplicate_spans,
     "d16_span_removal": d16_span_removal,
     "t15_token_budget_sample": t15_token_budget_sample,
+    "d17_span_contamination": d17_span_contamination,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -3065,4 +3149,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "d15_duplicate_spans": D15_SQL,
     "d16_span_removal": D16_SQL,
     "t15_token_budget_sample": T15_SQL,
+    "d17_span_contamination": D17_SQL,
 }

@@ -1284,3 +1284,95 @@ def test_token_budget_sample_undersized_domain_keeps_everything(spark):
     with _pytest.raises(ValueError, match="n_buckets"):
         token_budget_sample(df, "text", "doc_id", "lang", {"en": 5},
                             n_buckets=0)
+
+
+def test_span_contamination_matches_python_oracle_and_cut(spark):
+    """d17: spans equal a brute-force Python oracle (corpus grams ∩
+    benchmark gram set, merged); cut_spans removes exactly those
+    tokens; clean docs pass through; the benchmark gram side is
+    broadcast (no shuffle on the corpus scan before the per-doc
+    groupBy)."""
+    import random
+
+    from southpaw_spark.operators.dedup import (
+        cut_spans,
+        release,
+        span_contamination,
+    )
+
+    rng = random.Random(64)
+    vocab = [f"v{i}" for i in range(120)]
+    bench_docs = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(8, 20)))
+        for _ in range(6)
+    ]
+    corpus = []
+    for i in range(40):
+        words = [rng.choice(vocab) for _ in range(rng.randrange(4, 20))]
+        if rng.random() < 0.4:  # leak a benchmark passage
+            src = bench_docs[rng.randrange(len(bench_docs))].split()
+            lo = rng.randrange(max(1, len(src) - 8))
+            words[rng.randrange(len(words) + 1):0] = (
+                src[lo: lo + rng.randrange(8, 12)]
+            )
+        corpus.append((i, " ".join(words)))
+
+    k = 8
+    bset = set()
+    for t in bench_docs:
+        w = t.split()
+        for p in range(len(w) - k + 1):
+            bset.add(" ".join(w[p:p + k]))
+    expected = {}
+    for i, t in corpus:
+        w = t.split()
+        starts = [
+            p for p in range(len(w) - k + 1)
+            if " ".join(w[p:p + k]) in bset
+        ]
+        merged = []
+        for p in starts:
+            if merged and p <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], p + k))
+            else:
+                merged.append((p, p + k))
+        if merged:
+            expected[i] = merged
+
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    bdf = spark.createDataFrame(
+        [(j, t) for j, t in enumerate(bench_docs)],
+        "bid long, text string",
+    )
+    out = span_contamination(cdf, bdf, "text", "doc_id", k=k)
+    got = {
+        r["doc_id"]: [(s["start"], s["end"]) for s in r["spans"]]
+        for r in out.collect()
+    }
+    assert got == expected
+    for r in out.collect():
+        toks = sum(e - s for s, e in expected[r["doc_id"]])
+        assert r["contaminated_tokens"] == toks
+        assert r["contamination_frac"] == round(
+            toks / r["n_tokens"], 6
+        )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+    clean = {
+        r["doc_id"]: r
+        for r in cut_spans(
+            cdf, out.select("doc_id", "spans"), "text", "doc_id"
+        ).collect()
+    }
+    release(out)
+    for i, t in corpus:
+        w = t.split()
+        spans = expected.get(i, [])
+        want = " ".join(
+            tok for j, tok in enumerate(w)
+            if not any(s <= j < e for s, e in spans)
+        )
+        assert clean[i]["text_clean"] == want, i
+        assert clean[i]["n_tokens_after"] == len(want.split()) if want else True
