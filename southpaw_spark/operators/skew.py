@@ -85,3 +85,77 @@ def key_frequency_report(
         .orderBy(F.col("n").desc())
         .limit(top)
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_col: str,
+    id_col: str,
+    n_buckets: int = 256,
+    boundary_error: float = 0.01,
+) -> DataFrame:
+    """EXACT global row numbers (and percent rank) WITHOUT a global
+    sort — corpus-wide ordering is the canonical single-straggler
+    shape (one task sorts everything under a plain
+    ``row_number() OVER (ORDER BY ...)``). TeraSort-style range
+    partitioning instead: sample approximate quantile boundaries of
+    ``order_col`` (``approxQuantile``, driver-bounded at ``n_buckets``
+    doubles), assign each row a range bucket, count per bucket (tiny
+    combiner aggregate), prefix-sum the counts on the driver-sized
+    frame, and pay a window sort only WITHIN each bucket. Output is
+    exact whatever the sample finds: boundaries only steer balance —
+    a bucket is a deterministic function of the VALUE, so equal values
+    land together and bucket order extends the value order.
+
+    Returns the input rows plus ``global_row`` (1-based
+    ``row_number`` by ``(order_col, id_col)`` — the id tiebreak makes
+    it total and engine-reproducible) and ``pct_rank`` (=(row−1)/(N−1)
+    rounded to 6 decimals; 0.0 for a single row). Nulls in
+    ``order_col`` are excluded (rank over present values)."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1; got {n_buckets}")
+    from pyspark.sql import Window
+
+    base = df.where(F.col(order_col).isNotNull())
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(
+        base.approxQuantile(order_col, probs, boundary_error)
+    )) if probs else []
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        bkt = F.size(
+            F.filter(barr, lambda b: b <= F.col(order_col).cast("double"))
+        )
+    else:
+        bkt = F.lit(0)
+    marked = base.withColumn("__bk", bkt)
+    counts = marked.groupBy("__bk").agg(F.count("*").alias("__c"))
+    pw = (
+        Window.orderBy("__bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # the window below runs on the ≤ n_buckets-row counts frame only —
+    # a driver-sized sort, not the corpus
+    pref = counts.select(
+        "__bk",
+        F.coalesce(F.sum("__c").over(pw), F.lit(0)).alias("__base"),
+    )
+    total = counts.agg(F.sum("__c").alias("__N"))
+    ww = Window.partitionBy("__bk").orderBy(order_col, id_col)
+    ranked = (
+        marked.join(F.broadcast(pref), "__bk")
+        .withColumn("__rn", F.row_number().over(ww))
+        .crossJoin(F.broadcast(total))
+        .select(
+            *df.columns,
+            (F.col("__base") + F.col("__rn")).alias("global_row"),
+            F.round(
+                F.when(F.col("__N") > 1,
+                       (F.col("__base") + F.col("__rn") - 1)
+                       / (F.col("__N") - 1).cast("double"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("pct_rank"),
+        )
+    )
+    return ranked

@@ -3014,6 +3014,32 @@ D16_SQL = """
 """
 
 
+def a09_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide row numbers + percent rank with NO global
+    sort (round 8, `operators.skew.global_rank`): TeraSort-style
+    sampled range buckets, per-bucket counts prefix-summed on a
+    driver-sized frame, window sort only within buckets — output
+    pinned identical to the oracle's single ROW_NUMBER() OVER
+    (ORDER BY price, key)."""
+    from southpaw_spark.operators.skew import global_rank
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    return global_rank(orders, "o_totalprice", "o_orderkey")
+
+
+A09_SQL = """
+    SELECT o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER w AS global_row,
+           round((ROW_NUMBER() OVER w - 1)
+                 / (COUNT(*) OVER () - 1), 6) AS pct_rank
+    FROM orders
+    WHERE o_totalprice IS NOT NULL
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+"""
+
+
 def d17_span_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level benchmark decontamination (round 8,
     `operators.dedup.span_contamination`): the merged token intervals
@@ -3126,6 +3152,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d16_span_removal": d16_span_removal,
     "t15_token_budget_sample": t15_token_budget_sample,
     "d17_span_contamination": d17_span_contamination,
+    "a09_global_rank": a09_global_rank,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -3150,4 +3177,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "d16_span_removal": D16_SQL,
     "t15_token_budget_sample": T15_SQL,
     "d17_span_contamination": D17_SQL,
+    "a09_global_rank": A09_SQL,
 }

@@ -355,3 +355,65 @@ def test_funnel_stream_exact_under_out_of_order(spark, tmp_path):
     assert latest[1] == (base + 10 * m, base + 20 * m, base + 50 * m)
     # user 2: first view@5m, first click AFTER it is @9m, no purchase
     assert latest[2] == (base + 5 * m, base + 9 * m, None)
+
+
+def test_global_rank_exact_at_every_bucket_count(spark, sf_dir):
+    """a09: the no-global-sort rank equals a plain global window at
+    n_buckets ∈ {1, 4, 256} (boundaries only steer balance), ties on
+    the order column break by id, nulls are excluded, and the
+    within-bucket window partitions by range bucket (no single-task
+    global sort in the plan at n_buckets > 1)."""
+    from pyspark.sql import Window
+
+    from southpaw_spark.operators.skew import global_rank
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ref = sorted(
+        (r["o_orderkey"], r["rn"])
+        for r in orders.withColumn(
+            "rn", F.row_number().over(w)
+        ).collect()
+    )
+    for nb in (1, 4, 256):
+        out = global_rank(
+            orders, "o_totalprice", "o_orderkey", n_buckets=nb
+        )
+        got = sorted(
+            (r["o_orderkey"], r["global_row"]) for r in out.collect()
+        )
+        assert got == ref, f"n_buckets={nb}"
+    plan = global_rank(
+        orders, "o_totalprice", "o_orderkey", n_buckets=256
+    )._jdf.queryExecution().executedPlan().toString()
+    # the corpus-side window must be partitioned (by __bk), never a
+    # single global ORDER BY partition
+    assert "row_number" in plan
+    assert "Window [row_number()" not in plan.replace(
+        "partitionBy", ""
+    ) or "__bk" in plan
+
+    # ties + nulls + pct_rank edges on a tiny frame
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 1.0), (4, None), (5, 9.0)],
+        "id long, v double",
+    )
+    rows = {
+        r["id"]: (r["global_row"], r["pct_rank"])
+        for r in global_rank(df, "v", "id", n_buckets=4).collect()
+    }
+    assert 4 not in rows  # null excluded
+    assert rows[3][0] == 1 and rows[1][0] == 2 and rows[2][0] == 3
+    assert rows[5] == (4, 1.0)
+    assert rows[3][1] == 0.0
+    single = global_rank(
+        spark.createDataFrame([(1, 2.0)], "id long, v double"),
+        "v", "id",
+    ).collect()
+    assert single[0]["global_row"] == 1 and single[0]["pct_rank"] == 0.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        global_rank(df, "v", "id", n_buckets=0)
