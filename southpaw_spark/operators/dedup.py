@@ -1372,3 +1372,124 @@ def span_contamination(
             ),
         )
     )
+
+
+def semantic_duplicates(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    centroids: DataFrame | None = None,
+    use_kmeans: bool = False,
+    train_cap: int = 100_000,
+    seed: int = 42,
+) -> DataFrame:
+    """Semantic (embedding-cluster) dedup — the SemDeDup recipe (Abbas
+    et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication", public paper): cluster the
+    embedding space with a coarse quantizer, then search for
+    near-duplicate pairs ONLY within each cluster — the quadratic pair
+    scan shrinks from N² to Σ cell² ≈ N²/C, the trade that makes
+    embedding dedup feasible at corpus scale. Complements d05
+    (hyperplane LSH): cells adapt to the data's density instead of
+    random cuts.
+
+    Decision rule (exact, engine-reproducible): within a cell, a doc
+    is a ``sem_dup`` iff some SMALLER id in the same cell has cosine ≥
+    ``threshold`` with it; ``dup_of`` is the smallest such id and
+    ``cosine`` the similarity to that doc (rounded 6). Returns only
+    the dropped rows: ``(id_col, cell, dup_of, cosine)`` — everything
+    else is kept.
+
+    Quantizer: ``centroids`` (``(cell int, centroid array<double>)``)
+    if given; else ``use_kmeans=True`` trains MLlib k-means on a
+    bounded sample (the production path — data-adaptive but not
+    oracle-reproducible); else the vectors of the ``n_cells`` smallest
+    ids (deterministic, DuckDB-reproducible — the registry path).
+    Assignment is argmax cosine, ties → smallest cell (rounded to 8
+    before comparing, same tie discipline as the IVF probes).
+
+    Scale: centroids broadcast (C ≈ √N rows); assignment is one
+    map-side pass; the only shuffle is the per-cell self-join, whose
+    worst key is the largest cell (pick ``n_cells`` ≈ √N so cells stay
+    executor-sized; AQE skew-split absorbs residual imbalance)."""
+    from southpaw_spark.operators.similarity import _dot, _norm
+
+    if n_cells < 1:
+        raise ValueError(f"n_cells must be >= 1; got {n_cells}")
+    c = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    if centroids is None:
+        if use_kmeans:
+            from pyspark.ml.clustering import KMeans
+            from pyspark.ml.functions import array_to_vector
+
+            train = c.select(array_to_vector("__v").alias("features"))
+            n = c.count()
+            if n > train_cap:
+                train = train.sample(
+                    fraction=min(1.0, train_cap / n), seed=seed
+                )
+            model = KMeans(
+                k=n_cells, seed=seed, featuresCol="features"
+            ).fit(train)
+            centroids = corpus.sparkSession.createDataFrame(
+                [
+                    (i, [float(x) for x in ctr])
+                    for i, ctr in enumerate(model.clusterCenters())
+                ],
+                "cell int, centroid array<double>",
+            )
+        else:
+            from pyspark.sql import Window
+
+            head = c.orderBy("__id").limit(n_cells)
+            centroids = head.select(
+                (
+                    F.row_number().over(Window.orderBy("__id")) - 1
+                ).alias("cell"),
+                F.col("__v").alias("centroid"),
+            )
+    sim = _dot(F.col("__v"), F.col("centroid")) / (
+        _norm(F.col("__v")) * _norm(F.col("centroid"))
+    )
+    assigned = (
+        c.join(F.broadcast(centroids))
+        .groupBy("__id")
+        .agg(
+            F.max_by(
+                "cell",
+                F.struct(
+                    F.round(sim, 8).alias("s"),
+                    (-F.col("cell")).alias("c"),
+                ),
+            ).alias("cell"),
+            F.first("__v").alias("__v"),
+        )
+    )
+    a = assigned.select(
+        F.col("__id").alias("id_a"), "cell", F.col("__v").alias("__va")
+    )
+    b = assigned.select(
+        F.col("__id").alias("id_b"), "cell", F.col("__v").alias("__vb")
+    )
+    cos = _dot(F.col("__va"), F.col("__vb")) / (
+        _norm(F.col("__va")) * _norm(F.col("__vb"))
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+    )
+    return (
+        pairs.groupBy(F.col("id_b").alias(id_col))
+        .agg(
+            F.first("cell").alias("cell"),
+            F.min("id_a").alias("dup_of"),
+            F.round(F.min_by("cosine", "id_a"), 6).alias("cosine"),
+        )
+    )

@@ -3014,6 +3014,78 @@ D16_SQL = """
 """
 
 
+def d18_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic embedding dedup (round 8,
+    `operators.dedup.semantic_duplicates`, the SemDeDup recipe):
+    deterministic 16-cell coarse quantizer (vectors of the 16 smallest
+    ids), within-cell pairs with cosine ≥ 0.99 → drop the larger id.
+    Input: embeddings + a perturbed copy of every 10th vector
+    (+0.001/coordinate, id + 1,000,000) so true semantic dups exist at
+    every SF; the expected ~2% cluster-boundary miss is part of the
+    semantics and the oracle reproduces it bit-for-bit."""
+    from southpaw_spark.operators.dedup import semantic_duplicates
+
+    emb = _read(spark, sf_dir, "embeddings")
+    copies = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x + F.lit(0.001),
+        ).alias("embedding"),
+        "label",
+    )
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    ).unionByName(copies)
+    return semantic_duplicates(
+        base, "embedding", "vec_id", threshold=0.99, n_cells=16
+    )
+
+
+D18_SQL = """
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(embedding::DOUBLE[], x -> x + 0.001)
+      FROM embeddings WHERE vec_id % 10 = 0),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+      FROM (SELECT * FROM base ORDER BY vec_id LIMIT 16)),
+    asg AS (
+      SELECT b.vec_id, b.v, c.cell,
+             row_number() OVER (
+               PARTITION BY b.vec_id
+               ORDER BY round(
+                 list_sum(list_transform(range(1, 65),
+                   i -> b.v[i] * c.v[i]))
+                 / (sqrt(list_sum(list_transform(range(1, 65),
+                      i -> b.v[i] * b.v[i])))
+                    * sqrt(list_sum(list_transform(range(1, 65),
+                        i -> c.v[i] * c.v[i])))), 8) DESC,
+               c.cell) AS pr
+      FROM base b CROSS JOIN cent c),
+    a1 AS (SELECT vec_id, v, cell FROM asg WHERE pr = 1),
+    pairs AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.cell,
+             list_sum(list_transform(range(1, 65),
+               i -> x.v[i] * y.v[i]))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> x.v[i] * x.v[i])))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                    i -> y.v[i] * y.v[i])))) AS cosine
+      FROM a1 x JOIN a1 y
+        ON x.cell = y.cell AND x.vec_id < y.vec_id)
+    SELECT id_b AS vec_id, any_value(cell) AS cell,
+           MIN(id_a) AS dup_of,
+           round(arg_min(cosine, id_a), 6) AS cosine
+    FROM pairs WHERE cosine >= 0.99
+    GROUP BY id_b
+"""
+
+
 def a09_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus-wide row numbers + percent rank with NO global
     sort (round 8, `operators.skew.global_rank`): TeraSort-style
@@ -3153,6 +3225,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t15_token_budget_sample": t15_token_budget_sample,
     "d17_span_contamination": d17_span_contamination,
     "a09_global_rank": a09_global_rank,
+    "d18_semantic_dedup": d18_semantic_dedup,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -3178,4 +3251,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "t15_token_budget_sample": T15_SQL,
     "d17_span_contamination": D17_SQL,
     "a09_global_rank": A09_SQL,
+    "d18_semantic_dedup": D18_SQL,
 }

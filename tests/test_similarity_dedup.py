@@ -1376,3 +1376,57 @@ def test_span_contamination_matches_python_oracle_and_cut(spark):
         )
         assert clean[i]["text_clean"] == want, i
         assert clean[i]["n_tokens_after"] == len(want.split()) if want else True
+
+
+def test_semantic_duplicates_planted_and_kmeans_path(spark, sf_dir):
+    """d18: planted perturbed copies are caught within their cells
+    (cluster-boundary misses allowed, ≥ 80% recall), the decision rule
+    is drop-the-larger-id with dup_of = smallest similar id, the
+    centroid frame broadcasts, and the MLlib k-means quantizer path
+    (production, non-oracle) reaches at least the deterministic
+    quantizer's recall."""
+    from southpaw_spark.operators.dedup import semantic_duplicates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    copies = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x + F.lit(0.001),
+        ).alias("embedding"),
+        "label",
+    )
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    ).unionByName(copies)
+    n_planted = copies.count()
+
+    out = semantic_duplicates(
+        base, "embedding", "vec_id", threshold=0.99, n_cells=16
+    )
+    rows = out.collect()
+    planted = [r for r in rows if r["vec_id"] >= 1_000_000]
+    recall = len(planted) / n_planted
+    assert recall >= 0.8, f"recall {recall}"
+    for r in planted:
+        assert r["dup_of"] == r["vec_id"] - 1_000_000
+        assert r["cosine"] >= 0.99
+    # every dropped id is strictly larger than its keeper
+    assert all(r["dup_of"] < r["vec_id"] for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # centroids broadcast
+
+    km = semantic_duplicates(
+        base, "embedding", "vec_id", threshold=0.99, n_cells=16,
+        use_kmeans=True,
+    ).collect()
+    km_planted = [r for r in km if r["vec_id"] >= 1_000_000]
+    assert len(km_planted) >= len(planted)  # adaptive cells >= fixed
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_cells"):
+        semantic_duplicates(base, "embedding", "vec_id", n_cells=0)
