@@ -489,3 +489,54 @@ def token_budget_sample(
         F.col("__nt").alias("n_tokens"),  # replaces a stale n_tokens
     ]
     return full.select(*keep).unionByName(part.select(*keep))
+
+
+def shuffled_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic GLOBAL SHUFFLE into training shards: every row
+    gets a ``shard`` (0..n_shards−1) and a ``pos`` (0-based rank
+    within its shard), such that reading shard 0 in pos order, then
+    shard 1, … yields a reproducible pseudo-random permutation of the
+    corpus — the epoch-shuffle layout SGD training exports need.
+    ``rand()`` cannot do this: it changes under retries/re-partitioning
+    and across engines; the md5 hash priority (same construction as
+    :func:`stratified_sample` / :func:`token_budget_sample`) is stable
+    under all three, and ``salt`` selects a fresh permutation per
+    epoch.
+
+    Scale: shard = hash-priority mod n_shards (balanced by hash
+    uniformity), position = a window per shard — n_shards parallel
+    sorts of N/n_shards rows each, never one global sort. Writers that
+    only need file ORDER (not the pos column) should use
+    :func:`southpaw_spark.pipelines.write_shuffled_corpus`, which
+    skips the rank column entirely via sortWithinPartitions."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1; got {n_shards}")
+    from pyspark.sql import Window
+
+    pri = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt + "|"), F.col(id_col).cast("string")
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy("__pri", id_col)
+    return (
+        df.withColumn("__pri", pri)
+        .withColumn(
+            "shard", (F.col("__pri") % n_shards).cast("int")
+        )
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("__pri")
+    )

@@ -252,3 +252,48 @@ def write_corpus(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.save(path)
+
+
+def write_shuffled_corpus(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    salt: str = "",
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Write the corpus as ≤ ``n_shards`` files whose concatenation in
+    part-number order IS the deterministic epoch permutation — the
+    shuffle export a training loader streams
+    (:func:`southpaw_spark.operators.text.shuffled_shards` documents
+    the (shard, pos) contract; this writer materializes that exact
+    global order as contiguous file chunks). The scale shape:
+    ``repartitionByRange`` on (shard, priority) — one shuffle whose
+    range boundaries come from a bounded sample — then
+    ``sortWithinPartitions``: n_shards parallel in-partition sorts,
+    no rank column, no single-task global sort. Re-running with the
+    same ``salt`` reproduces the same row order."""
+    from pyspark.sql import functions as F
+
+    pri = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt + "|"), F.col(id_col).cast("string")
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    out = (
+        df.withColumn("__pri", pri)
+        .withColumn("__shard", (F.col("__pri") % n_shards).cast("int"))
+        .repartitionByRange(n_shards, "__shard", "__pri", id_col)
+        .sortWithinPartitions("__shard", "__pri", id_col)
+        .drop("__pri", "__shard")
+    )
+    out.write.mode(mode).format(fmt).save(path)

@@ -3014,6 +3014,34 @@ D16_SQL = """
 """
 
 
+def t16_shuffled_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-shuffle shard layout (round 8,
+    `operators.text.shuffled_shards`): md5-priority global permutation
+    split into 8 shards with dense within-shard positions — the
+    reproducible pseudo-random export order SGD training reads.
+    n_shards parallel window sorts, never one global ORDER BY."""
+    from southpaw_spark.operators.text import shuffled_shards
+
+    docs = _read(spark, sf_dir, "documents")
+    return shuffled_shards(docs, "doc_id", 8).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+T16_SQL = """
+    WITH pri AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('|' || CAST(doc_id AS VARCHAR)), 1, 8)
+             )::BIGINT AS p
+      FROM documents)
+    SELECT doc_id,
+           (p % 8)::INT AS shard,
+           (ROW_NUMBER() OVER (
+              PARTITION BY p % 8 ORDER BY p, doc_id) - 1)::BIGINT AS pos
+    FROM pri
+"""
+
+
 def d18_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic embedding dedup (round 8,
     `operators.dedup.semantic_duplicates`, the SemDeDup recipe):
@@ -3226,6 +3254,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d17_span_contamination": d17_span_contamination,
     "a09_global_rank": a09_global_rank,
     "d18_semantic_dedup": d18_semantic_dedup,
+    "t16_shuffled_shards": t16_shuffled_shards,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -3252,4 +3281,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "d17_span_contamination": D17_SQL,
     "a09_global_rank": A09_SQL,
     "d18_semantic_dedup": D18_SQL,
+    "t16_shuffled_shards": T16_SQL,
 }

@@ -262,3 +262,58 @@ def test_build_corpus_span_dedup_and_token_budget_stages(spark):
     kept2.unpersist()
     assert sum(toks) >= 50 and sum(toks) - max(toks) < 50
     assert report2["token_budgeted"] <= report2["span_dedup"]
+
+
+def test_shuffled_shards_and_writer_parity(spark, tmp_path):
+    """t16: shard sizes are hash-balanced, positions dense, the
+    permutation is salt-redrawable; write_shuffled_corpus lands
+    n_shards files whose concatenated row order equals the
+    shuffled_shards (shard, pos) order exactly (re-write with the same
+    salt is byte-order-identical)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from southpaw_spark.operators.text import shuffled_shards
+    from southpaw_spark.pipelines import write_shuffled_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ranks = shuffled_shards(docs, "doc_id", 4)
+    rows = ranks.select("doc_id", "shard", "pos").collect()
+    order = {
+        r["doc_id"]: (r["shard"], r["pos"]) for r in rows
+    }
+    assert len(order) == docs.count()
+    per_shard = {}
+    for r in rows:
+        per_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, ps in per_shard.items():
+        assert sorted(ps) == list(range(len(ps)))  # dense
+    sizes = [len(v) for v in per_shard.values()]
+    assert len(sizes) == 4 and max(sizes) - min(sizes) < docs.count()
+    redrawn = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shuffled_shards(docs, "doc_id", 4, salt="e2")
+        .select("doc_id", "shard", "pos").collect()
+    }
+    assert redrawn != order  # new epoch, new permutation
+
+    out = str(tmp_path / "shuf")
+    write_shuffled_corpus(docs, out, "doc_id", n_shards=4)
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert 1 < len(files) <= 4
+    # concatenating files in part order reproduces the exact global
+    # epoch permutation: (shard asc, pos asc)
+    concat = []
+    for f in files:
+        concat += pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+    want = [
+        d for d, _ in sorted(order.items(), key=lambda kv: kv[1])
+    ]
+    assert concat == want
+    # idempotent re-write: identical order
+    write_shuffled_corpus(docs, out, "doc_id", n_shards=4)
+    again = []
+    for f in sorted(glob.glob(f"{out}/part-*.parquet")):
+        again += pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+    assert again == concat
