@@ -237,6 +237,61 @@ def verify(spark, cfg) -> int:
     return 1 if bad else 0
 
 
+#: build_corpus kwargs settable straight from the ``corpus:`` config
+#: block (YAML scalars/maps pass through; ``benchmark`` is handled
+#: separately because it is a dataset path, not a scalar)
+_CORPUS_KEYS = (
+    "min_quality", "min_tokens", "langs",
+    "max_contamination_rate", "contamination_n",
+    "exact_dedup", "fuzzy_threshold", "fuzzy_n", "fuzzy_keep",
+    "span_dedup_k", "span_min_count",
+    "sample_rates", "sample_default_rate", "sample_salt",
+    "token_budgets", "pack_token_budget",
+)
+
+
+def build_corpus_cmd(spark, cfg) -> None:
+    """``--build-corpus``: run the training-corpus pipeline declared in
+    the config's ``corpus:`` block (the §7.5 beyond-reference surface
+    as an operational entry point) and ship the result — either
+    hive-partitioned via ``write_corpus`` or as a deterministic
+    epoch-shuffle via ``write_shuffled_corpus`` when
+    ``shuffle_shards`` is set. Prints the per-stage survivor report."""
+    from southpaw_spark.pipelines import (
+        build_corpus,
+        write_corpus,
+        write_shuffled_corpus,
+    )
+
+    c = cfg["corpus"]
+    docs = spark.read.parquet(c["input"])
+    text_col = c.get("text_col", "text")
+    id_col = c.get("id_col", "doc_id")
+    kwargs = {k: c[k] for k in _CORPUS_KEYS if k in c}
+    if "benchmark" in c:
+        kwargs["benchmark"] = spark.read.parquet(c["benchmark"])
+    kept, report = build_corpus(
+        docs, text_col=text_col, id_col=id_col, **kwargs
+    )
+    for stage, n in report.items():
+        print(f"{stage}: {n}")
+    out = c["output"]
+    if c.get("shuffle_shards"):
+        write_shuffled_corpus(
+            kept, out, id_col,
+            n_shards=int(c["shuffle_shards"]),
+            salt=str(c.get("shuffle_salt", "")),
+        )
+    else:
+        write_corpus(
+            kept, out,
+            partition_by=c.get("partition_by"),
+            max_records_per_file=c.get("max_records_per_file", 100_000),
+        )
+    kept.unpersist()
+    print(f"corpus -> {out}")
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="southpaw_spark")
     p.add_argument("--config", required=True)
@@ -251,6 +306,10 @@ def main(argv=None) -> int:
     g.add_argument("--restore-latest", metavar="BACKUP_DIR")
     g.add_argument("--delete-state", action="store_true")
     g.add_argument("--delete-backups", metavar="BACKUP_DIR")
+    g.add_argument("--build-corpus", action="store_true",
+                   help="run the training-corpus pipeline (config "
+                        "block 'corpus:') and write the shipped "
+                        "dataset")
     g.add_argument("--vacuum", action="store_true",
                    help="drop state versions older than the newest "
                         "--keep-versions committed versions per entity")
@@ -279,6 +338,9 @@ def main(argv=None) -> int:
 
     if args.build:
         build(spark, cfg)
+        return 0
+    if args.build_corpus:
+        build_corpus_cmd(spark, cfg)
         return 0
     if args.stream:
         stream(spark, cfg, run_time_s=args.run_time_s)

@@ -171,3 +171,54 @@ def test_cli_stream_consume_loop(spark, tmp_path):
     assert [u["Record"]["user_name"] for u in doc["Children"]["user"]] == [
         "alice2"
     ]
+
+
+def test_cli_build_corpus(spark, tmp_path, capsys):
+    """--build-corpus runs the pipeline from the corpus: config block
+    (span dedup + token budget + shuffled export) and the shipped
+    shards concatenate to the full deterministic permutation of the
+    survivors."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    cfg = {
+        "corpus": {
+            "input": "/root/testdata/sf0.001/documents.parquet",
+            "text_col": "text",
+            "id_col": "doc_id",
+            "min_tokens": 5,
+            "exact_dedup": True,
+            "span_dedup_k": 8,
+            "output": str(tmp_path / "corpus_out"),
+            "shuffle_shards": 4,
+            "shuffle_salt": "epoch0",
+        }
+    }
+    cfg_path = tmp_path / "corpus.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    rc = cli.main(["--config", str(cfg_path), "--build-corpus"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "input:" in out and "span_dedup:" in out and "corpus ->" in out
+    files = sorted(glob.glob(str(tmp_path / "corpus_out" / "part-*.parquet")))
+    assert files
+    ids = []
+    for f in files:
+        ids += pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+    assert len(ids) == len(set(ids)) > 0
+    # deterministic shuffle: the same permutation as shuffled_shards
+    from southpaw_spark.operators.text import shuffled_shards
+    from southpaw_spark.pipelines import build_corpus
+
+    kept, _ = build_corpus(
+        spark.read.parquet(cfg["corpus"]["input"]),
+        min_tokens=5, exact_dedup=True, span_dedup_k=8,
+        collect_report=False,
+    )
+    want = [
+        r["doc_id"]
+        for r in shuffled_shards(kept, "doc_id", 4, salt="epoch0")
+        .orderBy("shard", "pos").collect()
+    ]
+    assert ids == want
