@@ -443,3 +443,125 @@ def cosine_topk_quantized(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 3,
+    pool: int = 10,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998 —
+    public): diversified top-k. Greedy: pick the candidate maximizing
+    ``λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)`` (first pick: the
+    plain relevance argmax, since the selected set is empty and maxsim
+    is defined 0). Plain top-k returns k near-copies of the best hit;
+    MMR returns k hits that COVER the neighborhood — what RAG context
+    assembly and training-data diversity sampling actually want.
+
+    Plan: exact top-``pool`` per query (:func:`cosine_topk`) bounds the
+    candidate set; candidate↔candidate cosines within each pool are
+    computed JVM-side (same expression discipline as s01, rounded 6);
+    the greedy itself runs per query group in ONE Arrow
+    ``applyInPandas`` pass that only compares those precomputed
+    numbers — no float arithmetic beyond ``λ·rel − (1−λ)·maxsim`` on
+    already-rounded inputs, so a SQL engine reproduces every pick
+    bit-for-bit (ties → smaller id, the s01 discipline). Per-query
+    work is O(pool²·k) on ≤ pool² rows — embarrassingly parallel
+    across queries, no driver loop, no collect."""
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1]; got {lam}")
+    if k > pool:
+        raise ValueError(f"k ({k}) must be <= pool ({pool})")
+    pool_df = cosine_topk(corpus, queries, vec_col, id_col, k=pool)
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
+    )
+    cands = pool_df.join(cv, "neighbor_id")
+    a = cands.select(
+        "query_id",
+        F.col("neighbor_id").alias("__ca"),
+        F.col("__v").alias("__va"),
+    )
+    b = cands.select(
+        "query_id",
+        F.col("neighbor_id").alias("__cb"),
+        F.col("__v").alias("__vb"),
+    )
+    pcos = _dot(F.col("__va"), F.col("__vb")) / (
+        _norm(F.col("__va")) * _norm(F.col("__vb"))
+    )
+    psim = (
+        a.join(b, "query_id")
+        .where(F.col("__ca") != F.col("__cb"))
+        .select(
+            "query_id",
+            F.col("__ca").alias("id_a"),
+            F.col("__cb").alias("id_b"),
+            F.round(pcos, 6).alias("s"),
+        )
+    )
+    rel = cands.select(
+        "query_id",
+        F.col("neighbor_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.col("cosine").alias("s"),
+    )
+    lam_f = float(lam)
+
+    def greedy(pdf):
+        import pandas as pd
+
+        qid = pdf["query_id"].iloc[0]
+        rels = {
+            int(r.id_a): float(r.s)
+            for r in pdf[pdf["id_b"].isna()].itertuples()
+        }
+        sims = {
+            (int(r.id_a), int(r.id_b)): float(r.s)
+            for r in pdf[pdf["id_b"].notna()].itertuples()
+        }
+        selected: list[int] = []
+        remaining = dict(rels)
+        rows = []
+        for step in range(1, k + 1):
+            if not remaining:
+                break
+            best, best_score = None, None
+            for c in sorted(remaining):  # ascending ids: strict > keeps
+                maxsim = max(  # the smaller id on score ties
+                    (sims.get((c, s), 0.0) for s in selected),
+                    default=0.0,
+                )
+                score = lam_f * remaining[c] - (1.0 - lam_f) * maxsim
+                if best is None or score > best_score:
+                    best, best_score = c, score
+            # round to 7, not 6: scores are 0.5·(6-decimal) − 0.5·
+            # (6-decimal) = EXACT 7-decimal values, so rounding to 6
+            # hits decimal halves where Python (half-even) and SQL
+            # engines (half-away) disagree; 7 is the identity on them
+            rows.append(
+                (qid, best, step, rels[best], round(best_score, 7))
+            )
+            selected.append(best)
+            del remaining[best]
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "query_id", "neighbor_id", "mmr_rank", "cosine",
+                "mmr_score",
+            ],
+        )
+
+    return (
+        rel.unionByName(psim)
+        .groupBy("query_id")
+        .applyInPandas(
+            greedy,
+            "query_id long, neighbor_id long, mmr_rank long, "
+            "cosine double, mmr_score double",
+        )
+    )

@@ -3014,6 +3014,100 @@ D16_SQL = """
 """
 
 
+def s07_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-k via Maximal Marginal Relevance (round 8,
+    `operators.similarity.mmr_topk`, Carbonell & Goldstein SIGIR 1998):
+    greedy λ·rel − (1−λ)·maxsim over an exact top-10 candidate pool,
+    k=3, λ=0.5. All similarities are computed JVM-side and rounded
+    before the greedy compares them, so the DuckDB oracle (the greedy
+    unrolled as three argmax layers) reproduces every pick."""
+    from southpaw_spark.operators.similarity import mmr_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return mmr_topk(emb, q, "embedding", "vec_id", k=3, pool=10)
+
+
+S07_SQL = """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    sims AS (
+      SELECT q.query_id, c.vec_id,
+             list_sum(list_transform(range(1, 65),
+               i -> q.qv[i] * c.cv[i]))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> q.qv[i] * q.qv[i])))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                    i -> c.cv[i] * c.cv[i])))) AS cosine
+      FROM q CROSS JOIN c WHERE q.query_id <> c.vec_id),
+    pool AS (
+      SELECT query_id, vec_id AS cid, ROUND(cosine, 6) AS rel
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY ROUND(cosine, 8) DESC, vec_id) AS rk FROM sims)
+      WHERE rk <= 10),
+    pv AS (
+      SELECT p.query_id, p.cid, c.cv
+      FROM pool p JOIN c ON c.vec_id = p.cid),
+    ps AS (
+      SELECT x.query_id, x.cid AS id_a, y.cid AS id_b,
+             ROUND(
+               list_sum(list_transform(range(1, 65),
+                 i -> x.cv[i] * y.cv[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                    i -> x.cv[i] * x.cv[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65),
+                      i -> y.cv[i] * y.cv[i])))), 6) AS s
+      FROM pv x JOIN pv y
+        ON x.query_id = y.query_id AND x.cid <> y.cid),
+    s1 AS (
+      SELECT query_id, cid, rel, 0.5 * rel AS score
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY 0.5 * rel DESC, cid) AS rn FROM pool)
+      WHERE rn = 1),
+    sc2 AS (
+      SELECT p.query_id, p.cid, p.rel,
+             0.5 * p.rel - 0.5 * ps.s AS score
+      FROM pool p
+      JOIN s1 ON s1.query_id = p.query_id AND p.cid <> s1.cid
+      JOIN ps ON ps.query_id = p.query_id
+             AND ps.id_a = p.cid AND ps.id_b = s1.cid),
+    s2 AS (
+      SELECT query_id, cid, rel, score
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, cid) AS rn FROM sc2)
+      WHERE rn = 1),
+    sel12 AS (
+      SELECT query_id, cid FROM s1
+      UNION ALL SELECT query_id, cid FROM s2),
+    sc3 AS (
+      SELECT p.query_id, p.cid, p.rel,
+             0.5 * p.rel - 0.5 * MAX(ps.s) AS score
+      FROM pool p
+      JOIN sel12 sl ON sl.query_id = p.query_id
+      JOIN ps ON ps.query_id = p.query_id
+             AND ps.id_a = p.cid AND ps.id_b = sl.cid
+      LEFT JOIN sel12 x ON x.query_id = p.query_id AND x.cid = p.cid
+      WHERE x.cid IS NULL
+      GROUP BY p.query_id, p.cid, p.rel),
+    s3 AS (
+      SELECT query_id, cid, rel, score
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, cid) AS rn FROM sc3)
+      WHERE rn = 1)
+    SELECT query_id, cid AS neighbor_id, 1::BIGINT AS mmr_rank,
+           rel AS cosine, ROUND(score, 7) AS mmr_score FROM s1
+    UNION ALL
+    SELECT query_id, cid, 2::BIGINT, rel, ROUND(score, 7) FROM s2
+    UNION ALL
+    SELECT query_id, cid, 3::BIGINT, rel, ROUND(score, 7) FROM s3
+"""
+
+
 def t16_shuffled_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch-shuffle shard layout (round 8,
     `operators.text.shuffled_shards`): md5-priority global permutation
@@ -3255,6 +3349,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a09_global_rank": a09_global_rank,
     "d18_semantic_dedup": d18_semantic_dedup,
     "t16_shuffled_shards": t16_shuffled_shards,
+    "s07_mmr_topk": s07_mmr_topk,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -3282,4 +3377,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "a09_global_rank": A09_SQL,
     "d18_semantic_dedup": D18_SQL,
     "t16_shuffled_shards": T16_SQL,
+    "s07_mmr_topk": S07_SQL,
 }

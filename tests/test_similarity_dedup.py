@@ -1430,3 +1430,110 @@ def test_semantic_duplicates_planted_and_kmeans_path(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="n_cells"):
         semantic_duplicates(base, "embedding", "vec_id", n_cells=0)
+
+
+def test_mmr_topk_matches_python_greedy_and_diversifies(spark, sf_dir):
+    """s07: the distributed MMR equals a pure-Python greedy over the
+    same rounded similarity inputs; λ=1 degenerates to plain top-k
+    order; the picked set is more diverse than plain top-k (lower mean
+    pairwise cosine) on a corpus with a planted near-dup cluster."""
+    import math
+
+    from southpaw_spark.operators.similarity import cosine_topk, mmr_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # plant a tight near-dup cluster around vector 0 so plain top-k
+    # fills with copies and MMR must skip them
+    clones = emb.where(F.col("vec_id") == 0).select(
+        F.explode(F.array(*[F.lit(i) for i in (9001, 9002, 9003)]))
+        .alias("vec_id"),
+        F.col("embedding"),
+        F.col("label"),
+    ).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x + F.lit(0.0001),
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    ).unionByName(clones)
+    q = corpus.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = mmr_topk(corpus, q, "embedding", "vec_id", k=4, pool=12)
+    rows = sorted(
+        (r["query_id"], r["mmr_rank"], r["neighbor_id"], r["mmr_score"])
+        for r in got.collect()
+    )
+
+    # python reference over the same rounded inputs
+    pool_rows = cosine_topk(
+        corpus, q, "embedding", "vec_id", k=12
+    ).collect()
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in corpus.select("vec_id", "embedding").collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(
+            d / (math.sqrt(sum(x * x for x in a))
+                 * math.sqrt(sum(y * y for y in b))), 6,
+        )
+
+    want = []
+    for qid in (0, 1, 2):
+        rels = {
+            r["neighbor_id"]: r["cosine"]
+            for r in pool_rows if r["query_id"] == qid
+        }
+        selected, remaining = [], dict(rels)
+        for step in range(1, 5):
+            best, best_score = None, None
+            for c in sorted(remaining):
+                ms = max(
+                    (cos(vecs[c], vecs[s]) for s in selected), default=0.0
+                )
+                score = 0.5 * remaining[c] - 0.5 * ms
+                if best is None or score > best_score:
+                    best, best_score = c, score
+            want.append((qid, step, best, round(best_score, 7)))
+            selected.append(best)
+            del remaining[best]
+    assert rows == sorted(want)
+
+    # diversity property: for query 0 the clones (cosine ~1 with each
+    # other) must not all appear, while plain top-k picks all of them
+    plain0 = {
+        r["neighbor_id"]
+        for r in pool_rows
+        if r["query_id"] == 0 and r["rank"] <= 4
+    }
+    mmr0 = {n for qid, _, n, _ in want if qid == 0}
+    clones_set = {9001, 9002, 9003}
+    assert len(plain0 & clones_set) == 3  # top-k drowns in copies
+    assert len(mmr0 & clones_set) < 3  # MMR skips near-copies
+
+    # λ=1 degenerates to relevance order
+    lam1 = mmr_topk(corpus, q, "embedding", "vec_id", k=4, pool=12,
+                    lam=1.0)
+    for r in lam1.collect():
+        pool_rank = [
+            p["neighbor_id"] for p in pool_rows
+            if p["query_id"] == r["query_id"]
+        ]
+        assert pool_rank[r["mmr_rank"] - 1] == r["neighbor_id"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lam"):
+        mmr_topk(corpus, q, "embedding", "vec_id", lam=1.5)
+    with _pytest.raises(ValueError, match="pool"):
+        mmr_topk(corpus, q, "embedding", "vec_id", k=20, pool=10)
