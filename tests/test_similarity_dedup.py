@@ -1537,3 +1537,50 @@ def test_mmr_topk_matches_python_greedy_and_diversifies(spark, sf_dir):
         mmr_topk(corpus, q, "embedding", "vec_id", lam=1.5)
     with _pytest.raises(ValueError, match="pool"):
         mmr_topk(corpus, q, "embedding", "vec_id", k=20, pool=10)
+
+
+def test_merged_spans_property_random(spark):
+    """merged_spans invariants over 300 random start sets in ONE job:
+    equals a Python reference merge, spans are disjoint, ordered,
+    non-touching, cover exactly the flagged positions, and every span
+    has length >= k."""
+    import random
+
+    from southpaw_spark.operators.dedup import merged_spans
+
+    rng = random.Random(65)
+    k = 5
+    cases = []
+    for i in range(300):
+        n = rng.randrange(0, 30)
+        starts = sorted(rng.sample(range(0, 60), n)) if n else []
+        cases.append((i, starts))
+
+    def ref(starts):
+        out = []
+        for p in starts:
+            if out and p <= out[-1][1]:
+                out[-1] = (out[-1][0], max(out[-1][1], p + k))
+            else:
+                out.append((p, p + k))
+        return out
+
+    df = spark.createDataFrame(cases, "case long, starts array<int>")
+    got = {
+        r["case"]: [(s["start"], s["end"]) for s in r["m"]]
+        for r in df.select(
+            "case", merged_spans(F.col("starts"), k).alias("m")
+        ).collect()
+    }
+    for i, starts in cases:
+        want = ref(starts)
+        assert got[i] == want, (i, starts)
+        # disjoint, strictly separated, k-minimum, exact coverage
+        for (s1, e1), (s2, e2) in zip(want, want[1:]):
+            assert e1 < s2
+        assert all(e - s >= k for s, e in want)
+        covered = {
+            t for s, e in want for t in range(s, e)
+        }
+        flagged = {t for p in starts for t in range(p, p + k)}
+        assert covered == flagged
