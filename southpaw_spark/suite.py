@@ -3014,6 +3014,43 @@ D16_SQL = """
 """
 
 
+def m04_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup plumbing (round 8,
+    `operators.multimodal.image_near_duplicates`): aHash fingerprints
+    through the Arrow mapInPandas decode seam + the d09 banded-Hamming
+    equi-join. In this PIL-less sandbox the deterministic fake hash
+    runs (first 8 md5 bytes as int64 — avalanche, so the planted
+    byte-identical copies pair at hamming 0 and the oracle brute-forces
+    bit_count(xor) over the same hashes); with PIL installed the real
+    8×8 mean-hash decoder takes the same seam."""
+    from southpaw_spark.operators.multimodal import image_near_duplicates
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
+    copies = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "content"
+    )
+    corpus = docs.unionByName(copies)
+    return image_near_duplicates(corpus, "content", "doc_id", max_hamming=3)
+
+
+M04_SQL = """
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(text), 1, 16))::UBIGINT AS ah
+      FROM base)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.ah, b.ah))::INT AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ah, b.ah)) <= 3
+"""
+
+
 def s07_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversified top-k via Maximal Marginal Relevance (round 8,
     `operators.similarity.mmr_topk`, Carbonell & Goldstein SIGIR 1998):
@@ -3350,6 +3387,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d18_semantic_dedup": d18_semantic_dedup,
     "t16_shuffled_shards": t16_shuffled_shards,
     "s07_mmr_topk": s07_mmr_topk,
+    "m04_image_near_dup": m04_image_near_dup,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -3378,4 +3416,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "d18_semantic_dedup": D18_SQL,
     "t16_shuffled_shards": T16_SQL,
     "s07_mmr_topk": S07_SQL,
+    "m04_image_near_dup": M04_SQL,
 }

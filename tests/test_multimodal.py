@@ -171,3 +171,89 @@ def test_audio_rms_windows_fanout(spark):
     for r in full:
         assert abs(r["rms"] - expected) / expected < 0.02, r
     assert all(r["rms"] < 1.0 for r in by_clip[2])
+
+
+def test_image_ahash_fake_path_and_near_dup(spark):
+    """m04 fake (PIL-less) path: deterministic md5-derived int64,
+    nulls pass through, byte-identical copies pair at hamming 0,
+    carry columns survive, and the plan is mapInPandas + the banded
+    equi-join (no cross product)."""
+    import hashlib
+
+    from southpaw_spark.operators.multimodal import (
+        image_ahash,
+        image_near_duplicates,
+    )
+
+    rows = [
+        (1, b"image-bytes-aaaa", "x"),
+        (2, b"image-bytes-aaaa", "y"),   # byte-identical copy
+        (3, b"other-bytes-bbbb", "z"),
+        (4, None, "w"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, content binary, tag string"
+    )
+    hashed = {
+        r["doc_id"]: r["ahash"]
+        for r in image_ahash(df, "content", "doc_id",
+                             carry_cols=("tag",)).collect()
+    }
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        want = int.from_bytes(
+            hashlib.md5(b"image-bytes-aaaa").digest()[:8],
+            "big", signed=True,
+        )
+        assert hashed[1] == hashed[2] == want
+        assert hashed[3] != want
+    assert hashed[4] is None
+    out = image_near_duplicates(df, "content", "doc_id", max_hamming=3)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert pairs.get((1, 2)) == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "mapInPandas" in plan or "MapInPandas" in plan
+
+
+
+def test_image_ahash_real_path(spark):
+    """Real decoder seam: with PIL installed, near-identical images
+    (same picture, one pixel perturbed) land within a few aHash bits
+    while a different picture lands far away."""
+    PIL = pytest.importorskip("PIL")  # noqa: N806
+    import io
+
+    from PIL import Image
+
+    from southpaw_spark.operators.multimodal import image_ahash
+
+    def png(seed, tweak=0):
+        img = Image.new("L", (32, 32))
+        img.putdata(
+            [(x * 7 + y * 13 + seed * 31 + (tweak if x == y == 0 else 0))
+             % 256 for y in range(32) for x in range(32)]
+        )
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, png(0)), (2, png(0, tweak=3)), (3, png(9))],
+        "doc_id long, content binary",
+    )
+    h = {
+        r["doc_id"]: r["ahash"]
+        for r in image_ahash(df, "content", "doc_id").collect()
+    }
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(h[1], h[2]) <= 4          # near-identical
+    assert ham(h[1], h[3]) > ham(h[1], h[2])
