@@ -1057,16 +1057,19 @@ def edit_distance_pairs(
         + (F.col("__i") - 1) * pb
         + F.greatest(F.lit(0), F.col("__i") - 1 - (k - prem))
     )
+    start_lo = F.greatest(F.lit(1), ppos - d)
+    start_hi = F.least(F.col("__L") - plen_seg + 1, ppos + d)
+    # Spark's sequence(start, stop) steps -1 when start > stop, so an
+    # EMPTY probe window would otherwise emit a descending run of
+    # spurious starts (harmless — the levenshtein verify kills them —
+    # but wasted candidates). NULL array → explode emits nothing.
     starts = F.explode(
-        F.sequence(
-            F.greatest(F.lit(1), ppos - d),
-            F.least(F.col("__L") - plen_seg + 1, ppos + d),
-        )
+        F.when(start_lo <= start_hi, F.sequence(start_lo, start_hi))
     ).alias("__q")
     probe_side = (
         pr.select("__id", "__s", "__L", "__pl", "__i", plen_seg.alias("__sl"),
                   ppos.alias("__pp"), starts)
-        .where(F.col("__q") >= 1)  # empty sequence guard handled by least/greatest
+        .where(F.col("__q") >= 1)
         .select(
             F.col("__id").alias("id_a"),
             F.col("__L").alias("len_a"),

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a, b):
@@ -504,10 +505,11 @@ def mmr_topk(
             F.round(pcos, 6).alias("s"),
         )
     )
+    id_type = corpus.schema[id_col].dataType
     rel = cands.select(
         "query_id",
         F.col("neighbor_id").alias("id_a"),
-        F.lit(None).cast("long").alias("id_b"),
+        F.lit(None).cast(id_type).alias("id_b"),
         F.col("cosine").alias("s"),
     )
     lam_f = float(lam)
@@ -517,11 +519,11 @@ def mmr_topk(
 
         qid = pdf["query_id"].iloc[0]
         rels = {
-            int(r.id_a): float(r.s)
+            r.id_a: float(r.s)
             for r in pdf[pdf["id_b"].isna()].itertuples()
         }
         sims = {
-            (int(r.id_a), int(r.id_b)): float(r.s)
+            (r.id_a, r.id_b): float(r.s)
             for r in pdf[pdf["id_b"].notna()].itertuples()
         }
         selected: list[int] = []
@@ -556,12 +558,19 @@ def mmr_topk(
             ],
         )
 
+    # output schema derives id types from the INPUT frames (not a fixed
+    # long DDL) so string / composite-typed doc ids work end to end
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", pool_df.schema["query_id"].dataType),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("mmr_rank", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+            T.StructField("mmr_score", T.DoubleType()),
+        ]
+    )
     return (
         rel.unionByName(psim)
         .groupBy("query_id")
-        .applyInPandas(
-            greedy,
-            "query_id long, neighbor_id long, mmr_rank long, "
-            "cosine double, mmr_score double",
-        )
+        .applyInPandas(greedy, out_schema)
     )

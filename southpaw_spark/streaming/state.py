@@ -774,6 +774,28 @@ class ParquetStateStore:
             dst = self._entity_dir(entity)
             shutil.rmtree(dst, ignore_errors=True)
             shutil.copytree(src, dst)
+        # rotate the store incarnation: restored entities reuse version
+        # numbers the OLD incarnation may already have registered bucketed
+        # tables for, and those catalog entries' cached file indexes point
+        # at the just-unlinked pre-restore mirror files — a same-session
+        # read_bucketed would resolve tableExists() to a dead table.
+        # Minting a fresh _STORE_ID makes every future read_bucketed use
+        # new names (version dirs are write-once only WITHIN one
+        # incarnation); the dead incarnation's entries are also dropped.
+        sid_path = os.path.join(self.root, "_STORE_ID")
+        old_id = None
+        if os.path.exists(sid_path):
+            with open(sid_path) as f:
+                old_id = f.read().strip()
+            os.remove(sid_path)
+        if old_id:
+            try:
+                prefix = f"southpaw_state_{old_id}_"
+                for t in self.spark.catalog.listTables():
+                    if t.name.startswith(prefix):
+                        self.spark.sql(f"DROP TABLE IF EXISTS `{t.name}`")
+            except Exception:
+                pass
         return True
 
     # -- object-store sync (reference ``util/S3Helper.java``: backups are

@@ -200,6 +200,12 @@ def asof_join_auto(
 
     ``max_broadcast_rows=None`` forces the broadcast path (caller
     asserts it fits)."""
+    if right.isStreaming:
+        raise ValueError(
+            "asof_join_auto requires a STATIC right side (it sizes the "
+            "state with a count() job); for a streaming right side use "
+            "asof_join_stream_stream"
+        )
     if max_broadcast_rows is None or right.count() <= max_broadcast_rows:
         state = asof_state(right, on, right_ts, max_state_rows=None)
         return asof_join_stream(

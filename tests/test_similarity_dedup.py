@@ -1584,3 +1584,32 @@ def test_merged_spans_property_random(spark):
         }
         flagged = {t for p in starts for t in range(p, p + k)}
         assert covered == flagged
+
+
+def test_mmr_topk_string_ids(spark):
+    """s07 with STRING doc/query ids: the applyInPandas output schema
+    derives id types from the inputs (ADVICE r8 — a fixed 'long' DDL
+    broke non-long ids at runtime)."""
+    from southpaw_spark.operators.similarity import mmr_topk
+
+    corpus = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0]),
+            ("b", [0.99, 0.14]),  # near-copy of a
+            ("c", [0.0, 1.0]),
+            ("d", [0.6, 0.8]),
+        ],
+        "doc string, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [("q1", [1.0, 0.0])], "query_id string, query_vec array<double>"
+    )
+    got = mmr_topk(corpus, q, "embedding", "doc", k=3, pool=4, lam=0.3)
+    rows = sorted(
+        (r["query_id"], r["mmr_rank"], r["neighbor_id"]) for r in got.collect()
+    )
+    assert [r[0] for r in rows] == ["q1"] * 3
+    picked = [n for _, _, n in sorted(rows, key=lambda r: r[1])]
+    # hand-computed greedy at λ=0.3: a (rel argmax), then c (orthogonal
+    # beats the near-copy b), then d
+    assert picked == ["a", "c", "d"]

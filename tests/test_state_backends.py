@@ -541,6 +541,45 @@ def test_backup_restore_preserves_bucket_layout(spark, tmp_path):
         store3.restore(snap)
 
 
+def test_restore_rotates_incarnation_for_read_bucketed(spark, tmp_path):
+    """A same-session read_bucketed AFTER restore must see the restored
+    rows. restore() rmtree's entity dirs (unlinking any v*.bucketed
+    mirror files) while the session catalog still holds bucketed-table
+    entries for the same (store_id, entity, version) names with cached
+    file indexes pointing at the dead mirrors — so restore() must rotate
+    the _STORE_ID incarnation and drop the dead entries."""
+    import os
+
+    root = str(tmp_path / "s")
+    store = ParquetStateStore(spark, root, n_buckets=4)
+    store.init("e", _composite_rows(spark), ["a", "b"], bucket_cols=["a"])
+    # register the bucketed table for (incarnation, e, v1) in-session
+    before = {(r["a"], r["b"]): r["val"] for r in store.read_bucketed("e").collect()}
+    old_id = store._store_id()
+    bdir = str(tmp_path / "bk")
+    snap = store.backup(bdir)
+    # diverge: overwrite a row (bumps version), then restore the backup
+    store.merge(
+        "e",
+        spark.createDataFrame([(3, 27, "BAD")], "a long, b long, val string"),
+        None,
+        ["a", "b"],
+    )
+    assert store.restore(snap)
+    assert store._store_id() != old_id  # incarnation rotated
+    # same session, same version number as the pre-restore read: must
+    # resolve to a FRESH mirror + table, not the dead catalog entry
+    after = {(r["a"], r["b"]): r["val"] for r in store.read_bucketed("e").collect()}
+    assert after == before
+    # the dead incarnation's catalog entries are gone
+    dead = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith(f"southpaw_state_{old_id}_")
+    ]
+    assert dead == []
+
+
 def test_suggest_n_buckets_scales_with_state_size():
     from southpaw_spark.streaming.state import suggest_n_buckets
 

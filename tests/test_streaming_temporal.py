@@ -431,3 +431,22 @@ def test_asof_join_auto_streaming_nonbroadcast_parity(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert _rows(spark.read.parquet(sink)) == batch
+
+
+def test_asof_join_auto_rejects_streaming_right(spark):
+    """A streaming RIGHT side must fail with a clear ValueError (not an
+    opaque AnalysisException from the sizing count()) pointing at
+    asof_join_stream_stream (ADVICE r8)."""
+    import pytest as _pytest
+
+    from southpaw_spark.streaming.temporal import asof_join_auto
+
+    left = spark.createDataFrame([(1, 100)], "k long, lts long")
+    right = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .select(F.col("value").alias("k"), F.col("value").alias("rts"))
+    )
+    with _pytest.raises(ValueError, match="stream_stream"):
+        asof_join_auto(left, right, on=["k"], left_ts="lts", right_ts="rts")
