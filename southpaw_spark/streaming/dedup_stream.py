@@ -62,6 +62,12 @@ from southpaw_spark.operators.dedup import (
 _EXACT = "dedup_exact"
 _SIGS = "dedup_sigs"
 _BUCKETS = "dedup_buckets"
+#: best_quality mode only: cluster REPRESENTATIVE (the first-kept member,
+#: whose signatures stay in the index forever) → current quality keeper.
+#: Reps are stable so the pointer/index tables never need rewriting when
+#: a later, better duplicate takes over the keeper role.
+_REPS = "dedup_reps"
+_REPS_SCHEMA = "rep_id long, keeper_id long, keeper_score double"
 
 
 def _write_json_atomic(path: str, payload: dict) -> None:
@@ -136,15 +142,24 @@ class IncrementalDeduper:
         self.num_hashes = num_hashes
         self.bands = bands
         self.sim_threshold = sim_threshold
-        #: within-batch near-dup keeper policy, mirroring
+        #: near-dup keeper policy, mirroring
         #: ``pipelines.build_corpus(fuzzy_keep=...)``: ``best_quality``
-        #: keeps each NEW family's highest-``score_col`` member (ties →
-        #: min id) instead of the min id. Cross-batch semantics stay
-        #: first-seen-wins — a doc already kept (and emitted) in an
-        #: earlier batch cannot be retroactively unkept by a later,
-        #: higher-quality duplicate; that re-choice is only possible in
-        #: the all-at-once batch path. ``sim_threshold``-style tunable:
-        #: not part of the persisted geometry.
+        #: keeps each family's highest-``score_col`` member (ties → min
+        #: id) instead of the min id — CONVERGENTLY across batches. The
+        #: quality argmax is monotone under new evidence, so when a
+        #: later batch brings a higher-quality member into an existing
+        #: cluster the deduper RE-EMITS the swap (the span-deduper
+        #: retroactive trick): the incoming doc gets a ``kept`` row and
+        #: the dethroned keeper gets a fresh ``near_dup`` row pointing
+        #: at it. Consumers therefore apply LATEST-decision-wins per
+        #: doc (a doc is kept iff its latest row has ``keeper_id ==
+        #: doc_id``); the per-cluster keeper then equals the batch
+        #: ``cluster_keepers`` argmax for every chunking (fuzz-pinned),
+        #: clustering itself staying greedy as documented. State adds a
+        #: ``dedup_reps`` table (stable representative → current
+        #: keeper) so pointer/index rows never need rewriting on a
+        #: swap. ``sim_threshold``-style tunable: not part of the
+        #: persisted geometry.
         self.fuzzy_keep = fuzzy_keep
         self.score_col = score_col
         #: vacuum old state versions (keep=2) after each batch's commits
@@ -347,13 +362,141 @@ class IncrementalDeduper:
             .withColumn("__sim", self._agree_frac("__n", "__o"))
             .where(F.col("__sim") >= self.sim_threshold)
         )
-        near_state = (
-            scored_old.groupBy(ic)
-            .agg(F.min("__old_id").alias("keeper_id"))
-            .select(F.col(ic), F.lit("near_dup").alias("status"), "keeper_id")
+        rep_hits = scored_old.groupBy(ic).agg(
+            F.min("__old_id").alias("__rep")
         )
 
-        still_in = survivors.join(near_state.select(ic), ic, "left_anti")
+        if self.fuzzy_keep == "best_quality":
+            if self.score_col not in docs.columns:
+                raise ValueError(
+                    f"fuzzy_keep='best_quality' needs a {self.score_col!r}"
+                    " column on the batch frame (set score_col= to the "
+                    "column that carries document quality)"
+                )
+            scores = docs.select(
+                F.col(ic), F.col(self.score_col).cast("double").alias("__sc")
+            )
+            # one pruned read of the rep→keeper table covering BOTH the
+            # fuzzy joiners' reps and the exact pointers' reps (pointers
+            # store the stable rep in this mode; resolution to the live
+            # keeper happens here, at decision time)
+            rep_targets = (
+                rep_hits.select(F.col("__rep").alias("rep_id"))
+                .unionByName(
+                    exact_state_dups.select(F.col("keeper_id").alias("rep_id"))
+                )
+                .distinct()
+            )
+            reps_read = self._pruned_read(
+                _REPS, _REPS_SCHEMA, rep_targets, ["rep_id"]
+            ).select(
+                "rep_id",
+                F.col("keeper_id").alias("__cur_keeper"),
+                F.col("keeper_score").alias("__cur_score"),
+            )
+            joiners = rep_hits.join(scores, ic).select(
+                F.col("__rep").alias("rep_id"),
+                F.col(ic).alias("__cand"),
+                F.col("__sc"),
+            )
+            # current keeper per touched rep; a rep with no _REPS row
+            # (state built in min_id mode) is its own keeper, score null
+            # (ranked last — same rule as cluster_keepers)
+            cur = (
+                joiners.select("rep_id").distinct()
+                .join(reps_read, "rep_id", "left")
+                .select(
+                    "rep_id",
+                    F.coalesce("__cur_keeper", "rep_id").alias("__cand"),
+                    F.col("__cur_score").alias("__sc"),
+                )
+            )
+            # lexicographic min over (-score nulls-last, id): the SAME
+            # key cluster_keepers uses, so by induction the streaming
+            # keeper equals the batch argmax over all members seen
+            qkey = F.struct(
+                F.when(F.col("__sc").isNotNull(), -F.col("__sc"))
+                .otherwise(F.lit(float("inf"))).alias("k1"),
+                F.col("__cand").alias("k2"),
+                F.col("__sc").alias("k3"),
+            )
+            winners = (
+                joiners.unionByName(cur)
+                .groupBy("rep_id")
+                .agg(F.min(qkey).alias("__w"))
+                .select(
+                    "rep_id",
+                    F.col("__w.k2").alias("__new_keeper"),
+                    F.col("__w.k3").alias("__new_score"),
+                )
+                .join(
+                    cur.select(
+                        "rep_id", F.col("__cand").alias("__old_keeper")
+                    ),
+                    "rep_id",
+                )
+                .persist()
+            )
+            scoped.append(winners)
+            jw = joiners.join(winners, "rep_id")
+            near_state = jw.where(
+                F.col("__cand") != F.col("__new_keeper")
+            ).select(
+                F.col("__cand").alias(ic),
+                F.lit("near_dup").alias("status"),
+                F.col("__new_keeper").alias("keeper_id"),
+            )
+            # the incoming doc that dethrones the stored keeper
+            swaps_in = jw.where(
+                F.col("__cand") == F.col("__new_keeper")
+            ).select(
+                F.col("__cand").alias(ic),
+                F.lit("kept").alias("status"),
+                F.col("__cand").alias("keeper_id"),
+            )
+            # retroactive re-emission for the dethroned keeper: latest
+            # decision wins downstream, so this row UNKEEPS it
+            retro = winners.where(
+                F.col("__old_keeper") != F.col("__new_keeper")
+            ).select(
+                F.col("__old_keeper").alias(ic),
+                F.lit("near_dup").alias("status"),
+                F.col("__new_keeper").alias("keeper_id"),
+            )
+            # exact pointers carry reps in this mode — resolve to the
+            # live keeper (this batch's swap first, then stored, then
+            # the rep itself)
+            exact_state_dups = (
+                exact_state_dups.join(
+                    winners.select(
+                        F.col("rep_id").alias("__r"),
+                        F.col("__new_keeper").alias("__wk"),
+                    ),
+                    exact_state_dups["keeper_id"] == F.col("__r"),
+                    "left",
+                )
+                .drop("__r")
+                .join(
+                    reps_read.select(
+                        F.col("rep_id").alias("__r2"),
+                        F.col("__cur_keeper").alias("__ck"),
+                    ),
+                    F.col("keeper_id") == F.col("__r2"),
+                    "left",
+                )
+                .select(
+                    F.col(ic), F.col("status"),
+                    F.coalesce("__wk", "__ck", "keeper_id").alias("keeper_id"),
+                )
+            )
+        else:
+            near_state = rep_hits.select(
+                F.col(ic), F.lit("near_dup").alias("status"),
+                F.col("__rep").alias("keeper_id"),
+            )
+            swaps_in = retro = winners = None
+
+        still_in = survivors.join(rep_hits.select(ic), ic, "left_anti")
 
         # (b) within-batch: bucket self-join among remaining survivors,
         # agreement-verified edges, connected components, min-id keeps.
@@ -389,12 +532,6 @@ class IncrementalDeduper:
         if self.fuzzy_keep == "best_quality":
             from southpaw_spark.operators.dedup import cluster_keepers
 
-            if self.score_col not in docs.columns:
-                raise ValueError(
-                    f"fuzzy_keep='best_quality' needs a {self.score_col!r}"
-                    " column on the batch frame (set score_col= to the "
-                    "column that carries document quality)"
-                )
             kp = cluster_keepers(
                 comps,
                 docs.select(ic, self.score_col),
@@ -439,15 +576,40 @@ class IncrementalDeduper:
             kept_dec.unionByName(exact_state_dups)
             .unionByName(exact_batch_dups)
             .unionByName(dropped_fuzzy)
-        ).persist()
+        )
+        if swaps_in is not None:
+            decisions = decisions.unionByName(swaps_in).unionByName(retro)
+        decisions = decisions.persist()
         decisions.count()
+        # retro rows reference OLD docs, not batch docs — count them
+        # (cheap: winners is persisted) so the metrics stay per-doc
+        n_retro = retro.count() if retro is not None else 0
         self._prev_decisions = decisions
 
-        # ---- state updates (kept docs only; the pointer table records
-        # the RESOLVED keeper so future exact copies point at a kept doc)
-        final_ptr = survivors.join(
-            decisions.select(ic, F.col("keeper_id").alias("__kid")), ic
-        ).select("content_hash", F.col("__kid").alias("keep_id"))
+        # ---- state updates (reps only; in min_id mode the pointer
+        # table records the RESOLVED keeper so future exact copies
+        # point at a kept doc — in best_quality mode it records the
+        # STABLE rep, resolved to the live keeper at decision time, so
+        # keeper swaps never rewrite pointers)
+        if self.fuzzy_keep == "best_quality":
+            rep_of = (
+                rep_hits.select(F.col(ic), F.col("__rep").alias("__kid"))
+                .unionByName(
+                    near_batch.select(
+                        F.col(ic), F.col("keeper_id").alias("__kid")
+                    )
+                )
+                .unionByName(
+                    kept.select(F.col(ic), F.col(ic).alias("__kid"))
+                )
+            )
+            final_ptr = survivors.join(rep_of, ic).select(
+                "content_hash", F.col("__kid").alias("keep_id")
+            )
+        else:
+            final_ptr = survivors.join(
+                decisions.select(ic, F.col("keeper_id").alias("__kid")), ic
+            ).select("content_hash", F.col("__kid").alias("keep_id"))
         kept_sigs = sigs_new.join(kept.select(ic), ic)
 
         # inverted-index read-modify-write: union new kept ids into the
@@ -495,7 +657,30 @@ class IncrementalDeduper:
                 touched_ids=band_ids,
             )),
         ]
-        with ThreadPoolExecutor(max_workers=3) as pool:
+        if self.fuzzy_keep == "best_quality":
+            # rep→keeper upserts: new reps keep themselves; touched
+            # existing reps take this batch's argmax
+            reps_rows = (
+                kept.join(scores, ic)
+                .select(
+                    F.col(ic).alias("rep_id"),
+                    F.col(ic).alias("keeper_id"),
+                    F.col("__sc").alias("keeper_score"),
+                )
+                .unionByName(
+                    winners.select(
+                        "rep_id",
+                        F.col("__new_keeper").alias("keeper_id"),
+                        F.col("__new_score").alias("keeper_score"),
+                    )
+                )
+            )
+            merge_jobs.append(
+                (_REPS, lambda: self.store.merge(
+                    _REPS, reps_rows, None, ["rep_id"], commit=False,
+                ))
+            )
+        with ThreadPoolExecutor(max_workers=len(merge_jobs)) as pool:
             futures = [(e, pool.submit(fn)) for e, fn in merge_jobs]
             staged = [(e, f.result()) for e, f in futures]
         # All three entities stage first, then the pointers flip
@@ -509,7 +694,7 @@ class IncrementalDeduper:
         for entity, version in staged:
             self.store.commit(entity, version)
         self._vacuum()
-        self._bump_from(decisions)
+        self._bump_from(decisions, n_retro)
         for frame in scoped:  # decisions stays cached until next batch
             frame.unpersist()
         return decisions
@@ -543,7 +728,7 @@ class IncrementalDeduper:
         """Release the last batch's cached decision log."""
         self._release_prev()
 
-    def _bump_from(self, decisions: DataFrame) -> None:
+    def _bump_from(self, decisions: DataFrame, n_retro: int = 0) -> None:
         # decisions is persist()ed and counted — this groupBy is a small
         # job over cached rows, not a recompute of the cascade
         counts = {
@@ -552,21 +737,41 @@ class IncrementalDeduper:
             .agg(F.count("*").alias("n"))
             .collect()
         }
-        total = sum(counts.values())
-        for key, n in [
+        # retroactive swap rows re-decide PRIOR docs: exclude them from
+        # the per-doc counters, surface them as their own counter
+        total = sum(counts.values()) - n_retro
+        rows = [
             ("dedup.docs", total),
             ("dedup.kept", counts.get("kept", 0)),
             ("dedup.exact_dups", counts.get("exact_dup", 0)),
-            ("dedup.near_dups", counts.get("near_dup", 0)),
-        ]:
+            ("dedup.near_dups", counts.get("near_dup", 0) - n_retro),
+        ]
+        if self.fuzzy_keep == "best_quality":
+            rows.append(("dedup.keeper_swaps", n_retro))
+        for key, n in rows:
             self.metrics[key] = self.metrics.get(key, 0) + n
 
     def kept_ids(self) -> DataFrame:
-        """All fuzzy-eligible kept doc ids (signature-table keys).
+        """All fuzzy-eligible kept doc ids. In ``min_id`` mode these are
+        the signature-table keys; in ``best_quality`` mode the signature
+        table holds stable REPRESENTATIVES (possibly dethroned by a
+        swap), so the live keepers come from the rep→keeper table.
         Shingle-less kept docs appear only in the decision logs."""
+        if self.fuzzy_keep == "best_quality" and self.store.exists(_REPS):
+            return self.store.read(_REPS).select(
+                F.col("keeper_id").alias(self.id_col)
+            )
         if not self.store.exists(_SIGS):
             return self.spark.createDataFrame([], f"{self.id_col} long")
         return self.store.read(_SIGS).select(self.id_col)
+
+    def current_keepers(self) -> DataFrame:
+        """best_quality mode: the live (rep_id, keeper_id, keeper_score)
+        mapping — the streaming analogue of the batch
+        ``cluster_keepers`` output, read straight from state."""
+        if not self.store.exists(_REPS):
+            return self.spark.createDataFrame([], _REPS_SCHEMA)
+        return self.store.read(_REPS)
 
 
 def attach_dedup_stream(
@@ -596,9 +801,14 @@ def attach_dedup_stream(
     sink's output replays the batch against already-updated state —
     previously-kept docs are then re-reported as ``exact_dup`` with
     ``keeper_id`` equal to their own id, and ``deduper.metrics`` counts
-    the batch twice. Only the kept-set contract is replay-stable:
-    a doc is kept iff some decision row has ``keeper_id == doc_id``.
-    Downstream consumers must filter on that, not on ``status``.
+    the batch twice. Only the kept-set contract is replay-stable, and
+    it is LATEST-decision-wins: a doc is kept iff its most recent
+    decision row has ``keeper_id == doc_id`` (under
+    ``fuzzy_keep='best_quality'`` a later batch can retroactively
+    re-emit a ``near_dup`` row for an earlier keeper when a
+    higher-quality member takes over its cluster). Downstream
+    consumers must fold by latest row per doc, not filter on
+    ``status`` or on "any row".
     """
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:

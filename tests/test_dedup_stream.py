@@ -444,12 +444,12 @@ def test_replayed_batch_keeps_kept_set_stable(spark, tmp_path):
     assert replay[2][1] == first[2][1] == 1
 
 
-def test_best_quality_keeper_within_batch(spark, tmp_path):
+def test_best_quality_keeper_within_batch_and_retro_swap(spark, tmp_path):
     """fuzzy_keep='best_quality': a within-batch near-dup family keeps
     its highest-quality member (not the min id); dropped members point
-    at it; the kept doc's signature enters state so a LATER batch's
-    duplicate still resolves to the quality keeper (first-seen-wins
-    across batches)."""
+    at it; and a LATER batch's higher-quality duplicate triggers a
+    retroactive keeper SWAP — the new doc is kept and the dethroned
+    keeper gets a re-emitted near_dup row (latest-decision-wins)."""
     store = ParquetStateStore(spark, str(tmp_path / "st"), n_buckets=4)
     d = IncrementalDeduper(
         spark, store, fuzzy_keep="best_quality", score_col="q"
@@ -466,14 +466,32 @@ def test_best_quality_keeper_within_batch(spark, tmp_path):
     assert dec[3] == ("kept", 3)
     assert dec[1] == ("near_dup", 3)
     assert dec[2] == ("near_dup", 3)
-    # later batch: another P-family doc, even higher quality — state
-    # keeper still wins (documented streaming first-seen-wins)
+    # later batch: another P-family doc, even higher quality — SWAP:
+    # the incoming doc is kept, the stored keeper is retroactively
+    # re-emitted as a near_dup pointing at it
     later = spark.createDataFrame(
         [(4, _rep("p0 p1 p2", 13), 0.99)],
         "doc_id long, text string, q double",
     )
     dec2 = _decisions(d.process_batch(later))
-    assert dec2[4] == ("near_dup", 3)
+    assert dec2[4] == ("kept", 4)
+    assert dec2[3] == ("near_dup", 4)  # the retroactive row
+    assert d.metrics["dedup.keeper_swaps"] == 1
+    # live keeper state reflects the swap
+    keepers = {
+        r["rep_id"]: r["keeper_id"] for r in d.current_keepers().collect()
+    }
+    assert keepers[3] == 4
+    assert set(r["doc_id"] for r in d.kept_ids().collect()) == {4}
+    # a THIRD batch's weaker duplicate points at the live keeper, and
+    # an exact copy of the dethroned doc resolves through the rep too
+    b3 = spark.createDataFrame(
+        [(5, _rep("p0 p1 p2", 11), 0.1), (6, DOCS[3], 0.0)],
+        "doc_id long, text string, q double",
+    )
+    dec3 = _decisions(d.process_batch(b3))
+    assert dec3[5] == ("near_dup", 4)
+    assert dec3[6] == ("exact_dup", 4)
     d.close()
 
 
@@ -725,3 +743,82 @@ def test_attach_span_deduper_file_source(spark, tmp_path):
 
     assert results[1] == [(0, 8)]  # retro-flagged by batch b
     assert results[2] == [(1, 9)]
+
+
+def test_best_quality_chunking_parity_fuzz(spark, tmp_path):
+    """Shuffled-chunking fuzz pinning stream ≡ batch keeper SELECTION
+    under fuzzy_keep='best_quality' (the round-9 convergence contract):
+    for ANY batch partitioning of a corpus of mutually-similar families
+    with distinct texts, the latest-decision-wins kept set equals the
+    batch cluster_keepers quality argmax per family — retroactive
+    keeper swaps make the stream converge however the docs arrive.
+    (Exact-copy survival stays first-seen-wins — the documented exact-
+    stage greedy — so the exact group asserts one-survivor only.)"""
+    import random
+
+    rng = random.Random(90914)
+    docs, score, fam_of = {}, {}, {}
+    nid = 1
+    for fam in range(5):
+        words = f"g{fam}a g{fam}b g{fam}c"
+        for m in range(rng.randint(2, 4)):
+            docs[nid] = _rep(words, 8 + m)  # distinct texts, same shingles
+            score[nid] = round(rng.random(), 3)
+            fam_of[nid] = ("fam", fam)
+            nid += 1
+    exact_ids = []
+    for _ in range(3):  # exact copies; later ids carry HIGHER scores
+        docs[nid] = "e0 e1 e2 e3 e4 e5 e6"
+        score[nid] = 0.3 + 0.1 * len(exact_ids)
+        fam_of[nid] = ("exact", 0)
+        exact_ids.append(nid)
+        nid += 1
+    for u in range(3):
+        docs[nid] = f"u{u}0 u{u}1 u{u}2 u{u}3 u{u}4 u{u}5"
+        score[nid] = round(rng.random(), 3)
+        fam_of[nid] = ("uniq", u)
+        nid += 1
+
+    # batch-path expectation for the distinct-text families: keeper =
+    # quality argmax (ties -> min id) over the WHOLE family
+    by_fam: dict = {}
+    for i in sorted(docs):
+        if fam_of[i][0] != "exact":
+            by_fam.setdefault(fam_of[i], []).append(i)
+    expected_fuzzy_kept = {
+        min(members, key=lambda i: (-score[i], i))
+        for members in by_fam.values()
+    }
+
+    for trial in range(3):
+        trng = random.Random(1000 + trial)
+        ids = sorted(docs)
+        trng.shuffle(ids)
+        n_chunks = trng.randint(2, 5)
+        chunks = [c for c in (ids[i::n_chunks] for i in range(n_chunks)) if c]
+        store = ParquetStateStore(
+            spark, str(tmp_path / f"st{trial}"), n_buckets=4
+        )
+        d = IncrementalDeduper(
+            spark, store, fuzzy_keep="best_quality", score_col="q"
+        )
+        latest: dict = {}
+        for chunk in chunks:
+            batch = spark.createDataFrame(
+                [(i, docs[i], score[i]) for i in chunk],
+                "doc_id long, text string, q double",
+            )
+            latest.update(_decisions(d.process_batch(batch)))
+        kept = {i for i, (_, keeper) in latest.items() if keeper == i}
+        kept_exact = kept & set(exact_ids)
+        assert len(kept_exact) == 1, (trial, kept_exact)
+        assert kept - kept_exact == expected_fuzzy_kept, (trial, chunks)
+        # live state agrees with the folded decision log
+        assert set(
+            r["doc_id"] for r in d.kept_ids().collect()
+        ) == kept, trial
+        # every dropped doc's family has its keeper kept
+        for i, (status, keeper) in latest.items():
+            if keeper != i:
+                assert fam_of[keeper] == fam_of[i], (i, keeper)
+        d.close()
