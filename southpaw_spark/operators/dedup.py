@@ -1377,6 +1377,20 @@ def span_contamination(
     )
 
 
+def suggest_n_cells(n_rows: int, target_cell: int = 1024) -> int:
+    """Corpus-scaled SemDeDup cell count (the sizing rule the d18
+    docstring used to leave to the caller — now encoded, like
+    :func:`auto_n_planes` / ``state.suggest_n_buckets``). Two forces:
+    the per-cell pair scan is (N/C)² per cell — C ≈ √N keeps total
+    pair work ≈ N^1.5 — and a cell must FIT an executor's working set,
+    so the expected cell is also capped at ``target_cell`` rows once
+    √N would exceed it. C = max(⌈√N⌉, ⌈N/target_cell⌉)."""
+    import math
+
+    n = max(1, int(n_rows))
+    return max(1, math.ceil(math.sqrt(n)), math.ceil(n / max(1, target_cell)))
+
+
 def semantic_duplicates(
     corpus: DataFrame,
     vec_col: str,
@@ -1387,6 +1401,7 @@ def semantic_duplicates(
     use_kmeans: bool = False,
     train_cap: int = 100_000,
     seed: int = 42,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Semantic (embedding-cluster) dedup — the SemDeDup recipe (Abbas
     et al. 2023, "SemDeDup: Data-efficient learning at web-scale
@@ -1415,12 +1430,23 @@ def semantic_duplicates(
 
     Scale: centroids broadcast (C ≈ √N rows); assignment is one
     map-side pass; the only shuffle is the per-cell self-join, whose
-    worst key is the largest cell (pick ``n_cells`` ≈ √N so cells stay
-    executor-sized; AQE skew-split absorbs residual imbalance)."""
+    worst key is the largest cell (``suggest_n_cells(N)`` encodes the
+    sizing rule; AQE skew-split absorbs residual imbalance).
+
+    ``n_probes > 1`` assigns each vector to its top-``n_probes`` cells
+    (multi-probe): a pair is scanned iff the two share ANY probed cell,
+    recovering near-dups that straddle a cell boundary — the measured
+    recall fix when single-probe falls short (BASELINE §17). Work
+    scales ~``n_probes``²·N²/C; results are a superset of single-probe
+    (monotone in ``n_probes``) and remain engine-reproducible."""
     from southpaw_spark.operators.similarity import _dot, _norm
 
     if n_cells < 1:
         raise ValueError(f"n_cells must be >= 1; got {n_cells}")
+    if not 1 <= n_probes <= n_cells:
+        raise ValueError(
+            f"n_probes must be in [1, n_cells={n_cells}]; got {n_probes}"
+        )
     c = corpus.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
@@ -1459,20 +1485,36 @@ def semantic_duplicates(
     sim = _dot(F.col("__v"), F.col("centroid")) / (
         _norm(F.col("__v")) * _norm(F.col("centroid"))
     )
-    assigned = (
-        c.join(F.broadcast(centroids))
-        .groupBy("__id")
-        .agg(
-            F.max_by(
-                "cell",
-                F.struct(
-                    F.round(sim, 8).alias("s"),
-                    (-F.col("cell")).alias("c"),
-                ),
-            ).alias("cell"),
-            F.first("__v").alias("__v"),
+    if n_probes == 1:
+        # single-probe keeps the shuffle-light max_by plan (and the
+        # registry oracle's exact output) untouched
+        assigned = (
+            c.join(F.broadcast(centroids))
+            .groupBy("__id")
+            .agg(
+                F.max_by(
+                    "cell",
+                    F.struct(
+                        F.round(sim, 8).alias("s"),
+                        (-F.col("cell")).alias("c"),
+                    ),
+                ).alias("cell"),
+                F.first("__v").alias("__v"),
+            )
         )
-    )
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__id").orderBy(
+            F.col("__s").desc(), F.col("cell").asc()
+        )
+        assigned = (
+            c.join(F.broadcast(centroids))
+            .select("__id", "__v", "cell", F.round(sim, 8).alias("__s"))
+            .withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= n_probes)
+            .select("__id", "cell", "__v")
+        )
     a = assigned.select(
         F.col("__id").alias("id_a"), "cell", F.col("__v").alias("__va")
     )
@@ -1488,10 +1530,16 @@ def semantic_duplicates(
         .withColumn("cosine", cos)
         .where(F.col("cosine") >= threshold)
     )
+    # multi-probe can surface the same pair through several shared
+    # cells: report the cell deterministically from the smallest
+    # (dup_of, cell) witness — identical to first() when n_probes=1
+    # (every row of a group then carries id_b's single cell)
     return (
         pairs.groupBy(F.col("id_b").alias(id_col))
         .agg(
-            F.first("cell").alias("cell"),
+            F.min_by(
+                "cell", F.struct(F.col("id_a"), F.col("cell"))
+            ).alias("cell"),
             F.min("id_a").alias("dup_of"),
             F.round(F.min_by("cosine", "id_a"), 6).alias("cosine"),
         )

@@ -1613,3 +1613,85 @@ def test_mmr_topk_string_ids(spark):
     # hand-computed greedy at λ=0.3: a (rel argmax), then c (orthogonal
     # beats the near-copy b), then d
     assert picked == ["a", "c", "d"]
+
+
+def test_suggest_n_cells_sizing_rule():
+    """suggest_n_cells: sqrt(N) while cells stay under target, then the
+    N/target cap takes over; monotone non-decreasing; floor 1."""
+    from southpaw_spark.operators.dedup import suggest_n_cells
+
+    assert suggest_n_cells(0) == 1
+    assert suggest_n_cells(1) == 1
+    assert suggest_n_cells(100) == 10
+    assert suggest_n_cells(10_000) == 100
+    # past target_cell**2 the memory cap dominates: cells <= target rows
+    n = 10_000_000
+    c = suggest_n_cells(n, target_cell=1024)
+    assert c == max(3163, 9766) == 9766
+    assert n / c <= 1024
+    prev = 0
+    for k in (1, 10, 1000, 10**5, 10**7, 10**9):
+        cur = suggest_n_cells(k)
+        assert cur >= prev
+        prev = cur
+
+
+def test_semantic_duplicates_multi_probe_recovers_boundary_pairs(spark):
+    """d18 n_probes: with pinned centroids, a near-dup pair whose two
+    members land in DIFFERENT nearest cells is invisible to
+    single-probe but caught at n_probes=2; multi-probe output is a
+    superset of single-probe; n_probes=1 output is bit-identical to
+    the original plan (same rows)."""
+    import pytest as _pytest
+
+    from southpaw_spark.operators.dedup import semantic_duplicates
+
+    # two centroids along axes 0 and 1; the planted pair sits near the
+    # bisector, one member barely on each side (cosine ~0.9997)
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "cell int, centroid array<double>",
+    )
+    rows = [
+        (1, [1.0, 0.02, 0.0]),     # cell 0
+        (2, [0.02, 1.0, 0.0]),     # cell 1
+        (10, [1.0, 0.98, 0.0]),    # bisector, barely cell 0
+        (11, [0.98, 1.0, 0.0]),    # bisector, barely cell 1 — dup of 10
+        (20, [0.0, 0.0, 1.0]),     # far from both, unique
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    one = semantic_duplicates(
+        corpus, "embedding", "vec_id", threshold=0.99,
+        n_cells=2, centroids=centroids,
+    ).collect()
+    assert [r["vec_id"] for r in one] == []  # straddles the boundary
+    two = semantic_duplicates(
+        corpus, "embedding", "vec_id", threshold=0.99,
+        n_cells=2, centroids=centroids, n_probes=2,
+    ).collect()
+    got = {(r["vec_id"], r["dup_of"]) for r in two}
+    assert got == {(11, 10)}
+    # superset property on the kmeans path too (monotone in n_probes)
+    km1 = {
+        r["vec_id"]
+        for r in semantic_duplicates(
+            corpus, "embedding", "vec_id", threshold=0.99,
+            n_cells=2, use_kmeans=True,
+        ).collect()
+    }
+    km2 = {
+        r["vec_id"]
+        for r in semantic_duplicates(
+            corpus, "embedding", "vec_id", threshold=0.99,
+            n_cells=2, use_kmeans=True, n_probes=2,
+        ).collect()
+    }
+    assert km1 <= km2
+    with _pytest.raises(ValueError, match="n_probes"):
+        semantic_duplicates(
+            corpus, "embedding", "vec_id", n_cells=2, n_probes=3
+        )
+    with _pytest.raises(ValueError, match="n_probes"):
+        semantic_duplicates(
+            corpus, "embedding", "vec_id", n_cells=2, n_probes=0
+        )
