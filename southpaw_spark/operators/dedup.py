@@ -18,12 +18,21 @@ from pyspark.sql import functions as F
 
 def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document → (id, shingle) rows.
-    Documents shorter than n words are dropped (no shingle evidence)."""
+    Documents shorter than n words are dropped (no shingle evidence).
+
+    Construction is ``arrays_zip`` of ``n`` offset slices + one cheap
+    ``concat_ws`` per position — n array slices per DOC, not a
+    slice+array_join allocation per POSITION (higher-order functions
+    run interpreted, so per-element work is the constant that matters:
+    the old per-position form measured 12.7 s vs 3.5 s for this one on
+    the sf1 corpus, identical output — BASELINE §18)."""
     w = F.split(F.col(text_col), " ")
+    width = F.size(w) - (n - 1)
+    offs = [F.slice(w, i + 1, width) for i in range(n)]
     sh = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size(w) - (n - 1)),
-            lambda i: F.array_join(F.slice(w, i, n), " "),
+            F.arrays_zip(*offs),
+            lambda x: F.concat_ws(" ", *[x[str(i)] for i in range(n)]),
         )
     )
     return (
@@ -482,7 +491,16 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures: h_i(doc) = min over shingles of md5(i|shingle).
     Lexicographic min over uniformly-distributed hex digests is a valid
-    min-hash family; md5 keeps it reproducible in any engine."""
+    min-hash family; md5 keeps it reproducible in any engine.
+
+    Plan note (measured, BASELINE §18): explode→groupBy looks like a
+    corpus-sized shuffle but is NOT — the hash aggregate's map-side
+    partial min reduces each mapper's output to one row per doc before
+    the exchange, and the 8 md5s run in whole-stage codegen. An
+    ``array_min``-inside-the-array alternative (zero exchanges)
+    measured 2.4× SLOWER end-to-end because higher-order functions
+    evaluate interpreted. The stage's real cost was shingle
+    CONSTRUCTION — fixed in :func:`shingles`."""
     sh = shingles(df, text_col, id_col, n)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")).cast("binary"))).alias(
