@@ -242,7 +242,7 @@ def verify(spark, cfg) -> int:
 #: separately because it is a dataset path, not a scalar)
 _CORPUS_KEYS = (
     "min_quality", "min_tokens", "langs",
-    "max_contamination_rate", "contamination_n",
+    "max_contamination_rate", "contamination_n", "decontaminate_mode",
     "exact_dedup", "fuzzy_threshold", "fuzzy_n", "fuzzy_keep",
     "span_dedup_k", "span_min_count",
     "sample_rates", "sample_default_rate", "sample_salt",

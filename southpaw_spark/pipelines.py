@@ -58,6 +58,7 @@ def build_corpus(
     benchmark: DataFrame | None = None,
     max_contamination_rate: float = 0.0,
     contamination_n: int = 5,
+    decontaminate_mode: str = "drop",
     exact_dedup: bool = True,
     fuzzy_threshold: float | None = None,
     fuzzy_n: int = 3,
@@ -84,8 +85,14 @@ def build_corpus(
 
     Stages are enabled by their arguments: ``min_quality``/``min_tokens``
     gate on :func:`with_quality_score`; ``langs`` keeps only those
-    :func:`with_lang_guess` labels; ``benchmark`` drops docs whose
-    n-gram ``contamination_rate`` exceeds ``max_contamination_rate``
+    :func:`with_lang_guess` labels; ``benchmark`` decontaminates
+    against an eval set — ``decontaminate_mode="drop"`` (default)
+    drops docs whose n-gram ``contamination_rate`` exceeds
+    ``max_contamination_rate``, while ``"cut"`` surgically removes the
+    leaked k-gram spans (:func:`span_contamination` + ``cut_spans``,
+    ``k=contamination_n``) keeping the rest of the doc, dropping only
+    docs scrubbed to nothing and reporting
+    ``decontaminated_tokens_cut`` / ``decontaminated_docs_emptied``
     (docs too short to carry an n-gram are KEPT — no evidence is not
     contamination); ``exact_dedup`` keeps the min-id copy per content
     hash; ``fuzzy_threshold`` drops all but one member of each near-dup
@@ -138,13 +145,59 @@ def build_corpus(
         cur = note("langs", cur.where(F.col("lang_guess").isin(list(langs))))
 
     if benchmark is not None:
-        contam = ngram_contamination(
-            cur, benchmark, text_col, id_col, n=contamination_n
-        )
-        dirty = contam.where(
-            F.col("contamination_rate") > max_contamination_rate
-        ).select(id_col)
-        cur = note("decontaminated", cur.join(dirty, id_col, "left_anti"))
+        if decontaminate_mode == "drop":
+            contam = ngram_contamination(
+                cur, benchmark, text_col, id_col, n=contamination_n
+            )
+            dirty = contam.where(
+                F.col("contamination_rate") > max_contamination_rate
+            ).select(id_col)
+            cur = note("decontaminated", cur.join(dirty, id_col, "left_anti"))
+        elif decontaminate_mode == "cut":
+            # surgical scrub: locate the leaked passages (d17) and cut
+            # them out, keeping the rest of the doc — docs scrubbed to
+            # nothing are dropped. n_tokens is refreshed so later
+            # token-budget/packing stages see the post-cut lengths.
+            from southpaw_spark.operators.dedup import (
+                cut_spans,
+                span_contamination,
+            )
+
+            spans = span_contamination(
+                cur, benchmark, text_col, id_col, k=contamination_n
+            ).select(F.col(id_col), "spans")
+            cleaned = cut_spans(cur, spans, text_col, id_col)
+            if collect_report:
+                # one small agg over the (persisted-next) lineage: how
+                # many tokens the scrub removed, corpus-wide
+                cut_row = (
+                    cleaned.agg(
+                        F.sum(
+                            F.col("n_tokens_before") - F.col("n_tokens_after")
+                        ).alias("cut"),
+                        F.count_if(F.col("n_tokens_after") == 0).alias(
+                            "emptied"
+                        ),
+                    ).collect()[0]
+                )
+                report["decontaminated_tokens_cut"] = int(cut_row["cut"] or 0)
+                report["decontaminated_docs_emptied"] = int(
+                    cut_row["emptied"] or 0
+                )
+            cur = note(
+                "decontaminated",
+                cleaned.where(F.col("n_tokens_after") > 0)
+                .withColumn(text_col, F.col(f"{text_col}_clean"))
+                .withColumn("n_tokens", F.col("n_tokens_after"))
+                .drop(
+                    f"{text_col}_clean", "n_tokens_before", "n_tokens_after"
+                ),
+            )
+        else:
+            raise ValueError(
+                "decontaminate_mode must be 'drop' or 'cut'; got "
+                f"{decontaminate_mode!r}"
+            )
 
     if exact_dedup:
         losers = exact_duplicates(cur, text_col, id_col).select(

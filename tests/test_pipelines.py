@@ -317,3 +317,73 @@ def test_shuffled_shards_and_writer_parity(spark, tmp_path):
     for f in sorted(glob.glob(f"{out}/part-*.parquet")):
         again += pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
     assert again == concat
+
+
+def test_build_corpus_decontaminate_cut_mode(spark):
+    """decontaminate_mode='cut' (round-9): the leaked passage is
+    surgically removed (d17 span_contamination + cut_spans) instead of
+    dropping the doc; docs scrubbed to nothing are dropped; n_tokens is
+    refreshed so later stages see post-cut lengths; the report carries
+    tokens-cut / docs-emptied counts; and the benchmark gram set stays
+    a broadcast in the plan."""
+    leak = " ".join(f"L{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, "a0 a1 a2 a3 " + leak + " z0 z1 z2 z3"),
+            (2, leak),  # fully leaked -> scrubbed empty -> dropped
+            (3, "c0 c1 c2 c3 c4 c5 c6 c7"),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(100, "pre " + leak + " post")], "doc_id long, text string"
+    )
+
+    kept, report = build_corpus(
+        docs,
+        benchmark=benchmark,
+        contamination_n=8,
+        decontaminate_mode="cut",
+        exact_dedup=True,
+        pack_token_budget=64,
+    )
+    rows = {r["doc_id"]: r for r in kept.collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1]["text"] == "a0 a1 a2 a3 z0 z1 z2 z3"
+    assert rows[1]["n_tokens"] == 8  # refreshed post-cut
+    assert rows[3]["text"] == "c0 c1 c2 c3 c4 c5 c6 c7"
+    assert report["decontaminated"] == 2
+    assert report["decontaminated_tokens_cut"] == 16  # 8 from each of 1,2
+    assert report["decontaminated_docs_emptied"] == 1
+    assert report["packed"] == 2
+    kept.unpersist()
+
+    # same corpus under 'drop': the partially-leaked doc dies whole
+    kept_drop, _ = build_corpus(
+        docs,
+        benchmark=benchmark,
+        contamination_n=8,
+        max_contamination_rate=0.0,
+        decontaminate_mode="drop",
+        exact_dedup=True,
+    )
+    assert {r["doc_id"] for r in kept_drop.collect()} == {3}
+    kept_drop.unpersist()
+
+    # plan shape: the benchmark gram probe is a broadcast, no cartesian
+    cut_only, _ = build_corpus(
+        docs,
+        benchmark=benchmark,
+        contamination_n=8,
+        decontaminate_mode="cut",
+        exact_dedup=False,
+        collect_report=False,
+    )
+    plan = cut_only._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="decontaminate_mode"):
+        build_corpus(docs, benchmark=benchmark, decontaminate_mode="bogus")
