@@ -257,3 +257,125 @@ def test_image_ahash_real_path(spark):
 
     assert ham(h[1], h[2]) <= 4          # near-identical
     assert ham(h[1], h[3]) > ham(h[1], h[2])
+
+
+def _png_chunk(t, d):
+    import binascii
+    import struct
+
+    return (
+        struct.pack(">I", len(d)) + t + d
+        + struct.pack(">I", binascii.crc32(t + d) & 0xFFFFFFFF)
+    )
+
+
+def _png_gray(pixels, filt=0):
+    import struct
+    import zlib
+
+    h, w = len(pixels), len(pixels[0])
+    if filt == 0:
+        raw = b"".join(b"\x00" + bytes(r) for r in pixels)
+    else:  # Up-filter encoding (type 2)
+        raws, prev = [], [0] * w
+        for r in pixels:
+            raws.append(
+                b"\x02" + bytes((r[i] - prev[i]) & 0xFF for i in range(w))
+            )
+            prev = r
+        raw = b"".join(raws)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_rgb(pixels):
+    import struct
+    import zlib
+
+    h, w = len(pixels), len(pixels[0])
+    raw = b"".join(
+        b"\x00" + bytes(v for p in r for v in (p, p, p)) for r in pixels
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+    )
+
+
+_TEST_PX = [
+    [
+        (x * 7 + y * 5) % 256
+        if (x // 8 + y // 8) % 2 == 0
+        else (255 - (x * 3 + y * 11) % 256)
+        for x in range(32)
+    ]
+    for y in range(32)
+]
+
+
+def test_stdlib_png_decode_and_pinned_ahash():
+    """Round-9: the REAL 8×8 mean-hash executes without PIL — the
+    stdlib PNG decoder (zlib inflate + filter reconstruction) feeds
+    _gray_ahash. Pins: exact pixel recovery under filter 0 AND the
+    Up filter; RGB (v,v,v) luma equals grayscale; the generated test
+    image's aHash is the pinned value."""
+    from southpaw_spark.operators.multimodal import (
+        _decode_png_gray,
+        _gray_ahash,
+    )
+
+    g0 = _decode_png_gray(_png_gray(_TEST_PX, 0))
+    assert [list(r) for r in g0] == _TEST_PX
+    assert _decode_png_gray(_png_gray(_TEST_PX, 2)) == g0
+    assert _decode_png_gray(_png_rgb(_TEST_PX)) == g0
+    assert _gray_ahash(g0) == 3980217876467154160  # pinned
+    # out-of-envelope inputs return None, never raise
+    assert _decode_png_gray(b"\x89PNG\r\n\x1a\njunk") is None
+    assert _decode_png_gray(b"not a png") is None
+
+
+def test_image_near_duplicates_perceptual_without_pil(spark):
+    """m04's 'perceptual' claim, executable in THIS sandbox: a noised
+    PNG copy (seeded ±2/pixel — different bytes, different md5) lands
+    at hamming ≤ 3 of the original through the full Spark operator,
+    while a different picture does not pair. Skipped when PIL exists
+    (the PIL rung then takes the seam; its own test covers it)."""
+    import random
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present — stdlib rung not reachable")
+    except ImportError:
+        pass
+
+    from southpaw_spark.operators.multimodal import image_near_duplicates
+
+    rng = random.Random(90915)
+    noised = [
+        [max(0, min(255, v + rng.randint(-2, 2))) for v in row]
+        for row in _TEST_PX
+    ]
+    other = [
+        [(x * 13 + y * 17 + 31) % 256 for x in range(32)] for y in range(32)
+    ]
+    df = spark.createDataFrame(
+        [
+            (1, _png_gray(_TEST_PX)),
+            (2, _png_gray(noised)),
+            (3, _png_gray(other)),
+        ],
+        "doc_id long, content binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_duplicates(
+            df, "content", "doc_id", max_hamming=3
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert not any(3 in p for p in pairs)
