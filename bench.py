@@ -309,6 +309,9 @@ def main() -> None:
         suite.EXTRA_QUERIES["d15_duplicate_spans"](
             spark, warm_dir
         ).write.format("noop").mode("overwrite").save()
+        suite.EXTRA_QUERIES["s08_ivf_quantized_topk"](
+            spark, warm_dir
+        ).write.format("noop").mode("overwrite").save()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "900"))
@@ -336,14 +339,19 @@ def main() -> None:
         ("dedup_stream_batch", lambda: dedup_stream_batch(spark, sf_dir))
     )
 
-    def run_d15() -> float:
+    def run_extra(name: str) -> float:
         t0 = time.monotonic()
-        suite.EXTRA_QUERIES["d15_duplicate_spans"](
+        suite.EXTRA_QUERIES[name](
             spark, sf_dir
         ).write.format("noop").mode("overwrite").save()
         return round(time.monotonic() - t0, 3)
 
-    runners.append(("d15_duplicate_spans", run_d15))
+    runners.append(
+        ("d15_duplicate_spans", lambda: run_extra("d15_duplicate_spans"))
+    )
+    runners.append(
+        ("s08_ivf_quantized", lambda: run_extra("s08_ivf_quantized_topk"))
+    )
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}

@@ -446,6 +446,158 @@ def cosine_topk_quantized(
     )
 
 
+def ivf_quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_cells: int | None = None,
+    n_probe: int = 2,
+    centroids: DataFrame | None = None,
+    bits: int = 8,
+    oversample: int = 4,
+    train_cap: int = 100_000,
+    seed: int = 42,
+) -> DataFrame:
+    """The composed 100 TB retrieval shape — IVF cells over int8 codes
+    with exact rescore — uniting three operators this module already
+    ships separately: a coarse quantizer confines each query to
+    ``n_probe`` inverted lists (s03's trained cells), the candidate
+    scan runs over scale-free int8 codes (s06's ¼-bandwidth scoring),
+    and the final ranking is an exact float rescore of the
+    ``k·oversample`` shortlist (work ∝ queries·k·oversample,
+    independent of corpus size).
+
+    Coarse quantizer: ``centroids`` (``(cell int, centroid
+    array<double>)``) if given — deterministic and oracle-reproducible,
+    the registry path — else MLlib k-means trained on a bounded sample
+    (production). Cell assignment is argmax cosine rounded to 8, ties →
+    smallest cell (the d18/s03 discipline); query probes rank cells the
+    same way.
+
+    Scale: centroids and the (queries × probes × codes) frames
+    broadcast; the corpus-side work is one assignment pass + an
+    equi-join on ``cell`` (never a cross product); per-query candidate
+    work ≈ ``n_probe · N / n_cells``; the only full-precision vectors
+    that move are the shortlist's. Output shape and tie-breaks match
+    :func:`cosine_topk`."""
+    import math
+
+    spark = corpus.sparkSession
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        n = corpus.count()
+        if n_cells is None:
+            n_cells = max(2, min(4096, int(math.sqrt(n))))
+        feats = array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+            "features"
+        )
+        train = corpus.select(feats)
+        if n > train_cap:
+            train = train.sample(fraction=min(1.0, train_cap / n), seed=seed)
+        model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+        centroids = spark.createDataFrame(
+            [
+                (i, [float(x) for x in c])
+                for i, c in enumerate(model.clusterCenters())
+            ],
+            "cell int, centroid array<double>",
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    csim = _dot(F.col("__v"), F.col("centroid")) / (
+        _norm(F.col("__v")) * _norm(F.col("centroid"))
+    )
+    assigned = (
+        c.join(F.broadcast(centroids))
+        .groupBy("neighbor_id")
+        .agg(
+            F.max_by(
+                "cell",
+                F.struct(
+                    F.round(csim, 8).alias("s"), (-F.col("cell")).alias("c")
+                ),
+            ).alias("cell"),
+        )
+    )
+    # inverted lists carry int8 codes (scale-free cosine — both scales
+    # cancel, so the coarse score is exact integer arithmetic)
+    inv = assigned.join(
+        quantize_embeddings(
+            corpus.select(id_col, vec_col), vec_col, id_col, bits
+        ).select(F.col(id_col).alias("neighbor_id"), F.col("code").alias("nc")),
+        "neighbor_id",
+    )
+
+    qsim = _dot(F.col("query_vec"), F.col("centroid")) / (
+        _norm(F.col("query_vec")) * _norm(F.col("centroid"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.round(qsim, 8).desc(), F.col("cell")
+    )
+    probes = (
+        queries.join(F.broadcast(centroids))
+        .withColumn("__pr", F.row_number().over(wq))
+        .where(F.col("__pr") <= n_probe)
+        .select("query_id", "cell")
+    )
+    qcodes = quantize_embeddings(
+        queries.select(
+            F.col("query_id").alias(id_col), F.col("query_vec").alias(vec_col)
+        ),
+        vec_col,
+        id_col,
+        bits,
+    ).select(F.col(id_col).alias("query_id"), F.col("code").alias("qc"))
+    probe_q = probes.join(qcodes, "query_id")
+
+    qcos = _dot(F.col("qc"), F.col("nc")) / (
+        _norm(F.col("qc")) * _norm(F.col("nc"))
+    )
+    cand = (
+        inv.join(F.broadcast(probe_q), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", qcos.alias("__qcos"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("__qcos"), 8).desc(), F.col("neighbor_id")
+    )
+    shortlist = cand.withColumn("__r", F.row_number().over(w1)).where(
+        F.col("__r") <= k * oversample
+    ).select("query_id", "neighbor_id")
+    # exact rescore: only the SHORTLIST's full-precision vectors move —
+    # the candidate scan above touched nothing but int8 codes
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    ecos = _dot(F.col("query_vec"), F.col("__cv")) / (
+        _norm(F.col("query_vec")) * _norm(F.col("__cv"))
+    )
+    rescored = (
+        shortlist.join(cv, "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "neighbor_id", ecos.alias("cosine"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 8).desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
 def mmr_topk(
     corpus: DataFrame,
     queries: DataFrame,

