@@ -87,6 +87,38 @@ def key_frequency_report(
     )
 
 
+def bucket_prefix_join(
+    df: DataFrame,
+    bucket_col: str,
+    weight_col: str | None = None,
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """The shared bucketize → tiny-aggregate → prefix-sum → broadcast-
+    join-back skeleton behind every "global order without a global
+    sort" operator here (a09 :func:`global_rank`, t15
+    ``text.token_budget_sample``, ``pipelines.write_corpus(order_by)``'s
+    range layout): per-bucket totals (``count(*)`` or
+    ``sum(weight_col)`` — combiner-friendly, output ≤ n_buckets rows
+    per partition group), an EXCLUSIVE running sum over bucket order
+    (a window over the tiny aggregate, never the corpus), broadcast
+    back onto the rows. Adds ``__bt`` (own-bucket total) and
+    ``__prefix`` (sum over all earlier buckets in the same
+    ``partition_cols`` group)."""
+    from pyspark.sql import Window
+
+    agg = F.count("*") if weight_col is None else F.sum(weight_col)
+    counts = df.groupBy(*partition_cols, bucket_col).agg(agg.alias("__bt"))
+    pw = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pref = counts.withColumn(
+        "__prefix", F.coalesce(F.sum("__bt").over(pw), F.lit(0))
+    )
+    return df.join(F.broadcast(pref), [*partition_cols, bucket_col])
+
+
 def global_rank(
     df: DataFrame,
     order_col: str,
@@ -129,29 +161,21 @@ def global_rank(
     else:
         bkt = F.lit(0)
     marked = base.withColumn("__bk", bkt)
-    counts = marked.groupBy("__bk").agg(F.count("*").alias("__c"))
-    pw = (
-        Window.orderBy("__bk")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    # the window below runs on the ≤ n_buckets-row counts frame only —
-    # a driver-sized sort, not the corpus
-    pref = counts.select(
-        "__bk",
-        F.coalesce(F.sum("__c").over(pw), F.lit(0)).alias("__base"),
-    )
-    total = counts.agg(F.sum("__c").alias("__N"))
+    # the prefix window runs on the ≤ n_buckets-row aggregate only —
+    # a driver-sized sort, not the corpus (bucket_prefix_join)
+    joined = bucket_prefix_join(marked, "__bk")
+    total = marked.agg(F.count("*").alias("__N"))
     ww = Window.partitionBy("__bk").orderBy(order_col, id_col)
     ranked = (
-        marked.join(F.broadcast(pref), "__bk")
+        joined
         .withColumn("__rn", F.row_number().over(ww))
         .crossJoin(F.broadcast(total))
         .select(
             *df.columns,
-            (F.col("__base") + F.col("__rn")).alias("global_row"),
+            (F.col("__prefix") + F.col("__rn")).alias("global_row"),
             F.round(
                 F.when(F.col("__N") > 1,
-                       (F.col("__base") + F.col("__rn") - 1)
+                       (F.col("__prefix") + F.col("__rn") - 1)
                        / (F.col("__N") - 1).cast("double"))
                 .otherwise(F.lit(0.0)),
                 6,

@@ -14,6 +14,29 @@ from pyspark.sql import functions as F
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
 
+def hash_priority(id_col: str, salt: str = "") -> Column:
+    """Deterministic 32-bit hash priority from a row id:
+    ``conv(substr(md5(salt|id), 1, 8), 16, 10)`` as a long in
+    [0, 2³²). The ONE ordering primitive behind every sampling/shuffle
+    operator here (t08 stratified sampling, t15 token budgets, t16
+    epoch shuffle, the corpus writers): unlike ``rand()`` it is stable
+    under retries, re-partitioning, and across engines (DuckDB
+    reproduces it literally), and ``salt`` redraws independently."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt + "|"), F.col(id_col).cast("string")
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
 def tokens(text: Column) -> Column:
     return F.split(text, " ")
 
@@ -149,16 +172,9 @@ def stratified_sample(
     engines, stable under re-partitioning, and needs no shuffle — it is
     a pure filter that runs at scan speed and composes with pushdown.
     Changing ``salt`` draws an independent sample."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")).cast("binary")),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
-    u = h / F.lit(float(0xFFFFFFFF))  # uniform [0,1) from the hash prefix
+    u = hash_priority(id_col, salt) / F.lit(
+        float(0xFFFFFFFF)
+    )  # uniform [0,1) from the hash prefix
     rate = F.lit(float(default_rate))
     for stratum, r in sorted(rates.items()):
         rate = F.when(F.col(stratum_col) == stratum, F.lit(float(r))).otherwise(rate)
@@ -426,20 +442,9 @@ def token_budget_sample(
         raise ValueError(f"n_buckets must be >= 1; got {n_buckets}")
     from pyspark.sql import Window
 
+    from southpaw_spark.operators.skew import bucket_prefix_join
+
     w = tokens(F.col(text_col))
-    pri = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(salt + "|"), F.col(id_col).cast("string")
-                ).cast("binary")
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
     bcol = F.lit(None).cast("long")
     for dom, b in sorted(budgets.items()):
         bcol = F.when(
@@ -448,25 +453,16 @@ def token_budget_sample(
     width = (0xFFFFFFFF // n_buckets) + 1
     base = (
         df.withColumn("__nt", F.size(w).cast("long"))
-        .withColumn("__pri", pri)
+        .withColumn("__pri", hash_priority(id_col, salt))
         .withColumn(
             "__bk", F.floor(F.col("__pri") / F.lit(width)).cast("int")
         )
         .withColumn("__budget", bcol)
         .where(F.col("__budget").isNotNull())
     )
-    per_bucket = base.groupBy(domain_col, "__bk").agg(
-        F.sum("__nt").alias("__bt")
+    joined = bucket_prefix_join(
+        base, "__bk", weight_col="__nt", partition_cols=(domain_col,)
     )
-    prefix_w = (
-        Window.partitionBy(domain_col)
-        .orderBy("__bk")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    pref = per_bucket.withColumn(
-        "__prefix", F.coalesce(F.sum("__bt").over(prefix_w), F.lit(0))
-    )
-    joined = base.join(F.broadcast(pref), [domain_col, "__bk"])
     full = joined.where(
         F.col("__prefix") + F.col("__bt") <= F.col("__budget")
     )
@@ -518,22 +514,9 @@ def shuffled_shards(
         raise ValueError(f"n_shards must be >= 1; got {n_shards}")
     from pyspark.sql import Window
 
-    pri = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(salt + "|"), F.col(id_col).cast("string")
-                ).cast("binary")
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
     w = Window.partitionBy("shard").orderBy("__pri", id_col)
     return (
-        df.withColumn("__pri", pri)
+        df.withColumn("__pri", hash_priority(id_col, salt))
         .withColumn(
             "shard", (F.col("__pri") % n_shards).cast("int")
         )

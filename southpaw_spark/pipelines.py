@@ -286,6 +286,8 @@ def write_corpus(
     path: str,
     *,
     partition_by: list[str] | None = None,
+    order_by: list[str] | None = None,
+    n_output_partitions: int | None = None,
     max_records_per_file: int | None = 100_000,
     fmt: str = "parquet",
     mode: str = "overwrite",
@@ -295,10 +297,34 @@ def write_corpus(
     ``["lang_guess"]`` — downstream readers get partition pruning for
     free) with ``maxRecordsPerFile`` bounding every shard (loaders want
     ~uniform shards; one giant file serializes a 1000-worker read).
-    At 100 TB this is one distributed write — no repartition is forced
-    here: shard count follows the upstream partitioning, and callers
-    needing fewer/larger files should coalesce explicitly with that
-    trade in view."""
+
+    ``order_by``: a SORT-FREE global ORDER BY for the export — the
+    part files, concatenated in part-number order, read back in
+    ``order_by`` order. The same skeleton as a09/t15 (range-bucket →
+    within-bucket sort, never one global sort): ``repartitionByRange``
+    samples boundaries in one bounded pass and
+    ``sortWithinPartitions`` pays ``n_output_partitions`` parallel
+    sorts. Mutually exclusive with ``partition_by`` (hive dirs split
+    the file sequence, so "global file order" stops being
+    well-defined).
+
+    At 100 TB this is one distributed write — without ``order_by`` no
+    repartition is forced: shard count follows the upstream
+    partitioning, and callers needing fewer/larger files should
+    coalesce explicitly with that trade in view."""
+    if order_by:
+        if partition_by:
+            raise ValueError(
+                "order_by and partition_by are mutually exclusive: hive "
+                "partition dirs split the file sequence, so a global "
+                "file order cannot be promised"
+            )
+        cols = [F.col(c) for c in order_by]
+        if n_output_partitions is not None:
+            df = df.repartitionByRange(n_output_partitions, *cols)
+        else:
+            df = df.repartitionByRange(*cols)
+        df = df.sortWithinPartitions(*cols)
     w = df.write.mode(mode).format(fmt)
     if max_records_per_file is not None:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
@@ -327,23 +353,10 @@ def write_shuffled_corpus(
     ``sortWithinPartitions``: n_shards parallel in-partition sorts,
     no rank column, no single-task global sort. Re-running with the
     same ``salt`` reproduces the same row order."""
-    from pyspark.sql import functions as F
+    from southpaw_spark.operators.text import hash_priority
 
-    pri = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(salt + "|"), F.col(id_col).cast("string")
-                ).cast("binary")
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
     out = (
-        df.withColumn("__pri", pri)
+        df.withColumn("__pri", hash_priority(id_col, salt))
         .withColumn("__shard", (F.col("__pri") % n_shards).cast("int"))
         .repartitionByRange(n_shards, "__shard", "__pri", id_col)
         .sortWithinPartitions("__shard", "__pri", id_col)

@@ -387,3 +387,38 @@ def test_build_corpus_decontaminate_cut_mode(spark):
 
     with _pytest.raises(ValueError, match="decontaminate_mode"):
         build_corpus(docs, benchmark=benchmark, decontaminate_mode="bogus")
+
+
+def test_write_corpus_order_by_global_file_order(spark, tmp_path):
+    """write_corpus(order_by=...): part files concatenated in filename
+    order ARE the global ORDER BY — the sort-free export path
+    (repartitionByRange + sortWithinPartitions, the a09/t15 skeleton).
+    Also: order_by + partition_by refuses loudly."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from southpaw_spark.pipelines import write_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "ordered")
+    write_corpus(
+        docs, out, order_by=["lang", "doc_id"], n_output_partitions=4,
+        max_records_per_file=200,
+    )
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) > 1
+    concat = []
+    for f in files:
+        t = pq.read_table(f, columns=["lang", "doc_id"])
+        concat += list(zip(t["lang"].to_pylist(), t["doc_id"].to_pylist()))
+    assert concat == sorted(concat)
+    assert len(concat) == docs.count()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        write_corpus(
+            docs, str(tmp_path / "x"),
+            order_by=["doc_id"], partition_by=["lang"],
+        )
