@@ -311,10 +311,15 @@ class IncrementalDeduper:
             F.col(ic), F.lit("exact_dup").alias("status"),
             F.col("__bk").alias("keeper_id"),
         )
-        # one survivor per distinct new content
+        # one survivor per distinct new content. Persisted: survivors
+        # feed the signature build, the still_in anti-join AND the
+        # pointer-table merge — uncached, each consumer re-runs the
+        # exact stage's join+groupBy as several AQE jobs (the §9 fixed
+        # cost is mostly JOB COUNT, not data).
         survivors = fresh.where(F.col(ic) == F.col("__bk")).select(
             ic, tc, "content_hash"
-        )
+        ).persist()
+        scoped.append(survivors)
 
         # ---- fuzzy stage: signatures + band buckets for survivors.
         # Docs too short for a single shingle carry no fuzzy evidence —
@@ -551,8 +556,17 @@ class IncrementalDeduper:
                 F.lit("near_dup").alias("status"),
                 F.col("cluster_id").alias("keeper_id"),
             )
-        dropped_fuzzy = near_state.unionByName(near_batch)
-        kept = still_in.join(dropped_fuzzy.select(ic), ic, "left_anti")
+        # dropped_fuzzy feeds the decision log, the exact-pointer
+        # resolution AND (via kept) every state merge; kept feeds the
+        # sig/index/pointer merges — persist both so the merges replay
+        # cached rows instead of the fuzzy cascade (same job-count
+        # rationale as survivors above)
+        dropped_fuzzy = near_state.unionByName(near_batch).persist()
+        scoped.append(dropped_fuzzy)
+        kept = still_in.join(
+            dropped_fuzzy.select(ic), ic, "left_anti"
+        ).persist()
+        scoped.append(kept)
         kept_dec = kept.select(
             F.col(ic), F.lit("kept").alias("status"),
             F.col(ic).alias("keeper_id"),
