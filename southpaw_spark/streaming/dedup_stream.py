@@ -67,7 +67,95 @@ _BUCKETS = "dedup_buckets"
 #: Reps are stable so the pointer/index tables never need rewriting when
 #: a later, better duplicate takes over the keeper role.
 _REPS = "dedup_reps"
+_VREPS = "vdedup_reps"
 _REPS_SCHEMA = "rep_id long, keeper_id long, keeper_score double"
+
+
+def _quality_swap_join(dd, rep_hits, scores, reps_entity, extra_rep_targets=None):
+    """Shared best-quality keeper-swap machinery (text + vector
+    dedupers): given this batch's joiner→rep hits and the batch's
+    quality scores, read the touched reps' current keepers (pruned),
+    pick each rep's new keeper as the lexicographic min of
+    (−score nulls-last, id) over {current keeper} ∪ joiners — the SAME
+    key ``cluster_keepers`` uses, so by induction the streaming keeper
+    equals the batch argmax over all members seen — and emit the
+    decision frames. Returns ``(near_state, swaps_in, retro, winners,
+    reps_read)``; ``winners`` is persisted (caller releases it)."""
+    ic = dd.id_col
+    rep_targets = rep_hits.select(F.col("__rep").alias("rep_id"))
+    if extra_rep_targets is not None:
+        rep_targets = rep_targets.unionByName(extra_rep_targets)
+    reps_read = dd._pruned_read(
+        reps_entity, _REPS_SCHEMA, rep_targets.distinct(), ["rep_id"]
+    ).select(
+        "rep_id",
+        F.col("keeper_id").alias("__cur_keeper"),
+        F.col("keeper_score").alias("__cur_score"),
+    )
+    joiners = rep_hits.join(scores, ic).select(
+        F.col("__rep").alias("rep_id"),
+        F.col(ic).alias("__cand"),
+        F.col("__sc"),
+    )
+    # current keeper per touched rep; a rep with no reps-table row
+    # (state built in min_id mode) is its own keeper, score null
+    # (ranked last — same rule as cluster_keepers)
+    cur = (
+        joiners.select("rep_id").distinct()
+        .join(reps_read, "rep_id", "left")
+        .select(
+            "rep_id",
+            F.coalesce("__cur_keeper", "rep_id").alias("__cand"),
+            F.col("__cur_score").alias("__sc"),
+        )
+    )
+    qkey = F.struct(
+        F.when(F.col("__sc").isNotNull(), -F.col("__sc"))
+        .otherwise(F.lit(float("inf"))).alias("k1"),
+        F.col("__cand").alias("k2"),
+        F.col("__sc").alias("k3"),
+    )
+    winners = (
+        joiners.unionByName(cur)
+        .groupBy("rep_id")
+        .agg(F.min(qkey).alias("__w"))
+        .select(
+            "rep_id",
+            F.col("__w.k2").alias("__new_keeper"),
+            F.col("__w.k3").alias("__new_score"),
+        )
+        .join(
+            cur.select("rep_id", F.col("__cand").alias("__old_keeper")),
+            "rep_id",
+        )
+        .persist()
+    )
+    jw = joiners.join(winners, "rep_id")
+    near_state = jw.where(
+        F.col("__cand") != F.col("__new_keeper")
+    ).select(
+        F.col("__cand").alias(ic),
+        F.lit("near_dup").alias("status"),
+        F.col("__new_keeper").alias("keeper_id"),
+    )
+    # the incoming doc that dethrones the stored keeper
+    swaps_in = jw.where(
+        F.col("__cand") == F.col("__new_keeper")
+    ).select(
+        F.col("__cand").alias(ic),
+        F.lit("kept").alias("status"),
+        F.col("__cand").alias("keeper_id"),
+    )
+    # retroactive re-emission for the dethroned keeper: latest decision
+    # wins downstream, so this row UNKEEPS it
+    retro = winners.where(
+        F.col("__old_keeper") != F.col("__new_keeper")
+    ).select(
+        F.col("__old_keeper").alias(ic),
+        F.lit("near_dup").alias("status"),
+        F.col("__new_keeper").alias("keeper_id"),
+    )
+    return near_state, swaps_in, retro, winners, reps_read
 
 
 def _write_json_atomic(path: str, payload: dict) -> None:
@@ -385,89 +473,15 @@ class IncrementalDeduper:
             # fuzzy joiners' reps and the exact pointers' reps (pointers
             # store the stable rep in this mode; resolution to the live
             # keeper happens here, at decision time)
-            rep_targets = (
-                rep_hits.select(F.col("__rep").alias("rep_id"))
-                .unionByName(
-                    exact_state_dups.select(F.col("keeper_id").alias("rep_id"))
-                )
-                .distinct()
-            )
-            reps_read = self._pruned_read(
-                _REPS, _REPS_SCHEMA, rep_targets, ["rep_id"]
-            ).select(
-                "rep_id",
-                F.col("keeper_id").alias("__cur_keeper"),
-                F.col("keeper_score").alias("__cur_score"),
-            )
-            joiners = rep_hits.join(scores, ic).select(
-                F.col("__rep").alias("rep_id"),
-                F.col(ic).alias("__cand"),
-                F.col("__sc"),
-            )
-            # current keeper per touched rep; a rep with no _REPS row
-            # (state built in min_id mode) is its own keeper, score null
-            # (ranked last — same rule as cluster_keepers)
-            cur = (
-                joiners.select("rep_id").distinct()
-                .join(reps_read, "rep_id", "left")
-                .select(
-                    "rep_id",
-                    F.coalesce("__cur_keeper", "rep_id").alias("__cand"),
-                    F.col("__cur_score").alias("__sc"),
-                )
-            )
-            # lexicographic min over (-score nulls-last, id): the SAME
-            # key cluster_keepers uses, so by induction the streaming
-            # keeper equals the batch argmax over all members seen
-            qkey = F.struct(
-                F.when(F.col("__sc").isNotNull(), -F.col("__sc"))
-                .otherwise(F.lit(float("inf"))).alias("k1"),
-                F.col("__cand").alias("k2"),
-                F.col("__sc").alias("k3"),
-            )
-            winners = (
-                joiners.unionByName(cur)
-                .groupBy("rep_id")
-                .agg(F.min(qkey).alias("__w"))
-                .select(
-                    "rep_id",
-                    F.col("__w.k2").alias("__new_keeper"),
-                    F.col("__w.k3").alias("__new_score"),
-                )
-                .join(
-                    cur.select(
-                        "rep_id", F.col("__cand").alias("__old_keeper")
+            near_state, swaps_in, retro, winners, reps_read = (
+                _quality_swap_join(
+                    self, rep_hits, scores, _REPS,
+                    extra_rep_targets=exact_state_dups.select(
+                        F.col("keeper_id").alias("rep_id")
                     ),
-                    "rep_id",
                 )
-                .persist()
             )
             scoped.append(winners)
-            jw = joiners.join(winners, "rep_id")
-            near_state = jw.where(
-                F.col("__cand") != F.col("__new_keeper")
-            ).select(
-                F.col("__cand").alias(ic),
-                F.lit("near_dup").alias("status"),
-                F.col("__new_keeper").alias("keeper_id"),
-            )
-            # the incoming doc that dethrones the stored keeper
-            swaps_in = jw.where(
-                F.col("__cand") == F.col("__new_keeper")
-            ).select(
-                F.col("__cand").alias(ic),
-                F.lit("kept").alias("status"),
-                F.col("__cand").alias("keeper_id"),
-            )
-            # retroactive re-emission for the dethroned keeper: latest
-            # decision wins downstream, so this row UNKEEPS it
-            retro = winners.where(
-                F.col("__old_keeper") != F.col("__new_keeper")
-            ).select(
-                F.col("__old_keeper").alias(ic),
-                F.lit("near_dup").alias("status"),
-                F.col("__new_keeper").alias("keeper_id"),
-            )
             # exact pointers carry reps in this mode — resolve to the
             # live keeper (this batch's swap first, then stored, then
             # the rep itself)
@@ -899,8 +913,11 @@ class IncrementalVectorDeduper:
         self.n_tables = n_tables
         self.seed = seed
         self.auto_vacuum = auto_vacuum
-        #: same within-batch keeper policy (and cross-batch
-        #: first-seen-wins caveat) as IncrementalDeduper.fuzzy_keep
+        #: same keeper policy AND cross-batch convergence as
+        #: IncrementalDeduper.fuzzy_keep: best_quality retroactively
+        #: swaps keepers when a later batch brings a better member into
+        #: an existing cluster (rep→keeper rows in ``vdedup_reps``;
+        #: latest-decision-wins decision log)
         self.fuzzy_keep = fuzzy_keep
         self.score_col = score_col
         self.metrics: dict = {}
@@ -1039,13 +1056,29 @@ class IncrementalVectorDeduper:
             .withColumn("__cos", self._cos(F.col(vc), F.col("__ov")))
             .where(F.col("__cos") >= self.threshold)
         )
-        near_state = (
-            scored.groupBy(ic)
-            .agg(F.min("__old_id").alias("keeper_id"))
-            .select(F.col(ic), F.lit("near_dup").alias("status"), "keeper_id")
+        rep_hits = scored.groupBy(ic).agg(
+            F.min("__old_id").alias("__rep")
         )
+        if self.fuzzy_keep == "best_quality":
+            if self.score_col not in vectors.columns:
+                raise ValueError(
+                    f"fuzzy_keep='best_quality' needs a {self.score_col!r}"
+                    " column on the batch frame (set score_col=)"
+                )
+            vscores = vectors.select(
+                F.col(ic), F.col(self.score_col).cast("double").alias("__sc")
+            )
+            near_state, swaps_in, retro, winners, _reps_read = (
+                _quality_swap_join(self, rep_hits, vscores, _VREPS)
+            )
+        else:
+            near_state = rep_hits.select(
+                F.col(ic), F.lit("near_dup").alias("status"),
+                F.col("__rep").alias("keeper_id"),
+            )
+            swaps_in = retro = winners = None
 
-        still_in = batch.join(near_state.select(ic), ic, "left_anti")
+        still_in = batch.join(rep_hits.select(ic), ic, "left_anti")
         rb = buckets_new.join(still_in.select(ic), ic)
         pairs = (
             rb.select(F.col(ic).alias("id_a"), "table", "bucket")
@@ -1106,8 +1139,12 @@ class IncrementalVectorDeduper:
                 F.col(ic).alias("keeper_id"),
             )
             .unionByName(dropped)
-        ).persist()
+        )
+        if swaps_in is not None:
+            decisions = decisions.unionByName(swaps_in).unionByName(retro)
+        decisions = decisions.persist()
         decisions.count()
+        n_retro = retro.count() if retro is not None else 0
         self._prev_decisions = decisions
 
         new_members = (
@@ -1137,13 +1174,39 @@ class IncrementalVectorDeduper:
                 commit=False,
             )),
         ]
-        with ThreadPoolExecutor(max_workers=2) as pool:
+        if self.fuzzy_keep == "best_quality":
+            # rep→keeper upserts (same contract as the text deduper's
+            # dedup_reps): new reps keep themselves; touched reps take
+            # this batch's argmax
+            reps_rows = (
+                kept.join(vscores, ic)
+                .select(
+                    F.col(ic).alias("rep_id"),
+                    F.col(ic).alias("keeper_id"),
+                    F.col("__sc").alias("keeper_score"),
+                )
+                .unionByName(
+                    winners.select(
+                        "rep_id",
+                        F.col("__new_keeper").alias("keeper_id"),
+                        F.col("__new_score").alias("keeper_score"),
+                    )
+                )
+            )
+            merge_jobs.append(
+                (_VREPS, lambda: self.store.merge(
+                    _VREPS, reps_rows, None, ["rep_id"], commit=False,
+                ))
+            )
+        with ThreadPoolExecutor(max_workers=len(merge_jobs)) as pool:
             futures = [(e, pool.submit(fn)) for e, fn in merge_jobs]
             staged = [(e, f.result()) for e, f in futures]
-        for entity, version in staged:  # stage both, then flip pointers
+        for entity, version in staged:  # stage all, then flip pointers
             self.store.commit(entity, version)
         self._vacuum()
-        self._bump_from(decisions)
+        self._bump_from(decisions, n_retro)
+        if winners is not None:
+            winners.unpersist()
         return decisions
 
     # reuse the text deduper's pruned-lookup + metrics + cache helpers

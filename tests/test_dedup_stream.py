@@ -542,10 +542,35 @@ def test_vector_deduper_best_quality_keeper(spark, sf_dir, tmp_path):
     )
     dec = {r["vec_id"]: (r["status"], r["keeper_id"])
            for r in d.process_batch(batch).collect()}
-    d.close()
     assert dec[11] == ("kept", 11)       # higher quality wins
     assert dec[10] == ("near_dup", 11)   # min-id would have kept 10
     assert dec[7][0] == "kept"
+    # round-9 cross-batch convergence: a LATER, higher-quality member of
+    # the same vector family triggers a retroactive keeper swap
+    later = fam.select(
+        F.lit(12).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.0002)).alias(
+            "embedding"
+        ),
+        F.lit(0.95).alias("q"),
+    )
+    dec2 = {r["vec_id"]: (r["status"], r["keeper_id"])
+            for r in d.process_batch(later).collect()}
+    assert dec2[12] == ("kept", 12)
+    assert dec2[11] == ("near_dup", 12)  # retroactive unkeep
+    assert d.metrics["dedup.keeper_swaps"] == 1
+    # and a weaker third-batch member points at the LIVE keeper
+    b3 = fam.select(
+        F.lit(13).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.0003)).alias(
+            "embedding"
+        ),
+        F.lit(0.2).alias("q"),
+    )
+    dec3 = {r["vec_id"]: (r["status"], r["keeper_id"])
+            for r in d.process_batch(b3).collect()}
+    assert dec3[13] == ("near_dup", 12)
+    d.close()
 
 
 def _spans_of(frame, id_col="doc_id"):
