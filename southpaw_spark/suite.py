@@ -2471,6 +2471,73 @@ E10_SQL = """
 """
 
 
+def e11_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (`operators.temporal.gapfill`): hourly
+    per-user grid over each user's observed span, holes filled by locf
+    AND linear interpolation — the TimescaleDB
+    ``time_bucket_gapfill``/``interpolate`` operator family, expressed
+    as two key-partitioned shuffles + one per-key window (grid
+    generation is a distributed ``sequence``+``explode``, never a
+    driver loop)."""
+    from southpaw_spark.operators.temporal import gapfill
+
+    raw = _read(spark, sf_dir, "events")
+    ev = raw.where(F.col("user_id") < 30).select(
+        "user_id",
+        (_events_ts_us(raw) / F.lit(1_000_000)).alias("sec"),
+        "value",
+    )
+    return gapfill(
+        ev, "sec", ["user_id"], "value", stride=3600, exact_decimals=2,
+        round_to=None,
+    )
+
+
+E11_SQL = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) / 1000000 AS sec, value
+      FROM events WHERE user_id < 30),
+    b AS (
+      SELECT user_id, (CAST(floor(sec / 3600) AS BIGINT)) * 3600 AS bucket,
+             sum(c) / (count(c) * 100.0) AS v
+      FROM (SELECT user_id, sec,
+                   CAST(round(value * 100.0) AS BIGINT) AS c FROM e)
+      GROUP BY 1, 2),
+    r AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+          FROM b GROUP BY 1),
+    grid AS (
+      SELECT user_id, unnest(range(mn, mx + 3600, 3600)) AS bucket FROM r),
+    g AS (
+      SELECT grid.user_id, grid.bucket, b.v
+      FROM grid LEFT JOIN b
+        ON grid.user_id = b.user_id AND grid.bucket = b.bucket),
+    w AS (
+      SELECT user_id, bucket, v,
+             last_value(CASE WHEN v IS NOT NULL
+                             THEN struct_pack(b := bucket, v := v) END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prev,
+             first_value(CASE WHEN v IS NOT NULL
+                              THEN struct_pack(b := bucket, v := v) END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY bucket
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS nxt
+      FROM g)
+    SELECT user_id, bucket,
+           v AS v_obs,
+           prev.v AS v_locf,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN prev IS NOT NULL AND nxt IS NOT NULL
+                THEN prev.v + (nxt.v - prev.v)
+                     * (bucket - prev.b) / (nxt.b - prev.b)
+                ELSE coalesce(prev.v, nxt.v) END AS v_interp
+    FROM w
+"""
+
+
 def e05_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join: (click, view) pairs where the same user's view fell
     within the hour before the click. Spark-side: time-bucketed equi-join
@@ -3496,6 +3563,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s07_mmr_topk": s07_mmr_topk,
     "s08_ivf_quantized_topk": s08_ivf_quantized_topk,
     "m04_image_near_dup": m04_image_near_dup,
+    "e11_gapfill": e11_gapfill,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -3526,4 +3594,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "s07_mmr_topk": S07_SQL,
     "s08_ivf_quantized_topk": S08_SQL,
     "m04_image_near_dup": M04_SQL,
+    "e11_gapfill": E11_SQL,
 }

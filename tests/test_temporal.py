@@ -259,3 +259,54 @@ def test_asof_map_payload_still_runs_without_struct_tiebreak(spark):
     )
     row = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts").first()
     assert row.rm == {"x": "1"}
+
+
+def test_gapfill_locf_and_linear_interp(spark):
+    from southpaw_spark.operators.temporal import gapfill
+
+    # key 1: observations at buckets 0 and 30 (stride 10) — two holes;
+    # key 2: a single observation — a 1-row grid, all fills = itself.
+    df = spark.createDataFrame(
+        [(1, 0, 10.0), (1, 4, 20.0), (1, 31, 45.0), (2, 7, 5.0)],
+        "k int, ts long, v double",
+    )
+    out = {
+        (r["k"], r["bucket"]): (r["v_obs"], r["v_locf"], r["v_interp"])
+        for r in gapfill(
+            df, "ts", ["k"], "v", stride=10, exact_decimals=1
+        ).collect()
+    }
+    assert out[(1, 0)] == (15.0, 15.0, 15.0)   # avg of 10, 20
+    assert out[(1, 10)] == (None, 15.0, 25.0)  # 1/3 of the way to 45
+    assert out[(1, 20)] == (None, 15.0, 35.0)
+    assert out[(1, 30)] == (45.0, 45.0, 45.0)
+    assert out[(2, 0)] == (5.0, 5.0, 5.0)
+    assert len(out) == 5  # grid spans exactly [min, max] observed
+
+
+def test_gapfill_exact_decimals_partition_invariant(spark):
+    """The exact-integer average is bit-identical no matter how the
+    input is partitioned (plain avg() over doubles is not, at the ulp
+    level) — the property the DuckDB oracle compare relies on."""
+    from southpaw_spark.operators.temporal import gapfill
+
+    random.seed(11)
+    rows = [
+        (i % 5, random.randrange(0, 500), round(random.uniform(0, 99), 2))
+        for i in range(400)
+    ]
+    frames = [
+        spark.createDataFrame(rows, "k int, ts long, v double").repartition(n)
+        for n in (1, 7)
+    ]
+    outs = [
+        sorted(
+            tuple(r)
+            for r in gapfill(
+                f, "ts", ["k"], "v", stride=50, exact_decimals=2,
+                round_to=None,
+            ).collect()
+        )
+        for f in frames
+    ]
+    assert outs[0] == outs[1]
