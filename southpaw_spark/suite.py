@@ -3240,6 +3240,40 @@ T16_SQL = """
 """
 
 
+def d19_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d17's span decontamination through the Bloom-prefilter path
+    (`operators.dedup.bloom_prefilter`): instead of broadcasting the
+    full benchmark gram set (tens of bytes per gram), broadcast a
+    ~10-bits-per-gram bitmap, probe it with JVM xxhash64 positions +
+    one vectorized Arrow batch check, and exact-confirm only the
+    surviving ~1% of corpus grams with a (now tiny-left-side) shuffle
+    semi-join. The oracle is d17's — the bloom can only ADD candidates
+    and the confirm join removes them, so the answer is identical."""
+    from southpaw_spark.operators.dedup import span_contamination
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    out = span_contamination(
+        corpus, bench, "text", "doc_id", k=8, prefilter="bloom"
+    )
+    spans_repr = F.concat_ws(
+        ";",
+        F.transform(
+            "spans",
+            lambda s: F.concat(
+                s["start"].cast("string"),
+                F.lit("-"),
+                s["end"].cast("string"),
+            ),
+        ),
+    )
+    return out.select(
+        "doc_id", "n_spans", "contaminated_tokens", "n_tokens",
+        "contamination_frac", spans_repr.alias("spans_repr"),
+    )
+
+
 def d18_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic embedding dedup (round 8,
     `operators.dedup.semantic_duplicates`, the SemDeDup recipe):
@@ -3564,6 +3598,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s08_ivf_quantized_topk": s08_ivf_quantized_topk,
     "m04_image_near_dup": m04_image_near_dup,
     "e11_gapfill": e11_gapfill,
+    "d19_bloom_decontamination": d19_bloom_decontamination,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -3595,4 +3630,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "s08_ivf_quantized_topk": S08_SQL,
     "m04_image_near_dup": M04_SQL,
     "e11_gapfill": E11_SQL,
+    # d19 is d17 through the Bloom-prefilter execution path — the spec
+    # (and thus the oracle) is identical by construction.
+    "d19_bloom_decontamination": D17_SQL,
 }

@@ -1752,3 +1752,49 @@ def test_ivf_quantized_topk_recall_and_plan(spark, sf_dir):
     for r in out.collect():
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, 6)) for v in by_q.values())
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """Every true member survives the bloom (no false negatives —
+    the property the exact-confirm join relies on), and the false
+    positive rate is in the ballpark of the requested fpp."""
+    import random as _r
+    import string as _s
+
+    from southpaw_spark.operators.dedup import bloom_prefilter
+
+    _r.seed(3)
+    vals = [
+        "".join(_r.choices(_s.ascii_lowercase, k=12)) for _ in range(4000)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x string")
+    ref = spark.createDataFrame([(v,) for v in vals[:800]], "y string")
+    kept = {r["x"] for r in bloom_prefilter(df, "x", ref, "y", 0.01).collect()}
+    assert set(vals[:800]) - kept == set()
+    fp = len(kept - set(vals[:800]))
+    assert fp / 3200 < 0.05  # ~1% expected; generous bound
+
+
+def test_span_contamination_bloom_path_identical(spark, sf_dir):
+    """prefilter='bloom' is an execution-path change only: the bitmap
+    admits extra candidates, the confirm join removes them, and the
+    output matches the exact broadcast path row-for-row."""
+    from southpaw_spark.operators.dedup import span_contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+
+    def rows(**kw):
+        return sorted(
+            (r["doc_id"], str(r["spans"]), r["contaminated_tokens"])
+            for r in span_contamination(
+                corpus, bench, "text", "doc_id", k=8, **kw
+            ).collect()
+        )
+
+    exact = rows()
+    assert exact  # non-vacuous: the corpus IS contaminated
+    assert rows(prefilter="bloom") == exact
+    # a sloppy bitmap (fpp 50%) still confirms to the exact answer
+    assert rows(prefilter="bloom", bloom_fpp=0.5) == exact
