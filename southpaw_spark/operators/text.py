@@ -487,6 +487,71 @@ def token_budget_sample(
     return full.select(*keep).unionByName(part.select(*keep))
 
 
+def temperature_budgets(
+    token_counts: dict[str, int],
+    total_tokens: int,
+    alpha: float = 0.5,
+) -> dict[str, int]:
+    """Per-domain token budgets from temperature-flattened sampling
+    weights: ``w_i = n_i^alpha`` renormalized over the observed domains
+    (the exponential-smoothing mix of the multilingual-pretraining
+    literature — alpha<1 upweights rare domains, alpha=1 is natural
+    proportions, alpha=0 uniform).
+
+    ``alpha=0.5`` (the default) uses INTEGER square roots and floor
+    division, so the budgets are exactly reproducible in any engine —
+    no libm ``pow`` in the contract (pow is not correctly rounded and
+    differs across implementations; sqrt is exact). Other alphas go
+    through float pow and are documented as engine-local."""
+    import math
+
+    if not token_counts:
+        return {}
+    if alpha == 0.5:
+        w = {d: math.isqrt(int(c)) for d, c in token_counts.items()}
+        s = sum(w[d] for d in sorted(w))
+        if s == 0:
+            return {d: 0 for d in w}
+        return {d: int(total_tokens) * w[d] // s for d in w}
+    w = {d: float(c) ** alpha for d, c in token_counts.items()}
+    s = sum(w[d] for d in sorted(w))
+    return {d: int(total_tokens * w[d] / s) for d in w}
+
+
+def temperature_mix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    domain_col: str,
+    total_tokens: int,
+    alpha: float = 0.5,
+    salt: str = "",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Temperature-based DOMAIN MIXING: derive each domain's token
+    budget from the corpus itself (:func:`temperature_budgets` over
+    per-domain token counts, ``w_i = n_i^alpha``), then draw the
+    deterministic hash-priority sample with
+    :func:`token_budget_sample` — "flatten the web/code/wiki mix to
+    temperature alpha and take N tokens total" as one call.
+
+    Scale: the per-domain count aggregate is combiner-friendly and its
+    result is bounded by DOMAIN CARDINALITY (the one driver collect —
+    bounded metadata, not data); the sample itself inherits t15's
+    no-global-sort bucketed-prefix plan."""
+    counts = {
+        r["d"]: r["nt"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.sum(F.size(tokens(F.col(text_col)))).alias("nt"))
+        .collect()
+    }
+    budgets = temperature_budgets(counts, total_tokens, alpha)
+    return token_budget_sample(
+        df, text_col, id_col, domain_col, budgets,
+        salt=salt, n_buckets=n_buckets,
+    )
+
+
 def shuffled_shards(
     df: DataFrame,
     id_col: str,

@@ -2925,6 +2925,44 @@ def t15_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_tokens")
 
 
+def t17_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened domain mixing
+    (`operators.text.temperature_mix`): per-source token budgets
+    derived from the corpus itself (w_i = sqrt(n_i) renormalized —
+    alpha=0.5 as INTEGER sqrt + floor division, so the budget
+    derivation is bit-reproducible in any engine), then t15's
+    no-global-sort hash-priority greedy against those budgets."""
+    from southpaw_spark.operators.text import temperature_mix
+
+    docs = _read(spark, sf_dir, "documents")
+    return temperature_mix(
+        docs, "text", "doc_id", "source", total_tokens=12000
+    ).select("doc_id", "source", "n_tokens")
+
+
+T17_SQL = """
+    WITH tok AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' '))::BIGINT AS n_tokens,
+             ('0x' || substr(md5('|' || CAST(doc_id AS VARCHAR)), 1, 8)
+             )::BIGINT AS pri
+      FROM documents),
+    tc AS (SELECT source, SUM(n_tokens) AS nt FROM tok GROUP BY 1),
+    w AS (SELECT source, CAST(floor(sqrt(nt)) AS BIGINT) AS w FROM tc),
+    bud AS (
+      SELECT source, (12000 * w) // (SELECT SUM(w) FROM w) AS budget
+      FROM w),
+    c AS (
+      SELECT tok.*, bud.budget,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY tok.source ORDER BY pri, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum
+      FROM tok JOIN bud ON tok.source = bud.source)
+    SELECT doc_id, source, n_tokens FROM c WHERE cum < budget
+"""
+
+
 T15_SQL = """
     WITH d AS (
       SELECT doc_id, lang,
@@ -3599,6 +3637,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m04_image_near_dup": m04_image_near_dup,
     "e11_gapfill": e11_gapfill,
     "d19_bloom_decontamination": d19_bloom_decontamination,
+    "t17_temperature_mix": t17_temperature_mix,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -3633,4 +3672,5 @@ EXTRA_ORACLES: dict[str, str] = {
     # d19 is d17 through the Bloom-prefilter execution path — the spec
     # (and thus the oracle) is identical by construction.
     "d19_bloom_decontamination": D17_SQL,
+    "t17_temperature_mix": T17_SQL,
 }

@@ -1798,3 +1798,50 @@ def test_span_contamination_bloom_path_identical(spark, sf_dir):
     assert rows(prefilter="bloom") == exact
     # a sloppy bitmap (fpp 50%) still confirms to the exact answer
     assert rows(prefilter="bloom", bloom_fpp=0.5) == exact
+
+
+def test_temperature_budgets_math():
+    from southpaw_spark.operators.text import temperature_budgets
+
+    # alpha=0.5 integer path: w = isqrt(counts) = (10, 20, 40)
+    b = temperature_budgets({"a": 100, "b": 400, "c": 1600}, 7000, 0.5)
+    assert b == {"a": 1000, "b": 2000, "c": 4000}
+    # alpha=1 keeps natural proportions
+    b1 = temperature_budgets({"a": 100, "b": 300}, 4000, 1.0)
+    assert b1 == {"a": 1000, "b": 3000}
+    # alpha=0 is uniform
+    b0 = temperature_budgets({"a": 100, "b": 900}, 1000, 0.0)
+    assert b0 == {"a": 500, "b": 500}
+    assert temperature_budgets({}, 1000) == {}
+    assert temperature_budgets({"a": 0}, 1000, 0.5) == {"a": 0}
+
+
+def test_temperature_mix_budget_adherence(spark, sf_dir):
+    """Each domain's sampled token total reaches its derived budget and
+    overshoots by at most one document (t15's greedy crossing rule);
+    rare domains are upweighted relative to natural proportions."""
+    from southpaw_spark.operators.text import (
+        temperature_budgets, temperature_mix, tokens,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = {
+        r["source"]: r["nt"]
+        for r in docs.groupBy("source")
+        .agg(F.sum(F.size(tokens(F.col("text")))).alias("nt"))
+        .collect()
+    }
+    budgets = temperature_budgets(counts, 10000)
+    got = (
+        temperature_mix(docs, "text", "doc_id", "source", 10000)
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("nt"), F.max("n_tokens").alias("mx"))
+        .collect()
+    )
+    assert {r["source"] for r in got} == set(budgets)
+    for r in got:
+        b = budgets[r["source"]]
+        cap = min(b + r["mx"], counts[r["source"]])
+        assert min(b, counts[r["source"]]) <= r["nt"] <= cap, (
+            r["source"], r["nt"], b,
+        )
