@@ -487,6 +487,84 @@ def token_budget_sample(
     return full.select(*keep).unionByName(part.select(*keep))
 
 
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|ref)="
+
+
+def canonical_url(url) -> Column:
+    """Canonicalize a URL for dedup — the normalization every web-crawl
+    pipeline applies before URL-level dedup (CCNet/RefinedWeb style):
+
+    - scheme and host lowercased (path stays case-sensitive);
+    - leading ``www.`` and default ports (http:80 / https:443) dropped,
+      non-default ports kept;
+    - fragment dropped, trailing slashes stripped;
+    - tracking params (``utm_*``, ``fbclid``, ``gclid``, ``ref``)
+      removed and the remaining query params SORTED, so param order
+      never splits a dedup group.
+
+    Pure built-ins (regexp + array ops, whole-stage codegen) with
+    deliberately engine-portable regexes — the DuckDB oracle applies
+    the same rules verbatim."""
+    u = F.trim(url if isinstance(url, Column) else F.col(url))
+    scheme = F.lower(
+        F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    after = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(after, r"^([^/?#]*)", 1))
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r":[0-9]+$", ""), r"^www\.", ""
+    )
+    default_port = (
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    netloc = F.when(default_port, host).otherwise(
+        F.concat(host, F.lit(":"), port)
+    )
+    pathq = F.regexp_replace(
+        F.substring(after, F.length(hostport) + 1, 1 << 30), r"#.*$", ""
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(pathq, r"^([^?]*)", 1), r"/+$", ""
+    )
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    parts = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+    )
+    canon_q = F.array_join(F.array_sort(parts), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        netloc,
+        path,
+        F.when(canon_q == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), canon_q)
+        ),
+    )
+
+
+def url_duplicates(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+    """URL-level dedup groups after :func:`canonical_url` normalization:
+    one row per canonical URL with >1 member — ``(canonical_url,
+    keep_id, n_copies, doc_ids)``, the same group shape as exact
+    content dedup (d01). One combiner-friendly groupBy; the
+    normalization itself is stateless codegen."""
+    c = canonical_url(F.col(url_col))
+    return (
+        df.select(c.alias("canonical_url"), F.col(id_col))
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
 def temperature_budgets(
     token_counts: dict[str, int],
     total_tokens: int,

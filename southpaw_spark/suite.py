@@ -2925,6 +2925,112 @@ def t15_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_tokens")
 
 
+def t18_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup (`operators.text.canonical_url` /
+    `url_duplicates`): scheme/host lowercasing, www. + default-port
+    stripping, fragment/trailing-slash removal, tracking-param
+    (utm_*/fbclid/gclid/ref) drop and query-param SORT — then exact
+    groups over the canonical form. Four synthesized per-doc URL
+    variants (case/port/params/fragment noise) that must collapse to
+    two canonical groups per doc pair."""
+    from southpaw_spark.operators.text import url_duplicates
+
+    docs = _read(spark, sf_dir, "documents")
+    blk = F.floor(F.col("doc_id") / 4).cast("long")
+    base = F.concat(
+        F.lit("site"), (blk % 50).cast("string"), F.lit(".example.com")
+    )
+    stem = blk.cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("HTTP://WWW."), F.upper(base),
+                     F.lit(":80/Docs/"), stem,
+                     F.lit("/?utm_source=x&b=2&a=1#frag")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("http://"), base, F.lit("/Docs/"), stem,
+                     F.lit("?a=1&b=2")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://"), base, F.lit("/Docs/"), stem,
+                     F.lit("/")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://"), base, F.lit(":443/Docs/"), stem,
+                     F.lit("?gclid=z")),
+        )
+    )
+    urls = docs.select("doc_id", url.alias("url"))
+    return url_duplicates(urls, "url", "doc_id")
+
+
+T18_SQL = """
+    WITH u AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'HTTP://WWW.' || upper(base) || ':80/Docs/'
+                    || stem || '/?utm_source=x&b=2&a=1#frag'
+               WHEN 1 THEN 'http://' || base || '/Docs/'
+                    || stem || '?a=1&b=2'
+               WHEN 2 THEN 'https://' || base || '/Docs/'
+                    || stem || '/'
+               ELSE 'https://' || base || ':443/Docs/'
+                    || stem || '?gclid=z'
+             END AS url
+      FROM (
+        SELECT doc_id,
+               'site' || CAST((doc_id // 4) % 50 AS VARCHAR)
+               || '.example.com' AS base,
+               CAST(doc_id // 4 AS VARCHAR) AS stem
+        FROM documents)),
+    parsed AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+             regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '')
+               AS after
+      FROM u),
+    hp AS (
+      SELECT *,
+             lower(regexp_extract(after, '^([^/?#]*)', 1)) AS hostport
+      FROM parsed),
+    np AS (
+      SELECT *,
+             regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+             regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
+                            '^www\\.', '') AS host,
+             regexp_replace(substr(after, len(hostport) + 1), '#.*$', '')
+               AS pathq
+      FROM hp),
+    c AS (
+      SELECT doc_id,
+             scheme || '://'
+             || CASE WHEN port = ''
+                       OR (scheme = 'http' AND port = '80')
+                       OR (scheme = 'https' AND port = '443')
+                     THEN host ELSE host || ':' || port END
+             || regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+                               '/+$', '')
+             || CASE WHEN q = '' THEN '' ELSE '?' || q END
+               AS canonical_url
+      FROM (
+        SELECT *,
+               COALESCE(array_to_string(list_sort(list_filter(
+                 string_split(regexp_extract(pathq, '\\?(.*)$', 1), '&'),
+                 p -> p <> '' AND NOT regexp_matches(
+                   p, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&'), '') AS q
+        FROM np))
+    SELECT canonical_url,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies,
+           list_sort(list(doc_id)) AS doc_ids
+    FROM c GROUP BY canonical_url HAVING COUNT(*) > 1
+"""
+
+
 def t17_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-flattened domain mixing
     (`operators.text.temperature_mix`): per-source token budgets
@@ -3638,6 +3744,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e11_gapfill": e11_gapfill,
     "d19_bloom_decontamination": d19_bloom_decontamination,
     "t17_temperature_mix": t17_temperature_mix,
+    "t18_url_dedup": t18_url_dedup,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -3673,4 +3780,5 @@ EXTRA_ORACLES: dict[str, str] = {
     # (and thus the oracle) is identical by construction.
     "d19_bloom_decontamination": D17_SQL,
     "t17_temperature_mix": T17_SQL,
+    "t18_url_dedup": T18_SQL,
 }

@@ -1845,3 +1845,25 @@ def test_temperature_mix_budget_adherence(spark, sf_dir):
         assert min(b, counts[r["source"]]) <= r["nt"] <= cap, (
             r["source"], r["nt"], b,
         )
+
+
+def test_canonical_url_rules(spark):
+    from southpaw_spark.operators.text import canonical_url
+
+    cases = [
+        # scheme+host lowercased, www./default port/fragment/tracking
+        # params dropped, params sorted, trailing slash stripped
+        ("HTTP://WWW.Ex.COM:80/A/B/?utm_source=x&b=2&a=1#f",
+         "http://ex.com/A/B?a=1&b=2"),
+        ("https://ex.com:443/p", "https://ex.com/p"),
+        ("https://ex.com:8443/p", "https://ex.com:8443/p"),  # kept
+        ("http://ex.com", "http://ex.com"),
+        ("http://ex.com/?gclid=1&fbclid=2&ref=3", "http://ex.com"),
+        ("http://ex.com/Path/", "http://ex.com/Path"),  # path case kept
+        ("http://ex.com/p?z=1&a=2&utm_campaign=c",
+         "http://ex.com/p?a=2&z=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in
+           df.select(canonical_url("url").alias("c")).collect()]
+    assert got == [want for _, want in cases]
