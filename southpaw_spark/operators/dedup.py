@@ -1327,8 +1327,10 @@ def bloom_prefilter(
     BITS per value (~9.6 at 1%), a 20-50x broadcast-memory cut. Hashing
     stays JVM-side (``xxhash64(col, seed_i)`` per hash function, whole-
     stage codegen); Python only does the vectorized numpy bit probe
-    over Arrow batches. The bitmap is built with one distinct-positions
-    collect bounded by the bitmap size itself, never by |ref|.
+    over Arrow batches. The bitmap is built DISTRIBUTED: positions fold
+    into 64-bit words via a combiner-friendly ``groupBy(word) bit_or``,
+    so the one driver collect is bounded by the bitmap size itself
+    (8 bytes x occupied words), never by |ref| or |ref| x num_hashes.
     """
     import math
 
@@ -1351,29 +1353,41 @@ def bloom_prefilter(
             F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m)) for i in range(kh)
         ]
 
-    pos = (
+    words = (
         ref.select(
             F.explode(F.array(*positions(F.col(ref_col)))).alias("p")
         )
-        .distinct()
+        .groupBy((F.col("p") / 64).cast("long").alias("w"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
+            ).alias("bits")
+        )
         .collect()
     )
-    bitmap = np.zeros((m >> 3) + 1, dtype=np.uint8)
-    idx = np.array([r["p"] for r in pos], dtype=np.int64)
-    np.bitwise_or.at(bitmap, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+    n_words = (m >> 6) + 1
+    bitmap64 = np.zeros(n_words, dtype=np.int64)
+    for r in words:
+        bitmap64[r["w"]] = r["bits"]
+    bitmap = bitmap64.astype("<i8").view(np.uint8)  # little-endian bytes
     bc = df.sparkSession.sparkContext.broadcast(bitmap.tobytes())
 
     def might_contain(hs):
         bm = np.frombuffer(bc.value, dtype=np.uint8)
-        hv = np.array(hs.tolist(), dtype=np.int64)  # (batch, kh)
+        hv = hs.to_numpy(dtype=np.int64)  # (batch, kh), no object lists
         bit = (bm[hv >> 3] >> (hv & 7).astype(np.uint8)) & 1
         return pd.Series(bit.all(axis=1))
 
-    # real annotation objects: the module's future-annotations mode
-    # would stringify inline hints, and pandas is only imported locally
-    might_contain.__annotations__ = {"hs": pd.Series, "return": pd.Series}
+    # struct input -> typed pandas DataFrame: the positions cross Arrow
+    # as kh flat int64 columns, never per-row Python lists. Real
+    # annotation objects: the module's future-annotations mode would
+    # stringify inline hints, and pandas is only imported locally.
+    might_contain.__annotations__ = {"hs": pd.DataFrame, "return": pd.Series}
     mc = pandas_udf(might_contain, "boolean")
-    return df.where(mc(F.array(*positions(F.col(col)))))
+    pos_struct = F.struct(
+        *[p.alias(f"h{i}") for i, p in enumerate(positions(F.col(col)))]
+    )
+    return df.where(mc(pos_struct))
 
 
 def span_contamination(
@@ -1450,6 +1464,11 @@ def span_contamination(
         F.col(id_col), F.col("__n"), F.col("__g"), gram.alias("__gram")
     )
     if prefilter == "bloom":
+        # materialize the gram set once — both the bitmap build and the
+        # confirm join read it, and recomputing means re-tokenizing the
+        # whole benchmark side (same eager-localCheckpoint seam as the
+        # cluster-contraction edge frames)
+        bgrams = bgrams.localCheckpoint()
         cand = bloom_prefilter(occ, "__gram", bgrams, "__gram", bloom_fpp)
         hits = cand.join(bgrams, "__gram", "left_semi")
     else:
