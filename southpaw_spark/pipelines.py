@@ -55,6 +55,7 @@ def build_corpus(
     min_quality: float | None = None,
     min_tokens: int | None = None,
     langs: list[str] | None = None,
+    url_col: str | None = None,
     benchmark: DataFrame | None = None,
     max_contamination_rate: float = 0.0,
     contamination_n: int = 5,
@@ -69,6 +70,8 @@ def build_corpus(
     sample_default_rate: float = 0.0,
     sample_salt: str = "",
     token_budgets: dict[str, int] | None = None,
+    mix_total_tokens: int | None = None,
+    mix_alpha: float = 0.5,
     pack_token_budget: int | None = None,
     collect_report: bool = True,
 ) -> tuple[DataFrame, dict]:
@@ -85,7 +88,9 @@ def build_corpus(
 
     Stages are enabled by their arguments: ``min_quality``/``min_tokens``
     gate on :func:`with_quality_score`; ``langs`` keeps only those
-    :func:`with_lang_guess` labels; ``benchmark`` decontaminates
+    :func:`with_lang_guess` labels; ``url_col`` dedups by
+    :func:`canonical_url` BEFORE any content-based stage (cheapest
+    identity first — min id per canonical URL); ``benchmark`` decontaminates
     against an eval set — ``decontaminate_mode="drop"`` (default)
     drops docs whose n-gram ``contamination_rate`` exceeds
     ``max_contamination_rate``, while ``"cut"`` surgically removes the
@@ -108,8 +113,12 @@ def build_corpus(
     and docs left empty are dropped); ``sample_rates`` stratifies on
     ``lang_guess``; ``token_budgets`` greedily samples each
     ``lang_guess`` stratum to a token budget
-    (:func:`token_budget_sample`); ``pack_token_budget`` appends
-    shard-local pack assignments (sharded by ``lang_guess``).
+    (:func:`token_budget_sample`); ``mix_total_tokens`` instead DERIVES
+    the per-``lang_guess`` budgets from the surviving corpus via
+    temperature-flattened weights (:func:`temperature_mix`,
+    ``mix_alpha``; mutually exclusive with ``token_budgets``);
+    ``pack_token_budget`` appends shard-local pack assignments
+    (sharded by ``lang_guess``).
     """
     report: dict[str, int] = {}
     persisted: list[DataFrame] = []
@@ -143,6 +152,23 @@ def build_corpus(
         )
     if langs is not None:
         cur = note("langs", cur.where(F.col("lang_guess").isin(list(langs))))
+
+    if url_col is not None:
+        # URL-level dedup FIRST — it is the cheapest identity (pure
+        # codegen canonicalization + one groupBy, no text shingling)
+        # and web corpora routinely carry the same page under several
+        # surface URLs; keeper = min id per canonical form (t18)
+        from southpaw_spark.operators.text import canonical_url
+
+        keep_ids = (
+            cur.select(
+                F.col(id_col), canonical_url(F.col(url_col)).alias("__cu")
+            )
+            .groupBy("__cu")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col)
+        )
+        cur = note("url_dedup", cur.join(keep_ids, id_col, "left_semi"))
 
     if benchmark is not None:
         if decontaminate_mode == "drop":
@@ -270,6 +296,24 @@ def build_corpus(
         ).select(id_col)
         cur = note(
             "token_budgeted", cur.join(keep_ids, id_col, "left_semi")
+        )
+
+    if mix_total_tokens is not None:
+        # temperature-flattened mix (t17): budgets derived from the
+        # surviving corpus itself, then the same no-global-sort greedy
+        if token_budgets is not None:
+            raise ValueError(
+                "token_budgets and mix_total_tokens are two ways to set "
+                "the same budgets — pass one, not both"
+            )
+        from southpaw_spark.operators.text import temperature_mix
+
+        keep_ids = temperature_mix(
+            cur, text_col, id_col, "lang_guess", mix_total_tokens,
+            alpha=mix_alpha, salt=sample_salt,
+        ).select(id_col)
+        cur = note(
+            "temperature_mixed", cur.join(keep_ids, id_col, "left_semi")
         )
 
     if pack_token_budget is not None:

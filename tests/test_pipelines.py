@@ -422,3 +422,69 @@ def test_write_corpus_order_by_global_file_order(spark, tmp_path):
             docs, str(tmp_path / "x"),
             order_by=["doc_id"], partition_by=["lang"],
         )
+
+
+def test_build_corpus_url_dedup_and_temperature_mix_stages(spark, sf_dir):
+    from southpaw_spark.operators.text import temperature_budgets, tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_docs = docs.count()
+    # two surface URLs per logical page (block of 2 doc_ids): the
+    # url_dedup stage must halve the corpus before any content stage
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://WWW.ex.com:80/p/"))
+        .otherwise(F.lit("http://ex.com/p/")),
+        F.floor(F.col("doc_id") / 2).cast("long").cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/?utm_source=a")).otherwise(
+            F.lit("")
+        ),
+    )
+    wurl = docs.withColumn("url", url)
+
+    kept, report = build_corpus(
+        wurl, url_col="url", exact_dedup=False, mix_total_tokens=4000
+    )
+    assert report["url_dedup"] == n_docs // 2 + n_docs % 2
+    # keeper is the min id of each pair => all even doc_ids
+    assert kept.where(F.col("doc_id") % 2 == 1).count() == 0
+
+    # the mixed sample hits the budgets temperature_budgets derives
+    # from the POST-url-dedup corpus
+    survivors = wurl.where(F.col("doc_id") % 2 == 0)
+    counts = {
+        r["lang_guess"]: r["nt"]
+        for r in __import__(
+            "southpaw_spark.operators.text", fromlist=["text"]
+        ).with_lang_guess(survivors, "text")
+        .groupBy("lang_guess")
+        .agg(F.sum(F.size(tokens(F.col("text")))).alias("nt"))
+        .collect()
+    }
+    budgets = temperature_budgets(counts, 4000)
+    got = {
+        r["lang_guess"]: (r["nt"], r["mx"])
+        for r in kept.groupBy("lang_guess")
+        .agg(F.sum("n_tokens").alias("nt"), F.max("n_tokens").alias("mx"))
+        .collect()
+    }
+    assert set(got) == set(budgets)
+    for dom, (nt, mx) in got.items():
+        # greedy reaches the budget (or exhausts the domain) and
+        # overshoots by at most the crossing doc
+        lo = min(budgets[dom], counts[dom])
+        assert lo <= nt <= min(budgets[dom] + mx, counts[dom]), (
+            dom, nt, budgets[dom],
+        )
+    assert report["temperature_mixed"] == kept.count()
+    kept.unpersist()
+
+    # token_budgets and mix_total_tokens are mutually exclusive
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="one, not both"):
+        build_corpus(
+            wurl, token_budgets={"en": 10}, mix_total_tokens=100,
+            collect_report=False,
+        )
