@@ -342,3 +342,52 @@ def gapfill(
         r(prev["v"]).alias("v_locf"),
         r(interp).alias("v_interp"),
     )
+
+
+def ohlc(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    stride: int = 3600,
+) -> DataFrame:
+    """Time-bucketed OHLC bars: per key and fixed ``stride``-second
+    bucket, the first (open), max (high), min (low), and last (close)
+    value plus the event count — the candlestick/downsampling operator
+    of the time-series engines (TimescaleDB ``candlestick_agg``,
+    InfluxDB ``FIRST/LAST``; ref query family: the per-topic
+    aggregation consumers of `topic/KafkaTopic.java:400-403` land here
+    once event streams feed dashboards).
+
+    ``ts_col`` is epoch seconds (long/double). open/close are
+    ``min_by``/``max_by`` on the timestamp — single-pass, mergeable
+    aggregates, so the whole operator is ONE combiner-friendly shuffle
+    (map-side partials; no window, no sort, no self-join). At 100 TB
+    that is the minimal plan: the shuffle key is (key, bucket) and
+    every aggregate is associative, so partial aggregation absorbs
+    arbitrarily hot keys before the exchange.
+
+    Values pass through untouched (no float arithmetic beyond
+    comparison), so results are bit-reproducible across partitionings
+    and engines. Ties on ``ts_col`` within a bucket make open/close
+    engine-arbitrary — pass a unique/composite ordering column (e.g.
+    an event id refined timestamp) if the raw series has duplicates.
+    """
+    keys = list(key_cols)
+    bucket = (
+        (F.floor(F.col(ts_col) / F.lit(stride)) * stride)
+        .cast("long")
+        .alias("bucket")
+    )
+    v = F.col(value_col)
+    return (
+        df.select(*keys, bucket, F.col(ts_col).alias("__t"), v.alias("__v"))
+        .groupBy(*keys, "bucket")
+        .agg(
+            F.min_by("__v", "__t").alias("open"),
+            F.max("__v").alias("high"),
+            F.min("__v").alias("low"),
+            F.max_by("__v", "__t").alias("close"),
+            F.count("__v").alias("n_events"),
+        )
+    )

@@ -2538,6 +2538,41 @@ E11_SQL = """
 """
 
 
+def e12_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed OHLC bars (`operators.temporal.ohlc`): per
+    (event_type, hour) the first/max/min/last value plus count — the
+    TimescaleDB ``candlestick_agg`` / InfluxDB FIRST-LAST downsampling
+    family. Every aggregate (min_by/max_by/min/max/count) is mergeable,
+    so the whole operator is ONE combiner-friendly shuffle — no window,
+    no sort. Values pass through untouched (comparison only), so the
+    doubles hash-match the oracle bit-for-bit. events.ts is globally
+    unique in the testdata, making open/close deterministic."""
+    from southpaw_spark.operators.temporal import ohlc
+
+    raw = _read(spark, sf_dir, "events")
+    ev = raw.select(
+        "event_type",
+        (_events_ts_us(raw) / F.lit(1_000_000)).alias("sec"),
+        "value",
+    )
+    return ohlc(ev, "sec", ["event_type"], "value", stride=3600)
+
+
+E12_SQL = """
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) / 1000000 AS sec, value
+      FROM events)
+    SELECT event_type,
+           (CAST(floor(sec / 3600) AS BIGINT)) * 3600 AS bucket,
+           arg_min(value, sec) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, sec) AS close,
+           count(*) AS n_events
+    FROM e GROUP BY 1, 2
+"""
+
+
 def e05_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join: (click, view) pairs where the same user's view fell
     within the hour before the click. Spark-side: time-bucketed equi-join
@@ -3745,6 +3780,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d19_bloom_decontamination": d19_bloom_decontamination,
     "t17_temperature_mix": t17_temperature_mix,
     "t18_url_dedup": t18_url_dedup,
+    "e12_ohlc": e12_ohlc,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -3781,4 +3817,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "d19_bloom_decontamination": D17_SQL,
     "t17_temperature_mix": T17_SQL,
     "t18_url_dedup": T18_SQL,
+    "e12_ohlc": E12_SQL,
 }

@@ -310,3 +310,46 @@ def test_gapfill_exact_decimals_partition_invariant(spark):
         for f in frames
     ]
     assert outs[0] == outs[1]
+
+
+def test_ohlc_bars(spark):
+    from southpaw_spark.operators.temporal import ohlc
+
+    # key "a", bucket 0: ts 1..3 → open=v(ts=1), close=v(ts=3);
+    # bucket 10: single row; key "b": one bucket, two rows.
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 5.0), ("a", 3, 2.0), ("a", 2, 9.0),
+            ("a", 13, 4.0),
+            ("b", 5, 7.0), ("b", 6, 1.0),
+        ],
+        "k string, ts long, v double",
+    )
+    out = {
+        (r["k"], r["bucket"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"]
+        )
+        for r in ohlc(df, "ts", ["k"], "v", stride=10).collect()
+    }
+    assert out == {
+        ("a", 0): (5.0, 9.0, 2.0, 2.0, 3),
+        ("a", 10): (4.0, 4.0, 4.0, 4.0, 1),
+        ("b", 0): (7.0, 7.0, 1.0, 1.0, 2),
+    }
+
+
+def test_ohlc_single_shuffle_plan(spark):
+    """The whole operator must stay ONE exchange with partial (map-side)
+    min_by/max_by aggregation — the property that absorbs hot keys at
+    100 TB."""
+    from southpaw_spark.operators.temporal import ohlc
+
+    df = spark.createDataFrame(
+        [("a", 1, 5.0)], "k string, ts long, v double"
+    )
+    plan = (
+        ohlc(df, "ts", ["k"], "v", stride=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "partial_min_by" in plan and "partial_max_by" in plan
