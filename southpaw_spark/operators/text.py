@@ -666,3 +666,60 @@ def shuffled_shards(
         .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
         .drop("__pri")
     )
+
+
+#: Boilerplate markers (lowercased substring match) that disqualify a
+#: line — the C4 blacklist core, kept engine-portable (plain regex
+#: alternation, no lookarounds).
+_LINE_BLACKLIST_RE = (
+    "lorem ipsum|javascript|cookie policy|privacy policy|terms of use"
+)
+
+
+def clean_lines(
+    df: DataFrame,
+    text_col: str,
+    min_words: int = 3,
+    min_lines_kept: int = 1,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep
+    only lines that look like real prose, rejoin the survivors, and
+    drop documents left with fewer than ``min_lines_kept`` lines. A
+    line survives iff (after trimming) it
+
+    - ends in terminal punctuation (``.``, ``!``, ``?`` or a closing
+      double quote),
+    - has at least ``min_words`` whitespace-separated words,
+    - contains no curly brace (code/markup leakage), and
+    - matches none of the lowercased boilerplate markers
+      (``lorem ipsum``, ``javascript``, ``cookie policy``,
+      ``privacy policy``, ``terms of use``).
+
+    Appends ``n_lines`` / ``n_lines_kept`` and REPLACES ``text_col``
+    with the cleaned text. Everything is per-row whole-stage-codegen
+    array ops (``split`` → ``filter`` → ``array_join``) — no shuffle,
+    no UDF, no explode — so the operator is a free rider on whatever
+    scan partitioning the corpus already has, at any scale. The same
+    predicates are expressed verbatim in the DuckDB oracle
+    (``list_filter``), keeping the row engine-checkable.
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def keep(line):
+        t = F.trim(line)
+        words = F.size(F.filter(F.split(t, " "), lambda w: w != ""))
+        return (
+            t.rlike('[.!?"]$')
+            & (words >= min_words)
+            & ~t.contains("{")
+            & ~t.contains("}")
+            & ~F.lower(t).rlike(_LINE_BLACKLIST_RE)
+        )
+
+    kept = F.filter(lines, keep)
+    return (
+        df.withColumn("n_lines", F.size(lines))
+        .withColumn("n_lines_kept", F.size(kept))
+        .withColumn(text_col, F.array_join(kept, "\n"))
+        .where(F.col("n_lines_kept") >= min_lines_kept)
+    )

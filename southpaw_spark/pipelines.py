@@ -55,6 +55,7 @@ def build_corpus(
     min_quality: float | None = None,
     min_tokens: int | None = None,
     langs: list[str] | None = None,
+    line_clean: bool = False,
     url_col: str | None = None,
     benchmark: DataFrame | None = None,
     max_contamination_rate: float = 0.0,
@@ -86,7 +87,10 @@ def build_corpus(
     it when done; intermediate stage caches are dropped as each
     successor materializes.
 
-    Stages are enabled by their arguments: ``min_quality``/``min_tokens``
+    Stages are enabled by their arguments: ``line_clean`` applies
+    C4-style line-level cleaning (:func:`clean_lines`) BEFORE any
+    signal is computed, so quality/token stats see only surviving
+    prose; ``min_quality``/``min_tokens``
     gate on :func:`with_quality_score`; ``langs`` keeps only those
     :func:`with_lang_guess` labels; ``url_col`` dedups by
     :func:`canonical_url` BEFORE any content-based stage (cheapest
@@ -138,6 +142,14 @@ def build_corpus(
                 persisted.pop().unpersist()
             persisted.append(df)
         return df
+
+    if line_clean:
+        # line cleaning comes FIRST: quality/token signals must be
+        # computed on the prose that survives, not on boilerplate
+        # (t19; C4 orders its line filter before everything else)
+        from southpaw_spark.operators.text import clean_lines
+
+        docs = clean_lines(docs, text_col)
 
     cur = with_lang_guess(
         with_quality_score(docs, text_col), text_col

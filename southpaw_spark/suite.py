@@ -3741,6 +3741,73 @@ S08_SQL = """
 """
 
 
+def t19_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (`operators.text.clean_lines`):
+    drop lines without terminal punctuation, with fewer than 3 words,
+    containing curly braces, or matching the boilerplate blacklist
+    (javascript / cookie policy / …), then rejoin survivors and drop
+    docs left empty. Multi-line docs are synthesized deterministically
+    from the single-line testdata text (two prose lines that must
+    survive + four boilerplate lines that must not), the same
+    synthesize-then-operate pattern as t18's URLs. Pure per-row
+    codegen (split → filter → array_join): zero shuffles at any
+    scale."""
+    from southpaw_spark.operators.text import clean_lines
+
+    docs = _read(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 80), F.lit("."), nl,
+            F.lit("Enable javascript to view this page."), nl,
+            F.substring("text", 81, 60), nl,
+            F.lit("We use a cookie policy here."), nl,
+            F.lit("ok."), nl,
+            F.substring("text", 141, 80), F.lit(" end of section!"),
+        ).alias("text"),
+    )
+    out = clean_lines(synth, "text", min_words=3, min_lines_kept=1)
+    return out.select(
+        "doc_id",
+        "text",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+    )
+
+
+T19_SQL = """
+    WITH synth AS (
+      SELECT doc_id,
+             substr(text, 1, 80) || '.' || chr(10)
+             || 'Enable javascript to view this page.' || chr(10)
+             || substr(text, 81, 60) || chr(10)
+             || 'We use a cookie policy here.' || chr(10)
+             || 'ok.' || chr(10)
+             || substr(text, 141, 80) || ' end of section!' AS text
+      FROM documents),
+    split_lines AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls FROM synth),
+    k AS (
+      SELECT doc_id, len(ls) AS n_lines,
+             list_filter(ls, l ->
+               regexp_matches(trim(l), '[.!?"]$')
+               AND len(list_filter(string_split(trim(l), ' '),
+                                   w -> w <> '')) >= 3
+               AND NOT contains(trim(l), '{')
+               AND NOT contains(trim(l), '}')
+               AND NOT regexp_matches(lower(trim(l)),
+                 'lorem ipsum|javascript|cookie policy|privacy policy|terms of use')
+             ) AS kept
+      FROM split_lines)
+    SELECT doc_id,
+           array_to_string(kept, chr(10)) AS text,
+           n_lines,
+           len(kept) AS n_lines_kept
+    FROM k WHERE len(kept) >= 1
+"""
+
+
 # The driver's correctness gate checks AT MOST 50 rows per round
 # (CORRECTNESS_r02 stopped at 50 of 54), so QUERIES stays pinned at
 # exactly 50: pushing new entries into it would silently uncheck tail
@@ -3781,6 +3848,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t17_temperature_mix": t17_temperature_mix,
     "t18_url_dedup": t18_url_dedup,
     "e12_ohlc": e12_ohlc,
+    "t19_line_clean": t19_line_clean,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -3818,4 +3886,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "t17_temperature_mix": T17_SQL,
     "t18_url_dedup": T18_SQL,
     "e12_ohlc": E12_SQL,
+    "t19_line_clean": T19_SQL,
 }

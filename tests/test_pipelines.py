@@ -488,3 +488,23 @@ def test_build_corpus_url_dedup_and_temperature_mix_stages(spark, sf_dir):
             wurl, token_budgets={"en": 10}, mix_total_tokens=100,
             collect_report=False,
         )
+
+
+def test_build_corpus_line_clean_stage(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Real prose line number one.\nEnable javascript now.\n"
+                "Another good prose line survives here today!"),
+            (2, "no punct boilerplate only"),
+        ],
+        "doc_id long, text string",
+    )
+    kept, report = build_corpus(docs, line_clean=True, exact_dedup=False)
+    rows = kept.collect()
+    kept.unpersist()
+    # doc 2 has zero surviving lines => dropped before signals;
+    # doc 1 keeps only the two prose lines
+    assert report["input"] == 1
+    assert [r["doc_id"] for r in rows] == [1]
+    assert rows[0]["text"].count("\n") == 1
+    assert "javascript" not in rows[0]["text"]

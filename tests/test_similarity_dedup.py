@@ -1867,3 +1867,44 @@ def test_canonical_url_rules(spark):
     got = [r["c"] for r in
            df.select(canonical_url("url").alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_clean_lines_c4_rules(spark):
+    from southpaw_spark.operators.text import clean_lines
+
+    doc1 = "\n".join([
+        "This line is real prose.",          # kept
+        "Enable JavaScript to continue.",    # blacklist (case-insensitive)
+        "short.",                            # < 3 words
+        "no terminal punctuation here",      # bad ending
+        '{"k": 1}',                          # curly braces
+        "  Trimmed line also survives!  ",   # kept (trim before checks)
+        "Please read our Privacy Policy.",   # blacklist
+        'He said "stop".',                   # kept (ends with .)
+    ])
+    df = spark.createDataFrame(
+        [(1, doc1), (2, "nothing survives here")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in clean_lines(df, "text").collect()}
+    assert set(rows) == {1}  # doc 2 dropped (0 lines kept)
+    r = rows[1]
+    assert r["n_lines"] == 8 and r["n_lines_kept"] == 3
+    assert r["text"].split("\n") == [
+        "This line is real prose.",
+        "  Trimmed line also survives!  ",
+        'He said "stop".',
+    ]
+
+
+def test_clean_lines_no_shuffle_plan(spark):
+    """Line cleaning must stay per-row codegen — zero exchanges — so it
+    rides the scan partitioning at any corpus size."""
+    from southpaw_spark.operators.text import clean_lines
+
+    df = spark.createDataFrame([(1, "a.\nb.")], "doc_id long, text string")
+    plan = (
+        clean_lines(df, "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
