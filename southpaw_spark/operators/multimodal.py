@@ -664,3 +664,156 @@ def image_near_duplicates(
     return hamming_near_pairs(
         sigs, id_col, sig_col="ahash", bits=64, max_hamming=max_hamming
     )
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    n_windows: int = 65,
+) -> DataFrame:
+    """64-bit energy-delta fingerprint per audio clip — the audio
+    analog of :func:`image_ahash` (the simplest member of the
+    chromaprint/Shazam family): decode WAV PCM (stdlib ``wave``,
+    REAL decode, no external deps), split the samples into
+    ``n_windows`` equal windows, compute each window's EXACT integer
+    energy (sum of squared 16-bit samples), and set bit ``j`` iff
+    ``energy[j+1] > energy[j]``. Energy *deltas* survive mild
+    amplitude noise and re-encoding, so near-identical clips land a
+    few Hamming bits apart and the d09 banded-Hamming join finds them
+    without a pair scan.
+
+    All-integer arithmetic end to end (no float windowing), so the
+    fingerprint is bit-reproducible across partitionings and engines —
+    the m05 oracle recomputes it from first principles in SQL against
+    the same synthesized samples, checking the full WAV
+    encode→decode→window→pack path. Non-WAV / truncated content falls
+    back to the deterministic md5 fake (byte-identity only), the same
+    last rung as :func:`image_ahash`. ONE Arrow ``mapInPandas`` stage
+    appending ``afp long``; clips shorter than ``n_windows`` samples
+    yield null."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [df.schema[id_col], StructField("afp", LongType(), True)]
+    )
+    n_bits = n_windows - 1
+    if not (1 <= n_bits <= 64):
+        raise ValueError(f"n_windows must be in [2, 65]; got {n_windows}")
+
+    def fingerprint(b) -> int | None:
+        if b is None:
+            return None
+        import io
+        import struct
+        import wave
+
+        b = bytes(b)
+        try:
+            with wave.open(io.BytesIO(b), "rb") as w:
+                if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                    raise ValueError("16-bit mono PCM only")
+                raw = w.readframes(w.getnframes())
+            smp = struct.unpack(f"<{len(raw) // 2}h", raw)
+        except Exception:
+            return int.from_bytes(
+                hashlib.md5(b).digest()[:8], "big", signed=True
+            )
+        win = len(smp) // n_windows
+        if win < 1:
+            return None
+        en = [
+            sum(s * s for s in smp[w * win: (w + 1) * win])
+            for w in range(n_windows)
+        ]
+        bits = 0
+        for j in range(n_bits):
+            if en[j + 1] > en[j]:
+                bits |= 1 << j
+        return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "afp": pd.array(
+                        [fingerprint(b) for b in pdf[content_col]],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, schema)
+
+
+def audio_near_duplicates(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Perceptual audio dedup: :func:`audio_fingerprint` + the d09
+    banded-Hamming equi-join — EXACT pairs within ``max_hamming``
+    bits of the 64-bit energy-delta fingerprint, never a pair scan.
+    Completes the multimodal dedup story (text d02–d19 / image m04 /
+    audio here) on the same blocking machinery."""
+    from southpaw_spark.operators.dedup import hamming_near_pairs
+
+    sigs = audio_fingerprint(df, content_col, id_col).where(
+        F.col("afp").isNotNull()
+    )
+    return hamming_near_pairs(
+        sigs, id_col, sig_col="afp", bits=64, max_hamming=max_hamming
+    )
+
+
+def synth_wav(
+    df: DataFrame,
+    id_col: str,
+    n_samples: int = 1040,
+    framerate: int = 8000,
+) -> DataFrame:
+    """Deterministic WAV synthesis for tests/oracles: per row, 16-bit
+    mono PCM whose sample ``k`` is ``((id*31 + k*7) % 211) - 105`` —
+    a pure function of the id, so an independent engine can recompute
+    the EXACT samples (and anything derived from them) without parsing
+    RIFF. Real ``wave`` encoding: the bytes round-trip through any
+    WAV reader."""
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    schema = StructType(
+        [df.schema[id_col], StructField("content", BinaryType(), True)]
+    )
+
+    def make(i: int) -> bytes:
+        import io
+        import struct
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(framerate)
+            w.writeframes(
+                struct.pack(
+                    f"<{n_samples}h",
+                    *(
+                        ((i * 31 + k * 7) % 211) - 105
+                        for k in range(n_samples)
+                    ),
+                )
+            )
+        return buf.getvalue()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "content": [make(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, schema)

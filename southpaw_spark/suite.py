@@ -3297,6 +3297,53 @@ M04_SQL = """
 """
 
 
+def m05_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit audio energy-delta fingerprint
+    (`operators.multimodal.audio_fingerprint`): REAL WAV bytes are
+    synthesized per doc from a pure id formula (`synth_wav`), decoded
+    through stdlib ``wave``, windowed into 65 exact integer energies,
+    and packed into a signed int64 of energy-delta bits. The oracle
+    recomputes the fingerprint from the SAME sample formula entirely
+    in SQL — no RIFF parsing — so the whole
+    encode→decode→window→pack path is engine-checked bit-for-bit
+    (all-integer arithmetic; unlike m04 the REAL perceptual path is
+    what's oracle-checked, not the byte-identity fake)."""
+    from southpaw_spark.operators.multimodal import (
+        audio_fingerprint,
+        synth_wav,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return audio_fingerprint(synth_wav(docs, "doc_id"), "content", "doc_id")
+
+
+def _m05_sql() -> str:
+    bits = [
+        f"CASE WHEN en[{j + 2}] > en[{j + 1}] THEN {1 << j}::BIGINT "
+        "ELSE 0 END"
+        for j in range(63)
+    ]
+    bits.append(
+        "CASE WHEN en[65] > en[64] THEN -9223372036854775808 ELSE 0 END"
+    )
+    return f"""
+    WITH s AS (
+      SELECT doc_id, list_transform(range(0, 1040),
+               k -> ((doc_id * 31 + k * 7) % 211) - 105) AS smp
+      FROM documents),
+    e AS (
+      SELECT doc_id, list_transform(range(0, 65),
+               w -> list_sum(list_transform(range(0, 16),
+                      i -> smp[w * 16 + i + 1] * smp[w * 16 + i + 1])))
+               AS en
+      FROM s)
+    SELECT doc_id, ({' + '.join(bits)}) AS afp FROM e
+"""
+
+
+M05_SQL = _m05_sql()
+
+
 def s07_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversified top-k via Maximal Marginal Relevance (round 8,
     `operators.similarity.mmr_topk`, Carbonell & Goldstein SIGIR 1998):
@@ -3849,6 +3896,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t18_url_dedup": t18_url_dedup,
     "e12_ohlc": e12_ohlc,
     "t19_line_clean": t19_line_clean,
+    "m05_audio_fingerprint": m05_audio_fingerprint,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -3887,4 +3935,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "t18_url_dedup": T18_SQL,
     "e12_ohlc": E12_SQL,
     "t19_line_clean": T19_SQL,
+    "m05_audio_fingerprint": M05_SQL,
 }

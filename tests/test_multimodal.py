@@ -379,3 +379,78 @@ def test_image_near_duplicates_perceptual_without_pil(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] <= 3
     assert not any(3 in p for p in pairs)
+
+
+def _pcm_wav(samples):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def test_audio_fingerprint_synth_roundtrip(spark):
+    """synth_wav bytes decoded by audio_fingerprint must equal the
+    fingerprint computed directly from the sample formula — the same
+    first-principles check the m05 DuckDB oracle performs."""
+    from southpaw_spark.operators.multimodal import (
+        audio_fingerprint,
+        synth_wav,
+    )
+
+    ids = spark.range(8).withColumnRenamed("id", "doc_id")
+    got = {
+        r["doc_id"]: r["afp"]
+        for r in audio_fingerprint(
+            synth_wav(ids, "doc_id"), "content", "doc_id"
+        ).collect()
+    }
+    for i in range(8):
+        smp = [((i * 31 + k * 7) % 211) - 105 for k in range(1040)]
+        en = [
+            sum(s * s for s in smp[w * 16: (w + 1) * 16])
+            for w in range(65)
+        ]
+        bits = 0
+        for j in range(64):
+            if en[j + 1] > en[j]:
+                bits |= 1 << j
+        want = bits - (1 << 64) if bits >= (1 << 63) else bits
+        assert got[i] == want
+
+
+def test_audio_near_duplicates_noised_copy(spark):
+    """A mildly noised copy (+8 on every 2nd sample — measured hamming
+    2-3) must pair within max_hamming=3; an unrelated clip must not
+    (cross-clip distances are ~19+ bits). Non-WAV bytes fall back to
+    the md5 fake and only pair on byte identity."""
+    from southpaw_spark.operators.multimodal import audio_near_duplicates
+
+    base = [((1 * 31 + k * 7) % 211) - 105 for k in range(1040)]
+    noised = [v + (8 if k % 2 == 0 else 0) for k, v in enumerate(base)]
+    other = [((2 * 31 + k * 7) % 211) - 105 for k in range(1040)]
+    df = spark.createDataFrame(
+        [
+            (1, _pcm_wav(base)),
+            (2, _pcm_wav(noised)),
+            (3, _pcm_wav(other)),
+            (4, b"not a wav"),
+            (5, b"not a wav"),
+        ],
+        "doc_id long, content binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in audio_near_duplicates(
+            df, "content", "doc_id", max_hamming=3
+        ).collect()
+    }
+    assert (1, 2) in pairs and 0 < pairs[(1, 2)] <= 3
+    assert pairs.get((4, 5)) == 0  # fake-hash byte identity
+    assert not any(3 in p for p in pairs)
