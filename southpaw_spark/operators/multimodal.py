@@ -562,6 +562,7 @@ def image_ahash(
     content_col: str,
     id_col: str,
     carry_cols: tuple[str, ...] = (),
+    decoder: str = "auto",
 ) -> DataFrame:
     """64-bit average-hash (aHash) per image — the classic perceptual
     fingerprint (downscale to 8×8 grayscale, threshold each pixel by
@@ -581,9 +582,18 @@ def image_ahash(
     int64 — avalanche, so only byte-identical content collides;
     DuckDB-expressible, which is what the m04 oracle row checks on its
     text-byte corpus). The Spark shape is identical on every rung: one
-    Arrow ``mapInPandas`` stage appending ``ahash long``."""
+    Arrow ``mapInPandas`` stage appending ``ahash long``.
+
+    ``decoder="stdlib"`` pins the stdlib-PNG rung even when PIL is
+    installed — the engine-reproducible variant (PIL's 8×8 ``resize``
+    uses a resampling kernel, not the exact 2×2 box mean, so its bits
+    are not SQL-recomputable; the stdlib box-mean hash is pure integer
+    comparisons: ``64·cell_sum ≥ total``). The m06 oracle row uses
+    this to engine-check the REAL perceptual path end to end."""
     from pyspark.sql.types import LongType, StructField, StructType
 
+    if decoder not in ("auto", "stdlib"):
+        raise ValueError(f"decoder must be 'auto' or 'stdlib'; got {decoder!r}")
     try:
         from PIL import Image  # noqa: F401
 
@@ -629,7 +639,11 @@ def image_ahash(
                 return _gray_ahash(gray)
         return fake_hash(b)
 
-    hash_one = real_hash if have_pil else stdlib_hash
+    hash_one = (
+        stdlib_hash
+        if (decoder == "stdlib" or not have_pil)
+        else real_hash
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -806,6 +820,62 @@ def synth_wav(
                 )
             )
         return buf.getvalue()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "content": [make(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, schema)
+
+
+def synth_png(
+    df: DataFrame,
+    id_col: str,
+    width: int = 16,
+    height: int = 16,
+) -> DataFrame:
+    """Deterministic PNG synthesis for tests/oracles — the image twin
+    of :func:`synth_wav`: per row, a REAL 8-bit grayscale PNG (zlib
+    deflate, CRC'd IHDR/IDAT/IEND, filter-0 scanlines) whose pixel
+    ``(y, x)`` is ``(id*7 + y*31 + x*13) % 256`` — a pure function of
+    the id, so an independent engine can recompute every pixel (and
+    the box-mean aHash derived from them) without parsing PNG. The
+    bytes round-trip through any PNG reader (PIL included)."""
+    import struct
+    import zlib
+
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    schema = StructType(
+        [df.schema[id_col], StructField("content", BinaryType(), True)]
+    )
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    def make(i: int) -> bytes:
+        raw = b"".join(
+            b"\x00"
+            + bytes((i * 7 + y * 31 + x * 13) % 256 for x in range(width))
+            for y in range(height)
+        )
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+        return (
+            _PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -3344,6 +3344,56 @@ def _m05_sql() -> str:
 M05_SQL = _m05_sql()
 
 
+def m06_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image perceptual hash, engine-checked
+    (`operators.multimodal.image_ahash(decoder="stdlib")`): per doc a
+    REAL 16×16 grayscale PNG is synthesized from a pure pixel formula
+    (`synth_png` — zlib deflate, CRC'd chunks), decoded by the
+    pure-stdlib PNG decoder, and aHash'd via exact 2×2 box means.
+    The threshold `cell_mean ≥ global_mean` is the integer comparison
+    `64·cell_sum ≥ total`, so the oracle recomputes the hash from the
+    pixel formula entirely in SQL — no PNG parsing — engine-checking
+    the encode→inflate→unfilter→box-mean→pack path bit-for-bit
+    (m04's oracle can only reach the byte-identity fake; this row
+    covers the real rung)."""
+    from southpaw_spark.operators.multimodal import image_ahash, synth_png
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return image_ahash(
+        synth_png(docs, "doc_id"), "content", "doc_id", decoder="stdlib"
+    )
+
+
+def _m06_sql() -> str:
+    bits = [
+        "CASE WHEN 64 * s[1] >= tot THEN -9223372036854775808 ELSE 0 END"
+    ]
+    bits += [
+        f"CASE WHEN 64 * s[{c + 1}] >= tot THEN {1 << (63 - c)}::BIGINT "
+        "ELSE 0 END"
+        for c in range(1, 64)
+    ]
+    return f"""
+    WITH px AS (
+      SELECT doc_id, list_transform(range(0, 256),
+               i -> (doc_id * 7 + (i // 16) * 31 + (i % 16) * 13) % 256)
+               AS p
+      FROM documents),
+    cells AS (
+      SELECT doc_id, list_sum(p) AS tot,
+             list_transform(range(0, 64), k ->
+                 p[((k // 8) * 2) * 16 + (k % 8) * 2 + 1]
+               + p[((k // 8) * 2) * 16 + (k % 8) * 2 + 2]
+               + p[((k // 8) * 2 + 1) * 16 + (k % 8) * 2 + 1]
+               + p[((k // 8) * 2 + 1) * 16 + (k % 8) * 2 + 2]) AS s
+      FROM px)
+    SELECT doc_id, ({' + '.join(bits)}) AS ahash FROM cells
+"""
+
+
+M06_SQL = _m06_sql()
+
+
 def s07_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversified top-k via Maximal Marginal Relevance (round 8,
     `operators.similarity.mmr_topk`, Carbonell & Goldstein SIGIR 1998):
@@ -3897,6 +3947,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e12_ohlc": e12_ohlc,
     "t19_line_clean": t19_line_clean,
     "m05_audio_fingerprint": m05_audio_fingerprint,
+    "m06_image_ahash": m06_image_ahash,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -3936,4 +3987,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "e12_ohlc": E12_SQL,
     "t19_line_clean": T19_SQL,
     "m05_audio_fingerprint": M05_SQL,
+    "m06_image_ahash": M06_SQL,
 }

@@ -454,3 +454,59 @@ def test_audio_near_duplicates_noised_copy(spark):
     assert (1, 2) in pairs and 0 < pairs[(1, 2)] <= 3
     assert pairs.get((4, 5)) == 0  # fake-hash byte identity
     assert not any(3 in p for p in pairs)
+
+
+def test_synth_png_roundtrip_and_stdlib_ahash(spark):
+    """synth_png bytes must decode through the stdlib PNG decoder to
+    the exact formula pixels, and image_ahash(decoder='stdlib') must
+    equal the box-mean hash computed directly from those pixels — the
+    same first-principles check the m06 DuckDB oracle performs."""
+    from southpaw_spark.operators.multimodal import (
+        _decode_png_gray,
+        image_ahash,
+        synth_png,
+    )
+
+    ids = spark.range(5).withColumnRenamed("id", "doc_id")
+    pngs = {r["doc_id"]: bytes(r["content"])
+            for r in synth_png(ids, "doc_id").collect()}
+    got = {
+        r["doc_id"]: r["ahash"]
+        for r in image_ahash(
+            synth_png(ids, "doc_id"), "content", "doc_id",
+            decoder="stdlib",
+        ).collect()
+    }
+    for i in range(5):
+        want_px = [
+            [(i * 7 + y * 31 + x * 13) % 256 for x in range(16)]
+            for y in range(16)
+        ]
+        assert _decode_png_gray(pngs[i]) == [
+            bytearray(row) for row in want_px
+        ] or _decode_png_gray(pngs[i]) == want_px
+        cells = [
+            sum(
+                want_px[y][x]
+                for y in range(2 * by, 2 * by + 2)
+                for x in range(2 * bx, 2 * bx + 2)
+            ) / 4
+            for by in range(8)
+            for bx in range(8)
+        ]
+        mean = sum(cells) / 64.0
+        bits = 0
+        for v in cells:
+            bits = (bits << 1) | (1 if v >= mean else 0)
+        want = bits - (1 << 64) if bits >= (1 << 63) else bits
+        assert got[i] == want
+
+
+def test_image_ahash_decoder_validation(spark):
+    from southpaw_spark.operators.multimodal import image_ahash
+
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, content binary")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="decoder"):
+        image_ahash(df, "content", "doc_id", decoder="bogus")
