@@ -2354,6 +2354,66 @@ A07_SQL = """
 """
 
 
+def a10_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period change — the dashboard staple (hourly sum per
+    event_type, delta and %-change vs the previous hour via LAG). Sums
+    are EXACT integer cents (the e11 ``exact_decimals`` discipline), so
+    delta is integer arithmetic and pct_change is one IEEE division of
+    exact integers — bit-reproducible across partitionings and engines.
+    One combiner-friendly shuffle + one per-key window; the window
+    partitions on event_type, so no global sort at any scale."""
+    raw = _read(spark, sf_dir, "events")
+    ev = raw.select(
+        "event_type",
+        F.floor(_events_ts_us(raw) / F.lit(3_600_000_000))
+        .cast("long")
+        .alias("hour"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    agg = ev.groupBy("event_type", "hour").agg(
+        F.count("*").alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    prev = F.lag("sum_cents").over(w)
+    return agg.select(
+        "event_type",
+        "hour",
+        "n_events",
+        "sum_cents",
+        (F.col("sum_cents") - prev).alias("delta_cents"),
+        F.when(
+            prev.isNotNull() & (prev != 0),
+            F.round(
+                (F.col("sum_cents") - prev) / prev.cast("double"), 6
+            ),
+        ).alias("pct_change"),
+    )
+
+
+A10_SQL = """
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    a AS (
+      SELECT event_type, hour, count(*) AS n_events,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM b GROUP BY 1, 2),
+    l AS (
+      SELECT *, lag(sum_cents) OVER (PARTITION BY event_type
+                                     ORDER BY hour) AS prev
+      FROM a)
+    SELECT event_type, hour, n_events, sum_cents,
+           sum_cents - prev AS delta_cents,
+           CASE WHEN prev IS NOT NULL AND prev <> 0
+                THEN round((sum_cents - prev) / CAST(prev AS DOUBLE), 6)
+           END AS pct_change
+    FROM l
+"""
+
+
 def e02_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization over the events stream (30-minute
     inactivity closes a session) — the batch shape of
@@ -3948,6 +4008,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t19_line_clean": t19_line_clean,
     "m05_audio_fingerprint": m05_audio_fingerprint,
     "m06_image_ahash": m06_image_ahash,
+    "a10_period_over_period": a10_period_over_period,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -3988,4 +4049,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "t19_line_clean": T19_SQL,
     "m05_audio_fingerprint": M05_SQL,
     "m06_image_ahash": M06_SQL,
+    "a10_period_over_period": A10_SQL,
 }
