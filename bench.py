@@ -312,6 +312,10 @@ def main() -> None:
         suite.EXTRA_QUERIES["s08_ivf_quantized_topk"](
             spark, warm_dir
         ).write.format("noop").mode("overwrite").save()
+        for nm in ("e12_ohlc", "t19_line_clean"):
+            suite.EXTRA_QUERIES[nm](
+                spark, warm_dir
+            ).write.format("noop").mode("overwrite").save()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "900"))
@@ -352,6 +356,8 @@ def main() -> None:
     runners.append(
         ("s08_ivf_quantized", lambda: run_extra("s08_ivf_quantized_topk"))
     )
+    runners.append(("e12_ohlc", lambda: run_extra("e12_ohlc")))
+    runners.append(("t19_line_clean", lambda: run_extra("t19_line_clean")))
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
