@@ -40,6 +40,49 @@ def windowed_event_counts(
     )
 
 
+def ohlc_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of :func:`operators.temporal.ohlc` — candlestick
+    bars over event-time tumbling windows: open/close via
+    ``min_by``/``max_by`` on the event timestamp, high/low/count. Every
+    aggregate is mergeable, so each window's state is one partial
+    aggregate per (key, window) — constant memory per bar regardless of
+    event rate — and the watermark bounds how many windows stay open.
+    Works identically on batch frames (no-op watermark); the batch
+    shape is oracle-checked as e12."""
+    w = (
+        events.withWatermark(ts_col, watermark)
+        if events.isStreaming
+        else events
+    )
+    v, t = F.col(value_col), F.col(ts_col)
+    return (
+        w.groupBy(F.window(t, window).alias("win"), *key_cols)
+        .agg(
+            F.min_by(v, t).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, t).alias("close"),
+            F.count(v).alias("n_events"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            *key_cols,
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
 SESSION_SCHEMA = (
     "user_id long, session_start long, session_end long, n_events long"
 )

@@ -417,3 +417,71 @@ def test_global_rank_exact_at_every_bucket_count(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="n_buckets"):
         global_rank(df, "v", "id", n_buckets=0)
+
+
+def test_ohlc_stream_converges_to_batch(spark, tmp_path):
+    """Drive ohlc_stream through a real two-file stream and assert the
+    final bars equal the batch operator over the union — the same
+    stream≡batch convergence contract the dedup streams pin. min_by/
+    max_by must merge correctly across micro-batches (open from batch
+    1, close from batch 2 within one window)."""
+    import json as _json
+
+    from southpaw_spark.streaming.windows import ohlc_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    base = 1_700_000_000
+    # window 1: rows split across the two files (open in file a,
+    # high+close in file b); window 2: single row in file b
+    rows_a = [
+        {"k": "x", "ts_s": base + 60, "v": 5.0},
+        {"k": "x", "ts_s": base + 120, "v": 2.0},
+    ]
+    rows_b = [
+        {"k": "x", "ts_s": base + 200, "v": 9.0},
+        {"k": "x", "ts_s": base + 3700, "v": 4.0},
+    ]
+    (src / "a.json").write_text("\n".join(_json.dumps(r) for r in rows_a))
+    (src / "b.json").write_text("\n".join(_json.dumps(r) for r in rows_b))
+    stream = (
+        spark.readStream.schema("k string, ts_s long, v double")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+    )
+    bars = ohlc_stream(stream, ["k"], "v")
+    latest: dict = {}
+
+    def sink(df, _):
+        for r in df.collect():
+            latest[(r["window_start"], r["k"])] = (
+                r["open"], r["high"], r["low"], r["close"], r["n_events"]
+            )
+
+    q = (
+        bars.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch = spark.createDataFrame(
+        [(r["k"], r["ts_s"], r["v"]) for r in rows_a + rows_b],
+        "k string, ts_s long, v double",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    want = {
+        (r["window_start"], r["k"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"]
+        )
+        for r in ohlc_stream(batch, ["k"], "v").collect()
+    }
+    assert latest == want
+    # cross-file merge inside window 1: open came from file a, close
+    # and high from file b
+    w1 = [v for k, v in latest.items() if v[4] == 3]
+    assert w1 == [(5.0, 9.0, 2.0, 9.0, 3)]
