@@ -18,7 +18,12 @@ from southpaw_spark.operators.denormalize import (
     denormalize_to_json,
 )
 from southpaw_spark.operators.ann_index import build_ann_index, query_ann_index
-from southpaw_spark.operators.temporal import asof_join, range_join
+from southpaw_spark.operators.temporal import (
+    asof_join,
+    gapfill,
+    ohlc,
+    range_join,
+)
 
 __all__ = [
     "FilterMode",
@@ -32,8 +37,10 @@ __all__ = [
     "current_state",
     "denormalize",
     "denormalize_to_json",
+    "gapfill",
     "is_unchanged",
     "latest_by_key",
+    "ohlc",
     "query_ann_index",
     "range_join",
     "unchanged_skip_rule",
