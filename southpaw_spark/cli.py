@@ -247,7 +247,7 @@ _CORPUS_KEYS = (
     "span_dedup_k", "span_min_count",
     "sample_rates", "sample_default_rate", "sample_salt",
     "token_budgets", "mix_total_tokens", "mix_alpha",
-    "pack_token_budget",
+    "pack_token_budget", "split_fractions",
 )
 
 

@@ -723,3 +723,51 @@ def clean_lines(
         .withColumn(text_col, F.array_join(kept, "\n"))
         .where(F.col("n_lines_kept") >= min_lines_kept)
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — table stakes for any
+    training corpus: every row gets a ``split`` label by thresholding
+    the :func:`hash_priority` value against cumulative-fraction
+    boundaries. Properties the ``rand()`` version lacks:
+
+    - STABLE: the same (id, salt) lands in the same split under
+      retries, re-partitioning, incremental re-runs, and across
+      engines — a doc never migrates from test into train when the
+      corpus is rebuilt;
+    - DISJOINT + EXHAUSTIVE by construction (half-open threshold
+      intervals over [0, 2³²));
+    - exact-integer boundaries (``floor(cum_fraction · 2³²)``), so an
+      independent engine reproduces the assignment bit-for-bit;
+    - ``salt`` redraws the whole split independently.
+
+    ``fractions`` maps split name → fraction; must sum to 1 (±1e-9).
+    Pure codegen projection — zero shuffles; feed ``split`` to
+    ``write_corpus(partition_by=["split"])`` for a partitioned export.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1; got {total}")
+    if not fractions or any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-empty and non-negative")
+    pri = hash_priority(id_col, salt)
+    bounds: list[tuple[str, int]] = []
+    cum = 0.0
+    names = list(fractions)
+    for name in names:
+        cum += fractions[name]
+        bounds.append((name, int(cum * (1 << 32))))
+    # last boundary is exactly 2^32 (sum==1), covering the max hash;
+    # first-match-wins so zero-fraction splits (tied thresholds) get
+    # no rows
+    bounds[-1] = (names[-1], 1 << 32)
+    expr = None
+    for name, b in bounds:
+        cond = pri < F.lit(b)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr.otherwise(F.lit(names[-1])))

@@ -74,6 +74,7 @@ def build_corpus(
     mix_total_tokens: int | None = None,
     mix_alpha: float = 0.5,
     pack_token_budget: int | None = None,
+    split_fractions: dict[str, float] | None = None,
     collect_report: bool = True,
 ) -> tuple[DataFrame, dict]:
     """Run the corpus build; return ``(kept_docs, report)``.
@@ -122,7 +123,10 @@ def build_corpus(
     temperature-flattened weights (:func:`temperature_mix`,
     ``mix_alpha``; mutually exclusive with ``token_budgets``);
     ``pack_token_budget`` appends shard-local pack assignments
-    (sharded by ``lang_guess``).
+    (sharded by ``lang_guess``); ``split_fractions`` appends a
+    deterministic train/val/test ``split`` label (:func:`hash_split`,
+    salted by ``sample_salt`` — stable across rebuilds, so no doc
+    ever migrates between splits).
     """
     report: dict[str, int] = {}
     persisted: list[DataFrame] = []
@@ -333,6 +337,14 @@ def build_corpus(
             cur, text_col, id_col, "lang_guess", token_budget=pack_token_budget
         ).select(id_col, "pack_id")
         cur = note("packed", cur.join(packs, id_col))
+
+    if split_fractions is not None:
+        # final labeling stage — a deterministic split column, zero
+        # cost (pure projection); write_corpus(partition_by=["split"])
+        # then ships train/val/test as hive partitions (t20)
+        from southpaw_spark.operators.text import hash_split
+
+        cur = hash_split(cur, id_col, split_fractions, salt=sample_salt)
 
     return cur, report
 

@@ -3454,6 +3454,37 @@ def _m06_sql() -> str:
 M06_SQL = _m06_sql()
 
 
+def t20_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (`operators.text.hash_split`):
+    every doc gets a split label by thresholding the md5 hash priority
+    against exact-integer cumulative-fraction boundaries
+    (`floor(cum·2³²)`). Stable under retries/re-partitioning/rebuilds
+    (a doc never migrates from test into train), disjoint + exhaustive
+    by construction, and engine-exact — the oracle applies the same
+    integer thresholds to the same md5 value. Pure codegen projection:
+    zero shuffles."""
+    from southpaw_spark.operators.text import hash_split
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05},
+        salt="s1",
+    )
+
+
+T20_SQL = f"""
+    SELECT doc_id,
+           CASE WHEN pri < {int(0.9 * (1 << 32))} THEN 'train'
+                WHEN pri < {int(0.95 * (1 << 32))} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             ('0x' || substr(md5('s1|' || CAST(doc_id AS VARCHAR)), 1, 8)
+             )::BIGINT AS pri
+      FROM documents)
+"""
+
+
 def s07_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversified top-k via Maximal Marginal Relevance (round 8,
     `operators.similarity.mmr_topk`, Carbonell & Goldstein SIGIR 1998):
@@ -4009,6 +4040,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m05_audio_fingerprint": m05_audio_fingerprint,
     "m06_image_ahash": m06_image_ahash,
     "a10_period_over_period": a10_period_over_period,
+    "t20_hash_split": t20_hash_split,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -4050,4 +4082,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "m05_audio_fingerprint": M05_SQL,
     "m06_image_ahash": M06_SQL,
     "a10_period_over_period": A10_SQL,
+    "t20_hash_split": T20_SQL,
 }

@@ -508,3 +508,26 @@ def test_build_corpus_line_clean_stage(spark):
     assert [r["doc_id"] for r in rows] == [1]
     assert rows[0]["text"].count("\n") == 1
     assert "javascript" not in rows[0]["text"]
+
+
+def test_build_corpus_split_fractions_stage(spark):
+    docs = spark.createDataFrame(
+        [(i, f"some real text number {i} here.") for i in range(200)],
+        "doc_id long, text string",
+    )
+    kept, _ = build_corpus(
+        docs, exact_dedup=False,
+        split_fractions={"train": 0.8, "val": 0.2},
+        sample_salt="z",
+    )
+    rows = {r["doc_id"]: r["split"] for r in kept.collect()}
+    kept.unpersist()
+    assert set(rows.values()) <= {"train", "val"}
+    assert len(rows) == 200
+    # stable: a rebuilt corpus assigns identically
+    kept2, _ = build_corpus(
+        docs, exact_dedup=False,
+        split_fractions={"train": 0.8, "val": 0.2},
+        sample_salt="z", collect_report=False,
+    )
+    assert {r["doc_id"]: r["split"] for r in kept2.collect()} == rows

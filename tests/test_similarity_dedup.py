@@ -1908,3 +1908,38 @@ def test_clean_lines_no_shuffle_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_hash_split_deterministic_disjoint_exhaustive(spark):
+    from southpaw_spark.operators.text import hash_split
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = hash_split(df, "doc_id", fr, salt="e")
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == 2000  # exhaustive, one label per row
+    counts = {}
+    for s in rows.values():
+        counts[s] = counts.get(s, 0) + 1
+    # hash-uniform: within loose tolerance of the fractions
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    assert abs(counts["val"] / 2000 - 0.1) < 0.04
+    # stability: same assignment under repartitioning and on a subset
+    sub = hash_split(
+        df.where(F.col("doc_id") < 500).repartition(7),
+        "doc_id", fr, salt="e",
+    )
+    assert all(
+        rows[r["doc_id"]] == r["split"] for r in sub.collect()
+    )
+    # salt redraws the split
+    redrawn = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df, "doc_id", fr, salt="f").collect()
+    }
+    assert redrawn != rows
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, "doc_id", {"a": 0.5})
