@@ -350,6 +350,7 @@ def ohlc(
     key_cols: Sequence[str],
     value_col: str,
     stride: int = 3600,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Time-bucketed OHLC bars: per key and fixed ``stride``-second
     bucket, the first (open), max (high), min (low), and last (close)
@@ -370,8 +371,12 @@ def ohlc(
     Values pass through untouched (no float arithmetic beyond
     comparison), so results are bit-reproducible across partitionings
     and engines. Ties on ``ts_col`` within a bucket make open/close
-    engine-arbitrary — pass a unique/composite ordering column (e.g.
-    an event id refined timestamp) if the raw series has duplicates.
+    ENGINE-ARBITRARY unless ``order_col`` breaks them: when given,
+    open/close order by the composite ``(ts, order_col)`` (struct
+    comparison — still a single-pass mergeable aggregate, no window),
+    so a unique event id / sequence number makes the bars
+    deterministic under duplicate timestamps. Default (``None``)
+    orders by ``ts_col`` alone.
     """
     keys = list(key_cols)
     bucket = (
@@ -380,14 +385,20 @@ def ohlc(
         .alias("bucket")
     )
     v = F.col(value_col)
+    sel = [*keys, bucket, F.col(ts_col).alias("__t"), v.alias("__v")]
+    if order_col is not None:
+        sel.append(F.col(order_col).alias("__o"))
+        order = F.struct(F.col("__t"), F.col("__o"))
+    else:
+        order = F.col("__t")
     return (
-        df.select(*keys, bucket, F.col(ts_col).alias("__t"), v.alias("__v"))
+        df.select(*sel)
         .groupBy(*keys, "bucket")
         .agg(
-            F.min_by("__v", "__t").alias("open"),
+            F.min_by("__v", order).alias("open"),
             F.max("__v").alias("high"),
             F.min("__v").alias("low"),
-            F.max_by("__v", "__t").alias("close"),
+            F.max_by("__v", order).alias("close"),
             F.count("__v").alias("n_events"),
         )
     )

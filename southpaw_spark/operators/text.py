@@ -487,7 +487,12 @@ def token_budget_sample(
     return full.select(*keep).unionByName(part.select(*keep))
 
 
-_TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|ref)="
+# '=' optional (trailing `(=|$)`): valueless tracking params
+# ('?fbclid', '&utm_source') must not survive canonicalization and
+# split dedup groups; plain names that merely share a prefix
+# ('refresh=1') still pass because neither '=' nor end-of-param
+# follows the alternation match.
+_TRACKING_PARAM_RE = r"^(utm_[^=&]*|fbclid|gclid|ref)(=|$)"
 
 
 def canonical_url(url) -> Column:
@@ -499,8 +504,9 @@ def canonical_url(url) -> Column:
       non-default ports kept;
     - fragment dropped, trailing slashes stripped;
     - tracking params (``utm_*``, ``fbclid``, ``gclid``, ``ref``)
-      removed and the remaining query params SORTED, so param order
-      never splits a dedup group.
+      removed — with or without a value (``?fbclid`` counts) — and
+      the remaining query params SORTED, so param order never splits
+      a dedup group.
 
     Pure built-ins (regexp + array ops, whole-stage codegen) with
     deliberately engine-portable regexes — the DuckDB oracle applies
@@ -605,6 +611,7 @@ def temperature_mix(
     alpha: float = 0.5,
     salt: str = "",
     n_buckets: int = 1024,
+    max_domains: int | None = 100_000,
 ) -> DataFrame:
     """Temperature-based DOMAIN MIXING: derive each domain's token
     budget from the corpus itself (:func:`temperature_budgets` over
@@ -616,7 +623,33 @@ def temperature_mix(
     Scale: the per-domain count aggregate is combiner-friendly and its
     result is bounded by DOMAIN CARDINALITY (the one driver collect —
     bounded metadata, not data); the sample itself inherits t15's
-    no-global-sort bucketed-prefix plan."""
+    no-global-sort bucketed-prefix plan.
+
+    ``max_domains`` guards that collect: it is bounded metadata ONLY
+    for curated domain labels (source/language/register) — a
+    URL-host-derived "domain" column can run to millions of keys and
+    the collect becomes a driver-OOM footgun. One countDistinct job
+    (combiner-friendly, a scalar back) fails loudly past the
+    threshold, naming the fix (bucket/coarsen the domain column, or
+    compute budgets offline and call :func:`token_budget_sample`).
+    Pass ``None`` to disable (cardinality known-bounded upstream) —
+    the same guard discipline as ``streaming.temporal.asof_state``'s
+    broadcast-size check."""
+    if max_domains is not None:
+        n_dom = df.agg(
+            F.countDistinct(F.col(domain_col)).alias("n")
+        ).collect()[0]["n"]
+        if n_dom > max_domains:
+            raise ValueError(
+                f"temperature_mix: {domain_col!r} has {n_dom} distinct "
+                f"values (> max_domains={max_domains}); the per-domain "
+                "budget collect is only safe for bounded curated "
+                "domains. Coarsen the domain column (e.g. registrable "
+                "domain / source label), or compute budgets offline "
+                "and call token_budget_sample directly; pass "
+                "max_domains=None only if the cardinality is "
+                "known-bounded."
+            )
     counts = {
         r["d"]: r["nt"]
         for r in df.groupBy(F.col(domain_col).alias("d"))
@@ -725,6 +758,31 @@ def clean_lines(
     )
 
 
+def hash_split_bounds(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    """Exact-integer split boundaries for :func:`hash_split`:
+    ``floor(cum_fraction · 2³²)`` per split, with the cumulative
+    fraction accumulated as an EXACT rational (``fractions.Fraction``
+    over the float inputs) — float accumulation (0.9 + 0.05 =
+    0.9500000000000001) can land ``int(cum · 2³²)`` one off from an
+    independent engine's literal cumulative sum, silently migrating a
+    hash value across splits. Exact accumulation is associative, so
+    the boundaries are independent of accumulation order and any
+    engine that floors the same rational reproduces them bit-for-bit.
+    The last boundary is pinned to 2³² (sum == 1) so the max hash is
+    covered. Shared by the operator and the registry oracle, so the
+    two can never drift."""
+    from fractions import Fraction
+
+    names = list(fractions)
+    bounds: list[tuple[str, int]] = []
+    cum = Fraction(0)
+    for name in names:
+        cum += Fraction(fractions[name])
+        bounds.append((name, int(cum * (1 << 32))))
+    bounds[-1] = (names[-1], 1 << 32)
+    return bounds
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,
@@ -742,8 +800,10 @@ def hash_split(
       corpus is rebuilt;
     - DISJOINT + EXHAUSTIVE by construction (half-open threshold
       intervals over [0, 2³²));
-    - exact-integer boundaries (``floor(cum_fraction · 2³²)``), so an
-      independent engine reproduces the assignment bit-for-bit;
+    - exact-integer boundaries (``floor(cum_fraction · 2³²)`` with the
+      cumulative fraction accumulated EXACTLY — see
+      :func:`hash_split_bounds`), so an independent engine reproduces
+      the assignment bit-for-bit regardless of accumulation order;
     - ``salt`` redraws the whole split independently.
 
     ``fractions`` maps split name → fraction; must sum to 1 (±1e-9).
@@ -756,16 +816,11 @@ def hash_split(
     if not fractions or any(f < 0 for f in fractions.values()):
         raise ValueError("fractions must be non-empty and non-negative")
     pri = hash_priority(id_col, salt)
-    bounds: list[tuple[str, int]] = []
-    cum = 0.0
-    names = list(fractions)
-    for name in names:
-        cum += fractions[name]
-        bounds.append((name, int(cum * (1 << 32))))
     # last boundary is exactly 2^32 (sum==1), covering the max hash;
     # first-match-wins so zero-fraction splits (tied thresholds) get
     # no rows
-    bounds[-1] = (names[-1], 1 << 32)
+    bounds = hash_split_bounds(fractions)
+    names = list(fractions)
     expr = None
     for name, b in bounds:
         cond = pri < F.lit(b)

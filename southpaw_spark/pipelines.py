@@ -128,6 +128,25 @@ def build_corpus(
     salted by ``sample_salt`` — stable across rebuilds, so no doc
     ever migrates between splits).
     """
+    # validate the whole configuration BEFORE any stage runs — a bad
+    # combination must fail immediately, not after earlier stages have
+    # already triggered real Spark jobs (collect_report counts)
+    if token_budgets is not None and mix_total_tokens is not None:
+        raise ValueError(
+            "token_budgets and mix_total_tokens are two ways to set "
+            "the same budgets — pass one, not both"
+        )
+    if decontaminate_mode not in ("drop", "cut"):
+        raise ValueError(
+            "decontaminate_mode must be 'drop' or 'cut'; got "
+            f"{decontaminate_mode!r}"
+        )
+    if fuzzy_keep not in ("min_id", "best_quality"):
+        raise ValueError(
+            "fuzzy_keep must be 'min_id' or 'best_quality'; got "
+            f"{fuzzy_keep!r}"
+        )
+
     report: dict[str, int] = {}
     persisted: list[DataFrame] = []
 
@@ -235,11 +254,6 @@ def build_corpus(
                     f"{text_col}_clean", "n_tokens_before", "n_tokens_after"
                 ),
             )
-        else:
-            raise ValueError(
-                "decontaminate_mode must be 'drop' or 'cut'; got "
-                f"{decontaminate_mode!r}"
-            )
 
     if exact_dedup:
         losers = exact_duplicates(cur, text_col, id_col).select(
@@ -268,15 +282,10 @@ def build_corpus(
             fuzzy_losers = keepers.where(~F.col("is_keeper")).select(
                 F.col("id").alias(id_col)
             )
-        elif fuzzy_keep == "min_id":
+        else:  # "min_id" — validated up front
             fuzzy_losers = clusters.where(
                 F.col("id") != F.col("cluster_id")
             ).select(F.col("id").alias(id_col))
-        else:
-            raise ValueError(
-                "fuzzy_keep must be 'min_id' or 'best_quality'; got "
-                f"{fuzzy_keep!r}"
-            )
         cur = note("fuzzy_dedup", cur.join(fuzzy_losers, id_col, "left_anti"))
 
     if span_dedup_k is not None:
@@ -317,11 +326,7 @@ def build_corpus(
     if mix_total_tokens is not None:
         # temperature-flattened mix (t17): budgets derived from the
         # surviving corpus itself, then the same no-global-sort greedy
-        if token_budgets is not None:
-            raise ValueError(
-                "token_budgets and mix_total_tokens are two ways to set "
-                "the same budgets — pass one, not both"
-            )
+        # (mutual exclusivity with token_budgets validated up front)
         from southpaw_spark.operators.text import temperature_mix
 
         keep_ids = temperature_mix(

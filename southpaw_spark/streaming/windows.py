@@ -47,6 +47,7 @@ def ohlc_stream(
     ts_col: str = "ts",
     window: str = "1 hour",
     watermark: str = "2 hours",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Streaming twin of :func:`operators.temporal.ohlc` — candlestick
     bars over event-time tumbling windows: open/close via
@@ -54,21 +55,26 @@ def ohlc_stream(
     aggregate is mergeable, so each window's state is one partial
     aggregate per (key, window) — constant memory per bar regardless of
     event rate — and the watermark bounds how many windows stay open.
-    Works identically on batch frames (no-op watermark); the batch
-    shape is oracle-checked as e12."""
+    ``order_col`` breaks duplicate-timestamp ties exactly as in the
+    batch operator: open/close order by the composite ``(ts,
+    order_col)`` struct, keeping bars deterministic (and equal to the
+    batch result) when two events share a timestamp. Works identically
+    on batch frames (no-op watermark); the batch shape is
+    oracle-checked as e12."""
     w = (
         events.withWatermark(ts_col, watermark)
         if events.isStreaming
         else events
     )
     v, t = F.col(value_col), F.col(ts_col)
+    order = t if order_col is None else F.struct(t, F.col(order_col))
     return (
         w.groupBy(F.window(t, window).alias("win"), *key_cols)
         .agg(
-            F.min_by(v, t).alias("open"),
+            F.min_by(v, order).alias("open"),
             F.max(v).alias("high"),
             F.min(v).alias("low"),
-            F.max_by(v, t).alias("close"),
+            F.max_by(v, order).alias("close"),
             F.count(v).alias("n_events"),
         )
         .select(

@@ -3041,7 +3041,7 @@ def t18_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") % 4 == 0,
             F.concat(F.lit("HTTP://WWW."), F.upper(base),
                      F.lit(":80/Docs/"), stem,
-                     F.lit("/?utm_source=x&b=2&a=1#frag")),
+                     F.lit("/?utm_source=x&fbclid&b=2&a=1#frag")),
         )
         .when(
             F.col("doc_id") % 4 == 1,
@@ -3055,7 +3055,7 @@ def t18_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(
             F.concat(F.lit("https://"), base, F.lit(":443/Docs/"), stem,
-                     F.lit("?gclid=z")),
+                     F.lit("?gclid=z&utm_medium")),
         )
     )
     urls = docs.select("doc_id", url.alias("url"))
@@ -3067,13 +3067,13 @@ T18_SQL = """
       SELECT doc_id,
              CASE doc_id % 4
                WHEN 0 THEN 'HTTP://WWW.' || upper(base) || ':80/Docs/'
-                    || stem || '/?utm_source=x&b=2&a=1#frag'
+                    || stem || '/?utm_source=x&fbclid&b=2&a=1#frag'
                WHEN 1 THEN 'http://' || base || '/Docs/'
                     || stem || '?a=1&b=2'
                WHEN 2 THEN 'https://' || base || '/Docs/'
                     || stem || '/'
                ELSE 'https://' || base || ':443/Docs/'
-                    || stem || '?gclid=z'
+                    || stem || '?gclid=z&utm_medium'
              END AS url
       FROM (
         SELECT doc_id,
@@ -3116,7 +3116,8 @@ T18_SQL = """
                COALESCE(array_to_string(list_sort(list_filter(
                  string_split(regexp_extract(pathq, '\\?(.*)$', 1), '&'),
                  p -> p <> '' AND NOT regexp_matches(
-                   p, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&'), '') AS q
+                   p, '^(utm_[^=&]*|fbclid|gclid|ref)(=|$)'))), '&'), '')
+                 AS q
         FROM np))
     SELECT canonical_url,
            MIN(doc_id) AS keep_id,
@@ -3472,10 +3473,17 @@ def t20_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Boundaries come from the SAME exact-rational accumulation the
+# operator uses (hash_split_bounds) — float-accumulated cum can floor
+# one off and silently migrate a hash value across splits.
+from southpaw_spark.operators.text import hash_split_bounds as _hsb
+
+_T20_BOUNDS = dict(_hsb({"train": 0.9, "val": 0.05, "test": 0.05}))
+
 T20_SQL = f"""
     SELECT doc_id,
-           CASE WHEN pri < {int(0.9 * (1 << 32))} THEN 'train'
-                WHEN pri < {int(0.95 * (1 << 32))} THEN 'val'
+           CASE WHEN pri < {_T20_BOUNDS["train"]} THEN 'train'
+                WHEN pri < {_T20_BOUNDS["val"]} THEN 'val'
                 ELSE 'test' END AS split
     FROM (
       SELECT doc_id,

@@ -531,3 +531,30 @@ def test_build_corpus_split_fractions_stage(spark):
         sample_salt="z", collect_report=False,
     )
     assert {r["doc_id"]: r["split"] for r in kept2.collect()} == rows
+
+
+def test_build_corpus_validates_before_any_job(spark):
+    """Invalid configurations must fail at call time, BEFORE any stage
+    triggers a Spark job (round-10 ADVICE fix): the poison frame raises
+    on any execution, so reaching the assert proves no job ran."""
+    import pytest as _pytest
+
+    from southpaw_spark.pipelines import build_corpus
+
+    poison = spark.range(1).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.assert_true(F.lit(False)).isNull(), F.lit("t")
+        ).alias("text"),
+    )
+    with _pytest.raises(ValueError, match="one, not both"):
+        build_corpus(
+            poison, token_budgets={"en": 10}, mix_total_tokens=100,
+        )
+    # mode/keeper strings are validated even when their stage is not
+    # enabled this run (benchmark=None / fuzzy_threshold=None) — a typo
+    # must not ride along silently
+    with _pytest.raises(ValueError, match="decontaminate_mode"):
+        build_corpus(poison, decontaminate_mode="scrub")
+    with _pytest.raises(ValueError, match="fuzzy_keep"):
+        build_corpus(poison, fuzzy_keep="best")

@@ -1943,3 +1943,86 @@ def test_hash_split_deterministic_disjoint_exhaustive(spark):
 
     with _pytest.raises(ValueError, match="sum to 1"):
         hash_split(df, "doc_id", {"a": 0.5})
+
+
+def test_canonical_url_valueless_tracking_params(spark):
+    """Valueless tracking params ('?fbclid', '&utm_source') must be
+    stripped too (round-10 ADVICE fix: '=' is optional in the tracking
+    match), while non-tracking params that merely share a prefix
+    ('refresh=1', 'reference=x') survive."""
+    from southpaw_spark.operators.text import canonical_url
+
+    cases = [
+        ("http://ex.com/p?fbclid", "http://ex.com/p"),
+        ("http://ex.com/p?utm_source&b=1", "http://ex.com/p?b=1"),
+        ("http://ex.com/p?a=1&gclid", "http://ex.com/p?a=1"),
+        ("http://ex.com/p?refresh=1", "http://ex.com/p?refresh=1"),
+        ("http://ex.com/p?reference=x", "http://ex.com/p?reference=x"),
+        ("http://ex.com/p?ref", "http://ex.com/p"),
+        ("http://ex.com/p?utm_", "http://ex.com/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in
+           df.select(canonical_url("url").alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_hash_split_bounds_exact_accumulation():
+    """Boundaries must come from EXACT rational accumulation, not float
+    sums (round-10 ADVICE fix): 0.9 + 0.05 float-accumulates to
+    0.9500000000000001, whose int(cum·2³²) can drift one off an
+    independent engine's literal cumulative fraction."""
+    from fractions import Fraction
+
+    from southpaw_spark.operators.text import hash_split_bounds
+
+    fr = {"train": 0.9, "val": 0.05, "test": 0.05}
+    bounds = dict(hash_split_bounds(fr))
+    assert bounds["train"] == int(Fraction(0.9) * (1 << 32))
+    assert bounds["val"] == int(
+        (Fraction(0.9) + Fraction(0.05)) * (1 << 32)
+    )
+    assert bounds["test"] == 1 << 32  # pinned: max hash covered
+
+    # associativity: a permutation with the same cumulative PREFIX sums
+    # yields identical boundaries for the shared prefixes — float
+    # accumulation order can never shift a boundary
+    many = {f"s{i}": 0.1 for i in range(10)}
+    b = [v for _, v in hash_split_bounds(many)]
+    assert b == [
+        int(Fraction(0.1) * k * (1 << 32)) for k in range(1, 10)
+    ] + [1 << 32]
+
+    # the registry oracle derives its literals from the same helper
+    from southpaw_spark import suite
+
+    assert str(bounds["train"]) in suite.T20_SQL
+    assert str(bounds["val"]) in suite.T20_SQL
+
+
+def test_temperature_mix_domain_guard(spark):
+    """The per-domain budget collect is bounded metadata only for
+    curated domains; past max_domains the operator must fail loudly
+    (round-10 task: the asof_state-style guard)."""
+    import pytest as _pytest
+
+    from southpaw_spark.operators.text import temperature_mix
+
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.lit("w w w").alias("text"),
+        F.col("id").cast("string").alias("host"),  # 50 distinct keys
+    )
+    with _pytest.raises(ValueError, match="max_domains"):
+        temperature_mix(
+            df, "text", "doc_id", "host", 100, max_domains=10
+        )
+    # under the cap (and with the guard disabled) it runs
+    out = temperature_mix(
+        df, "text", "doc_id", "host", 100, max_domains=50
+    )
+    assert out.count() > 0
+    out2 = temperature_mix(
+        df, "text", "doc_id", "host", 100, max_domains=None
+    )
+    assert out2.count() == out.count()

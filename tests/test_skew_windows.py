@@ -485,3 +485,68 @@ def test_ohlc_stream_converges_to_batch(spark, tmp_path):
     # and high from file b
     w1 = [v for k, v in latest.items() if v[4] == 3]
     assert w1 == [(5.0, 9.0, 2.0, 9.0, 3)]
+
+
+def test_ohlc_stream_duplicate_ts_order_col(spark, tmp_path):
+    """Duplicate-timestamp ties across MICRO-BATCH boundaries: order_col
+    must pin open/close deterministically in the stream and converge to
+    the batch operator with the same tie-break (round-10 task: e12/ohlc
+    tie-break parameter, stream twin)."""
+    import json as _json
+
+    from southpaw_spark.streaming.windows import ohlc_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    base = 1_700_000_000
+    # window 1: four rows, two tied pairs — the later-SEQ member of the
+    # open tie arrives in file a, the winning seq=1 row in file b, so
+    # the merge across micro-batches must re-resolve the tie
+    rows_a = [
+        {"k": "x", "ts_s": base + 60, "seq": 2, "v": 5.0},
+        {"k": "x", "ts_s": base + 200, "seq": 3, "v": 2.0},
+    ]
+    rows_b = [
+        {"k": "x", "ts_s": base + 60, "seq": 1, "v": 8.0},
+        {"k": "x", "ts_s": base + 200, "seq": 4, "v": 7.0},
+    ]
+    (src / "a.json").write_text("\n".join(_json.dumps(r) for r in rows_a))
+    (src / "b.json").write_text("\n".join(_json.dumps(r) for r in rows_b))
+    stream = (
+        spark.readStream.schema("k string, ts_s long, seq long, v double")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+    )
+    bars = ohlc_stream(stream, ["k"], "v", order_col="seq")
+    latest: dict = {}
+
+    def sink(df, _):
+        for r in df.collect():
+            latest[(r["window_start"], r["k"])] = (
+                r["open"], r["high"], r["low"], r["close"], r["n_events"]
+            )
+
+    q = (
+        bars.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert list(latest.values()) == [(8.0, 8.0, 2.0, 7.0, 4)]
+    batch = spark.createDataFrame(
+        [(r["k"], r["ts_s"], r["seq"], r["v"]) for r in rows_a + rows_b],
+        "k string, ts_s long, seq long, v double",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    want = {
+        (r["window_start"], r["k"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"]
+        )
+        for r in ohlc_stream(batch, ["k"], "v", order_col="seq").collect()
+    }
+    assert latest == want

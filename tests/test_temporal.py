@@ -353,3 +353,35 @@ def test_ohlc_single_shuffle_plan(spark):
     )
     assert plan.count("Exchange") == 1
     assert "partial_min_by" in plan and "partial_max_by" in plan
+
+
+def test_ohlc_duplicate_ts_order_col(spark):
+    """Duplicate timestamps inside a bucket make open/close
+    engine-arbitrary; order_col breaks the tie with a composite
+    (ts, order) aggregate ordering — deterministic under any input
+    order / partitioning (round-10 task: tie-break promoted from a
+    docstring caveat to a parameter)."""
+    from southpaw_spark.operators.temporal import ohlc
+
+    rows = [
+        ("a", 1, 2, 5.0), ("a", 1, 1, 8.0),  # tied open: seq 1 wins
+        ("a", 3, 4, 7.0), ("a", 3, 3, 2.0),  # tied close: seq 4 wins
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long, seq long, v double")
+    for frame in (df, df.repartition(7), df.orderBy(F.col("seq").desc())):
+        out = ohlc(
+            frame, "ts", ["k"], "v", stride=10, order_col="seq"
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["open"], r["high"], r["low"], r["close"], r["n_events"]) \
+            == (8.0, 8.0, 2.0, 7.0, 4)
+
+    # still one exchange with map-side partials — the struct ordering
+    # must not cost the single-shuffle plan
+    plan = (
+        ohlc(df, "ts", ["k"], "v", stride=10, order_col="seq")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "partial_min_by" in plan and "partial_max_by" in plan
