@@ -18,6 +18,11 @@ from southpaw_spark.operators.denormalize import (
     denormalize_to_json,
 )
 from southpaw_spark.operators.ann_index import build_ann_index, query_ann_index
+from southpaw_spark.operators.bpe import (
+    bpe_encode,
+    bpe_train,
+    with_bpe_token_count,
+)
 from southpaw_spark.operators.temporal import (
     asof_join,
     gapfill,
@@ -33,6 +38,8 @@ __all__ = [
     "apply_filter_rules",
     "apply_old_aware_rules",
     "asof_join",
+    "bpe_encode",
+    "bpe_train",
     "build_ann_index",
     "current_state",
     "denormalize",
@@ -44,4 +51,5 @@ __all__ = [
     "query_ann_index",
     "range_join",
     "unchanged_skip_rule",
+    "with_bpe_token_count",
 ]

@@ -187,6 +187,7 @@ def sequence_packing(
     id_col: str,
     shard_col: str,
     token_budget: int = 2048,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Sequence packing for training: within each shard, documents (in
     deterministic ``id_col`` order) are assigned pack index =
@@ -202,8 +203,17 @@ def sequence_packing(
     Scale: the window partitions by ``shard_col`` — never a global
     ORDER BY (which would serialize onto one partition). Training
     pipelines shard packing anyway (per language/source), so the shard
-    key is part of the operator contract, not a compromise."""
-    n_tok = F.size(tokens(F.col(text_col))).cast("long")
+    key is part of the operator contract, not a compromise.
+
+    ``n_tokens_col``: use a precomputed per-doc token count (e.g. the
+    REAL BPE count from :func:`operators.bpe.with_bpe_token_count`)
+    instead of the whitespace split — budgets at production are
+    measured against the actual tokenizer."""
+    n_tok = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col is not None
+        else F.size(tokens(F.col(text_col))).cast("long")
+    )
     from pyspark.sql import Window
 
     w = (
@@ -415,6 +425,7 @@ def token_budget_sample(
     budgets: dict[str, int],
     salt: str = "",
     n_buckets: int = 1024,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Token-budget DOMAIN MIXING: draw a deterministic sample whose
     per-domain token totals hit the given budgets — the "sample 30B
@@ -437,6 +448,10 @@ def token_budget_sample(
     pays a window sort. Output = exactly the global-sort answer,
     because bucket id is a prefix of the priority order.
 
+    ``n_tokens_col``: use a precomputed per-doc token count (e.g. the
+    REAL BPE count, :func:`operators.bpe.with_bpe_token_count`)
+    instead of the whitespace split.
+
     Returns the kept input rows plus ``n_tokens``."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1; got {n_buckets}")
@@ -444,7 +459,11 @@ def token_budget_sample(
 
     from southpaw_spark.operators.skew import bucket_prefix_join
 
-    w = tokens(F.col(text_col))
+    nt = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col is not None
+        else F.size(tokens(F.col(text_col))).cast("long")
+    )
     bcol = F.lit(None).cast("long")
     for dom, b in sorted(budgets.items()):
         bcol = F.when(
@@ -452,7 +471,7 @@ def token_budget_sample(
         ).otherwise(bcol)
     width = (0xFFFFFFFF // n_buckets) + 1
     base = (
-        df.withColumn("__nt", F.size(w).cast("long"))
+        df.withColumn("__nt", nt)
         .withColumn("__pri", hash_priority(id_col, salt))
         .withColumn(
             "__bk", F.floor(F.col("__pri") / F.lit(width)).cast("int")
@@ -612,6 +631,7 @@ def temperature_mix(
     salt: str = "",
     n_buckets: int = 1024,
     max_domains: int | None = 100_000,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Temperature-based DOMAIN MIXING: derive each domain's token
     budget from the corpus itself (:func:`temperature_budgets` over
@@ -650,16 +670,21 @@ def temperature_mix(
                 "max_domains=None only if the cardinality is "
                 "known-bounded."
             )
+    per_doc = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col is not None
+        else F.size(tokens(F.col(text_col))).cast("long")
+    )
     counts = {
         r["d"]: r["nt"]
         for r in df.groupBy(F.col(domain_col).alias("d"))
-        .agg(F.sum(F.size(tokens(F.col(text_col)))).alias("nt"))
+        .agg(F.sum(per_doc).alias("nt"))
         .collect()
     }
     budgets = temperature_budgets(counts, total_tokens, alpha)
     return token_budget_sample(
         df, text_col, id_col, domain_col, budgets,
-        salt=salt, n_buckets=n_buckets,
+        salt=salt, n_buckets=n_buckets, n_tokens_col=n_tokens_col,
     )
 
 

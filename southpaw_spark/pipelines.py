@@ -54,6 +54,7 @@ def build_corpus(
     *,
     min_quality: float | None = None,
     min_tokens: int | None = None,
+    bpe_merges: list[tuple[str, str]] | None = None,
     langs: list[str] | None = None,
     line_clean: bool = False,
     url_col: str | None = None,
@@ -87,6 +88,13 @@ def build_corpus(
     persisted and counted (the last stage boundary) — ``.unpersist()``
     it when done; intermediate stage caches are dropped as each
     successor materializes.
+
+    ``bpe_merges`` (a trained merge table from
+    :func:`operators.bpe.bpe_train`) switches ALL token accounting —
+    the ``min_tokens`` gate, ``token_budgets``/``mix_total_tokens``
+    sampling, and ``pack_token_budget`` packing — from the whitespace
+    approximation to real vocab-driven BPE counts (``n_tokens_bpe``
+    column, recomputed after every text-rewriting stage).
 
     Stages are enabled by their arguments: ``line_clean`` applies
     C4-style line-level cleaning (:func:`clean_lines`) BEFORE any
@@ -177,10 +185,31 @@ def build_corpus(
     cur = with_lang_guess(
         with_quality_score(docs, text_col), text_col
     )
+    # token accounting: whitespace by default; with ``bpe_merges`` every
+    # token-denominated stage (min_tokens gate, t15 budgets, t17 mix,
+    # t09 packing) runs on the REAL vocab-driven BPE count instead —
+    # production budgets are measured against the actual tokenizer, and
+    # regex/whitespace counts can diverge 2×+ on code/non-English text.
+    # The count column is recomputed after every text-rewriting stage
+    # (decontaminate-cut, span dedup) so budgets see post-cut lengths.
+    if bpe_merges is not None:
+        from southpaw_spark.operators.bpe import with_bpe_token_count
+
+        tok_col = "n_tokens_bpe"
+
+        def _recount(df: DataFrame) -> DataFrame:
+            return with_bpe_token_count(
+                df.drop(tok_col), text_col, bpe_merges
+            )
+
+        cur = _recount(cur)
+    else:
+        tok_col = "n_tokens"
+        _recount = None
     note("input", cur)
 
     if min_tokens is not None:
-        cur = note("min_tokens", cur.where(F.col("n_tokens") >= min_tokens))
+        cur = note("min_tokens", cur.where(F.col(tok_col) >= min_tokens))
     if min_quality is not None:
         cur = note(
             "min_quality", cur.where(F.col("quality_score") >= min_quality)
@@ -245,15 +274,17 @@ def build_corpus(
                 report["decontaminated_docs_emptied"] = int(
                     cut_row["emptied"] or 0
                 )
-            cur = note(
-                "decontaminated",
+            rewritten = (
                 cleaned.where(F.col("n_tokens_after") > 0)
                 .withColumn(text_col, F.col(f"{text_col}_clean"))
                 .withColumn("n_tokens", F.col("n_tokens_after"))
                 .drop(
                     f"{text_col}_clean", "n_tokens_before", "n_tokens_after"
-                ),
+                )
             )
+            if _recount is not None:
+                rewritten = _recount(rewritten)
+            cur = note("decontaminated", rewritten)
 
     if exact_dedup:
         losers = exact_duplicates(cur, text_col, id_col).select(
@@ -295,13 +326,15 @@ def build_corpus(
             cur, text_col, id_col, k=span_dedup_k,
             min_count=span_min_count,
         )
-        cur = note(
-            "span_dedup",
+        rewritten = (
             cleaned.where(F.col("n_tokens_after") > 0)
             .withColumn(text_col, F.col(f"{text_col}_clean"))
             .withColumn("n_tokens", F.col("n_tokens_after"))
-            .drop(f"{text_col}_clean", "n_tokens_before", "n_tokens_after"),
+            .drop(f"{text_col}_clean", "n_tokens_before", "n_tokens_after")
         )
+        if _recount is not None:
+            rewritten = _recount(rewritten)
+        cur = note("span_dedup", rewritten)
 
     if sample_rates is not None:
         cur = note(
@@ -318,6 +351,7 @@ def build_corpus(
         keep_ids = token_budget_sample(
             cur, text_col, id_col, "lang_guess", token_budgets,
             salt=sample_salt,
+            n_tokens_col=tok_col if bpe_merges is not None else None,
         ).select(id_col)
         cur = note(
             "token_budgeted", cur.join(keep_ids, id_col, "left_semi")
@@ -332,6 +366,7 @@ def build_corpus(
         keep_ids = temperature_mix(
             cur, text_col, id_col, "lang_guess", mix_total_tokens,
             alpha=mix_alpha, salt=sample_salt,
+            n_tokens_col=tok_col if bpe_merges is not None else None,
         ).select(id_col)
         cur = note(
             "temperature_mixed", cur.join(keep_ids, id_col, "left_semi")
@@ -339,7 +374,9 @@ def build_corpus(
 
     if pack_token_budget is not None:
         packs = sequence_packing(
-            cur, text_col, id_col, "lang_guess", token_budget=pack_token_budget
+            cur, text_col, id_col, "lang_guess",
+            token_budget=pack_token_budget,
+            n_tokens_col=tok_col if bpe_merges is not None else None,
         ).select(id_col, "pack_id")
         cur = note("packed", cur.join(packs, id_col))
 

@@ -4004,6 +4004,70 @@ T19_SQL = """
 """
 
 
+#: Pinned mini-vocab for t21: 16 merges trained ONCE with
+#: ``operators.bpe.bpe_train(documents @ sf0.01, n_merges=16)`` and
+#: frozen as a literal, so the Spark encoder and the DuckDB replay
+#: share one vocabulary at every SF. Well-formed by construction
+#: (every merge's constituent tokens predate it in rank order), which
+#: is exactly what makes sequential rank-order replay equal to the
+#: encoder's lowest-rank-pair loop (operators/bpe.py module doc).
+T21_MERGES: tuple[tuple[str, str], ...] = (
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"),
+)
+
+
+def t21_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real vocab-driven BPE tokenization (`operators.bpe.bpe_encode`,
+    Sennrich 2016): encode every document against the pinned 16-merge
+    mini-vocab and count REAL tokens — the production replacement for
+    the regex token-count approximation (t05) that drives packing/
+    budgets/mixing. The oracle replays the merge sequence from first
+    principles in SQL: word → space-joined chars → each merge in rank
+    order as left-to-right non-overlapping string replacement (applied
+    to fixpoint), then split back to tokens — engine-exact, so the
+    Pandas-UDF encode loop is value-checked, not just plumbed. Spark
+    plan: one Arrow-batched projection, zero shuffles."""
+    from southpaw_spark.operators.bpe import bpe_encode
+
+    docs = _read(spark, sf_dir, "documents")
+    return bpe_encode(docs, "text", T21_MERGES).select(
+        "doc_id", "bpe_tokens", "n_tokens_bpe"
+    )
+
+
+def _t21_sql() -> str:
+    """Generate the DuckDB merge replay: 4 replace passes per merge in
+    rank order (4 ≥ ceil(log2(k+1)) for any shared-delimiter match
+    chain k a ≤16-char word can hold, so each merge reaches its
+    fixpoint — pass 1 can miss adjacent matches that share a space
+    delimiter; see operators/bpe.py)."""
+    expr = "' ' || array_to_string(string_split(w, ''), ' ') || ' '"
+    for a, b in T21_MERGES:
+        for _ in range(4):
+            expr = f"replace({expr}, ' {a} {b} ', ' {a}{b} ')"
+    return f"""
+    WITH words AS (
+      SELECT doc_id,
+             regexp_extract_all(
+               text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]') AS ws
+      FROM documents),
+    enc AS (
+      SELECT doc_id,
+             flatten(list_transform(ws,
+               w -> string_split(trim({expr}), ' '))) AS bpe_tokens
+      FROM words)
+    SELECT doc_id, bpe_tokens,
+           len(bpe_tokens)::BIGINT AS n_tokens_bpe
+    FROM enc
+"""
+
+
+T21_SQL = _t21_sql()
+
+
 # The driver's correctness gate checks AT MOST 50 rows per round
 # (CORRECTNESS_r02 stopped at 50 of 54), so QUERIES stays pinned at
 # exactly 50: pushing new entries into it would silently uncheck tail
@@ -4049,6 +4113,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m06_image_ahash": m06_image_ahash,
     "a10_period_over_period": a10_period_over_period,
     "t20_hash_split": t20_hash_split,
+    "t21_bpe_encode": t21_bpe_encode,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -4091,4 +4156,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "m06_image_ahash": M06_SQL,
     "a10_period_over_period": A10_SQL,
     "t20_hash_split": T20_SQL,
+    "t21_bpe_encode": T21_SQL,
 }

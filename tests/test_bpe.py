@@ -1,0 +1,197 @@
+"""Vocab-driven BPE: training determinism, encode correctness (vs an
+independent sequential-replay implementation — the same construction
+the t21 DuckDB oracle uses), scale-shape plan checks, and the
+build_corpus token-accounting switch."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from southpaw_spark.operators.bpe import (
+    bpe_encode,
+    bpe_train,
+    merge_word,
+    with_bpe_token_count,
+)
+from southpaw_spark.operators.text import BPE_TOKEN_PATTERN
+
+
+def _replay_encode(text: str, merges) -> list[str]:
+    """Independent reference: sequential rank-order replay via
+    left-to-right non-overlapping string replacement to fixpoint —
+    exactly the t21 oracle's SQL construction, in Python."""
+    out: list[str] = []
+    for w in re.findall(BPE_TOKEN_PATTERN, text or ""):
+        s = " " + " ".join(list(w)) + " "
+        for a, b in merges:
+            pat, rep = f" {a} {b} ", f" {a}{b} "
+            while pat in s:
+                s = s.replace(pat, rep)
+        out.extend(s.split())
+    return out
+
+
+def test_merge_word_basic():
+    ranks = {("a", "b"): 0, ("ab", "c"): 1}
+    assert merge_word("abc", ranks) == ["abc"]
+    assert merge_word("abab", ranks) == ["ab", "ab"]
+    assert merge_word("xyz", ranks) == ["x", "y", "z"]
+    assert merge_word("a", ranks) == ["a"]
+    # all occurrences of the chosen pair merge in one scan, left to
+    # right (aaa with (a,a) → [aa, a], never [a, aa])
+    assert merge_word("aaa", {("a", "a"): 0}) == ["aa", "a"]
+    assert merge_word("aaaa", {("a", "a"): 0}) == ["aa", "aa"]
+
+
+def test_bpe_train_deterministic_and_well_formed(spark):
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest newer newest wide wider") for i in range(3)],
+        "doc_id long, text string",
+    )
+    m1 = bpe_train(docs, "text", n_merges=12)
+    m2 = bpe_train(docs.repartition(5), "text", n_merges=12)
+    assert m1 == m2  # deterministic under partitioning
+    assert len(m1) > 0
+    # well-formed: every merge's constituents are single chars or the
+    # product of an EARLIER merge — the property that makes sequential
+    # replay equal to the lowest-rank-pair encode loop
+    produced = set()
+    for a, b in m1:
+        for part in (a, b):
+            assert len(part) == 1 or part in produced, (a, b, part)
+        produced.add(a + b)
+
+
+def test_bpe_encode_equals_sequential_replay(spark, sf_dir):
+    """The encoder's lowest-rank-pair loop must equal the oracle's
+    sequential rank-order replay on real corpus text (trained vocabs
+    make the two provably equivalent; this pins it empirically)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train(docs, "text", n_merges=16)
+    got = {
+        r["doc_id"]: (list(r["bpe_tokens"]), r["n_tokens_bpe"])
+        for r in bpe_encode(docs, "text", merges)
+        .select("doc_id", "bpe_tokens", "n_tokens_bpe")
+        .collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        want = _replay_encode(r["text"], merges)
+        assert got[r["doc_id"]] == (want, len(want)), r["doc_id"]
+
+
+def test_bpe_encode_edge_cases(spark):
+    merges = [("a", "b")]
+    df = spark.createDataFrame(
+        [(1, "ab ab!x"), (2, ""), (3, None), (4, "zz 12 ab3")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (list(r["bpe_tokens"]), r["n_tokens_bpe"])
+        for r in bpe_encode(df, "text", merges).collect()
+    }
+    # punctuation/digit runs are their own pre-tokens, but with no
+    # digit merges in the vocab they stay single-char; unknown chars
+    # pass through as singletons
+    assert rows[1] == (["ab", "ab", "!", "x"], 4)
+    assert rows[2] == ([], 0)
+    assert rows[3] == ([], 0)
+    assert rows[4] == (["z", "z", "1", "2", "ab", "3"], 6)
+
+
+def test_bpe_encode_no_shuffle_plan(spark):
+    """Encode must stay a pure Arrow-batched projection — zero
+    exchanges — so it rides the scan partitioning at 100 TB."""
+    df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    plan = (
+        bpe_encode(df, "text", [("a", "b")])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan  # vectorized, not row-at-a-time
+
+
+def test_with_bpe_token_count_drops_array(spark):
+    df = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
+    out = with_bpe_token_count(df, "text", [("a", "b")])
+    assert "n_tokens_bpe" in out.columns
+    assert not any(c.startswith("__") for c in out.columns)
+    assert out.collect()[0]["n_tokens_bpe"] == 3  # [ab, c, d]
+
+
+def test_t21_registry_row_matches_duckdb(spark, sf_dir):
+    """Value-level parity of the t21 row against its SQL oracle at the
+    local SF (the check_oracles gate runs the same comparison at
+    sf0.01/0.1)."""
+    import duckdb
+
+    from southpaw_spark import suite
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = {
+        r[0]: (list(r[1]), r[2])
+        for r in con.execute(
+            suite.EXTRA_ORACLES["t21_bpe_encode"]
+        ).fetchall()
+    }
+    got = {
+        r["doc_id"]: (list(r["bpe_tokens"]), r["n_tokens_bpe"])
+        for r in suite.t21_bpe_encode(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_build_corpus_bpe_token_accounting(spark):
+    """With bpe_merges, min_tokens / budgets / packing run on REAL BPE
+    counts: a doc whose whitespace count passes the gate but whose BPE
+    count does not must be dropped, and pack boundaries must move with
+    the BPE counts."""
+    from southpaw_spark.pipelines import build_corpus
+
+    merges = [("a", "b"), ("ab", "c")]
+    docs = spark.createDataFrame(
+        [
+            # 4 whitespace words → 4 BPE tokens ("abc" fully merges)
+            (1, "abc abc abc abc"),
+            # 4 whitespace words, but 8 BPE tokens ("xy" → x, y)
+            (2, "xy xy xy xy"),
+        ],
+        "doc_id long, text string",
+    )
+    kept, report = build_corpus(
+        docs, min_tokens=5, bpe_merges=merges, exact_dedup=False,
+        collect_report=True,
+    )
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    kept.unpersist()
+    assert ids == {2}  # doc 1: 4 BPE tokens < 5; doc 2: 8 >= 5
+
+    # packing keyed on BPE counts: budget 8 puts the two 4-token docs
+    # in one pack under BPE accounting (whitespace would also give 4,
+    # so use a vocab-sensitive text for the second doc)
+    docs2 = spark.createDataFrame(
+        [(1, "abc abc", "en"), (2, "xy xy", "en")],
+        "doc_id long, text string, lang string",
+    )
+    kept2, _ = build_corpus(
+        docs2, bpe_merges=merges, exact_dedup=False,
+        pack_token_budget=3, collect_report=False,
+    )
+    packs = {
+        r["doc_id"]: r["pack_id"] for r in kept2.collect()
+    }
+    # id order: doc1 (2 BPE tokens) → pack 0; doc2 starts at cum=2 <3
+    # → pack 0 too under floor(2/3)=0; its own 4 tokens overflow into
+    # the same pack (spanning doc belongs to the earlier pack)
+    assert packs == {1: 0, 2: 0}
+    # whitespace accounting would differ only via counts; check the
+    # n_tokens_bpe column is what packing consumed
+    rows = {
+        r["doc_id"]: r["n_tokens_bpe"] for r in kept2.collect()
+    }
+    assert rows == {1: 2, 2: 4}
