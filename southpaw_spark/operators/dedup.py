@@ -1513,6 +1513,187 @@ def suggest_n_cells(n_rows: int, target_cell: int = 1024) -> int:
     return max(1, math.ceil(math.sqrt(n)), math.ceil(n / max(1, target_cell)))
 
 
+def _gemm_assignment_candidates(
+    c: DataFrame,
+    centroids: DataFrame,
+    n_probes: int,
+    eps: float = 5e-8,
+) -> DataFrame:
+    """Cell-assignment shortlist for SemDeDup — kills the OTHER
+    interpreted hot loop in d18: the naive assignment explodes N×C
+    (vector, centroid) rows and evaluates one higher-order-function
+    cosine per row (2.8M interpreted folds at N=20k, C=142 — measured
+    to dominate the whole operator, not the pair scan).
+
+    One ``mapInPandas`` pass computes the full N×C cosine matrix by
+    float64 gemm and keeps, per vector, every cell whose gemm sim ≥
+    (p-th largest gemm sim) − eps. This candidate set PROVABLY
+    contains the true top-``n_probes`` cells under the exact rule
+    ``(round(sim, 8) desc, cell asc)``: with gemm-vs-sequential-fold
+    error e ≈ d·ulp ≈ 1e-13, a cell outside the shortlist is at least
+    eps − 2e > 4.9e-8 > 1e-8 below p other cells' true sims, so after
+    round-to-8 (which moves a value ≤ 0.5e-8) it ranks strictly below
+    all p — it cannot be a winner or even a rounded tie. The caller
+    then recomputes sim on ONLY the shortlist rows with the same SQL
+    expression as before, so winners (and the emitted frame) are
+    bit-identical to the full N×C plan.
+
+    Non-finite gemm sims (zero-norm vector or centroid) are promoted
+    to +inf so those (row, cell) pairs stay in the shortlist and the
+    SQL recomputation preserves the engine's native behavior (ANSI
+    division error / non-ANSI NULL) instead of silently dropping rows.
+
+    Centroids are collected to the driver — bounded by the SemDeDup
+    contract (C ≈ √N, broadcast-sized by design). No shuffle: the
+    pass is a projection, the rejoin a broadcast."""
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = centroids.select("cell", "centroid").collect()
+    cell_ids = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
+    mat = np.array(
+        [np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows]
+    )
+    cnorm = np.sqrt((mat * mat).sum(axis=1))
+    p = min(int(n_probes), len(cent_rows))
+
+    id_field = c.schema["__id"]
+    out_schema = T.StructType(
+        [
+            T.StructField("__id", id_field.dataType),
+            T.StructField("__v", T.ArrayType(T.DoubleType())),
+            T.StructField("__cells", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def shortlist(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(
+                [np.asarray(x, dtype=np.float64) for x in pdf["__v"]]
+            )
+            vnorm = np.sqrt((v * v).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (v @ mat.T) / np.outer(vnorm, cnorm)
+            sims = np.where(np.isfinite(sims), sims, np.inf)
+            kth = np.partition(sims, len(cent_rows) - p, axis=1)[
+                :, len(cent_rows) - p
+            ]
+            keep = sims >= (kth - eps)[:, None]
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"],
+                    "__v": pdf["__v"],
+                    "__cells": [
+                        cell_ids[m].tolist() for m in keep
+                    ],
+                }
+            )
+
+    return (
+        c.mapInPandas(shortlist, out_schema)
+        .select("__id", "__v", F.explode("__cells").alias("cell"))
+        .join(F.broadcast(centroids), "cell")
+    )
+
+
+def _gemm_cell_pairs(
+    assigned: DataFrame,
+    threshold: float,
+    block_rows: int = 4096,
+    margin: float = 1e-9,
+) -> DataFrame:
+    """Within-cell near-dup pair scan as a per-cell BLAS kernel —
+    the d18 prefilter composition (round-9 verdict task: the (N/C)²
+    pair scan was the suite's worst-scaling row under the interpreted
+    higher-order-function join).
+
+    One ``applyInPandas`` group per cell: a float64 gemm computes the
+    full within-cell cosine matrix (blocked at ``block_rows`` rows so
+    memory is block×m, never m×m for fat cells), shortlists entries at
+    ``threshold − margin``, then rescores each candidate with the
+    bit-exact sequential fold (elementwise float64 product →
+    ``np.cumsum`` — the same left-to-right IEEE accumulation the SQL
+    ``aggregate`` lambda of :func:`similarity._dot` performs), so the
+    emitted ``(id_a, id_b, cell, cosine)`` rows are EXACTLY what the
+    codegen self-join emits. margin=1e-9 ≫ the ~d·ulp gemm-vs-
+    sequential divergence, so the shortlist is a provable superset:
+    lossless, not approximately-recalled.
+
+    Input: ``(__id, cell, __v array<double>)``. Zero-norm vectors
+    error at cell ASSIGNMENT under ANSI mode before either kernel
+    runs; should one reach this kernel (non-ANSI sessions), its NaN
+    cosine never passes the threshold, matching the join kernel's
+    non-ANSI NULL-comparison semantics."""
+    import numpy as np
+    import pandas as pd
+
+    id_field = assigned.schema["__id"]
+    cell_field = assigned.schema["cell"]
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_field.dataType),
+            T.StructField("id_b", id_field.dataType),
+            T.StructField("cell", cell_field.dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=pdf["__id"].dtype),
+                "id_b": pd.Series([], dtype=pdf["__id"].dtype),
+                "cell": pd.Series([], dtype=pdf["cell"].dtype),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        m = len(pdf)
+        if m < 2:
+            return empty
+        ids = pdf["__id"].to_numpy()
+        v = np.array(
+            [np.asarray(x, dtype=np.float64) for x in pdf["__v"]]
+        )
+        # bit-exact sequential norms (== _norm's left-to-right fold)
+        norms = np.sqrt(np.cumsum(v * v, axis=1)[:, -1])
+        cell = pdf["cell"].iloc[0]
+        out_a: list = []
+        out_b: list = []
+        out_cos: list = []
+        lo = threshold - margin
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for i0 in range(0, m, block_rows):
+                i1 = min(i0 + block_rows, m)
+                sim = (v[i0:i1] @ v.T) / np.outer(norms[i0:i1], norms)
+                for bi, j in zip(*np.nonzero(sim >= lo)):
+                    i = i0 + bi
+                    ia, ib = ids[i], ids[j]
+                    if not ia < ib:
+                        continue
+                    dot = np.cumsum(v[i] * v[j])[-1]
+                    cos = dot / (norms[i] * norms[j])
+                    if cos >= threshold:
+                        out_a.append(ia)
+                        out_b.append(ib)
+                        out_cos.append(cos)
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(out_a, dtype=pdf["__id"].dtype),
+                "id_b": pd.Series(out_b, dtype=pdf["__id"].dtype),
+                "cell": pd.Series(
+                    [cell] * len(out_a), dtype=pdf["cell"].dtype
+                ),
+                "cosine": pd.Series(out_cos, dtype="float64"),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(scan, out_schema)
+
+
 def semantic_duplicates(
     corpus: DataFrame,
     vec_col: str,
@@ -1524,6 +1705,8 @@ def semantic_duplicates(
     train_cap: int = 100_000,
     seed: int = 42,
     n_probes: int = 1,
+    pair_scan: str = "gemm",
+    gemm_block_rows: int = 4096,
 ) -> DataFrame:
     """Semantic (embedding-cluster) dedup — the SemDeDup recipe (Abbas
     et al. 2023, "SemDeDup: Data-efficient learning at web-scale
@@ -1560,7 +1743,29 @@ def semantic_duplicates(
     recovering near-dups that straddle a cell boundary — the measured
     recall fix when single-probe falls short (BASELINE §17). Work
     scales ~``n_probes``²·N²/C; results are a superset of single-probe
-    (monotone in ``n_probes``) and remain engine-reproducible."""
+    (monotone in ``n_probes``) and remain engine-reproducible.
+
+    ``pair_scan`` picks the within-cell kernel, LOSSLESSLY:
+
+    - ``"gemm"`` (default) — each cell flows through an Arrow-batched
+      ``applyInPandas``: a float64 BLAS gemm shortlists pairs at
+      ``threshold − 1e-9``, then every candidate is RESCORED with a
+      left-to-right ``cumsum`` fold that is bit-identical to the SQL
+      ``aggregate`` fold of :func:`_dot`/:func:`_norm` — so the output
+      (ids, cells, cosines) is exactly the join path's, at matrix-
+      multiply speed instead of one interpreted higher-order-function
+      evaluation per pair. The 1e-9 margin dwarfs the worst-case gemm
+      vs sequential-sum divergence (~d·ulp ≈ 1e-14 at d=64), so no
+      true pair can be shortlisted away. Blocked at
+      ``gemm_block_rows`` rows per gemm so a fat cell never
+      materializes an m×m similarity matrix.
+    - ``"join"`` — the pure-codegen within-cell self-join; keeps the
+      whole plan JVM-side (no Python workers) for plan-parity demos
+      and Arrow-less environments.
+
+    Both kernels implement the same decision rule; the choice is a
+    physical-plan knob, not a semantics knob (pinned by an equality
+    test over random cells)."""
     from southpaw_spark.operators.similarity import _dot, _norm
 
     if n_cells < 1:
@@ -1568,6 +1773,10 @@ def semantic_duplicates(
     if not 1 <= n_probes <= n_cells:
         raise ValueError(
             f"n_probes must be in [1, n_cells={n_cells}]; got {n_probes}"
+        )
+    if pair_scan not in ("gemm", "join"):
+        raise ValueError(
+            f"pair_scan must be 'gemm' or 'join'; got {pair_scan!r}"
         )
     c = corpus.select(
         F.col(id_col).alias("__id"),
@@ -1607,11 +1816,17 @@ def semantic_duplicates(
     sim = _dot(F.col("__v"), F.col("centroid")) / (
         _norm(F.col("__v")) * _norm(F.col("centroid"))
     )
+    if pair_scan == "gemm":
+        # gemm shortlist: same (vector, centroid) pairs the winners
+        # come from, ~C/n_probes fewer interpreted sim evaluations
+        expanded = _gemm_assignment_candidates(c, centroids, n_probes)
+    else:
+        expanded = c.join(F.broadcast(centroids))
     if n_probes == 1:
         # single-probe keeps the shuffle-light max_by plan (and the
         # registry oracle's exact output) untouched
         assigned = (
-            c.join(F.broadcast(centroids))
+            expanded
             .groupBy("__id")
             .agg(
                 F.max_by(
@@ -1631,27 +1846,32 @@ def semantic_duplicates(
             F.col("__s").desc(), F.col("cell").asc()
         )
         assigned = (
-            c.join(F.broadcast(centroids))
+            expanded
             .select("__id", "__v", "cell", F.round(sim, 8).alias("__s"))
             .withColumn("__r", F.row_number().over(w))
             .where(F.col("__r") <= n_probes)
             .select("__id", "cell", "__v")
         )
-    a = assigned.select(
-        F.col("__id").alias("id_a"), "cell", F.col("__v").alias("__va")
-    )
-    b = assigned.select(
-        F.col("__id").alias("id_b"), "cell", F.col("__v").alias("__vb")
-    )
-    cos = _dot(F.col("__va"), F.col("__vb")) / (
-        _norm(F.col("__va")) * _norm(F.col("__vb"))
-    )
-    pairs = (
-        a.join(b, "cell")
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cos)
-        .where(F.col("cosine") >= threshold)
-    )
+    if pair_scan == "gemm":
+        pairs = _gemm_cell_pairs(
+            assigned, threshold, block_rows=gemm_block_rows
+        )
+    else:
+        a = assigned.select(
+            F.col("__id").alias("id_a"), "cell", F.col("__v").alias("__va")
+        )
+        b = assigned.select(
+            F.col("__id").alias("id_b"), "cell", F.col("__v").alias("__vb")
+        )
+        cos = _dot(F.col("__va"), F.col("__vb")) / (
+            _norm(F.col("__va")) * _norm(F.col("__vb"))
+        )
+        pairs = (
+            a.join(b, "cell")
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", cos)
+            .where(F.col("cosine") >= threshold)
+        )
     # multi-probe can surface the same pair through several shared
     # cells: report the cell deterministically from the smallest
     # (dup_of, cell) witness — identical to first() when n_probes=1

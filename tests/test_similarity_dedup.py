@@ -2026,3 +2026,57 @@ def test_temperature_mix_domain_guard(spark):
         df, "text", "doc_id", "host", 100, max_domains=None
     )
     assert out2.count() == out.count()
+
+
+def test_semantic_duplicates_gemm_kernel_equals_join_kernel(spark):
+    """d18 pair_scan: the Arrow/BLAS gemm kernel (shortlist at
+    threshold−1e-9, bit-exact cumsum rescore) emits EXACTLY the
+    codegen self-join's rows — ids, cells, dup_of, and float-for-float
+    cosines — on a random corpus with planted near-dups, string ids,
+    and a block size small enough to force the blocked gemm path;
+    multi-probe too; bad pair_scan raises. (Zero-norm vectors fail at
+    CELL ASSIGNMENT under ANSI mode in both kernels alike — upstream
+    of the pair scan — so they aren't a kernel-divergence surface.)"""
+    import numpy as np
+    import pytest as _pytest
+
+    from southpaw_spark.operators.dedup import semantic_duplicates
+
+    rng = np.random.default_rng(77)
+    rows = []
+    for i in range(120):
+        v = rng.standard_normal(16)
+        rows.append((f"doc{i:04d}", [float(x) for x in v]))
+        if i % 7 == 0:  # planted near-dup (larger id → dropped)
+            noised = v + rng.normal(0, 0.005, 16)
+            rows.append((f"doc{i:04d}x", [float(x) for x in noised]))
+    corpus = spark.createDataFrame(
+        rows, "doc_id string, embedding array<double>"
+    )
+
+    def canon(res):
+        return sorted(
+            (r["doc_id"], r["cell"], r["dup_of"], r["cosine"])
+            for r in res.collect()
+        )
+
+    for probes in (1, 2):
+        join_out = canon(
+            semantic_duplicates(
+                corpus, "embedding", "doc_id", threshold=0.98,
+                n_cells=6, n_probes=probes, pair_scan="join",
+            )
+        )
+        gemm_out = canon(
+            semantic_duplicates(
+                corpus, "embedding", "doc_id", threshold=0.98,
+                n_cells=6, n_probes=probes, pair_scan="gemm",
+                gemm_block_rows=8,  # force many blocks per cell
+            )
+        )
+        assert join_out == gemm_out  # bit-identical, incl. cosines
+        assert len(gemm_out) >= 15  # the planted dups were found
+    with _pytest.raises(ValueError, match="pair_scan"):
+        semantic_duplicates(
+            corpus, "embedding", "doc_id", pair_scan="fast"
+        )
