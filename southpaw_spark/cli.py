@@ -265,7 +265,24 @@ def build_corpus_cmd(spark, cfg) -> None:
     )
 
     c = cfg["corpus"]
-    docs = spark.read.parquet(c["input"])
+    input_format = c.get("input_format", "parquet")
+    if input_format in ("wet", "warc"):
+        # crawl-archive front door: WET conversion records land
+        # directly on the documents schema (sources/warc.py)
+        from southpaw_spark.sources.warc import read_wet
+
+        docs = read_wet(
+            spark, c["input"],
+            strict=bool(c.get("warc_strict", True)),
+            max_payload_bytes=c.get("max_payload_bytes"),
+        )
+    elif input_format == "parquet":
+        docs = spark.read.parquet(c["input"])
+    else:
+        raise ValueError(
+            f"corpus.input_format must be parquet|wet|warc; "
+            f"got {input_format!r}"
+        )
     text_col = c.get("text_col", "text")
     id_col = c.get("id_col", "doc_id")
     kwargs = {k: c[k] for k in _CORPUS_KEYS if k in c}

@@ -1,6 +1,14 @@
-"""Source connectors: Kafka CDC streams and file-based changelogs."""
+"""Source connectors: Kafka CDC streams, file-based changelogs, and
+WARC/WET web-crawl archives."""
 
 from southpaw_spark.sources.files import read_changelog_json, read_snapshot
+from southpaw_spark.sources.warc import (
+    WARC_SCHEMA,
+    iter_warc_records,
+    read_warc,
+    read_wet,
+    wet_doc_id,
+)
 from southpaw_spark.sources.kafka import (
     kafka_cdc_stream,
     kafka_source_options,
@@ -17,6 +25,11 @@ from southpaw_spark.sources.schema_registry import (
 )
 
 __all__ = [
+    "WARC_SCHEMA",
+    "iter_warc_records",
+    "read_warc",
+    "read_wet",
+    "wet_doc_id",
     "FileSchemaRegistry",
     "HttpSchemaRegistry",
     "StaticSchemaRegistry",
