@@ -241,7 +241,8 @@ def verify(spark, cfg) -> int:
 #: block (YAML scalars/maps pass through; ``benchmark`` is handled
 #: separately because it is a dataset path, not a scalar)
 _CORPUS_KEYS = (
-    "min_quality", "min_tokens", "langs", "line_clean", "url_col",
+    "min_quality", "min_tokens", "model_weights", "model_bias",
+    "min_model_score", "langs", "line_clean", "url_col",
     "max_contamination_rate", "contamination_n", "decontaminate_mode",
     "exact_dedup", "fuzzy_threshold", "fuzzy_n", "fuzzy_keep",
     "span_dedup_k", "span_min_count",

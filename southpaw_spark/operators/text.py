@@ -851,3 +851,109 @@ def hash_split(
         cond = pri < F.lit(b)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn("split", expr.otherwise(F.lit(names[-1])))
+
+
+def score_with_linear_model(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: list[float],
+    bias: float = 0.0,
+    out_col: str = "model_score",
+    micro: int = 1_000_000,
+    impl: str = "explode",
+) -> DataFrame:
+    """Trained-classifier quality scoring (round-9 verdict task 4) —
+    the fastText-style linear gate every production corpus runs
+    (Joulin et al. 2016, "Bag of Tricks for Efficient Text
+    Classification", public paper): hashed bag-of-words features ×
+    a broadcast weight vector, entirely JVM-side.
+
+    Model: tokens are the non-empty ``[a-z0-9]+`` runs of
+    ``lower(text)`` (ASCII class, so Java regex and RE2 agree);
+    feature id = ``('0x' || substr(md5(token),1,8)) % n_features``
+    (the t04 sampling-hash construction); the score is the mean token
+    weight plus bias — ``w·x̄ + b``, the fastText linear margin.
+
+    Engine-exact by integer accounting: weights quantize once to
+    ``micro``-units (``round(w*1e6)``), the per-doc numerator
+    ``Σ w_micro[bucket(t)] + bias_micro·n`` is an int64 sum —
+    associative, so ANY summation order (explode partial-agg, HOF
+    fold, DuckDB) produces the same integer — and the single float op
+    is the final division by ``n·micro``. Empty-token docs score
+    exactly ``bias_micro/micro``. Overflow headroom: |w|≤1e3 →
+    numerator ≤ 1e9·n, safe to n ~ 1e9 tokens/doc.
+
+    ``impl="explode"`` (default): explode tokens → md5/bucket/
+    element_at in WHOLE-STAGE CODEGEN → map-side partial sum collapses
+    to one row per doc BEFORE the exchange → join scores back on
+    ``id_col``. Two exchanges of N rows, zero interpreted work — the
+    d03 anti-lesson applied (don't trade codegen explode+partial-agg
+    for an interpreted HOF). ``impl="hof"``: zero-shuffle projection
+    via an interpreted ``aggregate`` fold — identical output, for
+    plans where an exchange is costlier than the interpreted pass
+    (tiny docs, already-exchanging pipelines). Both paths constant-
+    fold the weight array into the plan (broadcast-by-literal; for
+    vocab-scale models pass a weights TABLE and join — this operator
+    targets the hashed-feature gate where n_features ≤ ~1e5)."""
+    n_features = len(weights)
+    if n_features < 1:
+        raise ValueError("weights must be non-empty")
+    if impl not in ("explode", "hof"):
+        raise ValueError(f"impl must be 'explode' or 'hof'; got {impl!r}")
+    w_micro = [int(round(w * micro)) for w in weights]
+    if max(abs(w) for w in w_micro) > 10**9:
+        raise ValueError("weights too large for exact int64 accounting")
+    bias_micro = int(round(bias * micro))
+    w_arr = F.array(*[F.lit(x).cast("long") for x in w_micro])
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda t: t != F.lit(""),
+    )
+
+    def bucket(tok):
+        return (
+            F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+            % n_features
+        )
+
+    if impl == "hof":
+        contrib = F.transform(
+            toks,
+            lambda t: F.element_at(w_arr, (bucket(t) + 1).cast("int")),
+        )
+        num = F.aggregate(
+            contrib, F.lit(0).cast("long"), lambda a, x: a + x
+        )
+        n = F.size(toks).cast("long")
+        score = F.when(
+            n > 0,
+            (num + F.lit(bias_micro) * n).cast("double")
+            / (n * F.lit(micro)).cast("double"),
+        ).otherwise(F.lit(bias_micro).cast("double") / F.lit(micro))
+        return df.withColumn(out_col, score)
+
+    tok_rows = df.select(
+        F.col(id_col).alias("__sid"), F.explode(toks).alias("__t")
+    )
+    sums = tok_rows.select(
+        "__sid",
+        F.element_at(w_arr, (bucket(F.col("__t")) + 1).cast("int")).alias(
+            "__w"
+        ),
+    ).groupBy("__sid").agg(
+        F.sum("__w").alias("__num"), F.count("*").alias("__n")
+    )
+    scored = df.join(
+        sums, F.col(id_col) == F.col("__sid"), "left"
+    ).withColumn(
+        out_col,
+        F.when(
+            F.col("__n").isNotNull(),
+            (F.col("__num") + F.lit(bias_micro) * F.col("__n")).cast(
+                "double"
+            )
+            / (F.col("__n") * F.lit(micro)).cast("double"),
+        ).otherwise(F.lit(bias_micro).cast("double") / F.lit(micro)),
+    )
+    return scored.drop("__sid", "__num", "__n")

@@ -54,6 +54,9 @@ def build_corpus(
     *,
     min_quality: float | None = None,
     min_tokens: int | None = None,
+    model_weights: list[float] | None = None,
+    model_bias: float = 0.0,
+    min_model_score: float | None = None,
     bpe_merges: list[tuple[str, str]] | None = None,
     langs: list[str] | None = None,
     line_clean: bool = False,
@@ -100,7 +103,11 @@ def build_corpus(
     C4-style line-level cleaning (:func:`clean_lines`) BEFORE any
     signal is computed, so quality/token stats see only surviving
     prose; ``min_quality``/``min_tokens``
-    gate on :func:`with_quality_score`; ``langs`` keeps only those
+    gate on :func:`with_quality_score`; ``model_weights`` scores every
+    doc with the trained fastText-style linear classifier
+    (:func:`score_with_linear_model`, hashed bag-of-words × broadcast
+    weights, ``model_bias``) as ``model_score``, and
+    ``min_model_score`` gates on that margin; ``langs`` keeps only those
     :func:`with_lang_guess` labels; ``url_col`` dedups by
     :func:`canonical_url` BEFORE any content-based stage (cheapest
     identity first — min id per canonical URL); ``benchmark`` decontaminates
@@ -153,6 +160,11 @@ def build_corpus(
         raise ValueError(
             "fuzzy_keep must be 'min_id' or 'best_quality'; got "
             f"{fuzzy_keep!r}"
+        )
+    if min_model_score is not None and model_weights is None:
+        raise ValueError(
+            "min_model_score requires model_weights (the trained "
+            "linear-classifier gate scores before it thresholds)"
         )
 
     report: dict[str, int] = {}
@@ -214,6 +226,20 @@ def build_corpus(
         cur = note(
             "min_quality", cur.where(F.col("quality_score") >= min_quality)
         )
+    if model_weights is not None:
+        # trained-classifier gate (t22): fastText-style hashed-BoW
+        # linear margin — the production-quality filter heuristic
+        # rules approximate; annotation always, threshold optional
+        from southpaw_spark.operators.text import score_with_linear_model
+
+        cur = score_with_linear_model(
+            cur, text_col, id_col, model_weights, model_bias
+        )
+        if min_model_score is not None:
+            cur = note(
+                "model_quality",
+                cur.where(F.col("model_score") >= min_model_score),
+            )
     if langs is not None:
         cur = note("langs", cur.where(F.col("lang_guess").isin(list(langs))))
 

@@ -4068,6 +4068,63 @@ def _t21_sql() -> str:
 T21_SQL = _t21_sql()
 
 
+#: Pinned t22 model: 64 hashed features, weights from a fixed formula
+#: (deterministic — the oracle inlines the same micro-unit integers),
+#: the fastText-style linear quality gate of
+#: `operators.text.score_with_linear_model`.
+T22_WEIGHTS = [((i * 37) % 201 - 100) / 100.0 for i in range(64)]
+T22_BIAS = 0.05
+
+
+def t22_model_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-classifier quality scoring
+    (`operators.text.score_with_linear_model`, Joulin et al. 2016
+    fastText family): hashed bag-of-words (md5-bucketed ``[a-z0-9]+``
+    runs of lower(text), 64 features) × a pinned weight vector; the
+    score is the mean token weight + bias. Exact integer micro-unit
+    accounting makes the sum associative, so the DuckDB oracle
+    reproduces every double bit-for-bit with no rounding. Spark plan:
+    codegen explode → map-side partial sum (one row/doc before the
+    exchange) → join back."""
+    from southpaw_spark.operators.text import score_with_linear_model
+
+    docs = _read(spark, sf_dir, "documents")
+    return score_with_linear_model(
+        docs, "text", "doc_id", T22_WEIGHTS, T22_BIAS
+    ).select("doc_id", "model_score")
+
+
+def _t22_sql() -> str:
+    wm = [int(round(w * 1_000_000)) for w in T22_WEIGHTS]
+    bias_micro = int(round(T22_BIAS * 1_000_000))
+    arr = "[" + ", ".join(str(x) for x in wm) + "]"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, u.t
+      FROM documents,
+           UNNEST(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')) AS u(t)),
+    s AS (
+      SELECT doc_id,
+             SUM({arr}[
+               (('0x' || substr(md5(t), 1, 8))::BIGINT % 64) + 1
+             ]) AS num,
+             COUNT(*) AS n
+      FROM toks GROUP BY doc_id)
+    SELECT d.doc_id,
+           CASE WHEN s.n IS NULL
+                THEN {bias_micro}::DOUBLE / 1000000::DOUBLE
+                ELSE (s.num + {bias_micro} * s.n)::DOUBLE
+                     / (s.n * 1000000)::DOUBLE
+           END AS model_score
+    FROM documents d LEFT JOIN s USING (doc_id)
+    """
+
+
+T22_SQL = _t22_sql()
+
+
 # The driver's correctness gate checks AT MOST 50 rows per round
 # (CORRECTNESS_r02 stopped at 50 of 54), so QUERIES stays pinned at
 # exactly 50: pushing new entries into it would silently uncheck tail
@@ -4114,6 +4171,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a10_period_over_period": a10_period_over_period,
     "t20_hash_split": t20_hash_split,
     "t21_bpe_encode": t21_bpe_encode,
+    "t22_model_quality_score": t22_model_quality_score,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -4157,4 +4215,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "a10_period_over_period": A10_SQL,
     "t20_hash_split": T20_SQL,
     "t21_bpe_encode": T21_SQL,
+    "t22_model_quality_score": T22_SQL,
 }

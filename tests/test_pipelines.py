@@ -558,3 +558,37 @@ def test_build_corpus_validates_before_any_job(spark):
         build_corpus(poison, decontaminate_mode="scrub")
     with _pytest.raises(ValueError, match="fuzzy_keep"):
         build_corpus(poison, fuzzy_keep="best")
+
+
+def test_build_corpus_model_quality_gate(spark, sf_dir):
+    """model_weights annotates every surviving doc with model_score and
+    min_model_score gates on the margin; the threshold without weights
+    fails fast, before any stage runs."""
+    import pytest as _pytest
+
+    from southpaw_spark.operators.text import score_with_linear_model
+    from southpaw_spark.pipelines import build_corpus
+
+    W = [((i * 37) % 201 - 100) / 100.0 for i in range(64)]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = score_with_linear_model(docs, "text", "doc_id", W, 0.05)
+    med = sorted(
+        r["model_score"] for r in scored.select("model_score").collect()
+    )
+    thresh = med[len(med) // 2]
+    kept, report = build_corpus(
+        docs,
+        model_weights=W,
+        model_bias=0.05,
+        min_model_score=thresh,
+        exact_dedup=False,
+    )
+    assert "model_quality" in report
+    assert 0 < report["model_quality"] < report["input"]
+    assert all(
+        r["model_score"] >= thresh
+        for r in kept.select("model_score").collect()
+    )
+    kept.unpersist()
+    with _pytest.raises(ValueError, match="min_model_score"):
+        build_corpus(docs, min_model_score=0.5)

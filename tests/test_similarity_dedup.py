@@ -2080,3 +2080,66 @@ def test_semantic_duplicates_gemm_kernel_equals_join_kernel(spark):
         semantic_duplicates(
             corpus, "embedding", "doc_id", pair_scan="fast"
         )
+
+
+def test_score_with_linear_model_exact_and_impl_parity(spark, sf_dir):
+    """t22: the hashed-BoW linear margin matches an independent Python
+    replay float-for-float (exact integer micro-unit accounting), the
+    explode and HOF physical paths agree bit-for-bit, empty docs score
+    exactly the bias, and bad args raise."""
+    import hashlib
+    import re
+
+    import pytest as _pytest
+
+    from southpaw_spark.operators.text import score_with_linear_model
+
+    W = [((i * 37) % 201 - 100) / 100.0 for i in range(64)]
+    BIAS = 0.05
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ex = {
+        r["doc_id"]: r["model_score"]
+        for r in score_with_linear_model(
+            docs, "text", "doc_id", W, BIAS, impl="explode"
+        ).select("doc_id", "model_score").collect()
+    }
+    hf = {
+        r["doc_id"]: r["model_score"]
+        for r in score_with_linear_model(
+            docs, "text", "doc_id", W, BIAS, impl="hof"
+        ).select("doc_id", "model_score").collect()
+    }
+    assert ex == hf  # bit-identical across physical paths
+
+    wm = [int(round(w * 1e6)) for w in W]
+    bm = int(round(BIAS * 1e6))
+
+    def replay(text):
+        toks = [t for t in re.split("[^a-z0-9]+", text.lower()) if t]
+        if not toks:
+            return bm / 1e6
+        num = sum(
+            wm[int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 64]
+            for t in toks
+        )
+        return (num + bm * len(toks)) / (len(toks) * 1e6)
+
+    for r in docs.limit(25).collect():
+        assert ex[r["doc_id"]] == replay(r["text"])
+
+    empty = spark.createDataFrame(
+        [(1, ""), (2, "...!!!")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["model_score"]
+        for r in score_with_linear_model(
+            empty, "text", "doc_id", W, BIAS
+        ).collect()
+    }
+    assert got == {1: bm / 1e6, 2: bm / 1e6}  # no tokens -> bias
+    with _pytest.raises(ValueError, match="impl"):
+        score_with_linear_model(empty, "text", "doc_id", W, impl="x")
+    with _pytest.raises(ValueError, match="non-empty"):
+        score_with_linear_model(empty, "text", "doc_id", [])
+    with _pytest.raises(ValueError, match="too large"):
+        score_with_linear_model(empty, "text", "doc_id", [1e6])
