@@ -22,6 +22,12 @@ from southpaw_spark.streaming.temporal import (
     asof_join_stream_stream,
     asof_state,
 )
+from southpaw_spark.streaming.windows import (
+    gapfill_stream,
+    ohlc_stream,
+    sessionize_stream,
+    windowed_event_counts,
+)
 
 __all__ = [
     "AvroCdcDecoder",
@@ -40,4 +46,8 @@ __all__ = [
     "asof_state",
     "attach_avro_cdc_multi_stream",
     "attach_avro_cdc_stream",
+    "gapfill_stream",
+    "ohlc_stream",
+    "sessionize_stream",
+    "windowed_event_counts",
 ]

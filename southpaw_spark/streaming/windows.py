@@ -269,3 +269,179 @@ def funnel_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+GAPFILL_STATE_SCHEMA = (
+    "open_buckets array<long>, open_sums array<long>, "
+    "open_counts array<long>, prev_bucket long, prev_sum long, "
+    "prev_count long"
+)
+
+
+def _spark_round(x: float, digits: int) -> float:
+    """Replicate Spark's ``F.round`` on doubles (HALF_UP over the
+    shortest-round-trip decimal repr, i.e. BigDecimal.valueOf) so the
+    stream emits the batch operator's exact doubles."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-digits)
+    return float(
+        Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP)
+    )
+
+
+def gapfill_stream(
+    events: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    stride: int = 3600,
+    watermark: str = "2 hours",
+    exact_decimals: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Streaming twin of :func:`operators.temporal.gapfill` (round-9
+    verdict task 5 — e11's other TimescaleDB-family operator gets the
+    ohlc_stream treatment): regularize per-key event series onto the
+    fixed ``stride`` grid and fill holes with locf + linear
+    interpolation, emitting each grid row exactly once.
+
+    One ``applyInPandasWithState`` per key (EventTimeTimeout):
+
+    * open buckets accumulate EXACT integer sums
+      (``round(v·10^exact_decimals)`` as int64) — associative, so
+      chunking/micro-batch boundaries cannot perturb a bucket average
+      by an ulp; the float ops (one division, the interp formula,
+      ``_spark_round``) replay the batch operator's expression tree
+      bit-for-bit;
+    * a bucket CLOSES when the watermark passes its end — late rows
+      inside the watermark still land in their bucket first;
+    * closing bucket ``b`` emits the gap rows since the previous
+      closed bucket (``v_obs`` NULL, ``v_locf`` carried forward,
+      ``v_interp`` linear between the bracketing observations) and
+      then ``b`` itself — exactly the batch grid, which spans observed
+      buckets only, so stream output CONVERGES to batch ``gapfill``
+      row-for-row and double-for-double;
+    * the event-time timer re-arms to the earliest open bucket's end,
+      so an idle key's buckets flush when the GLOBAL watermark passes
+      them — no sentinel-per-key needed (the sessionizer's
+      processing-time-timeout trap doesn't apply: event-time timers
+      fire off the watermark, not wall clock).
+
+    State per key: the open buckets inside the watermark horizon plus
+    one closed (bucket, sum, count) for locf continuation — O(horizon/
+    stride) rows, watermark-bounded; the keeper row lives for the key's
+    lifetime (TTL it in production if keys churn)."""
+    from pyspark.sql import types as T
+
+    if exact_decimals is None:
+        raise ValueError(
+            "gapfill_stream requires exact_decimals: chunked partial "
+            "sums are only order-independent with integer accounting"
+        )
+    scale = 10 ** exact_decimals
+    keys = list(key_cols)
+    key_fields = [events.schema[k] for k in keys]
+    out_schema = T.StructType(
+        key_fields
+        + [
+            T.StructField("bucket", T.LongType()),
+            T.StructField("v_obs", T.DoubleType()),
+            T.StructField("v_locf", T.DoubleType()),
+            T.StructField("v_interp", T.DoubleType()),
+        ]
+    )
+    out_cols = keys + ["bucket", "v_obs", "v_locf", "v_interp"]
+
+    def fill(key, pdfs, state):
+        if state.exists:
+            ob, osum, ocnt, pb, ps, pc = state.get
+            open_ = {
+                int(b): (int(s), int(n))
+                for b, s, n in zip(ob, osum, ocnt)
+            }
+        else:
+            open_, pb, ps, pc = {}, None, None, None
+        for pdf in pdfs:
+            for b, c in zip(pdf["__b"], pdf["__c"]):
+                s0, n0 = open_.get(int(b), (0, 0))
+                open_[int(b)] = (s0 + int(c), n0 + 1)
+        wm_sec = state.getCurrentWatermarkMs() / 1000.0
+        out = []
+        for b in sorted(open_):
+            if wm_sec < b + stride:
+                break
+            s, n = open_.pop(b)
+            v = s / (n * float(scale))
+            if pb is None:
+                out.append(
+                    key
+                    + (
+                        b,
+                        _spark_round(v, round_to),
+                        _spark_round(v, round_to),
+                        _spark_round(v, round_to),
+                    )
+                )
+            else:
+                pv = ps / (pc * float(scale))
+                for g in range(pb + stride, b, stride):
+                    # batch expression tree: pv + ((v-pv)*(g-pb))/(b-pb)
+                    interp = pv + (v - pv) * (g - pb) / (b - pb)
+                    out.append(
+                        key
+                        + (
+                            g,
+                            None,
+                            _spark_round(pv, round_to),
+                            _spark_round(interp, round_to),
+                        )
+                    )
+                out.append(
+                    key
+                    + (
+                        b,
+                        _spark_round(v, round_to),
+                        _spark_round(v, round_to),
+                        _spark_round(v, round_to),
+                    )
+                )
+            pb, ps, pc = b, s, n
+        remaining = sorted(open_)
+        state.update(
+            (
+                remaining,
+                [open_[b][0] for b in remaining],
+                [open_[b][1] for b in remaining],
+                pb,
+                ps,
+                pc,
+            )
+        )
+        if remaining:
+            # fire when the earliest open bucket becomes closable;
+            # guaranteed > current watermark (we just closed the rest)
+            state.setTimeoutTimestamp((remaining[0] + stride) * 1000)
+        res = pd.DataFrame(out, columns=out_cols)
+        if len(res):
+            res["v_obs"] = pd.array(
+                [r[len(keys) + 1] for r in out], dtype="Float64"
+            )
+        yield res
+
+    prepared = events.withWatermark(ts_col, watermark).select(
+        *keys,
+        F.col(ts_col),  # the watermark attribute must reach the op
+        (
+            (F.floor(F.col(ts_col).cast("double") / F.lit(stride)) * stride)
+            .cast("long")
+        ).alias("__b"),
+        F.round(F.col(value_col) * scale).cast("long").alias("__c"),
+    )
+    return prepared.groupBy(*keys).applyInPandasWithState(
+        fill,
+        out_schema,
+        GAPFILL_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

@@ -450,3 +450,86 @@ def test_asof_join_auto_rejects_streaming_right(spark):
     )
     with _pytest.raises(ValueError, match="stream_stream"):
         asof_join_auto(left, right, on=["k"], left_ts="lts", right_ts="rts")
+
+
+def test_gapfill_stream_converges_to_batch(spark, tmp_path):
+    """gapfill_stream ≡ batch gapfill row-for-row and double-for-double
+    on a real two-file stream whose gap SPANS the micro-batch boundary
+    (prev observation in file a, next in file b); an idle key with data
+    only in file a is flushed purely by the event-time timer when the
+    other key's rows advance the global watermark — no sentinel for it.
+    The sentinel key-x row only advances the watermark: its own bucket
+    never closes, so it is absent from the output, and the batch oracle
+    runs over the non-sentinel rows."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from southpaw_spark.operators.temporal import gapfill
+    from southpaw_spark.streaming.windows import gapfill_stream
+
+    base = 1_700_000_000
+    real = [
+        # key x bucket 0: two events -> exact cent average 2.0
+        {"k": "x", "ts_s": base + 5, "v": 1.25},
+        {"k": "x", "ts_s": base + 10, "v": 2.75},
+        {"k": "x", "ts_s": base + 65, "v": 4.00},    # bucket 1
+        {"k": "y", "ts_s": base + 7, "v": 10.10},    # idle key, file a only
+    ]
+    file_b = [
+        {"k": "x", "ts_s": base + 245, "v": 8.00},   # bucket 4: gap 2,3
+    ]
+    sentinel = {"k": "x", "ts_s": base + 1000, "v": 0.0}
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(_json.dumps(r) for r in real)
+    )
+    (src / "b.json").write_text(
+        "\n".join(_json.dumps(r) for r in file_b + [sentinel])
+    )
+    stream = (
+        spark.readStream.schema("k string, ts_s long, v double")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+    )
+    filled = gapfill_stream(
+        stream, "ts", ["k"], "v",
+        stride=60, watermark="10 seconds", exact_decimals=2,
+    )
+    got: dict = {}
+
+    def sink(df, _):
+        for r in df.collect():
+            got[(r["k"], r["bucket"])] = (
+                r["v_obs"], r["v_locf"], r["v_interp"]
+            )
+
+    q = (
+        filled.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch_rows = spark.createDataFrame(
+        [(r["k"], r["ts_s"], r["v"]) for r in real + file_b],
+        "k string, ts_s long, v double",
+    )
+    want = {
+        (r["k"], r["bucket"]): (r["v_obs"], r["v_locf"], r["v_interp"])
+        for r in gapfill(
+            batch_rows, "ts_s", ["k"], "v", stride=60, exact_decimals=2
+        ).collect()
+    }
+    assert got == want
+    # the gap buckets really were filled (not just observed rows)
+    b1 = (base // 60) * 60
+    assert got[("x", b1 + 120)][0] is None  # gap: no observation
+    assert got[("x", b1 + 120)][1] == 4.0   # locf from bucket 1
+    assert ("y", (base // 60) * 60) in got  # idle key flushed by timer
