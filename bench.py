@@ -231,14 +231,20 @@ def q13_store_native(spark, sf_dir: str) -> float:
 _DEDUP_SEED: dict = {}
 
 
-def dedup_stream_batch(spark, sf_dir: str) -> float:
+def dedup_stream_batch(
+    spark, sf_dir: str, fuzzy_keep: str = "min_id"
+) -> float:
     """Streaming-dedup headline (the flagship beyond-reference
     component): one fixed batch — 2,500 docs at sf0.1, half the corpus
     at smaller SFs — processed against PRE-SEEDED state holding the
-    rest of the corpus. Seeding runs once per sf_dir (excluded); each
-    rep hardlink-copies the seeded state dir so every measurement sees
-    identical initial state (re-feeding the same batch into grown
-    state would measure the all-duplicates path instead)."""
+    rest of the corpus. Seeding runs once per (sf_dir, mode)
+    (excluded); each rep hardlink-copies the seeded state dir so every
+    measurement sees identical initial state (re-feeding the same
+    batch into grown state would measure the all-duplicates path
+    instead). ``fuzzy_keep="best_quality"`` benches the keeper-swap
+    machinery (VERDICT r9 item 9): the retroactive rep→keeper state
+    adds a pruned reps read + one groupBy per batch, and this row
+    keeps that cost continuously measured."""
     import shutil
     import tempfile
 
@@ -250,17 +256,24 @@ def dedup_stream_batch(spark, sf_dir: str) -> float:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
-    if sf_dir not in _DEDUP_SEED:
+    if fuzzy_keep == "best_quality":
+        from southpaw_spark.operators.text import with_quality_score
+
+        docs = with_quality_score(docs, "text").select(
+            "doc_id", "text", "quality_score"
+        )
+    if (sf_dir, fuzzy_keep) not in _DEDUP_SEED:
         n_docs = docs.count()
         batch_n = min(2500, n_docs // 2)
         seed_dir = tempfile.mkdtemp(prefix="southpaw_bench_dedup_seed_")
         d = IncrementalDeduper(
-            spark, ParquetStateStore(spark, seed_dir, n_buckets=16)
+            spark, ParquetStateStore(spark, seed_dir, n_buckets=16),
+            fuzzy_keep=fuzzy_keep,
         )
         d.process_batch(docs.where(F.col("doc_id") >= batch_n))
         d.close()
-        _DEDUP_SEED[sf_dir] = (seed_dir, batch_n)
-    seed_dir, batch_n = _DEDUP_SEED[sf_dir]
+        _DEDUP_SEED[(sf_dir, fuzzy_keep)] = (seed_dir, batch_n)
+    seed_dir, batch_n = _DEDUP_SEED[(sf_dir, fuzzy_keep)]
     work = tempfile.mkdtemp(prefix="southpaw_bench_dedup_work_")
     shutil.rmtree(work)
     shutil.copytree(seed_dir, work, copy_function=os.link)
@@ -270,7 +283,8 @@ def dedup_stream_batch(spark, sf_dir: str) -> float:
     except OSError:
         pass
     d = IncrementalDeduper(
-        spark, ParquetStateStore(spark, work, n_buckets=16)
+        spark, ParquetStateStore(spark, work, n_buckets=16),
+        fuzzy_keep=fuzzy_keep,
     )
     batch = docs.where(F.col("doc_id") < batch_n)
     t0 = time.monotonic()
@@ -306,13 +320,17 @@ def main() -> None:
         q13_bucketed(spark, warm_dir)
         q13_store_native(spark, warm_dir)
         dedup_stream_batch(spark, warm_dir)
+        dedup_stream_batch(spark, warm_dir, "best_quality")
         suite.EXTRA_QUERIES["d15_duplicate_spans"](
             spark, warm_dir
         ).write.format("noop").mode("overwrite").save()
         suite.EXTRA_QUERIES["s08_ivf_quantized_topk"](
             spark, warm_dir
         ).write.format("noop").mode("overwrite").save()
-        for nm in ("e12_ohlc", "t19_line_clean"):
+        for nm in (
+            "e12_ohlc", "t19_line_clean",
+            "d18_semantic_dedup", "t22_model_quality_score",
+        ):
             suite.EXTRA_QUERIES[nm](
                 spark, warm_dir
             ).write.format("noop").mode("overwrite").save()
@@ -342,6 +360,12 @@ def main() -> None:
     runners.append(
         ("dedup_stream_batch", lambda: dedup_stream_batch(spark, sf_dir))
     )
+    runners.append(
+        (
+            "dedup_stream_bq_batch",
+            lambda: dedup_stream_batch(spark, sf_dir, "best_quality"),
+        )
+    )
 
     def run_extra(name: str) -> float:
         t0 = time.monotonic()
@@ -358,6 +382,12 @@ def main() -> None:
     )
     runners.append(("e12_ohlc", lambda: run_extra("e12_ohlc")))
     runners.append(("t19_line_clean", lambda: run_extra("t19_line_clean")))
+    runners.append(
+        ("d18_semantic_dedup", lambda: run_extra("d18_semantic_dedup"))
+    )
+    runners.append(
+        ("t22_model_quality", lambda: run_extra("t22_model_quality_score"))
+    )
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}

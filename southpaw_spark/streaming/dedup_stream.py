@@ -52,6 +52,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from southpaw_spark.operators.dedup import (
     band_buckets,
@@ -71,7 +72,14 @@ _VREPS = "vdedup_reps"
 _REPS_SCHEMA = "rep_id long, keeper_id long, keeper_score double"
 
 
-def _quality_swap_join(dd, rep_hits, scores, reps_entity, extra_rep_targets=None):
+def _quality_swap_join(
+    dd,
+    rep_hits,
+    scores,
+    reps_entity,
+    extra_rep_targets=None,
+    driver_cap: int = 100_000,
+):
     """Shared best-quality keeper-swap machinery (text + vector
     dedupers): given this batch's joiner→rep hits and the batch's
     quality scores, read the touched reps' current keepers (pruned),
@@ -80,7 +88,22 @@ def _quality_swap_join(dd, rep_hits, scores, reps_entity, extra_rep_targets=None
     key ``cluster_keepers`` uses, so by induction the streaming keeper
     equals the batch argmax over all members seen — and emit the
     decision frames. Returns ``(near_state, swaps_in, retro, winners,
-    reps_read)``; ``winners`` is persisted (caller releases it)."""
+    reps_read)``.
+
+    **Bounded driver fast path (default).** The swap inputs are
+    BATCH-bounded, not corpus-bounded — one joiner row per near-dup in
+    this batch, one reps row per touched rep — and the distributed
+    formulation spends its wall on per-job driver overhead, not work:
+    its ~6 tiny-frame joins + 2 groupBys spawn dozens of AQE stage
+    jobs at a few hundred ms each (measured: the best_quality batch
+    ran 121 jobs totalling 14 s of executor time under 39 s of wall).
+    When the joiner count ≤ ``driver_cap``, the decision runs in plain
+    Python over two bounded collects and the decision frames are
+    LITERAL local relations — zero exchanges, zero AQE stages —
+    exactly the `operators/dedup.py` union-find fast-path pattern
+    (bounded collect + distributed fallback, equality pinned by the
+    chunking-parity tests, which run both arms). Beyond the cap the
+    original distributed plan runs unchanged."""
     ic = dd.id_col
     rep_targets = rep_hits.select(F.col("__rep").alias("rep_id"))
     if extra_rep_targets is not None:
@@ -92,11 +115,19 @@ def _quality_swap_join(dd, rep_hits, scores, reps_entity, extra_rep_targets=None
         F.col("keeper_id").alias("__cur_keeper"),
         F.col("keeper_score").alias("__cur_score"),
     )
+    # one cheap job on the caller-persisted rep_hits; batch-bounded
+    n_joiners = rep_hits.count()
+    if n_joiners <= driver_cap:
+        return _quality_swap_driver(dd, rep_hits, scores, reps_read)
     joiners = rep_hits.join(scores, ic).select(
         F.col("__rep").alias("rep_id"),
         F.col(ic).alias("__cand"),
         F.col("__sc"),
     )
+    # persisted: consumed by the swap decision AND the caller's
+    # exact-pointer resolution — without the persist each consumer
+    # re-scans the pruned reps partitions
+    reps_read = reps_read.persist()
     # current keeper per touched rep; a rep with no reps-table row
     # (state built in min_id mode) is its own keeper, score null
     # (ranked last — same rule as cluster_keepers)
@@ -158,6 +189,90 @@ def _quality_swap_join(dd, rep_hits, scores, reps_entity, extra_rep_targets=None
     return near_state, swaps_in, retro, winners, reps_read
 
 
+def _quality_swap_driver(dd, rep_hits, scores, reps_read):
+    """Driver arm of :func:`_quality_swap_join`: two bounded collects,
+    the same (−score nulls-last, id) min per rep in plain Python, and
+    literal decision frames. ``-0.0`` vs ``0.0`` ties fall through to
+    the id key in both engines (they compare equal); a NaN score ranks
+    last, like null (quality scores are finite by construction —
+    `with_quality_score` emits rounded ratios)."""
+    import math
+
+    ic = dd.id_col
+    jrows = rep_hits.join(scores, ic).select(
+        F.col("__rep").alias("rep_id"),
+        F.col(ic).alias("__cand"),
+        F.col("__sc"),
+    ).collect()
+    rrows = reps_read.collect()
+    cur_of = {
+        r["rep_id"]: (r["__cur_keeper"], r["__cur_score"]) for r in rrows
+    }
+
+    def k1(sc):
+        return (
+            -sc
+            if sc is not None and not math.isnan(sc)
+            else math.inf
+        )
+
+    groups: dict = {}
+    for r in jrows:
+        groups.setdefault(r["rep_id"], []).append((r["__cand"], r["__sc"]))
+    winners_rows, near_rows, swap_rows, retro_rows = [], [], [], []
+    for rep, cands in groups.items():
+        ck, cs = cur_of.get(rep, (rep, None))
+        w_cand, w_sc = min(
+            cands + [(ck, cs)], key=lambda t: (k1(t[1]), t[0])
+        )
+        winners_rows.append((rep, w_cand, w_sc, ck))
+        for cand, _sc in cands:
+            if cand == w_cand:
+                swap_rows.append((cand, "kept", cand))
+            else:
+                near_rows.append((cand, "near_dup", w_cand))
+        if ck != w_cand:
+            retro_rows.append((ck, "near_dup", w_cand))
+
+    spark = dd.spark
+    id_t = rep_hits.schema[ic].dataType
+    dec_schema = T.StructType(
+        [
+            T.StructField(ic, id_t),
+            T.StructField("status", T.StringType()),
+            T.StructField("keeper_id", id_t),
+        ]
+    )
+    near_state = spark.createDataFrame(near_rows, dec_schema)
+    swaps_in = spark.createDataFrame(swap_rows, dec_schema)
+    retro = spark.createDataFrame(retro_rows, dec_schema)
+    winners = spark.createDataFrame(
+        winners_rows,
+        T.StructType(
+            [
+                T.StructField("rep_id", id_t),
+                T.StructField("__new_keeper", id_t),
+                T.StructField("__new_score", T.DoubleType()),
+                T.StructField("__old_keeper", id_t),
+            ]
+        ),
+    )
+    reps_lit = spark.createDataFrame(
+        [
+            (r["rep_id"], r["__cur_keeper"], r["__cur_score"])
+            for r in rrows
+        ],
+        T.StructType(
+            [
+                T.StructField("rep_id", id_t),
+                T.StructField("__cur_keeper", id_t),
+                T.StructField("__cur_score", T.DoubleType()),
+            ]
+        ),
+    )
+    return near_state, swaps_in, retro, winners, reps_lit
+
+
 def _write_json_atomic(path: str, payload: dict) -> None:
     """tmp + os.replace so a crash mid-write can't leave truncated JSON
     (the same atomic-sidecar convention ParquetStateStore._write_meta
@@ -216,6 +331,7 @@ class IncrementalDeduper:
         auto_vacuum: bool = True,
         fuzzy_keep: str = "min_id",
         score_col: str = "quality_score",
+        swap_driver_cap: int = 100_000,
     ) -> None:
         if fuzzy_keep not in ("min_id", "best_quality"):
             raise ValueError(
@@ -224,6 +340,9 @@ class IncrementalDeduper:
             )
         self.spark = spark
         self.store = store
+        #: joiner-count bound for the keeper-swap driver fast path
+        #: (0 forces the distributed arm; the parity test runs both)
+        self.swap_driver_cap = swap_driver_cap
         self.text_col = text_col
         self.id_col = id_col
         self.n = n
@@ -455,9 +574,17 @@ class IncrementalDeduper:
             .withColumn("__sim", self._agree_frac("__n", "__o"))
             .where(F.col("__sim") >= self.sim_threshold)
         )
+        # rep_hits feeds several independent subtrees (near/swap
+        # decisions, still_in's anti-join, and — in best_quality mode —
+        # the pointer-table rep_of inside the merge threads); persist
+        # the tiny one-row-per-joiner frame so each consumer replays
+        # cached rows instead of re-running the whole pruned-sig-read +
+        # agreement-join cascade (measured: the bq merge stage was
+        # re-deriving the fuzzy lookup from scratch)
         rep_hits = scored_old.groupBy(ic).agg(
             F.min("__old_id").alias("__rep")
-        )
+        ).persist()
+        scoped.append(rep_hits)
 
         if self.fuzzy_keep == "best_quality":
             if self.score_col not in docs.columns:
@@ -479,9 +606,11 @@ class IncrementalDeduper:
                     extra_rep_targets=exact_state_dups.select(
                         F.col("keeper_id").alias("rep_id")
                     ),
+                    driver_cap=self.swap_driver_cap,
                 )
             )
             scoped.append(winners)
+            scoped.append(reps_read)
             # exact pointers carry reps in this mode — resolve to the
             # live keeper (this batch's swap first, then stored, then
             # the rep itself)
@@ -898,6 +1027,7 @@ class IncrementalVectorDeduper:
         auto_vacuum: bool = True,
         fuzzy_keep: str = "min_id",
         score_col: str = "quality_score",
+        swap_driver_cap: int = 100_000,
     ) -> None:
         if fuzzy_keep not in ("min_id", "best_quality"):
             raise ValueError(
@@ -906,6 +1036,7 @@ class IncrementalVectorDeduper:
             )
         self.spark = spark
         self.store = store
+        self.swap_driver_cap = swap_driver_cap  # see IncrementalDeduper
         self.vec_col = vec_col
         self.id_col = id_col
         self.threshold = threshold
@@ -1056,9 +1187,13 @@ class IncrementalVectorDeduper:
             .withColumn("__cos", self._cos(F.col(vc), F.col("__ov")))
             .where(F.col("__cos") >= self.threshold)
         )
+        # persisted for the same reason as the text deduper's rep_hits:
+        # consumed by the swap/near decisions, still_in's anti-join and
+        # the pointer rep_of — without it each consumer re-runs the
+        # pruned vec read + cosine verify cascade
         rep_hits = scored.groupBy(ic).agg(
             F.min("__old_id").alias("__rep")
-        )
+        ).persist()
         if self.fuzzy_keep == "best_quality":
             if self.score_col not in vectors.columns:
                 raise ValueError(
@@ -1068,8 +1203,11 @@ class IncrementalVectorDeduper:
             vscores = vectors.select(
                 F.col(ic), F.col(self.score_col).cast("double").alias("__sc")
             )
-            near_state, swaps_in, retro, winners, _reps_read = (
-                _quality_swap_join(self, rep_hits, vscores, _VREPS)
+            near_state, swaps_in, retro, winners, reps_read = (
+                _quality_swap_join(
+                    self, rep_hits, vscores, _VREPS,
+                    driver_cap=self.swap_driver_cap,
+                )
             )
         else:
             near_state = rep_hits.select(
@@ -1205,8 +1343,10 @@ class IncrementalVectorDeduper:
             self.store.commit(entity, version)
         self._vacuum()
         self._bump_from(decisions, n_retro)
+        rep_hits.unpersist()
         if winners is not None:
             winners.unpersist()
+            reps_read.unpersist()
         return decisions
 
     # reuse the text deduper's pruned-lookup + metrics + cache helpers

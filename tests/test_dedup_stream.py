@@ -770,7 +770,8 @@ def test_attach_span_deduper_file_source(spark, tmp_path):
     assert results[2] == [(1, 9)]
 
 
-def test_best_quality_chunking_parity_fuzz(spark, tmp_path):
+@pytest.mark.parametrize("swap_cap", [100_000, 0])
+def test_best_quality_chunking_parity_fuzz(spark, tmp_path, swap_cap):
     """Shuffled-chunking fuzz pinning stream ≡ batch keeper SELECTION
     under fuzzy_keep='best_quality' (the round-9 convergence contract):
     for ANY batch partitioning of a corpus of mutually-similar families
@@ -778,7 +779,10 @@ def test_best_quality_chunking_parity_fuzz(spark, tmp_path):
     batch cluster_keepers quality argmax per family — retroactive
     keeper swaps make the stream converge however the docs arrive.
     (Exact-copy survival stays first-seen-wins — the documented exact-
-    stage greedy — so the exact group asserts one-survivor only.)"""
+    stage greedy — so the exact group asserts one-survivor only.)
+    Parametrized over swap_driver_cap so BOTH keeper-swap arms — the
+    bounded driver fast path (default) and the distributed plan
+    (cap=0) — are pinned to the same batch expectation."""
     import random
 
     rng = random.Random(90914)
@@ -825,7 +829,8 @@ def test_best_quality_chunking_parity_fuzz(spark, tmp_path):
             spark, str(tmp_path / f"st{trial}"), n_buckets=4
         )
         d = IncrementalDeduper(
-            spark, store, fuzzy_keep="best_quality", score_col="q"
+            spark, store, fuzzy_keep="best_quality", score_col="q",
+            swap_driver_cap=swap_cap,
         )
         latest: dict = {}
         for chunk in chunks:
