@@ -1499,6 +1499,116 @@ def span_contamination(
     )
 
 
+def embedding_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    bench_vec_col: str | None = None,
+    bench_id_col: str | None = None,
+    margin: float = 1e-9,
+) -> DataFrame:
+    """Embedding-space decontamination (d20): flag corpus documents
+    whose embedding is near-identical to ANY benchmark/eval-set
+    embedding — the semantic sibling of the n-gram decontamination
+    family (d17/d19 catch verbatim leaks; paraphrased leaks survive
+    n-gram checks but not embedding cosine — the SemDeDup observation
+    applied cross-set).
+
+    Decision rule (exact, engine-reproducible): a corpus row is
+    contaminated iff max cosine over all benchmark vectors ≥
+    ``threshold``; ``bench_id`` is the best match (max cosine, ties →
+    smallest benchmark id) and ``cosine`` its similarity, rounded 6
+    JVM-side. Zero-norm vectors are never flagged (NaN cosine).
+
+    Execution (the d18 gemm-kernel pattern): the benchmark is
+    COLLECTED and closed over — benchmarks are MBs against corpus TBs,
+    the same boundedness argument as d17's broadcast gram set — and
+    one Arrow ``mapInPandas`` pass computes each corpus vector's
+    benchmark cosines by float64 gemm, shortlists entries within
+    ``margin`` of the row max, and rescores them with the bit-exact
+    left-to-right ``cumsum`` fold (≡ the SQL ``aggregate`` fold of
+    :func:`similarity._dot`, see :func:`_gemm_cell_pairs`), so the
+    reported cosine is EXACTLY what a codegen cross-join would emit —
+    at N·B gemm speed, zero shuffles, no N×B row explosion."""
+    import numpy as np
+    import pandas as pd
+
+    bvc = bench_vec_col or vec_col
+    bic = bench_id_col or id_col
+    bench_rows = benchmark.select(
+        F.col(bic).alias("__bid"),
+        F.col(bvc).cast("array<double>").alias("__bv"),
+    ).collect()
+    if not bench_rows:
+        empty_schema = T.StructType(
+            [
+                corpus.schema[id_col],
+                T.StructField("bench_id", benchmark.schema[bic].dataType),
+                T.StructField("cosine", T.DoubleType()),
+            ]
+        )
+        return corpus.sparkSession.createDataFrame([], empty_schema)
+    bids = [r["__bid"] for r in bench_rows]
+    bmat = np.array(
+        [np.asarray(r["__bv"], dtype=np.float64) for r in bench_rows]
+    )
+    # bit-exact sequential benchmark norms (== _norm's fold)
+    bnorm = np.sqrt(np.cumsum(bmat * bmat, axis=1)[:, -1])
+
+    c = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("__id", c.schema["__id"].dataType),
+            T.StructField("bench_id", benchmark.schema[bic].dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(
+                [np.asarray(x, dtype=np.float64) for x in pdf["__v"]]
+            )
+            vnorm = np.sqrt(np.cumsum(v * v, axis=1)[:, -1])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (v @ bmat.T) / np.outer(vnorm, bnorm)
+            sims = np.where(np.isfinite(sims), sims, -np.inf)
+            best_g = sims.max(axis=1)
+            ids = pdf["__id"].to_numpy()
+            out = []
+            for i in range(len(pdf)):
+                if best_g[i] < threshold - margin:
+                    continue
+                best_cos, best_bid = None, None
+                for j in np.nonzero(sims[i] >= best_g[i] - margin)[0]:
+                    dot = np.cumsum(v[i] * bmat[j])[-1]
+                    cos = dot / (vnorm[i] * bnorm[j])
+                    if (
+                        best_cos is None
+                        or cos > best_cos
+                        or (cos == best_cos and bids[j] < best_bid)
+                    ):
+                        best_cos, best_bid = cos, bids[j]
+                if best_cos is not None and best_cos >= threshold:
+                    out.append((ids[i], best_bid, best_cos))
+            yield pd.DataFrame(
+                out, columns=["__id", "bench_id", "cosine"]
+            )
+
+    return c.mapInPandas(scan, out_schema).select(
+        F.col("__id").alias(id_col),
+        "bench_id",
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
 def suggest_n_cells(n_rows: int, target_cell: int = 1024) -> int:
     """Corpus-scaled SemDeDup cell count (the sizing rule the d18
     docstring used to leave to the caller — now encoded, like

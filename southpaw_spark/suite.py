@@ -4125,6 +4125,63 @@ def _t22_sql() -> str:
 T22_SQL = _t22_sql()
 
 
+def d20_embedding_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-space decontamination
+    (`operators.dedup.embedding_contamination`): flag corpus vectors
+    whose max cosine against ANY benchmark vector ≥ 0.99 — the
+    semantic sibling of d17/d19 (paraphrased eval leaks survive n-gram
+    checks but not embedding cosine). Benchmark: every 10th vector,
+    perturbed +0.001/coordinate, id + 1,000,000 — so every 10th corpus
+    row is a planted leak. One Arrow mapInPandas pass (gemm shortlist,
+    bit-exact cumsum rescore ≡ the SQL fold), zero shuffles; the
+    oracle recomputes the full N×B argmax cross join."""
+    from southpaw_spark.operators.dedup import embedding_contamination
+
+    emb = _read(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    bench = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x + F.lit(0.001),
+        ).alias("embedding"),
+    )
+    return embedding_contamination(
+        corpus, bench, "embedding", "vec_id", threshold=0.99
+    )
+
+
+D20_SQL = """
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bench AS (
+      SELECT vec_id + 1000000 AS bench_id,
+             list_transform(embedding::DOUBLE[], x -> x + 0.001) AS bv
+      FROM embeddings WHERE vec_id % 10 = 0),
+    pairs AS (
+      SELECT c.vec_id, b.bench_id,
+             list_sum(list_transform(range(1, 65),
+               i -> c.v[i] * b.bv[i]))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> c.v[i] * c.v[i])))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                    i -> b.bv[i] * b.bv[i])))) AS cosine
+      FROM corpus c CROSS JOIN bench b),
+    ranked AS (
+      SELECT vec_id, bench_id, cosine,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY cosine DESC, bench_id) AS pr
+      FROM pairs)
+    SELECT vec_id, bench_id, round(cosine, 6) AS cosine
+    FROM ranked WHERE pr = 1 AND cosine >= 0.99
+"""
+
+
 # The driver's correctness gate checks AT MOST 50 rows per round
 # (CORRECTNESS_r02 stopped at 50 of 54), so QUERIES stays pinned at
 # exactly 50: pushing new entries into it would silently uncheck tail
@@ -4172,6 +4229,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t20_hash_split": t20_hash_split,
     "t21_bpe_encode": t21_bpe_encode,
     "t22_model_quality_score": t22_model_quality_score,
+    "d20_embedding_contamination": d20_embedding_contamination,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -4216,4 +4274,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "t20_hash_split": T20_SQL,
     "t21_bpe_encode": T21_SQL,
     "t22_model_quality_score": T22_SQL,
+    "d20_embedding_contamination": D20_SQL,
 }

@@ -2143,3 +2143,50 @@ def test_score_with_linear_model_exact_and_impl_parity(spark, sf_dir):
         score_with_linear_model(empty, "text", "doc_id", [])
     with _pytest.raises(ValueError, match="too large"):
         score_with_linear_model(empty, "text", "doc_id", [1e6])
+
+
+def test_embedding_contamination_planted_leaks(spark):
+    """d20: planted near-copies of benchmark vectors are flagged with
+    the right bench_id and cosine ≥ threshold; clean vectors pass;
+    ties break to the smallest bench id; an empty benchmark yields an
+    empty frame with the right schema."""
+    import numpy as np
+
+    from southpaw_spark.operators.dedup import embedding_contamination
+
+    rng = np.random.default_rng(55)
+    base = rng.standard_normal((40, 16))
+    corpus_rows = [
+        (i, [float(x) for x in base[i]]) for i in range(40)
+    ]
+    # benchmark: vectors 0..9 perturbed (ids 100..109); corpus rows
+    # 0..9 are thus leaks, 10..39 clean
+    bench_rows = [
+        (100 + i, [float(x) for x in base[i] + rng.normal(0, 1e-4, 16)])
+        for i in range(10)
+    ]
+    # duplicate benchmark entry for vector 0 with a LARGER id: the tie
+    # (same cosine would need identical vectors — use an exact copy)
+    bench_rows.append((500, [float(x) for x in bench_rows[0][1]]))
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<double>"
+    )
+    bench = spark.createDataFrame(
+        bench_rows, "vec_id long, embedding array<double>"
+    )
+    out = embedding_contamination(
+        corpus, bench, "embedding", "vec_id", threshold=0.999
+    )
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert set(rows) == set(range(10))  # exactly the planted leaks
+    for i in range(10):
+        assert rows[i]["cosine"] >= 0.999
+    # vector 0's best match is duplicated under ids 100 and 500 with
+    # identical cosine — the smaller bench id wins
+    assert rows[0]["bench_id"] == 100
+
+    empty = embedding_contamination(
+        corpus, bench.where("vec_id < 0"), "embedding", "vec_id"
+    )
+    assert empty.columns == ["vec_id", "bench_id", "cosine"]
+    assert empty.count() == 0
