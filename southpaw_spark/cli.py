@@ -268,11 +268,13 @@ def build_corpus_cmd(spark, cfg) -> None:
     c = cfg["corpus"]
     input_format = c.get("input_format", "parquet")
     if input_format in ("wet", "warc"):
-        # crawl-archive front door: WET conversion records land
-        # directly on the documents schema (sources/warc.py)
-        from southpaw_spark.sources.warc import read_wet
+        # crawl-archive front door (sources/warc.py): WET conversion
+        # records land directly on the documents schema; raw WARC
+        # response records go through HTTP split + HTML text extraction
+        from southpaw_spark.sources.warc import read_warc_html, read_wet
 
-        docs = read_wet(
+        reader = read_wet if input_format == "wet" else read_warc_html
+        docs = reader(
             spark, c["input"],
             strict=bool(c.get("warc_strict", True)),
             max_payload_bytes=c.get("max_payload_bytes"),

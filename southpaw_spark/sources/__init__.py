@@ -4,8 +4,10 @@ WARC/WET web-crawl archives."""
 from southpaw_spark.sources.files import read_changelog_json, read_snapshot
 from southpaw_spark.sources.warc import (
     WARC_SCHEMA,
+    html_to_text,
     iter_warc_records,
     read_warc,
+    read_warc_html,
     read_wet,
     wet_doc_id,
 )
@@ -26,8 +28,10 @@ from southpaw_spark.sources.schema_registry import (
 
 __all__ = [
     "WARC_SCHEMA",
+    "html_to_text",
     "iter_warc_records",
     "read_warc",
+    "read_warc_html",
     "read_wet",
     "wet_doc_id",
     "FileSchemaRegistry",

@@ -36,6 +36,8 @@ import gzip
 import hashlib
 import io
 import os
+import re
+from html.parser import HTMLParser
 from typing import Callable, Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -266,3 +268,164 @@ def wet_doc_id(record_id: str) -> int:
     return int(
         hashlib.md5(record_id.encode("utf-8")).hexdigest()[:15], 16
     )
+
+
+class _TextExtractor(HTMLParser):
+    """Minimal boilerplate-aware HTML→text: drops script/style/
+    noscript/template subtrees, emits newline boundaries at block
+    elements so downstream line-level cleaning (t19) sees real lines,
+    and collapses intra-line whitespace. stdlib-only by design — the
+    production seam for trafilatura/jusText-class extractors is the
+    ``extractor`` argument of :func:`read_warc_html`."""
+
+    _SKIP = {"script", "style", "noscript", "template"}
+    _BLOCK = {
+        "p", "div", "br", "li", "ul", "ol", "h1", "h2", "h3", "h4",
+        "h5", "h6", "tr", "table", "section", "article", "header",
+        "footer", "blockquote", "pre",
+    }
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self._skip_depth = 0
+        self._parts: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag in self._SKIP:
+            self._skip_depth += 1
+        elif tag in self._BLOCK:
+            self._parts.append("\n")
+
+    def handle_endtag(self, tag):
+        if tag in self._SKIP and self._skip_depth:
+            self._skip_depth -= 1
+        elif tag in self._BLOCK:
+            self._parts.append("\n")
+
+    def handle_data(self, data):
+        if not self._skip_depth and data:
+            self._parts.append(data)
+
+    def text(self) -> str:
+        lines = []
+        for raw in "".join(self._parts).split("\n"):
+            line = " ".join(raw.split())
+            if line:
+                lines.append(line)
+        return "\n".join(lines)
+
+
+def html_to_text(html: str) -> str:
+    """Extract readable text from HTML (stdlib parser; see
+    :class:`_TextExtractor`). Malformed markup never raises — the
+    parser is lenient by design, matching crawl reality."""
+    p = _TextExtractor()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass  # salvage whatever was parsed before the fault
+    return p.text()
+
+
+_CHARSET_RE = re.compile(rb"charset=([A-Za-z0-9_\-]+)", re.I)
+
+
+def split_http_response(payload: bytes) -> tuple[dict[str, str], bytes]:
+    """Split a WARC ``response`` record's HTTP payload into (headers,
+    body). Tolerates LF-only header endings; returns ({}, payload)
+    when no HTTP preamble is present (some writers store bare
+    bodies)."""
+    if not payload.startswith(b"HTTP/"):
+        return {}, payload
+    for sep in (b"\r\n\r\n", b"\n\n"):
+        idx = payload.find(sep)
+        if idx != -1:
+            head, body = payload[:idx], payload[idx + len(sep):]
+            break
+    else:
+        return {}, payload
+    headers: dict[str, str] = {}
+    for line in head.split(b"\n")[1:]:  # skip the status line
+        line = line.rstrip(b"\r")
+        name, sep2, value = line.partition(b":")
+        if sep2:
+            headers[
+                name.strip().decode("utf-8", "replace").lower()
+            ] = value.strip().decode("utf-8", "replace")
+    return headers, body
+
+
+def _decode_body(body: bytes, content_type: str | None) -> str:
+    enc = "utf-8"
+    if content_type:
+        m = _CHARSET_RE.search(content_type.encode())
+        if m:
+            enc = m.group(1).decode()
+    try:
+        return body.decode(enc, "replace")
+    except LookupError:  # unknown charset label in the wild
+        return body.decode("utf-8", "replace")
+
+
+def read_warc_html(
+    spark: SparkSession,
+    paths: str | Iterable[str],
+    *,
+    strict: bool = True,
+    opener: Callable[[str], io.IOBase] = default_opener,
+    max_payload_bytes: int | None = None,
+    extractor: Callable[[str], str] = html_to_text,
+) -> DataFrame:
+    """Raw-crawl front door: WARC ``response`` records → the
+    ``documents`` schema, extracting text from HTML bodies — the step
+    WET files have already done, run here for corpora that ship only
+    raw WARC. Per record: split the HTTP payload (status/headers/
+    body), keep ``text/html`` responses (or untyped bare bodies),
+    decode by the declared charset (utf-8 fallback), extract text via
+    ``extractor`` (stdlib :func:`html_to_text` by default — swap in a
+    trafilatura-class callable at production), drop records that
+    extract to nothing. Same doc_id/provenance rules as
+    :func:`read_wet`; one streaming task per archive, zero shuffles."""
+    import pandas as pd
+
+    recs = read_warc(
+        spark,
+        paths,
+        warc_types=("response",),
+        strict=strict,
+        opener=opener,
+        max_payload_bytes=max_payload_bytes,
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for rid, uri, payload in zip(
+                pdf["record_id"], pdf["target_uri"], pdf["payload"]
+            ):
+                headers, body = split_http_response(bytes(payload))
+                ctype = headers.get("content-type")
+                if ctype and "html" not in ctype and "text" not in ctype:
+                    continue
+                text = extractor(_decode_body(body, ctype))
+                if not text:
+                    continue
+                rows.append(
+                    (wet_doc_id(rid), text, None, uri, len(text))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "text", "lang", "source", "n_chars"],
+            )
+
+    return recs.mapInPandas(extract, out_schema)

@@ -208,3 +208,58 @@ def test_build_corpus_cli_front_door_from_wet(spark, tmp_path):
             {"corpus": {"input": "x", "input_format": "csv",
                         "output": "y"}},
         )
+
+
+def test_read_warc_html_extracts_response_records(spark, tmp_path):
+    """Raw-crawl path: WARC response records carrying full HTTP
+    payloads parse into documents — script/style dropped, block
+    boundaries become lines, charset honored, non-HTML and
+    empty-extraction records skipped, bare bodies (no HTTP preamble)
+    tolerated."""
+    from southpaw_spark.sources.warc import (
+        html_to_text,
+        read_warc_html,
+        split_http_response,
+    )
+
+    html = (
+        "<html><head><title>T</title><script>var x=1;</script>"
+        "<style>.a{}</style></head><body><h1>Head  line</h1>"
+        "<p>First   para.</p><p>S&eacute;cond</p>"
+        "<div>nested <b>bold</b> text</div></body></html>"
+    )
+    assert html_to_text(html) == (
+        "T\nHead line\nFirst para.\nSécond\nnested bold text"
+    )
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        b"Server: x\r\n\r\n" + html.encode("utf-8")
+    )
+    hdrs, body = split_http_response(http)
+    assert hdrs["content-type"].startswith("text/html")
+    assert body == html.encode("utf-8")
+
+    png = b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n\x89PNG"
+    bare = b"<p>bare body no preamble</p>"
+    latin = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=iso-8859-1\r\n\r\n"
+        b"<p>caf\xe9</p>"
+    )
+    f = tmp_path / "raw.warc"
+    f.write_bytes(
+        _record("<urn:uuid:h1>", "response", http, uri="https://h1")
+        + _record("<urn:uuid:img>", "response", png, uri="https://img")
+        + _record("<urn:uuid:bare>", "response", bare, uri="https://bare")
+        + _record("<urn:uuid:l1>", "response", latin, uri="https://l1")
+        + _record("<urn:uuid:c>", "conversion", b"not a response")
+    )
+    docs = {r["source"]: r for r in read_warc_html(spark, str(f)).collect()}
+    assert set(docs) == {"https://h1", "https://bare", "https://l1"}
+    assert docs["https://h1"]["text"] == (
+        "T\nHead line\nFirst para.\nSécond\nnested bold text"
+    )
+    assert docs["https://l1"]["text"] == "café"  # declared charset used
+    assert docs["https://bare"]["text"] == "bare body no preamble"
+    assert docs["https://h1"]["doc_id"] == wet_doc_id("<urn:uuid:h1>")
+    assert docs["https://h1"]["n_chars"] == len(docs["https://h1"]["text"])
