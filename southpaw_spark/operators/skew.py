@@ -183,3 +183,58 @@ def global_rank(
         )
     )
     return ranked
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    period_col: str,
+) -> DataFrame:
+    """Cohort retention (a11) — the classic growth-analytics matrix:
+    users are cohorted by their FIRST active period, and each
+    (cohort, offset) cell counts how many of them were active
+    ``offset`` periods later, with the retention rate against the
+    cohort's size. ``period_col`` must be an integer period index
+    (day/week/hour — the caller buckets timestamps).
+
+    Plan (scale-shaped): ONE groupBy(user) pass produces each user's
+    cohort (min period) AND their distinct active periods
+    (``collect_set`` — bounded by the calendar, not the event count,
+    so the per-user state is small regardless of activity volume);
+    explode + a second combiner-friendly groupBy((cohort, offset))
+    counts active users — rows are already one-per-(user, period), so
+    the count IS a distinct-user count with no expensive
+    count_distinct shuffle. Cohort size = the offset-0 cell (every
+    user is active in their cohort period by construction), spread by
+    a window over the TINY aggregated frame (cohorts × offsets rows).
+    Two shuffles total, no global sort, no N×periods blow-up."""
+    from pyspark.sql import Window
+
+    per_user = (
+        df.select(F.col(user_col).alias("__u"), F.col(period_col).alias("__p"))
+        .groupBy("__u")
+        .agg(
+            F.min("__p").alias("cohort"),
+            F.collect_set("__p").alias("__periods"),
+        )
+    )
+    cells = (
+        per_user.select(
+            "cohort", F.explode("__periods").alias("__p")
+        )
+        .groupBy("cohort", (F.col("__p") - F.col("cohort")).alias("offset"))
+        .agg(F.count("*").alias("n_active"))
+    )
+    w = Window.partitionBy("cohort")
+    size = F.max(
+        F.when(F.col("offset") == 0, F.col("n_active"))
+    ).over(w)
+    return cells.select(
+        "cohort",
+        "offset",
+        "n_active",
+        size.alias("cohort_size"),
+        F.round(F.col("n_active") / size.cast("double"), 6).alias(
+            "retention_rate"
+        ),
+    )

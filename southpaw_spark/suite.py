@@ -4182,6 +4182,49 @@ D20_SQL = """
 """
 
 
+def a11_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (`operators.skew.cohort_retention`):
+    users cohorted by first active DAY, cells = distinct active users
+    at each day offset, with retention rate vs cohort size. One
+    groupBy(user) pass (min day + collect_set of active days — bounded
+    by the calendar), explode, one combiner groupBy((cohort, offset));
+    cohort size spread by a window over the tiny aggregate. The rate
+    is one IEEE division of exact integers, rounded 6 — engine-exact."""
+    from southpaw_spark.operators.skew import cohort_retention
+
+    raw = _read(spark, sf_dir, "events")
+    ev = raw.select(
+        "user_id",
+        F.floor(_events_ts_us(raw) / F.lit(86_400_000_000))
+        .cast("long")
+        .alias("day"),
+    )
+    return cohort_retention(ev, "user_id", "day")
+
+
+A11_SQL = """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+      FROM events),
+    firsts AS (
+      SELECT user_id, MIN(day) AS cohort FROM ud GROUP BY user_id),
+    cells AS (
+      SELECT f.cohort, u.day - f.cohort AS "offset",
+             COUNT(*) AS n_active
+      FROM ud u JOIN firsts f USING (user_id)
+      GROUP BY f.cohort, u.day - f.cohort),
+    sized AS (
+      SELECT cohort,
+             MAX(CASE WHEN "offset" = 0 THEN n_active END) AS cohort_size
+      FROM cells GROUP BY cohort)
+    SELECT c.cohort, c."offset", c.n_active, s.cohort_size,
+           round(c.n_active / CAST(s.cohort_size AS DOUBLE), 6)
+             AS retention_rate
+    FROM cells c JOIN sized s USING (cohort)
+"""
+
+
 # The driver's correctness gate checks AT MOST 50 rows per round
 # (CORRECTNESS_r02 stopped at 50 of 54), so QUERIES stays pinned at
 # exactly 50: pushing new entries into it would silently uncheck tail
@@ -4230,6 +4273,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t21_bpe_encode": t21_bpe_encode,
     "t22_model_quality_score": t22_model_quality_score,
     "d20_embedding_contamination": d20_embedding_contamination,
+    "a11_cohort_retention": a11_cohort_retention,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -4275,4 +4319,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "t21_bpe_encode": T21_SQL,
     "t22_model_quality_score": T22_SQL,
     "d20_embedding_contamination": D20_SQL,
+    "a11_cohort_retention": A11_SQL,
 }

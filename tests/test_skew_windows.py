@@ -550,3 +550,38 @@ def test_ohlc_stream_duplicate_ts_order_col(spark, tmp_path):
         for r in ohlc_stream(batch, ["k"], "v", order_col="seq").collect()
     }
     assert latest == want
+
+
+def test_cohort_retention_matrix_and_plan(spark):
+    """a11: hand-computed retention matrix on a planted cohort corpus
+    (users joining on day 0 and day 1, churning at different offsets);
+    offset-0 rate is exactly 1.0 for every cohort; repeated activity
+    within a (user, day) does not double-count; the plan carries no
+    global sort and only the two designed exchanges."""
+    from southpaw_spark.operators.skew import cohort_retention
+
+    rows = []
+    # cohort day 10: users 1,2,3 — day 11 keeps {1,2}, day 12 keeps {1}
+    for u, days in ((1, [10, 11, 12]), (2, [10, 11]), (3, [10])):
+        rows += [(u, d) for d in days]
+    # cohort day 11: users 4,5 — day 13 keeps {5}
+    for u, days in ((4, [11]), (5, [11, 13])):
+        rows += [(u, d) for d in days]
+    rows.append((1, 10))  # duplicate activity, must not double-count
+    df = spark.createDataFrame(rows, "user_id long, day long")
+    out = cohort_retention(df, "user_id", "day")
+    got = {
+        (r["cohort"], r["offset"]): (
+            r["n_active"], r["cohort_size"], r["retention_rate"]
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        (10, 0): (3, 3, 1.0),
+        (10, 1): (2, 3, round(2 / 3, 6)),
+        (10, 2): (1, 3, round(1 / 3, 6)),
+        (11, 0): (2, 2, 1.0),
+        (11, 2): (1, 2, 0.5),
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -533,3 +533,83 @@ def test_gapfill_stream_converges_to_batch(spark, tmp_path):
     assert got[("x", b1 + 120)][0] is None  # gap: no observation
     assert got[("x", b1 + 120)][1] == 4.0   # locf from bucket 1
     assert ("y", (base // 60) * 60) in got  # idle key flushed by timer
+
+
+def test_gapfill_stream_checkpoint_restart(spark, tmp_path):
+    """gapfill_stream survives a stop/restart on the same checkpoint:
+    the open-bucket integer sums and the locf carry state recover from
+    the state store, so a gap whose observations straddle the RESTART
+    (not just a micro-batch boundary) still converges to batch gapfill
+    exactly — and each grid row is emitted exactly once across both
+    runs (append mode, no duplicates on replay)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from southpaw_spark.operators.temporal import gapfill
+    from southpaw_spark.streaming.windows import gapfill_stream
+
+    base = 1_700_000_000
+    real = [
+        {"k": "x", "ts_s": base + 5, "v": 3.00},
+        {"k": "x", "ts_s": base + 10, "v": 5.00},   # bucket 0 avg 4.0
+        {"k": "x", "ts_s": base + 65, "v": 6.00},   # bucket 1
+    ]
+    file_b = [{"k": "x", "ts_s": base + 185, "v": 9.00}]  # bucket 3
+    sentinel = {"k": "x", "ts_s": base + 900, "v": 0.0}
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.json").write_text("\n".join(_json.dumps(r) for r in real))
+
+    def make_stream():
+        return (
+            spark.readStream.schema("k string, ts_s long, v double")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+            .withColumn("ts", F.col("ts_s").cast("timestamp"))
+        )
+
+    got: list = []
+
+    def sink(df, _):
+        got.extend(
+            (r["k"], r["bucket"], r["v_obs"], r["v_locf"], r["v_interp"])
+            for r in df.collect()
+        )
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            gapfill_stream(
+                make_stream(), "ts", ["k"], "v",
+                stride=60, watermark="10 seconds", exact_decimals=2,
+            )
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()  # run 1: file a only — bucket 0 closes, 1/3 stay open
+    (src / "b.json").write_text(
+        "\n".join(_json.dumps(r) for r in file_b + [sentinel])
+    )
+    run_once()  # run 2: recovered state closes 1 and 3, fills 2
+
+    batch_rows = spark.createDataFrame(
+        [(r["k"], r["ts_s"], r["v"]) for r in real + file_b],
+        "k string, ts_s long, v double",
+    )
+    want = sorted(
+        (r["k"], r["bucket"], r["v_obs"], r["v_locf"], r["v_interp"])
+        for r in gapfill(
+            batch_rows, "ts_s", ["k"], "v", stride=60, exact_decimals=2
+        ).collect()
+    )
+    assert sorted(got) == want          # exact convergence
+    assert len(got) == len(set(got))    # exactly-once emission
