@@ -887,3 +887,256 @@ def synth_png(
             )
 
     return df.select(id_col).mapInPandas(run, schema)
+
+
+_SVID_MAGIC = b"SVID"
+
+
+def _png_bytes(seed: int, width: int = 16, height: int = 16) -> bytes:
+    """One real 8-bit grayscale PNG whose pixel ``(y, x)`` is
+    ``(seed + y*31 + x*13) % 256`` — the :func:`synth_png` formula
+    with the id term factored out so video frames can reuse it with a
+    per-frame seed. Zlib deflate, CRC'd chunks; round-trips through
+    any PNG reader."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    raw = b"".join(
+        b"\x00"
+        + bytes((seed + y * 31 + x * 13) % 256 for x in range(width))
+        for y in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_video(
+    df: DataFrame,
+    id_col: str,
+    n_frames: int = 8,
+    width: int = 16,
+    height: int = 16,
+) -> DataFrame:
+    """Deterministic VIDEO synthesis completing the modality quartet
+    (m04/m06 image, m05 audio, m07 video): per row a real container of
+    PNG frames — ``SVID`` magic, u32 frame count, then per frame a u32
+    length prefix + the PNG bytes. Frame ``f``'s pixel ``(y, x)`` is
+    ``(id*7 + f*101 + y*31 + x*13) % 256`` — a pure function of
+    (id, f), so an independent engine recomputes every sampled frame's
+    aHash from the formula without parsing any binary (the m05/m06
+    oracle discipline). The container is intentionally trivial — the
+    point is the Spark-side plumbing (binary column, frame sampling,
+    per-frame fingerprints); swap a PyAV/ffmpeg decoder in at
+    production via :func:`video_frame_hashes`'s ``decoder`` seam."""
+    import struct
+
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    schema = StructType(
+        [df.schema[id_col], StructField("content", BinaryType(), True)]
+    )
+
+    def make(i: int) -> bytes:
+        frames = [
+            _png_bytes(i * 7 + f * 101, width, height)
+            for f in range(n_frames)
+        ]
+        return (
+            _SVID_MAGIC
+            + struct.pack(">I", len(frames))
+            + b"".join(struct.pack(">I", len(p)) + p for p in frames)
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "content": [make(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, schema)
+
+
+def iter_video_frames(b: bytes):
+    """Parse the :func:`synth_video` container → yield frame byte
+    strings. Lenient: returns nothing for foreign bytes (no magic),
+    stops at a truncated frame."""
+    import struct
+
+    if b is None or not b.startswith(_SVID_MAGIC):
+        return
+    if len(b) < 8:
+        return
+    (n,) = struct.unpack(">I", b[4:8])
+    off = 8
+    for _ in range(n):
+        if off + 4 > len(b):
+            return
+        (ln,) = struct.unpack(">I", b[off:off + 4])
+        off += 4
+        if off + ln > len(b):
+            return
+        yield b[off:off + ln]
+        off += ln
+
+
+def video_frame_hashes(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    frame_stride: int = 2,
+) -> DataFrame:
+    """Per-frame perceptual fingerprints for video near-dup blocking
+    (m07): sample every ``frame_stride``-th frame from the container,
+    decode (stdlib PNG rung — :func:`_decode_png_gray`) and aHash each
+    sampled frame. Output ``(id, frame_idx, ahash)`` — 8 bytes per
+    sampled frame, after which video dedup is the d09 banded-Hamming
+    join per frame slot, never a pair scan over pixels.
+
+    Scale: decode cost is linear in sampled frames and embarrassingly
+    parallel (the m05/m06 argument); stride is the knob trading recall
+    for decode wall. One Arrow ``mapInPandas`` stage, zero shuffles."""
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    if frame_stride < 1:
+        raise ValueError(f"frame_stride must be >= 1; got {frame_stride}")
+    schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("frame_idx", IntegerType(), True),
+            StructField("ahash", LongType(), True),
+        ]
+    )
+
+    def hash_frame(p: bytes):
+        if p.startswith(_PNG_SIG):
+            gray = _decode_png_gray(p)
+            if gray is not None:
+                return _gray_ahash(gray)
+        return None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for i, b in zip(pdf[id_col], pdf[content_col]):
+                for f, frame in enumerate(
+                    iter_video_frames(bytes(b) if b is not None else None)
+                ):
+                    if f % frame_stride:
+                        continue
+                    h = hash_frame(frame)
+                    if h is None:
+                        continue
+                    ids.append(i)
+                    idxs.append(f)
+                    hashes.append(h)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                    "ahash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema)
+
+
+def video_near_duplicates(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    min_match_frac: float = 0.5,
+    frame_stride: int = 2,
+) -> DataFrame:
+    """Video near-dup pairs: two videos pair when ≥ ``min_match_frac``
+    of their ALIGNED sampled frames are within ``max_hamming`` bits
+    (the same-slot comparison catches re-encodes/watermarks; shifted
+    clips need a sequence alignment upstream). Frame matching is the
+    d09 banded-Hamming equi-join with ``frame_idx`` folded into the
+    band key, so candidates stay ∝ true collisions at any corpus
+    size."""
+    sigs = video_frame_hashes(
+        df, content_col, id_col, frame_stride=frame_stride
+    )
+    n_frames = sigs.groupBy(id_col).agg(F.count("*").alias("__nf"))
+    # banded-Hamming candidates WITHIN each frame slot (frame_idx is
+    # part of the equi-join key): exact by pigeonhole — ≤ max_hamming
+    # differing bits over 4 bands of 16 means ≥ 1 identical band
+    a = sigs.select(
+        F.col(id_col).alias("id_a"), "frame_idx",
+        F.col("ahash").alias("__ha"),
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id_b"), "frame_idx",
+        F.col("ahash").alias("__hb"),
+    )
+    bands = 4
+    width = 64 // bands
+    mask = (1 << width) - 1
+
+    def band_val(col, k):
+        return F.shiftrightunsigned(col.cast("long"), k * width).bitwiseAND(
+            F.lit(mask).cast("long")
+        )
+
+    cands = None
+    for k in range(bands):
+        part = (
+            a.withColumn("__bv", band_val(F.col("__ha"), k))
+            .join(
+                b.withColumn("__bv", band_val(F.col("__hb"), k)),
+                ["frame_idx", "__bv"],
+            )
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "frame_idx", "__ha", "__hb")
+        )
+        cands = part if cands is None else cands.unionByName(part)
+    matched = (
+        cands.distinct()
+        .withColumn(
+            "__d", F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+        )
+        .where(F.col("__d") <= max_hamming)
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_matching_frames"))
+    )
+    return (
+        matched.join(
+            n_frames.select(
+                F.col(id_col).alias("id_a"), F.col("__nf").alias("__na")
+            ),
+            "id_a",
+        )
+        .join(
+            n_frames.select(
+                F.col(id_col).alias("id_b"), F.col("__nf").alias("__nb")
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "match_frac",
+            F.round(
+                F.col("n_matching_frames")
+                / F.greatest("__na", "__nb").cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("match_frac") >= min_match_frac)
+        .select("id_a", "id_b", "n_matching_frames", "match_frac")
+    )

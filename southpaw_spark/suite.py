@@ -4225,6 +4225,62 @@ A11_SQL = """
 """
 
 
+def m07_video_frame_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampled perceptual hashes, engine-checked
+    (`operators.multimodal.video_frame_hashes` over `synth_video`):
+    per doc a REAL container of 8 PNG frames (SVID length-prefixed
+    layout, frames from the (id, frame) pixel formula), every 2nd
+    frame sampled, stdlib-decoded, and aHash'd via exact 2x2 box
+    means. The oracle recomputes each sampled frame's hash from the
+    pixel formula entirely in SQL (the m05/m06 discipline) — the
+    container parse -> frame sample -> PNG decode -> box-mean -> pack
+    path is engine-checked bit-for-bit. Completes the modality quartet
+    (image m04/m06, audio m05, video m07)."""
+    from southpaw_spark.operators.multimodal import (
+        synth_video,
+        video_frame_hashes,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return video_frame_hashes(
+        synth_video(docs, "doc_id", n_frames=8), "content", "doc_id",
+        frame_stride=2,
+    )
+
+
+def _m07_sql() -> str:
+    bits = [
+        "CASE WHEN 64 * s[1] >= tot THEN -9223372036854775808 ELSE 0 END"
+    ]
+    bits += [
+        f"CASE WHEN 64 * s[{c + 1}] >= tot THEN {1 << (63 - c)}::BIGINT "
+        "ELSE 0 END"
+        for c in range(1, 64)
+    ]
+    return f"""
+    WITH frames AS (
+      SELECT doc_id, f.f AS frame_idx
+      FROM documents, (SELECT unnest([0, 2, 4, 6]) AS f) f),
+    px AS (
+      SELECT doc_id, frame_idx, list_transform(range(0, 256),
+               i -> (doc_id * 7 + frame_idx * 101
+                     + (i // 16) * 31 + (i % 16) * 13) % 256) AS p
+      FROM frames),
+    cells AS (
+      SELECT doc_id, frame_idx, list_sum(p) AS tot,
+             list_transform(range(0, 64), k ->
+                 p[((k // 8) * 2) * 16 + (k % 8) * 2 + 1]
+               + p[((k // 8) * 2) * 16 + (k % 8) * 2 + 2]
+               + p[((k // 8) * 2 + 1) * 16 + (k % 8) * 2 + 1]
+               + p[((k // 8) * 2 + 1) * 16 + (k % 8) * 2 + 2]) AS s
+      FROM px)
+    SELECT doc_id, frame_idx, ({' + '.join(bits)}) AS ahash FROM cells
+"""
+
+
+M07_SQL = _m07_sql()
+
+
 # The driver's correctness gate checks AT MOST 50 rows per round
 # (CORRECTNESS_r02 stopped at 50 of 54), so QUERIES stays pinned at
 # exactly 50: pushing new entries into it would silently uncheck tail
@@ -4274,6 +4330,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t22_model_quality_score": t22_model_quality_score,
     "d20_embedding_contamination": d20_embedding_contamination,
     "a11_cohort_retention": a11_cohort_retention,
+    "m07_video_frame_hashes": m07_video_frame_hashes,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -4320,4 +4377,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "t22_model_quality_score": T22_SQL,
     "d20_embedding_contamination": D20_SQL,
     "a11_cohort_retention": A11_SQL,
+    "m07_video_frame_hashes": M07_SQL,
 }

@@ -510,3 +510,78 @@ def test_image_ahash_decoder_validation(spark):
 
     with _pytest.raises(ValueError, match="decoder"):
         image_ahash(df, "content", "doc_id", decoder="bogus")
+
+
+def test_video_frame_hashes_and_near_duplicates(spark):
+    """m07: the container round-trips (synth → parse → sampled frame
+    hashes match per-frame synth_png hashes); a noised copy pairs with
+    its original at high match_frac while an unrelated video does
+    not; truncated containers and foreign bytes parse leniently; bad
+    stride raises."""
+    import struct
+
+    import pytest as _pytest
+
+    from southpaw_spark.operators.multimodal import (
+        _SVID_MAGIC,
+        _decode_png_gray,
+        _gray_ahash,
+        _png_bytes,
+        iter_video_frames,
+        synth_video,
+        video_frame_hashes,
+        video_near_duplicates,
+    )
+
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    vids = synth_video(docs, "doc_id", n_frames=6)
+    got = {
+        (r["doc_id"], r["frame_idx"]): r["ahash"]
+        for r in video_frame_hashes(
+            vids, "content", "doc_id", frame_stride=2
+        ).collect()
+    }
+    assert set(got) == {(i, f) for i in (1, 2) for f in (0, 2, 4)}
+    for (i, f), h in got.items():
+        expect = _gray_ahash(_decode_png_gray(_png_bytes(i * 7 + f * 101)))
+        assert h == expect
+
+    def container(frames):
+        return (
+            _SVID_MAGIC
+            + struct.pack(">I", len(frames))
+            + b"".join(struct.pack(">I", len(p)) + p for p in frames)
+        )
+
+    def noisy_png(seed):
+        # flip low bits of the seed term: pixels shift by 1, the
+        # box-mean hash moves at most a few bits
+        return _png_bytes(seed + 1)
+
+    base_frames = [_png_bytes(1000 + f * 101) for f in range(6)]
+    near_frames = [noisy_png(1000 + f * 101) for f in range(6)]
+    far_frames = [_png_bytes(999_999 + f * 757) for f in range(6)]
+    custom = spark.createDataFrame(
+        [
+            (10, container(base_frames)),
+            (11, container(near_frames)),
+            (12, container(far_frames)),
+        ],
+        "doc_id long, content binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["match_frac"]
+        for r in video_near_duplicates(
+            custom, "content", "doc_id",
+            max_hamming=8, min_match_frac=0.5, frame_stride=2,
+        ).collect()
+    }
+    assert (10, 11) in pairs and pairs[(10, 11)] >= 0.5
+    assert all({a, b} != {10, 12} and {a, b} != {11, 12} for a, b in pairs)
+
+    # lenient parsing: foreign bytes -> no frames; truncated -> prefix
+    assert list(iter_video_frames(b"not a video")) == []
+    trunc = container(base_frames[:2])[:-5]
+    assert len(list(iter_video_frames(trunc))) == 1
+    with _pytest.raises(ValueError, match="frame_stride"):
+        video_frame_hashes(custom, "content", "doc_id", frame_stride=0)
