@@ -402,3 +402,78 @@ def ohlc(
             F.count("__v").alias("n_events"),
         )
     )
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Strict-order funnel analysis (e13) — the product-analytics
+    staple: how many users performed step 1, then step 2 STRICTLY
+    AFTER their first step 1, then step 3 after that, … (each step
+    time is the earliest qualifying event after the previous step's
+    time). Returns one row per step: ``(step, step_name, n_users,
+    conversion_rate)`` with the rate against step 1, rounded 6.
+
+    Plan: ONE shuffle — a per-user aggregate collecting the first
+    step-1 time plus a sorted timestamp array per later step type
+    (``collect_list`` under a ``when`` filter, so only funnel-relevant
+    events survive the map side); step k's time is then
+    ``array_min(filter(arr_k, t > t_{k-1}))`` over those per-user
+    arrays (bounded by the user's own funnel events, not the corpus).
+    The final counts are a single global aggregate exploded into K
+    rows. No window functions, no self-joins, no per-pair work."""
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError(f"need >= 2 steps; got {steps!r}")
+    u, t, ts = F.col(user_col), F.col(type_col), F.col(ts_col)
+    aggs = [F.min(F.when(t == steps[0], ts)).alias("t1")]
+    for k, s in enumerate(steps[1:], start=2):
+        aggs.append(
+            F.sort_array(
+                F.collect_list(F.when(t == s, ts))
+            ).alias(f"l{k}")
+        )
+    per_user = df.groupBy(u.alias("__u")).agg(*aggs)
+    for k in range(2, len(steps) + 1):
+        prev = F.col(f"t{k - 1}")
+        per_user = per_user.withColumn(
+            f"t{k}",
+            F.when(
+                prev.isNotNull(),
+                F.array_min(
+                    F.filter(F.col(f"l{k}"), lambda x: x > prev)
+                ),
+            ),
+        )
+    counts = per_user.agg(
+        *[
+            F.count(F.col(f"t{k}")).alias(f"n{k}")
+            for k in range(1, len(steps) + 1)
+        ]
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("step"),
+                F.lit(steps[k - 1]).alias("step_name"),
+                F.col(f"n{k}").alias("n_users"),
+            )
+            for k in range(1, len(steps) + 1)
+        ]
+    )
+    exploded = counts.select(
+        F.explode(cells).alias("c"), F.col("n1").alias("__n1")
+    )
+    return exploded.select(
+        F.col("c.step").alias("step"),
+        F.col("c.step_name").alias("step_name"),
+        F.col("c.n_users").alias("n_users"),
+        F.when(
+            F.col("__n1") > 0,
+            F.round(F.col("c.n_users") / F.col("__n1").cast("double"), 6),
+        ).otherwise(F.lit(None).cast("double")).alias("conversion_rate"),
+    )

@@ -385,3 +385,44 @@ def test_ohlc_duplicate_ts_order_col(spark):
     )
     assert plan.count("Exchange") == 1
     assert "partial_min_by" in plan and "partial_max_by" in plan
+
+
+def test_funnel_strict_ordering_hand_computed(spark):
+    """e13: a hand-built event log where ordering matters — a user who
+    clicked BEFORE their first view does not convert to step 2, a
+    purchase between view and click does not count as step 3, and a
+    user completing all steps in order counts everywhere; rates are
+    vs step 1; <2 steps raises."""
+    import pytest as _pytest
+
+    from southpaw_spark.operators.temporal import funnel
+
+    rows = [
+        # u1: full in-order funnel
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # u2: clicked before viewing -> stops at step 1
+        (2, "click", 5), (2, "view", 10),
+        # u3: purchase BETWEEN view and click -> stops at step 2
+        (3, "view", 10), (3, "purchase", 15), (3, "click", 20),
+        # u4: never viewed -> not in the funnel at all
+        (4, "click", 1), (4, "purchase", 2),
+        # u5: view then click at the SAME ts -> strict '>' rejects it
+        (5, "view", 10), (5, "click", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts long"
+    )
+    out = {
+        r["step"]: (r["step_name"], r["n_users"], r["conversion_rate"])
+        for r in funnel(
+            df, "user_id", "event_type", "ts",
+            ["view", "click", "purchase"],
+        ).collect()
+    }
+    assert out == {
+        1: ("view", 4, 1.0),       # u1, u2, u3, u5
+        2: ("click", 2, 0.5),      # u1, u3 (u5's same-ts click fails >)
+        3: ("purchase", 1, 0.25),  # u1 only
+    }
+    with _pytest.raises(ValueError, match="steps"):
+        funnel(df, "user_id", "event_type", "ts", ["view"])
