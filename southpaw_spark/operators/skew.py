@@ -238,3 +238,65 @@ def cohort_retention(
             "retention_rate"
         ),
     )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    user_col: str,
+    period_col: str,
+    window: int = 7,
+) -> DataFrame:
+    """Rolling active users (e14) — DAU/WAU-style engagement: for each
+    OBSERVED period, the distinct users active that period (``dau``)
+    and in the trailing ``window`` periods (``rolling_active``, e.g.
+    WAU at window=7), plus their ratio (the stickiness metric).
+
+    Plan (exact, no window functions): one distinct over
+    (user, period); each such row FANS OUT to the ≤``window`` periods
+    it keeps the user active in (``sequence`` + ``explode`` — bounded
+    fan-out, no per-pair work); a second distinct absorbs multi-day
+    contributions; combiner-friendly counts per period. Emitted
+    periods are restricted to OBSERVED ones via a broadcast semi-join
+    with the (tiny) distinct-period frame — no phantom trailing
+    periods. The naive alternative — a range self-join of days ×
+    activity — is quadratic in the calendar; this is linear with a
+    ×window fan-out."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1; got {window}")
+    ud = (
+        df.select(
+            F.col(user_col).alias("__u"), F.col(period_col).alias("__p")
+        )
+        .distinct()
+    )
+    dau = ud.groupBy(F.col("__p").alias("period")).agg(
+        F.count("*").alias("dau")
+    )
+    targets = (
+        ud.select(
+            "__u",
+            F.explode(
+                F.sequence(
+                    F.col("__p"), F.col("__p") + F.lit(window - 1)
+                )
+            ).alias("period"),
+        )
+        .distinct()
+    )
+    observed = ud.select(F.col("__p").alias("period")).distinct()
+    rolling = (
+        targets.join(F.broadcast(observed), "period", "left_semi")
+        .groupBy("period")
+        .agg(F.count("*").alias("rolling_active"))
+    )
+    return (
+        dau.join(rolling, "period")
+        .select(
+            "period",
+            "dau",
+            "rolling_active",
+            F.round(
+                F.col("dau") / F.col("rolling_active").cast("double"), 6
+            ).alias("stickiness"),
+        )
+    )

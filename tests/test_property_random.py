@@ -172,3 +172,86 @@ def test_random_history_incremental(spark, tmp_path):
     for k, doc in acc.items():
         if k not in want:
             assert doc is None
+
+
+def test_engagement_ops_match_python_brute_force(spark):
+    """Random activity logs: funnel (e13), cohort_retention (a11) and
+    rolling_active_users (e14) each equal an independent brute-force
+    Python computation — the distributed fan-out/agg shapes cannot
+    diverge from the direct definitions on any random interleaving."""
+    from southpaw_spark.operators.skew import (
+        cohort_retention,
+        rolling_active_users,
+    )
+    from southpaw_spark.operators.temporal import funnel
+
+    rng = random.Random(90920)
+    for trial in range(3):
+        rows = [
+            (
+                rng.randint(1, 12),
+                rng.choice(["view", "click", "purchase", "other"]),
+                rng.randint(0, 30),
+            )
+            for _ in range(rng.randint(30, 120))
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts long"
+        )
+
+        # --- funnel brute force
+        steps = ["view", "click", "purchase"]
+        by_user: dict = {}
+        for u, t, ts in rows:
+            by_user.setdefault(u, []).append((ts, t))
+        reached = [0] * len(steps)
+        for evs in by_user.values():
+            prev = None
+            for k, s in enumerate(steps):
+                cand = [
+                    ts
+                    for ts, t in evs
+                    if t == s and (prev is None or ts > prev)
+                ]
+                if not cand:
+                    break
+                prev = min(cand)
+                reached[k] += 1
+        got_f = {
+            r["step"]: r["n_users"]
+            for r in funnel(
+                df, "user_id", "event_type", "ts", steps
+            ).collect()
+        }
+        assert got_f == {
+            k + 1: n for k, n in enumerate(reached)
+        }, (trial, rows)
+
+        # --- cohort retention brute force (period = ts)
+        first = {u: min(ts for ts, _ in evs) for u, evs in by_user.items()}
+        cells: dict = {}
+        for u, evs in by_user.items():
+            for p in {ts for ts, _ in evs}:
+                key = (first[u], p - first[u])
+                cells[key] = cells.get(key, 0) + 1
+        got_c = {
+            (r["cohort"], r["offset"]): r["n_active"]
+            for r in cohort_retention(df, "user_id", "ts").collect()
+        }
+        assert got_c == cells, trial
+
+        # --- rolling active brute force (window=5)
+        ud = {(u, ts) for u, _, ts in rows}
+        days = sorted({ts for _, ts in ud})
+        expect = {}
+        for d in days:
+            dau = len({u for u, ts in ud if ts == d})
+            roll = len({u for u, ts in ud if d - 4 <= ts <= d})
+            expect[d] = (dau, roll)
+        got_r = {
+            r["period"]: (r["dau"], r["rolling_active"])
+            for r in rolling_active_users(
+                df, "user_id", "ts", window=5
+            ).collect()
+        }
+        assert got_r == expect, trial

@@ -585,3 +585,39 @@ def test_cohort_retention_matrix_and_plan(spark):
     }
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_rolling_active_users_hand_computed(spark):
+    """e14: hand-computed DAU/rolling counts on a tiny activity log —
+    a user active twice in one window counts once; observed-day
+    restriction emits no phantom trailing days; window=1 degenerates
+    to DAU (stickiness exactly 1.0); bad window raises."""
+    import pytest as _pytest
+
+    from southpaw_spark.operators.skew import rolling_active_users
+
+    rows = [
+        (1, 10), (2, 10),          # day 10: users {1,2}
+        (1, 11),                   # day 11: {1}
+        (1, 13), (3, 13), (1, 13)  # day 13: {1,3} (1 duplicated)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, day long")
+    got = {
+        r["period"]: (r["dau"], r["rolling_active"], r["stickiness"])
+        for r in rolling_active_users(df, "user_id", "day", window=3)
+        .collect()
+    }
+    # window=3 ⇒ day d covers activity in [d-2, d]
+    assert got == {
+        10: (2, 2, 1.0),
+        11: (1, 2, 0.5),            # {1,2} from days 9..11
+        13: (2, 2, 1.0),  # days 11..13 active set is {1,3}
+    }
+    one = {
+        r["period"]: (r["dau"], r["rolling_active"], r["stickiness"])
+        for r in rolling_active_users(df, "user_id", "day", window=1)
+        .collect()
+    }
+    assert all(d == w and s == 1.0 for d, w, s in one.values())
+    with _pytest.raises(ValueError, match="window"):
+        rolling_active_users(df, "user_id", "day", window=0)
