@@ -14,13 +14,15 @@ similarity search over embedding columns, text analysis, and multimodal
 column plumbing.
 """
 
-from southpaw_spark.pipelines import build_corpus
+from southpaw_spark.pipelines import annotate_docs, build_corpus, corpus_stream
 from southpaw_spark.relations import Relation, load_relations, validate_relation
 from southpaw_spark.session import get_spark
 
 __all__ = [
     "Relation",
+    "annotate_docs",
     "build_corpus",
+    "corpus_stream",
     "get_spark",
     "load_relations",
     "validate_relation",

@@ -47,6 +47,45 @@ from southpaw_spark.operators.text import (
 )
 
 
+def annotate_docs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    line_clean: bool = False,
+    bpe_merges: list[tuple[str, str]] | None = None,
+    model_weights: list[float] | None = None,
+    model_bias: float = 0.0,
+) -> DataFrame:
+    """The STATELESS per-doc stage prefix of :func:`build_corpus` —
+    optional C4 line cleaning, quality score, language guess, token
+    counts (whitespace, plus real BPE counts when ``bpe_merges`` is
+    given), and the trained linear-model score — as pure projections,
+    so the SAME code annotates batch frames and STREAMING frames (the
+    :func:`corpus_stream` front half). On a streaming input the model
+    score automatically takes the zero-shuffle ``impl="hof"`` twin
+    (bit-identical output; streaming projections can't host the
+    explode+groupBy+join plan)."""
+    cur = docs
+    if line_clean:
+        from southpaw_spark.operators.text import clean_lines
+
+        cur = clean_lines(cur, text_col)
+    cur = with_lang_guess(with_quality_score(cur, text_col), text_col)
+    if bpe_merges is not None:
+        from southpaw_spark.operators.bpe import with_bpe_token_count
+
+        cur = with_bpe_token_count(cur, text_col, bpe_merges)
+    if model_weights is not None:
+        from southpaw_spark.operators.text import score_with_linear_model
+
+        cur = score_with_linear_model(
+            cur, text_col, id_col, model_weights, model_bias,
+            impl="hof" if cur.isStreaming else "explode",
+        )
+    return cur
+
+
 def build_corpus(
     docs: DataFrame,
     text_col: str = "text",
@@ -186,24 +225,22 @@ def build_corpus(
             persisted.append(df)
         return df
 
-    if line_clean:
-        # line cleaning comes FIRST: quality/token signals must be
-        # computed on the prose that survives, not on boilerplate
-        # (t19; C4 orders its line filter before everything else)
-        from southpaw_spark.operators.text import clean_lines
-
-        docs = clean_lines(docs, text_col)
-
-    cur = with_lang_guess(
-        with_quality_score(docs, text_col), text_col
+    # the stateless annotation prefix is SHARED with corpus_stream
+    # (annotate_docs): line cleaning first (t19; quality/token signals
+    # must see surviving prose), then quality/lang/token columns. With
+    # ``bpe_merges`` every token-denominated stage (min_tokens gate,
+    # t15 budgets, t17 mix, t09 packing) runs on the REAL vocab-driven
+    # BPE count — production budgets are measured against the actual
+    # tokenizer, and regex/whitespace counts can diverge 2×+ on
+    # code/non-English text. The count column is recomputed after
+    # every text-rewriting stage (decontaminate-cut, span dedup) so
+    # budgets see post-cut lengths. (The model score is NOT annotated
+    # here: build_corpus scores only min_tokens/min_quality survivors,
+    # at its own stage below.)
+    cur = annotate_docs(
+        docs, text_col, id_col,
+        line_clean=line_clean, bpe_merges=bpe_merges,
     )
-    # token accounting: whitespace by default; with ``bpe_merges`` every
-    # token-denominated stage (min_tokens gate, t15 budgets, t17 mix,
-    # t09 packing) runs on the REAL vocab-driven BPE count instead —
-    # production budgets are measured against the actual tokenizer, and
-    # regex/whitespace counts can diverge 2×+ on code/non-English text.
-    # The count column is recomputed after every text-rewriting stage
-    # (decontaminate-cut, span dedup) so budgets see post-cut lengths.
     if bpe_merges is not None:
         from southpaw_spark.operators.bpe import with_bpe_token_count
 
@@ -214,7 +251,6 @@ def build_corpus(
                 df.drop(tok_col), text_col, bpe_merges
             )
 
-        cur = _recount(cur)
     else:
         tok_col = "n_tokens"
         _recount = None
@@ -499,3 +535,92 @@ def write_shuffled_corpus(
         .drop("__pri", "__shard")
     )
     out.write.mode(mode).format(fmt).save(path)
+
+
+def corpus_stream(
+    deduper,
+    docs_stream: DataFrame,
+    checkpoint_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_clean: bool = False,
+    bpe_merges: list[tuple[str, str]] | None = None,
+    min_tokens: int | None = None,
+    min_quality: float | None = None,
+    model_weights: list[float] | None = None,
+    model_bias: float = 0.0,
+    min_model_score: float | None = None,
+    langs: list[str] | None = None,
+    split_fractions: dict[str, float] | None = None,
+    sample_salt: str = "",
+    sink=None,
+    trigger: dict | None = None,
+):
+    """STREAMING corpus build — :func:`build_corpus`'s per-doc subset
+    as a continuous pipeline: the stateless stages
+    (:func:`annotate_docs` + the min_tokens / min_quality / model /
+    lang gates + the deterministic ``split`` label) run INSIDE the
+    streaming plan as pure projections and filters, and content dedup
+    runs against the :class:`streaming.dedup_stream.IncrementalDeduper`'s
+    persistent state via foreachBatch. ``sink(kept_df, batch_id)``
+    receives each micro-batch's KEPT documents with all annotation
+    columns — the rows a corpus writer appends.
+
+    Stream ≡ batch: for the shared stage subset, feeding the same docs
+    (ids ascending, so the deduper's first-seen exact keeper equals the
+    batch min-id keeper) yields exactly ``build_corpus``'s kept set —
+    pinned by the convergence test. The kept-set contract is the
+    deduper's LATEST-decision-wins: with ``fuzzy_keep='best_quality'``
+    a later batch may retroactively unkeep an earlier doc; sinks must
+    fold by latest decision (see ``attach_dedup_stream``).
+
+    Scale: the stateless half is scan-speed projection work with zero
+    shuffles (the model score runs its ``hof`` twin); state costs are
+    the deduper's (bucket-pruned lookups, batch-proportional)."""
+    from southpaw_spark.operators.text import hash_split
+
+    if min_model_score is not None and model_weights is None:
+        raise ValueError(
+            "min_model_score requires model_weights (the trained "
+            "linear-classifier gate scores before it thresholds)"
+        )
+    cur = annotate_docs(
+        docs_stream, text_col, id_col,
+        line_clean=line_clean, bpe_merges=bpe_merges,
+        model_weights=model_weights, model_bias=model_bias,
+    )
+    tok_col = "n_tokens_bpe" if bpe_merges is not None else "n_tokens"
+    if min_tokens is not None:
+        cur = cur.where(F.col(tok_col) >= min_tokens)
+    if min_quality is not None:
+        cur = cur.where(F.col("quality_score") >= min_quality)
+    if min_model_score is not None:
+        cur = cur.where(F.col("model_score") >= min_model_score)
+    if langs is not None:
+        cur = cur.where(F.col("lang_guess").isin(list(langs)))
+    if split_fractions is not None:
+        cur = hash_split(cur, id_col, split_fractions, salt=sample_salt)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.cache()
+        try:
+            if batch_df.limit(1).count() == 0:
+                return
+            decisions = deduper.process_batch(batch_df)
+            if sink is not None:
+                kept_ids = decisions.where(
+                    F.col("keeper_id") == F.col(id_col)
+                ).select(id_col)
+                sink(batch_df.join(kept_ids, id_col, "left_semi"), batch_id)
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        cur.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_process)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -592,3 +592,86 @@ def test_build_corpus_model_quality_gate(spark, sf_dir):
     kept.unpersist()
     with _pytest.raises(ValueError, match="min_model_score"):
         build_corpus(docs, min_model_score=0.5)
+
+
+def test_corpus_stream_converges_to_batch_build(spark, tmp_path):
+    """corpus_stream ≡ build_corpus on the shared stage subset: a
+    two-file document stream (ids ascending) through annotate + gates
+    (min_tokens, trained-model threshold) + split labeling + exact
+    dedup against persistent state keeps EXACTLY the batch pipeline's
+    rows — including a cross-batch exact duplicate whose keeper lives
+    in batch 1 — with identical annotation and split columns."""
+    import json as _json
+
+    from southpaw_spark.pipelines import build_corpus, corpus_stream
+    from southpaw_spark.streaming import ParquetStateStore
+    from southpaw_spark.streaming.dedup_stream import IncrementalDeduper
+
+    W = [((i * 37) % 201 - 100) / 100.0 for i in range(64)]
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "eta theta iota kappa lamda mu"),
+        (3, "tiny"),                                   # min_tokens gate
+        (4, "nu xi omicron pi rho sigma tau"),
+        (5, "alpha beta gamma delta epsilon zeta"),    # exact dup of 1
+        (6, "upsilon phi chi psi omega aleph bet"),
+    ]
+    a, b = docs[:3], docs[3:]
+    src = tmp_path / "in"
+    src.mkdir()
+    for name, chunk in (("a.json", a), ("b.json", b)):
+        (src / name).write_text(
+            "\n".join(
+                _json.dumps({"doc_id": i, "text": t}) for i, t in chunk
+            )
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    deduper = IncrementalDeduper(
+        spark,
+        ParquetStateStore(spark, str(tmp_path / "state"), n_buckets=4),
+        sim_threshold=1.01,  # exact-only: no agreement can reach it
+    )
+    got: dict = {}
+
+    def sink(kept, _bid):
+        for r in kept.collect():
+            got[r["doc_id"]] = (
+                r["text"], r["n_tokens"], r["quality_score"],
+                r["model_score"], r["split"],
+            )
+
+    q = corpus_stream(
+        deduper, stream, str(tmp_path / "ckpt"),
+        min_tokens=5, model_weights=W, model_bias=0.05,
+        min_model_score=-1.0,
+        split_fractions={"train": 0.8, "test": 0.2}, sample_salt="cs",
+        sink=sink,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    deduper.close()
+
+    batch = spark.createDataFrame(docs, "doc_id long, text string")
+    kept, _ = build_corpus(
+        batch,
+        min_tokens=5, model_weights=W, model_bias=0.05,
+        min_model_score=-1.0, exact_dedup=True,
+        split_fractions={"train": 0.8, "test": 0.2}, sample_salt="cs",
+    )
+    want = {
+        r["doc_id"]: (
+            r["text"], r["n_tokens"], r["quality_score"],
+            r["model_score"], r["split"],
+        )
+        for r in kept.collect()
+    }
+    kept.unpersist()
+    assert got == want
+    assert 5 not in got and 3 not in got  # dup + short doc dropped
+    assert 1 in got                       # the cross-batch keeper
