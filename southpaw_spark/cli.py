@@ -252,6 +252,74 @@ _CORPUS_KEYS = (
 )
 
 
+def corpus_stream_cmd(spark, cfg) -> None:
+    """``corpus.stream: true``: run the STREAMING corpus build
+    (`pipelines.corpus_stream`) — stateless annotate/gate/split stages
+    in the streaming plan, content dedup against the persistent
+    incremental-dedup state at ``corpus.state_dir``, kept docs appended
+    to ``corpus.output``. The availableNow trigger drains everything
+    currently in ``corpus.input`` and stops — the cron-shaped
+    incremental corpus build: each invocation processes the newly
+    landed files against the same state and checkpoint."""
+    from southpaw_spark.pipelines import corpus_stream
+    from southpaw_spark.streaming import ParquetStateStore
+    from southpaw_spark.streaming.dedup_stream import IncrementalDeduper
+
+    c = cfg["corpus"]
+    input_format = c.get("input_format", "parquet")
+    if input_format not in ("parquet", "json"):
+        raise ValueError(
+            "streaming corpus input_format must be parquet|json "
+            f"(crawl archives land as files first); got {input_format!r}"
+        )
+    # streaming sources need an explicit schema: probe the static files
+    schema = getattr(spark.read, input_format)(c["input"]).schema
+    reader = spark.readStream.schema(schema)
+    if "max_files_per_trigger" in c:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(int(c["max_files_per_trigger"]))
+        )
+    stream = getattr(reader, input_format)(c["input"])
+    deduper = IncrementalDeduper(
+        spark,
+        ParquetStateStore(
+            spark, c["state_dir"],
+            n_buckets=int(c.get("state_buckets", 16)),
+        ),
+        sim_threshold=float(c.get("stream_sim_threshold", 0.7)),
+        fuzzy_keep=c.get("fuzzy_keep", "min_id"),
+    )
+    out = c["output"]
+
+    def sink(kept, _batch_id):
+        kept.write.mode("append").parquet(out)
+
+    q = corpus_stream(
+        deduper, stream, c["checkpoint_dir"],
+        text_col=c.get("text_col", "text"),
+        id_col=c.get("id_col", "doc_id"),
+        line_clean=bool(c.get("line_clean", False)),
+        bpe_merges=c.get("bpe_merges"),
+        min_tokens=c.get("min_tokens"),
+        min_quality=c.get("min_quality"),
+        model_weights=c.get("model_weights"),
+        model_bias=float(c.get("model_bias", 0.0)),
+        min_model_score=c.get("min_model_score"),
+        langs=c.get("langs"),
+        split_fractions=c.get("split_fractions"),
+        sample_salt=str(c.get("sample_salt", "")),
+        sink=sink,
+        trigger={"availableNow": True},
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        deduper.close()
+    for k, v in sorted(deduper.metrics.items()):
+        print(f"{k}: {v}")
+    print(f"corpus (stream) -> {out}")
+
+
 def build_corpus_cmd(spark, cfg) -> None:
     """``--build-corpus``: run the training-corpus pipeline declared in
     the config's ``corpus:`` block (the §7.5 beyond-reference surface
@@ -266,6 +334,9 @@ def build_corpus_cmd(spark, cfg) -> None:
     )
 
     c = cfg["corpus"]
+    if c.get("stream"):
+        corpus_stream_cmd(spark, cfg)
+        return
     input_format = c.get("input_format", "parquet")
     if input_format in ("wet", "warc"):
         # crawl-archive front door (sources/warc.py): WET conversion

@@ -222,3 +222,68 @@ def test_cli_build_corpus(spark, tmp_path, capsys):
         .orderBy("shard", "pos").collect()
     ]
     assert ids == want
+
+
+def test_cli_corpus_stream_cron_shaped(spark, tmp_path):
+    """corpus.stream: true — two cron-shaped invocations on the same
+    state/checkpoint: the first drains the landed files; the second
+    sees only newly landed ones and its cross-INVOCATION exact
+    duplicate is dropped against the persistent state; bad
+    input_format fails loudly."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from southpaw_spark.cli import build_corpus_cmd
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = tmp_path / "out"
+    cfg = {
+        "corpus": {
+            "stream": True,
+            "input": str(src),
+            "input_format": "json",
+            "state_dir": str(tmp_path / "state"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "output": str(out),
+            "min_tokens": 3,
+            "state_buckets": 4,
+            "stream_sim_threshold": 1.01,  # exact-only
+        }
+    }
+    (src / "a.json").write_text(
+        "\n".join(
+            _json.dumps(d)
+            for d in (
+                {"doc_id": 1, "text": "one two three four"},
+                {"doc_id": 2, "text": "nope"},  # gated: < 3 tokens
+            )
+        )
+    )
+    build_corpus_cmd(spark, cfg)
+    first = {
+        r["doc_id"] for r in spark.read.parquet(str(out)).collect()
+    }
+    assert first == {1}
+    (src / "b.json").write_text(
+        "\n".join(
+            _json.dumps(d)
+            for d in (
+                {"doc_id": 3, "text": "one two three four"},   # dup of 1
+                {"doc_id": 4, "text": "five six seven eight"},
+            )
+        )
+    )
+    build_corpus_cmd(spark, cfg)
+    both = {
+        r["doc_id"] for r in spark.read.parquet(str(out)).collect()
+    }
+    assert both == {1, 4}  # 3 dropped against invocation-1 state
+    with _pytest.raises(ValueError, match="input_format"):
+        build_corpus_cmd(
+            spark,
+            {"corpus": {"stream": True, "input": "x",
+                        "input_format": "wet", "state_dir": "s",
+                        "checkpoint_dir": "c", "output": "o"}},
+        )
