@@ -291,8 +291,17 @@ def corpus_stream_cmd(spark, cfg) -> None:
     )
     out = c["output"]
 
-    def sink(kept, _batch_id):
-        kept.write.mode("append").parquet(out)
+    def sink(kept, batch_id):
+        # EXACTLY-ONCE output under the at-least-once replay contract:
+        # batch ids are stable per checkpoint, so writing each batch to
+        # its own partition dir with overwrite makes a replayed batch
+        # rewrite the same files instead of appending duplicates
+        # (replay re-reports prior keepers with keeper_id == their own
+        # id, so the replayed kept set equals the original and the
+        # overwrite is idempotent)
+        kept.write.mode("overwrite").parquet(
+            f"{out}/batch_id={batch_id}"
+        )
 
     q = corpus_stream(
         deduper, stream, c["checkpoint_dir"],
