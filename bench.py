@@ -330,6 +330,8 @@ def main() -> None:
         for nm in (
             "e12_ohlc", "t19_line_clean",
             "d18_semantic_dedup", "t22_model_quality_score",
+            "d20_embedding_contamination", "a11_cohort_retention",
+            "e13_funnel", "e14_rolling_active_users",
         ):
             suite.EXTRA_QUERIES[nm](
                 spark, warm_dir
@@ -387,6 +389,17 @@ def main() -> None:
     )
     runners.append(
         ("t22_model_quality", lambda: run_extra("t22_model_quality_score"))
+    )
+    runners.append(
+        ("d20_embedding_contamination",
+         lambda: run_extra("d20_embedding_contamination"))
+    )
+    runners.append(
+        ("a11_cohort_retention", lambda: run_extra("a11_cohort_retention"))
+    )
+    runners.append(("e13_funnel", lambda: run_extra("e13_funnel")))
+    runners.append(
+        ("e14_rolling_active", lambda: run_extra("e14_rolling_active_users"))
     )
 
     timings: dict[str, float] = {}
