@@ -726,3 +726,173 @@ def mmr_topk(
         .groupBy("query_id")
         .applyInPandas(greedy, out_schema)
     )
+
+
+def _l2sq(a, b):
+    """Squared L2 between two arrays as the same left-to-right
+    ``aggregate`` fold as :func:`_dot` — bit-reproducible across
+    engines (the oracle replays it with ``list_sum``)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    m_subspaces: int = 4,
+    n_codes: int = 16,
+    codebooks: DataFrame | None = None,
+    oversample: int = 4,
+) -> DataFrame:
+    """Product-quantization ANN (s09, Jégou et al. 2011 "Product
+    Quantization for Nearest Neighbor Search", public paper) — the
+    codebook-compression arm completing the module's quantization
+    family: s06 compresses each coordinate (scalar int8), s08 composes
+    coarse cells with int8 codes, PQ compresses each SUBSPACE to one
+    codebook index — ``m_subspaces`` bytes per vector at
+    ``n_codes ≤ 256``, the memory shape billion-vector indexes use.
+
+    Recipe: split dims into ``m_subspaces`` contiguous subspaces;
+    encode every corpus vector as its nearest codebook entry per
+    subspace (squared-L2, the PQ standard); score query↔doc by ADC
+    (asymmetric distance computation — Σ over subspaces of the
+    query-to-codeword distance, read from a per-query table of
+    ``m_subspaces · n_codes`` precomputed entries); exact-cosine
+    rescore of the ``k·oversample`` ADC shortlist (the s08 discipline:
+    approximate scan, exact ranking; output shape and tie-breaks match
+    :func:`cosine_topk`).
+
+    ``codebooks`` (``(m int, code int, centroid array<double>)``,
+    centroid length = dim/m) if given; else the DETERMINISTIC rule —
+    subvectors of the ``n_codes`` smallest-id corpus vectors — the
+    oracle-reproducible registry path (train per-subspace k-means and
+    pass it in for production, exactly like d18/s08's quantizers).
+
+    Engine-exact discipline: code assignment = min over
+    ``(round(dist², 8), code)`` via order-independent ``min_by``; the
+    ADC sum folds subspaces in ascending-``m`` order from a sorted
+    struct array (never a float ``SUM`` whose partial-aggregation
+    order could wiggle an ulp); shortlist ranks on
+    ``(round(adc, 8) asc, neighbor_id)``.
+
+    Scale: codebooks and query tables broadcast (``Q·m·n_codes``
+    rows); the ADC scan is the deliberate full-scan arm — O(N·m) joins
+    against broadcast tables, no full-precision vectors moving —
+    compose with IVF cells (s08's confinement) when N·Q is the
+    bottleneck; only the shortlist's float vectors are ever read."""
+    spark = corpus.sparkSession
+    dim = len(
+        corpus.select(F.col(vec_col)).first()[0]
+    )
+    if dim % m_subspaces:
+        raise ValueError(
+            f"dim {dim} not divisible by m_subspaces {m_subspaces}"
+        )
+    sub = dim // m_subspaces
+    ms = spark.range(m_subspaces).select(F.col("id").cast("int").alias("m"))
+    if codebooks is None:
+        base = (
+            corpus.orderBy(id_col).limit(n_codes)
+            .select(
+                (F.row_number().over(Window.orderBy(id_col)) - 1)
+                .cast("int").alias("code"),
+                F.col(vec_col).cast("array<double>").alias("__v"),
+            )
+        )
+        codebooks = base.crossJoin(F.broadcast(ms)).select(
+            "m", "code",
+            F.slice(F.col("__v"), F.col("m") * sub + 1, sub).alias(
+                "centroid"
+            ),
+        )
+
+    def subvecs(df, idc, vc):
+        return df.crossJoin(F.broadcast(ms)).select(
+            F.col(idc), "m",
+            F.slice(
+                F.col(vc).cast("array<double>"), F.col("m") * sub + 1, sub
+            ).alias("__sv"),
+        )
+
+    dist = _l2sq(F.col("__sv"), F.col("centroid"))
+    codes = (
+        subvecs(corpus, id_col, vec_col)
+        .join(F.broadcast(codebooks), "m")
+        .groupBy(F.col(id_col).alias("neighbor_id"), "m")
+        .agg(
+            F.min_by(
+                "code", F.struct(F.round(dist, 8).alias("d"), F.col("code"))
+            ).alias("code")
+        )
+    )
+    qtable = (
+        subvecs(
+            queries.select(
+                F.col("query_id"), F.col("query_vec")
+            ),
+            "query_id", "query_vec",
+        )
+        .join(F.broadcast(codebooks), "m")
+        .select("query_id", "m", "code", dist.alias("__qd"))
+    )
+    # ADC: every (query, doc) pair meets in exactly m_subspaces rows;
+    # the per-pair sum folds ascending m from a sorted struct array so
+    # the double is identical for any partitioning/engine
+    paired = codes.join(F.broadcast(qtable), ["m", "code"]).where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    adc = (
+        paired.groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("m"), F.col("__qd")))
+            ).alias("__terms")
+        )
+        .select(
+            "query_id", "neighbor_id",
+            F.aggregate(
+                F.transform(F.col("__terms"), lambda s: s["__qd"]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("__adc"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("__adc"), 8).asc(), F.col("neighbor_id")
+    )
+    shortlist = adc.withColumn("__r", F.row_number().over(w1)).where(
+        F.col("__r") <= k * oversample
+    ).select("query_id", "neighbor_id")
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    ecos = _dot(F.col("query_vec"), F.col("__cv")) / (
+        _norm(F.col("query_vec")) * _norm(F.col("__cv"))
+    )
+    rescored = (
+        shortlist.join(cv, "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "neighbor_id", ecos.alias("cosine"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 8).desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

@@ -2190,3 +2190,53 @@ def test_embedding_contamination_planted_leaks(spark):
     )
     assert empty.columns == ["vec_id", "bench_id", "cosine"]
     assert empty.count() == 0
+
+
+def test_pq_topk_recall_and_exactness(spark):
+    """s09: on a corpus with planted near-neighbors the PQ/ADC
+    shortlist + exact rescore recovers the true top-1 for every query
+    (the planted neighbor is ADC-close by construction); reported
+    cosines are the EXACT values (match cosine_topk's for the same
+    pairs); indivisible dims raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from southpaw_spark.operators.similarity import cosine_topk, pq_topk
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for i in range(60):
+        v = rng.standard_normal(32)
+        rows.append((i, [float(x) for x in v]))
+        if i < 5:  # planted: id 100+i is a near-copy of query i
+            rows.append(
+                (100 + i, [float(x) for x in v + rng.normal(0, 0.01, 32)])
+            )
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    queries = corpus.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = pq_topk(
+        corpus, queries, "embedding", "vec_id",
+        k=3, m_subspaces=4, n_codes=16, oversample=4,
+    )
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in got.collect() if r["rank"] == 1
+    }
+    assert top1 == {i: 100 + i for i in range(5)}
+    # exact-rescore contract: every reported cosine equals the exact
+    # cosine_topk value for that (query, neighbor) pair
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk(
+            corpus, queries, "embedding", "vec_id", k=30
+        ).collect()
+    }
+    for r in got.collect():
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+    with _pytest.raises(ValueError, match="divisible"):
+        pq_topk(corpus, queries, "embedding", "vec_id", m_subspaces=5)
