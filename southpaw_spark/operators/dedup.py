@@ -1996,3 +1996,74 @@ def semantic_duplicates(
             F.round(F.min_by("cosine", "id_a"), 6).alias("cosine"),
         )
     )
+
+
+def jaccard_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+) -> DataFrame:
+    """Fuzzy (near-duplicate) decontamination — completes the
+    decontamination triple: d17/d19 catch VERBATIM n-gram leaks, d20
+    catches SEMANTIC (embedding) leaks, this catches EDITED copies of
+    benchmark items — light paraphrases/reorderings that break exact
+    n-gram containment but keep most shingles. A corpus doc is flagged
+    iff its exact n-gram-set Jaccard against SOME benchmark doc ≥
+    ``threshold``; reported with the best match (max Jaccard rounded
+    8, ties → smallest bench id) and the similarity rounded 6.
+
+    Plan (cross-set, exact — no LSH recall risk): shingle both sides
+    with the §18 codegen constructor; benchmarks are MBs against
+    corpus TBs (the d17 boundedness argument), so the benchmark
+    shingle frame BROADCASTS and the corpus side is one scan → hash
+    join → per-(doc, bench) count — shared-shingle pairs only, never
+    |corpus|×|bench|. Sizes join back; Jaccard is one division of
+    exact integers. Docs shorter than ``n`` words carry no shingle
+    evidence and are never flagged (the d17 no-evidence rule)."""
+    btc = bench_text_col or text_col
+    bic = bench_id_col or id_col
+    cs = shingles(corpus, text_col, id_col, n)
+    bs = shingles(
+        benchmark.select(
+            F.col(bic).alias("bench_id"), F.col(btc).alias("__bt")
+        ),
+        "__bt",
+        "bench_id",
+        n,
+    )
+    csize = cs.groupBy(id_col).agg(F.count("*").alias("__na"))
+    bsize = bs.groupBy("bench_id").agg(F.count("*").alias("__nb"))
+    shared = (
+        cs.join(F.broadcast(bs), "shingle")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count("*").alias("__shared"))
+    )
+    jac = F.col("__shared") / (
+        F.col("__na") + F.col("__nb") - F.col("__shared")
+    ).cast("double")
+    scored = (
+        shared.join(csize, id_col)
+        .join(F.broadcast(bsize), "bench_id")
+        .withColumn("__j", jac)
+        .where(F.col("__j") >= threshold)
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.min_by(
+                "bench_id",
+                F.struct(
+                    (-F.round(F.col("__j"), 8)).alias("nj"),
+                    F.col("bench_id"),
+                ),
+            ).alias("bench_id"),
+            F.round(
+                F.max(F.round(F.col("__j"), 8)), 6
+            ).alias("jaccard"),
+        )
+    )

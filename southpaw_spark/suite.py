@@ -4451,6 +4451,82 @@ S09_SQL = """
 """
 
 
+def d21_jaccard_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fuzzy decontamination
+    (`operators.dedup.jaccard_contamination`): corpus docs whose
+    3-gram-set Jaccard against SOME benchmark item ≥ 0.5 — EDITED
+    copies of eval items that break exact n-gram containment (d17) but
+    keep most shingles. Benchmark: every 20th doc's text with its
+    first two words dropped (a light edit), id + 1,000,000 — planted
+    fuzzy leaks at every SF. Benchmark shingles broadcast; one hash
+    join; Jaccard = one division of exact integers (best match by
+    round-8 Jaccard, ties → smallest bench id)."""
+    from southpaw_spark.operators.dedup import jaccard_contamination
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                F.split(F.col("text"), " "),
+                3,
+                F.greatest(F.size(F.split(F.col("text"), " ")) - 2,
+                           F.lit(0)),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return jaccard_contamination(
+        docs, bench, "text", "doc_id", n=3, threshold=0.5
+    )
+
+
+D21_SQL = """
+    WITH ctoks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    csh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(w) - 2),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+      FROM ctoks WHERE len(w) >= 3),
+    btoks AS (
+      SELECT doc_id + 1000000 AS bench_id,
+             w[3:len(w)] AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            WHERE doc_id % 20 = 0)),
+    bsh AS (
+      SELECT bench_id,
+             list_distinct(list_transform(generate_series(1, len(w) - 2),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+      FROM btoks WHERE len(w) >= 3),
+    cex AS (SELECT doc_id, unnest(shingles) AS s FROM csh),
+    bex AS (SELECT bench_id, unnest(shingles) AS s FROM bsh),
+    inter AS (
+      SELECT c.doc_id, b.bench_id, COUNT(*) AS shared
+      FROM cex c JOIN bex b ON c.s = b.s
+      GROUP BY c.doc_id, b.bench_id),
+    scored AS (
+      SELECT i.doc_id, i.bench_id,
+             i.shared::DOUBLE
+               / (len(ca.shingles) + len(bb.shingles) - i.shared) AS j
+      FROM inter i
+      JOIN csh ca ON ca.doc_id = i.doc_id
+      JOIN bsh bb ON bb.bench_id = i.bench_id
+      WHERE i.shared::DOUBLE
+              / (len(ca.shingles) + len(bb.shingles) - i.shared) >= 0.5),
+    ranked AS (
+      SELECT doc_id, bench_id, round(j, 8) AS j8,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY round(j, 8) DESC, bench_id) AS pr
+      FROM scored)
+    SELECT doc_id, bench_id, round(j8, 6) AS jaccard
+    FROM ranked WHERE pr = 1
+"""
+
+
 # The driver's correctness gate checks AT MOST 50 rows per round
 # (CORRECTNESS_r02 stopped at 50 of 54), so QUERIES stays pinned at
 # exactly 50: pushing new entries into it would silently uncheck tail
@@ -4504,6 +4580,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e13_funnel": e13_funnel,
     "e14_rolling_active_users": e14_rolling_active_users,
     "s09_pq_topk": s09_pq_topk,
+    "d21_jaccard_contamination": d21_jaccard_contamination,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -4554,4 +4631,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "e13_funnel": E13_SQL,
     "e14_rolling_active_users": E14_SQL,
     "s09_pq_topk": S09_SQL,
+    "d21_jaccard_contamination": D21_SQL,
 }

@@ -2240,3 +2240,39 @@ def test_pq_topk_recall_and_exactness(spark):
         assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]
     with _pytest.raises(ValueError, match="divisible"):
         pq_topk(corpus, queries, "embedding", "vec_id", m_subspaces=5)
+
+
+def test_jaccard_contamination_edited_copies(spark):
+    """d21: an edited copy of a benchmark item (words dropped/replaced
+    — zero exact containment windows of the full doc needed) is
+    flagged with the right bench id; unrelated docs pass; an exact
+    duplicate benchmark entry ties to the smaller bench id; sub-n-word
+    docs carry no evidence and are never flagged."""
+    from southpaw_spark.operators.dedup import jaccard_contamination
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    corpus = spark.createDataFrame(
+        [
+            (1, base),                                   # edited bench copy
+            (2, "completely different words about other topics entirely here"),
+            (3, "hi"),                                   # < n words
+        ],
+        "doc_id long, text string",
+    )
+    edited = " ".join(base.split()[2:])  # benchmark = doc 1 minus 2 words
+    bench = spark.createDataFrame(
+        [(100, edited), (200, edited), (300, "unrelated benchmark item text")],
+        "bench_id long, bench_text string",
+    )
+    out = {
+        r["doc_id"]: (r["bench_id"], r["jaccard"])
+        for r in jaccard_contamination(
+            corpus, bench, "text", "doc_id",
+            n=3, threshold=0.5,
+            bench_text_col="bench_text", bench_id_col="bench_id",
+        ).collect()
+    }
+    assert set(out) == {1}
+    bid, j = out[1]
+    assert bid == 100          # tie between 100 and 200 -> smaller id
+    assert 0.5 <= j < 1.0      # high overlap, not identical
