@@ -155,7 +155,10 @@ def build_corpus(
     ``max_contamination_rate``, while ``"cut"`` surgically removes the
     leaked k-gram spans (:func:`span_contamination` + ``cut_spans``,
     ``k=contamination_n``) keeping the rest of the doc, dropping only
-    docs scrubbed to nothing and reporting
+    docs scrubbed to nothing, and ``"fuzzy"`` drops EDITED benchmark
+    copies by shingle-set Jaccard (:func:`jaccard_contamination`,
+    threshold = ``max_contamination_rate`` when > 0 else 0.5 —
+    paraphrases that carry no verbatim n-gram evidence), reporting
     ``decontaminated_tokens_cut`` / ``decontaminated_docs_emptied``
     (docs too short to carry an n-gram are KEPT — no evidence is not
     contamination); ``exact_dedup`` keeps the min-id copy per content
@@ -190,9 +193,9 @@ def build_corpus(
             "token_budgets and mix_total_tokens are two ways to set "
             "the same budgets — pass one, not both"
         )
-    if decontaminate_mode not in ("drop", "cut"):
+    if decontaminate_mode not in ("drop", "cut", "fuzzy"):
         raise ValueError(
-            "decontaminate_mode must be 'drop' or 'cut'; got "
+            "decontaminate_mode must be 'drop', 'cut' or 'fuzzy'; got "
             f"{decontaminate_mode!r}"
         )
     if fuzzy_keep not in ("min_id", "best_quality"):
@@ -305,6 +308,24 @@ def build_corpus(
                 F.col("contamination_rate") > max_contamination_rate
             ).select(id_col)
             cur = note("decontaminated", cur.join(dirty, id_col, "left_anti"))
+        elif decontaminate_mode == "fuzzy":
+            # d21: drop docs that are EDITED copies of benchmark items
+            # (shingle-set Jaccard ≥ max_contamination_rate — here the
+            # knob is a similarity threshold, not a rate; verbatim
+            # leaks are a special case with Jaccard ≈ 1)
+            from southpaw_spark.operators.dedup import (
+                jaccard_contamination,
+            )
+
+            thr = max_contamination_rate if max_contamination_rate > 0 \
+                else 0.5
+            flagged = jaccard_contamination(
+                cur, benchmark, text_col, id_col,
+                n=contamination_n, threshold=thr,
+            ).select(id_col)
+            cur = note(
+                "decontaminated", cur.join(flagged, id_col, "left_anti")
+            )
         elif decontaminate_mode == "cut":
             # surgical scrub: locate the leaked passages (d17) and cut
             # them out, keeping the rest of the doc — docs scrubbed to

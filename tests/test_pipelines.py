@@ -675,3 +675,43 @@ def test_corpus_stream_converges_to_batch_build(spark, tmp_path):
     assert got == want
     assert 5 not in got and 3 not in got  # dup + short doc dropped
     assert 1 in got                       # the cross-batch keeper
+
+
+def test_build_corpus_fuzzy_decontamination(spark):
+    """decontaminate_mode='fuzzy' drops EDITED benchmark copies (high
+    shingle Jaccard, zero exact containment requirement) and keeps
+    clean docs; the n-gram 'drop' mode on the same corpus misses the
+    edited copy — the reason the fuzzy mode exists."""
+    from southpaw_spark.pipelines import build_corpus
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lamda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "totally different content with many other words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    # benchmark = doc 1 with two words dropped AND one replaced: no
+    # 5-gram of the benchmark appears verbatim near the edit points,
+    # but the shingle sets overlap heavily
+    words = base.split()
+    edited = " ".join(words[2:10] + ["CHANGED"] + words[11:])
+    bench = spark.createDataFrame(
+        [(100, edited)], "doc_id long, text string"
+    )
+    kept_fuzzy, rep = build_corpus(
+        docs, benchmark=bench, decontaminate_mode="fuzzy",
+        max_contamination_rate=0.5, contamination_n=3,
+        exact_dedup=False,
+    )
+    ids = {r["doc_id"] for r in kept_fuzzy.select("doc_id").collect()}
+    kept_fuzzy.unpersist()
+    assert ids == {2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="decontaminate_mode"):
+        build_corpus(docs, decontaminate_mode="nope")
