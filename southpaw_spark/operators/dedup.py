@@ -2019,12 +2019,25 @@ def jaccard_contamination(
 
     Plan (cross-set, exact — no LSH recall risk): shingle both sides
     with the §18 codegen constructor; benchmarks are MBs against
-    corpus TBs (the d17 boundedness argument), so the benchmark
-    shingle frame BROADCASTS and the corpus side is one scan → hash
-    join → per-(doc, bench) count — shared-shingle pairs only, never
-    |corpus|×|bench|. Sizes join back; Jaccard is one division of
-    exact integers. Docs shorter than ``n`` words carry no shingle
-    evidence and are never flagged (the d17 no-evidence rule)."""
+    corpus TBs (the d17 boundedness argument), so every benchmark-side
+    frame BROADCASTS. A naive shared-shingle join is unbounded in HOT
+    shingles (a boilerplate 3-gram in D corpus docs × B bench docs is
+    D·B join rows — measured 12.9× wall at 10× data on the rotation
+    corpus), so candidates come from the LOSSLESS PPJoin prefix filter
+    (Xiao et al. PVLDB'08, the d02 machinery cross-set): under a
+    global rarity order (corpus doc-freq asc, shingle asc), two sets
+    with Jaccard ≥ t must share an element inside each other's first
+    ``len − ceil(t·len) + 1`` shingles — so only RARE-shingle
+    collisions generate candidates, and each candidate pair is
+    verified by one codegen ``array_intersect`` against the broadcast
+    benchmark arrays (no per-(pair, shingle) shuffle; the ε-relaxed
+    ceil only ever WIDENS a prefix, the d02 float-boundary
+    discipline). Jaccard is one division of exact integers — the
+    filter changes the plan, never the output. Docs shorter than ``n``
+    words carry no shingle evidence and are never flagged (the d17
+    no-evidence rule)."""
+    from pyspark.sql import Window
+
     btc = bench_text_col or text_col
     bic = bench_id_col or id_col
     cs = shingles(corpus, text_col, id_col, n)
@@ -2036,21 +2049,58 @@ def jaccard_contamination(
         "bench_id",
         n,
     )
-    csize = cs.groupBy(id_col).agg(F.count("*").alias("__na"))
-    bsize = bs.groupBy("bench_id").agg(F.count("*").alias("__nb"))
-    shared = (
-        cs.join(F.broadcast(bs), "shingle")
-        .groupBy(id_col, "bench_id")
-        .agg(F.count("*").alias("__shared"))
+    dfreq = cs.groupBy("shingle").agg(F.count("*").alias("__df"))
+
+    def prefix(frame, key):
+        # dfreq is corpus-sized: the join hashes on shingle and AQE
+        # broadcasts whichever side is small (the bench frame is)
+        joined = frame.join(dfreq, "shingle", "left")
+        w = Window.partitionBy(key).orderBy(
+            F.coalesce(F.col("__df"), F.lit(0)), F.col("shingle")
+        )
+        return (
+            joined.withColumn(
+                "__n", F.count("*").over(Window.partitionBy(key))
+            )
+            .withColumn("__r", F.row_number().over(w))
+            .where(
+                F.col("__r")
+                <= F.col("__n")
+                - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(_EPS))
+                + 1
+            )
+            .select(key, "shingle")
+        )
+
+    cpref = prefix(cs, id_col)
+    bpref = prefix(bs, "bench_id")
+    cands = (
+        cpref.join(F.broadcast(bpref), "shingle")
+        .select(id_col, "bench_id")
+        .distinct()
+    )
+    carr = cs.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("shingle")).alias("__ca")
+    )
+    barr = bs.groupBy("bench_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("__ba")
+    )
+    verified = (
+        cands.join(carr, id_col)
+        .join(F.broadcast(barr), "bench_id")
+        .select(
+            id_col,
+            "bench_id",
+            F.size(F.array_intersect("__ca", "__ba")).alias("__shared"),
+            F.size("__ca").alias("__na"),
+            F.size("__ba").alias("__nb"),
+        )
     )
     jac = F.col("__shared") / (
         F.col("__na") + F.col("__nb") - F.col("__shared")
     ).cast("double")
-    scored = (
-        shared.join(csize, id_col)
-        .join(F.broadcast(bsize), "bench_id")
-        .withColumn("__j", jac)
-        .where(F.col("__j") >= threshold)
+    scored = verified.withColumn("__j", jac).where(
+        F.col("__j") >= threshold
     )
     return (
         scored.groupBy(id_col)
