@@ -410,6 +410,7 @@ def funnel(
     type_col: str,
     ts_col: str,
     steps: Sequence[str],
+    max_gap: int | float | None = None,
 ) -> DataFrame:
     """Strict-order funnel analysis (e13) — the product-analytics
     staple: how many users performed step 1, then step 2 STRICTLY
@@ -425,7 +426,12 @@ def funnel(
     ``array_min(filter(arr_k, t > t_{k-1}))`` over those per-user
     arrays (bounded by the user's own funnel events, not the corpus).
     The final counts are a single global aggregate exploded into K
-    rows. No window functions, no self-joins, no per-pair work."""
+    rows. No window functions, no self-joins, no per-pair work.
+
+    ``max_gap`` adds the CONVERSION WINDOW every product funnel
+    ships: step k must occur within ``max_gap`` time units of step
+    k−1's time (strictly after, at most ``max_gap`` later) — without
+    it a purchase three years after the click still "converts"."""
     steps = list(steps)
     if len(steps) < 2:
         raise ValueError(f"need >= 2 steps; got {steps!r}")
@@ -440,13 +446,16 @@ def funnel(
     per_user = df.groupBy(u.alias("__u")).agg(*aggs)
     for k in range(2, len(steps) + 1):
         prev = F.col(f"t{k - 1}")
+        in_window = (
+            (lambda x: x > prev)
+            if max_gap is None
+            else (lambda x: (x > prev) & (x <= prev + F.lit(max_gap)))
+        )
         per_user = per_user.withColumn(
             f"t{k}",
             F.when(
                 prev.isNotNull(),
-                F.array_min(
-                    F.filter(F.col(f"l{k}"), lambda x: x > prev)
-                ),
+                F.array_min(F.filter(F.col(f"l{k}"), in_window)),
             ),
         )
     counts = per_user.agg(

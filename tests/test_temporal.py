@@ -426,3 +426,35 @@ def test_funnel_strict_ordering_hand_computed(spark):
     }
     with _pytest.raises(ValueError, match="steps"):
         funnel(df, "user_id", "event_type", "ts", ["view"])
+
+
+def test_funnel_conversion_window(spark):
+    """e13 max_gap: a step landing after the conversion window does not
+    convert — and because each step time is the EARLIEST in-window
+    event, a later in-window event cannot resurrect a user whose
+    earliest qualifying event chain dies (deterministic greedy)."""
+    from southpaw_spark.operators.temporal import funnel
+
+    rows = [
+        (1, "view", 0), (1, "click", 5),     # in window (gap 10)
+        (2, "view", 0), (2, "click", 50),    # click too late
+        (3, "view", 0), (3, "click", 10),    # boundary: exactly max_gap
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts long"
+    )
+    out = {
+        r["step"]: r["n_users"]
+        for r in funnel(
+            df, "user_id", "event_type", "ts",
+            ["view", "click"], max_gap=10,
+        ).collect()
+    }
+    assert out == {1: 3, 2: 2}  # users 1 and 3 (<=), not 2
+    no_window = {
+        r["step"]: r["n_users"]
+        for r in funnel(
+            df, "user_id", "event_type", "ts", ["view", "click"]
+        ).collect()
+    }
+    assert no_window == {1: 3, 2: 3}
