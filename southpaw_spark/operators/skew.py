@@ -300,3 +300,48 @@ def rolling_active_users(
             ).alias("stickiness"),
         )
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: Sequence[float],
+    n_buckets: int = 256,
+) -> DataFrame:
+    """EXACT quantiles without a global sort (a12): the value at rank
+    ``max(1, ceil(q·N))`` (1-based, discrete-quantile semantics — an
+    actual data value, never an interpolation) for each requested
+    ``q``. ``approx_percentile`` trades error bounds for speed; this
+    pays one :func:`global_rank` pass — TeraSort-style range buckets,
+    window sort only WITHIN buckets — for the exact answer, the same
+    no-straggler shape as a09. Nulls are excluded (quantiles over
+    present values); N is one bounded count (a single driver scalar,
+    the global_rank discipline). Output: ``(q, value)`` rows, one per
+    requested quantile (duplicate target ranks map each q to the same
+    value)."""
+    import math
+
+    qs = sorted(set(float(q) for q in quantiles))
+    if not qs or not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError(
+            f"quantiles must be in (0, 1]; got {list(quantiles)!r}"
+        )
+    base = df.select(F.col(value_col).alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
+    n = base.count()
+    if n == 0:
+        return df.sparkSession.createDataFrame(
+            [], f"q double, value {dict(df.dtypes)[value_col]}"
+        )
+    targets = [(q, max(1, math.ceil(q * n))) for q in qs]
+    tdf = df.sparkSession.createDataFrame(
+        targets, "q double, __rank long"
+    )
+    ranked = global_rank(base, "__v", "__v", n_buckets=n_buckets)
+    return (
+        ranked.join(
+            F.broadcast(tdf), F.col("global_row") == F.col("__rank")
+        )
+        .select("q", F.col("__v").alias("value"))
+    )

@@ -4527,6 +4527,35 @@ D21_SQL = """
 """
 
 
+def a12_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order-price quantiles WITHOUT a global sort
+    (`operators.skew.exact_quantiles`): the value at rank
+    max(1, ceil(q·N)) via the a09 range-bucket machinery — exact where
+    `approx_percentile` has error bounds, no single-task sort where
+    the naive percentile does. The oracle recomputes ranks with one
+    ROW_NUMBER and the identical ceil-rank rule."""
+    from southpaw_spark.operators.skew import exact_quantiles
+
+    orders = _read(spark, sf_dir, "orders")
+    return exact_quantiles(
+        orders, "o_totalprice", [0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    )
+
+
+A12_SQL = """
+    WITH ranked AS (
+      SELECT o_totalprice AS v,
+             row_number() OVER (ORDER BY o_totalprice) AS rn,
+             count(*) OVER () AS n
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    qs AS (
+      SELECT unnest([0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]) AS q)
+    SELECT CAST(qs.q AS DOUBLE) AS q, r.v AS value
+    FROM qs JOIN ranked r
+      ON r.rn = greatest(1, CAST(ceil(qs.q * r.n) AS BIGINT))
+"""
+
+
 # The driver's correctness gate checks AT MOST 50 rows per round
 # (CORRECTNESS_r02 stopped at 50 of 54), so QUERIES stays pinned at
 # exactly 50: pushing new entries into it would silently uncheck tail
@@ -4581,6 +4610,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e14_rolling_active_users": e14_rolling_active_users,
     "s09_pq_topk": s09_pq_topk,
     "d21_jaccard_contamination": d21_jaccard_contamination,
+    "a12_exact_quantiles": a12_exact_quantiles,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -4632,4 +4662,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "e14_rolling_active_users": E14_SQL,
     "s09_pq_topk": S09_SQL,
     "d21_jaccard_contamination": D21_SQL,
+    "a12_exact_quantiles": A12_SQL,
 }

@@ -621,3 +621,33 @@ def test_rolling_active_users_hand_computed(spark):
     assert all(d == w and s == 1.0 for d, w, s in one.values())
     with _pytest.raises(ValueError, match="window"):
         rolling_active_users(df, "user_id", "day", window=0)
+
+
+def test_exact_quantiles_matches_sorted_ranks(spark):
+    """a12: on a shuffled corpus with duplicate values the reported
+    quantile values equal the Python sorted-rank answer at
+    max(1, ceil(q*N)); q=1.0 is the max; bad q raises; empty input
+    yields an empty frame."""
+    import math
+    import random
+
+    import pytest as _pytest
+
+    from southpaw_spark.operators.skew import exact_quantiles
+
+    rng = random.Random(7)
+    vals = [rng.randint(0, 50) for _ in range(500)]  # many duplicates
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    qs = [0.1, 0.5, 0.9, 1.0]
+    got = {
+        r["q"]: r["value"]
+        for r in exact_quantiles(df, "x", qs, n_buckets=8).collect()
+    }
+    s = sorted(vals)
+    want = {q: s[max(1, math.ceil(q * len(s))) - 1] for q in qs}
+    assert got == want
+    assert got[1.0] == max(vals)
+    with _pytest.raises(ValueError, match="quantiles"):
+        exact_quantiles(df, "x", [0.0])
+    empty = exact_quantiles(df.where("x < 0"), "x", [0.5])
+    assert empty.count() == 0 and empty.columns == ["q", "value"]
