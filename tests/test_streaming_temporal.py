@@ -613,3 +613,93 @@ def test_gapfill_stream_checkpoint_restart(spark, tmp_path):
     )
     assert sorted(got) == want          # exact convergence
     assert len(got) == len(set(got))    # exactly-once emission
+
+
+def test_gapfill_stream_chunking_invariance_fuzz(spark, tmp_path):
+    """gapfill_stream emits the SAME rows for any ordered chunking of
+    the same event log (2–4 files, random split points): random
+    multi-key series with duplicate-bucket events and gaps, a final
+    sentinel advancing the watermark past everything real; every
+    chunking's output equals batch gapfill row-for-row."""
+    import json as _json
+    import random
+
+    from pyspark.sql import functions as F
+
+    from southpaw_spark.operators.temporal import gapfill
+    from southpaw_spark.streaming.windows import gapfill_stream
+
+    rng = random.Random(90921)
+    base = 1_700_000_000
+    events = []
+    for key in ("a", "b"):
+        t = 0
+        for _ in range(rng.randint(4, 8)):
+            t += rng.choice([5, 40, 70, 200])  # some gaps span buckets
+            events.append(
+                {
+                    "k": key,
+                    "ts_s": base + t,
+                    "v": round(rng.uniform(1, 50), 2),
+                }
+            )
+    events.sort(key=lambda e: e["ts_s"])  # in-order arrival
+    sentinel = {"k": "a", "ts_s": base + 10_000, "v": 0.0}
+
+    batch_rows = spark.createDataFrame(
+        [(e["k"], e["ts_s"], e["v"]) for e in events],
+        "k string, ts_s long, v double",
+    )
+    want = sorted(
+        (r["k"], r["bucket"], r["v_obs"], r["v_locf"], r["v_interp"])
+        for r in gapfill(
+            batch_rows, "ts_s", ["k"], "v", stride=60, exact_decimals=2
+        ).collect()
+    )
+
+    for trial in range(2):
+        trng = random.Random(500 + trial)
+        n_chunks = trng.randint(2, 4)
+        cuts = sorted(
+            trng.sample(range(1, len(events)), n_chunks - 1)
+        )
+        chunks = [
+            events[i:j]
+            for i, j in zip([0] + cuts, cuts + [len(events)])
+        ]
+        chunks[-1] = chunks[-1] + [sentinel]
+        src = tmp_path / f"in{trial}"
+        src.mkdir()
+        for ci, chunk in enumerate(chunks):
+            (src / f"{ci:02d}.json").write_text(
+                "\n".join(_json.dumps(r) for r in chunk)
+            )
+        stream = (
+            spark.readStream.schema("k string, ts_s long, v double")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+            .withColumn("ts", F.col("ts_s").cast("timestamp"))
+        )
+        got: list = []
+        q = (
+            gapfill_stream(
+                stream, "ts", ["k"], "v",
+                stride=60, watermark="10 seconds", exact_decimals=2,
+            )
+            .writeStream.outputMode("append")
+            .foreachBatch(
+                lambda df, _: got.extend(
+                    (r["k"], r["bucket"], r["v_obs"], r["v_locf"],
+                     r["v_interp"])
+                    for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / f"ck{trial}"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert sorted(got) == want, (trial, cuts)
+        assert len(got) == len(set(got))  # exactly-once per chunking
