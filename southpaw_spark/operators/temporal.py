@@ -431,7 +431,14 @@ def funnel(
     ``max_gap`` adds the CONVERSION WINDOW every product funnel
     ships: step k must occur within ``max_gap`` time units of step
     k−1's time (strictly after, at most ``max_gap`` later) — without
-    it a purchase three years after the click still "converts"."""
+    it a purchase three years after the click still "converts".
+
+    Related: e08 (`suite.e08_funnel`) emits the PER-USER stage
+    timestamps for the fixed 3-step funnel via staged min-joins, and
+    `streaming.windows.funnel_stream` is its streaming twin
+    (watermark-ordered fold, same ``max_gap_us`` window); this
+    operator is the aggregate counts/conversion-rates view over
+    arbitrary step lists."""
     steps = list(steps)
     if len(steps) < 2:
         raise ValueError(f"need >= 2 steps; got {steps!r}")

@@ -177,8 +177,26 @@ FUNNEL_STATE_SCHEMA = (
 _FUNNEL_STAGES = 3
 
 
+def _make_funnel_fn(max_gap_us: int | None = None):
+    """Build the funnel fold with an optional conversion window —
+    stage s must land within ``max_gap_us`` of stage s−1 (the batch
+    ``funnel(max_gap=...)`` rule)."""
+
+    def fn(key, pdfs, state):
+        return _funnel_fold(key, pdfs, state, max_gap_us)
+
+    return fn
+
+
 def _funnel_fn(
     key, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    return _funnel_fold(key, pdfs, state, None)
+
+
+def _funnel_fold(
+    key, pdfs: Iterable[pd.DataFrame], state: GroupState,
+    max_gap_us: int | None,
 ) -> Iterable[pd.DataFrame]:
     """Watermark-ordered fold: stage thresholds (first view, first click
     strictly after it, first purchase strictly after that) are only
@@ -211,7 +229,12 @@ def _funnel_fn(
         if s == 0:
             if th[0] is None:
                 th[0], changed = t, True
-        elif th[s] is None and th[s - 1] is not None and t > th[s - 1]:
+        elif (
+            th[s] is None
+            and th[s - 1] is not None
+            and t > th[s - 1]
+            and (max_gap_us is None or t <= th[s - 1] + max_gap_us)
+        ):
             th[s], changed = t, True
     state.update((
         [t for t, _ in pending], [s for _, s in pending], th,
@@ -239,6 +262,7 @@ def funnel_stream(
     stages: tuple = ("view", "click", "purchase"),
     ts_col: str = "ts_us",
     watermark: str = "1 hour",
+    max_gap_us: int | None = None,
 ) -> DataFrame:
     """Streaming ordered-conversion funnel — the stateful counterpart of
     the batch e08 query (first view, first click strictly after it,
@@ -246,7 +270,11 @@ def funnel_stream(
     arrival via the watermark-ordered fold in ``_funnel_fn``. Emits an
     updated (user, stage timestamps) row whenever a threshold advances;
     once the watermark passes a user's events, their row equals the
-    batch semantics. ``ts_col`` is epoch MICROSECONDS."""
+    batch semantics. ``ts_col`` is epoch MICROSECONDS. ``max_gap_us``
+    adds the conversion window of the batch ``funnel(max_gap=...)``
+    rule (stage s within ``max_gap_us`` of stage s−1); the aggregate
+    counts/rates view over these per-user rows is the batch e13
+    ``funnel`` operator."""
     if len(stages) != _FUNNEL_STAGES:
         raise ValueError("funnel_stream supports exactly 3 stages")
     mapping = F.create_map(
@@ -263,7 +291,7 @@ def funnel_stream(
         .withWatermark("__et", watermark)
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
-        _funnel_fn,
+        _funnel_fn if max_gap_us is None else _make_funnel_fn(max_gap_us),
         outputStructType=FUNNEL_SCHEMA,
         stateStructType=FUNNEL_STATE_SCHEMA,
         outputMode="update",

@@ -651,3 +651,54 @@ def test_exact_quantiles_matches_sorted_ranks(spark):
         exact_quantiles(df, "x", [0.0])
     empty = exact_quantiles(df.where("x < 0"), "x", [0.5])
     assert empty.count() == 0 and empty.columns == ["q", "value"]
+
+
+def test_funnel_stream_conversion_window(spark, tmp_path):
+    """Streaming funnel max_gap_us: a click beyond the conversion
+    window never advances the threshold (the batch funnel(max_gap)
+    rule); one inside it does."""
+    import json as _json
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from southpaw_spark.streaming.windows import funnel_stream
+
+    base_us = 1_700_000_000 * 1_000_000
+    rows = [
+        # user 1: click 5s after view (inside the 10s window)
+        {"user_id": 1, "event_type": "view", "ts_us": base_us},
+        {"user_id": 1, "event_type": "click",
+         "ts_us": base_us + 5_000_000},
+        # user 2: click 50s after view (outside)
+        {"user_id": 2, "event_type": "view", "ts_us": base_us},
+        {"user_id": 2, "event_type": "click",
+         "ts_us": base_us + 50_000_000},
+        # sentinel pushes the watermark far past everything
+        {"user_id": 99, "event_type": "view",
+         "ts_us": base_us + 100_000_000_000},
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    stream = spark.readStream.schema(
+        "user_id long, event_type string, ts_us long"
+    ).json(str(src))
+    latest: dict = {}
+
+    def sink(df, _):
+        for r in df.collect():
+            latest[r["user_id"]] = (r["view_ts"], r["click_ts"])
+
+    q = (
+        funnel_stream(stream, watermark="1 hour", max_gap_us=10_000_000)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert latest[1] == (base_us, base_us + 5_000_000)
+    assert latest[2] == (base_us, None)  # outside the window
