@@ -1074,10 +1074,16 @@ def video_near_duplicates(
     sigs = video_frame_hashes(
         df, content_col, id_col, frame_stride=frame_stride
     )
+    if not 0 <= max_hamming < 64:
+        raise ValueError(
+            f"max_hamming must be in [0, 64), got {max_hamming}"
+        )
     n_frames = sigs.groupBy(id_col).agg(F.count("*").alias("__nf"))
     # banded-Hamming candidates WITHIN each frame slot (frame_idx is
     # part of the equi-join key): exact by pigeonhole — ≤ max_hamming
-    # differing bits over 4 bands of 16 means ≥ 1 identical band
+    # differing bits over max_hamming+1 bands means ≥ 1 identical band
+    # (same sizing rule as dedup.hamming_near_pairs; the last band
+    # absorbs the remainder bits so the split always covers all 64)
     a = sigs.select(
         F.col(id_col).alias("id_a"), "frame_idx",
         F.col("ahash").alias("__ha"),
@@ -1086,12 +1092,13 @@ def video_near_duplicates(
         F.col(id_col).alias("id_b"), "frame_idx",
         F.col("ahash").alias("__hb"),
     )
-    bands = 4
-    width = 64 // bands
-    mask = (1 << width) - 1
+    bands = max_hamming + 1
+    base = 64 // bands
 
     def band_val(col, k):
-        return F.shiftrightunsigned(col.cast("long"), k * width).bitwiseAND(
+        width = base if k < bands - 1 else 64 - base * (bands - 1)
+        mask = (1 << width) - 1
+        return F.shiftrightunsigned(col.cast("long"), k * base).bitwiseAND(
             F.lit(mask).cast("long")
         )
 

@@ -791,9 +791,14 @@ def pq_topk(
     compose with IVF cells (s08's confinement) when N·Q is the
     bottleneck; only the shortlist's float vectors are ever read."""
     spark = corpus.sparkSession
-    dim = len(
-        corpus.select(F.col(vec_col)).first()[0]
-    )
+    probe = corpus.select(F.col(vec_col)).first()
+    if probe is None or probe[0] is None:
+        raise ValueError(
+            f"pq_topk: corpus is empty or first {vec_col!r} is NULL — "
+            "cannot infer the vector dimension; filter NULL vectors "
+            "out (or pass a non-empty corpus) before calling"
+        )
+    dim = len(probe[0])
     if dim % m_subspaces:
         raise ValueError(
             f"dim {dim} not divisible by m_subspaces {m_subspaces}"

@@ -126,7 +126,10 @@ def iter_warc_records(
                     f"truncated payload: wanted {length}, "
                     f"got {len(payload)}"
                 )
-        except ValueError:
+        except (ValueError, EOFError, OSError):
+            # gzip truncation surfaces as EOFError / gzip.BadGzipFile
+            # (an OSError subclass), not just ValueError — lenient mode
+            # must swallow all three for wild-crawl tail members
             if strict:
                 raise
             return
@@ -415,7 +418,9 @@ def read_warc_html(
             ):
                 headers, body = split_http_response(bytes(payload))
                 ctype = headers.get("content-type")
-                if ctype and "html" not in ctype and "text" not in ctype:
+                # keep text/html (and untyped bare bodies) ONLY —
+                # text/css, text/javascript etc. are code, not prose
+                if ctype and "html" not in ctype:
                     continue
                 text = extractor(_decode_body(body, ctype))
                 if not text:

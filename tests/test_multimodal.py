@@ -585,3 +585,56 @@ def test_video_frame_hashes_and_near_duplicates(spark):
     assert len(list(iter_video_frames(trunc))) == 1
     with _pytest.raises(ValueError, match="frame_stride"):
         video_frame_hashes(custom, "content", "doc_id", frame_stride=0)
+
+
+def test_video_near_dup_bands_lossless_above_hamming_3(spark):
+    """r10-ADVICE regression: bands must size as max_hamming+1 (the
+    hamming_near_pairs rule), not a hard-coded 4 — otherwise a pair at
+    max_hamming >= 4 whose differing bits hit ALL FOUR 16-bit bands is
+    silently dropped.  Seeds 0 and 7 produce frame hashes differing in
+    exactly such a spread; the pair MUST surface, and max_hamming out
+    of [0, 64) must raise."""
+    import struct
+
+    import pytest as _pytest
+
+    from southpaw_spark.operators.multimodal import (
+        _SVID_MAGIC,
+        _decode_png_gray,
+        _gray_ahash,
+        _png_bytes,
+        video_near_duplicates,
+    )
+
+    pa, pb = _png_bytes(0), _png_bytes(7)
+    ha = _gray_ahash(_decode_png_gray(pa))
+    hb = _gray_ahash(_decode_png_gray(pb))
+    x = (ha ^ hb) & ((1 << 64) - 1)
+    d = bin(x).count("1")
+    assert d >= 4
+    # precondition: every old 16-bit band differs -> the old 4-band
+    # join had NO identical band and would have missed this pair
+    assert all((x >> (16 * b)) & 0xFFFF for b in range(4))
+
+    def container(frames):
+        return (
+            _SVID_MAGIC
+            + struct.pack(">I", len(frames))
+            + b"".join(struct.pack(">I", len(p)) + p for p in frames)
+        )
+
+    df = spark.createDataFrame(
+        [(1, container([pa])), (2, container([pb]))],
+        "doc_id long, content binary",
+    )
+    pairs = video_near_duplicates(
+        df, "content", "doc_id",
+        max_hamming=d, min_match_frac=1.0, frame_stride=1,
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["n_matching_frames"] == 1
+    for bad in (-1, 64, 80):
+        with _pytest.raises(ValueError, match="max_hamming"):
+            video_near_duplicates(
+                df, "content", "doc_id", max_hamming=bad
+            ).collect()

@@ -2276,3 +2276,26 @@ def test_jaccard_contamination_edited_copies(spark):
     bid, j = out[1]
     assert bid == 100          # tie between 100 and 200 -> smaller id
     assert 0.5 <= j < 1.0      # high overlap, not identical
+
+
+def test_pq_topk_empty_or_null_corpus_raises_clearly(spark):
+    """r10-ADVICE regression: the dimension probe must fail with a
+    descriptive ValueError on an empty corpus or a NULL first vector,
+    not an opaque TypeError."""
+    import pytest
+
+    from southpaw_spark.operators.similarity import pq_topk
+
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="empty|NULL"):
+        pq_topk(empty, queries, "embedding", "vec_id")
+    nullv = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="empty|NULL"):
+        pq_topk(nullv, queries, "embedding", "vec_id")

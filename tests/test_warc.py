@@ -263,3 +263,56 @@ def test_read_warc_html_extracts_response_records(spark, tmp_path):
     assert docs["https://bare"]["text"] == "bare body no preamble"
     assert docs["https://h1"]["doc_id"] == wet_doc_id("<urn:uuid:h1>")
     assert docs["https://h1"]["n_chars"] == len(docs["https://h1"]["text"])
+
+
+def test_truncated_gzip_member_lenient(spark, tmp_path):
+    """r10-ADVICE regression: a .warc.gz whose LAST gzip member is cut
+    mid-stream surfaces as EOFError/BadGzipFile (not ValueError);
+    strict=False must still yield the intact prefix records, strict=True
+    must raise."""
+    good = gzip.compress(
+        _record(REC_A, "conversion", TEXT_A.encode(), uri="https://a")
+    )
+    cut = gzip.compress(
+        _record(REC_B, "conversion", b"x" * 4000, uri="https://b")
+    )[:40]  # mid-member: header parses, stream dies inside the payload
+    f = tmp_path / "tail.warc.gz"
+    f.write_bytes(good + cut)
+    lenient = read_warc(spark, str(f), strict=False).collect()
+    assert [r["record_id"] for r in lenient] == [REC_A]
+    with pytest.raises(Exception):
+        read_warc(spark, str(f), strict=True).collect()
+
+
+def test_read_warc_html_skips_non_html_text_types(spark, tmp_path):
+    """r10-ADVICE regression: text/css and text/javascript payloads are
+    code, not prose — read_warc_html must skip them (only text/html and
+    untyped bare bodies extract)."""
+    from southpaw_spark.sources.warc import read_warc_html
+
+    css = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/css\r\n\r\n"
+        b".body { color: red; } .hero { margin: 0 auto; }"
+    )
+    js = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/javascript\r\n\r\n"
+        b"function f(){ return 1; }"
+    )
+    plain = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+        b"plain text body"
+    )
+    html = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        b"<p>real prose</p>"
+    )
+    f = tmp_path / "types.warc"
+    f.write_bytes(
+        _record("<urn:uuid:css>", "response", css, uri="https://css")
+        + _record("<urn:uuid:js>", "response", js, uri="https://js")
+        + _record("<urn:uuid:pl>", "response", plain, uri="https://pl")
+        + _record("<urn:uuid:ht>", "response", html, uri="https://ht")
+    )
+    docs = {r["source"]: r["text"]
+            for r in read_warc_html(spark, str(f)).collect()}
+    assert docs == {"https://ht": "real prose"}
