@@ -434,7 +434,23 @@ def main() -> None:
     }
     if truncated:
         out["reps_truncated"] = truncated
-    print(json.dumps(out))
+    # Full record (incl. per-query [min,max] spreads) goes to a file —
+    # the driver's stdout capture keeps only the last 2000 chars, which
+    # truncated BENCH_r10's single long line. Stdout gets a compact
+    # line (no spread) that stays under the capture window.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_LOCAL.json"), "w"
+    ) as fh:
+        json.dump(out, fh)
+        fh.write("\n")
+    compact = {k: v for k, v in out.items() if k != "spread"}
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # last resort: drop per-query detail, never cut
+        compact["queries_in"] = "BENCH_LOCAL.json"
+        compact["queries"] = {}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

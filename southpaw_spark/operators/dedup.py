@@ -2117,3 +2117,101 @@ def jaccard_contamination(
             ).alias("jaccard"),
         )
     )
+
+
+def duplicate_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-global duplicated-LINE inventory (d22) — the
+    repeated-line removal stage of RefinedWeb / MassiveText (Penedo et
+    al. 2023; Rae et al. 2021 — public papers): boilerplate lines
+    (navigation bars, cookie banners, license footers) repeat VERBATIM
+    across pages, and removing every occurrence corpus-wide is the
+    classic web-corpus cleanup that per-document filters (t19's C4
+    line rules) cannot see — t19 judges each line in isolation, this
+    judges a line by its corpus-wide frequency. Distinct from d15's
+    k-gram spans: the unit is the LINE (split on ``\\n``), so
+    paragraph structure decides granularity, not a token window.
+
+    Returns ``(line, n_occurrences)`` for every non-empty line whose
+    exact text occurs ≥ ``min_count`` times corpus-wide (occurrences
+    inside one document count — self-repeated boilerplate is
+    boilerplate; the d15 discipline). Empty lines are never counted:
+    they are paragraph breaks, not content.
+
+    Plan: one ``split``+``explode`` projection, ONE combiner-friendly
+    ``groupBy(line)`` — a line repeated 1M× partial-aggregates
+    map-side, so hot boilerplate costs one row per task, not per
+    occurrence. Nothing else shuffles."""
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2; got {min_count}")
+    return (
+        df.select(
+            F.explode(F.split(F.col(text_col), "\n")).alias("line")
+        )
+        .where(F.col("line") != "")
+        .groupBy("line")
+        .agg(F.count("*").alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= min_count)
+    )
+
+
+def remove_duplicate_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_count: int = 2,
+) -> DataFrame:
+    """Apply :func:`duplicate_lines`: rewrite every document with ALL
+    occurrences of corpus-duplicated lines removed (RefinedWeb drops
+    every copy — a boilerplate line is noise wherever it appears).
+    Returns the input rows plus ``{text_col}_clean`` (surviving lines
+    re-joined with ``\\n`` — empty string if every line was
+    boilerplate), ``n_lines_before``/``n_lines_after`` and
+    ``n_tokens_after`` (whitespace tokens of the clean text, for the
+    pipeline's drop-empty + budget refresh). Documents with no
+    duplicated line pass through unchanged. Empty lines always
+    survive (never counted as duplicates).
+
+    Plan (the d16 shape): the duplicated-position set is derived only
+    for AFFECTED docs — occurrences semi-join the duplicate inventory
+    (each occurrence matches ≤ 1 inventory row, so a hot line cannot
+    blow the join up; AQE broadcasts the inventory when small, the
+    usual case — boilerplate vocabularies are tiny), one
+    ``groupBy(id)`` collects the doc's own duplicated positions
+    (bounded by doc length), and the rewrite is a per-row ``F.filter``
+    over the line array — no reassembly shuffle for clean docs."""
+    lines = F.split(F.col(text_col), "\n")
+    occ = df.select(
+        F.col(id_col),
+        F.posexplode(lines).alias("__pos", "line"),
+    ).where(F.col("line") != "")
+    dup = duplicate_lines(df, text_col, id_col, min_count=min_count)
+    hit_pos = (
+        occ.join(dup.select("line"), "line", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("__pos").alias("__dup_pos"))
+    )
+    kept = F.filter(
+        lines,
+        lambda x, i: ~F.array_contains(
+            F.coalesce(F.col("__dup_pos"), F.array().cast("array<int>")), i
+        ),
+    )
+    clean = F.concat_ws("\n", kept)
+    return (
+        df.join(hit_pos, id_col, "left")
+        .select(
+            *[F.col(c) for c in df.columns],
+            clean.alias(f"{text_col}_clean"),
+            F.size(lines).cast("long").alias("n_lines_before"),
+            F.size(kept).cast("long").alias("n_lines_after"),
+            F.when(clean == "", F.lit(0))
+            .otherwise(F.size(F.split(clean, " ")))
+            .cast("long")
+            .alias("n_tokens_after"),
+        )
+    )

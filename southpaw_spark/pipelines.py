@@ -110,6 +110,7 @@ def build_corpus(
     fuzzy_keep: str = "min_id",
     span_dedup_k: int | None = None,
     span_min_count: int = 2,
+    line_dedup_min_count: int | None = None,
     sample_rates: dict[str, float] | None = None,
     sample_default_rate: float = 0.0,
     sample_salt: str = "",
@@ -172,7 +173,12 @@ def build_corpus(
     its duplicated ``k``-gram spans cut out
     (:func:`remove_duplicate_spans`, Lee et al.-style substring dedup —
     runs AFTER doc-level dedup so only cross-doc boilerplate is cut,
-    and docs left empty are dropped); ``sample_rates`` stratifies on
+    and docs left empty are dropped); ``line_dedup_min_count`` cuts
+    every LINE occurring at least that many times corpus-wide
+    (:func:`remove_duplicate_lines`, RefinedWeb's repeated-line
+    removal — the line-granular sibling of span dedup, likewise after
+    doc-level dedup, docs emptied are dropped); ``sample_rates``
+    stratifies on
     ``lang_guess``; ``token_budgets`` greedily samples each
     ``lang_guess`` stratum to a token budget
     (:func:`token_budget_sample`); ``mix_total_tokens`` instead DERIVES
@@ -418,6 +424,28 @@ def build_corpus(
         if _recount is not None:
             rewritten = _recount(rewritten)
         cur = note("span_dedup", rewritten)
+
+    if line_dedup_min_count is not None:
+        # d22: corpus-global repeated-line removal (RefinedWeb) — the
+        # line-granular sibling of span dedup; n_tokens is refreshed so
+        # later token-budget/packing stages see post-cut lengths
+        from southpaw_spark.operators.dedup import remove_duplicate_lines
+
+        cleaned = remove_duplicate_lines(
+            cur, text_col, id_col, min_count=line_dedup_min_count
+        )
+        rewritten = (
+            cleaned.where(F.col("n_tokens_after") > 0)
+            .withColumn(text_col, F.col(f"{text_col}_clean"))
+            .withColumn("n_tokens", F.col("n_tokens_after"))
+            .drop(
+                f"{text_col}_clean", "n_lines_before", "n_lines_after",
+                "n_tokens_after",
+            )
+        )
+        if _recount is not None:
+            rewritten = _recount(rewritten)
+        cur = note("line_dedup", rewritten)
 
     if sample_rates is not None:
         cur = note(

@@ -4556,6 +4556,72 @@ A12_SQL = """
 """
 
 
+def d22_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global repeated-LINE removal (d22,
+    `operators.dedup.remove_duplicate_lines` — RefinedWeb's
+    boilerplate-line stage, Penedo et al. 2023): every line occurring
+    ≥ 2 times corpus-wide is cut from EVERY document that carries it.
+    The testdata corpus is single-line, so the row first reflows each
+    doc into 8-token lines (deterministic chunking, expressed
+    identically in both engines) — at sf0.01 that yields 153
+    duplicated lines touching 93 of 500 docs. Output carries the full
+    rewritten text so the hash pins the rewrite, not just the
+    counts."""
+    from southpaw_spark.operators.dedup import remove_duplicate_lines
+
+    docs = _read(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    nc = F.ceil(F.size(w) / F.lit(8.0)).cast("int")
+    reflow = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(F.lit(0), nc - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(w, i * F.lit(8) + 1, 8)
+                ),
+            ),
+        ).alias("text"),
+    )
+    return remove_duplicate_lines(reflow, "text", "doc_id").select(
+        "doc_id", "n_lines_before", "n_lines_after", "n_tokens_after",
+        "text_clean",
+    )
+
+
+D22_SQL = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    ref AS (
+      SELECT doc_id,
+             list_transform(
+               range((len(w) + 7) // 8),
+               i -> array_to_string(w[(i*8+1):(i*8+8)], ' ')) AS ls
+      FROM toks),
+    occ AS (
+      SELECT doc_id, i AS pos, ls[i + 1] AS line
+      FROM ref, UNNEST(range(len(ls))) AS r(i)),
+    dup AS (
+      SELECT line FROM occ WHERE line <> ''
+      GROUP BY line HAVING count(*) >= 2),
+    clean AS (
+      SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+             count(*) AS n_after
+      FROM occ WHERE line NOT IN (SELECT line FROM dup)
+      GROUP BY doc_id)
+    SELECT r.doc_id,
+           len(r.ls) AS n_lines_before,
+           COALESCE(c.n_after, 0) AS n_lines_after,
+           CASE WHEN COALESCE(c.text_clean, '') = '' THEN 0
+                ELSE len(string_split(c.text_clean, ' ')) END
+             AS n_tokens_after,
+           COALESCE(c.text_clean, '') AS text_clean
+    FROM ref r LEFT JOIN clean c USING (doc_id)
+"""
+
+
 # The driver's correctness gate checks AT MOST 50 rows per round
 # (CORRECTNESS_r02 stopped at 50 of 54), so QUERIES stays pinned at
 # exactly 50: pushing new entries into it would silently uncheck tail
@@ -4611,6 +4677,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s09_pq_topk": s09_pq_topk,
     "d21_jaccard_contamination": d21_jaccard_contamination,
     "a12_exact_quantiles": a12_exact_quantiles,
+    "d22_line_dedup": d22_line_dedup,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -4663,4 +4730,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "s09_pq_topk": S09_SQL,
     "d21_jaccard_contamination": D21_SQL,
     "a12_exact_quantiles": A12_SQL,
+    "d22_line_dedup": D22_SQL,
 }

@@ -715,3 +715,45 @@ def test_build_corpus_fuzzy_decontamination(spark):
 
     with _pytest.raises(ValueError, match="decontaminate_mode"):
         build_corpus(docs, decontaminate_mode="nope")
+
+
+def test_build_corpus_line_dedup_stage(spark):
+    """The line_dedup stage (d22, RefinedWeb repeated-line removal)
+    cuts every corpus-duplicated line, matches the standalone operator
+    applied at the same point, drops docs emptied, and refreshes
+    n_tokens to the post-cut count."""
+    from southpaw_spark.operators.dedup import remove_duplicate_lines
+
+    rows = []
+    for i in range(20):
+        rows.append(
+            (i, f"unique opener {i} words\ncookie banner line\n"
+                f"body text number {i}")
+        )
+    rows.append((100, "cookie banner line"))  # becomes empty -> dropped
+    rows.append((200, "totally unique document"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    kept, report = build_corpus(
+        docs, exact_dedup=False, line_dedup_min_count=2,
+        collect_report=True,
+    )
+    got = {r["doc_id"]: r for r in kept.collect()}
+    kept.unpersist()
+    assert 100 not in got                       # emptied doc dropped
+    assert got[200]["text"] == "totally unique document"
+    for i in range(20):
+        assert "cookie banner line" not in got[i]["text"]
+        assert got[i]["text"] == (
+            f"unique opener {i} words\nbody text number {i}"
+        )
+        # n_tokens refreshed = split-on-space count of the clean text
+        assert got[i]["n_tokens"] == len(got[i]["text"].split(" "))
+    assert report["line_dedup"] == 21
+    # parity with the standalone operator applied to the same input
+    standalone = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_duplicate_lines(docs, "text", "doc_id").collect()
+    }
+    for i in range(20):
+        assert got[i]["text"] == standalone[i]

@@ -2299,3 +2299,55 @@ def test_pq_topk_empty_or_null_corpus_raises_clearly(spark):
     )
     with pytest.raises(ValueError, match="empty|NULL"):
         pq_topk(nullv, queries, "embedding", "vec_id")
+
+
+def test_duplicate_lines_inventory_and_removal(spark):
+    """d22 (RefinedWeb repeated-line removal): corpus-global line
+    counts — self-repeats count, empty lines never do — and the
+    rewrite drops EVERY occurrence of a duplicated line while clean
+    docs pass through untouched."""
+    import pytest
+
+    from southpaw_spark.operators.dedup import (
+        duplicate_lines,
+        remove_duplicate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep me\ncookie banner\nunique line one"),
+            (2, "cookie banner\n\nunique line two"),
+            (3, "cookie banner\ncookie banner\nself repeat page"),
+            (4, "totally clean doc"),
+            (5, "cookie banner"),
+        ],
+        "doc_id long, text string",
+    )
+    inv = {
+        r["line"]: r["n_occurrences"]
+        for r in duplicate_lines(docs, "text", "doc_id").collect()
+    }
+    assert inv == {"cookie banner": 5}
+    out = {
+        r["doc_id"]: (
+            r["text_clean"], r["n_lines_before"], r["n_lines_after"],
+            r["n_tokens_after"],
+        )
+        for r in remove_duplicate_lines(docs, "text", "doc_id").collect()
+    }
+    # n_tokens_after is the module's split-on-single-space count of the
+    # CLEAN text ("me\nunique" is one unit — the t02/t05 contract)
+    assert out[1] == ("keep me\nunique line one", 3, 2, 4)
+    assert out[2] == ("\nunique line two", 3, 2, 3)  # empty line survives
+    assert out[3] == ("self repeat page", 3, 1, 3)   # self-repeat removed
+    assert out[4] == ("totally clean doc", 1, 1, 3)  # untouched
+    assert out[5] == ("", 1, 0, 0)                   # fully boilerplate
+    # higher threshold: nothing reaches min_count=6 -> all pass through
+    untouched = remove_duplicate_lines(
+        docs, "text", "doc_id", min_count=6
+    )
+    assert untouched.where(
+        F.col("text_clean") != F.col("text")
+    ).count() == 0
+    with pytest.raises(ValueError, match="min_count"):
+        duplicate_lines(docs, "text", "doc_id", min_count=1)
