@@ -957,3 +957,117 @@ def score_with_linear_model(
         ).otherwise(F.lit(bias_micro).cast("double") / F.lit(micro)),
     )
     return scored.drop("__sid", "__num", "__n")
+
+
+def url_host(url) -> Column:
+    """The lowercased host of a URL, port stripped — the
+    :func:`canonical_url` host rules factored out for blocklist
+    matching (t24). Unlike canonicalization this KEEPS a leading
+    ``www.``: blocklist matching walks the full dot-suffix chain, so
+    ``www.example.com`` matches a blocked ``example.com`` through the
+    chain, and stripping would only lose information. Pure codegen."""
+    u = F.trim(url if isinstance(url, Column) else F.col(url))
+    after = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(after, r"^([^/?#]*)", 1))
+    return F.regexp_replace(hostport, r":[0-9]+$", "")
+
+
+def host_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a host, most-specific first —
+    ``cdn.a.example.com`` → ``[cdn.a.example.com, a.example.com,
+    example.com, com]``. The equi-joinable form of "is this host a
+    subdomain of a blocked domain": a suffix chain is bounded by the
+    label count (~5), so exploding it is a constant fan-out, never a
+    LIKE scan. Pure codegen."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(parts, i + 1, n), "."),
+    )
+
+
+def blocklist_hits(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    blocked,
+    include_subdomains: bool = True,
+) -> DataFrame:
+    """Which documents a URL/domain blocklist flags (t24) — the audit
+    frame behind :func:`blocklist_filter`: one row per distinct
+    ``(id, host, matched_domain)``. The C4 / RefinedWeb adult-and-spam
+    domain gate (Raffel et al. 2020; Penedo et al. 2023 run the UT1
+    blacklist): a doc is flagged when its URL's host equals a blocked
+    domain or (``include_subdomains``) sits below one.
+
+    ``blocked``: a single-column DataFrame of domains (the scale path —
+    real blocklists run to millions of rows; the match is an exploded
+    suffix-chain equi-join against the BROADCAST list, ≤ label-count
+    fan-out per doc, no LIKE scan) or a Python list (small lists —
+    compiled to a codegen ``array_contains`` filter, zero joins, also
+    the streaming-safe form). Entries are lowercased/trimmed;
+    subdomain semantics come from the suffix chain, so entries are
+    plain registrable domains (``example.com``), never patterns."""
+    host = url_host(F.col(url_col))
+    keys = (
+        host_suffixes(host) if include_subdomains else F.array(host)
+    )
+    if isinstance(blocked, DataFrame):
+        bcol = blocked.columns[0]
+        b = blocked.select(
+            F.lower(F.trim(F.col(bcol))).alias("matched_domain")
+        ).distinct()
+        return (
+            df.select(
+                F.col(id_col), host.alias("host"),
+                F.explode(keys).alias("__sfx"),
+            )
+            .join(F.broadcast(b), F.col("__sfx") == F.col("matched_domain"))
+            .select(id_col, "host", "matched_domain")
+            .distinct()
+        )
+    blk = sorted({d.strip().lower() for d in blocked})
+    if not blk:
+        raise ValueError("blocked list is empty — pass >= 1 domain")
+    lit_arr = F.array(*[F.lit(d) for d in blk])
+    matches = F.filter(keys, lambda s: F.array_contains(lit_arr, s))
+    return (
+        df.select(
+            F.col(id_col), host.alias("host"),
+            F.explode(matches).alias("matched_domain"),
+        )
+        .distinct()
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    blocked,
+    include_subdomains: bool = True,
+) -> DataFrame:
+    """Drop every document whose URL host is on (or under) a blocked
+    domain — the gate form of :func:`blocklist_hits`. With a Python
+    list the gate is ONE codegen ``arrays_overlap`` predicate (no
+    join, no shuffle — and therefore legal inside a streaming plan);
+    with a DataFrame blocklist it is a broadcast anti-join on the
+    exploded suffix chain. Rows with unparseable/empty hosts pass
+    through (no evidence is not a match — the decontamination
+    discipline)."""
+    host = url_host(F.col(url_col))
+    keys = (
+        host_suffixes(host) if include_subdomains else F.array(host)
+    )
+    if isinstance(blocked, DataFrame):
+        hit_ids = blocklist_hits(
+            df, url_col, id_col, blocked,
+            include_subdomains=include_subdomains,
+        ).select(id_col)
+        return df.join(hit_ids, id_col, "left_anti")
+    blk = sorted({d.strip().lower() for d in blocked})
+    if not blk:
+        raise ValueError("blocked list is empty — pass >= 1 domain")
+    lit_arr = F.array(*[F.lit(d) for d in blk])
+    return df.where(~F.arrays_overlap(keys, lit_arr))

@@ -86,6 +86,89 @@ def annotate_docs(
     return cur
 
 
+def decontaminate_docs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    mode: str = "drop",
+    max_contamination_rate: float = 0.0,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    recount=None,
+    collect_stats: bool = False,
+) -> tuple[DataFrame, dict]:
+    """The decontamination stage, factored so :func:`build_corpus` and
+    :func:`corpus_stream` run the IDENTICAL code: all three modes are
+    stateless per-doc decisions against a fixed benchmark (broadcast
+    probes — d17's n-gram rate for ``"drop"``, d21's shingle Jaccard
+    for ``"fuzzy"``, d17's span scrub for ``"cut"``), so the kept set
+    is independent of batching and the stream ≡ batch contract extends
+    to it for free. Returns ``(survivors, stats)``; ``stats`` carries
+    the cut-mode report fields when ``collect_stats`` (one bounded agg
+    collect — batch callers only). ``recount`` (cut mode) refreshes a
+    BPE token column after the rewrite. Docs too short to carry an
+    n-gram are KEPT — no evidence is not contamination."""
+    if mode not in ("drop", "cut", "fuzzy"):
+        raise ValueError(
+            f"decontaminate_mode must be 'drop', 'cut' or 'fuzzy'; got "
+            f"{mode!r}"
+        )
+    stats: dict = {}
+    if mode == "drop":
+        contam = ngram_contamination(
+            docs, benchmark, text_col, id_col, n=n
+        )
+        dirty = contam.where(
+            F.col("contamination_rate") > max_contamination_rate
+        ).select(id_col)
+        return docs.join(dirty, id_col, "left_anti"), stats
+    if mode == "fuzzy":
+        # d21: drop docs that are EDITED copies of benchmark items
+        # (shingle-set Jaccard ≥ threshold — here the knob is a
+        # similarity threshold, not a rate; verbatim leaks are a
+        # special case with Jaccard ≈ 1)
+        from southpaw_spark.operators.dedup import jaccard_contamination
+
+        thr = (
+            max_contamination_rate if max_contamination_rate > 0 else 0.5
+        )
+        flagged = jaccard_contamination(
+            docs, benchmark, text_col, id_col, n=n, threshold=thr
+        ).select(id_col)
+        return docs.join(flagged, id_col, "left_anti"), stats
+    # "cut": surgical scrub — locate the leaked passages (d17) and cut
+    # them out, keeping the rest of the doc; docs scrubbed to nothing
+    # are dropped. n_tokens is refreshed so later token-denominated
+    # stages see the post-cut lengths.
+    from southpaw_spark.operators.dedup import cut_spans, span_contamination
+
+    spans = span_contamination(
+        docs, benchmark, text_col, id_col, k=n
+    ).select(F.col(id_col), "spans")
+    cleaned = cut_spans(docs, spans, text_col, id_col)
+    if collect_stats:
+        # one small agg over the (persisted-next) lineage: how many
+        # tokens the scrub removed, corpus-wide
+        cut_row = cleaned.agg(
+            F.sum(
+                F.col("n_tokens_before") - F.col("n_tokens_after")
+            ).alias("cut"),
+            F.count_if(F.col("n_tokens_after") == 0).alias("emptied"),
+        ).collect()[0]
+        stats["decontaminated_tokens_cut"] = int(cut_row["cut"] or 0)
+        stats["decontaminated_docs_emptied"] = int(cut_row["emptied"] or 0)
+    rewritten = (
+        cleaned.where(F.col("n_tokens_after") > 0)
+        .withColumn(text_col, F.col(f"{text_col}_clean"))
+        .withColumn("n_tokens", F.col("n_tokens_after"))
+        .drop(f"{text_col}_clean", "n_tokens_before", "n_tokens_after")
+    )
+    if recount is not None:
+        rewritten = recount(rewritten)
+    return rewritten, stats
+
+
 def build_corpus(
     docs: DataFrame,
     text_col: str = "text",
@@ -100,6 +183,7 @@ def build_corpus(
     langs: list[str] | None = None,
     line_clean: bool = False,
     url_col: str | None = None,
+    blocklist=None,
     benchmark: DataFrame | None = None,
     max_contamination_rate: float = 0.0,
     contamination_n: int = 5,
@@ -148,7 +232,12 @@ def build_corpus(
     (:func:`score_with_linear_model`, hashed bag-of-words × broadcast
     weights, ``model_bias``) as ``model_score``, and
     ``min_model_score`` gates on that margin; ``langs`` keeps only those
-    :func:`with_lang_guess` labels; ``url_col`` dedups by
+    :func:`with_lang_guess` labels; ``blocklist`` (a domain list or a
+    single-column DataFrame; requires ``url_col``) drops docs whose URL
+    host is on or under a blocked domain (:func:`blocklist_filter`,
+    the C4/RefinedWeb domain gate) FIRST among the URL stages — a
+    broadcast/codegen filter is cheaper than anything content-based;
+    ``url_col`` dedups by
     :func:`canonical_url` BEFORE any content-based stage (cheapest
     identity first — min id per canonical URL); ``benchmark`` decontaminates
     against an eval set — ``decontaminate_mode="drop"`` (default)
@@ -213,6 +302,10 @@ def build_corpus(
         raise ValueError(
             "min_model_score requires model_weights (the trained "
             "linear-classifier gate scores before it thresholds)"
+        )
+    if blocklist is not None and url_col is None:
+        raise ValueError(
+            "blocklist requires url_col (the gate matches URL hosts)"
         )
 
     report: dict[str, int] = {}
@@ -288,6 +381,17 @@ def build_corpus(
     if langs is not None:
         cur = note("langs", cur.where(F.col("lang_guess").isin(list(langs))))
 
+    if blocklist is not None:
+        # domain blocklist gate (t24) — the cheapest drop of all (a
+        # broadcast suffix-chain probe / codegen predicate), so it runs
+        # before even URL dedup: a blocked page never costs a shingle
+        from southpaw_spark.operators.text import blocklist_filter
+
+        cur = note(
+            "blocklist",
+            blocklist_filter(cur, url_col, id_col, blocklist),
+        )
+
     if url_col is not None:
         # URL-level dedup FIRST — it is the cheapest identity (pure
         # codegen canonicalization + one groupBy, no text shingling)
@@ -306,74 +410,15 @@ def build_corpus(
         cur = note("url_dedup", cur.join(keep_ids, id_col, "left_semi"))
 
     if benchmark is not None:
-        if decontaminate_mode == "drop":
-            contam = ngram_contamination(
-                cur, benchmark, text_col, id_col, n=contamination_n
-            )
-            dirty = contam.where(
-                F.col("contamination_rate") > max_contamination_rate
-            ).select(id_col)
-            cur = note("decontaminated", cur.join(dirty, id_col, "left_anti"))
-        elif decontaminate_mode == "fuzzy":
-            # d21: drop docs that are EDITED copies of benchmark items
-            # (shingle-set Jaccard ≥ max_contamination_rate — here the
-            # knob is a similarity threshold, not a rate; verbatim
-            # leaks are a special case with Jaccard ≈ 1)
-            from southpaw_spark.operators.dedup import (
-                jaccard_contamination,
-            )
-
-            thr = max_contamination_rate if max_contamination_rate > 0 \
-                else 0.5
-            flagged = jaccard_contamination(
-                cur, benchmark, text_col, id_col,
-                n=contamination_n, threshold=thr,
-            ).select(id_col)
-            cur = note(
-                "decontaminated", cur.join(flagged, id_col, "left_anti")
-            )
-        elif decontaminate_mode == "cut":
-            # surgical scrub: locate the leaked passages (d17) and cut
-            # them out, keeping the rest of the doc — docs scrubbed to
-            # nothing are dropped. n_tokens is refreshed so later
-            # token-budget/packing stages see the post-cut lengths.
-            from southpaw_spark.operators.dedup import (
-                cut_spans,
-                span_contamination,
-            )
-
-            spans = span_contamination(
-                cur, benchmark, text_col, id_col, k=contamination_n
-            ).select(F.col(id_col), "spans")
-            cleaned = cut_spans(cur, spans, text_col, id_col)
-            if collect_report:
-                # one small agg over the (persisted-next) lineage: how
-                # many tokens the scrub removed, corpus-wide
-                cut_row = (
-                    cleaned.agg(
-                        F.sum(
-                            F.col("n_tokens_before") - F.col("n_tokens_after")
-                        ).alias("cut"),
-                        F.count_if(F.col("n_tokens_after") == 0).alias(
-                            "emptied"
-                        ),
-                    ).collect()[0]
-                )
-                report["decontaminated_tokens_cut"] = int(cut_row["cut"] or 0)
-                report["decontaminated_docs_emptied"] = int(
-                    cut_row["emptied"] or 0
-                )
-            rewritten = (
-                cleaned.where(F.col("n_tokens_after") > 0)
-                .withColumn(text_col, F.col(f"{text_col}_clean"))
-                .withColumn("n_tokens", F.col("n_tokens_after"))
-                .drop(
-                    f"{text_col}_clean", "n_tokens_before", "n_tokens_after"
-                )
-            )
-            if _recount is not None:
-                rewritten = _recount(rewritten)
-            cur = note("decontaminated", rewritten)
+        cleaned, stats = decontaminate_docs(
+            cur, benchmark,
+            mode=decontaminate_mode,
+            max_contamination_rate=max_contamination_rate,
+            n=contamination_n, text_col=text_col, id_col=id_col,
+            recount=_recount, collect_stats=collect_report,
+        )
+        report.update(stats)
+        cur = note("decontaminated", cleaned)
 
     if exact_dedup:
         losers = exact_duplicates(cur, text_col, id_col).select(
@@ -601,6 +646,12 @@ def corpus_stream(
     model_bias: float = 0.0,
     min_model_score: float | None = None,
     langs: list[str] | None = None,
+    url_col: str | None = None,
+    blocklist: list[str] | None = None,
+    benchmark: DataFrame | None = None,
+    max_contamination_rate: float = 0.0,
+    contamination_n: int = 5,
+    decontaminate_mode: str = "drop",
     split_fractions: dict[str, float] | None = None,
     sample_salt: str = "",
     sink=None,
@@ -609,10 +660,14 @@ def corpus_stream(
     """STREAMING corpus build — :func:`build_corpus`'s per-doc subset
     as a continuous pipeline: the stateless stages
     (:func:`annotate_docs` + the min_tokens / min_quality / model /
-    lang gates + the deterministic ``split`` label) run INSIDE the
-    streaming plan as pure projections and filters, and content dedup
-    runs against the :class:`streaming.dedup_stream.IncrementalDeduper`'s
-    persistent state via foreachBatch. ``sink(kept_df, batch_id)``
+    lang / ``blocklist`` gates + the deterministic ``split`` label)
+    run INSIDE the streaming plan as pure projections and filters;
+    ``benchmark`` decontamination (all three ``decontaminate_mode``
+    arms — stateless broadcast probes against the fixed benchmark,
+    shared with build_corpus via :func:`decontaminate_docs`) and
+    content dedup run in foreachBatch, the dedup against the
+    :class:`streaming.dedup_stream.IncrementalDeduper`'s
+    persistent state. ``sink(kept_df, batch_id)``
     receives each micro-batch's KEPT documents with all annotation
     columns — the rows a corpus writer appends.
 
@@ -634,6 +689,23 @@ def corpus_stream(
             "min_model_score requires model_weights (the trained "
             "linear-classifier gate scores before it thresholds)"
         )
+    if blocklist is not None:
+        if url_col is None:
+            raise ValueError(
+                "blocklist requires url_col (the gate matches URL hosts)"
+            )
+        if isinstance(blocklist, DataFrame):
+            raise ValueError(
+                "corpus_stream takes blocklist as a Python list — the "
+                "codegen predicate form runs inside the streaming plan "
+                "(a DataFrame blocklist needs the batch anti-join; use "
+                "build_corpus, or collect the bounded list yourself)"
+            )
+    if decontaminate_mode not in ("drop", "cut", "fuzzy"):
+        raise ValueError(
+            "decontaminate_mode must be 'drop', 'cut' or 'fuzzy'; got "
+            f"{decontaminate_mode!r}"
+        )
     cur = annotate_docs(
         docs_stream, text_col, id_col,
         line_clean=line_clean, bpe_merges=bpe_merges,
@@ -648,20 +720,52 @@ def corpus_stream(
         cur = cur.where(F.col("model_score") >= min_model_score)
     if langs is not None:
         cur = cur.where(F.col("lang_guess").isin(list(langs)))
+    if blocklist is not None:
+        # t24 gate — with a list blocklist this compiles to one codegen
+        # arrays_overlap predicate, legal inside the streaming plan
+        from southpaw_spark.operators.text import blocklist_filter
+
+        cur = blocklist_filter(cur, url_col, id_col, list(blocklist))
     if split_fractions is not None:
         cur = hash_split(cur, id_col, split_fractions, salt=sample_salt)
+
+    if bpe_merges is not None:
+        from southpaw_spark.operators.bpe import with_bpe_token_count
+
+        def _recount(df: DataFrame) -> DataFrame:
+            return with_bpe_token_count(
+                df.drop("n_tokens_bpe"), text_col, bpe_merges
+            )
+
+    else:
+        _recount = None
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.cache()
         try:
             if batch_df.limit(1).count() == 0:
                 return
-            decisions = deduper.process_batch(batch_df)
+            work = batch_df
+            if benchmark is not None:
+                # decontamination (d17/d21 modes) runs INSIDE
+                # foreachBatch — batch context, so the EXACT
+                # build_corpus stage code applies; all three modes are
+                # stateless per-doc decisions against the fixed
+                # benchmark, so the kept set is batching-independent
+                # and the stream ≡ batch contract extends to them
+                work, _ = decontaminate_docs(
+                    work, benchmark,
+                    mode=decontaminate_mode,
+                    max_contamination_rate=max_contamination_rate,
+                    n=contamination_n, text_col=text_col, id_col=id_col,
+                    recount=_recount, collect_stats=False,
+                )
+            decisions = deduper.process_batch(work)
             if sink is not None:
                 kept_ids = decisions.where(
                     F.col("keeper_id") == F.col(id_col)
                 ).select(id_col)
-                sink(batch_df.join(kept_ids, id_col, "left_semi"), batch_id)
+                sink(work.join(kept_ids, id_col, "left_semi"), batch_id)
         finally:
             batch_df.unpersist()
 

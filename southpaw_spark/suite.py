@@ -4622,6 +4622,73 @@ D22_SQL = """
 """
 
 
+def t24_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain blocklist gate (t24,
+    `operators.text.blocklist_hits` — the C4 / RefinedWeb bad-domain
+    filter; Penedo et al. 2023 run the public UT1 blacklist): each doc
+    gets a synthesized URL in one of three host shapes (exact host,
+    cdn. subdomain with a port, WWW.-cased .net host) and is matched
+    against a two-domain blocklist through the dot-suffix chain — so
+    the row exercises exact-host hits, subdomain hits, port stripping
+    and case folding in one hash."""
+    from southpaw_spark.operators.text import blocklist_hits
+
+    docs = _read(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 10).cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("https://site"), k, F.lit(".example.com/p")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("http://cdn.site"), k, F.lit(".example.com:8080/a")
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("https://WWW.site"), k, F.lit(".Example.net/x"))
+        )
+    )
+    urls = docs.select("doc_id", url.alias("url"))
+    return blocklist_hits(
+        urls, "url", "doc_id", ["site3.example.com", "example.net"]
+    )
+
+
+T24_SQL = """
+    WITH u AS (
+      SELECT doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN 'https://site' || k || '.example.com/p'
+               WHEN 1 THEN 'http://cdn.site' || k
+                    || '.example.com:8080/a'
+               ELSE 'https://WWW.site' || k || '.Example.net/x'
+             END AS url
+      FROM (SELECT doc_id, CAST(doc_id % 10 AS VARCHAR) AS k
+            FROM documents)),
+    h AS (
+      SELECT doc_id,
+             regexp_replace(
+               lower(regexp_extract(
+                 regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                 '^([^/?#]*)', 1)),
+               ':[0-9]+$', '') AS host
+      FROM u),
+    s AS (
+      SELECT doc_id, host,
+             UNNEST(list_transform(
+               range(len(parts)),
+               i -> array_to_string(parts[(i+1):len(parts)], '.'))) AS sfx
+      FROM (SELECT doc_id, host, string_split(host, '.') AS parts
+            FROM h)),
+    b AS (SELECT UNNEST(['site3.example.com', 'example.net'])
+            AS matched_domain)
+    SELECT DISTINCT doc_id, host, matched_domain
+    FROM s JOIN b ON s.sfx = b.matched_domain
+"""
+
+
 # The driver's correctness gate checks AT MOST 50 rows per round
 # (CORRECTNESS_r02 stopped at 50 of 54), so QUERIES stays pinned at
 # exactly 50: pushing new entries into it would silently uncheck tail
@@ -4678,6 +4745,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d21_jaccard_contamination": d21_jaccard_contamination,
     "a12_exact_quantiles": a12_exact_quantiles,
     "d22_line_dedup": d22_line_dedup,
+    "t24_blocklist_hits": t24_blocklist_hits,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -4731,4 +4799,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "d21_jaccard_contamination": D21_SQL,
     "a12_exact_quantiles": A12_SQL,
     "d22_line_dedup": D22_SQL,
+    "t24_blocklist_hits": T24_SQL,
 }

@@ -757,3 +757,136 @@ def test_build_corpus_line_dedup_stage(spark):
     }
     for i in range(20):
         assert got[i]["text"] == standalone[i]
+
+
+def test_build_corpus_blocklist_stage(spark):
+    """The blocklist stage (t24) drops docs on or under blocked
+    domains before URL dedup, with identical results for the list
+    (codegen) and DataFrame (broadcast anti-join) blocklist forms;
+    blocklist without url_col fails up front."""
+    import pytest
+
+    rows = [
+        (1, "w1 " * 5, "https://good.example.com/a"),
+        (2, "w2 " * 5, "https://spam.bad.net/b"),
+        (3, "w3 " * 5, "http://sub.spam.bad.net:8080/c"),
+        (4, "w4 " * 5, "https://fine.org/d"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    kept, report = build_corpus(
+        docs, url_col="url", blocklist=["spam.bad.net"],
+        exact_dedup=False, collect_report=True,
+    )
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    kept.unpersist()
+    assert ids == [1, 4]
+    assert report["blocklist"] == 2
+
+    bdf = spark.createDataFrame([("spam.bad.net",)], "host string")
+    kept2, _ = build_corpus(
+        docs, url_col="url", blocklist=bdf,
+        exact_dedup=False, collect_report=True,
+    )
+    ids2 = sorted(r["doc_id"] for r in kept2.collect())
+    kept2.unpersist()
+    assert ids2 == ids
+
+    with pytest.raises(ValueError, match="url_col"):
+        build_corpus(docs, blocklist=["spam.bad.net"])
+
+
+def test_corpus_stream_decontaminate_and_blocklist_converge(spark, tmp_path):
+    """Round-11 extension of the stream ≡ batch contract: the
+    decontamination stage (both stateless modes — n-gram 'drop' and
+    shingle-Jaccard 'fuzzy') and the URL blocklist gate now run in
+    corpus_stream, and the kept set matches build_corpus row-for-row
+    with the same benchmark/blocklist — including a contaminated doc
+    arriving in the SECOND batch (batching independence)."""
+    import json as _json
+
+    from southpaw_spark.pipelines import build_corpus, corpus_stream
+    from southpaw_spark.streaming import ParquetStateStore
+    from southpaw_spark.streaming.dedup_stream import IncrementalDeduper
+
+    bench_text = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    )
+    w = bench_text.split()
+    edited = " ".join(w[:4] + ["CHANGED"] + w[5:])  # fuzzy-only leak
+    docs = [
+        (1, bench_text + " trailing words here",
+         "https://ok.example.com/a"),                  # verbatim leak
+        (2, "clean document with its own words one two three",
+         "https://ok.example.com/b"),
+        (3, "another clean page of fresh prose four five six",
+         "https://spam.bad.net/x"),                    # blocked domain
+        (4, edited, "https://ok.example.com/c"),       # edited leak (b2)
+        (5, "final clean text seven eight nine ten eleven twelve",
+         "https://ok.example.com/d"),
+    ]
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string"
+    )
+
+    for mode in ("drop", "fuzzy"):
+        src = tmp_path / f"in_{mode}"
+        src.mkdir()
+        for name, chunk in (("a.json", docs[:3]), ("b.json", docs[3:])):
+            (src / name).write_text(
+                "\n".join(
+                    _json.dumps({"doc_id": i, "text": t, "url": u})
+                    for i, t, u in chunk
+                )
+            )
+        stream = (
+            spark.readStream.schema("doc_id long, text string, url string")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+        deduper = IncrementalDeduper(
+            spark,
+            ParquetStateStore(
+                spark, str(tmp_path / f"state_{mode}"), n_buckets=4
+            ),
+            sim_threshold=1.01,
+        )
+        got: dict = {}
+
+        def sink(kept, _bid):
+            for r in kept.collect():
+                got[r["doc_id"]] = (r["text"], r["n_tokens"])
+
+        q = corpus_stream(
+            deduper, stream, str(tmp_path / f"ckpt_{mode}"),
+            url_col="url", blocklist=["spam.bad.net"],
+            benchmark=bench, decontaminate_mode=mode,
+            max_contamination_rate=0.3, contamination_n=3,
+            sink=sink,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        deduper.close()
+
+        batch = spark.createDataFrame(
+            docs, "doc_id long, text string, url string"
+        )
+        kept, _ = build_corpus(
+            batch, url_col="url", blocklist=["spam.bad.net"],
+            benchmark=bench, decontaminate_mode=mode,
+            max_contamination_rate=0.3, contamination_n=3,
+            exact_dedup=True,
+        )
+        want = {
+            r["doc_id"]: (r["text"], r["n_tokens"])
+            for r in kept.collect()
+        }
+        kept.unpersist()
+        assert got == want, (mode, sorted(got), sorted(want))
+        # invariants in BOTH modes: verbatim leak (1) and blocked
+        # domain (3) gone, clean docs (2, 5) kept; the edited copy (4)
+        # must be caught by fuzzy (its raison d'etre)
+        assert {2, 5} <= set(got) and not {1, 3} & set(got), mode
+        if mode == "fuzzy":
+            assert 4 not in got

@@ -2351,3 +2351,71 @@ def test_duplicate_lines_inventory_and_removal(spark):
     ).count() == 0
     with pytest.raises(ValueError, match="min_count"):
         duplicate_lines(docs, "text", "doc_id", min_count=1)
+
+
+def test_blocklist_hits_and_filter(spark):
+    """t24: suffix-chain domain matching — exact host, subdomain,
+    case/port/www noise — identical between the list (codegen) and
+    DataFrame (broadcast join) forms; include_subdomains=False matches
+    exact hosts only; empty blocklists and unparseable hosts behave."""
+    import pytest
+
+    from southpaw_spark.operators.text import (
+        blocklist_filter,
+        blocklist_hits,
+        host_suffixes,
+        url_host,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://WWW.Site3.Example.com:443/page?x=1"),
+            (2, "http://cdn.site3.example.com/asset.js"),
+            (3, "https://site4.example.com/ok"),
+            (4, "https://ads.example.net/track"),
+            (5, "not a url"),
+            (6, "https://example.net"),
+        ],
+        "doc_id long, url string",
+    )
+    blocked = ["Site3.example.com ", "example.net"]
+    hits = sorted(
+        tuple(r)
+        for r in blocklist_hits(docs, "url", "doc_id", blocked).collect()
+    )
+    assert hits == [
+        (1, "www.site3.example.com", "site3.example.com"),
+        (2, "cdn.site3.example.com", "site3.example.com"),
+        (4, "ads.example.net", "example.net"),
+        (6, "example.net", "example.net"),
+    ]
+    kept = sorted(
+        r["doc_id"]
+        for r in blocklist_filter(docs, "url", "doc_id", blocked).collect()
+    )
+    assert kept == [3, 5]  # unparseable host (5) passes through
+    bdf = spark.createDataFrame([(d,) for d in blocked], "host string")
+    assert hits == sorted(
+        tuple(r)
+        for r in blocklist_hits(docs, "url", "doc_id", bdf).collect()
+    )
+    assert kept == sorted(
+        r["doc_id"]
+        for r in blocklist_filter(docs, "url", "doc_id", bdf).collect()
+    )
+    exact_only = sorted(
+        r["doc_id"]
+        for r in blocklist_filter(
+            docs, "url", "doc_id", blocked, include_subdomains=False
+        ).collect()
+    )
+    assert exact_only == [1, 2, 3, 4, 5]  # only the bare example.net hit
+    with pytest.raises(ValueError, match="empty"):
+        blocklist_filter(docs, "url", "doc_id", [])
+    # helper sanity: suffix chain is most-specific-first and complete
+    row = docs.select(
+        host_suffixes(url_host(F.col("url"))).alias("s")
+    ).where(F.col("doc_id") == 2).collect()[0]["s"]
+    assert row == [
+        "cdn.site3.example.com", "site3.example.com", "example.com", "com"
+    ]
