@@ -1071,3 +1071,76 @@ def blocklist_filter(
         raise ValueError("blocked list is empty — pass >= 1 domain")
     lit_arr = F.array(*[F.lit(d) for d in blk])
     return df.where(~F.arrays_overlap(keys, lit_arr))
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    domain_col: str,
+    cuts: tuple = (1 / 3, 2 / 3),
+    labels: tuple = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style per-domain perplexity stratification (t23 — Wenzek
+    et al. 2020 "CCNet: Extracting High Quality Monolingual Datasets
+    from Web Crawl Data", public paper): score every document with the
+    corpus-trained bigram LM (:func:`bigram_lm_scores` — t13's fluency
+    signal; ``avg_logprob`` is a monotone inverse of perplexity, so no
+    float ``exp`` ever runs) and split each ``domain_col`` stratum into
+    head / middle / tail by per-domain score rank — CCNet buckets per
+    language; the same machinery strata on any grouping column.
+
+    Bucketing rule (discrete, engine-exact): rank docs within a domain
+    by ``(avg_logprob DESC, id ASC)`` — best fluency first — and
+    assign the first label ``k`` with ``rank ≤ ceil(cuts[k] · n)``,
+    else the last label. Both engines evaluate the identical IEEE-754
+    ``ceil(cut · n)``, and ties rank on the ROUNDED score + id, so the
+    assignment is bit-deterministic. Docs under two words carry no
+    transition evidence and are EXCLUDED (t13's rule) — gate short
+    docs with ``min_tokens`` upstream.
+
+    Output: ``(id, domain, n_bigrams, avg_logprob, ppl_bucket)``.
+
+    Scale: t13's two combiner-friendly count shuffles, one equi-join
+    to attach the domain, then ONE shuffle on ``domain_col`` for the
+    in-partition rank window — no global sort. The window sort is
+    bounded by the hottest domain; a corpus that is 90% one domain
+    should pre-split that domain (or rank it through the a09/a12
+    range-bucket machinery) — for web corpora domains are the natural
+    well-spread key."""
+    if len(labels) != len(cuts) + 1:
+        raise ValueError(
+            f"need len(labels) == len(cuts) + 1; got {len(labels)} labels "
+            f"for {len(cuts)} cuts"
+        )
+    fcuts = [float(c) for c in cuts]
+    if sorted(set(fcuts)) != fcuts or not all(0.0 < c < 1.0 for c in fcuts):
+        raise ValueError(
+            f"cuts must be strictly increasing within (0, 1); got {cuts!r}"
+        )
+    from pyspark.sql import Window
+
+    scores = bigram_lm_scores(df, text_col, id_col)
+    joined = df.select(F.col(id_col), F.col(domain_col)).join(
+        scores, id_col
+    )
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col("avg_logprob").desc(), F.col(id_col)
+    )
+    ranked = joined.select(
+        "*",
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(Window.partitionBy(domain_col)).alias("__n"),
+    )
+    expr = None
+    for cut, lab in zip(fcuts, labels):
+        cond = F.col("__rn") <= F.ceil(F.lit(cut) * F.col("__n"))
+        expr = (
+            F.when(cond, F.lit(lab)) if expr is None
+            else expr.when(cond, F.lit(lab))
+        )
+    expr = expr.otherwise(F.lit(labels[-1]))
+    return ranked.select(
+        id_col, domain_col, "n_bigrams", "avg_logprob",
+        expr.alias("ppl_bucket"),
+    )

@@ -195,6 +195,10 @@ def build_corpus(
     span_dedup_k: int | None = None,
     span_min_count: int = 2,
     line_dedup_min_count: int | None = None,
+    ppl_domain_col: str | None = None,
+    ppl_cuts: tuple = (1 / 3, 2 / 3),
+    ppl_labels: tuple = ("head", "middle", "tail"),
+    ppl_keep: list[str] | None = None,
     sample_rates: dict[str, float] | None = None,
     sample_default_rate: float = 0.0,
     sample_salt: str = "",
@@ -266,7 +270,15 @@ def build_corpus(
     every LINE occurring at least that many times corpus-wide
     (:func:`remove_duplicate_lines`, RefinedWeb's repeated-line
     removal — the line-granular sibling of span dedup, likewise after
-    doc-level dedup, docs emptied are dropped); ``sample_rates``
+    doc-level dedup, docs emptied are dropped); ``ppl_domain_col``
+    annotates every surviving doc with a CCNet perplexity bucket
+    (:func:`perplexity_buckets` — the corpus-trained bigram LM ranked
+    per domain, ``ppl_cuts``/``ppl_labels``; runs AFTER dedup so the
+    LM trains on the deduplicated corpus, CCNet's order) as
+    ``ppl_bucket`` + ``avg_logprob``, and ``ppl_keep`` optionally
+    gates to the named buckets (docs under two words have no LM
+    evidence, bucket NULL, and a ``ppl_keep`` gate drops them — gate
+    short docs with ``min_tokens`` upstream); ``sample_rates``
     stratifies on
     ``lang_guess``; ``token_budgets`` greedily samples each
     ``lang_guess`` stratum to a token budget
@@ -306,6 +318,15 @@ def build_corpus(
     if blocklist is not None and url_col is None:
         raise ValueError(
             "blocklist requires url_col (the gate matches URL hosts)"
+        )
+    if ppl_keep is not None and ppl_domain_col is None:
+        raise ValueError(
+            "ppl_keep requires ppl_domain_col (buckets are per-domain)"
+        )
+    if ppl_domain_col is not None and len(ppl_labels) != len(ppl_cuts) + 1:
+        raise ValueError(
+            f"need len(ppl_labels) == len(ppl_cuts) + 1; got "
+            f"{len(ppl_labels)} labels for {len(ppl_cuts)} cuts"
         )
 
     report: dict[str, int] = {}
@@ -491,6 +512,25 @@ def build_corpus(
         if _recount is not None:
             rewritten = _recount(rewritten)
         cur = note("line_dedup", rewritten)
+
+    if ppl_domain_col is not None:
+        # t23: CCNet per-domain perplexity stratification — train the
+        # bigram LM on the SURVIVING corpus (post-dedup, CCNet's
+        # order), rank within each domain, annotate head/middle/tail
+        from southpaw_spark.operators.text import perplexity_buckets
+
+        buckets = perplexity_buckets(
+            cur, text_col, id_col, ppl_domain_col,
+            cuts=ppl_cuts, labels=ppl_labels,
+        ).select(F.col(id_col), "avg_logprob", "ppl_bucket")
+        cur = cur.join(buckets, id_col, "left")
+        if ppl_keep is not None:
+            cur = note(
+                "ppl_filtered",
+                cur.where(F.col("ppl_bucket").isin(list(ppl_keep))),
+            )
+        else:
+            cur = note("ppl_bucketed", cur)
 
     if sample_rates is not None:
         cur = note(

@@ -4689,6 +4689,39 @@ T24_SQL = """
 """
 
 
+def t23_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-domain perplexity stratification (t23,
+    `operators.text.perplexity_buckets` — Wenzek et al. 2020): the
+    corpus-trained bigram-LM score (t13) ranked WITHIN each source
+    domain, split head/middle/tail at the 1/3 and 2/3 ceil-ranks.
+    The oracle replays the t13 LM from first principles, then the
+    identical rank/ceil bucketing in SQL — so the hash pins both the
+    scores and every bucket edge."""
+    from southpaw_spark.operators.text import perplexity_buckets
+
+    docs = _read(spark, sf_dir, "documents")
+    return perplexity_buckets(docs, "text", "doc_id", "source")
+
+
+T23_SQL = f"""
+    WITH sc AS ({T13_SQL}),
+    dj AS (
+      SELECT d.doc_id, d.source, sc.n_bigrams, sc.avg_logprob
+      FROM documents d JOIN sc ON d.doc_id = sc.doc_id),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY avg_logprob DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM dj)
+    SELECT doc_id, source, n_bigrams, avg_logprob,
+           CASE WHEN rn <= CEIL({1 / 3!r} * n) THEN 'head'
+                WHEN rn <= CEIL({2 / 3!r} * n) THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM r
+"""
+
+
 # The driver's correctness gate checks AT MOST 50 rows per round
 # (CORRECTNESS_r02 stopped at 50 of 54), so QUERIES stays pinned at
 # exactly 50: pushing new entries into it would silently uncheck tail
@@ -4746,6 +4779,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a12_exact_quantiles": a12_exact_quantiles,
     "d22_line_dedup": d22_line_dedup,
     "t24_blocklist_hits": t24_blocklist_hits,
+    "t23_perplexity_buckets": t23_perplexity_buckets,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -4800,4 +4834,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "a12_exact_quantiles": A12_SQL,
     "d22_line_dedup": D22_SQL,
     "t24_blocklist_hits": T24_SQL,
+    "t23_perplexity_buckets": T23_SQL,
 }

@@ -890,3 +890,62 @@ def test_corpus_stream_decontaminate_and_blocklist_converge(spark, tmp_path):
         assert {2, 5} <= set(got) and not {1, 3} & set(got), mode
         if mode == "fuzzy":
             assert 4 not in got
+
+
+def test_build_corpus_perplexity_stratification_stage(spark, sf_dir):
+    """t23 composition: the ppl stage annotates every surviving doc
+    with its per-domain CCNet bucket (matching the standalone operator
+    run at the same pipeline point), ppl_keep gates to the named
+    buckets, and bad configs fail before any job."""
+    import pytest
+
+    from southpaw_spark.operators.text import perplexity_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept, report = build_corpus(
+        docs, min_tokens=2, exact_dedup=True,
+        ppl_domain_col="source", collect_report=True,
+    )
+    got = {
+        r["doc_id"]: (r["ppl_bucket"], r["avg_logprob"])
+        for r in kept.collect()
+    }
+    kept.unpersist()
+    assert report["ppl_bucketed"] == report["exact_dedup"]
+    assert set(b for b, _ in got.values()) == {"head", "middle", "tail"}
+
+    # parity: standalone operator applied to the same survivor set
+    kept2, _ = build_corpus(
+        docs, min_tokens=2, exact_dedup=True, collect_report=True,
+    )
+    want = {
+        r["doc_id"]: (r["ppl_bucket"], r["avg_logprob"])
+        for r in perplexity_buckets(
+            kept2, "text", "doc_id", "source"
+        ).collect()
+    }
+    kept2.unpersist()
+    assert got == want
+
+    # keep only the best third per domain
+    kept3, report3 = build_corpus(
+        docs, min_tokens=2, exact_dedup=True,
+        ppl_domain_col="source", ppl_keep=["head"], collect_report=True,
+    )
+    buckets3 = {r["ppl_bucket"] for r in kept3.collect()}
+    kept3.unpersist()
+    assert buckets3 == {"head"}
+    assert report3["ppl_filtered"] == sum(
+        1 for b, _ in want.items() if want[b][0] == "head"
+    )
+
+    with pytest.raises(ValueError, match="ppl_domain_col"):
+        build_corpus(docs, ppl_keep=["head"])
+    with pytest.raises(ValueError, match="ppl_labels"):
+        build_corpus(
+            docs, ppl_domain_col="source", ppl_labels=("a", "b"),
+        )
+    with pytest.raises(ValueError, match="cuts"):
+        perplexity_buckets(
+            docs, "text", "doc_id", "source", cuts=(0.5, 0.2),
+        )
