@@ -97,6 +97,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_doc_freq: int | str | None = "auto",
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by **exact** n-gram Jaccard similarity —
     prefix-filtered candidate generation + array-intersect verification.
@@ -154,6 +155,14 @@ def ngram_jaccard_pairs(
     facts) is cached because four plan branches read it; it is attached
     to the result as ``_southpaw_cached`` — call :func:`release` after
     materializing if you invoke this repeatedly in one session.
+
+    ``shingles_df``: a precomputed ``(id, shingle)`` frame from
+    :func:`shingles` with the SAME ``n`` over exactly the rows of
+    ``df`` — the shared-inventory seam: a pipeline that already
+    shingled the corpus for another stage (d21 fuzzy decontamination)
+    hands the cached frame in instead of paying the text scan +
+    explode again. Output is identical by construction (the per-doc
+    shingle sets are the same rows).
     """
     if not (
         max_doc_freq is None
@@ -167,7 +176,11 @@ def ngram_jaccard_pairs(
     # Join on a 64-bit hash of the shingle instead of the string: the
     # shuffle carries 8-byte keys instead of ~n·word-length strings.
     # Collision risk is ~|shingles|²/2⁶⁵ — immaterial here.
-    sh = shingles(df, text_col, id_col, n).select(
+    sh_src = (
+        shingles_df if shingles_df is not None
+        else shingles(df, text_col, id_col, n)
+    )
+    sh = sh_src.select(
         F.col(id_col), F.xxhash64("shingle").alias("sh")
     )
     cap: int | None
@@ -2007,6 +2020,7 @@ def jaccard_contamination(
     threshold: float = 0.5,
     bench_text_col: str | None = None,
     bench_id_col: str | None = None,
+    corpus_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Fuzzy (near-duplicate) decontamination — completes the
     decontamination triple: d17/d19 catch VERBATIM n-gram leaks, d20
@@ -2035,12 +2049,21 @@ def jaccard_contamination(
     discipline). Jaccard is one division of exact integers — the
     filter changes the plan, never the output. Docs shorter than ``n``
     words carry no shingle evidence and are never flagged (the d17
-    no-evidence rule)."""
+    no-evidence rule).
+
+    ``corpus_shingles``: a precomputed ``(id, shingle)`` frame from
+    :func:`shingles` with the SAME ``n`` over exactly the rows of
+    ``corpus`` — the shared-inventory seam (see
+    :func:`ngram_jaccard_pairs`); identical output, one corpus
+    shingling saved."""
     from pyspark.sql import Window
 
     btc = bench_text_col or text_col
     bic = bench_id_col or id_col
-    cs = shingles(corpus, text_col, id_col, n)
+    cs = (
+        corpus_shingles if corpus_shingles is not None
+        else shingles(corpus, text_col, id_col, n)
+    )
     bs = shingles(
         benchmark.select(
             F.col(bic).alias("bench_id"), F.col(btc).alias("__bt")

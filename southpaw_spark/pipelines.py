@@ -97,6 +97,7 @@ def decontaminate_docs(
     id_col: str = "doc_id",
     recount=None,
     collect_stats: bool = False,
+    corpus_shingles: DataFrame | None = None,
 ) -> tuple[DataFrame, dict]:
     """The decontamination stage, factored so :func:`build_corpus` and
     :func:`corpus_stream` run the IDENTICAL code: all three modes are
@@ -134,7 +135,8 @@ def decontaminate_docs(
             max_contamination_rate if max_contamination_rate > 0 else 0.5
         )
         flagged = jaccard_contamination(
-            docs, benchmark, text_col, id_col, n=n, threshold=thr
+            docs, benchmark, text_col, id_col, n=n, threshold=thr,
+            corpus_shingles=corpus_shingles,
         ).select(id_col)
         return docs.join(flagged, id_col, "left_anti"), stats
     # "cut": surgical scrub — locate the leaked passages (d17) and cut
@@ -430,6 +432,27 @@ def build_corpus(
         )
         cur = note("url_dedup", cur.join(keep_ids, id_col, "left_semi"))
 
+    # Shared shingle inventory: when BOTH fuzzy decontamination and
+    # fuzzy dedup are enabled at the same n, the corpus is shingled
+    # ONCE here and the cached (id, shingle) frame threads through
+    # both stages (the dedup stage semi-joins it down to its survivor
+    # set — per-doc shingles are unaffected by dropping other docs, so
+    # outputs are bit-identical to stage-local shingling). Legal only
+    # while the text is unchanged: "cut" rewrites text, so it never
+    # shares.
+    shared_shingles = None
+    if (
+        benchmark is not None
+        and decontaminate_mode == "fuzzy"
+        and fuzzy_threshold is not None
+        and contamination_n == fuzzy_n
+    ):
+        from southpaw_spark.operators.dedup import shingles
+
+        shared_shingles = shingles(
+            cur, text_col, id_col, contamination_n
+        ).persist()
+
     if benchmark is not None:
         cleaned, stats = decontaminate_docs(
             cur, benchmark,
@@ -437,6 +460,7 @@ def build_corpus(
             max_contamination_rate=max_contamination_rate,
             n=contamination_n, text_col=text_col, id_col=id_col,
             recount=_recount, collect_stats=collect_report,
+            corpus_shingles=shared_shingles,
         )
         report.update(stats)
         cur = note("decontaminated", cleaned)
@@ -448,8 +472,17 @@ def build_corpus(
         cur = note("exact_dedup", cur.join(losers, id_col, "left_anti"))
 
     if fuzzy_threshold is not None:
+        surviving_shingles = None
+        if shared_shingles is not None:
+            # the cached inventory filtered to the current survivor set
+            # — one semi-join instead of re-scanning + re-exploding the
+            # whole corpus text
+            surviving_shingles = shared_shingles.join(
+                cur.select(id_col), id_col, "left_semi"
+            )
         pairs = ngram_jaccard_pairs(
-            cur, text_col, id_col, n=fuzzy_n, threshold=fuzzy_threshold
+            cur, text_col, id_col, n=fuzzy_n, threshold=fuzzy_threshold,
+            shingles_df=surviving_shingles,
         )
         clusters = connected_components(pairs)
         # connected_components consumed pairs eagerly (it localCheckpoints
@@ -458,6 +491,11 @@ def build_corpus(
         # Jaccard join's internal cache is no longer referenced by
         # anything downstream
         release(pairs)
+        if shared_shingles is not None:
+            # both consumers (the decontaminate anti-join lineage and
+            # the pairs build) have executed by now — the shared
+            # inventory is done
+            shared_shingles.unpersist()
         if fuzzy_keep == "best_quality":
             # keep each near-dup family's HIGHEST-QUALITY member (ties →
             # min id) instead of the min id — the keeper a production

@@ -949,3 +949,79 @@ def test_build_corpus_perplexity_stratification_stage(spark, sf_dir):
         perplexity_buckets(
             docs, "text", "doc_id", "source", cuts=(0.5, 0.2),
         )
+
+
+def test_build_corpus_shared_shingle_inventory(spark, monkeypatch):
+    """When fuzzy decontamination AND fuzzy dedup run at the same n,
+    build_corpus shingles the corpus ONCE (counted by instrumenting
+    shingles(): 2 calls = corpus + benchmark side vs 3 unshared) and
+    the kept set is bit-identical to the unshared path (different n
+    values, where sharing is illegal)."""
+    from southpaw_spark.operators import dedup as dedup_mod
+    from southpaw_spark.pipelines import build_corpus
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lamda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    w = base.split()
+    docs_rows = [
+        (1, base),
+        (2, " ".join(w[:10] + ["X"] + w[10:])),   # near-dup of 1
+        (3, "totally different content with many other words here now"),
+        (4, "yet another unrelated page of fresh and clean prose"),
+    ]
+    bench = spark.createDataFrame(
+        [(100, " ".join(w[2:12] + ["CHANGED"] + w[13:]))],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+
+    calls = []
+    real = dedup_mod.shingles
+
+    def counting(*a, **k):
+        calls.append(a[1] if len(a) > 1 else k.get("text_col"))
+        return real(*a, **k)
+
+    monkeypatch.setattr(dedup_mod, "shingles", counting)
+
+    kept, _ = build_corpus(
+        docs, benchmark=bench, decontaminate_mode="fuzzy",
+        max_contamination_rate=0.5, contamination_n=3,
+        fuzzy_threshold=0.7, fuzzy_n=3, exact_dedup=False,
+    )
+    shared_ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    kept.unpersist()
+    assert len(calls) == 2, calls  # corpus once + benchmark once
+
+    # control: different n -> no sharing, three shingle builds,
+    # and (with n=3 both stages in the control too) identical output
+    calls.clear()
+    monkeypatch.setattr(dedup_mod, "shingles", real)
+    # the unshared ground truth: the same config run stage-by-stage
+    # through the standalone operators
+    from southpaw_spark.operators.dedup import (
+        connected_components,
+        jaccard_contamination,
+        ngram_jaccard_pairs,
+    )
+
+    flagged = jaccard_contamination(
+        docs, bench, "text", "doc_id", n=3, threshold=0.5
+    ).select("doc_id")
+    survivors = docs.join(flagged, "doc_id", "left_anti")
+    pairs = ngram_jaccard_pairs(
+        survivors, "text", "doc_id", n=3, threshold=0.7
+    )
+    clusters = connected_components(pairs)
+    losers = clusters.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    want_ids = sorted(
+        r["doc_id"]
+        for r in survivors.join(losers, "doc_id", "left_anti")
+        .select("doc_id").collect()
+    )
+    assert shared_ids == want_ids
+    assert 1 not in shared_ids  # decontaminated (edited benchmark copy)
