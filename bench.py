@@ -401,6 +401,13 @@ def main() -> None:
     runners.append(
         ("e14_rolling_active", lambda: run_extra("e14_rolling_active_users"))
     )
+    runners.append(("d22_line_dedup", lambda: run_extra("d22_line_dedup")))
+    runners.append(
+        ("t23_ppl_buckets", lambda: run_extra("t23_perplexity_buckets"))
+    )
+    runners.append(
+        ("t24_blocklist", lambda: run_extra("t24_blocklist_hits"))
+    )
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}

@@ -242,10 +242,11 @@ def verify(spark, cfg) -> int:
 #: separately because it is a dataset path, not a scalar)
 _CORPUS_KEYS = (
     "min_quality", "min_tokens", "model_weights", "model_bias",
-    "min_model_score", "langs", "line_clean", "url_col",
+    "min_model_score", "langs", "line_clean", "url_col", "blocklist",
     "max_contamination_rate", "contamination_n", "decontaminate_mode",
     "exact_dedup", "fuzzy_threshold", "fuzzy_n", "fuzzy_keep",
-    "span_dedup_k", "span_min_count",
+    "span_dedup_k", "span_min_count", "line_dedup_min_count",
+    "ppl_domain_col", "ppl_cuts", "ppl_labels", "ppl_keep",
     "sample_rates", "sample_default_rate", "sample_salt",
     "token_budgets", "mix_total_tokens", "mix_alpha",
     "pack_token_budget", "split_fractions",
@@ -315,6 +316,17 @@ def corpus_stream_cmd(spark, cfg) -> None:
         model_bias=float(c.get("model_bias", 0.0)),
         min_model_score=c.get("min_model_score"),
         langs=c.get("langs"),
+        url_col=c.get("url_col"),
+        blocklist=c.get("blocklist"),
+        benchmark=(
+            spark.read.parquet(c["benchmark"])
+            if "benchmark" in c else None
+        ),
+        max_contamination_rate=float(
+            c.get("max_contamination_rate", 0.0)
+        ),
+        contamination_n=int(c.get("contamination_n", 5)),
+        decontaminate_mode=c.get("decontaminate_mode", "drop"),
         split_fractions=c.get("split_fractions"),
         sample_salt=str(c.get("sample_salt", "")),
         sink=sink,

@@ -1025,3 +1025,45 @@ def test_build_corpus_shared_shingle_inventory(spark, monkeypatch):
     )
     assert shared_ids == want_ids
     assert 1 not in shared_ids  # decontaminated (edited benchmark copy)
+
+
+def test_build_corpus_cmd_round11_keys(spark, tmp_path):
+    """The CLI config surface carries the round-11 stages: blocklist,
+    line_dedup_min_count, and ppl_domain_col/ppl_keep all reach
+    build_corpus from the corpus: block."""
+    from southpaw_spark.cli import build_corpus_cmd
+
+    rows = []
+    for i in range(12):
+        rows.append((
+            i,
+            f"unique opener {i} has words\ncookie banner line\n"
+            f"body text number {i} with several more words",
+            f"https://site{i % 3}.example.com/p",
+            "srcA" if i % 2 == 0 else "srcB",
+        ))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, url string, source string"
+    )
+    src = tmp_path / "in_parquet"
+    docs.write.parquet(str(src))
+    out = tmp_path / "out_corpus"
+    cfg = {
+        "corpus": {
+            "input": str(src),
+            "output": str(out),
+            "url_col": "url",
+            "blocklist": ["site2.example.com"],
+            "line_dedup_min_count": 2,
+            "ppl_domain_col": "source",
+            "ppl_keep": ["head", "middle"],
+            "exact_dedup": False,
+        }
+    }
+    build_corpus_cmd(spark, cfg)
+    got = spark.read.parquet(str(out))
+    rows_out = got.collect()
+    assert all(r["doc_id"] % 3 != 2 for r in rows_out)      # blocklist
+    assert all("cookie banner" not in r["text"] for r in rows_out)
+    assert {r["ppl_bucket"] for r in rows_out} <= {"head", "middle"}
+    assert len(rows_out) > 0
