@@ -408,6 +408,12 @@ def main() -> None:
     runners.append(
         ("t24_blocklist", lambda: run_extra("t24_blocklist_hits"))
     )
+    runners.append(
+        ("t25_pack_sequences", lambda: run_extra("t25_pack_sequences"))
+    )
+    runners.append(
+        ("t26_epoch_repeat", lambda: run_extra("t26_epoch_repeat"))
+    )
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}

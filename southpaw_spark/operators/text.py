@@ -209,6 +209,24 @@ def sequence_packing(
     REAL BPE count from :func:`operators.bpe.with_bpe_token_count`)
     instead of the whitespace split — budgets at production are
     measured against the actual tokenizer."""
+    return _pack_assignments(
+        df, text_col, id_col, shard_col, token_budget, n_tokens_col, []
+    )
+
+
+def _pack_assignments(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shard_col: str,
+    token_budget: int,
+    n_tokens_col: str | None,
+    extra_cols: list[str],
+) -> DataFrame:
+    """The packing math shared by :func:`sequence_packing` (assignments
+    only) and :func:`pack_sequences` (which threads ``text_col``
+    through as an ``extra_col`` so materialization never pays a second
+    full-corpus join)."""
     n_tok = (
         F.col(n_tokens_col).cast("long")
         if n_tokens_col is not None
@@ -227,6 +245,54 @@ def sequence_packing(
         F.col(shard_col),
         n_tok.alias("n_tokens"),
         F.floor(preceding / token_budget).cast("long").alias("pack_id"),
+        *[F.col(c) for c in extra_cols],
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shard_col: str,
+    token_budget: int = 2048,
+    n_tokens_col: str | None = None,
+    separator: str = "<eos>",
+) -> DataFrame:
+    """MATERIALIZE the training sequences :func:`sequence_packing`
+    assigns (t25) — the last step of a corpus build: one row per
+    ``(shard, pack_id)`` with the pack's documents concatenated in
+    ``id_col`` order, ``separator``-joined, the literal examples a
+    training loader streams (GPT-style document packing; Raffel et al.
+    2020 §2.2 pack with EOS sentinels exactly like this). Output:
+    ``(shard, pack_id, n_docs, n_tokens, text)`` — ``n_tokens`` is the
+    sum of member documents' counts (the separator is tokenizer-
+    specific and NOT counted; budget accounting matches
+    :func:`sequence_packing`).
+
+    Scale: the pack assignment window (one shuffle on ``shard_col``)
+    feeds the group-by directly — ``(shard, pack_id)`` grouping is
+    satisfied by the shard partitioning, so Catalyst adds NO second
+    exchange, and the text never pays a join back. Per-pack state is
+    the pack's own documents (bounded by ``token_budget`` plus one
+    spanning doc), sorted in-memory via ``array_sort`` on (id, text)
+    structs — never a window re-sort."""
+    tagged = _pack_assignments(
+        df, text_col, id_col, shard_col, token_budget, n_tokens_col,
+        [text_col],
+    )
+    members = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col), F.col(text_col)))
+    )
+    return (
+        tagged.groupBy(shard_col, "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.array_join(
+                F.transform(members, lambda x: x[text_col]),
+                separator,
+            ).alias("text"),
+        )
     )
 
 
@@ -1151,3 +1217,83 @@ def perplexity_buckets(
         id_col, domain_col, "n_bigrams", "avg_logprob",
         expr.alias("ppl_bucket"),
     )
+
+
+def epoch_repeat_plan(
+    repeats: dict[str, float], default_repeat: float = 1.0
+) -> dict[str | None, tuple[int, int]]:
+    """Per-stratum ``(full_copies, extra_threshold)`` for
+    :func:`epoch_repeat` — the t20 exact-boundary discipline: a repeat
+    factor ``f`` becomes ``floor(f)`` guaranteed copies plus one more
+    iff ``hash_priority < floor(frac(f) · 2³²)``, with the fractional
+    part taken as an EXACT rational so any engine flooring the same
+    rational reproduces the threshold bit-for-bit. ``None`` keys the
+    default stratum. Shared by the operator and the registry oracle,
+    so the two can never drift."""
+    from fractions import Fraction
+
+    out: dict[str | None, tuple[int, int]] = {}
+    items = list(repeats.items()) + [(None, default_repeat)]
+    for name, f in items:
+        if f < 0:
+            raise ValueError(f"repeat factor must be >= 0; got {name}: {f}")
+        r = Fraction(f)
+        base = int(r)  # floor for non-negative
+        thr = int((r - base) * (1 << 32))
+        out[name] = (base, thr)
+    return out
+
+
+def epoch_repeat(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    repeats: dict[str, float],
+    default_repeat: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic multi-epoch upsampling (t26) — the data-mixing
+    step that repeats high-value strata across training epochs
+    (Wikipedia/books multi-epoch weighting in GPT-3, Brown et al.
+    2020; Gopher's per-source epoch counts, Rae et al. 2021 — public
+    papers): each document is emitted ``floor(f)`` times plus one more
+    iff its :func:`hash_priority` falls under the exact fractional
+    threshold, so a stratum with ``f = 2.5`` averages 2.5 copies with
+    a per-doc decision that is STABLE across rebuilds, retries and
+    partitionings (never ``rand()``). ``f < 1`` doubles as
+    downsampling (0 or 1 copies); ``f = 0`` drops the stratum.
+
+    Returns the input rows with ``copy_idx`` (0-based) — one output
+    row per emitted copy, so downstream shuffling/sharding (t16)
+    treats copies as independent examples; for
+    :func:`pipelines.write_shuffled_corpus` derive a copy-unique key
+    first (``concat(id, '#', copy_idx)``) so copies of one doc scatter
+    across the epoch permutation instead of landing adjacent. Pure
+    codegen: a when-chain over the bounded stratum map + one
+    ``explode(sequence)`` whose fan-out is the repeat factor — no
+    shuffle, no join, no state."""
+    plan = epoch_repeat_plan(repeats, default_repeat)
+    pri = hash_priority(id_col, salt)
+
+    def n_copies_for(base: int, thr: int):
+        n = F.lit(base) + (pri < F.lit(thr)).cast("int")
+        return n
+
+    expr = None
+    for name, (base, thr) in plan.items():
+        if name is None:
+            continue
+        cond = F.col(stratum_col) == F.lit(name)
+        expr = (
+            F.when(cond, n_copies_for(base, thr)) if expr is None
+            else expr.when(cond, n_copies_for(base, thr))
+        )
+    dbase, dthr = plan[None]
+    n = (
+        n_copies_for(dbase, dthr) if expr is None
+        else expr.otherwise(n_copies_for(dbase, dthr))
+    )
+    copies = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select("*", F.explode(copies).alias("copy_idx"))

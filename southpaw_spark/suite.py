@@ -4722,6 +4722,88 @@ T23_SQL = f"""
 """
 
 
+def t25_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized training sequences (t25,
+    `operators.text.pack_sequences`): the t09 pack assignments turned
+    into the literal examples a training loader streams — per
+    (lang, pack_id), member docs concatenated in id order with an
+    ``<eos>`` sentinel (Raffel et al. 2020 §2.2 packing). The hash
+    pins the full concatenated text of every pack, so member order,
+    boundaries and separators are all checked. One shuffle total: the
+    (shard, pack_id) group-by reuses the window's shard
+    partitioning."""
+    from southpaw_spark.operators.text import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, "text", "doc_id", "lang", token_budget=512,
+    )
+
+
+T25_SQL = """
+    WITH p AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, ' '))::BIGINT AS n_tokens,
+             FLOOR(COALESCE(SUM(len(string_split(text, ' ')))
+                     OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING),
+                   0) / 512)::BIGINT AS pack_id
+      FROM documents)
+    SELECT lang, pack_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens)::BIGINT AS n_tokens,
+           string_agg(text, '<eos>' ORDER BY doc_id) AS text
+    FROM p GROUP BY lang, pack_id
+"""
+
+
+def t26_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch upsampling (t26,
+    `operators.text.epoch_repeat` — GPT-3 / Gopher per-source epoch
+    weighting): en ×2.5, fr ×0.5, everything else ×1 — exercising
+    guaranteed copies, the fractional extra-copy hash threshold, AND
+    sub-1 downsampling in one hash. The oracle replays the md5
+    priority and the exact integer thresholds (epoch_repeat_plan is
+    shared, so operator and oracle cannot drift)."""
+    from southpaw_spark.operators.text import epoch_repeat
+
+    docs = _read(spark, sf_dir, "documents")
+    return epoch_repeat(
+        docs, "doc_id", "lang", {"en": 2.5, "fr": 0.5}, salt="er"
+    ).select("doc_id", "lang", "copy_idx")
+
+
+def _t26_sql() -> str:
+    from southpaw_spark.operators.text import epoch_repeat_plan
+
+    plan = epoch_repeat_plan({"en": 2.5, "fr": 0.5}, 1.0)
+    arms = " ".join(
+        f"WHEN lang = '{name}' THEN {base} + "
+        f"(CASE WHEN pri < {thr} THEN 1 ELSE 0 END)"
+        for name, (base, thr) in plan.items() if name is not None
+    )
+    dbase, dthr = plan[None]
+    return f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('er|' || CAST(doc_id AS VARCHAR)), 1, 8)
+             )::BIGINT AS pri
+      FROM documents),
+    n AS (
+      SELECT doc_id, lang,
+             CASE {arms}
+                  ELSE {dbase} + (CASE WHEN pri < {dthr} THEN 1 ELSE 0 END)
+             END AS n_copies
+      FROM h)
+    SELECT doc_id, lang, CAST(i AS INTEGER) AS copy_idx
+    FROM n, UNNEST(range(n_copies)) AS r(i)
+    """
+
+
+T26_SQL = _t26_sql()
+
+
 # The driver's correctness gate checks AT MOST 50 rows per round
 # (CORRECTNESS_r02 stopped at 50 of 54), so QUERIES stays pinned at
 # exactly 50: pushing new entries into it would silently uncheck tail
@@ -4780,6 +4862,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d22_line_dedup": d22_line_dedup,
     "t24_blocklist_hits": t24_blocklist_hits,
     "t23_perplexity_buckets": t23_perplexity_buckets,
+    "t25_pack_sequences": t25_pack_sequences,
+    "t26_epoch_repeat": t26_epoch_repeat,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -4835,4 +4919,6 @@ EXTRA_ORACLES: dict[str, str] = {
     "d22_line_dedup": D22_SQL,
     "t24_blocklist_hits": T24_SQL,
     "t23_perplexity_buckets": T23_SQL,
+    "t25_pack_sequences": T25_SQL,
+    "t26_epoch_repeat": T26_SQL,
 }

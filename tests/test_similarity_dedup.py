@@ -2419,3 +2419,104 @@ def test_blocklist_hits_and_filter(spark):
     assert row == [
         "cdn.site3.example.com", "site3.example.com", "example.com", "com"
     ]
+
+
+def test_pack_sequences_materializes_training_examples(spark):
+    """t25: packs concatenate member docs in id order with the
+    separator, boundaries follow sequence_packing exactly, n_tokens
+    excludes separators, and the plan pays ONE exchange (the group-by
+    reuses the window's shard partitioning)."""
+    from southpaw_spark.operators.text import (
+        pack_sequences,
+        sequence_packing,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "en"), (2, "d e", "en"), (3, "f g h i", "en"),
+            (4, "x y z w v", "fr"), (5, "q", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        (r["lang"], r["pack_id"]): (r["n_docs"], r["n_tokens"], r["text"])
+        for r in pack_sequences(
+            docs, "text", "doc_id", "lang", token_budget=5, separator="|"
+        ).collect()
+    }
+    assert out == {
+        ("en", 0): (2, 5, "a b c|d e"),
+        ("en", 1): (1, 4, "f g h i"),
+        ("fr", 0): (1, 5, "x y z w v"),
+        ("fr", 1): (1, 1, "q"),
+    }
+    # assignment parity with sequence_packing
+    assign = {
+        r["doc_id"]: r["pack_id"]
+        for r in sequence_packing(
+            docs, "text", "doc_id", "lang", token_budget=5
+        ).collect()
+    }
+    assert assign == {1: 0, 2: 0, 3: 1, 4: 0, 5: 1}
+    plan = (
+        pack_sequences(docs, "text", "doc_id", "lang", token_budget=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_epoch_repeat_deterministic_upsampling(spark):
+    """t26: floor(f) guaranteed copies + exact-threshold fractional
+    extra; f<1 downsamples; f=0 drops; default stratum x1; identical
+    output across reruns; negative factors rejected."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from southpaw_spark.operators.text import epoch_repeat
+
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("fr"), F.lit("zz"), F.lit("xx")),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    out = epoch_repeat(
+        docs, "doc_id", "lang", {"en": 2.5, "fr": 0.5, "zz": 0.0},
+        salt="s",
+    )
+    per = {
+        (r["lang"]): (r["mn"], r["mx"], r["total"])
+        for r in out.groupBy("doc_id", "lang").count()
+        .groupBy("lang")
+        .agg(F.min("count").alias("mn"), F.max("count").alias("mx"),
+             F.sum("count").alias("total"))
+        .collect()
+    }
+    assert per["en"][0] == 2 and per["en"][1] == 3   # 2 or 3 copies
+    assert per["fr"][0] == 1 and per["fr"][1] == 1   # survivors get 1
+    assert "zz" not in per                           # f=0 drops all
+    assert per["xx"] == (1, 1, 100)                  # default x1
+    assert 200 < per["en"][2] < 300                  # ~2.5 * 100
+    assert 20 < per["fr"][2] < 80                    # ~0.5 * 100
+    # copy_idx is dense 0..n-1 per doc
+    bad = out.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("copy_idx")).alias("c"),
+        F.count("*").alias("n"),
+    ).where(
+        F.col("c") != F.transform(
+            F.sequence(F.lit(0), F.col("n").cast("int") - 1),
+            lambda i: i.cast("int"),
+        )
+    ).count()
+    assert bad == 0
+    rerun = epoch_repeat(
+        docs, "doc_id", "lang", {"en": 2.5, "fr": 0.5, "zz": 0.0},
+        salt="s",
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, rerun.collect())
+    )
+    with pytest.raises(ValueError, match="repeat factor"):
+        epoch_repeat(docs, "doc_id", "lang", {"en": -1.0})
