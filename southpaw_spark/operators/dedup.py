@@ -2238,3 +2238,46 @@ def remove_duplicate_lines(
             .alias("n_tokens_after"),
         )
     )
+
+
+def cut_lines(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Apply a LINE-position spans frame ``(id_col,
+    spans array<struct<start,end>>)`` to a corpus: rebuild each
+    document with the covered LINES removed — :func:`cut_spans`'s
+    sibling with ``\\n`` as the unit (consumed by the streaming d22,
+    :class:`streaming.dedup_stream.IncrementalLineDeduper`, whose
+    updates carry line positions). Returns the input rows plus
+    ``{text_col}_clean``, ``n_lines_before``/``n_lines_after`` and
+    ``n_tokens_after`` — the exact :func:`remove_duplicate_lines`
+    output contract; docs absent from ``spans`` pass through
+    unchanged."""
+    lines = F.split(F.col(text_col), "\n")
+    sp = F.coalesce(
+        F.col("spans"),
+        F.expr("CAST(array() AS array<struct<start:int,`end`:int>>)"),
+    )
+    kept = F.filter(
+        lines,
+        lambda x, i: ~F.exists(
+            sp, lambda s: (i >= s["start"]) & (i < s["end"])
+        ),
+    )
+    clean = F.concat_ws("\n", kept)
+    return (
+        df.join(spans.select(F.col(id_col), "spans"), id_col, "left")
+        .select(
+            *[F.col(c) for c in df.columns],
+            clean.alias(f"{text_col}_clean"),
+            F.size(lines).cast("long").alias("n_lines_before"),
+            F.size(kept).cast("long").alias("n_lines_after"),
+            F.when(clean == "", F.lit(0))
+            .otherwise(F.size(F.split(clean, " ")))
+            .cast("long")
+            .alias("n_tokens_after"),
+        )
+    )

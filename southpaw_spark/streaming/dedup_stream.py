@@ -1728,3 +1728,91 @@ class IncrementalSpanDeduper:
     def close(self) -> None:
         """Release the last batch's cached update log."""
         self._release_prev()
+
+
+class IncrementalLineDeduper:
+    """Streaming counterpart of the batch line dedup (d22,
+    :func:`southpaw_spark.operators.dedup.remove_duplicate_lines` —
+    RefinedWeb's repeated-line removal): a line reaching ``min_count``
+    occurrences CORPUS-CUMULATIVELY flags every doc carrying it,
+    retroactively including earlier batches (a line is not boilerplate
+    until its second copy arrives; when it does, the first doc's line
+    must surface too).
+
+    Implementation: line dedup IS span dedup with the LINE as the
+    token — each document is re-tokenized so every line becomes ONE
+    token (its md5; empty lines get a per-occurrence unique sentinel
+    so they can never reach ``min_count`` — the d22 rule that
+    paragraph breaks are never boilerplate), and an internal
+    :class:`IncrementalSpanDeduper` with ``k=1`` supplies the whole
+    machinery: monotone counts, ≤ ``min_count−1`` stored occurrences
+    per line forever, bucket-pruned state, retroactive re-emission,
+    crash-consistent commits. Every scale property and the chunking-
+    invariance argument carry over verbatim — span evidence is
+    monotone, so cumulative per-doc flags equal the batch operator on
+    the union, whatever the batching.
+
+    ``process_batch`` returns ``(id_col, spans, n_spans, dup_lines)``
+    — LINE-position spans (apply with
+    :func:`operators.dedup.cut_lines`); :meth:`current_spans` reads
+    the cumulative same from state."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        min_count: int = 2,
+        auto_vacuum: bool = True,
+    ) -> None:
+        self.spark = spark
+        self.text_col = text_col
+        self.id_col = id_col
+        self.min_count = min_count
+        self._span = IncrementalSpanDeduper(
+            spark, store, text_col="__ltoks", id_col=id_col,
+            k=1, min_count=min_count, auto_vacuum=auto_vacuum,
+        )
+
+    @property
+    def metrics(self) -> dict:
+        return self._span.metrics
+
+    def _tokenize(self, docs: DataFrame) -> DataFrame:
+        lines = F.split(F.col(self.text_col), "\n")
+        tok = F.transform(
+            lines,
+            lambda line, i: F.when(
+                line == "",
+                F.md5(
+                    F.concat(
+                        F.col(self.id_col).cast("string"),
+                        F.lit("#"), i.cast("string"),
+                    ).cast("binary")
+                ),
+            ).otherwise(F.md5(line.cast("binary"))),
+        )
+        return docs.select(
+            F.col(self.id_col), F.concat_ws(" ", tok).alias("__ltoks")
+        )
+
+    def _rename(self, upd: DataFrame) -> DataFrame:
+        return upd.withColumnRenamed("dup_tokens", "dup_lines")
+
+    def process_batch(self, docs: DataFrame) -> DataFrame:
+        """Ingest one batch; return the line-span updates — one row per
+        document whose duplicated-line set changed, with its FULL
+        updated line-position spans."""
+        return self._rename(self._span.process_batch(
+            self._tokenize(docs)
+        ))
+
+    def current_spans(self) -> DataFrame:
+        """Cumulative per-doc duplicated-LINE spans from committed
+        state — equals the batch d22 flag set on everything ingested,
+        whatever the chunking."""
+        return self._rename(self._span.current_spans())
+
+    def close(self) -> None:
+        self._span.close()

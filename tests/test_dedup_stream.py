@@ -852,3 +852,91 @@ def test_best_quality_chunking_parity_fuzz(spark, tmp_path, swap_cap):
             if keeper != i:
                 assert fam_of[keeper] == fam_of[i], (i, keeper)
         d.close()
+
+
+def test_line_deduper_stream_equals_batch_any_chunking(spark, tmp_path):
+    """Streaming d22 (IncrementalLineDeduper): cumulative line flags
+    after ANY ordered chunking equal the batch remove_duplicate_lines
+    output on the whole corpus — including retroactive flags for docs
+    whose boilerplate line's second copy arrives in a LATER batch —
+    and cut_lines applies the updates to the exact batch contract."""
+    import random
+
+    from southpaw_spark.operators.dedup import (
+        cut_lines,
+        remove_duplicate_lines,
+    )
+    from southpaw_spark.streaming import ParquetStateStore
+    from southpaw_spark.streaming.dedup_stream import IncrementalLineDeduper
+
+    rng = random.Random(11)
+    boilers = ["cookie banner line", "subscribe footer", "nav | home"]
+    docs = []
+    for i in range(24):
+        lines = [f"unique opener {i} words here"]
+        if i % 2 == 0:
+            lines.append(boilers[i % 3])
+        if i % 6 == 0:
+            lines.append("")  # empty lines never flag
+        lines.append(f"body text {i} tail")
+        docs.append((i, "\n".join(lines)))
+    docs.append((100, boilers[0]))          # whole doc = boilerplate
+    full = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {
+        r["doc_id"]: (r["text_clean"], r["n_lines_after"])
+        for r in remove_duplicate_lines(full, "text", "doc_id").collect()
+    }
+
+    for trial in range(2):
+        order = docs[:]  # ids ascending within chunks, random cuts
+        cuts = sorted(rng.sample(range(1, len(order)), 3))
+        chunks = [
+            order[a:b]
+            for a, b in zip([0] + cuts, cuts + [len(order)])
+        ]
+        led = IncrementalLineDeduper(
+            spark,
+            ParquetStateStore(
+                spark, str(tmp_path / f"st{trial}"), n_buckets=4
+            ),
+        )
+        saw_update = False
+        for ch in chunks:
+            ub = led.process_batch(
+                spark.createDataFrame(ch, "doc_id long, text string")
+            )
+            saw_update = saw_update or ub.count() > 0
+        got = {
+            r["doc_id"]: (r["text_clean"], r["n_lines_after"])
+            for r in cut_lines(
+                full, led.current_spans(), "text", "doc_id"
+            ).collect()
+        }
+        led.close()
+        assert saw_update
+        assert got == want, trial
+
+
+def test_line_deduper_retroactive_update(spark, tmp_path):
+    """A doc whose boilerplate line arrives alone in batch 1 is
+    re-emitted when the second copy lands in batch 2, with its full
+    line spans; docs with no duplicated line never appear."""
+    from southpaw_spark.streaming import ParquetStateStore
+    from southpaw_spark.streaming.dedup_stream import IncrementalLineDeduper
+
+    led = IncrementalLineDeduper(
+        spark, ParquetStateStore(spark, str(tmp_path / "st"), n_buckets=4)
+    )
+    u1 = led.process_batch(spark.createDataFrame(
+        [(1, "keep\ncookie banner\nmore")], "doc_id long, text string"
+    ))
+    assert u1.count() == 0
+    u2 = {
+        r["doc_id"]: [(s["start"], s["end"]) for s in r["spans"]]
+        for r in led.process_batch(spark.createDataFrame(
+            [(2, "cookie banner\nfresh"), (3, "all clean here")],
+            "doc_id long, text string",
+        )).collect()
+    }
+    led.close()
+    assert u2 == {1: [(1, 2)], 2: [(0, 1)]}   # retro + new, not doc 3
