@@ -940,3 +940,57 @@ def test_line_deduper_retroactive_update(spark, tmp_path):
     }
     led.close()
     assert u2 == {1: [(1, 2)], 2: [(0, 1)]}   # retro + new, not doc 3
+
+
+def test_attach_line_deduper_file_source(spark, tmp_path):
+    """attach_dedup_stream rides the line deduper unchanged: a later
+    file micro-batch retro-surfaces the earlier batch's doc with its
+    duplicated-LINE spans through the sink."""
+    import json
+    import time
+
+    from southpaw_spark.streaming.dedup_stream import (
+        IncrementalLineDeduper,
+        attach_dedup_stream,
+    )
+
+    store = ParquetStateStore(spark, str(tmp_path / "st"), n_buckets=4)
+    d = IncrementalLineDeduper(spark, store)
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    results: dict = {}
+
+    def sink(updates, batch_id):
+        for r in updates.collect():
+            results[r["doc_id"]] = [
+                (s["start"], s["end"]) for s in r["spans"]
+            ]
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    query = attach_dedup_stream(
+        d, stream, checkpoint_dir=str(tmp_path / "ckpt"), sink=sink
+    )
+    try:
+        (src / "a.json").write_text(json.dumps(
+            {"doc_id": 1, "text": "keep\ncookie banner\nmore"}
+        ))
+        (src / "b.json").write_text(json.dumps(
+            {"doc_id": 2, "text": "cookie banner\nfresh stuff"}
+        ))
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            query.processAllAvailable()
+            if 2 in results:
+                break
+            time.sleep(1)
+    finally:
+        query.stop()
+        d.close()
+
+    assert results[1] == [(1, 2)]  # retro-flagged by batch b
+    assert results[2] == [(0, 1)]
