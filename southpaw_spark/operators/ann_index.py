@@ -217,3 +217,104 @@ def add_to_ann_index(
         F.concat(F.lit("p"), _bucket_str(bits[:pb])).alias("bprefix"),
     )
     rows.write.partitionBy("bprefix").mode("append").parquet(index_dir)
+
+
+_PQ_META = "_PQ_META.json"
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    index_dir: str,
+    vec_col: str,
+    id_col: str,
+    m_subspaces: int = 4,
+    n_codes: int = 16,
+    codebooks: DataFrame | None = None,
+) -> dict:
+    """Materialize a product-quantization index (the s09 machinery,
+    FAISS's `IndexPQ` shape) under ``index_dir`` — build-once /
+    query-many for the codebook-compression arm, completing this
+    module's persistence story (LSH buckets above, PQ codes here):
+
+    * ``codes/`` — one parquet row per (neighbor_id, m, code): the
+      whole corpus at ``m_subspaces`` small ints per vector, the
+      memory shape billion-vector serving uses (the full-precision
+      vectors stay in the corpus and are read only for the final
+      shortlist rescore);
+    * ``codebooks/`` — the ``m × n_codes`` centroids;
+    * ``_PQ_META.json`` — geometry (dim, m_subspaces, n_codes), so a
+      query session validates against the build.
+
+    ``codebooks`` defaults to the deterministic smallest-id rule
+    (shared helper with :func:`similarity.pq_topk`, so index answers
+    are IDENTICAL to the one-shot operator — pinned by test); pass
+    k-means-trained codebooks for production recall."""
+    import json as _json
+
+    from southpaw_spark.operators.similarity import (
+        _pq_default_codebooks,
+        _pq_encode,
+    )
+
+    spark = corpus.sparkSession
+    probe = corpus.select(F.col(vec_col)).first()
+    if probe is None or probe[0] is None:
+        raise ValueError(
+            f"build_pq_index: corpus is empty or first {vec_col!r} is "
+            "NULL — cannot infer the vector dimension"
+        )
+    dim = len(probe[0])
+    if dim % m_subspaces:
+        raise ValueError(
+            f"dim {dim} not divisible by m_subspaces {m_subspaces}"
+        )
+    sub = dim // m_subspaces
+    ms = spark.range(m_subspaces).select(F.col("id").cast("int").alias("m"))
+    if codebooks is None:
+        codebooks = _pq_default_codebooks(
+            corpus, vec_col, id_col, n_codes, ms, sub
+        )
+    codebooks = codebooks.cache()
+    codebooks.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "codebooks")
+    )
+    _pq_encode(corpus, vec_col, id_col, codebooks, ms, sub).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, "codes"))
+    codebooks.unpersist()
+    meta = {"dim": dim, "m_subspaces": m_subspaces, "n_codes": n_codes}
+    with open(os.path.join(index_dir, _PQ_META), "w") as f:
+        _json.dump(meta, f)
+    return meta
+
+
+def query_pq_index(
+    spark: SparkSession,
+    index_dir: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    oversample: int = 4,
+) -> DataFrame:
+    """Answer a query batch against a built PQ index: the stored codes
+    replace the encode pass (``pq_topk``'s ``codes`` seam), so per
+    query batch the work is the broadcast ADC scan over ``N·m`` small
+    ints plus the shortlist's exact-cosine rescore against the corpus
+    — identical output to running :func:`similarity.pq_topk` with the
+    same geometry (pinned by test). ``queries`` carries
+    (query_id, query_vec); output matches ``cosine_topk``."""
+    import json as _json
+
+    from southpaw_spark.operators.similarity import pq_topk
+
+    with open(os.path.join(index_dir, _PQ_META)) as f:
+        meta = _json.load(f)
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    codebooks = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+    return pq_topk(
+        corpus, queries, vec_col, id_col, k=k,
+        m_subspaces=meta["m_subspaces"], n_codes=meta["n_codes"],
+        codebooks=codebooks, oversample=oversample, codes=codes,
+    )

@@ -743,6 +743,62 @@ def _l2sq(a, b):
     )
 
 
+def _pq_subvecs(df: DataFrame, idc: str, vc: str, ms: DataFrame, sub: int):
+    """Per-(row, subspace) subvector slices — the shared projection
+    behind PQ encode, query tables, and default codebooks."""
+    return df.crossJoin(F.broadcast(ms)).select(
+        F.col(idc), "m",
+        F.slice(
+            F.col(vc).cast("array<double>"), F.col("m") * sub + 1, sub
+        ).alias("__sv"),
+    )
+
+
+def _pq_default_codebooks(
+    corpus: DataFrame, vec_col: str, id_col: str,
+    n_codes: int, ms: DataFrame, sub: int,
+) -> DataFrame:
+    """The DETERMINISTIC codebook rule shared by :func:`pq_topk` and
+    :func:`operators.ann_index.build_pq_index`: subvectors of the
+    ``n_codes`` smallest-id corpus vectors (oracle-reproducible; train
+    per-subspace k-means and pass codebooks in for production)."""
+    base = (
+        corpus.orderBy(id_col).limit(n_codes)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1)
+            .cast("int").alias("code"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+    )
+    return base.crossJoin(F.broadcast(ms)).select(
+        "m", "code",
+        F.slice(F.col("__v"), F.col("m") * sub + 1, sub).alias(
+            "centroid"
+        ),
+    )
+
+
+def _pq_encode(
+    corpus: DataFrame, vec_col: str, id_col: str,
+    codebooks: DataFrame, ms: DataFrame, sub: int,
+) -> DataFrame:
+    """PQ-encode the corpus: ``(neighbor_id, m, code)`` — nearest
+    codebook entry per subspace, the engine-exact min-struct argmin
+    (``(round(dist², 8), code)``). Shared by :func:`pq_topk` and the
+    persisted index build so the two can never drift."""
+    dist = _l2sq(F.col("__sv"), F.col("centroid"))
+    return (
+        _pq_subvecs(corpus, id_col, vec_col, ms, sub)
+        .join(F.broadcast(codebooks), "m")
+        .groupBy(F.col(id_col).alias("neighbor_id"), "m")
+        .agg(
+            F.min_by(
+                "code", F.struct(F.round(dist, 8).alias("d"), F.col("code"))
+            ).alias("code")
+        )
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -753,6 +809,7 @@ def pq_topk(
     n_codes: int = 16,
     codebooks: DataFrame | None = None,
     oversample: int = 4,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization ANN (s09, Jégou et al. 2011 "Product
     Quantization for Nearest Neighbor Search", public paper) — the
@@ -789,7 +846,18 @@ def pq_topk(
     rows); the ADC scan is the deliberate full-scan arm — O(N·m) joins
     against broadcast tables, no full-precision vectors moving —
     compose with IVF cells (s08's confinement) when N·Q is the
-    bottleneck; only the shortlist's float vectors are ever read."""
+    bottleneck; only the shortlist's float vectors are ever read.
+
+    ``codes`` (``(neighbor_id, m, code)``, from :func:`_pq_encode` /
+    a persisted index): skip the encode pass and score against the
+    stored codes — the build-once/query-many seam
+    (:func:`operators.ann_index.build_pq_index`); requires
+    ``codebooks``."""
+    if codes is not None and codebooks is None:
+        raise ValueError(
+            "codes without codebooks — stored codes are meaningless "
+            "without the codebooks that produced them"
+        )
     spark = corpus.sparkSession
     probe = corpus.select(F.col(vec_col)).first()
     if probe is None or probe[0] is None:
@@ -806,46 +874,18 @@ def pq_topk(
     sub = dim // m_subspaces
     ms = spark.range(m_subspaces).select(F.col("id").cast("int").alias("m"))
     if codebooks is None:
-        base = (
-            corpus.orderBy(id_col).limit(n_codes)
-            .select(
-                (F.row_number().over(Window.orderBy(id_col)) - 1)
-                .cast("int").alias("code"),
-                F.col(vec_col).cast("array<double>").alias("__v"),
-            )
+        codebooks = _pq_default_codebooks(
+            corpus, vec_col, id_col, n_codes, ms, sub
         )
-        codebooks = base.crossJoin(F.broadcast(ms)).select(
-            "m", "code",
-            F.slice(F.col("__v"), F.col("m") * sub + 1, sub).alias(
-                "centroid"
-            ),
-        )
-
-    def subvecs(df, idc, vc):
-        return df.crossJoin(F.broadcast(ms)).select(
-            F.col(idc), "m",
-            F.slice(
-                F.col(vc).cast("array<double>"), F.col("m") * sub + 1, sub
-            ).alias("__sv"),
-        )
-
+    if codes is None:
+        codes = _pq_encode(corpus, vec_col, id_col, codebooks, ms, sub)
     dist = _l2sq(F.col("__sv"), F.col("centroid"))
-    codes = (
-        subvecs(corpus, id_col, vec_col)
-        .join(F.broadcast(codebooks), "m")
-        .groupBy(F.col(id_col).alias("neighbor_id"), "m")
-        .agg(
-            F.min_by(
-                "code", F.struct(F.round(dist, 8).alias("d"), F.col("code"))
-            ).alias("code")
-        )
-    )
     qtable = (
-        subvecs(
+        _pq_subvecs(
             queries.select(
                 F.col("query_id"), F.col("query_vec")
             ),
-            "query_id", "query_vec",
+            "query_id", "query_vec", ms, sub,
         )
         .join(F.broadcast(codebooks), "m")
         .select("query_id", "m", "code", dist.alias("__qd"))

@@ -2520,3 +2520,54 @@ def test_epoch_repeat_deterministic_upsampling(spark):
     )
     with pytest.raises(ValueError, match="repeat factor"):
         epoch_repeat(docs, "doc_id", "lang", {"en": -1.0})
+
+
+def test_pq_index_build_query_parity(spark, tmp_path):
+    """Persisted PQ index == one-shot pq_topk with the same geometry
+    (build-once/query-many, FAISS IndexPQ shape): identical rows for
+    the same corpus/queries; geometry errors surface at build."""
+    import pytest
+
+    from southpaw_spark.operators.ann_index import (
+        build_pq_index,
+        query_pq_index,
+    )
+    from southpaw_spark.operators.similarity import pq_topk
+
+    def vec(i, dim=8):
+        return [((i * 31 + j * 17) % 97 - 48) / 48.0 for j in range(dim)]
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100 + i, vec(i * 7 + 3)) for i in range(4)],
+        "query_id long, query_vec array<double>",
+    )
+    meta = build_pq_index(
+        corpus, str(tmp_path / "pq"), "embedding", "vec_id",
+        m_subspaces=4, n_codes=8,
+    )
+    assert meta == {"dim": 8, "m_subspaces": 4, "n_codes": 8}
+    got = sorted(tuple(r) for r in query_pq_index(
+        spark, str(tmp_path / "pq"), corpus, queries,
+        "embedding", "vec_id", k=3,
+    ).collect())
+    want = sorted(tuple(r) for r in pq_topk(
+        corpus, queries, "embedding", "vec_id", k=3,
+        m_subspaces=4, n_codes=8,
+    ).collect())
+    assert got == want and len(got) == 12
+    with pytest.raises(ValueError, match="divisible"):
+        build_pq_index(
+            corpus, str(tmp_path / "pq2"), "embedding", "vec_id",
+            m_subspaces=3,
+        )
+    with pytest.raises(ValueError, match="codebooks"):
+        pq_topk(
+            corpus, queries, "embedding", "vec_id",
+            codes=spark.createDataFrame(
+                [], "neighbor_id long, m int, code int"
+            ),
+        )
