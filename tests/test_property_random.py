@@ -255,3 +255,124 @@ def test_engagement_ops_match_python_brute_force(spark):
             ).collect()
         }
         assert got_r == expect, trial
+
+
+def test_line_dedup_matches_python_brute_force(spark):
+    """Random corpora from a tiny line alphabet: duplicate_lines and
+    remove_duplicate_lines must equal an independent pure-Python
+    reference, for several min_count values, and be invariant to row
+    order/partitioning."""
+    from southpaw_spark.operators.dedup import (
+        duplicate_lines,
+        remove_duplicate_lines,
+    )
+
+    rng = random.Random(1107)
+    alphabet = [
+        "cookie banner", "nav home", "",  # empties never flag
+        "real prose alpha", "real prose beta", "footer text",
+    ]
+    for trial in range(3):
+        docs = []
+        for i in range(30):
+            n = rng.randint(1, 6)
+            docs.append(
+                (i, "\n".join(rng.choice(alphabet) for _ in range(n)))
+            )
+        for mc in (2, 3, 5):
+            # pure-Python reference
+            from collections import Counter
+
+            counts = Counter(
+                ln for _, t in docs for ln in t.split("\n") if ln != ""
+            )
+            dup = {ln for ln, c in counts.items() if c >= mc}
+            want_inv = {ln: c for ln, c in counts.items() if c >= mc}
+            want = {}
+            for i, t in docs:
+                lines = t.split("\n")
+                kept = [ln for ln in lines if ln == "" or ln not in dup]
+                clean = "\n".join(kept)
+                ntoks = 0 if clean == "" else len(clean.split(" "))
+                want[i] = (clean, len(lines), len(kept), ntoks)
+
+            sdf = spark.createDataFrame(
+                docs, "doc_id long, text string"
+            ).repartition(7).sortWithinPartitions(
+                F.col("doc_id").desc()
+            )
+            got_inv = {
+                r["line"]: r["n_occurrences"]
+                for r in duplicate_lines(
+                    sdf, "text", "doc_id", min_count=mc
+                ).collect()
+            }
+            assert got_inv == want_inv, (trial, mc)
+            got = {
+                r["doc_id"]: (
+                    r["text_clean"], r["n_lines_before"],
+                    r["n_lines_after"], r["n_tokens_after"],
+                )
+                for r in remove_duplicate_lines(
+                    sdf, "text", "doc_id", min_count=mc
+                ).collect()
+            }
+            assert got == want, (trial, mc)
+
+
+def test_blocklist_list_dataframe_parity_fuzz(spark):
+    """Random hosts × random blocklists: the codegen list form and the
+    broadcast-join DataFrame form must flag the identical doc set, and
+    both must equal a pure-Python suffix-chain reference."""
+    from southpaw_spark.operators.text import (
+        blocklist_filter,
+        blocklist_hits,
+    )
+
+    rng = random.Random(2411)
+    labels = ["a", "bb", "ccc", "www", "spam", "ok"]
+    tlds = ["com", "net", "org"]
+
+    def host(rng):
+        n = rng.randint(1, 4)
+        return ".".join(
+            [rng.choice(labels) for _ in range(n)] + [rng.choice(tlds)]
+        )
+
+    for trial in range(3):
+        docs = [
+            (i, f"https://{host(rng)}:{rng.choice(['', '8080'])or '443'}/p")
+            for i in range(40)
+        ]
+        blocked = list({host(rng) for _ in range(4)})
+        sdf = spark.createDataFrame(docs, "doc_id long, url string")
+        bdf = spark.createDataFrame([(b,) for b in blocked], "h string")
+
+        def suffixes(h):
+            parts = h.split(".")
+            return {".".join(parts[i:]) for i in range(len(parts))}
+
+        want_blocked = set()
+        for i, u in docs:
+            h = u.split("://")[1].split("/")[0].split(":")[0].lower()
+            if suffixes(h) & set(blocked):
+                want_blocked.add(i)
+
+        got_list = {
+            r["doc_id"]
+            for r in blocklist_hits(sdf, "url", "doc_id", blocked)
+            .select("doc_id").distinct().collect()
+        }
+        got_df = {
+            r["doc_id"]
+            for r in blocklist_hits(sdf, "url", "doc_id", bdf)
+            .select("doc_id").distinct().collect()
+        }
+        assert got_list == got_df == want_blocked, trial
+        kept = {
+            r["doc_id"]
+            for r in blocklist_filter(
+                sdf, "url", "doc_id", blocked
+            ).collect()
+        }
+        assert kept == {i for i, _ in docs} - want_blocked, trial
