@@ -365,19 +365,19 @@ def repetition_signals(
         dup_word_frac.alias("dup_word_frac"),
     ).where(F.size(w) >= 2)
 
-    # same ≥2-word guard as `base`: on a 1-word doc sequence(1, 0) yields
-    # [1, 0] and element_at(w, 0) raises — the row must be filtered, not
-    # exploded
-    bigrams = df.where(F.size(w) >= 2).select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(w, i), F.element_at(w, i + 1)
-                ),
-            )
-        ).alias("bg"),
+    # same ≥2-word guard as `base`; bigrams via arrays_zip of offset
+    # slices (codegen) rather than transform(sequence, element_at...),
+    # which runs interpreted per position — the same 5× constant fixed
+    # in bigram_lm_scores this round (round-11; d03 anti-lesson)
+    width = F.size(w) - 1
+    pairs = F.arrays_zip(F.slice(w, 1, width), F.slice(w, 2, width))
+    bigrams = (
+        df.where(F.size(w) >= 2)
+        .select(F.col(id_col), F.explode(pairs).alias("b"))
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", F.col("b.0"), F.col("b.1")).alias("bg"),
+        )
     )
     per_bg = bigrams.groupBy(id_col, "bg").agg(F.count("*").alias("c"))
     top = per_bg.groupBy(id_col).agg(
