@@ -318,3 +318,35 @@ def query_pq_index(
         m_subspaces=meta["m_subspaces"], n_codes=meta["n_codes"],
         codebooks=codebooks, oversample=oversample, codes=codes,
     )
+
+
+def add_to_pq_index(
+    new_vectors: DataFrame,
+    index_dir: str,
+    vec_col: str,
+    id_col: str,
+) -> None:
+    """Incrementally add vectors to a built PQ index — the continuous-
+    ingest path, symmetric with :func:`add_to_ann_index`: the new
+    vectors are encoded against the STORED codebooks (never re-derived,
+    so ``build(A)`` + ``add(B)`` answers queries identically to
+    ``build(A ∪ B)`` with those same codebooks — pinned by test) and
+    their code rows append to ``codes/``. Callers own id uniqueness
+    (appending an existing id duplicates it); codebook drift is the
+    rebuild trigger — when new data's distribution outgrows the trained
+    centroids, retrain and rebuild."""
+    import json as _json
+
+    from southpaw_spark.operators.similarity import _pq_encode
+
+    spark = new_vectors.sparkSession
+    with open(os.path.join(index_dir, _PQ_META)) as f:
+        meta = _json.load(f)
+    sub = meta["dim"] // meta["m_subspaces"]
+    ms = spark.range(meta["m_subspaces"]).select(
+        F.col("id").cast("int").alias("m")
+    )
+    codebooks = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+    _pq_encode(new_vectors, vec_col, id_col, codebooks, ms, sub).write.mode(
+        "append"
+    ).parquet(os.path.join(index_dir, "codes"))

@@ -2571,3 +2571,48 @@ def test_pq_index_build_query_parity(spark, tmp_path):
                 [], "neighbor_id long, m int, code int"
             ),
         )
+
+
+def test_pq_index_incremental_add_parity(spark, tmp_path):
+    """build(A) + add(B) answers queries identically to build(A∪B)
+    with the same (stored) codebooks — the continuous-ingest contract,
+    symmetric with the LSH index's add_to_ann_index."""
+    from southpaw_spark.operators.ann_index import (
+        add_to_pq_index,
+        build_pq_index,
+        query_pq_index,
+    )
+
+    def vec(i, dim=8):
+        return [((i * 29 + j * 13) % 89 - 44) / 44.0 for j in range(dim)]
+
+    a = spark.createDataFrame(
+        [(i, vec(i)) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    b = spark.createDataFrame(
+        [(i, vec(i)) for i in range(50, 80)],
+        "vec_id long, embedding array<double>",
+    )
+    both = a.unionByName(b)
+    queries = spark.createDataFrame(
+        [(200 + i, vec(i * 11 + 5)) for i in range(3)],
+        "query_id long, query_vec array<double>",
+    )
+    build_pq_index(a, str(tmp_path / "inc"), "embedding", "vec_id",
+                   m_subspaces=4, n_codes=8)
+    add_to_pq_index(b, str(tmp_path / "inc"), "embedding", "vec_id")
+    got = sorted(tuple(r) for r in query_pq_index(
+        spark, str(tmp_path / "inc"), both, queries,
+        "embedding", "vec_id", k=4,
+    ).collect())
+    # full rebuild with the SAME codebooks (the stored ones come from
+    # A's smallest ids; A ∪ B has the same smallest ids, so the default
+    # rule regenerates them identically here)
+    build_pq_index(both, str(tmp_path / "full"), "embedding", "vec_id",
+                   m_subspaces=4, n_codes=8)
+    want = sorted(tuple(r) for r in query_pq_index(
+        spark, str(tmp_path / "full"), both, queries,
+        "embedding", "vec_id", k=4,
+    ).collect())
+    assert got == want and len(got) == 12
