@@ -414,6 +414,10 @@ def main() -> None:
     runners.append(
         ("t26_epoch_repeat", lambda: run_extra("t26_epoch_repeat"))
     )
+    runners.append(
+        ("t27_ref_perplexity",
+         lambda: run_extra("t27_reference_perplexity"))
+    )
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}

@@ -392,27 +392,35 @@ def repetition_signals(
 
 
 def bigram_lm_scores(
-    df: DataFrame, text_col: str, id_col: str
+    df: DataFrame, text_col: str, id_col: str,
+    reference: DataFrame | None = None,
 ) -> DataFrame:
-    """Per-document mean log-probability under a corpus-trained
-    add-one-smoothed bigram LM → (id, n_bigrams, avg_logprob).
+    """Per-document mean log-probability under an add-one-smoothed
+    bigram LM → (id, n_bigrams, avg_logprob).
 
-    The in-domain fluency signal a quality pipeline uses where a real
-    LM is unavailable: shuffled/garbled text scores LOW because the
-    model punishes improbable word TRANSITIONS, which surface stats
+    The fluency signal a quality pipeline uses where a real LM is
+    unavailable: shuffled/garbled text scores LOW because the model
+    punishes improbable word TRANSITIONS, which surface stats
     (length/punctuation/entropy) cannot see. Docs under two words are
     dropped (no transition evidence).
 
+    ``reference``: train the counts on a CLEAN reference corpus (same
+    ``text_col``) instead of ``df`` itself — the actual CCNet recipe
+    (Wenzek et al. 2020 score Common Crawl with a Wikipedia-trained
+    LM); bigrams/contexts unseen in the reference get the add-one
+    floor (``c2=0``/``c1=0`` via left joins), so out-of-domain text
+    scores low instead of erroring. Default (None) keeps the
+    self-trained in-domain signal (t13's registry semantics).
+
     Plan: one bigram explode, two combiner-friendly count groupBys
-    (bigram, context), ONE equi-join back, one per-doc avg; the
-    vocabulary size is the single bounded scalar collected to the
-    driver. The context counts pre-join the bigram counts at bigram-
-    TYPE level (a types×contexts join, tiny next to occurrences), so
-    the occurrence stream shuffles through a single join instead of
-    two — measured 47.6 s → 29.2 s on the 50k-doc sf1 corpus,
-    identical output (same per-occurrence logp multiset, same ``avg``;
-    round-11). At 100 TB the count tables shuffle on their keys and
-    AQE picks SMJ — nothing is corpus × corpus."""
+    (bigram, context), ONE equi-join back (self-trained; the context
+    counts pre-join the bigram counts at bigram-TYPE level — a
+    types×contexts join, tiny next to occurrences — measured 47.6 s →
+    29.2 s on the 50k-doc sf1 corpus before the zip-slice fix) or two
+    LEFT joins (reference arm — unseen bigrams can't live in a type
+    table), one per-doc avg; the vocabulary size is the single bounded
+    scalar collected to the driver. At 100 TB the count tables shuffle
+    on their keys and AQE picks SMJ — nothing is corpus × corpus."""
     w = F.split(F.col(text_col), " ")
     # bigram construction = arrays_zip of two offset slices (the §18
     # shingles() form), NOT transform(sequence, element_at...): the
@@ -430,20 +438,53 @@ def bigram_lm_scores(
             F.col("b.1").alias("w2"),
         )
     )
-    cnt2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    cnt1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    if reference is not None:
+        rw = F.split(F.col(text_col), " ")
+        rwidth = F.size(rw) - 1
+        rpairs = F.arrays_zip(
+            F.slice(rw, 1, rwidth), F.slice(rw, 2, rwidth)
+        )
+        train = (
+            reference.where(F.size(rw) >= 2)
+            .select(F.explode(rpairs).alias("b"))
+            .select(F.col("b.0").alias("w1"), F.col("b.1").alias("w2"))
+        )
+        vocab_src = reference.select(F.explode(rw).alias("t"))
+    else:
+        train = big
+        vocab_src = df.select(F.explode(w).alias("t"))
+    cnt2 = train.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    cnt1 = train.groupBy("w1").agg(F.count("*").alias("c1"))
     vocab = (
-        df.select(F.explode(w).alias("t"))
-        .agg(F.countDistinct("t").alias("v"))
-        .collect()[0]["v"]
+        vocab_src.agg(F.countDistinct("t").alias("v")).collect()[0]["v"]
     )
     logp = F.log((F.col("c2") + 1.0) / (F.col("c1") + F.lit(float(vocab))))
-    # pre-join the counts at bigram-TYPE level (types ≪ occurrences),
-    # so the occurrence stream pays ONE join, not two
-    types = cnt2.join(cnt1, "w1").select("w1", "w2", logp.alias("__lp"))
+    if reference is not None:
+        # reference arm: unseen (w1, w2) / unseen w1 take the add-one
+        # floor, so the occurrence stream LEFT-joins both count tables
+        scored = (
+            big.join(cnt2, ["w1", "w2"], "left")
+            .join(cnt1, "w1", "left")
+            .select(
+                id_col,
+                F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + 1.0)
+                    / (
+                        F.coalesce(F.col("c1"), F.lit(0))
+                        + F.lit(float(vocab))
+                    )
+                ).alias("__lp"),
+            )
+        )
+    else:
+        # pre-join the counts at bigram-TYPE level (types ≪
+        # occurrences), so the occurrence stream pays ONE join, not two
+        types = cnt2.join(cnt1, "w1").select(
+            "w1", "w2", logp.alias("__lp")
+        )
+        scored = big.join(types, ["w1", "w2"]).select(id_col, "__lp")
     return (
-        big.join(types, ["w1", "w2"])
-        .groupBy(id_col)
+        scored.groupBy(id_col)
         .agg(
             F.count("*").alias("n_bigrams"),
             F.round(F.avg("__lp"), 6).alias("avg_logprob"),
@@ -1153,6 +1194,7 @@ def perplexity_buckets(
     domain_col: str,
     cuts: tuple = (1 / 3, 2 / 3),
     labels: tuple = ("head", "middle", "tail"),
+    reference: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style per-domain perplexity stratification (t23 — Wenzek
     et al. 2020 "CCNet: Extracting High Quality Monolingual Datasets
@@ -1170,7 +1212,9 @@ def perplexity_buckets(
     ``ceil(cut · n)``, and ties rank on the ROUNDED score + id, so the
     assignment is bit-deterministic. Docs under two words carry no
     transition evidence and are EXCLUDED (t13's rule) — gate short
-    docs with ``min_tokens`` upstream.
+    docs with ``min_tokens`` upstream. ``reference`` trains the LM on
+    a clean reference corpus instead of ``df`` (the full CCNet recipe
+    — see :func:`bigram_lm_scores`).
 
     Output: ``(id, domain, n_bigrams, avg_logprob, ppl_bucket)``.
 
@@ -1193,7 +1237,7 @@ def perplexity_buckets(
         )
     from pyspark.sql import Window
 
-    scores = bigram_lm_scores(df, text_col, id_col)
+    scores = bigram_lm_scores(df, text_col, id_col, reference=reference)
     joined = df.select(F.col(id_col), F.col(domain_col)).join(
         scores, id_col
     )

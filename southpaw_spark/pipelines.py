@@ -201,6 +201,7 @@ def build_corpus(
     ppl_cuts: tuple = (1 / 3, 2 / 3),
     ppl_labels: tuple = ("head", "middle", "tail"),
     ppl_keep: list[str] | None = None,
+    ppl_reference: DataFrame | None = None,
     sample_rates: dict[str, float] | None = None,
     sample_default_rate: float = 0.0,
     sample_salt: str = "",
@@ -275,8 +276,10 @@ def build_corpus(
     doc-level dedup, docs emptied are dropped); ``ppl_domain_col``
     annotates every surviving doc with a CCNet perplexity bucket
     (:func:`perplexity_buckets` — the corpus-trained bigram LM ranked
-    per domain, ``ppl_cuts``/``ppl_labels``; runs AFTER dedup so the
-    LM trains on the deduplicated corpus, CCNet's order) as
+    per domain, ``ppl_cuts``/``ppl_labels``; ``ppl_reference`` trains
+    the LM on a clean reference corpus instead — the full CCNet
+    recipe; runs AFTER dedup so a self-trained LM sees the
+    deduplicated corpus, CCNet's order) as
     ``ppl_bucket`` + ``avg_logprob``, and ``ppl_keep`` optionally
     gates to the named buckets (docs under two words have no LM
     evidence, bucket NULL, and a ``ppl_keep`` gate drops them — gate
@@ -559,7 +562,7 @@ def build_corpus(
 
         buckets = perplexity_buckets(
             cur, text_col, id_col, ppl_domain_col,
-            cuts=ppl_cuts, labels=ppl_labels,
+            cuts=ppl_cuts, labels=ppl_labels, reference=ppl_reference,
         ).select(F.col(id_col), "avg_logprob", "ppl_bucket")
         cur = cur.join(buckets, id_col, "left")
         if ppl_keep is not None:

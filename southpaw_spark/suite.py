@@ -4804,6 +4804,51 @@ def _t26_sql() -> str:
 T26_SQL = _t26_sql()
 
 
+def t27_reference_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-trained LM scoring (t27,
+    `operators.text.bigram_lm_scores(reference=...)`) — the full CCNet
+    recipe (Wenzek et al. 2020): the bigram LM trains on a CLEAN
+    reference corpus (here the en subset) and scores EVERY document;
+    bigrams/contexts unseen in the reference take the add-one floor,
+    so out-of-domain text scores low instead of erroring. The oracle
+    replays the reference counts and the left-join floor in SQL."""
+    from southpaw_spark.operators.text import bigram_lm_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    return bigram_lm_scores(
+        docs, "text", "doc_id", reference=docs.where(F.col("lang") == "en")
+    )
+
+
+T27_SQL = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    big AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM toks, UNNEST(range(1, len(ws))) AS r(i)
+      WHERE len(ws) >= 2),
+    rtoks AS (
+      SELECT string_split(text, ' ') AS ws FROM documents
+      WHERE lang = 'en'),
+    rbig AS (
+      SELECT ws[i] AS w1, ws[i + 1] AS w2
+      FROM rtoks, UNNEST(range(1, len(ws))) AS r(i)
+      WHERE len(ws) >= 2),
+    cnt2 AS (SELECT w1, w2, count(*) AS c2 FROM rbig GROUP BY w1, w2),
+    cnt1 AS (SELECT w1, count(*) AS c1 FROM rbig GROUP BY w1),
+    vocab AS (
+      SELECT count(DISTINCT t) AS v
+      FROM (SELECT unnest(ws) AS t FROM rtoks))
+    SELECT big.doc_id, count(*) AS n_bigrams,
+           ROUND(AVG(ln((COALESCE(c2, 0) + 1.0)
+                        / (COALESCE(c1, 0) + v))), 6) AS avg_logprob
+    FROM big
+    LEFT JOIN cnt2 USING (w1, w2)
+    LEFT JOIN cnt1 USING (w1), vocab
+    GROUP BY big.doc_id
+"""
+
+
 # The driver's correctness gate checks AT MOST 50 rows per round
 # (CORRECTNESS_r02 stopped at 50 of 54), so QUERIES stays pinned at
 # exactly 50: pushing new entries into it would silently uncheck tail
@@ -4864,6 +4909,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t23_perplexity_buckets": t23_perplexity_buckets,
     "t25_pack_sequences": t25_pack_sequences,
     "t26_epoch_repeat": t26_epoch_repeat,
+    "t27_reference_perplexity": t27_reference_perplexity,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -4921,4 +4967,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "t23_perplexity_buckets": T23_SQL,
     "t25_pack_sequences": T25_SQL,
     "t26_epoch_repeat": T26_SQL,
+    "t27_reference_perplexity": T27_SQL,
 }

@@ -1067,3 +1067,44 @@ def test_build_corpus_cmd_round11_keys(spark, tmp_path):
     assert all("cookie banner" not in r["text"] for r in rows_out)
     assert {r["ppl_bucket"] for r in rows_out} <= {"head", "middle"}
     assert len(rows_out) > 0
+
+
+def test_build_corpus_ppl_reference_arm(spark, sf_dir):
+    """ppl_reference trains the bucket LM on a clean reference corpus
+    (the full CCNet recipe) — stage output matches the standalone
+    operator with the same reference on the same survivor set, and
+    differs from the self-trained arm."""
+    from southpaw_spark.operators.text import perplexity_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = docs.where(F.col("lang") == "en")
+    kept, _ = build_corpus(
+        docs, min_tokens=2, exact_dedup=True,
+        ppl_domain_col="source", ppl_reference=ref,
+        collect_report=True,
+    )
+    got = {
+        r["doc_id"]: (r["ppl_bucket"], r["avg_logprob"])
+        for r in kept.collect()
+    }
+    kept.unpersist()
+    kept2, _ = build_corpus(
+        docs, min_tokens=2, exact_dedup=True, collect_report=True,
+    )
+    want = {
+        r["doc_id"]: (r["ppl_bucket"], r["avg_logprob"])
+        for r in perplexity_buckets(
+            kept2, "text", "doc_id", "source", reference=ref
+        ).collect()
+    }
+    self_trained = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in perplexity_buckets(
+            kept2, "text", "doc_id", "source"
+        ).collect()
+    }
+    kept2.unpersist()
+    assert got == want
+    assert any(
+        got[i][1] != self_trained[i] for i in got
+    )  # the reference arm is a different model
