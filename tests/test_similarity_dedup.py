@@ -2616,3 +2616,34 @@ def test_pq_index_incremental_add_parity(spark, tmp_path):
         "embedding", "vec_id", k=4,
     ).collect())
     assert got == want and len(got) == 12
+
+
+def test_round11_operators_empty_input_behavior(spark):
+    """Every round-11 operator degrades to an empty (not erroring)
+    result on empty input, and the LM-based ops return empty when no
+    doc carries bigram evidence."""
+    from southpaw_spark.operators.dedup import (
+        duplicate_lines,
+        remove_duplicate_lines,
+    )
+    from southpaw_spark.operators.text import (
+        blocklist_filter,
+        epoch_repeat,
+        pack_sequences,
+        perplexity_buckets,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert duplicate_lines(empty, "text", "doc_id").count() == 0
+    assert remove_duplicate_lines(empty, "text", "doc_id").count() == 0
+    e2 = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert pack_sequences(e2, "text", "doc_id", "lang").count() == 0
+    assert epoch_repeat(e2, "doc_id", "lang", {"en": 2.0}).count() == 0
+    assert perplexity_buckets(e2, "text", "doc_id", "lang").count() == 0
+    e3 = spark.createDataFrame([], "doc_id long, url string")
+    assert blocklist_filter(e3, "url", "doc_id", ["x.com"]).count() == 0
+    one = spark.createDataFrame(
+        [(1, "solo")], "doc_id long, text string"
+    ).withColumn("lang", F.lit("en"))
+    # a 1-word doc has no transition evidence -> excluded, empty result
+    assert perplexity_buckets(one, "text", "doc_id", "lang").count() == 0
