@@ -941,3 +941,36 @@ def pq_topk(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+def ann_recall(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """recall@k per query (s10) — the acceptance metric every ANN
+    rollout runs before trading exactness for speed (Jégou et al. 2011
+    report recall@R for PQ; FAISS benchmarks likewise): given an
+    approximate and an exact result frame, both carrying
+    ``(query_id, neighbor_id, rank)``, recall@k is
+    ``|approx top-k ∩ exact top-k| / k``. Queries present in ``exact``
+    but missing from ``approx`` (e.g. an empty probe set) score 0.
+    Output ``(query_id, n_hits, recall)``, recall rounded 6.
+
+    Plan: one semi-join on (query, neighbor) + one combiner groupBy —
+    both frames are top-k lists (Q·k rows), so this is benchmark-sized
+    work regardless of corpus size, and AQE broadcasts the smaller
+    side."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    a = approx.where(F.col("rank") <= k).select("query_id", "neighbor_id")
+    e = exact.where(F.col("rank") <= k).select("query_id", "neighbor_id")
+    hits = (
+        e.join(a, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qs = e.select("query_id").distinct()
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k)), 6
+        ).alias("recall"),
+    )

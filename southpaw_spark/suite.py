@@ -4849,6 +4849,37 @@ T27_SQL = """
 """
 
 
+def s10_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k evaluation (s10, `operators.similarity.ann_recall`) —
+    the acceptance metric every ANN rollout runs: per-query
+    |approx ∩ exact| / k with the s02 LSH arm as approx and the s01
+    exact scan as truth. Both inputs are deterministic registry rows,
+    so the recall values themselves are engine-checkable."""
+    from southpaw_spark.operators.similarity import ann_recall
+
+    return ann_recall(
+        s02_ivf_topk(spark, sf_dir), s01_cosine_topk(spark, sf_dir), k=5
+    )
+
+
+S10_SQL = f"""
+    WITH ex AS ({S01_SQL}),
+    ap AS ({S02_SQL}),
+    hits AS (
+      SELECT ex.query_id, count(*) AS c
+      FROM ex JOIN ap
+        ON ex.query_id = ap.query_id
+       AND ex.neighbor_id = ap.neighbor_id
+      WHERE ex.rank <= 5 AND ap.rank <= 5
+      GROUP BY ex.query_id)
+    SELECT q.query_id,
+           COALESCE(c, 0)::BIGINT AS n_hits,
+           ROUND(COALESCE(c, 0) / 5.0, 6) AS recall
+    FROM (SELECT DISTINCT query_id FROM ex) q
+    LEFT JOIN hits USING (query_id)
+"""
+
+
 # The driver's correctness gate checks AT MOST 50 rows per round
 # (CORRECTNESS_r02 stopped at 50 of 54), so QUERIES stays pinned at
 # exactly 50: pushing new entries into it would silently uncheck tail
@@ -4910,6 +4941,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t25_pack_sequences": t25_pack_sequences,
     "t26_epoch_repeat": t26_epoch_repeat,
     "t27_reference_perplexity": t27_reference_perplexity,
+    "s10_ann_recall": s10_ann_recall,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -4968,4 +5000,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "t25_pack_sequences": T25_SQL,
     "t26_epoch_repeat": T26_SQL,
     "t27_reference_perplexity": T27_SQL,
+    "s10_ann_recall": S10_SQL,
 }

@@ -2647,3 +2647,30 @@ def test_round11_operators_empty_input_behavior(spark):
     ).withColumn("lang", F.lit("en"))
     # a 1-word doc has no transition evidence -> excluded, empty result
     assert perplexity_buckets(one, "text", "doc_id", "lang").count() == 0
+
+
+def test_ann_recall_semantics(spark):
+    """s10: recall@k counts the approx∩exact overlap per query, missing
+    queries score 0, ranks beyond k are ignored, k<1 rejected."""
+    import pytest
+
+    from southpaw_spark.operators.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2), (2, 22, 3),
+         (1, 99, 4)],  # rank 4 ignored at k=3
+        "query_id long, neighbor_id long, rank long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10, 1), (1, 12, 2), (1, 77, 3),
+         (1, 11, 4)],  # 11 found only at rank 4 -> not in top-3
+        "query_id long, neighbor_id long, rank long",
+    )
+    out = {
+        r["query_id"]: (r["n_hits"], r["recall"])
+        for r in ann_recall(approx, exact, k=3).collect()
+    }
+    assert out == {1: (2, 0.666667), 2: (0, 0.0)}
+    with pytest.raises(ValueError, match="k"):
+        ann_recall(approx, exact, k=0)
