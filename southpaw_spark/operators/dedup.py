@@ -624,6 +624,9 @@ def hamming_near_pairs(
     for j in range(nb):
         start = j * width
         w = bits - start if j == nb - 1 else width
+        if w >= 64:  # nb == 1 over 64-bit sigs: (1<<64)-1 overflows a
+            band_vals.append(F.col(sig_col))  # long; band = signature
+            continue
         mask = (1 << w) - 1
         band_vals.append(
             F.shiftright(F.col(sig_col), start).bitwiseAND(F.lit(mask))

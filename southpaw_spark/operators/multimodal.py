@@ -1097,6 +1097,8 @@ def video_near_duplicates(
 
     def band_val(col, k):
         width = base if k < bands - 1 else 64 - base * (bands - 1)
+        if width >= 64:  # bands == 1: (1<<64)-1 overflows a long; the
+            return col.cast("long")  # whole signature IS the band
         mask = (1 << width) - 1
         return F.shiftrightunsigned(col.cast("long"), k * base).bitwiseAND(
             F.lit(mask).cast("long")

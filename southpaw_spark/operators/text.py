@@ -694,6 +694,10 @@ def url_duplicates(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
     c = canonical_url(F.col(url_col))
     return (
         df.select(c.alias("canonical_url"), F.col(id_col))
+        # NULL url ⇒ NULL canonical form; groupBy would lump every such
+        # doc into ONE dedup group — no evidence is not a match, so
+        # null-canonical rows never report as duplicates
+        .where(F.col("canonical_url").isNotNull())
         .groupBy("canonical_url")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -1184,7 +1188,12 @@ def blocklist_filter(
     if not blk:
         raise ValueError("blocked list is empty — pass >= 1 domain")
     lit_arr = F.array(*[F.lit(d) for d in blk])
-    return df.where(~F.arrays_overlap(keys, lit_arr))
+    # NULL url ⇒ NULL host ⇒ NULL arrays_overlap, and where() drops
+    # NULL predicates — coalesce to False so no-evidence rows pass
+    # through, matching the DataFrame-arm left_anti semantics.
+    return df.where(
+        ~F.coalesce(F.arrays_overlap(keys, lit_arr), F.lit(False))
+    )
 
 
 def perplexity_buckets(

@@ -138,6 +138,15 @@ def decontaminate_docs(
             docs, benchmark, text_col, id_col, n=n, threshold=thr,
             corpus_shingles=corpus_shingles,
         ).select(id_col)
+        if corpus_shingles is not None:
+            # Consume the caller's shared shingle cache NOW and truncate
+            # the lineage to the (small) flagged-id set: the caller
+            # unpersists the inventory after its own consumers run, and
+            # the survivors' anti-join must not lazily re-derive the
+            # shingles on the final action (it would silently degrade
+            # the shared-inventory optimization to two shinglings when
+            # no intermediate count materializes this branch).
+            flagged = flagged.localCheckpoint(eager=True)
         return docs.join(flagged, id_col, "left_anti"), stats
     # "cut": surgical scrub — locate the leaked passages (d17) and cut
     # them out, keeping the rest of the doc; docs scrubbed to nothing
@@ -425,13 +434,21 @@ def build_corpus(
         # surface URLs; keeper = min id per canonical form (t18)
         from southpaw_spark.operators.text import canonical_url
 
+        keyed = cur.select(
+            F.col(id_col), canonical_url(F.col(url_col)).alias("__cu")
+        )
+        # NULL url ⇒ NULL canonical form: those docs carry no URL
+        # identity evidence and must ALL survive this stage — a plain
+        # groupBy would collapse them into one keeper (the blocklist
+        # NULL bug's sibling)
         keep_ids = (
-            cur.select(
-                F.col(id_col), canonical_url(F.col(url_col)).alias("__cu")
-            )
+            keyed.where(F.col("__cu").isNotNull())
             .groupBy("__cu")
             .agg(F.min(id_col).alias(id_col))
             .select(id_col)
+            .unionByName(
+                keyed.where(F.col("__cu").isNull()).select(id_col)
+            )
         )
         cur = note("url_dedup", cur.join(keep_ids, id_col, "left_semi"))
 
@@ -495,9 +512,11 @@ def build_corpus(
         # anything downstream
         release(pairs)
         if shared_shingles is not None:
-            # both consumers (the decontaminate anti-join lineage and
-            # the pairs build) have executed by now — the shared
-            # inventory is done
+            # both consumers have executed by now — decontaminate_docs
+            # eagerly localCheckpoints its flagged-id set (so the
+            # anti-join lineage no longer references the inventory,
+            # regardless of collect_report), and connected_components
+            # consumed the pairs build — the shared inventory is done
             shared_shingles.unpersist()
         if fuzzy_keep == "best_quality":
             # keep each near-dup family's HIGHEST-QUALITY member (ties →

@@ -126,10 +126,12 @@ def iter_warc_records(
                     f"truncated payload: wanted {length}, "
                     f"got {len(payload)}"
                 )
-        except (ValueError, EOFError, OSError):
-            # gzip truncation surfaces as EOFError / gzip.BadGzipFile
-            # (an OSError subclass), not just ValueError — lenient mode
-            # must swallow all three for wild-crawl tail members
+        except (ValueError, EOFError, gzip.BadGzipFile):
+            # gzip truncation surfaces as EOFError / gzip.BadGzipFile,
+            # not just ValueError — lenient mode swallows exactly those
+            # for wild-crawl tail members. Unrelated OSErrors (a real
+            # transient I/O fault mid-archive) still propagate so a
+            # flaky read is never mistaken for a truncated tail.
             if strict:
                 raise
             return

@@ -638,3 +638,16 @@ def test_video_near_dup_bands_lossless_above_hamming_3(spark):
             video_near_duplicates(
                 df, "content", "doc_id", max_hamming=bad
             ).collect()
+    # r11-ADVICE regression: max_hamming=0 is legal (exact-hash match
+    # only) — bands=1 makes the single band the FULL 64-bit signature,
+    # which must not build a (1<<64)-1 literal (long overflow at plan
+    # time). Identical clips pair; the d-bit-distant clip does not.
+    df0 = spark.createDataFrame(
+        [(1, container([pa])), (2, container([pa])), (3, container([pb]))],
+        "doc_id long, content binary",
+    )
+    exact = video_near_duplicates(
+        df0, "content", "doc_id",
+        max_hamming=0, min_match_frac=1.0, frame_stride=1,
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in exact] == [(1, 2)]

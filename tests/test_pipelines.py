@@ -450,6 +450,26 @@ def test_build_corpus_url_dedup_and_temperature_mix_stages(spark, sf_dir):
     # keeper is the min id of each pair => all even doc_ids
     assert kept.where(F.col("doc_id") % 2 == 1).count() == 0
 
+    # NULL urls carry no URL identity: every null-url doc must survive
+    # url_dedup (a plain groupBy would collapse them into one keeper)
+    # and url_duplicates must never report a NULL-canonical group
+    from southpaw_spark.operators.text import url_duplicates
+
+    nurl = docs.withColumn(
+        "url",
+        F.when(F.col("doc_id") % 3 == 0, url).otherwise(
+            F.lit(None).cast("string")
+        ),
+    )
+    n_null = nurl.where(F.col("url").isNull()).count()
+    kept_n, report_n = build_corpus(nurl, url_col="url", exact_dedup=False)
+    assert kept_n.where(F.col("url").isNull()).count() == n_null
+    assert (
+        url_duplicates(nurl, "url", "doc_id")
+        .where(F.col("canonical_url").isNull()).count() == 0
+    )
+    kept_n.unpersist()
+
     # the mixed sample hits the budgets temperature_budgets derives
     # from the POST-url-dedup corpus
     survivors = wurl.where(F.col("doc_id") % 2 == 0)
@@ -1025,6 +1045,62 @@ def test_build_corpus_shared_shingle_inventory(spark, monkeypatch):
     )
     assert shared_ids == want_ids
     assert 1 not in shared_ids  # decontaminated (edited benchmark copy)
+
+
+def test_fuzzy_decontaminate_truncates_shared_inventory_lineage(spark):
+    """r11-ADVICE regression: with a shared corpus_shingles inventory,
+    decontaminate_docs eagerly localCheckpoints its flagged-id set, so
+    the survivors' plan no longer references the cached inventory (no
+    InMemoryRelation) and stays correct — and cheap — after the caller
+    unpersists it. Before the fix, build_corpus(collect_report=False)
+    evicted the cache while the anti-join was still lazy and the
+    shared-shingle optimization silently degraded to two shinglings."""
+    from southpaw_spark.operators.dedup import shingles
+    from southpaw_spark.pipelines import build_corpus, decontaminate_docs
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lamda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    w = base.split()
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "totally different content with many other words here"),
+            (3, "yet another unrelated page of fresh and clean prose"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, " ".join(w[2:12] + ["CHANGED"] + w[13:]))],
+        "doc_id long, text string",
+    )
+    inv = shingles(docs, "text", "doc_id", 3).persist()
+    cleaned, _ = decontaminate_docs(
+        docs, bench, mode="fuzzy", max_contamination_rate=0.5, n=3,
+        text_col="text", id_col="doc_id", corpus_shingles=inv,
+    )
+    plan = cleaned._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" not in plan, plan  # lineage truncated
+    inv.unpersist()  # cache gone BEFORE the survivors materialize
+    assert sorted(
+        r["doc_id"] for r in cleaned.select("doc_id").collect()
+    ) == [2, 3]
+
+    # end-to-end: the shared path with collect_report=False (zero
+    # intermediate materialization inside build_corpus) returns the
+    # same survivors as the reporting path
+    kw = dict(
+        benchmark=bench, decontaminate_mode="fuzzy",
+        max_contamination_rate=0.5, contamination_n=3,
+        fuzzy_threshold=0.7, fuzzy_n=3, exact_dedup=False,
+    )
+    lazy, rep = build_corpus(docs, collect_report=False, **kw)
+    eager, _ = build_corpus(docs, collect_report=True, **kw)
+    assert rep == {}
+    assert sorted(r["doc_id"] for r in lazy.select("doc_id").collect()) \
+        == sorted(r["doc_id"] for r in eager.select("doc_id").collect())
+    eager.unpersist()
 
 
 def test_build_corpus_cmd_round11_keys(spark, tmp_path):

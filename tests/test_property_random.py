@@ -344,6 +344,9 @@ def test_blocklist_list_dataframe_parity_fuzz(spark):
             (i, f"https://{host(rng)}:{rng.choice(['', '8080'])or '443'}/p")
             for i in range(40)
         ]
+        # r11-ADVICE: NULL urls must survive BOTH filter arms (and
+        # never appear in hits) — fold a couple into every trial
+        docs += [(40, None), (41, None)]
         blocked = list({host(rng) for _ in range(4)})
         sdf = spark.createDataFrame(docs, "doc_id long, url string")
         bdf = spark.createDataFrame([(b,) for b in blocked], "h string")
@@ -354,6 +357,8 @@ def test_blocklist_list_dataframe_parity_fuzz(spark):
 
         want_blocked = set()
         for i, u in docs:
+            if u is None:
+                continue  # no host evidence -> never blocked
             h = u.split("://")[1].split("/")[0].split(":")[0].lower()
             if suffixes(h) & set(blocked):
                 want_blocked.add(i)

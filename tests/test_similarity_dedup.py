@@ -62,6 +62,21 @@ def test_simhash_near_duplicates_close(spark):
     assert hamming(sigs[1], sigs[2]) < hamming(sigs[1], sigs[3])
 
 
+def test_hamming_near_pairs_max_hamming_zero(spark):
+    """r11-ADVICE sibling: hamming_near_pairs at max_hamming=0 puts the
+    FULL 64-bit signature in one band — the band value must be the raw
+    column, not a (1<<64)-1 mask literal (long overflow). Exact-equal
+    signatures pair; 1-bit-distant ones don't."""
+    from southpaw_spark.operators.dedup import hamming_near_pairs
+
+    sigs = spark.createDataFrame(
+        [(1, -42), (2, -42), (3, -41), (4, 7)],
+        "id long, simhash long",
+    )
+    got = hamming_near_pairs(sigs, "id", max_hamming=0).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [(1, 2, 0)]
+
+
 def test_embedding_near_duplicates_finds_planted_pair(spark):
     import random
 
@@ -2375,6 +2390,7 @@ def test_blocklist_hits_and_filter(spark):
             (4, "https://ads.example.net/track"),
             (5, "not a url"),
             (6, "https://example.net"),
+            (7, None),  # r11-ADVICE: NULL url must pass through BOTH arms
         ],
         "doc_id long, url string",
     )
@@ -2393,7 +2409,10 @@ def test_blocklist_hits_and_filter(spark):
         r["doc_id"]
         for r in blocklist_filter(docs, "url", "doc_id", blocked).collect()
     )
-    assert kept == [3, 5]  # unparseable host (5) passes through
+    # unparseable host (5) AND NULL url (7) pass through — the list
+    # arm's arrays_overlap is NULL on a NULL host and must not let
+    # where() drop the row (r11-ADVICE regression)
+    assert kept == [3, 5, 7]
     bdf = spark.createDataFrame([(d,) for d in blocked], "host string")
     assert hits == sorted(
         tuple(r)
@@ -2409,7 +2428,7 @@ def test_blocklist_hits_and_filter(spark):
             docs, "url", "doc_id", blocked, include_subdomains=False
         ).collect()
     )
-    assert exact_only == [1, 2, 3, 4, 5]  # only the bare example.net hit
+    assert exact_only == [1, 2, 3, 4, 5, 7]  # only the bare example.net hit
     with pytest.raises(ValueError, match="empty"):
         blocklist_filter(docs, "url", "doc_id", [])
     # helper sanity: suffix chain is most-specific-first and complete

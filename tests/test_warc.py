@@ -284,6 +284,47 @@ def test_truncated_gzip_member_lenient(spark, tmp_path):
         read_warc(spark, str(f), strict=True).collect()
 
 
+def test_lenient_mode_propagates_real_io_errors():
+    """r11-ADVICE regression: lenient mode swallows ONLY the
+    truncated-tail signatures (ValueError / EOFError / BadGzipFile).
+    A genuine transient I/O fault mid-archive must propagate even with
+    strict=False — otherwise a flaky read silently ends iteration and
+    loses the rest of the WARC."""
+    import io
+
+    from southpaw_spark.sources.warc import iter_warc_records
+
+    rec = _record(REC_A, "conversion", TEXT_A.encode(), uri="https://a")
+
+    class FlakyStream(io.BytesIO):
+        def __init__(self, data, fail_after):
+            super().__init__(data)
+            self._fail_after = fail_after
+
+        def read(self, n=-1):
+            if self.tell() >= self._fail_after:
+                raise OSError(5, "Input/output error")
+            return super().read(n)
+
+        def readline(self, *a):
+            if self.tell() >= self._fail_after:
+                raise OSError(5, "Input/output error")
+            return super().readline(*a)
+
+    # the fault hits after the first record: that record still yields,
+    # then the EIO surfaces instead of a silent stop
+    it = iter_warc_records(FlakyStream(rec + rec, len(rec)), strict=False)
+    headers, payload = next(it)
+    assert headers["WARC-Record-ID"] == REC_A
+    with pytest.raises(OSError, match="Input/output"):
+        next(it)
+    # truncated tail (EOF mid-payload) still ends quietly in lenient mode
+    it2 = iter_warc_records(io.BytesIO((rec + rec)[: len(rec) + 60]),
+                            strict=False)
+    assert next(it2)[0]["WARC-Record-ID"] == REC_A
+    assert list(it2) == []
+
+
 def test_read_warc_html_skips_non_html_text_types(spark, tmp_path):
     """r10-ADVICE regression: text/css and text/javascript payloads are
     code, not prose — read_warc_html must skip them (only text/html and
