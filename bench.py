@@ -229,6 +229,9 @@ def q13_store_native(spark, sf_dir: str) -> float:
 
 
 _DEDUP_SEED: dict = {}
+#: job count of the LAST dedup_stream_batch call per row name (§30
+#: bench hygiene — emitted as "aux" in the output record)
+_DEDUP_JOBS: dict = {}
 
 
 def dedup_stream_batch(
@@ -287,9 +290,19 @@ def dedup_stream_batch(
         fuzzy_keep=fuzzy_keep,
     )
     batch = docs.where(F.col("doc_id") < batch_n)
+    # count the Spark jobs this batch submits (the variable fixed-cost
+    # creep hides in — §30): identical data per rep, so job count is
+    # the per-rep orchestration signature
+    sc = spark.sparkContext
+    group = f"dedup_bench_{time.monotonic_ns()}"
+    sc.setJobGroup(group, "dedup_stream_batch")
     t0 = time.monotonic()
     d.process_batch(batch)
     wall = round(time.monotonic() - t0, 3)
+    sc.setJobGroup("southpaw-bench", "")
+    _DEDUP_JOBS[f"dedup_stream{'_bq' if fuzzy_keep == 'best_quality' else ''}_batch_jobs"] = len(
+        sc.statusTracker().getJobIdsForGroup(group)
+    )
     d.close()
     shutil.rmtree(work, ignore_errors=True)
     return wall
@@ -449,6 +462,8 @@ def main() -> None:
         "reps": reps,
         "sf": sf,
     }
+    if _DEDUP_JOBS:
+        out["aux"] = dict(sorted(_DEDUP_JOBS.items()))
     if truncated:
         out["reps_truncated"] = truncated
     # Full record (incl. per-query [min,max] spreads) goes to a file —

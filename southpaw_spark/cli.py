@@ -246,7 +246,7 @@ _CORPUS_KEYS = (
     "max_contamination_rate", "contamination_n", "decontaminate_mode",
     "exact_dedup", "fuzzy_threshold", "fuzzy_n", "fuzzy_keep",
     "span_dedup_k", "span_min_count", "line_dedup_min_count",
-    "ppl_domain_col", "ppl_cuts", "ppl_labels", "ppl_keep",
+    "ppl_domain_col", "ppl_cuts", "ppl_labels", "ppl_keep", "min_logprob",
     "sample_rates", "sample_default_rate", "sample_salt",
     "token_budgets", "mix_total_tokens", "mix_alpha",
     "pack_token_budget", "split_fractions",
@@ -327,6 +327,11 @@ def corpus_stream_cmd(spark, cfg) -> None:
         ),
         contamination_n=int(c.get("contamination_n", 5)),
         decontaminate_mode=c.get("decontaminate_mode", "drop"),
+        ppl_reference=(
+            spark.read.parquet(c["ppl_reference"])
+            if "ppl_reference" in c else None
+        ),
+        min_logprob=c.get("min_logprob"),
         split_fractions=c.get("split_fractions"),
         sample_salt=str(c.get("sample_salt", "")),
         sink=sink,
@@ -383,6 +388,10 @@ def build_corpus_cmd(spark, cfg) -> None:
     kwargs = {k: c[k] for k in _CORPUS_KEYS if k in c}
     if "benchmark" in c:
         kwargs["benchmark"] = spark.read.parquet(c["benchmark"])
+    if "ppl_reference" in c:
+        # clean reference corpus for the t23 bucket LM / t27 gate —
+        # a dataset path, like benchmark
+        kwargs["ppl_reference"] = spark.read.parquet(c["ppl_reference"])
     kept, report = build_corpus(
         docs, text_col=text_col, id_col=id_col, **kwargs
     )

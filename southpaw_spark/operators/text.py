@@ -439,50 +439,21 @@ def bigram_lm_scores(
         )
     )
     if reference is not None:
-        rw = F.split(F.col(text_col), " ")
-        rwidth = F.size(rw) - 1
-        rpairs = F.arrays_zip(
-            F.slice(rw, 1, rwidth), F.slice(rw, 2, rwidth)
+        return _score_bigram_occurrences(
+            big, id_col, bigram_reference_model(reference, text_col)
         )
-        train = (
-            reference.where(F.size(rw) >= 2)
-            .select(F.explode(rpairs).alias("b"))
-            .select(F.col("b.0").alias("w1"), F.col("b.1").alias("w2"))
-        )
-        vocab_src = reference.select(F.explode(rw).alias("t"))
-    else:
-        train = big
-        vocab_src = df.select(F.explode(w).alias("t"))
+    train = big
+    vocab_src = df.select(F.explode(w).alias("t"))
     cnt2 = train.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     cnt1 = train.groupBy("w1").agg(F.count("*").alias("c1"))
     vocab = (
         vocab_src.agg(F.countDistinct("t").alias("v")).collect()[0]["v"]
     )
     logp = F.log((F.col("c2") + 1.0) / (F.col("c1") + F.lit(float(vocab))))
-    if reference is not None:
-        # reference arm: unseen (w1, w2) / unseen w1 take the add-one
-        # floor, so the occurrence stream LEFT-joins both count tables
-        scored = (
-            big.join(cnt2, ["w1", "w2"], "left")
-            .join(cnt1, "w1", "left")
-            .select(
-                id_col,
-                F.log(
-                    (F.coalesce(F.col("c2"), F.lit(0)) + 1.0)
-                    / (
-                        F.coalesce(F.col("c1"), F.lit(0))
-                        + F.lit(float(vocab))
-                    )
-                ).alias("__lp"),
-            )
-        )
-    else:
-        # pre-join the counts at bigram-TYPE level (types ≪
-        # occurrences), so the occurrence stream pays ONE join, not two
-        types = cnt2.join(cnt1, "w1").select(
-            "w1", "w2", logp.alias("__lp")
-        )
-        scored = big.join(types, ["w1", "w2"]).select(id_col, "__lp")
+    # pre-join the counts at bigram-TYPE level (types ≪ occurrences),
+    # so the occurrence stream pays ONE join, not two
+    types = cnt2.join(cnt1, "w1").select("w1", "w2", logp.alias("__lp"))
+    scored = big.join(types, ["w1", "w2"]).select(id_col, "__lp")
     return (
         scored.groupBy(id_col)
         .agg(
@@ -490,6 +461,111 @@ def bigram_lm_scores(
             F.round(F.avg("__lp"), 6).alias("avg_logprob"),
         )
     )
+
+
+class BigramReferenceModel:
+    """A trained t27 reference LM, factored for train-once/score-many:
+    the (w1, w2) and context count frames plus the collected vocabulary
+    scalar. The counts are plain DataFrames — persist() them (and the
+    streaming wiring does) when many batches will score against the
+    same model; the model itself is static, so any scoring composition
+    is batching-independent (the property that makes the streaming
+    perplexity gate legal)."""
+
+    __slots__ = ("cnt2", "cnt1", "vocab")
+
+    def __init__(self, cnt2: DataFrame, cnt1: DataFrame, vocab: int):
+        self.cnt2 = cnt2
+        self.cnt1 = cnt1
+        self.vocab = int(vocab)
+
+    def persist(self) -> "BigramReferenceModel":
+        self.cnt2 = self.cnt2.persist()
+        self.cnt1 = self.cnt1.persist()
+        return self
+
+    def unpersist(self) -> None:
+        self.cnt2.unpersist()
+        self.cnt1.unpersist()
+
+
+def bigram_reference_model(
+    reference: DataFrame, text_col: str
+) -> BigramReferenceModel:
+    """Train :func:`bigram_lm_scores`'s reference arm ONCE: bigram and
+    context counts over the clean reference corpus + the vocabulary
+    size (the single bounded scalar collected to the driver). Two
+    combiner-friendly count shuffles + one countDistinct — the same
+    work the reference arm paid inline; factoring it out lets
+    streaming score MANY batches against one trained model."""
+    rw = F.split(F.col(text_col), " ")
+    rwidth = F.size(rw) - 1
+    rpairs = F.arrays_zip(F.slice(rw, 1, rwidth), F.slice(rw, 2, rwidth))
+    train = (
+        reference.where(F.size(rw) >= 2)
+        .select(F.explode(rpairs).alias("b"))
+        .select(F.col("b.0").alias("w1"), F.col("b.1").alias("w2"))
+    )
+    cnt2 = train.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    cnt1 = train.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        reference.select(F.explode(rw).alias("t"))
+        .agg(F.countDistinct("t").alias("v")).collect()[0]["v"]
+    )
+    return BigramReferenceModel(cnt2, cnt1, vocab)
+
+
+def _score_bigram_occurrences(
+    big: DataFrame, id_col: str, model: BigramReferenceModel
+) -> DataFrame:
+    """Score a (id, w1, w2) occurrence stream against a trained
+    reference model → (id, n_bigrams, avg_logprob). Unseen (w1, w2) /
+    unseen w1 take the add-one floor, so the occurrence stream
+    LEFT-joins both count tables (unseen bigrams can't live in a type
+    table)."""
+    scored = (
+        big.join(model.cnt2, ["w1", "w2"], "left")
+        .join(model.cnt1, "w1", "left")
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + 1.0)
+                / (
+                    F.coalesce(F.col("c1"), F.lit(0))
+                    + F.lit(float(model.vocab))
+                )
+            ).alias("__lp"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("__lp"), 6).alias("avg_logprob"),
+        )
+    )
+
+
+def score_with_bigram_reference(
+    df: DataFrame, text_col: str, id_col: str,
+    model: BigramReferenceModel,
+) -> DataFrame:
+    """Attach the t27 reference-LM fluency score to every doc of
+    ``df`` that carries transition evidence: (id, n_bigrams,
+    avg_logprob) — :func:`bigram_lm_scores`'s reference arm against a
+    PRE-TRAINED model. Docs under two words are absent from the output
+    (no evidence), exactly like bigram_lm_scores."""
+    w = F.split(F.col(text_col), " ")
+    width = F.size(w) - 1
+    pairs = F.arrays_zip(F.slice(w, 1, width), F.slice(w, 2, width))
+    big = (
+        df.where(F.size(w) >= 2)
+        .select(F.col(id_col), F.explode(pairs).alias("b"))
+        .select(
+            id_col, F.col("b.0").alias("w1"), F.col("b.1").alias("w2")
+        )
+    )
+    return _score_bigram_occurrences(big, id_col, model)
 
 
 #: Redaction patterns: deliberately restricted to the regex subset with
@@ -1204,6 +1280,7 @@ def perplexity_buckets(
     cuts: tuple = (1 / 3, 2 / 3),
     labels: tuple = ("head", "middle", "tail"),
     reference: DataFrame | None = None,
+    hot_domain_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """CCNet-style per-domain perplexity stratification (t23 — Wenzek
     et al. 2020 "CCNet: Extracting High Quality Monolingual Datasets
@@ -1230,10 +1307,17 @@ def perplexity_buckets(
     Scale: t13's two combiner-friendly count shuffles, one equi-join
     to attach the domain, then ONE shuffle on ``domain_col`` for the
     in-partition rank window — no global sort. The window sort is
-    bounded by the hottest domain; a corpus that is 90% one domain
-    should pre-split that domain (or rank it through the a09/a12
-    range-bucket machinery) — for web corpora domains are the natural
-    well-spread key."""
+    bounded by the hottest domain UP TO ``hot_domain_rows``: any
+    domain larger than that threshold is ranked through the a09/a12
+    range-bucket machinery instead (sampled quantile buckets of the
+    order value → tiny per-(domain, bucket) prefix sums →
+    within-bucket sorts), so a corpus that is 90% one domain never
+    serializes one window task — (__rn, __n) are bit-identical to the
+    window path (the bucket is a deterministic function of the value;
+    parity is test-pinned). ``hot_domain_rows=None`` disables the
+    split (pure window path, zero extra jobs); the default engages
+    only beyond 1M-row domains, costing one tiny domain-count
+    aggregate per call."""
     if len(labels) != len(cuts) + 1:
         raise ValueError(
             f"need len(labels) == len(cuts) + 1; got {len(labels)} labels "
@@ -1250,14 +1334,82 @@ def perplexity_buckets(
     joined = df.select(F.col(id_col), F.col(domain_col)).join(
         scores, id_col
     )
-    w = Window.partitionBy(domain_col).orderBy(
-        F.col("avg_logprob").desc(), F.col(id_col)
-    )
-    ranked = joined.select(
-        "*",
-        F.row_number().over(w).alias("__rn"),
-        F.count("*").over(Window.partitionBy(domain_col)).alias("__n"),
-    )
+
+    def window_rank(part: DataFrame) -> DataFrame:
+        w = Window.partitionBy(domain_col).orderBy(
+            F.col("avg_logprob").desc(), F.col(id_col)
+        )
+        return part.select(
+            "*",
+            F.row_number().over(w).alias("__rn"),
+            F.count("*").over(Window.partitionBy(domain_col)).alias("__n"),
+        )
+
+    hot_domains: list = []
+    if hot_domain_rows is not None:
+        counts = joined.groupBy(domain_col).agg(
+            F.count("*").alias("__n")
+        )
+        # bounded collect: at most total_rows / hot_domain_rows names
+        hot_domains = [
+            r[0]
+            for r in counts.where(F.col("__n") > int(hot_domain_rows))
+            .select(domain_col).collect()
+        ]
+    if hot_domains:
+        # Skew escape (the a09/a12 range-bucket machinery): a domain
+        # bigger than hot_domain_rows would serialize one window task
+        # on its whole stratum. Rank those domains range-bucketed
+        # instead — bucket by sampled quantiles of the ORDER VALUE
+        # (-avg_logprob, so ascending bucket = descending fluency),
+        # prefix-sum the tiny per-(domain, bucket) counts, and pay only
+        # within-bucket sorts. The bucket is a deterministic function
+        # of the value, so ties stay in one bucket and (__rn, __n) are
+        # BIT-IDENTICAL to the window path — parity is test-pinned.
+        from southpaw_spark.operators.skew import bucket_prefix_join
+
+        cold = joined.where(~F.col(domain_col).isin(hot_domains))
+        hot = joined.where(F.col(domain_col).isin(hot_domains))
+        hotm = hot.withColumn("__ord", -F.col("avg_logprob"))
+        n_buckets = 256
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = sorted(set(
+            hotm.approxQuantile("__ord", probs, 0.01)
+        ))
+        if bounds:
+            barr = F.array(*[F.lit(float(b)) for b in bounds])
+            bkt = F.size(F.filter(barr, lambda b: b <= F.col("__ord")))
+        else:
+            bkt = F.lit(0)
+        marked = hotm.withColumn("__bk", bkt)
+        pref = bucket_prefix_join(
+            marked, "__bk", partition_cols=(domain_col,)
+        )
+        ww = Window.partitionBy(domain_col, "__bk").orderBy(
+            "__ord", id_col
+        )
+        ranked_hot = (
+            pref.withColumn(
+                "__rn", F.col("__prefix") + F.row_number().over(ww)
+            )
+            # per-domain total rides in from the (tiny) counts
+            # aggregate — ≤ one row per hot domain, broadcast
+            .join(
+                F.broadcast(
+                    counts.where(F.col(domain_col).isin(hot_domains))
+                ),
+                domain_col,
+            )
+            .select(
+                id_col, domain_col, "n_bigrams", "avg_logprob",
+                "__rn", "__n",
+            )
+        )
+        ranked = window_rank(cold).select(
+            id_col, domain_col, "n_bigrams", "avg_logprob", "__rn", "__n"
+        ).unionByName(ranked_hot)
+    else:
+        ranked = window_rank(joined)
     expr = None
     for cut, lab in zip(fcuts, labels):
         cond = F.col("__rn") <= F.ceil(F.lit(cut) * F.col("__n"))

@@ -211,6 +211,7 @@ def build_corpus(
     ppl_labels: tuple = ("head", "middle", "tail"),
     ppl_keep: list[str] | None = None,
     ppl_reference: DataFrame | None = None,
+    min_logprob: float | None = None,
     sample_rates: dict[str, float] | None = None,
     sample_default_rate: float = 0.0,
     sample_salt: str = "",
@@ -292,7 +293,13 @@ def build_corpus(
     ``ppl_bucket`` + ``avg_logprob``, and ``ppl_keep`` optionally
     gates to the named buckets (docs under two words have no LM
     evidence, bucket NULL, and a ``ppl_keep`` gate drops them — gate
-    short docs with ``min_tokens`` upstream); ``sample_rates``
+    short docs with ``min_tokens`` upstream); ``min_logprob``
+    (requires ``ppl_reference``) is the ABSOLUTE fluency gate — drop
+    docs scoring under the threshold against the reference-trained
+    bigram LM (:func:`score_with_bigram_reference`; stateless per-doc,
+    so :func:`corpus_stream` runs the identical gate per micro-batch;
+    docs under two words pass — no transition evidence);
+    ``sample_rates``
     stratifies on
     ``lang_guess``; ``token_budgets`` greedily samples each
     ``lang_guess`` stratum to a token budget
@@ -341,6 +348,13 @@ def build_corpus(
         raise ValueError(
             f"need len(ppl_labels) == len(ppl_cuts) + 1; got "
             f"{len(ppl_labels)} labels for {len(ppl_cuts)} cuts"
+        )
+    if min_logprob is not None and ppl_reference is None:
+        raise ValueError(
+            "min_logprob requires ppl_reference: the absolute fluency "
+            "gate scores against a FIXED reference-trained LM (a "
+            "self-trained LM would move with the corpus — and with "
+            "every batch in the streaming twin)"
         )
 
     report: dict[str, int] = {}
@@ -451,6 +465,34 @@ def build_corpus(
             )
         )
         cur = note("url_dedup", cur.join(keep_ids, id_col, "left_semi"))
+
+    if min_logprob is not None:
+        # t27 absolute fluency gate (the CCNet LM filter as a hard
+        # threshold): score every doc against the FIXED
+        # reference-trained bigram LM and keep avg_logprob >=
+        # min_logprob. Stateless per-doc once the counts exist, so the
+        # streaming twin runs the IDENTICAL helper per micro-batch.
+        # Docs under two words carry no transition evidence and PASS
+        # (gate short docs with min_tokens); runs after the cheap
+        # URL-keyed gates — the LM score pays two count joins.
+        from southpaw_spark.operators.text import (
+            bigram_reference_model,
+            score_with_bigram_reference,
+        )
+
+        ppl_model = bigram_reference_model(ppl_reference, text_col)
+        gate_scores = score_with_bigram_reference(
+            cur, text_col, id_col, ppl_model
+        ).select(F.col(id_col), F.col("avg_logprob").alias("__alp"))
+        cur = note(
+            "ppl_gate",
+            cur.join(gate_scores, id_col, "left")
+            .where(
+                F.col("__alp").isNull()
+                | (F.col("__alp") >= float(min_logprob))
+            )
+            .drop("__alp"),
+        )
 
     # Shared shingle inventory: when BOTH fuzzy decontamination and
     # fuzzy dedup are enabled at the same n, the corpus is shingled
@@ -752,6 +794,8 @@ def corpus_stream(
     max_contamination_rate: float = 0.0,
     contamination_n: int = 5,
     decontaminate_mode: str = "drop",
+    ppl_reference: DataFrame | None = None,
+    min_logprob: float | None = None,
     split_fractions: dict[str, float] | None = None,
     sample_salt: str = "",
     sink=None,
@@ -764,7 +808,10 @@ def corpus_stream(
     run INSIDE the streaming plan as pure projections and filters;
     ``benchmark`` decontamination (all three ``decontaminate_mode``
     arms — stateless broadcast probes against the fixed benchmark,
-    shared with build_corpus via :func:`decontaminate_docs`) and
+    shared with build_corpus via :func:`decontaminate_docs`), the
+    ``min_logprob`` fluency gate (requires ``ppl_reference``; the t27
+    reference LM is trained ONCE at wiring time and persisted — a
+    static model makes the per-batch score batching-independent), and
     content dedup run in foreachBatch, the dedup against the
     :class:`streaming.dedup_stream.IncrementalDeduper`'s
     persistent state. ``sink(kept_df, batch_id)``
@@ -806,6 +853,23 @@ def corpus_stream(
             "decontaminate_mode must be 'drop', 'cut' or 'fuzzy'; got "
             f"{decontaminate_mode!r}"
         )
+    if min_logprob is not None and ppl_reference is None:
+        raise ValueError(
+            "min_logprob requires ppl_reference: only a FIXED "
+            "reference-trained LM is batching-independent — a "
+            "self-trained LM would move with every micro-batch"
+        )
+    ppl_model = None
+    if min_logprob is not None:
+        # t27 streaming fluency gate: train the reference LM ONCE at
+        # wiring time and persist the count frames — the model is
+        # static, so the per-batch score is a stateless per-doc
+        # decision (streaming-legal exactly like the t24 blocklist)
+        # and the stream ≡ batch contract extends to it for free
+        from southpaw_spark.operators.text import bigram_reference_model
+
+        ppl_model = bigram_reference_model(ppl_reference, text_col)
+        ppl_model.persist()
     cur = annotate_docs(
         docs_stream, text_col, id_col,
         line_clean=line_clean, bpe_merges=bpe_merges,
@@ -846,6 +910,25 @@ def corpus_stream(
             if batch_df.limit(1).count() == 0:
                 return
             work = batch_df
+            if ppl_model is not None:
+                # the EXACT build_corpus ppl_gate stage code: left-join
+                # the reference-LM score, keep >= threshold, pass docs
+                # without transition evidence (< 2 words)
+                from southpaw_spark.operators.text import (
+                    score_with_bigram_reference,
+                )
+
+                gs = score_with_bigram_reference(
+                    work, text_col, id_col, ppl_model
+                ).select(F.col(id_col), F.col("avg_logprob").alias("__alp"))
+                work = (
+                    work.join(gs, id_col, "left")
+                    .where(
+                        F.col("__alp").isNull()
+                        | (F.col("__alp") >= float(min_logprob))
+                    )
+                    .drop("__alp")
+                )
             if benchmark is not None:
                 # decontamination (d17/d21 modes) runs INSIDE
                 # foreachBatch — batch context, so the EXACT

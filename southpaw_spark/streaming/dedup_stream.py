@@ -576,15 +576,21 @@ class IncrementalDeduper:
         )
         # rep_hits feeds several independent subtrees (near/swap
         # decisions, still_in's anti-join, and — in best_quality mode —
-        # the pointer-table rep_of inside the merge threads); persist
-        # the tiny one-row-per-joiner frame so each consumer replays
-        # cached rows instead of re-running the whole pruned-sig-read +
-        # agreement-join cascade (measured: the bq merge stage was
-        # re-deriving the fuzzy lookup from scratch)
+        # the pointer-table rep_of inside the merge threads). Persist
+        # it ONLY in best_quality mode, where _quality_swap_join's
+        # count() + merge threads genuinely re-derive the fuzzy lookup
+        # (measured r10). In min_id mode the consumers' recomputation
+        # is covered by shuffle reuse (same map outputs), and the
+        # cache materialization costs a whole extra job chain per
+        # batch — the r9→r11 dedup_stream_batch creep (8.7→10.9 s in
+        # driver records) bisected to exactly this persist (§30 A/B:
+        # identical 55-job count, ~2 s/batch, reverts with the cache).
         rep_hits = scored_old.groupBy(ic).agg(
             F.min("__old_id").alias("__rep")
-        ).persist()
-        scoped.append(rep_hits)
+        )
+        if self.fuzzy_keep == "best_quality":
+            rep_hits = rep_hits.persist()
+            scoped.append(rep_hits)
 
         if self.fuzzy_keep == "best_quality":
             if self.score_col not in docs.columns:
@@ -1187,13 +1193,16 @@ class IncrementalVectorDeduper:
             .withColumn("__cos", self._cos(F.col(vc), F.col("__ov")))
             .where(F.col("__cos") >= self.threshold)
         )
-        # persisted for the same reason as the text deduper's rep_hits:
-        # consumed by the swap/near decisions, still_in's anti-join and
-        # the pointer rep_of — without it each consumer re-runs the
-        # pruned vec read + cosine verify cascade
+        # persisted ONLY in best_quality mode, same policy as the text
+        # deduper's rep_hits: the swap join's count() + merge threads
+        # re-derive the lookup there, while in min_id mode the two
+        # consumers are covered by shuffle reuse and the cache
+        # materialization is pure fixed cost (§30 A/B)
         rep_hits = scored.groupBy(ic).agg(
             F.min("__old_id").alias("__rep")
-        ).persist()
+        )
+        if self.fuzzy_keep == "best_quality":
+            rep_hits = rep_hits.persist()
         if self.fuzzy_keep == "best_quality":
             if self.score_col not in vectors.columns:
                 raise ValueError(
@@ -1343,7 +1352,8 @@ class IncrementalVectorDeduper:
             self.store.commit(entity, version)
         self._vacuum()
         self._bump_from(decisions, n_retro)
-        rep_hits.unpersist()
+        if self.fuzzy_keep == "best_quality":
+            rep_hits.unpersist()
         if winners is not None:
             winners.unpersist()
             reps_read.unpersist()

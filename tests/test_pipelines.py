@@ -912,6 +912,104 @@ def test_corpus_stream_decontaminate_and_blocklist_converge(spark, tmp_path):
             assert 4 not in got
 
 
+def test_corpus_stream_perplexity_gate_converges(spark, tmp_path):
+    """Round-12: the absolute fluency gate (min_logprob against a
+    reference-trained bigram LM) runs in corpus_stream — the model is
+    trained ONCE at wiring time, so the per-batch decision is
+    batching-independent. A garbled doc arriving in the SECOND batch is
+    dropped; fluent docs and a no-evidence one-word doc pass; the kept
+    set matches build_corpus row-for-row; min_logprob without
+    ppl_reference fails up front in both."""
+    import json as _json
+
+    import pytest
+
+    from southpaw_spark.operators.text import (
+        bigram_reference_model,
+        score_with_bigram_reference,
+    )
+    from southpaw_spark.pipelines import build_corpus, corpus_stream
+    from southpaw_spark.streaming import ParquetStateStore
+    from southpaw_spark.streaming.dedup_stream import IncrementalDeduper
+
+    ref = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "the lazy dog sleeps while the quick fox runs"),
+            (102, "a quick fox and a lazy dog play in the field"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again"),
+        (2, "a lazy dog sleeps in the field"),
+        (3, "zqx wvu ponm lkj hgf dcba trs"),   # garbled (batch 2)
+        (4, "hello"),                             # < 2 words: no evidence
+    ]
+    # pick the threshold BETWEEN the fluent scores and the garbled one
+    # from the actual model — robust to smoothing constants
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    model = bigram_reference_model(ref, "text")
+    scores = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in score_with_bigram_reference(
+            sdf, "text", "doc_id", model
+        ).collect()
+    }
+    assert 4 not in scores  # one word -> no transition evidence
+    assert max(scores[3], -1e9) < min(scores[1], scores[2])
+    thr = (scores[3] + min(scores[1], scores[2])) / 2
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for name, chunk in (("a.json", docs[:2]), ("b.json", docs[2:])):
+        (src / name).write_text(
+            "\n".join(
+                _json.dumps({"doc_id": i, "text": t}) for i, t in chunk
+            )
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    deduper = IncrementalDeduper(
+        spark,
+        ParquetStateStore(spark, str(tmp_path / "state"), n_buckets=4),
+        sim_threshold=1.01,
+    )
+    got: set = set()
+
+    def sink(kept, _bid):
+        got.update(r["doc_id"] for r in kept.collect())
+
+    q = corpus_stream(
+        deduper, stream, str(tmp_path / "ckpt"),
+        ppl_reference=ref, min_logprob=thr, sink=sink,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    deduper.close()
+
+    kept, report = build_corpus(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        ppl_reference=ref, min_logprob=thr, exact_dedup=True,
+        collect_report=True,
+    )
+    want = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    kept.unpersist()
+    assert got == want == {1, 2, 4}  # garbled dropped, no-evidence kept
+    assert report["ppl_gate"] == 3
+
+    with pytest.raises(ValueError, match="ppl_reference"):
+        build_corpus(sdf, min_logprob=-5.0)
+    with pytest.raises(ValueError, match="ppl_reference"):
+        corpus_stream(deduper, stream, str(tmp_path / "c2"),
+                      min_logprob=-5.0)
+
+
 def test_build_corpus_perplexity_stratification_stage(spark, sf_dir):
     """t23 composition: the ppl stage annotates every surviving doc
     with its per-domain CCNet bucket (matching the standalone operator

@@ -702,3 +702,49 @@ def test_funnel_stream_conversion_window(spark, tmp_path):
         q.stop()
     assert latest[1] == (base_us, base_us + 5_000_000)
     assert latest[2] == (base_us, None)  # outside the window
+
+
+def test_perplexity_buckets_hot_domain_range_rank_parity(spark):
+    """Round-12 (VERDICT r11 item 3): a domain above hot_domain_rows is
+    ranked through the a09/a12 range-bucket machinery instead of one
+    window partition — output must be BIT-IDENTICAL to the window path
+    on a 90%-one-domain corpus (ties included), and hot_domain_rows=None
+    must keep the pure window path."""
+    import random
+
+    from southpaw_spark.operators.text import perplexity_buckets
+
+    rng = random.Random(123)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = []
+    for i in range(200):
+        # 90% of docs in one hot domain; duplicate texts force score
+        # TIES across the bucket boundary (the id tiebreak must agree)
+        base = " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 8)))
+        if i % 4 == 0 and i > 0:
+            base = rows[i - 1][1]  # exact tie with the previous doc
+        rows.append((i, base, "hot.example" if i % 10 else f"cold{i}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, dom string")
+
+    plain = {
+        r["doc_id"]: (r["ppl_bucket"], r["avg_logprob"], r["n_bigrams"])
+        for r in perplexity_buckets(
+            df, "text", "doc_id", "dom", hot_domain_rows=None
+        ).collect()
+    }
+    split = {
+        r["doc_id"]: (r["ppl_bucket"], r["avg_logprob"], r["n_bigrams"])
+        for r in perplexity_buckets(
+            df, "text", "doc_id", "dom", hot_domain_rows=20
+        ).collect()
+    }
+    assert split == plain
+    # sanity: the hot domain actually took the range-bucket path
+    # (> 20 rows) and produced every label
+    hot_labels = {
+        r["ppl_bucket"]
+        for r in perplexity_buckets(
+            df, "text", "doc_id", "dom", hot_domain_rows=20
+        ).where(F.col("dom") == "hot.example").collect()
+    }
+    assert hot_labels == {"head", "middle", "tail"}
