@@ -242,7 +242,8 @@ def verify(spark, cfg) -> int:
 #: separately because it is a dataset path, not a scalar)
 _CORPUS_KEYS = (
     "min_quality", "min_tokens", "model_weights", "model_bias",
-    "min_model_score", "langs", "line_clean", "url_col", "blocklist",
+    "min_model_score", "langs", "lang_model", "lang_biases",
+    "line_clean", "url_col", "blocklist",
     "max_contamination_rate", "contamination_n", "decontaminate_mode",
     "exact_dedup", "fuzzy_threshold", "fuzzy_n", "fuzzy_keep",
     "span_dedup_k", "span_min_count", "line_dedup_min_count",
@@ -316,6 +317,8 @@ def corpus_stream_cmd(spark, cfg) -> None:
         model_bias=float(c.get("model_bias", 0.0)),
         min_model_score=c.get("min_model_score"),
         langs=c.get("langs"),
+        lang_model=c.get("lang_model"),
+        lang_biases=c.get("lang_biases"),
         url_col=c.get("url_col"),
         blocklist=c.get("blocklist"),
         benchmark=(

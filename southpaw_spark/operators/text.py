@@ -1153,6 +1153,206 @@ def score_with_linear_model(
     return scored.drop("__sid", "__num", "__n")
 
 
+def classify_language(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    models: dict[str, list[float]],
+    biases: dict[str, float] | None = None,
+    out_col: str = "lang_guess",
+    micro: int = 1_000_000,
+    impl: str = "explode",
+) -> DataFrame:
+    """Trained language ID (t28) — CCNet's first stage is a fastText
+    language classifier (Joulin et al. 2016; Wenzek et al. 2020,
+    public papers); this is that inference on
+    :func:`score_with_linear_model`'s hashed-BoW machinery: one weight
+    vector PER LANGUAGE over the same md5-bucketed ``[a-z0-9]+``
+    features, label = argmax of the per-language mean-weight score.
+
+    Engine-exact argmax: all languages share the positive denominator
+    ``n·micro``, so comparing scores ≡ comparing the int64 numerators
+    ``Σ w_micro_l[bucket(t)] + bias_micro_l·n`` — associative integer
+    sums, no float comparison anywhere. Ties break to the
+    lexicographically SMALLEST language; docs with zero tokens get the
+    constant argmax over the biases alone (computed in Python — it is
+    data-independent).
+
+    Plan (``impl="explode"``): tokenize + bucket ONCE in codegen, one
+    combiner groupBy carrying L numerator sums (one row per doc before
+    the exchange), join back, argmax as a chained CASE — two
+    exchanges of N rows total regardless of L. ``impl="hof"``: the
+    zero-shuffle interpreted fold twin (streaming projections), output
+    bit-identical. At 100 TB both scale like t22: nothing joins the
+    corpus to anything but its own per-doc aggregate."""
+    if not models:
+        raise ValueError("models must map >= 1 language to weights")
+    langs = sorted(models)
+    n_features = len(models[langs[0]])
+    if n_features < 1 or any(len(models[l]) != n_features for l in langs):
+        raise ValueError(
+            "every language needs the same non-zero weight length; got "
+            f"{ {l: len(models[l]) for l in langs} }"
+        )
+    if impl not in ("explode", "hof"):
+        raise ValueError(f"impl must be 'explode' or 'hof'; got {impl!r}")
+    biases = biases or {}
+    w_micro = {
+        l: [int(round(w * micro)) for w in models[l]] for l in langs
+    }
+    b_micro = {l: int(round(biases.get(l, 0.0) * micro)) for l in langs}
+    if max(
+        abs(w) for l in langs for w in w_micro[l]
+    ) > 10**9:
+        raise ValueError("weights too large for exact int64 accounting")
+    # zero-token docs score bias_l for every l: the winner is constant
+    empty_winner = min(langs, key=lambda l: (-b_micro[l], l))
+    w_arrs = {
+        l: F.array(*[F.lit(x).cast("long") for x in w_micro[l]])
+        for l in langs
+    }
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda t: t != F.lit(""),
+    )
+
+    def bucket(tok):
+        return (
+            F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+            % n_features
+        )
+
+    def argmax(totals: dict) -> Column:
+        # sorted order + strict > keeps the lexicographically smallest
+        # language on ties
+        win_lab, win_tot = F.lit(langs[0]), totals[langs[0]]
+        for l in langs[1:]:
+            gt = totals[l] > win_tot
+            win_lab = F.when(gt, F.lit(l)).otherwise(win_lab)
+            win_tot = F.when(gt, totals[l]).otherwise(win_tot)
+        return win_lab
+
+    if impl == "hof":
+        n = F.size(toks).cast("long")
+        totals = {}
+        def contrib_fn(arr):
+            # single-param lambda: F.transform treats a 2-param lambda
+            # as (element, index) and would clobber a bound default
+            return lambda t: F.element_at(arr, (bucket(t) + 1).cast("int"))
+
+        for l in langs:
+            contrib = F.transform(toks, contrib_fn(w_arrs[l]))
+            totals[l] = F.aggregate(
+                contrib, F.lit(0).cast("long"), lambda a, x: a + x
+            ) + F.lit(b_micro[l]) * n
+        lab = F.when(n > 0, argmax(totals)).otherwise(
+            F.lit(empty_winner)
+        )
+        return df.withColumn(out_col, lab)
+
+    tok_rows = df.select(
+        F.col(id_col).alias("__sid"), F.explode(toks).alias("__t")
+    ).withColumn("__b", (bucket(F.col("__t")) + 1).cast("int"))
+    sums = tok_rows.select(
+        "__sid",
+        *[
+            F.element_at(w_arrs[l], F.col("__b")).alias(f"__w_{i}")
+            for i, l in enumerate(langs)
+        ],
+    ).groupBy("__sid").agg(
+        *[
+            F.sum(f"__w_{i}").alias(f"__num_{i}")
+            for i in range(len(langs))
+        ],
+        F.count("*").alias("__n"),
+    )
+    totals = {
+        l: F.col(f"__num_{i}") + F.lit(b_micro[l]) * F.col("__n")
+        for i, l in enumerate(langs)
+    }
+    scored = df.join(
+        sums, F.col(id_col) == F.col("__sid"), "left"
+    ).withColumn(
+        out_col,
+        F.when(F.col("__n").isNotNull(), argmax(totals)).otherwise(
+            F.lit(empty_winner)
+        ),
+    )
+    return scored.drop(
+        "__sid", "__n", *[f"__num_{i}" for i in range(len(langs))]
+    )
+
+
+def train_language_id(
+    labeled: DataFrame,
+    text_col: str,
+    label_col: str,
+    n_features: int = 64,
+) -> tuple[dict[str, list[float]], dict[str, float]]:
+    """Train :func:`classify_language`'s per-language weight vectors
+    from a LABELED corpus — multinomial naive Bayes over the hashed
+    BoW, expressed as linear weights: ``w_l[b] = log P(b | l) −
+    log P(b)`` (add-one smoothed) and ``bias_l = log P(l)``, each
+    rounded to the 1e-6 micro grid so the trained model quantizes
+    identically in any engine. One codegen tokenize/bucket pass + one
+    (label, bucket) count groupBy; the collected model is
+    ``n_features × L`` floats — driver-bounded by construction.
+
+    Returns ``(models, biases)`` ready to pass to
+    :func:`classify_language` / ``build_corpus(lang_model=…)``."""
+    import math
+
+    if n_features < 1:
+        raise ValueError(f"n_features must be >= 1; got {n_features}")
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda t: t != F.lit(""),
+    )
+    b = (
+        F.conv(F.substring(F.md5(F.col("__t")), 1, 8), 16, 10)
+        .cast("long") % n_features
+    )
+    rows = (
+        labeled.select(
+            F.col(label_col).alias("__lab"), F.explode(toks).alias("__t")
+        )
+        .select("__lab", b.alias("__b"))
+        .groupBy("__lab", "__b")
+        .agg(F.count("*").alias("__c"))
+        .collect()
+    )
+    doc_counts = {
+        r["__lab"]: r["__d"]
+        for r in labeled.groupBy(F.col(label_col).alias("__lab"))
+        .agg(F.count("*").alias("__d")).collect()
+    }
+    if not rows:
+        raise ValueError("labeled corpus has no tokens to train on")
+    per: dict[str, dict[int, int]] = {}
+    for r in rows:
+        per.setdefault(r["__lab"], {})[int(r["__b"])] = int(r["__c"])
+    glob = [0] * n_features
+    for cnts in per.values():
+        for bk, c in cnts.items():
+            glob[bk] += c
+    total = sum(glob)
+    n_docs = sum(doc_counts.values())
+    models: dict[str, list[float]] = {}
+    biases: dict[str, float] = {}
+    for lab in sorted(per):
+        n_l = sum(per[lab].values())
+        w = []
+        for bk in range(n_features):
+            p_bl = (per[lab].get(bk, 0) + 1) / (n_l + n_features)
+            p_b = (glob[bk] + 1) / (total + n_features)
+            w.append(round(math.log(p_bl / p_b), 6))
+        models[lab] = w
+        biases[lab] = round(
+            math.log(doc_counts.get(lab, 1) / n_docs), 6
+        )
+    return models, biases
+
+
 def url_host(url) -> Column:
     """The lowercased host of a URL, port stripped — the
     :func:`canonical_url` host rules factored out for blocklist

@@ -56,14 +56,21 @@ def annotate_docs(
     bpe_merges: list[tuple[str, str]] | None = None,
     model_weights: list[float] | None = None,
     model_bias: float = 0.0,
+    lang_model: dict[str, list[float]] | None = None,
+    lang_biases: dict[str, float] | None = None,
 ) -> DataFrame:
     """The STATELESS per-doc stage prefix of :func:`build_corpus` —
     optional C4 line cleaning, quality score, language guess, token
     counts (whitespace, plus real BPE counts when ``bpe_merges`` is
     given), and the trained linear-model score — as pure projections,
     so the SAME code annotates batch frames and STREAMING frames (the
-    :func:`corpus_stream` front half). On a streaming input the model
-    score automatically takes the zero-shuffle ``impl="hof"`` twin
+    :func:`corpus_stream` front half). ``lang_model`` (t28; per-lang
+    weight vectors, e.g. from :func:`train_language_id`) REPLACES the
+    marker heuristic: ``lang_guess`` becomes the trained classifier's
+    argmax, so every downstream lang-keyed stage (gates, strata,
+    budgets, mixes) runs on the trained labels with no other change.
+    On a streaming input the model score and the language classifier
+    automatically take their zero-shuffle ``impl="hof"`` twins
     (bit-identical output; streaming projections can't host the
     explode+groupBy+join plan)."""
     cur = docs
@@ -71,7 +78,17 @@ def annotate_docs(
         from southpaw_spark.operators.text import clean_lines
 
         cur = clean_lines(cur, text_col)
-    cur = with_lang_guess(with_quality_score(cur, text_col), text_col)
+    cur = with_quality_score(cur, text_col)
+    if lang_model is not None:
+        from southpaw_spark.operators.text import classify_language
+
+        cur = classify_language(
+            cur, text_col, id_col, lang_model, lang_biases,
+            out_col="lang_guess",
+            impl="hof" if cur.isStreaming else "explode",
+        )
+    else:
+        cur = with_lang_guess(cur, text_col)
     if bpe_merges is not None:
         from southpaw_spark.operators.bpe import with_bpe_token_count
 
@@ -192,6 +209,8 @@ def build_corpus(
     min_model_score: float | None = None,
     bpe_merges: list[tuple[str, str]] | None = None,
     langs: list[str] | None = None,
+    lang_model: dict[str, list[float]] | None = None,
+    lang_biases: dict[str, float] | None = None,
     line_clean: bool = False,
     url_col: str | None = None,
     blocklist=None,
@@ -391,6 +410,7 @@ def build_corpus(
     cur = annotate_docs(
         docs, text_col, id_col,
         line_clean=line_clean, bpe_merges=bpe_merges,
+        lang_model=lang_model, lang_biases=lang_biases,
     )
     if bpe_merges is not None:
         from southpaw_spark.operators.bpe import with_bpe_token_count
@@ -788,6 +808,8 @@ def corpus_stream(
     model_bias: float = 0.0,
     min_model_score: float | None = None,
     langs: list[str] | None = None,
+    lang_model: dict[str, list[float]] | None = None,
+    lang_biases: dict[str, float] | None = None,
     url_col: str | None = None,
     blocklist: list[str] | None = None,
     benchmark: DataFrame | None = None,
@@ -874,6 +896,7 @@ def corpus_stream(
         docs_stream, text_col, id_col,
         line_clean=line_clean, bpe_merges=bpe_merges,
         model_weights=model_weights, model_bias=model_bias,
+        lang_model=lang_model, lang_biases=lang_biases,
     )
     tok_col = "n_tokens_bpe" if bpe_merges is not None else "n_tokens"
     if min_tokens is not None:

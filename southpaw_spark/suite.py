@@ -4820,6 +4820,91 @@ def t27_reference_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: t28 pinned per-language models (the t22 pinning discipline: formula
+#: weights, engine-exact integer accounting — the synthetic corpus has
+#: no real language signal, so the row demonstrates the INFERENCE
+#: machinery; the trainer is pytest-covered on a separable corpus)
+T28_MODELS = {
+    lang: [(((i * s) % 211) - 105) / 100.0 for i in range(64)]
+    for lang, s in (("de", 29), ("en", 37), ("fr", 41))
+}
+T28_BIASES = {"de": 0.01, "en": 0.05, "fr": 0.02}
+
+
+def t28_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained language ID (t28,
+    `operators.text.classify_language`) — CCNet stage 1 (Wenzek et al.
+    2020): per-language hashed-BoW linear models (t22's machinery, one
+    weight vector per language), label = argmax of the per-language
+    score. The argmax compares int64 micro-unit numerators (shared
+    positive denominator), so the oracle replays every comparison
+    exactly: per-language SUMs + a GREATEST CASE chain whose tie
+    semantics (lexicographically smallest language) mirror the Spark
+    fold."""
+    from southpaw_spark.operators.text import classify_language
+
+    docs = _read(spark, sf_dir, "documents")
+    return classify_language(
+        docs, "text", "doc_id", T28_MODELS, T28_BIASES,
+        out_col="lang_pred",
+    ).select("doc_id", "lang_pred")
+
+
+def _t28_sql() -> str:
+    micro = 1_000_000
+    langs = sorted(T28_MODELS)
+    wm = {
+        l: [int(round(w * micro)) for w in T28_MODELS[l]] for l in langs
+    }
+    bm = {l: int(round(T28_BIASES.get(l, 0.0) * micro)) for l in langs}
+    empty_winner = min(langs, key=lambda l: (-bm[l], l))
+    arrs = {
+        l: "[" + ", ".join(str(x) for x in wm[l]) + "]" for l in langs
+    }
+    sums = ",\n             ".join(
+        f"SUM({arrs[l]}[(('0x' || substr(md5(t), 1, 8))::BIGINT % 64) + 1])"
+        f" AS num_{l}"
+        for l in langs
+    )
+    tots = ",\n             ".join(
+        f"s.num_{l} + {bm[l]} * s.n AS tot_{l}" for l in langs
+    )
+    # strict-> chain in sorted order ≡ "lang i wins iff its total
+    # strictly beats the greatest of all earlier langs", evaluated
+    # from the last language down
+    branches = []
+    for i in range(len(langs) - 1, 0, -1):
+        earlier = ", ".join(f"tot_{l}" for l in langs[:i])
+        ge = earlier if i == 1 else f"GREATEST({earlier})"
+        branches.append(f"WHEN tot_{langs[i]} > {ge} THEN '{langs[i]}'")
+    chain = "\n                ".join(branches)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, u.t
+      FROM documents,
+           UNNEST(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')) AS u(t)),
+    s AS (
+      SELECT doc_id,
+             {sums},
+             COUNT(*) AS n
+      FROM toks GROUP BY doc_id),
+    t AS (
+      SELECT d.doc_id, s.n,
+             {tots}
+      FROM documents d LEFT JOIN s USING (doc_id))
+    SELECT doc_id,
+           CASE WHEN n IS NULL THEN '{empty_winner}'
+                {chain}
+                ELSE '{langs[0]}' END AS lang_pred
+    FROM t
+    """
+
+
+T28_SQL = _t28_sql()
+
+
 T27_SQL = """
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -4942,6 +5027,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t26_epoch_repeat": t26_epoch_repeat,
     "t27_reference_perplexity": t27_reference_perplexity,
     "s10_ann_recall": s10_ann_recall,
+    "t28_language_id": t28_language_id,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -5001,4 +5087,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "t26_epoch_repeat": T26_SQL,
     "t27_reference_perplexity": T27_SQL,
     "s10_ann_recall": S10_SQL,
+    "t28_language_id": T28_SQL,
 }

@@ -2693,3 +2693,120 @@ def test_ann_recall_semantics(spark):
     assert out == {1: (2, 0.666667), 2: (0, 0.0)}
     with pytest.raises(ValueError, match="k"):
         ann_recall(approx, exact, k=0)
+
+
+def test_classify_language_trained_and_impl_parity(spark):
+    """t28 (round-12): train_language_id recovers a fully separable
+    labeled corpus exactly; classify_language's explode and hof twins
+    agree doc-for-doc; empty docs take the constant bias argmax; ties
+    break to the lexicographically smallest language; bad configs fail
+    up front."""
+    import pytest
+
+    from southpaw_spark.operators.text import (
+        classify_language,
+        train_language_id,
+    )
+
+    vocab = {
+        "en": ["the", "and", "of", "house", "river"],
+        "fr": ["le", "la", "et", "maison", "fleuve"],
+        "de": ["der", "und", "das", "haus", "fluss"],
+    }
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    i = 0
+    for lang, words in vocab.items():
+        for _ in range(30):
+            rows.append(
+                (i, " ".join(rng.choice(words) for _ in range(12)), lang)
+            )
+            i += 1
+    labeled = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    models, biases = train_language_id(labeled, "text", "lang")
+    assert sorted(models) == ["de", "en", "fr"]
+    assert all(len(w) == 64 for w in models.values())
+
+    got = {
+        r["doc_id"]: r["lang_pred"]
+        for r in classify_language(
+            labeled, "text", "doc_id", models, biases,
+            out_col="lang_pred",
+        ).collect()
+    }
+    assert got == {i: lang for i, _, lang in rows}  # exact recovery
+
+    # impl parity on a frame with an empty doc and a tie doc
+    probe = spark.createDataFrame(
+        [(100, "the house and river"), (101, ""), (102, "zzz qqq")],
+        "doc_id long, text string",
+    )
+    ex = {
+        r["doc_id"]: r["lang_pred"]
+        for r in classify_language(
+            probe, "text", "doc_id", models, biases, out_col="lang_pred"
+        ).collect()
+    }
+    hf = {
+        r["doc_id"]: r["lang_pred"]
+        for r in classify_language(
+            probe, "text", "doc_id", models, biases,
+            out_col="lang_pred", impl="hof",
+        ).collect()
+    }
+    assert ex == hf
+    assert ex[100] == "en"
+    # empty doc: constant argmax over biases alone (equal doc counts ->
+    # equal biases -> smallest language name)
+    assert ex[101] == min(biases, key=lambda l: (-biases[l], l))
+
+    # exact tie -> lexicographically smallest language
+    tie = {
+        r["doc_id"]: r["p"]
+        for r in classify_language(
+            spark.createDataFrame([(1, "x")], "doc_id long, text string"),
+            "text", "doc_id",
+            {"bb": [1.0], "aa": [1.0]}, None, out_col="p",
+        ).collect()
+    }
+    assert tie[1] == "aa"
+
+    with pytest.raises(ValueError, match="same non-zero"):
+        classify_language(
+            probe, "text", "doc_id", {"en": [1.0], "fr": [1.0, 2.0]}
+        )
+    with pytest.raises(ValueError, match=">= 1 language"):
+        classify_language(probe, "text", "doc_id", {})
+    with pytest.raises(ValueError, match="impl"):
+        classify_language(
+            probe, "text", "doc_id", {"en": [1.0]}, impl="pandas"
+        )
+
+
+def test_build_corpus_lang_model_replaces_heuristic(spark):
+    """build_corpus(lang_model=...) routes every lang-keyed stage
+    through the trained classifier: lang_guess carries the trained
+    labels and the langs gate filters on them."""
+    from southpaw_spark.operators.text import train_language_id
+    from southpaw_spark.pipelines import build_corpus
+
+    rows = [
+        (1, "the house and the river of the house", "en"),
+        (2, "le fleuve et la maison et le fleuve", "fr"),
+        (3, "der fluss und das haus und der fluss", "de"),
+        (4, "la maison et le fleuve et la maison", "fr"),
+    ]
+    labeled = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    models, biases = train_language_id(labeled, "text", "lang")
+    kept, _ = build_corpus(
+        labeled.drop("lang"), lang_model=models, lang_biases=biases,
+        langs=["fr"], exact_dedup=False, collect_report=False,
+    )
+    got = {(r["doc_id"], r["lang_guess"]) for r in kept.collect()}
+    assert got == {(2, "fr"), (4, "fr")}
