@@ -17,7 +17,13 @@ from southpaw_spark.operators.denormalize import (
     denormalize,
     denormalize_to_json,
 )
-from southpaw_spark.operators.ann_index import build_ann_index, query_ann_index
+from southpaw_spark.operators.ann_index import (
+    build_ann_index,
+    query_ann_index,
+    remove_from_index,
+    vacuum_ann_index,
+    vacuum_pq_index,
+)
 from southpaw_spark.operators.bpe import (
     bpe_encode,
     bpe_train,
@@ -50,6 +56,9 @@ __all__ = [
     "ohlc",
     "query_ann_index",
     "range_join",
+    "remove_from_index",
     "unchanged_skip_rule",
+    "vacuum_ann_index",
+    "vacuum_pq_index",
     "with_bpe_token_count",
 ]

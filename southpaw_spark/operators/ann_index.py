@@ -165,7 +165,10 @@ def query_ann_index(
     # (≤ |queries| × (n_planes+1) short strings) and is what turns the
     # scan into a partition-pruned read instead of a full-index scan.
     prefixes = [r["bprefix"] for r in q.select("bprefix").distinct().collect()]
-    idx = spark.read.parquet(index_dir).where(F.col("bprefix").isin(prefixes))
+    idx = _apply_deleted(
+        spark, index_dir,
+        spark.read.parquet(index_dir).where(F.col("bprefix").isin(prefixes)),
+    )
 
     joined = idx.join(F.broadcast(q), ["bprefix", "bucket"]).where(
         F.col("query_id") != F.col("neighbor_id")
@@ -217,6 +220,104 @@ def add_to_ann_index(
         F.concat(F.lit("p"), _bucket_str(bits[:pb])).alias("bprefix"),
     )
     rows.write.partitionBy("bprefix").mode("append").parquet(index_dir)
+
+
+#: tombstone subdirectory: underscore prefix keeps Spark's parquet
+#: reader from treating it as index data (same rule as _SUCCESS)
+_DELETED = "_deleted"
+
+
+def _read_deleted(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    path = os.path.join(index_dir, _DELETED)
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path)
+
+
+def _apply_deleted(spark, index_dir, rows, key="neighbor_id"):
+    dead = _read_deleted(spark, index_dir)
+    if dead is None:
+        return rows
+    # tombstone set is small between vacuums — broadcast anti-join
+    return rows.join(
+        F.broadcast(dead.select(F.col("neighbor_id").alias(key))),
+        key, "left_anti",
+    )
+
+
+def remove_from_index(ids: DataFrame, index_dir: str, id_col: str) -> None:
+    """Delete vectors from a built index (LSH or PQ — both stores share
+    the tombstone layout) — the corpus-dedup companion: when the dedup
+    cascade drops documents, their vectors must stop answering queries
+    WITHOUT a full index rebuild. Appends the ids to a ``_deleted/``
+    tombstone set; queries anti-join it (broadcast — tombstones are
+    small between vacuums) so ``build → remove → query`` answers
+    exactly like ``rebuild on survivors`` (pinned by parity test).
+    Run :func:`vacuum_ann_index` / :func:`vacuum_pq_index` when the
+    tombstone set has grown enough to be worth rewriting the data
+    files. Removing an id that was never indexed is a no-op."""
+    ids.select(F.col(id_col).alias("neighbor_id")).write.mode(
+        "append"
+    ).parquet(os.path.join(index_dir, _DELETED))
+
+
+def vacuum_ann_index(spark: SparkSession, index_dir: str) -> int:
+    """Fold the tombstone set into the LSH index data files: rewrite
+    the surviving rows (same bprefix partitioning), carry the sidecar
+    over, swap directories, drop the tombstones. Returns the number of
+    rows removed. The rewrite is out-of-place — everything new is
+    written before the two-rename swap window, the only non-atomic
+    step on a plain filesystem (object stores get the same ordering
+    through their committer)."""
+    import shutil
+
+    dead = _read_deleted(spark, index_dir)
+    if dead is None:
+        return 0
+    n_dead = dead.count()
+    idx = spark.read.parquet(index_dir)
+    survivors = idx.join(
+        F.broadcast(dead.select("neighbor_id")), "neighbor_id", "left_anti"
+    )
+    tmp = index_dir.rstrip("/") + ".vacuum.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    survivors.write.partitionBy("bprefix").mode("overwrite").parquet(tmp)
+    shutil.copy2(
+        os.path.join(index_dir, _META), os.path.join(tmp, _META)
+    )
+    trash = index_dir.rstrip("/") + ".vacuum.old"
+    shutil.rmtree(trash, ignore_errors=True)
+    os.replace(index_dir, trash)
+    os.replace(tmp, index_dir)
+    shutil.rmtree(trash, ignore_errors=True)
+    return int(n_dead)
+
+
+def vacuum_pq_index(spark: SparkSession, index_dir: str) -> int:
+    """PQ twin of :func:`vacuum_ann_index`: rewrite ``codes/`` minus
+    the tombstones (codebooks and meta are id-free and survive as-is),
+    swap, drop the tombstone set. Returns the tombstone count."""
+    import shutil
+
+    dead = _read_deleted(spark, index_dir)
+    if dead is None:
+        return 0
+    n_dead = dead.count()
+    codes_dir = os.path.join(index_dir, "codes")
+    codes = spark.read.parquet(codes_dir)
+    survivors = codes.join(
+        F.broadcast(dead.select("neighbor_id")), "neighbor_id", "left_anti"
+    )
+    tmp = codes_dir.rstrip("/") + ".vacuum.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    survivors.write.mode("overwrite").parquet(tmp)
+    trash = codes_dir.rstrip("/") + ".vacuum.old"
+    shutil.rmtree(trash, ignore_errors=True)
+    os.replace(codes_dir, trash)
+    os.replace(tmp, codes_dir)
+    shutil.rmtree(trash, ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, _DELETED), ignore_errors=True)
+    return int(n_dead)
 
 
 _PQ_META = "_PQ_META.json"
@@ -311,7 +412,10 @@ def query_pq_index(
 
     with open(os.path.join(index_dir, _PQ_META)) as f:
         meta = _json.load(f)
-    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    codes = _apply_deleted(
+        spark, index_dir,
+        spark.read.parquet(os.path.join(index_dir, "codes")),
+    )
     codebooks = spark.read.parquet(os.path.join(index_dir, "codebooks"))
     return pq_topk(
         corpus, queries, vec_col, id_col, k=k,
