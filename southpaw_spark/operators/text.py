@@ -1547,6 +1547,11 @@ def perplexity_buckets(
 
     hot_domains: list = []
     if hot_domain_rows is not None:
+        # the split consumes the scored frame several times (domain
+        # counts, quantile sample, cold + hot branches) — persist it so
+        # the LM's count shuffles run ONCE; the caller releases it via
+        # the _southpaw_cached convention (or LRU eviction)
+        joined = joined.persist()
         counts = joined.groupBy(domain_col).agg(
             F.count("*").alias("__n")
         )
@@ -1618,10 +1623,13 @@ def perplexity_buckets(
             else expr.when(cond, F.lit(lab))
         )
     expr = expr.otherwise(F.lit(labels[-1]))
-    return ranked.select(
+    out = ranked.select(
         id_col, domain_col, "n_bigrams", "avg_logprob",
         expr.alias("ppl_bucket"),
     )
+    if hot_domain_rows is not None:
+        out._southpaw_cached = [joined]  # type: ignore[attr-defined]
+    return out
 
 
 def epoch_repeat_plan(

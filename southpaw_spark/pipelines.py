@@ -641,10 +641,13 @@ def build_corpus(
         # order), rank within each domain, annotate head/middle/tail
         from southpaw_spark.operators.text import perplexity_buckets
 
-        buckets = perplexity_buckets(
+        bkt_full = perplexity_buckets(
             cur, text_col, id_col, ppl_domain_col,
             cuts=ppl_cuts, labels=ppl_labels, reference=ppl_reference,
-        ).select(F.col(id_col), "avg_logprob", "ppl_bucket")
+        )
+        buckets = bkt_full.select(
+            F.col(id_col), "avg_logprob", "ppl_bucket"
+        )
         cur = cur.join(buckets, id_col, "left")
         if ppl_keep is not None:
             cur = note(
@@ -653,6 +656,10 @@ def build_corpus(
             )
         else:
             cur = note("ppl_bucketed", cur)
+        # the skew-split path persists its scored frame (the
+        # _southpaw_cached convention) — hand it to the stage-boundary
+        # cleanup list so the NEXT note() materialization releases it
+        persisted.extend(getattr(bkt_full, "_southpaw_cached", []))
 
     if sample_rates is not None:
         cur = note(
