@@ -1547,7 +1547,21 @@ def perplexity_buckets(
 
     hot_domains: list = []
     if hot_domain_rows is not None:
-        # the split consumes the scored frame several times (domain
+        # hot-domain DETECTION runs on the RAW frame (2-column codegen
+        # count agg — no LM in the lineage, so the common no-hot case
+        # pays one trivial job and keeps the pure window plan). Raw
+        # counts upper-bound the ranked counts (short docs drop out of
+        # ranking), so this can only over-trigger, never miss.
+        # Bounded collect: ≤ total_rows / hot_domain_rows names.
+        hot_domains = [
+            r[0]
+            for r in df.groupBy(domain_col)
+            .agg(F.count("*").alias("__raw_n"))
+            .where(F.col("__raw_n") > int(hot_domain_rows))
+            .select(domain_col).collect()
+        ]
+    if hot_domains:
+        # the split consumes the scored frame several times (ranked
         # counts, quantile sample, cold + hot branches) — persist it so
         # the LM's count shuffles run ONCE; the caller releases it via
         # the _southpaw_cached convention (or LRU eviction)
@@ -1555,12 +1569,6 @@ def perplexity_buckets(
         counts = joined.groupBy(domain_col).agg(
             F.count("*").alias("__n")
         )
-        # bounded collect: at most total_rows / hot_domain_rows names
-        hot_domains = [
-            r[0]
-            for r in counts.where(F.col("__n") > int(hot_domain_rows))
-            .select(domain_col).collect()
-        ]
     if hot_domains:
         # Skew escape (the a09/a12 range-bucket machinery): a domain
         # bigger than hot_domain_rows would serialize one window task
@@ -1627,7 +1635,7 @@ def perplexity_buckets(
         id_col, domain_col, "n_bigrams", "avg_logprob",
         expr.alias("ppl_bucket"),
     )
-    if hot_domain_rows is not None:
+    if hot_domains:
         out._southpaw_cached = [joined]  # type: ignore[attr-defined]
     return out
 
