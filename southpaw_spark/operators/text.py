@@ -393,7 +393,7 @@ def repetition_signals(
 
 def bigram_lm_scores(
     df: DataFrame, text_col: str, id_col: str,
-    reference: DataFrame | None = None,
+    reference: "DataFrame | BigramReferenceModel | None" = None,
 ) -> DataFrame:
     """Per-document mean log-probability under an add-one-smoothed
     bigram LM → (id, n_bigrams, avg_logprob).
@@ -439,9 +439,15 @@ def bigram_lm_scores(
         )
     )
     if reference is not None:
-        return _score_bigram_occurrences(
-            big, id_col, bigram_reference_model(reference, text_col)
+        # a pre-trained BigramReferenceModel passes straight through —
+        # callers scoring several frames against one clean corpus train
+        # once (build_corpus shares the gate + bucket stages this way)
+        model = (
+            reference
+            if isinstance(reference, BigramReferenceModel)
+            else bigram_reference_model(reference, text_col)
         )
+        return _score_bigram_occurrences(big, id_col, model)
     train = big
     vocab_src = df.select(F.explode(w).alias("t"))
     cnt2 = train.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
@@ -1479,7 +1485,7 @@ def perplexity_buckets(
     domain_col: str,
     cuts: tuple = (1 / 3, 2 / 3),
     labels: tuple = ("head", "middle", "tail"),
-    reference: DataFrame | None = None,
+    reference: "DataFrame | BigramReferenceModel | None" = None,
     hot_domain_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """CCNet-style per-domain perplexity stratification (t23 — Wenzek

@@ -486,6 +486,19 @@ def build_corpus(
         )
         cur = note("url_dedup", cur.join(keep_ids, id_col, "left_semi"))
 
+    # t27 reference LM: trained ONCE when any stage needs it — the
+    # min_logprob gate here and/or the ppl bucket stage below (the
+    # counts are corpus-independent, so sharing is exact)
+    ppl_model = None
+    if ppl_reference is not None and (
+        min_logprob is not None or ppl_domain_col is not None
+    ):
+        from southpaw_spark.operators.text import bigram_reference_model
+
+        ppl_model = bigram_reference_model(ppl_reference, text_col)
+        if min_logprob is not None and ppl_domain_col is not None:
+            ppl_model.persist()  # two consumer stages
+
     if min_logprob is not None:
         # t27 absolute fluency gate (the CCNet LM filter as a hard
         # threshold): score every doc against the FIXED
@@ -496,11 +509,9 @@ def build_corpus(
         # (gate short docs with min_tokens); runs after the cheap
         # URL-keyed gates — the LM score pays two count joins.
         from southpaw_spark.operators.text import (
-            bigram_reference_model,
             score_with_bigram_reference,
         )
 
-        ppl_model = bigram_reference_model(ppl_reference, text_col)
         gate_scores = score_with_bigram_reference(
             cur, text_col, id_col, ppl_model
         ).select(F.col(id_col), F.col("avg_logprob").alias("__alp"))
@@ -643,7 +654,8 @@ def build_corpus(
 
         bkt_full = perplexity_buckets(
             cur, text_col, id_col, ppl_domain_col,
-            cuts=ppl_cuts, labels=ppl_labels, reference=ppl_reference,
+            cuts=ppl_cuts, labels=ppl_labels,
+            reference=ppl_model if ppl_model is not None else ppl_reference,
         )
         buckets = bkt_full.select(
             F.col(id_col), "avg_logprob", "ppl_bucket"
@@ -660,6 +672,10 @@ def build_corpus(
         # _southpaw_cached convention) — hand it to the stage-boundary
         # cleanup list so the NEXT note() materialization releases it
         persisted.extend(getattr(bkt_full, "_southpaw_cached", []))
+        if ppl_model is not None and min_logprob is not None:
+            # the shared reference counts were persisted for two
+            # stages; this was the second
+            persisted.extend([ppl_model.cnt2, ppl_model.cnt1])
 
     if sample_rates is not None:
         cur = note(

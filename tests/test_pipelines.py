@@ -1282,3 +1282,55 @@ def test_build_corpus_ppl_reference_arm(spark, sf_dir):
     assert any(
         got[i][1] != self_trained[i] for i in got
     )  # the reference arm is a different model
+
+
+def test_build_corpus_shared_reference_lm_gate_plus_buckets(spark):
+    """min_logprob and ppl_domain_col together train the reference LM
+    ONCE (shared BigramReferenceModel) and produce the same survivors +
+    buckets as running the stages against the raw reference frame."""
+    from southpaw_spark.operators import text as text_mod
+    from southpaw_spark.pipelines import build_corpus
+
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "the lazy dog sleeps while the quick fox runs")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high", "a"),
+         (2, "zqx wvu ponm lkj hgf", "a"),
+         (3, "a lazy dog sleeps here", "b")],
+        "doc_id long, text string, dom string",
+    )
+    import unittest.mock as mock
+
+    # threshold strictly between the garbled doc's score and the
+    # fluent docs' — derived from the model itself (tiny vocab makes
+    # the add-one floor shallow, so no constant is safe)
+    model = text_mod.bigram_reference_model(ref, "text")
+    s = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in text_mod.score_with_bigram_reference(
+            docs, "text", "doc_id", model
+        ).collect()
+    }
+    thr = (s[2] + min(s[1], s[3])) / 2
+    assert s[2] < thr < min(s[1], s[3])
+
+    real = text_mod.bigram_reference_model
+    with mock.patch.object(
+        text_mod, "bigram_reference_model", side_effect=real
+    ) as spy:
+        kept, report = build_corpus(
+            docs, ppl_reference=ref, min_logprob=thr,
+            ppl_domain_col="dom", exact_dedup=False,
+            collect_report=True,
+        )
+        rows = {
+            r["doc_id"]: r["ppl_bucket"] for r in kept.collect()
+        }
+        kept.unpersist()
+    assert spy.call_count == 1  # trained once, shared by both stages
+    assert 2 not in rows  # garbled doc gated out
+    assert set(rows) == {1, 3} and all(v is not None for v in rows.values())
+    assert report["ppl_gate"] == 2

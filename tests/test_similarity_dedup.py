@@ -2905,3 +2905,37 @@ def test_index_delete_and_vacuum_parity(spark, sf_dir, tmp_path):
     assert pq_rows(pq_live, pq_surv) == pqw
     assert not _os.path.isdir(_os.path.join(pq_live, "_deleted"))
     assert vacuum_pq_index(spark, pq_live) == 0
+
+
+def test_round12_operators_empty_input_behavior(spark):
+    """Round-12 surface degrades cleanly on empty input: the classifier
+    returns an empty frame (both impls), the trainer refuses a corpus
+    with no tokens, and an all-empty-text frame classifies every row to
+    the constant bias argmax."""
+    import pytest
+
+    from southpaw_spark.operators.text import (
+        classify_language,
+        train_language_id,
+    )
+
+    models = {"en": [0.5] * 8, "fr": [0.25] * 8}
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    for impl in ("explode", "hof"):
+        assert classify_language(
+            empty, "text", "doc_id", models, impl=impl
+        ).count() == 0
+    blank = spark.createDataFrame(
+        [(1, ""), (2, "   ")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["lang_guess"]
+        for r in classify_language(blank, "text", "doc_id", models).collect()
+    }
+    assert out == {1: "en", 2: "en"}  # zero biases -> smallest name
+    with pytest.raises(ValueError, match="no tokens"):
+        train_language_id(
+            spark.createDataFrame([(1, "", "en")],
+                                  "doc_id long, text string, lang string"),
+            "text", "lang",
+        )
