@@ -438,6 +438,10 @@ def main(argv=None) -> int:
     g.add_argument("--vacuum", action="store_true",
                    help="drop state versions older than the newest "
                         "--keep-versions committed versions per entity")
+    g.add_argument("--vacuum-index", metavar="INDEX_DIR",
+                   help="fold _deleted/ tombstones into a persisted ANN "
+                        "index (LSH or PQ layout auto-detected) and drop "
+                        "them — run after corpus dedup deletions")
     p.add_argument("--relations", metavar="PATH", default=None,
                    help="override the config's relations JSON path "
                         "(reference --relations flag)")
@@ -461,6 +465,22 @@ def main(argv=None) -> int:
     spark = get_spark("southpaw-cli")
     spark.sparkContext.setLogLevel("ERROR")
 
+    if args.vacuum_index:
+        import os as _os
+
+        from southpaw_spark.operators.ann_index import (
+            vacuum_ann_index,
+            vacuum_pq_index,
+        )
+
+        fn = (
+            vacuum_pq_index
+            if _os.path.isdir(_os.path.join(args.vacuum_index, "codes"))
+            else vacuum_ann_index
+        )
+        n = fn(spark, args.vacuum_index)
+        print(f"index vacuum: {n} tombstones folded")
+        return 0
     if args.build:
         build(spark, cfg)
         return 0

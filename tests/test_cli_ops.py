@@ -287,3 +287,41 @@ def test_cli_corpus_stream_cron_shaped(spark, tmp_path):
                         "input_format": "wet", "state_dir": "s",
                         "checkpoint_dir": "c", "output": "o"}},
         )
+
+
+def test_cli_vacuum_index_both_layouts(spark, tmp_path, capsys):
+    """--vacuum-index auto-detects the store layout (codes/ dir = PQ)
+    and folds the tombstones for both index kinds."""
+    from southpaw_spark.operators.ann_index import (
+        build_ann_index,
+        build_pq_index,
+        remove_from_index,
+    )
+
+    def vec(i, dim=8):
+        return [((i * 29 + j * 13) % 89 - 44) / 44.0 for j in range(dim)]
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    dead = corpus.where(F.col("vec_id") % 4 == 0).select("vec_id")
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(f"state.dir: {tmp_path / 'unused'}\n")
+
+    lsh = str(tmp_path / "lsh")
+    build_ann_index(corpus, lsh, "embedding", "vec_id", n_planes=4)
+    remove_from_index(dead, lsh, "vec_id")
+    assert cli.main(["--config", str(cfg), "--vacuum-index", lsh]) == 0
+    assert "10 tombstones folded" in capsys.readouterr().out
+
+    pq = str(tmp_path / "pq")
+    build_pq_index(corpus, pq, "embedding", "vec_id",
+                   m_subspaces=4, n_codes=8)
+    remove_from_index(dead, pq, "vec_id")
+    assert cli.main(["--config", str(cfg), "--vacuum-index", pq]) == 0
+    assert "10 tombstones folded" in capsys.readouterr().out
+    import os
+
+    assert not os.path.isdir(os.path.join(lsh, "_deleted"))
+    assert not os.path.isdir(os.path.join(pq, "_deleted"))
