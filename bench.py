@@ -431,6 +431,9 @@ def main() -> None:
         ("t27_ref_perplexity",
          lambda: run_extra("t27_reference_perplexity"))
     )
+    runners.append(
+        ("t28_language_id", lambda: run_extra("t28_language_id"))
+    )
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
