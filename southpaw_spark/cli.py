@@ -320,6 +320,7 @@ def corpus_stream_cmd(spark, cfg) -> None:
         lang_model=c.get("lang_model"),
         lang_biases=c.get("lang_biases"),
         url_col=c.get("url_col"),
+        url_dedup=bool(c.get("url_dedup", False)),
         blocklist=c.get("blocklist"),
         benchmark=(
             spark.read.parquet(c["benchmark"])

@@ -834,6 +834,7 @@ def corpus_stream(
     lang_model: dict[str, list[float]] | None = None,
     lang_biases: dict[str, float] | None = None,
     url_col: str | None = None,
+    url_dedup: bool = False,
     blocklist: list[str] | None = None,
     benchmark: DataFrame | None = None,
     max_contamination_rate: float = 0.0,
@@ -856,7 +857,12 @@ def corpus_stream(
     shared with build_corpus via :func:`decontaminate_docs`), the
     ``min_logprob`` fluency gate (requires ``ppl_reference``; the t27
     reference LM is trained ONCE at wiring time and persisted — a
-    static model makes the per-batch score batching-independent), and
+    static model makes the per-batch score batching-independent),
+    ``url_dedup`` (t18's streaming twin: first-seen-wins on the
+    canonical URL against a persistent
+    :class:`streaming.dedup_stream.IncrementalKeyDeduper` pointer
+    entity in the content deduper's store — ascending-id feeds make it
+    ≡ build_corpus's min-id keeper), and
     content dedup run in foreachBatch, the dedup against the
     :class:`streaming.dedup_stream.IncrementalDeduper`'s
     persistent state. ``sink(kept_df, batch_id)``
@@ -915,6 +921,27 @@ def corpus_stream(
 
         ppl_model = bigram_reference_model(ppl_reference, text_col)
         ppl_model.persist()
+    url_deduper = None
+    if url_dedup:
+        # t18 streaming twin: first-seen-wins on the canonical URL
+        # against a persistent (key, keeper) pointer entity sharing the
+        # content deduper's state store — build_corpus's url_dedup
+        # stage with the same ascending-id ≡ min-id keeper convention
+        if url_col is None:
+            raise ValueError(
+                "url_dedup requires url_col (the identity is the "
+                "canonical URL)"
+            )
+        from southpaw_spark.operators.text import canonical_url
+        from southpaw_spark.streaming.dedup_stream import (
+            IncrementalKeyDeduper,
+        )
+
+        url_deduper = IncrementalKeyDeduper(
+            deduper.spark, deduper.store,
+            key_expr=lambda df: canonical_url(F.col(url_col)),
+            id_col=id_col,
+        )
     cur = annotate_docs(
         docs_stream, text_col, id_col,
         line_clean=line_clean, bpe_merges=bpe_merges,
@@ -956,6 +983,14 @@ def corpus_stream(
             if batch_df.limit(1).count() == 0:
                 return
             work = batch_df
+            if url_deduper is not None:
+                # URL identity first — the cheapest drop (one pointer
+                # lookup), exactly build_corpus's stage order
+                url_dec = url_deduper.process_batch(work)
+                url_keep = url_dec.where(
+                    F.col("keeper_id") == F.col(id_col)
+                ).select(id_col)
+                work = work.join(url_keep, id_col, "left_semi")
             if ppl_model is not None:
                 # the EXACT build_corpus ppl_gate stage code: left-join
                 # the reference-LM score, keep >= threshold, pass docs

@@ -9,6 +9,7 @@ from southpaw_spark.streaming.avro_cdc import (
 )
 from southpaw_spark.streaming.dedup_stream import (
     IncrementalDeduper,
+    IncrementalKeyDeduper,
     IncrementalSpanDeduper,
     IncrementalVectorDeduper,
     attach_dedup_stream,
@@ -32,6 +33,7 @@ from southpaw_spark.streaming.windows import (
 __all__ = [
     "AvroCdcDecoder",
     "IncrementalDeduper",
+    "IncrementalKeyDeduper",
     "IncrementalSpanDeduper",
     "IncrementalVectorDeduper",
     "IncrementalDenormalizer",

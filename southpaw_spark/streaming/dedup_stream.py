@@ -1826,3 +1826,116 @@ class IncrementalLineDeduper:
 
     def close(self) -> None:
         self._span.close()
+
+
+class IncrementalKeyDeduper:
+    """First-seen-wins incremental dedup on a DETERMINISTIC key column
+    — the streaming twin of ``build_corpus``'s url_dedup stage (t18:
+    pass ``key_expr=canonical_url``) or any "same key ⇒ same logical
+    record" identity. The t18 reference parity point is the reference's
+    PK-upsert discipline applied to a derived identity key (ref
+    ``topic/KafkaTopic.java:193-205`` keeps latest-per-PK; a corpus
+    keeps FIRST-per-key because the first copy crawled is the keeper).
+
+    State: ONE (key, keep_id) pointer entity, hash-bucketed like every
+    other dedup entity — per batch the lookup reads only the buckets
+    the batch's keys can live in and the merge rewrites only those
+    buckets, so per-batch cost tracks the batch, never the corpus.
+
+    Contract (same shape as :class:`IncrementalDeduper`): decisions
+    ``(id, status ∈ kept|key_dup, keeper_id)``; a doc is kept iff
+    ``keeper_id == id``. Rows whose key is NULL carry no identity
+    evidence and are ALWAYS kept (never stored) — the blocklist/url
+    NULL discipline. Replays are idempotent: a stored keeper re-reports
+    ``kept`` with ``keeper_id`` = its own id. Feeding docs in ascending
+    id order makes first-seen ≡ build_corpus's min-id keeper (the same
+    convention the content deduper's convergence contract uses)."""
+
+    _ENTITY = "keydedup_keys"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store,
+        key_expr,
+        id_col: str = "doc_id",
+    ):
+        self.spark = spark
+        self.store = store
+        self.key_expr = key_expr  # callable: df -> Column, or col name
+        self.id_col = id_col
+        self.metrics: dict = {}
+        self._prev_decisions: DataFrame | None = None
+
+    _bucket_ids = IncrementalDeduper._bucket_ids
+    _pruned_read = IncrementalDeduper._pruned_read
+    _release_prev = IncrementalDeduper._release_prev
+    close = IncrementalDeduper.close
+
+    def _key(self, docs: DataFrame):
+        if callable(self.key_expr):
+            return self.key_expr(docs)
+        return F.col(self.key_expr)
+
+    def process_batch(self, docs: DataFrame) -> DataFrame:
+        """Ingest one batch → decision log; state updated."""
+        ic = self.id_col
+        self._release_prev()
+        keyed = docs.select(
+            F.col(ic), self._key(docs).alias("__key")
+        ).persist()
+        null_kept = keyed.where(F.col("__key").isNull()).select(
+            F.col(ic), F.lit("kept").alias("status"),
+            F.col(ic).alias("keeper_id"),
+        )
+        with_key = keyed.where(F.col("__key").isNotNull())
+        ids = self._bucket_ids(with_key.select("__key"), ["__key"])
+        if not ids:
+            decisions = null_kept.persist()
+            decisions.count()
+            keyed.unpersist()
+            self._prev_decisions = decisions
+            return decisions
+        prior = self._pruned_read(
+            self._ENTITY, "__key string, keep_id long", ids=ids
+        )
+        j = with_key.join(prior, "__key", "left").persist()
+        seen = j.where(F.col("keep_id").isNotNull()).select(
+            F.col(ic),
+            F.when(F.col("keep_id") == F.col(ic), F.lit("kept"))
+            .otherwise(F.lit("key_dup")).alias("status"),
+            F.col("keep_id").alias("keeper_id"),
+        )
+        fresh = j.where(F.col("keep_id").isNull()).drop("keep_id")
+        batch_keeper = fresh.groupBy("__key").agg(
+            F.min(ic).alias("__bk")
+        )
+        fresh = fresh.join(batch_keeper, "__key")
+        batch_dups = fresh.where(F.col(ic) != F.col("__bk")).select(
+            F.col(ic), F.lit("key_dup").alias("status"),
+            F.col("__bk").alias("keeper_id"),
+        )
+        new_keepers = fresh.where(F.col(ic) == F.col("__bk"))
+        kept = new_keepers.select(
+            F.col(ic), F.lit("kept").alias("status"),
+            F.col(ic).alias("keeper_id"),
+        )
+        decisions = (
+            null_kept.unionByName(seen)
+            .unionByName(batch_dups)
+            .unionByName(kept)
+            .persist()
+        )
+        decisions.count()  # materialize BEFORE the state merge
+        self.store.merge(
+            self._ENTITY,
+            new_keepers.select("__key", F.col(ic).alias("keep_id")),
+            None, ["__key"], touched_ids=ids,
+        )
+        j.unpersist()
+        keyed.unpersist()
+        for r in decisions.groupBy("status").count().collect():
+            k = f"key_dedup_{r['status']}"
+            self.metrics[k] = self.metrics.get(k, 0) + r["count"]
+        self._prev_decisions = decisions
+        return decisions

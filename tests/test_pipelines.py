@@ -1334,3 +1334,73 @@ def test_build_corpus_shared_reference_lm_gate_plus_buckets(spark):
     assert 2 not in rows  # garbled doc gated out
     assert set(rows) == {1, 3} and all(v is not None for v in rows.values())
     assert report["ppl_gate"] == 2
+
+
+def test_corpus_stream_url_dedup_converges(spark, tmp_path):
+    """t18 streaming twin (round-12): url_dedup in corpus_stream drops
+    later copies of an already-seen canonical URL — INCLUDING a copy
+    arriving in a later batch under a different surface form — keeps
+    NULL-url docs, and the kept set matches build_corpus(url_col=...)
+    row-for-row on the ascending-id feed. url_dedup without url_col
+    fails up front."""
+    import json as _json
+
+    import pytest
+
+    from southpaw_spark.pipelines import build_corpus, corpus_stream
+    from southpaw_spark.streaming import ParquetStateStore
+    from southpaw_spark.streaming.dedup_stream import IncrementalDeduper
+
+    docs = [
+        (1, "first page of words one", "https://EX.com:443/p/1?utm_source=x"),
+        (2, "second page of words two", "https://ex.com/p/2"),
+        (3, "third page of words three", None),          # no URL identity
+        # batch 2: doc 4 is doc 1's URL under another surface form
+        (4, "fourth page of words four", "https://www.ex.com/p/1/"),
+        (5, "fifth page of words five", "https://ex.com/p/5"),
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    for name, chunk in (("a.json", docs[:3]), ("b.json", docs[3:])):
+        (src / name).write_text(
+            "\n".join(
+                _json.dumps({"doc_id": i, "text": t, "url": u})
+                for i, t, u in chunk
+            )
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, url string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    deduper = IncrementalDeduper(
+        spark,
+        ParquetStateStore(spark, str(tmp_path / "state"), n_buckets=4),
+        sim_threshold=1.01,
+    )
+    got: set = set()
+
+    def sink(kept, _bid):
+        got.update(r["doc_id"] for r in kept.collect())
+
+    q = corpus_stream(
+        deduper, stream, str(tmp_path / "ckpt"),
+        url_col="url", url_dedup=True, sink=sink,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    deduper.close()
+
+    batch = spark.createDataFrame(docs, "doc_id long, text string, url string")
+    kept, report = build_corpus(
+        batch, url_col="url", exact_dedup=True, collect_report=True,
+    )
+    want = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    kept.unpersist()
+    assert got == want == {1, 2, 3, 5}  # 4 is 1's canonical twin; 3 kept
+    assert report["url_dedup"] == 4
+
+    with pytest.raises(ValueError, match="url_col"):
+        corpus_stream(deduper, stream, str(tmp_path / "c2"), url_dedup=True)
