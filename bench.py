@@ -434,6 +434,9 @@ def main() -> None:
     runners.append(
         ("t28_language_id", lambda: run_extra("t28_language_id"))
     )
+    runners.append(
+        ("t29_corpus_profile", lambda: run_extra("t29_corpus_profile"))
+    )
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}

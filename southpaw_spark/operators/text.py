@@ -1359,6 +1359,86 @@ def train_language_id(
     return models, biases
 
 
+def corpus_profile(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Corpus statistics report (t29) — the stats stage every
+    production corpus build ships with its dataset card (doc/token
+    counts, duplication rate, length distribution; cf. the dataset
+    documentation practice of Gebru et al. 2021 "Datasheets for
+    Datasets" and the per-source tables in the Pile/RefinedWeb papers,
+    public): ONE row per stratum (``stratum_col``; the whole corpus as
+    stratum ``__all__`` when None) with
+
+    ``(stratum, n_docs, n_tokens, n_chars, n_distinct, dup_rate,
+    avg_tokens, max_tokens, p50_tokens, p90_tokens)``
+
+    — whitespace token counts (the t01 tokenizer), exact content
+    duplication via md5 count-distinct, and EXACT ceil-rank discrete
+    percentiles (the a12 rule: the value at rank ``max(1,
+    ceil(q·n))`` ordered by ``(n_tokens, id)`` — an actual data value,
+    bit-reproducible in any engine; doubles are ``round(·, 6)``).
+
+    Plan: one combiner-friendly groupBy for the aggregates and ONE
+    shuffle on the stratum for the percentile rank window (sort
+    bounded by the largest stratum — strata are coarse by
+    construction; a single-stratum corpus at 100 TB should profile
+    per-source and roll up). No collects, no cross joins."""
+    from pyspark.sql import Window
+
+    stratum = (
+        F.col(stratum_col) if stratum_col is not None
+        else F.lit("__all__")
+    )
+    base = df.select(
+        stratum.alias("stratum"),
+        F.col(id_col).alias("__id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("__tok"),
+        F.length(text_col).cast("long").alias("__chr"),
+        F.md5(F.col(text_col).cast("binary")).alias("__h"),
+    )
+    aggs = base.groupBy("stratum").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__tok").alias("n_tokens"),
+        F.sum("__chr").alias("n_chars"),
+        F.countDistinct("__h").alias("n_distinct"),
+        F.max("__tok").alias("max_tokens"),
+    )
+    w = Window.partitionBy("stratum").orderBy("__tok", "__id")
+    cnt = Window.partitionBy("stratum")
+    ranked = base.select(
+        "stratum", "__tok",
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(cnt).alias("__n"),
+    )
+
+    def pick(q: float, name: str) -> DataFrame:
+        target = F.greatest(
+            F.lit(1), F.ceil(F.lit(q) * F.col("__n"))
+        )
+        return ranked.where(F.col("__rn") == target).select(
+            "stratum", F.col("__tok").alias(name)
+        )
+
+    return (
+        aggs.join(pick(0.5, "p50_tokens"), "stratum")
+        .join(pick(0.9, "p90_tokens"), "stratum")
+        .select(
+            "stratum", "n_docs", "n_tokens", "n_chars", "n_distinct",
+            F.round(
+                1.0 - F.col("n_distinct") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+            F.round(F.col("n_tokens") / F.col("n_docs"), 6).alias(
+                "avg_tokens"
+            ),
+            "max_tokens", "p50_tokens", "p90_tokens",
+        )
+    )
+
+
 def url_host(url) -> Column:
     """The lowercased host of a URL, port stripped — the
     :func:`canonical_url` host rules factored out for blocklist

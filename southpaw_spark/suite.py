@@ -4905,6 +4905,49 @@ def _t28_sql() -> str:
 T28_SQL = _t28_sql()
 
 
+def t29_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics report (t29,
+    `operators.text.corpus_profile`) — the dataset-card stats stage
+    (doc/token/char counts, exact md5 duplication rate, exact
+    ceil-rank length percentiles) per `lang` stratum. Every number is
+    either an integer aggregate or a round(·, 6) of an exact ratio,
+    and the percentiles are discrete ceil-rank picks ordered by
+    (n_tokens, doc_id) — the oracle replays all of it."""
+    from southpaw_spark.operators.text import corpus_profile
+
+    docs = _read(spark, sf_dir, "documents")
+    return corpus_profile(docs, "text", "doc_id", "lang")
+
+
+T29_SQL = """
+    WITH base AS (
+      SELECT lang AS stratum, doc_id AS id,
+             len(string_split(text, ' '))::BIGINT AS tok,
+             length(text)::BIGINT AS chr, md5(text) AS h
+      FROM documents),
+    aggs AS (
+      SELECT stratum, count(*) AS n_docs, SUM(tok) AS n_tokens,
+             SUM(chr) AS n_chars, COUNT(DISTINCT h) AS n_distinct,
+             MAX(tok) AS max_tokens
+      FROM base GROUP BY stratum),
+    ranked AS (
+      SELECT stratum, tok,
+             row_number() OVER (
+               PARTITION BY stratum ORDER BY tok, id) AS rn,
+             count(*) OVER (PARTITION BY stratum) AS n
+      FROM base),
+    p50 AS (SELECT stratum, tok AS p50_tokens FROM ranked
+            WHERE rn = GREATEST(1, CEIL(0.5 * n))),
+    p90 AS (SELECT stratum, tok AS p90_tokens FROM ranked
+            WHERE rn = GREATEST(1, CEIL(0.9 * n)))
+    SELECT stratum, n_docs, n_tokens, n_chars, n_distinct,
+           ROUND(1.0 - n_distinct / n_docs, 6) AS dup_rate,
+           ROUND(n_tokens / n_docs, 6) AS avg_tokens,
+           max_tokens, p50_tokens, p90_tokens
+    FROM aggs JOIN p50 USING (stratum) JOIN p90 USING (stratum)
+    """
+
+
 T27_SQL = """
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -5028,6 +5071,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t27_reference_perplexity": t27_reference_perplexity,
     "s10_ann_recall": s10_ann_recall,
     "t28_language_id": t28_language_id,
+    "t29_corpus_profile": t29_corpus_profile,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -5088,4 +5132,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "t27_reference_perplexity": T27_SQL,
     "s10_ann_recall": S10_SQL,
     "t28_language_id": T28_SQL,
+    "t29_corpus_profile": T29_SQL,
 }

@@ -2939,3 +2939,42 @@ def test_round12_operators_empty_input_behavior(spark):
                                   "doc_id long, text string, lang string"),
             "text", "lang",
         )
+
+
+def test_corpus_profile_hand_computed(spark):
+    """t29: stats report against hand-computed values — duplication
+    rate, exact ceil-rank p50/p90 (ties ordered by (tokens, id)),
+    global __all__ stratum when no stratum column, empty corpus →
+    empty report."""
+    from southpaw_spark.operators.text import corpus_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "en"),        # 3 tokens
+            (2, "a b c", "en"),        # exact dup of 1
+            (3, "d e", "en"),          # 2 tokens
+            (4, "f g h i j", "en"),    # 5 tokens
+            (5, "solo", "de"),         # 1 token
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = {
+        r["stratum"]: r.asDict()
+        for r in corpus_profile(docs, "text", "doc_id", "lang").collect()
+    }
+    en = rows["en"]
+    assert (en["n_docs"], en["n_tokens"], en["n_distinct"]) == (4, 13, 3)
+    assert en["dup_rate"] == 0.25
+    assert en["avg_tokens"] == 3.25
+    assert en["max_tokens"] == 5
+    # sorted tokens: [2, 3, 3, 5]; ceil(.5*4)=2 -> 3; ceil(.9*4)=4 -> 5
+    assert (en["p50_tokens"], en["p90_tokens"]) == (3, 5)
+    de = rows["de"]
+    assert (de["n_docs"], de["p50_tokens"], de["p90_tokens"]) == (1, 1, 1)
+
+    g = corpus_profile(docs, "text", "doc_id").collect()
+    assert len(g) == 1 and g[0]["stratum"] == "__all__"
+    assert g[0]["n_docs"] == 5 and g[0]["n_distinct"] == 4
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert corpus_profile(empty, "text", "doc_id").count() == 0
