@@ -12,9 +12,14 @@ Spark that is exactly the built-in Kafka source/sink:
   ``format("kafka")`` — null value = tombstone, matching the reference's
   output contract (``topic/KafkaTopic.java:425-434``).
 
-No Kafka broker exists in the test environment, so these builders are
-exercised for plan construction only; the parse/sink-frame helpers are
-pure DataFrame transforms and are unit-tested against literal frames.
+No Kafka broker or ``spark-sql-kafka`` jar exists in the test
+environment, so the JVM-source builder is exercised for plan
+construction only; the parse/sink-frame helpers are pure DataFrame
+transforms and are unit-tested against literal frames. O1 *execution*
+is covered by the jar-free ``kafka_py`` Python data source
+(``sources/kafka_pyds.py``, ``python_source=True`` here) — same option
+names and output shape — run end-to-end in pytest against the
+wire-protocol loopback broker (``sources/kafka_broker.py``).
 """
 
 from __future__ import annotations
@@ -58,11 +63,21 @@ def kafka_cdc_stream(
     starting_offsets: str = "earliest",
     max_offsets_per_trigger: int | None = 250_000,
     options: Mapping[str, str] | None = None,
+    python_source: bool = False,
 ) -> DataFrame:
     """Raw CDC stream over one or more topics. ``maxOffsetsPerTrigger``
     bounds micro-batch size — the backpressure role of the reference's
-    ``topic.lag.trigger``/``create.records.trigger`` knobs (SURVEY §4.2)."""
-    reader = spark.readStream.format("kafka")
+    ``topic.lag.trigger``/``create.records.trigger`` knobs (SURVEY §4.2).
+
+    ``python_source=True`` swaps the JVM connector for the jar-free
+    ``kafka_py`` data source (same options, same output columns); use it
+    where the spark-sql-kafka jar can't be shipped. The JVM source
+    remains the default on real clusters (JVM-side Arrow-free ingest)."""
+    if python_source:
+        from southpaw_spark.sources.kafka_pyds import register_kafka_py
+
+        register_kafka_py(spark)
+    reader = spark.readStream.format("kafka_py" if python_source else "kafka")
     for k, v in kafka_source_options(
         bootstrap_servers, topics, starting_offsets,
         max_offsets_per_trigger, options,
