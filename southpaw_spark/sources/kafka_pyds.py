@@ -42,7 +42,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     BinaryType,
@@ -293,8 +296,148 @@ class KafkaPyStreamReader(DataSourceStreamReader):  # type: ignore[misc]
         pass
 
 
+# ---------------------------------------------------------------------------
+# sink (O16 execution): wire Produce from executors
+# ---------------------------------------------------------------------------
+
+def murmur2_kafka(data: bytes) -> int:
+    """Kafka's default-partitioner hash: murmur2 with seed 0x9747b28c
+    (public algorithm, ``org.apache.kafka.common.utils.Utils.murmur2``).
+    Matching it means a key written by this sink lands on the same
+    partition a Java producer would pick — per-key ordering survives a
+    mixed-producer deployment."""
+    length = len(data)
+    seed = 0x9747B28C
+    m = 0x5BD1E995
+    h = (seed ^ length) & 0xFFFFFFFF
+    i = 0
+    while length - i >= 4:
+        k = int.from_bytes(data[i : i + 4], "little", signed=False)
+        k = (k * m) & 0xFFFFFFFF
+        k ^= k >> 24
+        k = (k * m) & 0xFFFFFFFF
+        h = (h * m) & 0xFFFFFFFF
+        h ^= k
+        i += 4
+    rem = length - i
+    if rem == 3:
+        h ^= data[i + 2] << 16
+    if rem >= 2:
+        h ^= data[i + 1] << 8
+    if rem >= 1:
+        h ^= data[i]
+        h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 15
+    return h
+
+
+def _partition_for(key: bytes | None, row_partition, n_parts: int, idx: int) -> int:
+    if row_partition is not None:
+        return int(row_partition)
+    if key is not None:
+        return (murmur2_kafka(key) & 0x7FFFFFFF) % n_parts
+    return idx % n_parts  # keyless: round-robin
+
+
+@dataclass
+class _ProducedMessage(WriterCommitMessage):  # type: ignore[misc]
+    count: int = 0
+
+
+class KafkaPyWriter(DataSourceWriter):  # type: ignore[misc]
+    """Executor-side Produce: batches rows per (topic, partition) and
+    writes them over the wire. At-least-once, like the JVM Kafka sink —
+    a failed/retried task may re-produce (Kafka appends are not
+    idempotent without transactions, which neither sink uses)."""
+
+    def __init__(self, options) -> None:
+        self.host, self.port = _first_bootstrap(options)
+        self.topic = options.get("topic")
+        self.chunk = int(options.get("produceBatchSize", "500"))
+
+    def write(self, iterator) -> _ProducedMessage:
+        from collections import defaultdict
+
+        pending: dict[tuple[str, int], list] = defaultdict(list)
+        n = 0
+        with KafkaWireClient(self.host, self.port) as client:
+            n_parts_cache: dict[str, int] = {}
+
+            def n_parts(topic: str) -> int:
+                if topic not in n_parts_cache:
+                    _, parts = client.metadata([topic])
+                    n_parts_cache[topic] = max(
+                        len([p for p in parts if p.topic == topic]), 1
+                    )
+                return n_parts_cache[topic]
+
+            def flush(tp: tuple[str, int]) -> None:
+                if pending[tp]:
+                    client.produce(tp[0], tp[1], pending[tp])
+                    pending[tp].clear()
+
+            for idx, row in enumerate(iterator):
+                d = row.asDict() if hasattr(row, "asDict") else dict(row)
+                topic = d.get("topic") or self.topic
+                if not topic:
+                    raise ValueError(
+                        "kafka_py sink needs a topic option or column"
+                    )
+                key = bytes(d["key"]) if d.get("key") is not None else None
+                value = (
+                    bytes(d["value"]) if d.get("value") is not None else None
+                )
+                ts = d.get("timestamp")
+                ts_ms = (
+                    int(ts.timestamp() * 1000)
+                    if hasattr(ts, "timestamp")
+                    else int(time_ms())
+                )
+                p = _partition_for(
+                    key, d.get("partition"), n_parts(topic), idx
+                )
+                tp = (topic, p)
+                pending[tp].append((key, value, ts_ms))
+                n += 1
+                if len(pending[tp]) >= self.chunk:
+                    flush(tp)
+            for tp in list(pending):
+                flush(tp)
+        return _ProducedMessage(count=n)
+
+    def commit(self, messages) -> None:
+        pass
+
+    def abort(self, messages) -> None:
+        # records already produced stay (at-least-once); nothing to undo
+        pass
+
+
+class KafkaPyStreamWriter(KafkaPyWriter, DataSourceStreamWriter):  # type: ignore[misc]
+    """Streaming flavor: same per-task produce; commit/abort per batch
+    are no-ops (offsets/dedup are the downstream consumer's concern,
+    matching the JVM sink's at-least-once contract). Base order matters:
+    ``KafkaPyWriter`` first so its concrete ``write`` wins the MRO over
+    the abstract ``DataSourceStreamWriter.write``."""
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        pass
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        pass
+
+
+def time_ms() -> int:
+    import time
+
+    return int(time.time() * 1000)
+
+
 class KafkaPyDataSource(DataSource):  # type: ignore[misc]
-    """``spark.read/readStream.format("kafka_py")`` — see module doc."""
+    """``spark.read/readStream/write/writeStream.format("kafka_py")`` —
+    see module doc."""
 
     @classmethod
     def name(cls) -> str:
@@ -308,6 +451,16 @@ class KafkaPyDataSource(DataSource):  # type: ignore[misc]
 
     def streamReader(self, schema: StructType) -> KafkaPyStreamReader:
         return KafkaPyStreamReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> KafkaPyWriter:
+        if overwrite:
+            raise ValueError("kafka_py sink is append-only (a log)")
+        return KafkaPyWriter(self.options)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> KafkaPyStreamWriter:
+        return KafkaPyStreamWriter(self.options)
 
 
 def register_kafka_py(spark) -> None:

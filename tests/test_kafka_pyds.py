@@ -239,6 +239,99 @@ def _wait(cond, timeout=90.0, step=0.25):
 
 
 # ---------------------------------------------------------------------------
+# sink (O16 execution)
+# ---------------------------------------------------------------------------
+
+def test_murmur2_kafka_vectors():
+    """Public vectors from Apache Kafka's UtilsTest.testMurmur2 — the
+    sink's partitioner must place keys exactly where a Java producer
+    would."""
+    from southpaw_spark.sources.kafka_pyds import murmur2_kafka
+
+    def signed(v):
+        return v - (1 << 32) if v >= (1 << 31) else v
+
+    assert signed(murmur2_kafka(b"21")) == -973932308
+    assert signed(murmur2_kafka(b"foobar")) == -790332482
+    assert signed(murmur2_kafka(b"a-little-bit-long-string")) == -985981536
+    assert signed(murmur2_kafka(b"abc")) == 479470107
+
+
+def test_kafka_py_batch_sink_partitioning_and_tombstones(spark):
+    from southpaw_spark.sources.kafka_pyds import murmur2_kafka
+
+    with EmbeddedKafkaBroker() as broker:
+        broker.create_topic("out", partitions=3)
+        register_kafka_py(spark)
+        df = spark.createDataFrame(
+            [
+                (f"k{i}".encode(), f"v{i}".encode() if i % 4 else None)
+                for i in range(20)
+            ],
+            "key binary, value binary",
+        )
+        (
+            df.write.format("kafka_py")
+            .mode("append")
+            .option("kafka.bootstrap.servers", broker.bootstrap)
+            .option("topic", "out")
+            .save()
+        )
+        rows = (
+            spark.read.format("kafka_py")
+            .option("kafka.bootstrap.servers", broker.bootstrap)
+            .option("subscribe", "out")
+            .load()
+            .collect()
+        )
+        assert len(rows) == 20
+        # default-partitioner parity: key → murmur2 → partition
+        for r in rows:
+            assert r.partition == (murmur2_kafka(bytes(r.key)) & 0x7FFFFFFF) % 3
+        assert sum(1 for r in rows if r.value is None) == 5  # tombstones
+
+
+def test_kafka_py_stream_relay(spark, tmp_path):
+    """readStream(kafka_py) → writeStream(kafka_py): the reference's
+    topology (consume CDC, produce denormalized docs) as a live relay,
+    tombstones preserved."""
+    with EmbeddedKafkaBroker() as broker:
+        broker.create_topic("in", partitions=1)
+        for i in range(12):
+            broker.append(
+                "in", 0, f"s{i}".encode(),
+                f"sv{i}".encode() if i % 5 else None,
+                1_700_000_000_000 + i,
+            )
+        register_kafka_py(spark)
+        stream = (
+            spark.readStream.format("kafka_py")
+            .option("kafka.bootstrap.servers", broker.bootstrap)
+            .option("subscribe", "in")
+            .load()
+        )
+        q = (
+            stream.selectExpr("key", "value")
+            .writeStream.format("kafka_py")
+            .option("kafka.bootstrap.servers", broker.bootstrap)
+            .option("topic", "out2")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = (
+            spark.read.format("kafka_py")
+            .option("kafka.bootstrap.servers", broker.bootstrap)
+            .option("subscribe", "out2")
+            .load()
+            .collect()
+        )
+        assert len(out) == 12
+        assert sum(1 for r in out if r.value is None) == 3  # i = 0, 5, 10
+
+
+# ---------------------------------------------------------------------------
 # the full reference loop: Kafka topic → parse_cdc_json → IVM → docs
 # ---------------------------------------------------------------------------
 
