@@ -1804,3 +1804,129 @@ def epoch_repeat(
         n > 0, F.sequence(F.lit(0), n - 1)
     ).otherwise(F.array().cast("array<int>"))
     return df.select("*", F.explode(copies).alias("copy_idx"))
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher repetition-free quality rules (t30): the seven document
+    filters of Rae et al. 2021 (Gopher, Appendix A — public recipe,
+    also MassiveText/RefinedWeb's first gate), computed as pure Column
+    expressions so the whole gate runs in whole-stage codegen:
+
+    1. word count in [min_words, max_words];
+    2. mean word length in [min_mean_word_len, max_mean_word_len];
+    3. symbol-to-word ratio (``#`` and ``...`` occurrences / words)
+       ≤ max_symbol_ratio;
+    4. fraction of non-empty lines starting with a bullet
+       (``-``/``*``/``•``) ≤ max_bullet_frac;
+    5. fraction of non-empty lines ending with an ellipsis
+       (``...``/``…``) ≤ max_ellipsis_frac;
+    6. fraction of words containing an alphabetic char ≥ min_alpha_frac;
+    7. at least min_stopword_hits of the 8 Gopher stopwords present.
+
+    Unlike the module's split-on-single-space convention, words here
+    split on runs of ANY whitespace (the rules mix word and line
+    structure, so ``\\n`` must not glue words together); the DuckDB
+    oracle replays the same regexp split. Ratios are round(·, 6);
+    zero-word docs carry NULL ratios and fail the gate. Output:
+    id, the seven metric columns, ``gopher_pass``.
+
+    Complements (does not replace) the repo's other gates: t02 length/
+    punct heuristics, t11 repetition (Gopher's OTHER table), t19 C4
+    line rules, t22/t27 model scores.
+    """
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
+    )
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"),
+        lambda l: F.trim(l) != F.lit(""),
+    )
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    sum_word_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    n_hash = F.length(text_col) - F.length(
+        F.replace(F.col(text_col), F.lit("#"), F.lit(""))
+    )
+    n_ellipsis = (
+        F.length(text_col)
+        - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    n_bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.ltrim(l).startswith("-")
+            | F.ltrim(l).startswith("*")
+            | F.ltrim(l).startswith("•"),
+        )
+    )
+    n_ellipsis_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+        )
+    )
+    lower_words = F.transform(words, F.lower)
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(lower_words, s),
+        )
+    )
+    nz = F.when(n_words > 0, n_words.cast("double"))  # NULL when empty
+    nlz = F.when(n_lines > 0, n_lines.cast("double"))
+    out = df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(sum_word_len / nz, 6).alias("mean_word_len"),
+        F.round((n_hash + n_ellipsis) / nz, 6).alias("symbol_word_ratio"),
+        F.round(n_bullet_lines / nlz, 6).alias("bullet_line_frac"),
+        F.round(n_ellipsis_lines / nlz, 6).alias("ellipsis_line_frac"),
+        F.round(n_alpha / nz, 6).alias("alpha_word_frac"),
+        n_stop.cast("int").alias("n_stopword_hits"),
+    )
+    passes = (
+        (F.col("n_words") >= F.lit(int(min_words)))
+        & (F.col("n_words") <= F.lit(int(max_words)))
+        & (F.col("mean_word_len") >= F.lit(float(min_mean_word_len)))
+        & (F.col("mean_word_len") <= F.lit(float(max_mean_word_len)))
+        & (F.col("symbol_word_ratio") <= F.lit(float(max_symbol_ratio)))
+        & (F.col("bullet_line_frac") <= F.lit(float(max_bullet_frac)))
+        & (F.col("ellipsis_line_frac") <= F.lit(float(max_ellipsis_frac)))
+        & (F.col("alpha_word_frac") >= F.lit(float(min_alpha_frac)))
+        & (F.col("n_stopword_hits") >= F.lit(int(min_stopword_hits)))
+    )
+    return out.withColumn("gopher_pass", F.coalesce(passes, F.lit(False)))
+
+
+def gopher_filter(
+    df: DataFrame, text_col: str, id_col: str, **thresholds
+) -> DataFrame:
+    """Keep only documents passing :func:`gopher_quality` — a semi-join
+    on the passing ids so the caller keeps every original column."""
+    keep = (
+        gopher_quality(df, text_col, id_col, **thresholds)
+        .where("gopher_pass")
+        .select(id_col)
+    )
+    # corpus-sized id set: a plain (AQE-planned) semi-join, not a
+    # broadcast — at 100 TB the passing set is itself huge
+    return df.join(keep, id_col, "left_semi")

@@ -204,6 +204,8 @@ def build_corpus(
     *,
     min_quality: float | None = None,
     min_tokens: int | None = None,
+    gopher: bool = False,
+    gopher_thresholds: dict | None = None,
     model_weights: list[float] | None = None,
     model_bias: float = 0.0,
     min_model_score: float | None = None,
@@ -375,6 +377,22 @@ def build_corpus(
             "self-trained LM would move with the corpus — and with "
             "every batch in the streaming twin)"
         )
+    if gopher_thresholds is not None:
+        if not gopher:
+            raise ValueError("gopher_thresholds requires gopher=True")
+        import inspect
+
+        from southpaw_spark.operators.text import gopher_quality
+
+        legal = set(inspect.signature(gopher_quality).parameters) - {
+            "df", "text_col", "id_col"
+        }
+        bad = set(gopher_thresholds) - legal
+        if bad:
+            raise ValueError(
+                f"unknown gopher_thresholds keys {sorted(bad)}; "
+                f"legal: {sorted(legal)}"
+            )
 
     report: dict[str, int] = {}
     persisted: list[DataFrame] = []
@@ -432,6 +450,17 @@ def build_corpus(
     if min_quality is not None:
         cur = note(
             "min_quality", cur.where(F.col("quality_score") >= min_quality)
+        )
+    if gopher:
+        # Gopher/MassiveText rule gate (t30) — rule-based sibling of the
+        # t22 trained gate; runs early (pure projection + semi-join)
+        from southpaw_spark.operators.text import gopher_filter
+
+        cur = note(
+            "gopher",
+            gopher_filter(
+                cur, text_col, id_col, **(gopher_thresholds or {})
+            ),
         )
     if model_weights is not None:
         # trained-classifier gate (t22): fastText-style hashed-BoW

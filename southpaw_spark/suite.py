@@ -5008,6 +5008,75 @@ S10_SQL = f"""
 """
 
 
+def t30_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (t30, `operators.text.gopher_quality`) —
+    the seven public MassiveText document filters (word count, mean
+    word length, symbol ratio, bullet/ellipsis line fractions,
+    alpha-word fraction, stopword hits) as one codegen projection;
+    the oracle replays every rule including the whitespace-regex
+    tokenization and NULL-ratio zero-word contract."""
+    from southpaw_spark.operators.text import gopher_quality
+
+    docs = _read(spark, sf_dir, "documents")
+    return gopher_quality(docs, "text", "doc_id")
+
+
+T30_SQL = r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         w -> w <> '') AS ws,
+             list_filter(string_split(text, chr(10)),
+                         l -> trim(l) <> '') AS ls
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(ws)::BIGINT AS n_words,
+             len(ls) AS n_lines,
+             list_sum(list_transform(ws, w -> length(w))) AS sum_wl,
+             len(list_filter(ws,
+                 w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) / 3.0
+               AS n_ell,
+             len(list_filter(ls, l ->
+                 starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')
+                 OR starts_with(ltrim(l), '•'))) AS n_bul,
+             len(list_filter(ls, l ->
+                 ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+               AS n_ell_l,
+             len(list_filter(
+                 ['the','be','to','of','and','that','have','with'],
+                 s -> list_contains(list_transform(ws, w -> lower(w)), s)
+             ))::INT AS n_stop
+      FROM base),
+    r AS (
+      SELECT doc_id, n_words,
+             ROUND(sum_wl / NULLIF(n_words, 0)::DOUBLE, 6)
+               AS mean_word_len,
+             ROUND((n_hash + n_ell) / NULLIF(n_words, 0)::DOUBLE, 6)
+               AS symbol_word_ratio,
+             ROUND(n_bul / NULLIF(n_lines, 0)::DOUBLE, 6)
+               AS bullet_line_frac,
+             ROUND(n_ell_l / NULLIF(n_lines, 0)::DOUBLE, 6)
+               AS ellipsis_line_frac,
+             ROUND(n_alpha / NULLIF(n_words, 0)::DOUBLE, 6)
+               AS alpha_word_frac,
+             n_stop AS n_stopword_hits
+      FROM m)
+    SELECT *,
+           COALESCE(
+             n_words BETWEEN 50 AND 100000
+             AND mean_word_len BETWEEN 3.0 AND 10.0
+             AND symbol_word_ratio <= 0.1
+             AND bullet_line_frac <= 0.9
+             AND ellipsis_line_frac <= 0.3
+             AND alpha_word_frac >= 0.8
+             AND n_stopword_hits >= 2, FALSE) AS gopher_pass
+    FROM r
+"""
+
+
 # The driver's correctness gate checks AT MOST 50 rows per round
 # (CORRECTNESS_r02 stopped at 50 of 54), so QUERIES stays pinned at
 # exactly 50: pushing new entries into it would silently uncheck tail
@@ -5072,6 +5141,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s10_ann_recall": s10_ann_recall,
     "t28_language_id": t28_language_id,
     "t29_corpus_profile": t29_corpus_profile,
+    "t30_gopher_quality": t30_gopher_quality,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -5133,4 +5203,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "s10_ann_recall": S10_SQL,
     "t28_language_id": T28_SQL,
     "t29_corpus_profile": T29_SQL,
+    "t30_gopher_quality": T30_SQL,
 }

@@ -1404,3 +1404,35 @@ def test_corpus_stream_url_dedup_converges(spark, tmp_path):
 
     with pytest.raises(ValueError, match="url_col"):
         corpus_stream(deduper, stream, str(tmp_path / "c2"), url_dedup=True)
+
+
+def test_build_corpus_gopher_stage(spark):
+    """The Gopher rule gate (t30) drops rule-breaking docs; thresholds
+    are validated up front; unknown keys fail before any job."""
+    import pytest as _pytest
+
+    from southpaw_spark.pipelines import build_corpus
+
+    good = ("the quick brown fox jumps to the lair of dogs " * 6).strip()
+    docs = spark.createDataFrame(
+        [(1, good), (2, "too short"), (3, "no stopwords here " * 20)],
+        "doc_id long, text string",
+    )
+    kept, report = build_corpus(docs, gopher=True, exact_dedup=False)
+    assert sorted(r.doc_id for r in kept.collect()) == [1]
+    assert report["gopher"] == 1
+    kept.unpersist()
+
+    kept2, report2 = build_corpus(
+        docs,
+        gopher=True,
+        gopher_thresholds={"min_words": 2, "min_stopword_hits": 0},
+        exact_dedup=False,
+    )
+    assert report2["gopher"] == 3
+    kept2.unpersist()
+
+    with _pytest.raises(ValueError, match="requires gopher=True"):
+        build_corpus(docs, gopher_thresholds={"min_words": 2})
+    with _pytest.raises(ValueError, match="unknown gopher_thresholds"):
+        build_corpus(docs, gopher=True, gopher_thresholds={"min_wordz": 2})

@@ -2978,3 +2978,96 @@ def test_corpus_profile_hand_computed(spark):
 
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert corpus_profile(empty, "text", "doc_id").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# t30: Gopher quality rules
+# ---------------------------------------------------------------------------
+
+def _gopher_frame(spark):
+    good = ("the quick brown fox jumps to the lair of dogs " * 6).strip()
+    bullets = "\n".join(f"- item{i} thing here" for i in range(20))
+    ellipses = "\n".join(
+        f"some sentence number {i} trails off..." for i in range(15)
+    )
+    hashes = "the " + "#tag " * 60 + "of and that"
+    nostop = "zebra quagga okapi gnu " * 15
+    return spark.createDataFrame(
+        [
+            (1, good),
+            (2, "too short"),
+            (3, bullets),
+            (4, ellipses),
+            (5, hashes),
+            (6, nostop.strip()),
+            (7, ""),
+            (8, "   \n   "),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_gopher_quality_rules(spark):
+    from southpaw_spark.operators.text import gopher_quality
+
+    out = {
+        r.doc_id: r
+        for r in gopher_quality(
+            _gopher_frame(spark), "text", "doc_id"
+        ).collect()
+    }
+    assert out[1].gopher_pass  # 60 words, 3 stopword kinds, clean
+    assert out[1].n_words == 60
+    assert out[1].n_stopword_hits == 3  # the, to, of
+    assert out[1].alpha_word_frac == 1.0
+
+    assert not out[2].gopher_pass  # word count < 50
+    assert out[2].n_words == 2
+
+    assert not out[3].gopher_pass
+    assert out[3].bullet_line_frac == 1.0  # every line bulleted
+
+    assert not out[4].gopher_pass
+    assert out[4].ellipsis_line_frac == 1.0  # every line trails off
+
+    assert not out[5].gopher_pass
+    assert out[5].symbol_word_ratio > 0.1  # '#' per word over budget
+
+    assert not out[6].gopher_pass
+    assert out[6].n_stopword_hits == 0
+
+    # zero-word docs: NULL ratios, explicit fail (not NULL pass)
+    for did in (7, 8):
+        assert out[did].n_words == 0
+        assert out[did].mean_word_len is None
+        assert out[did].gopher_pass is False
+
+
+def test_gopher_quality_line_and_whitespace_tokenization(spark):
+    """Words split on ANY whitespace run (newlines must not glue
+    words), lines on newline with blank lines ignored."""
+    from southpaw_spark.operators.text import gopher_quality
+
+    df = spark.createDataFrame(
+        [(1, "alpha\nbeta  gamma\n\n  \ndelta\teps")],
+        "doc_id long, text string",
+    )
+    r = gopher_quality(df, "text", "doc_id").collect()[0]
+    assert r.n_words == 5
+    # 3 non-empty lines, none bulleted
+    assert r.bullet_line_frac == 0.0
+
+
+def test_gopher_filter_keeps_all_columns(spark):
+    from southpaw_spark.operators.text import gopher_filter
+
+    df = _gopher_frame(spark).withColumn("extra", F.lit("x"))
+    kept = gopher_filter(df, "text", "doc_id")
+    assert kept.columns == df.columns
+    assert [r.doc_id for r in kept.collect()] == [1]
+    # relaxed thresholds let the short doc through
+    relaxed = gopher_filter(
+        df, "text", "doc_id", min_words=2, min_stopword_hits=0,
+        min_alpha_frac=0.0,
+    )
+    assert {r.doc_id for r in relaxed.collect()} >= {1, 2}
