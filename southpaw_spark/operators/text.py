@@ -1850,6 +1850,29 @@ def gopher_quality(
     punct heuristics, t11 repetition (Gopher's OTHER table), t19 C4
     line rules, t22/t27 model scores.
     """
+    m = _gopher_metrics(text_col)
+    out = df.select(
+        F.col(id_col),
+        *[m[c].alias(c) for c in _GOPHER_METRIC_COLS],
+    )
+    passes = _gopher_rules(
+        {c: F.col(c) for c in _GOPHER_METRIC_COLS},
+        min_words, max_words, min_mean_word_len, max_mean_word_len,
+        max_symbol_ratio, max_bullet_frac, max_ellipsis_frac,
+        min_alpha_frac, min_stopword_hits,
+    )
+    return out.withColumn("gopher_pass", passes)
+
+
+_GOPHER_METRIC_COLS = (
+    "n_words", "mean_word_len", "symbol_word_ratio", "bullet_line_frac",
+    "ellipsis_line_frac", "alpha_word_frac", "n_stopword_hits",
+)
+
+
+def _gopher_metrics(text_col: str) -> dict[str, Column]:
+    """The seven metric expressions of :func:`gopher_quality`, shared
+    with the predicate form so filter and report are bit-identical."""
     words = F.filter(
         F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
     )
@@ -1893,40 +1916,66 @@ def gopher_quality(
     )
     nz = F.when(n_words > 0, n_words.cast("double"))  # NULL when empty
     nlz = F.when(n_lines > 0, n_lines.cast("double"))
-    out = df.select(
-        F.col(id_col),
-        n_words.cast("long").alias("n_words"),
-        F.round(sum_word_len / nz, 6).alias("mean_word_len"),
-        F.round((n_hash + n_ellipsis) / nz, 6).alias("symbol_word_ratio"),
-        F.round(n_bullet_lines / nlz, 6).alias("bullet_line_frac"),
-        F.round(n_ellipsis_lines / nlz, 6).alias("ellipsis_line_frac"),
-        F.round(n_alpha / nz, 6).alias("alpha_word_frac"),
-        n_stop.cast("int").alias("n_stopword_hits"),
-    )
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": F.round(sum_word_len / nz, 6),
+        "symbol_word_ratio": F.round((n_hash + n_ellipsis) / nz, 6),
+        "bullet_line_frac": F.round(n_bullet_lines / nlz, 6),
+        "ellipsis_line_frac": F.round(n_ellipsis_lines / nlz, 6),
+        "alpha_word_frac": F.round(n_alpha / nz, 6),
+        "n_stopword_hits": n_stop.cast("int"),
+    }
+
+
+def _gopher_rules(
+    m: dict[str, Column],
+    min_words, max_words, min_mean_word_len, max_mean_word_len,
+    max_symbol_ratio, max_bullet_frac, max_ellipsis_frac,
+    min_alpha_frac, min_stopword_hits,
+) -> Column:
     passes = (
-        (F.col("n_words") >= F.lit(int(min_words)))
-        & (F.col("n_words") <= F.lit(int(max_words)))
-        & (F.col("mean_word_len") >= F.lit(float(min_mean_word_len)))
-        & (F.col("mean_word_len") <= F.lit(float(max_mean_word_len)))
-        & (F.col("symbol_word_ratio") <= F.lit(float(max_symbol_ratio)))
-        & (F.col("bullet_line_frac") <= F.lit(float(max_bullet_frac)))
-        & (F.col("ellipsis_line_frac") <= F.lit(float(max_ellipsis_frac)))
-        & (F.col("alpha_word_frac") >= F.lit(float(min_alpha_frac)))
-        & (F.col("n_stopword_hits") >= F.lit(int(min_stopword_hits)))
+        (m["n_words"] >= F.lit(int(min_words)))
+        & (m["n_words"] <= F.lit(int(max_words)))
+        & (m["mean_word_len"] >= F.lit(float(min_mean_word_len)))
+        & (m["mean_word_len"] <= F.lit(float(max_mean_word_len)))
+        & (m["symbol_word_ratio"] <= F.lit(float(max_symbol_ratio)))
+        & (m["bullet_line_frac"] <= F.lit(float(max_bullet_frac)))
+        & (m["ellipsis_line_frac"] <= F.lit(float(max_ellipsis_frac)))
+        & (m["alpha_word_frac"] >= F.lit(float(min_alpha_frac)))
+        & (m["n_stopword_hits"] >= F.lit(int(min_stopword_hits)))
     )
-    return out.withColumn("gopher_pass", F.coalesce(passes, F.lit(False)))
+    return F.coalesce(passes, F.lit(False))
+
+
+def gopher_predicate(
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """:func:`gopher_quality`'s pass rule as ONE boolean Column — a pure
+    per-row predicate (no join, no shuffle), legal inside a streaming
+    plan and the cheapest batch form. Built on the same rounded metric
+    expressions, so ``where(gopher_predicate(...))`` keeps exactly the
+    rows ``gopher_quality(...).where("gopher_pass")`` reports."""
+    return _gopher_rules(
+        _gopher_metrics(text_col),
+        min_words, max_words, min_mean_word_len, max_mean_word_len,
+        max_symbol_ratio, max_bullet_frac, max_ellipsis_frac,
+        min_alpha_frac, min_stopword_hits,
+    )
 
 
 def gopher_filter(
     df: DataFrame, text_col: str, id_col: str, **thresholds
 ) -> DataFrame:
-    """Keep only documents passing :func:`gopher_quality` — a semi-join
-    on the passing ids so the caller keeps every original column."""
-    keep = (
-        gopher_quality(df, text_col, id_col, **thresholds)
-        .where("gopher_pass")
-        .select(id_col)
-    )
-    # corpus-sized id set: a plain (AQE-planned) semi-join, not a
-    # broadcast — at 100 TB the passing set is itself huge
-    return df.join(keep, id_col, "left_semi")
+    """Keep only documents passing the Gopher rules — a pure filter
+    (codegen predicate, zero shuffle); every original column survives.
+    ``id_col`` is unused but kept for gate-signature symmetry."""
+    return df.where(gopher_predicate(text_col, **thresholds))

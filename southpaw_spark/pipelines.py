@@ -856,6 +856,8 @@ def corpus_stream(
     bpe_merges: list[tuple[str, str]] | None = None,
     min_tokens: int | None = None,
     min_quality: float | None = None,
+    gopher: bool = False,
+    gopher_thresholds: dict | None = None,
     model_weights: list[float] | None = None,
     model_bias: float = 0.0,
     min_model_score: float | None = None,
@@ -982,6 +984,16 @@ def corpus_stream(
         cur = cur.where(F.col(tok_col) >= min_tokens)
     if min_quality is not None:
         cur = cur.where(F.col("quality_score") >= min_quality)
+    if gopher:
+        # t30 streaming twin: the rules are one stateless codegen
+        # predicate over the row's own text — streaming-legal like the
+        # t24 list blocklist, and bit-identical to build_corpus's gate
+        # (same rounded metric expressions)
+        from southpaw_spark.operators.text import gopher_predicate
+
+        cur = cur.where(
+            gopher_predicate(text_col, **(gopher_thresholds or {}))
+        )
     if min_model_score is not None:
         cur = cur.where(F.col("model_score") >= min_model_score)
     if langs is not None:

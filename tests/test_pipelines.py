@@ -1436,3 +1436,62 @@ def test_build_corpus_gopher_stage(spark):
         build_corpus(docs, gopher_thresholds={"min_words": 2})
     with _pytest.raises(ValueError, match="unknown gopher_thresholds"):
         build_corpus(docs, gopher=True, gopher_thresholds={"min_wordz": 2})
+
+
+def test_corpus_stream_gopher_gate_converges(spark, tmp_path):
+    """The t30 Gopher gate runs inside the streaming plan (one codegen
+    predicate, stateless) and keeps exactly build_corpus's gopher-kept
+    rows across two micro-batches."""
+    import json as _json
+
+    from southpaw_spark.pipelines import build_corpus, corpus_stream
+    from southpaw_spark.streaming import ParquetStateStore
+    from southpaw_spark.streaming.dedup_stream import IncrementalDeduper
+
+    good = ("the quick brown fox jumps to the lair of dogs " * 6).strip()
+    good2 = ("all of the wise owls fly back to that old barn " * 6).strip()
+    docs = [
+        (1, good),
+        (2, "too short"),                      # word-count rule
+        (3, "no stopwords lurk here " * 15),   # stopword rule
+        (4, good2),
+        (5, "# " * 80 + "the end of that"),    # symbol rule
+    ]
+    a, b = docs[:3], docs[3:]
+    src = tmp_path / "in"
+    src.mkdir()
+    for name, chunk in (("a.json", a), ("b.json", b)):
+        (src / name).write_text(
+            "\n".join(
+                _json.dumps({"doc_id": i, "text": t}) for i, t in chunk
+            )
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    deduper = IncrementalDeduper(
+        spark,
+        ParquetStateStore(spark, str(tmp_path / "state"), n_buckets=4),
+        sim_threshold=1.01,
+    )
+    got: set = set()
+
+    def sink(kept, _bid):
+        got.update(r["doc_id"] for r in kept.collect())
+
+    q = corpus_stream(
+        deduper, stream, str(tmp_path / "ckpt"), gopher=True, sink=sink
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    deduper.close()
+
+    batch = spark.createDataFrame(docs, "doc_id long, text string")
+    kept, report = build_corpus(batch, gopher=True, exact_dedup=True)
+    want = {r["doc_id"] for r in kept.collect()}
+    kept.unpersist()
+    assert got == want == {1, 4}
