@@ -437,6 +437,9 @@ def main() -> None:
     runners.append(
         ("t29_corpus_profile", lambda: run_extra("t29_corpus_profile"))
     )
+    runners.append(
+        ("t30_gopher_quality", lambda: run_extra("t30_gopher_quality"))
+    )
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}

@@ -443,3 +443,73 @@ def test_kafka_ivm_end_to_end(spark, tmp_path):
     # via Kafka (seq 30 renamed alice → alice2)
     blob = " ".join(v for v in results.values() if v)
     assert "alice2" in blob, blob
+
+
+def test_kafka_corpus_stream_pipeline(spark, tmp_path):
+    """Training-data pipeline fed from a message bus: documents
+    produced to a Kafka topic stream through corpus_stream's gates
+    (min_tokens + Gopher) and the persistent exact-dedup state; the
+    kept set equals build_corpus on the same docs — the stream≡batch
+    contract holds over a kafka_py transport exactly as over files."""
+    from pyspark.sql import functions as F
+
+    from southpaw_spark.pipelines import build_corpus, corpus_stream
+    from southpaw_spark.streaming import ParquetStateStore
+    from southpaw_spark.streaming.dedup_stream import IncrementalDeduper
+
+    good = ("the quick brown fox jumps to the lair of dogs " * 6).strip()
+    good2 = ("all of the wise owls fly back to that old barn " * 6).strip()
+    docs = [
+        (1, good),
+        (2, "too short"),   # gopher word-count rule
+        (3, good2),
+        (4, good),          # exact dup of 1 (cross-batch: later wave)
+    ]
+    with EmbeddedKafkaBroker() as broker:
+        broker.create_topic("docs", partitions=1)
+        register_kafka_py(spark)
+        raw = (
+            spark.readStream.format("kafka_py")
+            .option("kafka.bootstrap.servers", broker.bootstrap)
+            .option("subscribe", "docs")
+            .option("maxOffsetsPerTrigger", "2")  # force multi-batch
+            .load()
+        )
+        stream = raw.select(
+            F.get_json_object(F.col("value").cast("string"), "$.doc_id")
+            .cast("long").alias("doc_id"),
+            F.get_json_object(F.col("value").cast("string"), "$.text")
+            .alias("text"),
+        )
+        deduper = IncrementalDeduper(
+            spark,
+            ParquetStateStore(spark, str(tmp_path / "state"), n_buckets=4),
+            sim_threshold=1.01,  # exact-only
+        )
+        got: set = set()
+        q = corpus_stream(
+            deduper, stream, str(tmp_path / "ckpt"),
+            gopher=True,
+            sink=lambda kept, _b: got.update(
+                r["doc_id"] for r in kept.collect()
+            ),
+        )
+        try:
+            for did, text in docs:
+                broker.append(
+                    "docs", 0, str(did).encode(),
+                    json.dumps({"doc_id": did, "text": text}).encode(),
+                    1_700_000_000_000 + did,
+                )
+                if did == 2:  # two produce waves → ≥2 micro-batches
+                    q.processAllAvailable()
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        deduper.close()
+
+    batch = spark.createDataFrame(docs, "doc_id long, text string")
+    kept, _ = build_corpus(batch, gopher=True, exact_dedup=True)
+    want = {r["doc_id"] for r in kept.collect()}
+    kept.unpersist()
+    assert got == want == {1, 3}
