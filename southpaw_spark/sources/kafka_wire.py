@@ -58,13 +58,124 @@ def _build_crc32c_table() -> list[int]:
 _CRC32C_TABLE = _build_crc32c_table()
 
 
-def crc32c(data: bytes, crc: int = 0) -> int:
-    """CRC32C checksum (test vector: crc32c(b'123456789') == 0xE3069283)."""
+def _crc32c_scalar(data, crc: int = 0) -> int:
+    """Byte-at-a-time reference implementation (and small-input path)."""
     crc ^= 0xFFFFFFFF
     tbl = _CRC32C_TABLE
     for b in data:
         crc = tbl[(crc ^ b) & 0xFF] ^ (crc >> 8)
     return crc ^ 0xFFFFFFFF
+
+
+# -- vectorized CRC32C ------------------------------------------------------
+# The byte-serial loop manages ~8 MB/s in CPython — it would dominate
+# record-batch decode on executors. CRC is affine over GF(2):
+# state_after(B, s0) = M_len(B)·s0 ⊕ state_after(B, 0), where M_L (the
+# "shift by L zero bytes" operator) depends only on the length. So:
+# split the buffer into C equal lanes, run the per-byte recurrence over
+# ALL lanes simultaneously with numpy (L = n/C python iterations of
+# C-wide table gathers), then fold the C lane states left-to-right with
+# M_L applied via four 256-entry lookup tables (built once per distinct
+# L by binary exponentiation of the zero-byte step over the bit basis).
+# Public algorithm/identities (same math as zlib's crc32_combine).
+
+def _zero_step_basis() -> list[int]:
+    # basis images of one zero-byte step: state' = T[state & 0xFF] ^ (state >> 8)
+    return [
+        _CRC32C_TABLE[(1 << b) & 0xFF] ^ ((1 << b) >> 8) for b in range(32)
+    ]
+
+
+def _apply_basis(basis: list[int], v: int) -> int:
+    out = 0
+    b = 0
+    while v:
+        if v & 1:
+            out ^= basis[b]
+        v >>= 1
+        b += 1
+    return out
+
+
+def _compose(p: list[int], q: list[int]) -> list[int]:
+    # (p ∘ q)(x): apply q then p, as bit-basis images
+    return [_apply_basis(p, q[b]) for b in range(32)]
+
+
+def _shift_tables(n_bytes: int):
+    """Four 256-entry tables applying M_{n_bytes} to a 32-bit state:
+    apply(s) = U0[s&FF] ^ U1[(s>>8)&FF] ^ U2[(s>>16)&FF] ^ U3[s>>24]."""
+    op = [1 << b for b in range(32)]  # identity
+    sq = _zero_step_basis()
+    n = n_bytes
+    while n:
+        if n & 1:
+            op = _compose(sq, op)
+        sq = _compose(sq, sq)
+        n >>= 1
+    tables = []
+    for k in range(4):
+        tk = [0] * 256
+        for v in range(256):
+            acc = 0
+            vv = v
+            b = 0
+            while vv:
+                if vv & 1:
+                    acc ^= op[8 * k + b]
+                vv >>= 1
+                b += 1
+            tk[v] = acc
+        tables.append(tk)
+    return tables
+
+
+_SHIFT_CACHE: dict[int, list] = {}
+
+
+def crc32c(data, crc: int = 0) -> int:
+    """CRC32C (Castagnoli). Vectorized across numpy lanes for large
+    inputs (≫100 MB/s vs ~8 MB/s byte-serial); falls back to the scalar
+    loop for small buffers or when numpy is unavailable. Test vector:
+    crc32c(b'123456789') == 0xE3069283."""
+    n = len(data)
+    if n < 16384:  # numpy per-iteration overhead loses below ~16 KiB
+        return _crc32c_scalar(data, crc)
+    try:
+        import numpy as np
+    except ImportError:  # pragma: no cover - numpy is baked in
+        return _crc32c_scalar(data, crc)
+    # geometry: python-loop iterations = lane_len, scalar fold = lanes;
+    # ~256 bytes/lane balances numpy per-iteration overhead against the
+    # fold (measured: 64 KiB ~36 MB/s, 1 MiB ~130 MB/s, 4 MiB ~150 MB/s
+    # vs 8 MB/s byte-serial)
+    lanes = min(16384, max(64, n >> 8))
+    lane_len = n // lanes
+    body = lanes * lane_len
+    chunks = np.frombuffer(data, dtype=np.uint8, count=body).reshape(
+        lanes, lane_len
+    )
+    tbl = np.array(_CRC32C_TABLE, dtype=np.uint32)
+    state = np.zeros(lanes, dtype=np.uint32)
+    for j in range(lane_len):
+        state = tbl[(state ^ chunks[:, j]) & 0xFF] ^ (state >> np.uint32(8))
+    if lane_len not in _SHIFT_CACHE:
+        if len(_SHIFT_CACHE) > 64:  # bound the per-length table cache
+            _SHIFT_CACHE.clear()
+        _SHIFT_CACHE[lane_len] = _shift_tables(lane_len)
+    u0, u1, u2, u3 = _SHIFT_CACHE[lane_len]
+    s = (crc ^ 0xFFFFFFFF) & 0xFFFFFFFF
+    for c in state.tolist():
+        s = (
+            u0[s & 0xFF]
+            ^ u1[(s >> 8) & 0xFF]
+            ^ u2[(s >> 16) & 0xFF]
+            ^ u3[s >> 24]
+        ) ^ c
+    crc_out = s ^ 0xFFFFFFFF
+    if body < n:  # tail shorter than a lane: finish byte-serial
+        crc_out = _crc32c_scalar(data[body:], crc_out)
+    return crc_out
 
 
 # ---------------------------------------------------------------------------
@@ -298,31 +409,126 @@ def decode_record_batches(
         batch.int16()  # producerEpoch
         batch.int32()  # baseSequence
         n = batch.int32()
+        # hot loop: inlined varint/byte-slicing on the raw buffer (no
+        # per-record Reader objects) — the per-record decode cost is the
+        # consumer's throughput ceiling, see SCALE.md "kafka_py"
+        buf = batch.data
+        p = batch.pos
+        append = out.append
         for _ in range(n):
-            rec_len = batch.varint()
-            rec = Reader(batch._take(rec_len))
-            rec.int8()  # attributes
-            ts_delta = rec.varint()
-            off_delta = rec.varint()
-            klen = rec.varint()
-            key = rec._take(klen) if klen >= 0 else None
-            vlen = rec.varint()
-            value = rec._take(vlen) if vlen >= 0 else None
-            n_headers = rec.varint()
-            headers = []
-            for _ in range(n_headers):
-                hk_len = rec.varint()
-                hk = rec._take(hk_len).decode("utf-8")
-                hv_len = rec.varint()
-                hv = rec._take(hv_len) if hv_len >= 0 else None
-                headers.append((hk, hv))
-            out.append(
+            # varint x6 inlined; zig-zag decode at use sites
+            z = 0
+            shift = 0
+            while True:
+                byte = buf[p]
+                p += 1
+                z |= (byte & 0x7F) << shift
+                if not byte & 0x80:
+                    break
+                shift += 7
+            # rec_len (unsigned use): skip — bounds come from fields
+            p += 1  # record attributes (unused)
+            z = 0
+            shift = 0
+            while True:
+                byte = buf[p]
+                p += 1
+                z |= (byte & 0x7F) << shift
+                if not byte & 0x80:
+                    break
+                shift += 7
+            ts_delta = (z >> 1) ^ -(z & 1)
+            z = 0
+            shift = 0
+            while True:
+                byte = buf[p]
+                p += 1
+                z |= (byte & 0x7F) << shift
+                if not byte & 0x80:
+                    break
+                shift += 7
+            off_delta = (z >> 1) ^ -(z & 1)
+            z = 0
+            shift = 0
+            while True:
+                byte = buf[p]
+                p += 1
+                z |= (byte & 0x7F) << shift
+                if not byte & 0x80:
+                    break
+                shift += 7
+            klen = (z >> 1) ^ -(z & 1)
+            if klen >= 0:
+                key = buf[p : p + klen]
+                p += klen
+            else:
+                key = None
+            z = 0
+            shift = 0
+            while True:
+                byte = buf[p]
+                p += 1
+                z |= (byte & 0x7F) << shift
+                if not byte & 0x80:
+                    break
+                shift += 7
+            vlen = (z >> 1) ^ -(z & 1)
+            if vlen >= 0:
+                value = buf[p : p + vlen]
+                p += vlen
+            else:
+                value = None
+            z = 0
+            shift = 0
+            while True:
+                byte = buf[p]
+                p += 1
+                z |= (byte & 0x7F) << shift
+                if not byte & 0x80:
+                    break
+                shift += 7
+            n_headers = (z >> 1) ^ -(z & 1)
+            if n_headers:
+                headers = []
+                for _ in range(n_headers):
+                    z = 0
+                    shift = 0
+                    while True:
+                        byte = buf[p]
+                        p += 1
+                        z |= (byte & 0x7F) << shift
+                        if not byte & 0x80:
+                            break
+                        shift += 7
+                    hk_len = (z >> 1) ^ -(z & 1)
+                    hk = buf[p : p + hk_len].decode("utf-8")
+                    p += hk_len
+                    z = 0
+                    shift = 0
+                    while True:
+                        byte = buf[p]
+                        p += 1
+                        z |= (byte & 0x7F) << shift
+                        if not byte & 0x80:
+                            break
+                        shift += 7
+                    hv_len = (z >> 1) ^ -(z & 1)
+                    if hv_len >= 0:
+                        hv = buf[p : p + hv_len]
+                        p += hv_len
+                    else:
+                        hv = None
+                    headers.append((hk, hv))
+                headers_t = tuple(headers)
+            else:
+                headers_t = ()
+            append(
                 WireRecord(
-                    offset=base_offset + off_delta,
-                    timestamp=base_ts + ts_delta,
-                    key=key,
-                    value=value,
-                    headers=tuple(headers),
+                    base_offset + off_delta,
+                    base_ts + ts_delta,
+                    key,
+                    value,
+                    headers_t,
                 )
             )
     return out
