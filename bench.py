@@ -440,6 +440,10 @@ def main() -> None:
     runners.append(
         ("t30_gopher_quality", lambda: run_extra("t30_gopher_quality"))
     )
+    runners.append(
+        ("t31_gopher_repetition",
+         lambda: run_extra("t31_gopher_repetition"))
+    )
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}

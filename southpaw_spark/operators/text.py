@@ -1979,3 +1979,258 @@ def gopher_filter(
     (codegen predicate, zero shuffle); every original column survives.
     ``id_col`` is unused but kept for gate-signature symmetry."""
     return df.where(gopher_predicate(text_col, **thresholds))
+
+
+#: Gopher Table A2 thresholds (Rae et al. 2021 — public recipe):
+#: metric → max allowed fraction.
+GOPHER_REPETITION_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    thresholds: dict[str, float] | None = None,
+    line_delim: str = "\n",
+) -> DataFrame:
+    """Gopher repetition filters (t31): the OTHER public Gopher table
+    (Rae et al. 2021 Table A2, the within-document repetition signals
+    MassiveText/RefinedWeb filter on), complementing the
+    :func:`gopher_quality` rule gate:
+
+    * ``dup_line_frac`` — repeated occurrences of an exact line /
+      total non-empty lines (``1 − distinct/total``);
+    * ``dup_line_char_frac`` — characters inside those repeated
+      occurrences / total line characters;
+    * ``top_{2,3,4}gram_char_frac`` — characters covered by the single
+      most frequent word n-gram (count × gram length over the
+      space-joined word stream; ties break to the lexicographically
+      smallest gram, so the value is deterministic);
+    * ``dup_{5..10}gram_char_frac`` — characters covered by ALL word
+      n-grams occurring more than once (count × length summed;
+      overlapping occurrences each count, the standard public-impl
+      convention, so the ratio is clamped at 1.0).
+
+    Character base for the gram fractions is the space-joined word
+    stream (``sum(len(word)) + n_words − 1``); fractions are
+    ``round(·, 6)``; docs with no words carry NULL gram metrics, docs
+    with no lines NULL line metrics, and ``repetition_pass`` treats
+    NULL metrics as failing only when the doc is genuinely empty
+    (zero words ⇒ fail; a one-line doc trivially passes line rules).
+
+    Plan shape (SCALE.md): ZERO shuffles — every metric is a
+    within-document statistic, so each n's grams are built, sorted and
+    run-length-scanned per row with array HOFs (``array_sort`` + an
+    ``aggregate`` carrying (prev, run, dup_chars, best) state); nothing
+    ever crosses a row boundary. An input-split guard widens
+    under-partitioned local scans (one small parquet file = one task);
+    at real scale file splits provide the parallelism and the guard is
+    a no-op, so no shuffle is ever added.
+    """
+    thr = dict(GOPHER_REPETITION_THRESHOLDS)
+    if thresholds:
+        unknown = set(thresholds) - set(thr)
+        if unknown:
+            raise ValueError(
+                f"unknown repetition thresholds {sorted(unknown)}; "
+                f"legal: {sorted(thr)}"
+            )
+        thr.update(thresholds)
+
+    # local-bench artifact guard: a single sub-128MB parquet file scans
+    # as ONE task, serializing the per-doc gram work; widening a tiny
+    # input is one cheap round-robin exchange of the RAW docs. Never
+    # triggers on real multi-split inputs.
+    try:
+        spark = df.sparkSession
+        want = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(2, want // 2):
+            df = df.repartition(want)
+    except Exception:
+        pass  # planning-only contexts (e.g. streaming) skip the guard
+
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
+    )
+    lines = F.filter(
+        F.split(F.col(text_col), line_delim),
+        lambda l: F.trim(l) != F.lit(""),
+    )
+    base = df.select(
+        F.col(id_col),
+        words.alias("_ws"),
+        lines.alias("_ls"),
+    ).select(
+        id_col,
+        "_ws",
+        "_ls",
+        F.size("_ws").alias("_nw"),
+        F.size("_ls").alias("_nl"),
+        (
+            F.aggregate(
+                "_ws", F.lit(0).cast("long"),
+                lambda acc, w: acc + F.length(w),
+            )
+            + F.greatest(F.size("_ws") - 1, F.lit(0))
+        ).alias("_char_base"),
+        F.aggregate(
+            "_ls", F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+        ).alias("_line_chars"),
+    )
+
+    def _scan(sorted_arr):
+        """Run-length scan over a SORTED string array: returns
+        struct(n_runs, dupch, dupx, top_cnt, top_gram) — distinct
+        count; chars covered by runs of length ≥ 2 counting ALL
+        occurrences (count × len — the gram convention) and counting
+        only repeats BEYOND the first ((count − 1) × len — the line
+        convention); and the longest run (first in ascending order on
+        ties, i.e. the lexicographically smallest — the deterministic
+        tie-break the oracle replays)."""
+        init = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).cast("long").alias("dupch"),
+            F.lit(0).cast("long").alias("dupx"),
+            F.lit(0).alias("bc"),
+            F.lit("").alias("bg"),
+            F.lit(0).cast("long").alias("runs"),
+        )
+
+        def step(s, g):
+            same = g == s["prev"]
+            end_dup = (~same) & (s["run"] >= 2)
+            fin_dup = s["dupch"] + F.when(
+                end_dup, s["run"].cast("long") * F.length(s["prev"])
+            ).otherwise(F.lit(0).cast("long"))
+            fin_dupx = s["dupx"] + F.when(
+                end_dup, (s["run"] - 1).cast("long") * F.length(s["prev"])
+            ).otherwise(F.lit(0).cast("long"))
+            better = (~same) & (s["run"] > s["bc"])
+            return F.struct(
+                g.alias("prev"),
+                F.when(same, s["run"] + 1).otherwise(F.lit(1)).alias("run"),
+                fin_dup.alias("dupch"),
+                fin_dupx.alias("dupx"),
+                F.when(better, s["run"]).otherwise(s["bc"]).alias("bc"),
+                F.when(better, s["prev"]).otherwise(s["bg"]).alias("bg"),
+                (s["runs"] + F.when(same, 0).otherwise(1)).alias("runs"),
+            )
+
+        def finish(s):
+            end_dup = s["run"] >= 2
+            fin_dup = s["dupch"] + F.when(
+                end_dup, s["run"].cast("long") * F.length(s["prev"])
+            ).otherwise(F.lit(0).cast("long"))
+            fin_dupx = s["dupx"] + F.when(
+                end_dup, (s["run"] - 1).cast("long") * F.length(s["prev"])
+            ).otherwise(F.lit(0).cast("long"))
+            better = s["run"] > s["bc"]
+            return F.struct(
+                s["runs"].alias("n_runs"),
+                fin_dup.alias("dupch"),
+                fin_dupx.alias("dupx"),
+                F.when(better, s["run"]).otherwise(s["bc"]).alias("top_cnt"),
+                F.when(better, s["prev"]).otherwise(s["bg"]).alias("top_gram"),
+            )
+
+        return F.aggregate(sorted_arr, init, step, finish)
+
+    def _grams_sorted(n: int):
+        # NB: single-parameter lambda — pyspark passes (element, index)
+        # to two-parameter lambdas
+        return F.array_sort(
+            F.when(
+                F.col("_nw") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_nw") - F.lit(n - 1)),
+                    lambda i: F.array_join(F.slice("_ws", i, F.lit(n)), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+
+    scanned = base.select(
+        id_col, "_nw", "_nl", "_char_base", "_line_chars",
+        _scan(F.array_sort("_ls")).alias("_L"),
+        *[_scan(_grams_sorted(n)).alias(f"_g{n}") for n in range(2, 11)],
+    )
+
+    nlz = F.when(F.col("_nl") > 0, F.col("_nl").cast("double"))
+    wz = F.col("_nw") > 0
+    cb = F.col("_char_base").cast("double")
+
+    def _top_frac(n: int):
+        g = F.col(f"_g{n}")
+        return F.when(
+            wz,
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    g["top_cnt"] * F.length(g["top_gram"]) / cb,
+                ),
+                6,
+            ),
+        )
+
+    def _dup_frac(n: int):
+        g = F.col(f"_g{n}")
+        return F.when(wz, F.round(F.least(F.lit(1.0), g["dupch"] / cb), 6))
+
+    out = scanned.select(
+        id_col,
+        "_nw",
+        F.round(
+            (F.col("_nl") - F.col("_L.n_runs")) / nlz, 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.col("_L.dupx")
+            / F.when(F.col("_line_chars") > 0, F.col("_line_chars"))
+            .cast("double"),
+            6,
+        ).alias("dup_line_char_frac"),
+        *[_top_frac(n).alias(f"top_{n}gram_char_frac") for n in (2, 3, 4)],
+        *[_dup_frac(n).alias(f"dup_{n}gram_char_frac") for n in range(5, 11)],
+    )
+    metric_cols = list(GOPHER_REPETITION_THRESHOLDS)
+    passes = None
+    for c in metric_cols:
+        cond = F.coalesce(
+            F.col(c) <= F.lit(float(thr[c])), F.lit(True)
+        )  # NULL metric (no lines / empty) doesn't fail by itself
+        passes = cond if passes is None else (passes & cond)
+    passes = passes & (F.col("_nw") > 0)  # genuinely empty docs fail
+    return out.select(
+        id_col, *metric_cols,
+        F.coalesce(passes, F.lit(False)).alias("repetition_pass"),
+    )
+
+
+def gopher_repetition_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    thresholds: dict[str, float] | None = None,
+    line_delim: str = "\n",
+) -> DataFrame:
+    """Keep documents passing :func:`gopher_repetition` — an id-keyed
+    semi-join against the passing set (the metrics need the per-doc
+    gram scan, so unlike :func:`gopher_filter` this is not a bare
+    predicate; the join is doc-id-keyed and AQE-planned)."""
+    keep = (
+        gopher_repetition(df, text_col, id_col, thresholds, line_delim)
+        .where("repetition_pass")
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")

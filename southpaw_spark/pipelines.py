@@ -206,6 +206,8 @@ def build_corpus(
     min_tokens: int | None = None,
     gopher: bool = False,
     gopher_thresholds: dict | None = None,
+    gopher_rep: bool = False,
+    gopher_rep_thresholds: dict | None = None,
     model_weights: list[float] | None = None,
     model_bias: float = 0.0,
     min_model_score: float | None = None,
@@ -393,6 +395,21 @@ def build_corpus(
                 f"unknown gopher_thresholds keys {sorted(bad)}; "
                 f"legal: {sorted(legal)}"
             )
+    if gopher_rep_thresholds is not None:
+        if not gopher_rep:
+            raise ValueError(
+                "gopher_rep_thresholds requires gopher_rep=True"
+            )
+        from southpaw_spark.operators.text import (
+            GOPHER_REPETITION_THRESHOLDS,
+        )
+
+        bad = set(gopher_rep_thresholds) - set(GOPHER_REPETITION_THRESHOLDS)
+        if bad:
+            raise ValueError(
+                f"unknown gopher_rep_thresholds keys {sorted(bad)}; "
+                f"legal: {sorted(GOPHER_REPETITION_THRESHOLDS)}"
+            )
 
     report: dict[str, int] = {}
     persisted: list[DataFrame] = []
@@ -453,13 +470,24 @@ def build_corpus(
         )
     if gopher:
         # Gopher/MassiveText rule gate (t30) — rule-based sibling of the
-        # t22 trained gate; runs early (pure projection + semi-join)
+        # t22 trained gate; a pure codegen predicate
         from southpaw_spark.operators.text import gopher_filter
 
         cur = note(
             "gopher",
             gopher_filter(
                 cur, text_col, id_col, **(gopher_thresholds or {})
+            ),
+        )
+    if gopher_rep:
+        # Gopher repetition gate (t31, Table A2) — per-doc gram scans,
+        # id-keyed semi-join against the passing set
+        from southpaw_spark.operators.text import gopher_repetition_filter
+
+        cur = note(
+            "gopher_rep",
+            gopher_repetition_filter(
+                cur, text_col, id_col, gopher_rep_thresholds
             ),
         )
     if model_weights is not None:

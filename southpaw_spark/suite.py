@@ -5077,6 +5077,132 @@ T30_SQL = r"""
 """
 
 
+def t31_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (t31,
+    `operators.text.gopher_repetition`) — Table A2 of the public
+    Gopher recipe: duplicate-line fraction + char fraction, top
+    {2,3,4}-gram char coverage (ties to the smallest gram), duplicate
+    {5..10}-gram char coverage, all clamped at 1.0 and round(·, 6);
+    the oracle replays the gram generation, tie-break, clamps and the
+    NULL/zero-coverage contract exactly."""
+    from southpaw_spark.operators.text import gopher_repetition
+
+    docs = _read(spark, sf_dir, "documents")
+    return gopher_repetition(docs, "text", "doc_id")
+
+
+T31_SQL = r"""
+    WITH b2 AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         w -> w <> '') AS ws,
+             list_filter(string_split(text, chr(10)),
+                         l -> trim(l) <> '') AS ls
+      FROM documents),
+    b3 AS (
+      SELECT doc_id, ws, ls, len(ws)::BIGINT AS nw,
+             COALESCE(list_sum(list_transform(ws, w -> length(w))), 0)
+               + GREATEST(len(ws) - 1, 0) AS char_base
+      FROM b2),
+    lrow AS (SELECT doc_id, unnest(ls) AS line FROM b3),
+    lcnt AS (SELECT doc_id, line, count(*) AS cnt
+             FROM lrow GROUP BY doc_id, line),
+    lstat AS (
+      SELECT doc_id,
+             ROUND((SUM(cnt) - COUNT(*)) / SUM(cnt)::DOUBLE, 6)
+               AS dup_line_frac,
+             ROUND(SUM((cnt - 1) * length(line))
+                   / SUM(cnt * length(line))::DOUBLE, 6)
+               AS dup_line_char_frac
+      FROM lcnt GROUP BY doc_id),
+    grow AS (
+      SELECT doc_id, char_base, n,
+             array_to_string(list_slice(ws, i, i + n - 1), ' ') AS gram
+      FROM b3,
+           UNNEST(range(2, 11)) AS rn(n),
+           UNNEST(range(1, len(ws) - n + 2)) AS ri(i)
+      WHERE len(ws) >= n),
+    gcnt AS (
+      SELECT doc_id, char_base, n, gram, count(*) AS cnt
+      FROM grow GROUP BY doc_id, char_base, n, gram),
+    tops AS (
+      SELECT doc_id, char_base, n, cnt, gram
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY doc_id, n ORDER BY cnt DESC, gram) AS rn
+            FROM gcnt)
+      WHERE rn = 1),
+    dups AS (
+      SELECT doc_id, char_base, n,
+             SUM(CASE WHEN cnt >= 2 THEN cnt * length(gram)
+                      ELSE 0 END) AS dupch
+      FROM gcnt GROUP BY doc_id, char_base, n),
+    gstat AS (
+      SELECT t.doc_id,
+        MAX(CASE WHEN t.n = 2 THEN ROUND(LEAST(1.0,
+          t.cnt * length(t.gram) / t.char_base::DOUBLE), 6) END) AS tg2,
+        MAX(CASE WHEN t.n = 3 THEN ROUND(LEAST(1.0,
+          t.cnt * length(t.gram) / t.char_base::DOUBLE), 6) END) AS tg3,
+        MAX(CASE WHEN t.n = 4 THEN ROUND(LEAST(1.0,
+          t.cnt * length(t.gram) / t.char_base::DOUBLE), 6) END) AS tg4,
+        MAX(CASE WHEN d.n = 5 THEN ROUND(LEAST(1.0,
+          d.dupch / d.char_base::DOUBLE), 6) END) AS dg5,
+        MAX(CASE WHEN d.n = 6 THEN ROUND(LEAST(1.0,
+          d.dupch / d.char_base::DOUBLE), 6) END) AS dg6,
+        MAX(CASE WHEN d.n = 7 THEN ROUND(LEAST(1.0,
+          d.dupch / d.char_base::DOUBLE), 6) END) AS dg7,
+        MAX(CASE WHEN d.n = 8 THEN ROUND(LEAST(1.0,
+          d.dupch / d.char_base::DOUBLE), 6) END) AS dg8,
+        MAX(CASE WHEN d.n = 9 THEN ROUND(LEAST(1.0,
+          d.dupch / d.char_base::DOUBLE), 6) END) AS dg9,
+        MAX(CASE WHEN d.n = 10 THEN ROUND(LEAST(1.0,
+          d.dupch / d.char_base::DOUBLE), 6) END) AS dg10
+      FROM tops t JOIN dups d USING (doc_id, char_base, n)
+      GROUP BY t.doc_id),
+    fin AS (
+      SELECT b3.doc_id, b3.nw,
+             l.dup_line_frac, l.dup_line_char_frac,
+             CASE WHEN nw > 0 THEN COALESCE(tg2, 0.0) END
+               AS top_2gram_char_frac,
+             CASE WHEN nw > 0 THEN COALESCE(tg3, 0.0) END
+               AS top_3gram_char_frac,
+             CASE WHEN nw > 0 THEN COALESCE(tg4, 0.0) END
+               AS top_4gram_char_frac,
+             CASE WHEN nw > 0 THEN COALESCE(dg5, 0.0) END
+               AS dup_5gram_char_frac,
+             CASE WHEN nw > 0 THEN COALESCE(dg6, 0.0) END
+               AS dup_6gram_char_frac,
+             CASE WHEN nw > 0 THEN COALESCE(dg7, 0.0) END
+               AS dup_7gram_char_frac,
+             CASE WHEN nw > 0 THEN COALESCE(dg8, 0.0) END
+               AS dup_8gram_char_frac,
+             CASE WHEN nw > 0 THEN COALESCE(dg9, 0.0) END
+               AS dup_9gram_char_frac,
+             CASE WHEN nw > 0 THEN COALESCE(dg10, 0.0) END
+               AS dup_10gram_char_frac
+      FROM b3
+      LEFT JOIN lstat l USING (doc_id)
+      LEFT JOIN gstat USING (doc_id))
+    SELECT doc_id, dup_line_frac, dup_line_char_frac,
+           top_2gram_char_frac, top_3gram_char_frac, top_4gram_char_frac,
+           dup_5gram_char_frac, dup_6gram_char_frac, dup_7gram_char_frac,
+           dup_8gram_char_frac, dup_9gram_char_frac, dup_10gram_char_frac,
+           COALESCE(
+             COALESCE(dup_line_frac <= 0.30, TRUE)
+             AND COALESCE(dup_line_char_frac <= 0.20, TRUE)
+             AND COALESCE(top_2gram_char_frac <= 0.20, TRUE)
+             AND COALESCE(top_3gram_char_frac <= 0.18, TRUE)
+             AND COALESCE(top_4gram_char_frac <= 0.16, TRUE)
+             AND COALESCE(dup_5gram_char_frac <= 0.15, TRUE)
+             AND COALESCE(dup_6gram_char_frac <= 0.14, TRUE)
+             AND COALESCE(dup_7gram_char_frac <= 0.13, TRUE)
+             AND COALESCE(dup_8gram_char_frac <= 0.12, TRUE)
+             AND COALESCE(dup_9gram_char_frac <= 0.11, TRUE)
+             AND COALESCE(dup_10gram_char_frac <= 0.10, TRUE)
+             AND nw > 0, FALSE) AS repetition_pass
+    FROM fin
+"""
+
+
 # The driver's correctness gate checks AT MOST 50 rows per round
 # (CORRECTNESS_r02 stopped at 50 of 54), so QUERIES stays pinned at
 # exactly 50: pushing new entries into it would silently uncheck tail
@@ -5142,6 +5268,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t28_language_id": t28_language_id,
     "t29_corpus_profile": t29_corpus_profile,
     "t30_gopher_quality": t30_gopher_quality,
+    "t31_gopher_repetition": t31_gopher_repetition,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -5204,4 +5331,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "t28_language_id": T28_SQL,
     "t29_corpus_profile": T29_SQL,
     "t30_gopher_quality": T30_SQL,
+    "t31_gopher_repetition": T31_SQL,
 }

@@ -1495,3 +1495,30 @@ def test_corpus_stream_gopher_gate_converges(spark, tmp_path):
     want = {r["doc_id"] for r in kept.collect()}
     kept.unpersist()
     assert got == want == {1, 4}
+
+
+def test_build_corpus_gopher_repetition_stage(spark):
+    """The t31 repetition gate drops gram/line-repetitive docs; unknown
+    threshold keys fail up front."""
+    import pytest as _pytest
+
+    from southpaw_spark.pipelines import build_corpus
+
+    # long non-repetitive doc: the Table A2 thresholds presume docs
+    # already past the 50-word quality gate (short docs trip the
+    # top-n-gram fraction trivially)
+    clean = " ".join(f"word{i:03d}" for i in range(60))
+    spammy = "buy now " * 30
+    docs = spark.createDataFrame(
+        [(1, clean), (2, spammy)], "doc_id long, text string"
+    )
+    kept, report = build_corpus(docs, gopher_rep=True, exact_dedup=False)
+    assert [r.doc_id for r in kept.collect()] == [1]
+    assert report["gopher_rep"] == 1
+    kept.unpersist()
+    with _pytest.raises(ValueError, match="requires gopher_rep=True"):
+        build_corpus(docs, gopher_rep_thresholds={"dup_line_frac": 1.0})
+    with _pytest.raises(ValueError, match="unknown gopher_rep"):
+        build_corpus(
+            docs, gopher_rep=True, gopher_rep_thresholds={"zzz": 1.0}
+        )

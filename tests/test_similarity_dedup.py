@@ -3071,3 +3071,69 @@ def test_gopher_filter_keeps_all_columns(spark):
         min_alpha_frac=0.0,
     )
     assert {r.doc_id for r in relaxed.collect()} >= {1, 2}
+
+
+def test_gopher_repetition_metrics(spark):
+    from southpaw_spark.operators.text import gopher_repetition
+
+    df = spark.createDataFrame(
+        [
+            # "the cat sat on the mat" twice + glue: heavy 5-gram dups
+            (1, "the cat sat on the mat and the dog ran to "
+                "the cat sat on the mat"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "dup line\nunique a\ndup line\nunique b"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_repetition(df, "text", "doc_id").collect()}
+
+    # doc 2: all 10 words unique; char_base = 39 + 9 = 48; every gram
+    # unique so top-2gram = smallest gram "eight nine" (10 chars)
+    assert out[2].top_2gram_char_frac == round(10 / 48, 6)
+    assert out[2].dup_5gram_char_frac == 0.0
+    assert out[2].repetition_pass is False  # 10/48 > 0.20? no — check
+    # 10/48 = 0.208333 > 0.20 threshold → fails top_2gram
+
+    # doc 1: repeated 6-word span → clamped dup fractions
+    assert out[1].dup_5gram_char_frac == 1.0
+    assert out[1].repetition_pass is False
+
+    # doc 3: "dup line" appears twice in 4 lines
+    assert out[3].dup_line_frac == 0.25
+    assert out[3].dup_line_char_frac == 0.25
+
+    # empty doc: NULL metrics, explicit fail
+    assert out[4].dup_line_frac is None
+    assert out[4].top_2gram_char_frac is None
+    assert out[4].repetition_pass is False
+
+
+def test_gopher_repetition_tie_break_and_thresholds(spark):
+    from southpaw_spark.operators.text import gopher_repetition
+
+    # two 2-grams tie at count 2: "b b" and "a a"? construct:
+    # words: a a b b a a b b → 2-grams: (a a)x2? sequence: a a, a b,
+    # b b, b a, a a, a b, b b → "a a":2, "a b":2, "b b":2, "b a":1 →
+    # tie at 2 → smallest gram "a a" (len 3)
+    df = spark.createDataFrame(
+        [(1, "a a b b a a b b")], "doc_id long, text string"
+    )
+    r = gopher_repetition(df, "text", "doc_id").collect()[0]
+    # char_base = 8 + 7 = 15; top = 2 * len("a a") = 6 → 0.4
+    assert r.top_2gram_char_frac == 0.4
+    # relaxed thresholds flip the verdict
+    relaxed = gopher_repetition(
+        df, "text", "doc_id",
+        thresholds={k: 1.0 for k in (
+            "top_2gram_char_frac", "top_3gram_char_frac",
+            "top_4gram_char_frac", "dup_5gram_char_frac",
+            "dup_6gram_char_frac", "dup_7gram_char_frac",
+            "dup_8gram_char_frac", "dup_9gram_char_frac",
+            "dup_10gram_char_frac")},
+    ).collect()[0]
+    assert relaxed.repetition_pass is True
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown repetition"):
+        gopher_repetition(df, "text", "doc_id", thresholds={"nope": 1.0})
