@@ -873,6 +873,61 @@ def write_shuffled_corpus(
     out.write.mode(mode).format(fmt).save(path)
 
 
+def parquet_corpus_sink(path: str, fmt: str = "parquet"):
+    """Exactly-once streaming corpus writer — the production ``sink``
+    for :func:`corpus_stream`: each micro-batch's kept docs land in
+    ``<path>/batch_id=<N>/`` (a hive partition dir, so
+    ``spark.read.parquet(path)`` sees everything with a ``batch_id``
+    column for free).
+
+    Exactly-once from at-least-once: foreachBatch may REPLAY a batch
+    after a crash between sink success and checkpoint commit, but
+    always with the SAME batch_id over the same source slice (offsets
+    live in the checkpoint). Keying the write on batch_id with
+    ``mode("overwrite")`` makes the replay idempotent — the second
+    write replaces the first, never appends. Readers get per-directory
+    atomicity from the ``_SUCCESS`` marker (a crash mid-overwrite
+    leaves no marker and the replay rewrites the dir).
+
+    Retroactive dedup decisions (fuzzy ``best_quality`` keeper swaps)
+    surface at the DECISION level, not in kept batches — sinks needing
+    them subscribe via ``attach_dedup_stream``; batch-level outputs are
+    folded by :func:`compact_corpus_stream_output`."""
+
+    def sink(kept: DataFrame, batch_id: int) -> None:
+        kept.write.mode("overwrite").format(fmt).save(
+            f"{path}/batch_id={batch_id}"
+        )
+
+    return sink
+
+
+def compact_corpus_stream_output(
+    spark,
+    stream_path: str,
+    out_path: str,
+    id_col: str = "doc_id",
+    fmt: str = "parquet",
+    **write_kwargs,
+) -> None:
+    """Fold a :func:`parquet_corpus_sink` output tree into one clean
+    corpus: latest batch wins per id (a doc re-emitted by a later batch
+    — e.g. after an upstream replay fed overlapping files — keeps only
+    its newest row), then ships via :func:`write_corpus`. One id-keyed
+    shuffle; the per-id group is the handful of batches that emitted
+    the doc, never corpus-wide."""
+    from pyspark.sql.window import Window
+
+    df = spark.read.format(fmt).load(stream_path)
+    w = Window.partitionBy(id_col).orderBy(F.col("batch_id").desc())
+    latest = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "batch_id")
+    )
+    write_corpus(latest, out_path, fmt=fmt, **write_kwargs)
+
+
 def corpus_stream(
     deduper,
     docs_stream: DataFrame,

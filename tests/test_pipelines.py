@@ -1522,3 +1522,83 @@ def test_build_corpus_gopher_repetition_stage(spark):
         build_corpus(
             docs, gopher_rep=True, gopher_rep_thresholds={"zzz": 1.0}
         )
+
+
+def test_parquet_corpus_sink_exactly_once(spark, tmp_path):
+    """The streaming corpus writer: batch dirs are hive-readable with a
+    batch_id column, a replayed batch overwrites (never appends), a
+    checkpoint restart adds only new batches, and compaction folds
+    latest-batch-wins into a clean corpus."""
+    import json as _json
+
+    from southpaw_spark.pipelines import (
+        build_corpus,
+        compact_corpus_stream_output,
+        corpus_stream,
+        parquet_corpus_sink,
+    )
+    from southpaw_spark.streaming import ParquetStateStore
+    from southpaw_spark.streaming.dedup_stream import IncrementalDeduper
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "eta theta iota kappa lamda mu"),
+        (3, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+        (4, "nu xi omicron pi rho sigma tau"),
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(_json.dumps({"doc_id": i, "text": t}) for i, t in docs[:3])
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    deduper = IncrementalDeduper(
+        spark,
+        ParquetStateStore(spark, str(tmp_path / "state"), n_buckets=4),
+        sim_threshold=1.01,
+    )
+    out_dir = str(tmp_path / "out")
+    sink = parquet_corpus_sink(out_dir)
+    q = corpus_stream(deduper, stream, str(tmp_path / "ckpt"), sink=sink)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(out_dir)
+    assert "batch_id" in got.columns
+    assert sorted(r.doc_id for r in got.collect()) == [1, 2]  # dup 3 dropped
+
+    # idempotent replay: re-running a batch id replaces, never appends
+    # (localCheckpoint: a real replay recomputes from the SOURCE, not
+    # from the output files this test would otherwise lazily re-read)
+    batch0 = got.where("batch_id = 0").drop("batch_id").localCheckpoint()
+    sink(batch0, 0)
+    sink(batch0, 0)
+    again = spark.read.parquet(out_dir)
+    assert sorted(r.doc_id for r in again.collect()) == [1, 2]
+
+    # restart from the checkpoint: only the NEW file lands, in new dirs
+    (src / "b.json").write_text(_json.dumps({"doc_id": 4, "text": docs[3][1]}))
+    q2 = corpus_stream(deduper, stream, str(tmp_path / "ckpt"), sink=sink)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    deduper.close()
+    final = spark.read.parquet(out_dir)
+    assert sorted(r.doc_id for r in final.collect()) == [1, 2, 4]
+
+    # compaction: latest-batch-wins fold, matches the batch pipeline
+    compact_corpus_stream_output(spark, out_dir, str(tmp_path / "compact"))
+    compacted = spark.read.parquet(str(tmp_path / "compact"))
+    batch = spark.createDataFrame(docs, "doc_id long, text string")
+    kept, _ = build_corpus(batch, exact_dedup=True)
+    want = sorted(r.doc_id for r in kept.collect())
+    kept.unpersist()
+    assert sorted(r.doc_id for r in compacted.collect()) == want == [1, 2, 4]
+    assert "batch_id" not in compacted.columns
