@@ -243,6 +243,7 @@ def verify(spark, cfg) -> int:
 _CORPUS_KEYS = (
     "min_quality", "min_tokens", "model_weights", "model_bias",
     "min_model_score", "langs", "lang_model", "lang_biases",
+    "gopher", "gopher_thresholds", "gopher_rep", "gopher_rep_thresholds",
     "line_clean", "url_col", "blocklist",
     "max_contamination_rate", "contamination_n", "decontaminate_mode",
     "exact_dedup", "fuzzy_threshold", "fuzzy_n", "fuzzy_keep",
@@ -313,6 +314,8 @@ def corpus_stream_cmd(spark, cfg) -> None:
         bpe_merges=c.get("bpe_merges"),
         min_tokens=c.get("min_tokens"),
         min_quality=c.get("min_quality"),
+        gopher=bool(c.get("gopher", False)),
+        gopher_thresholds=c.get("gopher_thresholds"),
         model_weights=c.get("model_weights"),
         model_bias=float(c.get("model_bias", 0.0)),
         min_model_score=c.get("min_model_score"),
