@@ -34,6 +34,7 @@ from southpaw_spark.sources.kafka_wire import (
     API_VERSIONS,
     EARLIEST_TIMESTAMP,
     ERR_NONE,
+    ERR_NOT_LEADER_FOR_PARTITION,
     ERR_OFFSET_OUT_OF_RANGE,
     ERR_UNKNOWN_TOPIC_OR_PARTITION,
     LATEST_TIMESTAMP,
@@ -76,10 +77,15 @@ class EmbeddedKafkaBroker:
                  .option("kafka.bootstrap.servers", broker.bootstrap) ...
     """
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0) -> None:
+    def __init__(
+        self, host: str = "127.0.0.1", port: int = 0, node_id: int = 0
+    ) -> None:
         self._lock = threading.RLock()
         self._logs: dict[tuple[str, int], _PartitionLog] = {}
         self._topics: dict[str, int] = {}  # name -> partition count
+        self.node_id = node_id
+        #: node_id -> (host, port); more entries after form_cluster()
+        self.peers: dict[int, tuple[str, int]] = {}
         broker = self
 
         class _Handler(socketserver.BaseRequestHandler):
@@ -115,6 +121,7 @@ class EmbeddedKafkaBroker:
 
         self._server = _Server((host, port), _Handler)
         self.host, self.port = self._server.server_address[:2]
+        self.peers[self.node_id] = (self.host, self.port)
         self._thread = threading.Thread(
             target=self._server.serve_forever, name="embedded-kafka", daemon=True
         )
@@ -198,6 +205,15 @@ class EmbeddedKafkaBroker:
             lambda w, v: w.int16(v[0]).int16(v[1]).int16(v[2]),
         )
 
+    def _leader_of(self, partition: int) -> int:
+        """Single node: everything. Clustered (form_cluster): leaders
+        round-robin over the sorted node ids — partition p is SERVED
+        only by its leader, like a real cluster (replication is out of
+        scope, so leader = the one copy)."""
+        with self._lock:
+            ids = sorted(self.peers)
+        return ids[partition % len(ids)]
+
     def _metadata(self, req: Reader, out: Writer) -> None:
         asked = req.array(Reader.string)
         with self._lock:
@@ -206,8 +222,11 @@ class EmbeddedKafkaBroker:
                 t: self._topics.get(t)
                 for t in names
             }
+            brokers = sorted(
+                (nid, h, p) for nid, (h, p) in self.peers.items()
+            )
         out.array(
-            [(0, self.host, self.port)],
+            brokers,
             lambda w, b: w.int32(b[0]).string(b[1]).int32(b[2]),
         )
 
@@ -223,9 +242,13 @@ class EmbeddedKafkaBroker:
                 lambda w2, p: (
                     w2.int16(ERR_NONE)
                     .int32(p)
-                    .int32(0)  # leader: this node
-                    .array([0], lambda w3, r: w3.int32(r))  # replicas
-                    .array([0], lambda w3, r: w3.int32(r))  # isr
+                    .int32(self._leader_of(p))
+                    .array(
+                        [self._leader_of(p)], lambda w3, r: w3.int32(r)
+                    )  # replicas
+                    .array(
+                        [self._leader_of(p)], lambda w3, r: w3.int32(r)
+                    )  # isr
                 ),
             )
 
@@ -247,6 +270,10 @@ class EmbeddedKafkaBroker:
 
             def _part(w2: Writer, pt) -> None:
                 pid, ts = pt
+                if self._leader_of(pid) != self.node_id:
+                    w2.int32(pid).int16(ERR_NOT_LEADER_FOR_PARTITION)
+                    w2.int64(-1).int64(-1)
+                    return
                 with self._lock:
                     log = self._logs.get((topic, pid))
                 if log is None:
@@ -289,6 +316,11 @@ class EmbeddedKafkaBroker:
         for topic, parts in data:
             part_results = []
             for pid, record_set in parts:
+                if self._leader_of(pid) != self.node_id:
+                    part_results.append(
+                        (pid, ERR_NOT_LEADER_FOR_PARTITION, -1)
+                    )
+                    continue
                 records = decode_record_batches(record_set or b"")
                 with self._lock:
                     if topic not in self._topics or pid >= self._topics[topic]:
@@ -336,6 +368,12 @@ class EmbeddedKafkaBroker:
 
             def _part(w2: Writer, pt) -> None:
                 pid, fetch_offset, part_max_bytes = pt
+                if self._leader_of(pid) != self.node_id:
+                    w2.int32(pid).int16(ERR_NOT_LEADER_FOR_PARTITION)
+                    w2.int64(-1).int64(-1)
+                    w2.array([], lambda w3, x: None)
+                    w2.nullable_bytes(None)
+                    return
                 with self._lock:
                     log = self._logs.get((topic, pid))
                     snapshot = list(log.records) if log else None
@@ -375,3 +413,24 @@ class EmbeddedKafkaBroker:
             w.array(parts, _part)
 
         out.array(asked, _topic_resp)
+
+
+def form_cluster(
+    brokers: list[EmbeddedKafkaBroker], topic: str, partitions: int
+) -> str:
+    """Wire N single-node brokers into a cluster view for ``topic``:
+    every broker advertises the full peer list, partition p's leader is
+    ``sorted(node_ids)[p % N]``, and (like a real cluster) only the
+    leader serves/accepts a partition — the others answer
+    NOT_LEADER_FOR_PARTITION (error 6), which is exactly what exercises
+    client-side leader routing. Returns the combined bootstrap string.
+    Brokers must have distinct ``node_id``s."""
+    ids = [b.node_id for b in brokers]
+    if len(set(ids)) != len(ids):
+        raise ValueError(f"duplicate node_ids {ids}")
+    peers = {b.node_id: (b.host, b.port) for b in brokers}
+    for b in brokers:
+        with b._lock:
+            b.peers.update(peers)
+        b.create_topic(topic, partitions=partitions)
+    return ",".join(b.bootstrap for b in brokers)

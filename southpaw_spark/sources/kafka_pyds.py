@@ -90,7 +90,7 @@ class KafkaSlice(InputPartition):  # type: ignore[misc]
     end: int
 
 
-def _first_bootstrap(options) -> tuple[str, int]:
+def _bootstrap_list(options) -> list[tuple[str, int]]:
     servers = options.get("kafka.bootstrap.servers") or options.get(
         "bootstrap.servers"
     )
@@ -98,7 +98,19 @@ def _first_bootstrap(options) -> tuple[str, int]:
         raise ValueError(
             "kafka_py requires kafka.bootstrap.servers (or bootstrap.servers)"
         )
-    return parse_bootstrap(servers)[0]
+    return parse_bootstrap(servers)
+
+
+def _connect_any(bootstrap: Sequence[tuple[str, int]]) -> KafkaWireClient:
+    """Dial bootstrap servers in order until one accepts — standard
+    client bootstrap failover."""
+    last: Exception | None = None
+    for host, port in bootstrap:
+        try:
+            return KafkaWireClient(host, port)
+        except OSError as e:
+            last = e
+    raise last if last else IOError("empty bootstrap list")
 
 
 def _topics(options) -> list[str]:
@@ -108,36 +120,59 @@ def _topics(options) -> list[str]:
     return [t.strip() for t in sub.split(",") if t.strip()]
 
 
-def _discover(
-    host: str, port: int, topics: Sequence[str], timestamp: int
-) -> dict[str, dict[str, int]]:
-    """{topic: {partition(str): offset}} at earliest/latest. String
-    partition keys: stream offsets round-trip through JSON."""
-    out: dict[str, dict[str, int]] = {}
-    with KafkaWireClient(host, port) as client:
-        _, parts = client.metadata(list(topics))
-        by_topic: dict[str, list[int]] = {}
+def _leaders(
+    bootstrap: Sequence[tuple[str, int]], topics: Sequence[str]
+) -> dict[tuple[str, int], tuple[str, int]]:
+    """{(topic, partition): leader (host, port)} from cluster metadata.
+    A real cluster serves a partition ONLY from its leader (non-leaders
+    answer error 6), so every ListOffsets/Fetch/Produce below routes
+    through this map — against a single-node broker it degenerates to
+    that node."""
+    with _connect_any(bootstrap) as client:
+        brokers, parts = client.metadata(list(topics))
+        addr = {b.node_id: (b.host, b.port) for b in brokers}
+        out: dict[tuple[str, int], tuple[str, int]] = {}
         for pm in parts:
-            if pm.topic in topics:
-                by_topic.setdefault(pm.topic, []).append(pm.partition)
-        for topic in topics:
-            pids = sorted(by_topic.get(topic, []))
-            offs = client.list_offsets(topic, pids, timestamp) if pids else {}
-            out[topic] = {str(p): offs[p] for p in pids}
+            if pm.topic in topics and pm.leader in addr:
+                out[(pm.topic, pm.partition)] = addr[pm.leader]
+        return out
+
+
+def _offsets_at(
+    leaders: dict[tuple[str, int], tuple[str, int]],
+    topics: Sequence[str],
+    timestamp: int,
+) -> dict[str, dict[str, int]]:
+    """{topic: {partition(str): offset}} at earliest/latest, asking
+    each partition's LEADER (string partition keys: stream offsets
+    round-trip through JSON)."""
+    by_leader: dict[tuple[str, int], dict[str, list[int]]] = {}
+    for (topic, p), hp in leaders.items():
+        by_leader.setdefault(hp, {}).setdefault(topic, []).append(p)
+    out: dict[str, dict[str, int]] = {t: {} for t in topics}
+    for (host, port), tps in by_leader.items():
+        with KafkaWireClient(host, port) as client:
+            for topic, pids in tps.items():
+                offs = client.list_offsets(topic, sorted(pids), timestamp)
+                out.setdefault(topic, {}).update(
+                    {str(p): o for p, o in offs.items()}
+                )
     return out
 
 
 def _resolve_offset_spec(
-    spec: str, host: str, port: int, topics: Sequence[str]
+    spec: str,
+    leaders: dict[tuple[str, int], tuple[str, int]],
+    topics: Sequence[str],
 ) -> dict[str, dict[str, int]]:
     spec = (spec or "earliest").strip()
     if spec == "earliest":
-        return _discover(host, port, topics, EARLIEST_TIMESTAMP)
+        return _offsets_at(leaders, topics, EARLIEST_TIMESTAMP)
     if spec == "latest":
-        return _discover(host, port, topics, LATEST_TIMESTAMP)
+        return _offsets_at(leaders, topics, LATEST_TIMESTAMP)
     # JVM-source JSON form: {"topic": {"0": 23, "1": -1}} (-1 latest, -2 earliest)
     parsed = json.loads(spec)
-    latest = _discover(host, port, topics, LATEST_TIMESTAMP)
+    latest = _offsets_at(leaders, topics, LATEST_TIMESTAMP)
     out: dict[str, dict[str, int]] = {}
     for topic, parts in parsed.items():
         out[topic] = {}
@@ -208,16 +243,18 @@ def _read_slice(sl: KafkaSlice) -> Iterator:
 
 
 def _plan_slices(
-    host: str,
-    port: int,
+    leaders: dict[tuple[str, int], tuple[str, int]],
     start: dict[str, dict[str, int]],
     end: dict[str, dict[str, int]],
 ) -> list[KafkaSlice]:
+    """One executor task per (topic-partition, offset-range), addressed
+    to the partition's leader."""
     slices = []
     for topic, parts in end.items():
         for p, e in parts.items():
             s = start.get(topic, {}).get(p, 0)
             if e > s:
+                host, port = leaders[(topic, int(p))]
                 slices.append(KafkaSlice(host, port, topic, int(p), s, e))
     return slices
 
@@ -226,19 +263,20 @@ class KafkaPyBatchReader(DataSourceReader):  # type: ignore[misc]
     """Bounded read: startingOffsets..endingOffsets (defaults earliest..latest)."""
 
     def __init__(self, options) -> None:
-        self.host, self.port = _first_bootstrap(options)
+        bootstrap = _bootstrap_list(options)
         topics = _topics(options)
+        self.leaders = _leaders(bootstrap, topics)
         self.start = _resolve_offset_spec(
             options.get("startingOffsets", "earliest"),
-            self.host, self.port, topics,
+            self.leaders, topics,
         )
         self.end = _resolve_offset_spec(
             options.get("endingOffsets", "latest"),
-            self.host, self.port, topics,
+            self.leaders, topics,
         )
 
     def partitions(self) -> Sequence[InputPartition]:
-        return _plan_slices(self.host, self.port, self.start, self.end)
+        return _plan_slices(self.leaders, self.start, self.end)
 
     def read(self, partition: KafkaSlice) -> Iterator[tuple]:
         return _read_slice(partition)
@@ -251,23 +289,30 @@ class KafkaPyStreamReader(DataSourceStreamReader):  # type: ignore[misc]
     exactly-once checkpointing."""
 
     def __init__(self, options) -> None:
-        self.host, self.port = _first_bootstrap(options)
+        self.bootstrap = _bootstrap_list(options)
         self.topics = _topics(options)
         self.starting = options.get("startingOffsets", "earliest")
         cap = options.get("maxOffsetsPerTrigger")
         self.max_per_trigger = int(cap) if cap else None
         self._last_planned: dict[str, dict[str, int]] | None = None
+        self._leader_map: dict | None = None
+
+    def _refresh_leaders(self) -> dict:
+        # re-resolved every trigger (one Metadata call) so leader moves
+        # between micro-batches are picked up, like the JVM consumer
+        self._leader_map = _leaders(self.bootstrap, self.topics)
+        return self._leader_map
 
     def initialOffset(self) -> dict:
         first = _resolve_offset_spec(
-            self.starting, self.host, self.port, self.topics
+            self.starting, self._refresh_leaders(), self.topics
         )
         self._last_planned = first
         return first
 
     def latestOffset(self) -> dict:
-        real_end = _discover(
-            self.host, self.port, self.topics, LATEST_TIMESTAMP
+        real_end = _offsets_at(
+            self._refresh_leaders(), self.topics, LATEST_TIMESTAMP
         )
         cap = self.max_per_trigger
         base = self._last_planned
@@ -312,7 +357,8 @@ class KafkaPyStreamReader(DataSourceStreamReader):  # type: ignore[misc]
         # record the planned end: the authoritative base for the next
         # trigger's cap (also self-corrects if Spark replays a batch)
         self._last_planned = end
-        return _plan_slices(self.host, self.port, start, end)
+        leaders = self._leader_map or self._refresh_leaders()
+        return _plan_slices(leaders, start, end)
 
     def read(self, partition: KafkaSlice) -> Iterator[tuple]:
         return _read_slice(partition)
@@ -374,12 +420,14 @@ class _ProducedMessage(WriterCommitMessage):  # type: ignore[misc]
 
 class KafkaPyWriter(DataSourceWriter):  # type: ignore[misc]
     """Executor-side Produce: batches rows per (topic, partition) and
-    writes them over the wire. At-least-once, like the JVM Kafka sink —
-    a failed/retried task may re-produce (Kafka appends are not
-    idempotent without transactions, which neither sink uses)."""
+    writes each batch to the PARTITION LEADER over the wire (one
+    cached connection per broker per task). At-least-once, like the
+    JVM Kafka sink — a failed/retried task may re-produce (Kafka
+    appends are not idempotent without transactions, which neither
+    sink uses)."""
 
     def __init__(self, options) -> None:
-        self.host, self.port = _first_bootstrap(options)
+        self.bootstrap = _bootstrap_list(options)
         self.topic = options.get("topic")
         self.chunk = int(options.get("produceBatchSize", "500"))
 
@@ -388,22 +436,30 @@ class KafkaPyWriter(DataSourceWriter):  # type: ignore[misc]
 
         pending: dict[tuple[str, int], list] = defaultdict(list)
         n = 0
-        with KafkaWireClient(self.host, self.port) as client:
-            n_parts_cache: dict[str, int] = {}
+        leaders: dict[tuple[str, int], tuple[str, int]] = {}
+        n_parts_cache: dict[str, int] = {}
+        clients: dict[tuple[str, int], KafkaWireClient] = {}
 
-            def n_parts(topic: str) -> int:
-                if topic not in n_parts_cache:
-                    _, parts = client.metadata([topic])
-                    n_parts_cache[topic] = max(
-                        len([p for p in parts if p.topic == topic]), 1
-                    )
-                return n_parts_cache[topic]
+        def client_for(addr: tuple[str, int]) -> KafkaWireClient:
+            if addr not in clients:
+                clients[addr] = KafkaWireClient(*addr)
+            return clients[addr]
 
-            def flush(tp: tuple[str, int]) -> None:
-                if pending[tp]:
-                    client.produce(tp[0], tp[1], pending[tp])
-                    pending[tp].clear()
+        def discover(topic: str) -> None:
+            if topic not in n_parts_cache:
+                fresh = _leaders(self.bootstrap, [topic])
+                leaders.update(fresh)
+                n_parts_cache[topic] = max(
+                    len([1 for (t, _p) in fresh if t == topic]), 1
+                )
 
+        def flush(tp: tuple[str, int]) -> None:
+            if pending[tp]:
+                addr = leaders.get(tp) or self.bootstrap[0]
+                client_for(addr).produce(tp[0], tp[1], pending[tp])
+                pending[tp].clear()
+
+        try:
             for idx, row in enumerate(iterator):
                 d = row.asDict() if hasattr(row, "asDict") else dict(row)
                 topic = d.get("topic") or self.topic
@@ -411,6 +467,7 @@ class KafkaPyWriter(DataSourceWriter):  # type: ignore[misc]
                     raise ValueError(
                         "kafka_py sink needs a topic option or column"
                     )
+                discover(topic)
                 key = bytes(d["key"]) if d.get("key") is not None else None
                 value = (
                     bytes(d["value"]) if d.get("value") is not None else None
@@ -422,7 +479,7 @@ class KafkaPyWriter(DataSourceWriter):  # type: ignore[misc]
                     else int(time_ms())
                 )
                 p = _partition_for(
-                    key, d.get("partition"), n_parts(topic), idx
+                    key, d.get("partition"), n_parts_cache[topic], idx
                 )
                 tp = (topic, p)
                 pending[tp].append((key, value, ts_ms))
@@ -431,6 +488,9 @@ class KafkaPyWriter(DataSourceWriter):  # type: ignore[misc]
                     flush(tp)
             for tp in list(pending):
                 flush(tp)
+        finally:
+            for c in clients.values():
+                c.close()
         return _ProducedMessage(count=n)
 
     def commit(self, messages) -> None:

@@ -547,6 +547,7 @@ API_VERSIONS = 18
 ERR_NONE = 0
 ERR_OFFSET_OUT_OF_RANGE = 1
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
+ERR_NOT_LEADER_FOR_PARTITION = 6
 
 EARLIEST_TIMESTAMP = -2
 LATEST_TIMESTAMP = -1
@@ -664,7 +665,10 @@ class KafkaWireClient:
     def metadata(
         self, topics: Sequence[str] | None = None
     ) -> tuple[list[BrokerMeta], list[PartitionMeta]]:
-        """Metadata v0. Empty/None topic list = all topics."""
+        """Metadata v0. Empty/None topic list = all topics. Each
+        partition's ``leader`` is a broker node id — resolve it against
+        the returned broker list to route fetches/produces (a real
+        cluster rejects non-leader requests with error 6)."""
         body = Writer().array(
             list(topics or []), lambda w, t: w.string(t)
         ).build()

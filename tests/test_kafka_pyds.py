@@ -513,3 +513,87 @@ def test_kafka_corpus_stream_pipeline(spark, tmp_path):
     want = {r["doc_id"] for r in kept.collect()}
     kept.unpersist()
     assert got == want == {1, 3}
+
+
+# ---------------------------------------------------------------------------
+# multi-broker: leader routing
+# ---------------------------------------------------------------------------
+
+def test_kafka_py_leader_routing_multi_broker(spark, tmp_path):
+    """A 2-node cluster where each broker serves ONLY its led
+    partitions (non-leaders answer error 6, like a real cluster):
+    reads and writes must route per-partition to the leader — and a
+    wrong-node request really does fail."""
+    from southpaw_spark.sources.kafka_broker import form_cluster
+
+    with EmbeddedKafkaBroker(node_id=0) as b0, EmbeddedKafkaBroker(
+        node_id=1
+    ) as b1:
+        bootstrap = form_cluster([b0, b1], "orders", partitions=4)
+        # leaders round-robin: b0 leads partitions 0,2; b1 leads 1,3.
+        # Seed 3 records into each partition ON ITS LEADER.
+        for p in range(4):
+            leader = (b0, b1)[p % 2]
+            for j in range(3):
+                leader.append(
+                    "orders", p, f"k{p}-{j}".encode(), b"v",
+                    1_700_000_000_000 + j,
+                )
+
+        # a non-leader really rejects: fetch p1 from b0 → error 6
+        with KafkaWireClient(b0.host, b0.port) as c:
+            with pytest.raises(IOError, match="error 6"):
+                c.fetch("orders", 1, 0)
+
+        register_kafka_py(spark)
+        df = (
+            spark.read.format("kafka_py")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("subscribe", "orders")
+            .load()
+        )
+        rows = df.collect()
+        assert len(rows) == 12
+        assert {(r.partition) for r in rows} == {0, 1, 2, 3}
+
+        # leader-routed sink: keyed records land on the right brokers
+        out = spark.createDataFrame(
+            [(f"wk{i}".encode(), f"wv{i}".encode()) for i in range(20)],
+            "key binary, value binary",
+        )
+        (
+            out.write.format("kafka_py")
+            .mode("append")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("topic", "orders")
+            .save()
+        )
+        back = (
+            spark.read.format("kafka_py")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("subscribe", "orders")
+            .load()
+            .collect()
+        )
+        assert len(back) == 32  # 12 seeded + 20 produced
+        # every produced record lives on its partition's LEADER only
+        for p in range(4):
+            led = (b0, b1)[p % 2].end_offset("orders", p)
+            other = (b0, b1)[(p + 1) % 2].end_offset("orders", p)
+            assert led >= 3 and other == 0
+
+        # streaming read over the cluster (leader map refreshed per
+        # trigger) drains everything
+        seen: list[int] = []
+        q = (
+            spark.readStream.format("kafka_py")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("subscribe", "orders")
+            .load()
+            .writeStream.foreachBatch(lambda d, e: seen.append(d.count()))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert sum(seen) == 32
