@@ -192,3 +192,44 @@ def parse_cdc_mixed(
         ).alias("seq"),
         F.col("value").isNull().alias("is_tombstone"),
     )
+
+
+def kafka_doc_sink(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic_for: Mapping[str, str] | str,
+    key_cols_for: Mapping[str, Sequence[str]],
+    value_col: str = "value",
+):
+    """The reference's OUTPUT side as an ``attach_stream`` sink: each
+    denormalized tree's batch is shaped by :func:`to_kafka_sink_frame`
+    (key = canonical PK JSON, null value = tombstone — the contract of
+    ``topic/KafkaTopic.java:425-434``) and produced through the
+    jar-free ``kafka_py`` writer (leader-routed, murmur2-partitioned).
+
+    ``topic_for``: denormalized-name → topic (or one topic for all);
+    ``key_cols_for``: denormalized-name → root PK columns. Returns the
+    ``sink(denorm_name, df)`` callable ``IncrementalDenormalizer.
+    attach_stream`` expects, completing the reference topology end to
+    end: Kafka CDC in → incremental denormalize → Kafka docs out."""
+    from southpaw_spark.sources.kafka_pyds import register_kafka_py
+
+    register_kafka_py(spark)
+
+    def sink(denorm_name: str, df: DataFrame) -> None:
+        topic = (
+            topic_for if isinstance(topic_for, str)
+            else topic_for[denorm_name]
+        )
+        frame = to_kafka_sink_frame(
+            df, key_cols_for[denorm_name], value_col
+        )
+        (
+            frame.write.format("kafka_py")
+            .mode("append")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("topic", topic)
+            .save()
+        )
+
+    return sink

@@ -374,14 +374,30 @@ def test_kafka_ivm_end_to_end(spark, tmp_path):
 
     results: dict = {}
 
-    def sink(name, df):
-        for r in df.collect():
-            results[(name, r["id"])] = r["value"]
-
     with EmbeddedKafkaBroker() as broker:
         # single partition: broker offset order IS the changelog order,
         # exactly the reference's per-topic total order
         broker.create_topic("cdc.user", partitions=1)
+        broker.create_topic("docs.player", partitions=1)
+
+        # output side: docs go BACK to Kafka (null value = tombstone) —
+        # the complete reference topology — while a dict mirror drives
+        # the progress checks below
+        from southpaw_spark.sources.kafka import kafka_doc_sink
+
+        to_kafka = kafka_doc_sink(
+            spark,
+            broker.bootstrap,
+            topic_for="docs.player",
+            key_cols_for={"DenormalizedPlayer": ["id"]},
+        )
+
+        def sink(name, df):
+            df = df.localCheckpoint()  # consumed twice (kafka + dict)
+            to_kafka(name, df)
+            for r in df.collect():
+                results[(name, r["id"])] = r["value"]
+
         raw = kafka_cdc_stream(
             spark,
             broker.bootstrap,
@@ -438,11 +454,32 @@ def test_kafka_ivm_end_to_end(spark, tmp_path):
         finally:
             query.stop()
 
+        # read the OUTPUT topic back: the docs the pipeline published
+        out_rows = (
+            spark.read.format("kafka_py")
+            .option("kafka.bootstrap.servers", broker.bootstrap)
+            .option("subscribe", "docs.player")
+            .load()
+            .collect()
+        )
+        assert out_rows, "no docs reached the output topic"
+        # latest record per key on the topic == the dict mirror
+        latest: dict = {}
+        for r in sorted(out_rows, key=lambda r: r.offset):
+            latest[bytes(r.key)] = bytes(r.value) if r.value is not None else None
+        for k, v in latest.items():
+            pid = json.loads(k)["id"]
+            assert results[("DenormalizedPlayer", pid)] == (
+                v.decode() if v is not None else None
+            )
+
     assert ("DenormalizedPlayer", 800) in results, sorted(results)
     # the denormalized doc embeds the LATEST user payload that arrived
     # via Kafka (seq 30 renamed alice → alice2)
     blob = " ".join(v for v in results.values() if v)
     assert "alice2" in blob, blob
+    out_blob = b" ".join(v for v in latest.values() if v)
+    assert b"alice2" in out_blob  # and so does the published topic
 
 
 def test_kafka_corpus_stream_pipeline(spark, tmp_path):
