@@ -2061,6 +2061,25 @@ def gopher_repetition(
     except Exception:
         pass  # planning-only contexts (e.g. streaming) skip the guard
 
+    out = _with_repetition_metrics(df, text_col, thr, line_delim)
+    metric_cols = list(GOPHER_REPETITION_THRESHOLDS)
+    return out.select(
+        id_col,
+        *[F.col(f"__grep_{c}").alias(c) for c in metric_cols],
+        F.col("__grep_pass").alias("repetition_pass"),
+    )
+
+
+def _with_repetition_metrics(
+    df: DataFrame,
+    text_col: str,
+    thr: dict[str, float],
+    line_delim: str = "\n",
+) -> DataFrame:
+    """Append ``__grep_<metric>`` columns + ``__grep_pass`` to ``df``
+    keeping every original column — pure projections end to end (the
+    scans are per-row array HOFs), so this composes into BATCH and
+    STREAMING plans alike. Callers rename/drop the prefixed columns."""
     words = F.filter(
         F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
     )
@@ -2069,25 +2088,24 @@ def gopher_repetition(
         lambda l: F.trim(l) != F.lit(""),
     )
     base = df.select(
-        F.col(id_col),
-        words.alias("_ws"),
-        lines.alias("_ls"),
+        "*",
+        words.alias("__grep_ws"),
+        lines.alias("__grep_ls"),
     ).select(
-        id_col,
-        "_ws",
-        "_ls",
-        F.size("_ws").alias("_nw"),
-        F.size("_ls").alias("_nl"),
+        "*",
+        F.size("__grep_ws").alias("__grep_nw"),
+        F.size("__grep_ls").alias("__grep_nl"),
         (
             F.aggregate(
-                "_ws", F.lit(0).cast("long"),
+                "__grep_ws", F.lit(0).cast("long"),
                 lambda acc, w: acc + F.length(w),
             )
-            + F.greatest(F.size("_ws") - 1, F.lit(0))
-        ).alias("_char_base"),
+            + F.greatest(F.size("__grep_ws") - 1, F.lit(0))
+        ).alias("__grep_char_base"),
         F.aggregate(
-            "_ls", F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
-        ).alias("_line_chars"),
+            "__grep_ls", F.lit(0).cast("long"),
+            lambda acc, l: acc + F.length(l),
+        ).alias("__grep_line_chars"),
     )
 
     def _scan(sorted_arr):
@@ -2153,26 +2171,30 @@ def gopher_repetition(
         # to two-parameter lambdas
         return F.array_sort(
             F.when(
-                F.col("_nw") >= n,
+                F.col("__grep_nw") >= n,
                 F.transform(
-                    F.sequence(F.lit(1), F.col("_nw") - F.lit(n - 1)),
-                    lambda i: F.array_join(F.slice("_ws", i, F.lit(n)), " "),
+                    F.sequence(
+                        F.lit(1), F.col("__grep_nw") - F.lit(n - 1)
+                    ),
+                    lambda i: F.array_join(
+                        F.slice("__grep_ws", i, F.lit(n)), " "
+                    ),
                 ),
             ).otherwise(F.array().cast("array<string>"))
         )
 
     scanned = base.select(
-        id_col, "_nw", "_nl", "_char_base", "_line_chars",
-        _scan(F.array_sort("_ls")).alias("_L"),
-        *[_scan(_grams_sorted(n)).alias(f"_g{n}") for n in range(2, 11)],
-    )
+        "*",
+        _scan(F.array_sort("__grep_ls")).alias("__grep_L"),
+        *[_scan(_grams_sorted(n)).alias(f"__grep_g{n}") for n in range(2, 11)],
+    ).drop("__grep_ws", "__grep_ls")
 
-    nlz = F.when(F.col("_nl") > 0, F.col("_nl").cast("double"))
-    wz = F.col("_nw") > 0
-    cb = F.col("_char_base").cast("double")
+    nlz = F.when(F.col("__grep_nl") > 0, F.col("__grep_nl").cast("double"))
+    wz = F.col("__grep_nw") > 0
+    cb = F.col("__grep_char_base").cast("double")
 
     def _top_frac(n: int):
-        g = F.col(f"_g{n}")
+        g = F.col(f"__grep_g{n}")
         return F.when(
             wz,
             F.round(
@@ -2185,36 +2207,43 @@ def gopher_repetition(
         )
 
     def _dup_frac(n: int):
-        g = F.col(f"_g{n}")
+        g = F.col(f"__grep_g{n}")
         return F.when(wz, F.round(F.least(F.lit(1.0), g["dupch"] / cb), 6))
 
     out = scanned.select(
-        id_col,
-        "_nw",
+        "*",
         F.round(
-            (F.col("_nl") - F.col("_L.n_runs")) / nlz, 6
-        ).alias("dup_line_frac"),
+            (F.col("__grep_nl") - F.col("__grep_L.n_runs")) / nlz, 6
+        ).alias("__grep_dup_line_frac"),
         F.round(
-            F.col("_L.dupx")
-            / F.when(F.col("_line_chars") > 0, F.col("_line_chars"))
-            .cast("double"),
+            F.col("__grep_L.dupx")
+            / F.when(
+                F.col("__grep_line_chars") > 0, F.col("__grep_line_chars")
+            ).cast("double"),
             6,
-        ).alias("dup_line_char_frac"),
-        *[_top_frac(n).alias(f"top_{n}gram_char_frac") for n in (2, 3, 4)],
-        *[_dup_frac(n).alias(f"dup_{n}gram_char_frac") for n in range(5, 11)],
+        ).alias("__grep_dup_line_char_frac"),
+        *[
+            _top_frac(n).alias(f"__grep_top_{n}gram_char_frac")
+            for n in (2, 3, 4)
+        ],
+        *[
+            _dup_frac(n).alias(f"__grep_dup_{n}gram_char_frac")
+            for n in range(5, 11)
+        ],
+    ).drop(
+        "__grep_L", *[f"__grep_g{n}" for n in range(2, 11)],
+        "__grep_char_base", "__grep_line_chars", "__grep_nl",
     )
-    metric_cols = list(GOPHER_REPETITION_THRESHOLDS)
     passes = None
-    for c in metric_cols:
+    for c in GOPHER_REPETITION_THRESHOLDS:
         cond = F.coalesce(
-            F.col(c) <= F.lit(float(thr[c])), F.lit(True)
+            F.col(f"__grep_{c}") <= F.lit(float(thr[c])), F.lit(True)
         )  # NULL metric (no lines / empty) doesn't fail by itself
         passes = cond if passes is None else (passes & cond)
-    passes = passes & (F.col("_nw") > 0)  # genuinely empty docs fail
+    passes = passes & (F.col("__grep_nw") > 0)  # genuinely empty docs fail
     return out.select(
-        id_col, *metric_cols,
-        F.coalesce(passes, F.lit(False)).alias("repetition_pass"),
-    )
+        "*", F.coalesce(passes, F.lit(False)).alias("__grep_pass")
+    ).drop("__grep_nw")
 
 
 def gopher_repetition_filter(
@@ -2224,13 +2253,23 @@ def gopher_repetition_filter(
     thresholds: dict[str, float] | None = None,
     line_delim: str = "\n",
 ) -> DataFrame:
-    """Keep documents passing :func:`gopher_repetition` — an id-keyed
-    semi-join against the passing set (the metrics need the per-doc
-    gram scan, so unlike :func:`gopher_filter` this is not a bare
-    predicate; the join is doc-id-keyed and AQE-planned)."""
-    keep = (
-        gopher_repetition(df, text_col, id_col, thresholds, line_delim)
-        .where("repetition_pass")
-        .select(id_col)
-    )
-    return df.join(keep, id_col, "left_semi")
+    """Keep documents passing the Gopher repetition rules — JOIN-FREE:
+    the per-doc metrics are appended as projections, filtered on, and
+    dropped, so every original column survives and the whole gate is
+    pure projections + one filter (streaming-legal; ``id_col`` kept for
+    gate-signature symmetry). Thresholds validate like
+    :func:`gopher_repetition`."""
+    thr = dict(GOPHER_REPETITION_THRESHOLDS)
+    if thresholds:
+        unknown = set(thresholds) - set(thr)
+        if unknown:
+            raise ValueError(
+                f"unknown repetition thresholds {sorted(unknown)}; "
+                f"legal: {sorted(thr)}"
+            )
+        thr.update(thresholds)
+    out = _with_repetition_metrics(df, text_col, thr, line_delim)
+    drop = ["__grep_pass"] + [
+        f"__grep_{c}" for c in GOPHER_REPETITION_THRESHOLDS
+    ]
+    return out.where(F.col("__grep_pass")).drop(*drop)

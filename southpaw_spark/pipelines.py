@@ -941,6 +941,8 @@ def corpus_stream(
     min_quality: float | None = None,
     gopher: bool = False,
     gopher_thresholds: dict | None = None,
+    gopher_rep: bool = False,
+    gopher_rep_thresholds: dict | None = None,
     model_weights: list[float] | None = None,
     model_bias: float = 0.0,
     min_model_score: float | None = None,
@@ -1076,6 +1078,15 @@ def corpus_stream(
 
         cur = cur.where(
             gopher_predicate(text_col, **(gopher_thresholds or {}))
+        )
+    if gopher_rep:
+        # t31 streaming twin: per-doc metrics are pure projections
+        # (array HOF scans), so the whole gate composes into the
+        # streaming plan — no join, no state
+        from southpaw_spark.operators.text import gopher_repetition_filter
+
+        cur = gopher_repetition_filter(
+            cur, text_col, id_col, gopher_rep_thresholds
         )
     if min_model_score is not None:
         cur = cur.where(F.col("model_score") >= min_model_score)

@@ -1482,7 +1482,19 @@ def test_corpus_stream_gopher_gate_converges(spark, tmp_path):
         got.update(r["doc_id"] for r in kept.collect())
 
     q = corpus_stream(
-        deduper, stream, str(tmp_path / "ckpt"), gopher=True, sink=sink
+        deduper, stream, str(tmp_path / "ckpt"),
+        gopher=True, gopher_rep=True,
+        gopher_rep_thresholds={
+            k: 1.0
+            for k in (
+                "top_2gram_char_frac", "top_3gram_char_frac",
+                "top_4gram_char_frac", "dup_5gram_char_frac",
+                "dup_6gram_char_frac", "dup_7gram_char_frac",
+                "dup_8gram_char_frac", "dup_9gram_char_frac",
+                "dup_10gram_char_frac",
+            )
+        },
+        sink=sink,
     )
     try:
         q.processAllAvailable()
@@ -1491,7 +1503,20 @@ def test_corpus_stream_gopher_gate_converges(spark, tmp_path):
     deduper.close()
 
     batch = spark.createDataFrame(docs, "doc_id long, text string")
-    kept, report = build_corpus(batch, gopher=True, exact_dedup=True)
+    kept, report = build_corpus(
+        batch, gopher=True, gopher_rep=True,
+        gopher_rep_thresholds={
+            k: 1.0
+            for k in (
+                "top_2gram_char_frac", "top_3gram_char_frac",
+                "top_4gram_char_frac", "dup_5gram_char_frac",
+                "dup_6gram_char_frac", "dup_7gram_char_frac",
+                "dup_8gram_char_frac", "dup_9gram_char_frac",
+                "dup_10gram_char_frac",
+            )
+        },
+        exact_dedup=True,
+    )
     want = {r["doc_id"] for r in kept.collect()}
     kept.unpersist()
     assert got == want == {1, 4}
