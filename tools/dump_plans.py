@@ -73,6 +73,8 @@ SHOWCASE = [
     ("s10_ann_recall", "ANN recall@k vs exact — benchmark-sized semi-join (EXTRA)"),
     ("t28_language_id", "trained language ID — 1 combiner groupBy, L int64 numerators, CASE argmax (EXTRA)"),
     ("t29_corpus_profile", "corpus stats report — combiner aggs + one stratum window (EXTRA)"),
+    ("t30_gopher_quality", "Gopher rule gate — pure codegen projection, 0 shuffles (EXTRA)"),
+    ("t31_gopher_repetition", "Gopher repetition — per-doc HOF scans, 0 shuffles beyond the local input-widening guard (EXTRA)"),
 ]
 
 
