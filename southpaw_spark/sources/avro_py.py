@@ -301,3 +301,63 @@ def decode_avro_column(
             yield out
 
     return df.mapInPandas(_batches, out_schema)
+
+
+def encode_avro_column(
+    df: DataFrame,
+    struct_col: str,
+    avro_schema: str,
+    out_col: str = "value",
+    schema_id: int | None = None,
+) -> DataFrame:
+    """Encode a struct column as binary Avro — the SERIALIZE half of the
+    reference serde (``serde/AvroSerde.java`` is bidirectional; this is
+    the sink-side twin of :func:`decode_avro_column`), Arrow-batched via
+    ``mapInPandas``. ``schema_id`` wraps each body in the Confluent wire
+    frame (magic 0x00 + big-endian id), producing bytes a registry-aware
+    consumer decodes verbatim. Null structs encode to null bytes
+    (tombstone passthrough). Output replaces ``struct_col`` with
+    ``out_col`` binary; all other columns pass through.
+
+    Record-schema fields are matched by NAME against the struct's
+    fields (Avro field order is the schema's, not the struct's); fields
+    missing from the struct raise — the reference's serializer is
+    equally strict about writer-schema completeness."""
+    schema = json.loads(avro_schema)
+    if not (isinstance(schema, dict) and schema.get("type") == "record"):
+        raise ValueError("encode_avro_column expects a record schema")
+    field_names = [f["name"] for f in schema["fields"]]
+    others = [c for c in df.columns if c != struct_col]
+    out_schema = T.StructType(
+        [df.schema[c] for c in others]
+        + [T.StructField(out_col, T.BinaryType(), True)]
+    )
+    struct_fields = [
+        f.name for f in df.schema[struct_col].dataType.fields  # type: ignore[union-attr]
+    ]
+    missing = set(field_names) - set(struct_fields)
+    if missing:
+        raise ValueError(
+            f"struct column {struct_col!r} lacks Avro fields "
+            f"{sorted(missing)}"
+        )
+
+    def _batches(it):
+        for pdf in it:
+            encoded = []
+            for rec in pdf[struct_col]:
+                if rec is None:
+                    encoded.append(None)
+                    continue
+                # pandas renders the struct as a dict-like row
+                body = encode(
+                    schema, {n: rec[n] for n in field_names}
+                )
+                if schema_id is not None:
+                    body = confluent_frame(schema_id, body)
+                encoded.append(body)
+            out = pdf[others].copy()
+            out[out_col] = encoded
+            yield out
+
+    return df.mapInPandas(_batches, out_schema)

@@ -499,3 +499,123 @@ def test_kafka_builder_reaches_data_source_resolution(spark):
     assert {f.name for f in raw.schema.fields} >= {
         "key", "value", "topic", "partition", "offset", "timestamp",
     }
+
+
+def test_encode_avro_column_roundtrip(spark):
+    """The serialize half of the Avro serde (AvroSerde.java is
+    bidirectional): struct → Confluent-framed binary → decode ≡
+    identity; null struct = tombstone bytes; missing fields fail."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from southpaw_spark.sources.avro_py import (
+        decode_avro_column,
+        encode_avro_column,
+    )
+
+    schema = _json.dumps(
+        {
+            "type": "record",
+            "name": "User",
+            "fields": [
+                {"name": "user_id", "type": "int"},
+                {"name": "user_name", "type": ["null", "string"]},
+            ],
+        }
+    )
+    df = spark.createDataFrame(
+        [(1, (10, "alice")), (2, (20, None)), (3, None)],
+        "id long, payload struct<user_id:int, user_name:string>",
+    )
+    enc = encode_avro_column(df, "payload", schema, "value", schema_id=7)
+    rows = {r.id: r.value for r in enc.collect()}
+    assert rows[3] is None
+    assert bytes(rows[1])[:1] == b"\x00"
+    assert int.from_bytes(bytes(rows[1])[1:5], "big") == 7
+    back = decode_avro_column(enc, "value", schema, "d", confluent_framing=True)
+    got = {
+        r.id: (r.d.user_id, r.d.user_name) if r.d is not None else None
+        for r in back.collect()
+    }
+    assert got == {1: (10, "alice"), 2: (20, None), 3: None}
+
+    bad = _json.dumps(
+        {
+            "type": "record",
+            "name": "U",
+            "fields": [{"name": "nope", "type": "int"}],
+        }
+    )
+    with _pytest.raises(ValueError, match="lacks Avro fields"):
+        encode_avro_column(df, "payload", bad)
+
+
+def test_avro_cdc_over_kafka_py(spark, tmp_path):
+    """Avro-valued CDC records over the wire: encode → kafka_py sink →
+    kafka_py source → parse_cdc_mixed(avro value) reproduces the
+    payloads — the reference's Avro-topic deployment end to end."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from southpaw_spark.sources.avro_py import encode_avro_column
+    from southpaw_spark.sources.kafka import parse_cdc_mixed
+    from southpaw_spark.sources.kafka_broker import EmbeddedKafkaBroker
+    from southpaw_spark.sources.kafka_pyds import register_kafka_py
+
+    schema = _json.dumps(
+        {
+            "type": "record",
+            "name": "User",
+            "fields": [
+                {"name": "user_id", "type": "int"},
+                {"name": "user_name", "type": ["null", "string"]},
+            ],
+        }
+    )
+    docs = spark.createDataFrame(
+        [(10, "alice"), (20, "bob"), (30, None)],
+        "user_id int, user_name string",
+    )
+    frame = encode_avro_column(
+        docs.select(
+            F.to_json(F.struct("user_id")).cast("binary").alias("key"),
+            F.struct("user_id", "user_name").alias("payload"),
+        ),
+        "payload",
+        schema,
+        out_col="value",
+        schema_id=3,
+    )
+    with EmbeddedKafkaBroker() as broker:
+        broker.create_topic("cdc.avro", partitions=1)
+        register_kafka_py(spark)
+        (
+            frame.write.format("kafka_py")
+            .mode("append")
+            .option("kafka.bootstrap.servers", broker.bootstrap)
+            .option("topic", "cdc.avro")
+            .save()
+        )
+        raw = (
+            spark.read.format("kafka_py")
+            .option("kafka.bootstrap.servers", broker.bootstrap)
+            .option("subscribe", "cdc.avro")
+            .load()
+        )
+        parsed = parse_cdc_mixed(
+            raw,
+            key={"format": "json", "schema": "user_id int"},
+            value={
+                "format": "avro",
+                "schema": schema,
+                "confluent_framing": True,
+            },
+        )
+        got = {
+            r.user_name
+            for r in parsed.select(F.col("user_name")).collect()
+        }
+        assert got == {"alice", "bob", None}
+        assert parsed.count() == 3
