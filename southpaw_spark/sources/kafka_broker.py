@@ -56,12 +56,16 @@ _SUPPORTED = [
 
 @dataclass
 class _PartitionLog:
-    """One partition's in-memory log: records are (timestamp_ms, key,
-    value); the list index IS the offset (dense, base 0)."""
+    """One partition's in-memory log: records are (offset, timestamp_ms,
+    key, value). Offsets are assigned densely by ``next_offset`` but the
+    retained list may be SPARSE after :meth:`EmbeddedKafkaBroker.compact`
+    — exactly like a compacted Kafka partition, where surviving records
+    keep their original offsets and consumers skip the gaps."""
 
-    records: list[tuple[int, bytes | None, bytes | None]] = field(
+    records: list[tuple[int, int, bytes | None, bytes | None]] = field(
         default_factory=list
     )
+    next_offset: int = 0
 
 
 class EmbeddedKafkaBroker:
@@ -166,13 +170,42 @@ class EmbeddedKafkaBroker:
             elif partition >= self._topics[topic]:
                 self.create_topic(topic, partitions=partition + 1)
             log = self._logs[(topic, partition)]
-            log.records.append((ts, key, value))
-            return len(log.records) - 1
+            off = log.next_offset
+            log.records.append((off, ts, key, value))
+            log.next_offset = off + 1
+            return off
 
     def end_offset(self, topic: str, partition: int) -> int:
         with self._lock:
             log = self._logs.get((topic, partition))
-            return len(log.records) if log else 0
+            return log.next_offset if log else 0
+
+    def compact(self, topic: str, drop_tombstones: bool = False) -> int:
+        """Log compaction: keep only the LAST record per key in every
+        partition (surviving records keep their offsets; the high
+        watermark is unchanged) — the broker-side guarantee the
+        reference's CDC topics rely on (``README.md:13``: topics are
+        compacted, latest record per key wins). ``drop_tombstones``
+        additionally removes null-value records whose deletion has
+        "aged out" (Kafka's delete.retention.ms elapsing). Returns the
+        number of records removed."""
+        removed = 0
+        with self._lock:
+            for (t, _p), log in self._logs.items():
+                if t != topic:
+                    continue
+                last: dict[bytes | None, int] = {}
+                for off, _ts, key, _v in log.records:
+                    last[key] = off
+                kept = [
+                    r
+                    for r in log.records
+                    if last[r[2]] == r[0]
+                    and not (drop_tombstones and r[3] is None)
+                ]
+                removed += len(log.records) - len(kept)
+                log.records = kept
+        return removed
 
     # -- wire protocol --------------------------------------------------------
     def _handle_request(self, payload: bytes) -> bytes:
@@ -281,17 +314,17 @@ class EmbeddedKafkaBroker:
                     w2.int64(-1).int64(-1)
                     return
                 if ts == EARLIEST_TIMESTAMP:
-                    off = 0
+                    off = log.records[0][0] if log.records else log.next_offset
                 elif ts == LATEST_TIMESTAMP:
-                    off = len(log.records)
+                    off = log.next_offset
                 else:  # first offset with timestamp >= ts (spec semantics)
                     off = next(
                         (
-                            i
-                            for i, (rts, _, _) in enumerate(log.records)
+                            o
+                            for o, rts, _, _ in log.records
                             if rts >= ts
                         ),
-                        len(log.records),
+                        log.next_offset,
                     )
                 w2.int32(pid).int16(ERR_NONE).int64(-1).int64(off)
 
@@ -326,9 +359,12 @@ class EmbeddedKafkaBroker:
                     if topic not in self._topics or pid >= self._topics[topic]:
                         self.create_topic(topic, partitions=pid + 1)
                     log = self._logs[(topic, pid)]
-                    base = len(log.records)
+                    base = log.next_offset
                     for rec in records:
-                        log.records.append((rec.timestamp, rec.key, rec.value))
+                        log.records.append(
+                            (log.next_offset, rec.timestamp, rec.key, rec.value)
+                        )
+                        log.next_offset += 1
                 part_results.append((pid, ERR_NONE, base))
             results.append((topic, part_results))
 
@@ -383,27 +419,38 @@ class EmbeddedKafkaBroker:
                     w2.array([], lambda w3, x: None)
                     w2.nullable_bytes(None)
                     return
-                hwm = len(snapshot)
+                with self._lock:
+                    hwm = self._logs[(topic, pid)].next_offset
                 if fetch_offset > hwm or fetch_offset < 0:
                     w2.int32(pid).int16(ERR_OFFSET_OUT_OF_RANGE)
                     w2.int64(hwm).int64(hwm)
                     w2.array([], lambda w3, x: None)
                     w2.nullable_bytes(None)
                     return
-                # size-bounded slice: stop before the batch would exceed
-                # part_max_bytes (always include at least one record so a
-                # single oversized record still makes progress — spec
-                # behavior for the first batch)
+                # size-bounded slice from the first retained offset ≥
+                # fetch_offset (compaction leaves gaps; consumers skip
+                # them, spec behavior). Stop before the batch would
+                # exceed part_max_bytes (always include at least one
+                # record so a single oversized record still progresses).
                 chunk: list[tuple[bytes | None, bytes | None, int]] = []
+                base_off = None
                 size = 61  # batch header overhead
-                for ts, key, value in snapshot[fetch_offset:]:
+                for off, ts, key, value in snapshot:
+                    if off < fetch_offset:
+                        continue
                     rec_size = 16 + len(key or b"") + len(value or b"")
                     if chunk and size + rec_size > max(part_max_bytes, 1):
+                        break
+                    if base_off is None:
+                        base_off = off
+                    # NB: one batch per fetch ⇒ offsets inside must be
+                    # contiguous from base; emit a batch per GAP instead
+                    if off != base_off + len(chunk):
                         break
                     chunk.append((key, value, ts))
                     size += rec_size
                 record_set = (
-                    encode_record_batch(fetch_offset, chunk) if chunk else None
+                    encode_record_batch(base_off, chunk) if chunk else None
                 )
                 w2.int32(pid).int16(ERR_NONE)
                 w2.int64(hwm).int64(hwm)  # high watermark, LSO

@@ -634,3 +634,71 @@ def test_kafka_py_leader_routing_multi_broker(spark, tmp_path):
         )
         q.awaitTermination(120)
         assert sum(seen) == 32
+
+
+def test_compacted_topic_state_invariance(spark):
+    """The reference consumes COMPACTED CDC topics (latest record per
+    key; README.md:13). Compaction keeps original offsets with gaps —
+    after compacting, the kafka_py consumer must skip the gaps, and the
+    latest-by-key state rebuilt from the compacted topic must equal the
+    state from the full log."""
+    from pyspark.sql import functions as F
+
+    from southpaw_spark.operators.cdc import current_state
+    from southpaw_spark.sources.kafka import parse_cdc_json
+    from pyspark.sql import types as T
+
+    key_schema = T.StructType([T.StructField("k", T.StringType())])
+    val_schema = T.StructType([T.StructField("v", T.IntegerType())])
+
+    def state_from(broker):
+        raw = (
+            spark.read.format("kafka_py")
+            .option("kafka.bootstrap.servers", broker.bootstrap)
+            .option("subscribe", "cdc")
+            .load()
+        )
+        parsed = parse_cdc_json(raw, key_schema, val_schema)
+        cur = current_state(
+            parsed.select("k", "v", "seq", "is_tombstone"), ["k"]
+        )
+        return {r.k: r.v for r in cur.collect()}
+
+    events = [
+        ("a", 1), ("b", 2), ("a", 3), ("c", 4), ("b", None),  # tombstone b
+        ("a", 5), ("d", 6), ("c", 7),
+    ]
+    with EmbeddedKafkaBroker() as broker:
+        broker.create_topic("cdc", partitions=1)
+        for i, (k, v) in enumerate(events):
+            broker.append(
+                "cdc", 0,
+                json.dumps({"k": k}).encode(),
+                None if v is None else json.dumps({"v": v}).encode(),
+                1_700_000_000_000 + i,
+            )
+        register_kafka_py(spark)
+        full = state_from(broker)
+        assert full == {"a": 5, "c": 7, "d": 6}  # b tombstoned
+
+        removed = broker.compact("cdc")
+        assert removed == 4  # a@0, b@1, a@2, c@3 superseded
+        # surviving records keep their ORIGINAL offsets (gaps remain)
+        offsets = [
+            r.offset
+            for r in (
+                spark.read.format("kafka_py")
+                .option("kafka.bootstrap.servers", broker.bootstrap)
+                .option("subscribe", "cdc")
+                .load()
+                .orderBy("offset")
+                .collect()
+            )
+        ]
+        assert offsets == [4, 5, 6, 7]  # b's tombstone @4 + latest a/d/c
+        compacted = state_from(broker)
+        assert compacted == full
+
+        # tombstone retention elapses: b's deletion marker goes too
+        broker.compact("cdc", drop_tombstones=True)
+        assert state_from(broker) == full
