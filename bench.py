@@ -444,6 +444,9 @@ def main() -> None:
         ("t31_gopher_repetition",
          lambda: run_extra("t31_gopher_repetition"))
     )
+    runners.append(
+        ("t32_chunk_documents", lambda: run_extra("t32_chunk_documents"))
+    )
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}

@@ -2273,3 +2273,59 @@ def gopher_repetition_filter(
         f"__grep_{c}" for c in GOPHER_REPETITION_THRESHOLDS
     ]
     return out.where(F.col("__grep_pass")).drop(*drop)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_tokens: int = 512,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split documents into fixed-window chunks (t32) — the complement
+    of t25's sequence PACKING: long documents become ``max_tokens``-word
+    windows starting every ``stride`` words (``stride < max_tokens`` ⇒
+    overlapping context windows, the standard pretraining/embedding
+    chunking; default ``stride = max_tokens`` ⇒ disjoint). Tokens are
+    the module's split-on-single-space convention, so chunk token
+    counts agree with ``with_token_count``.
+
+    Output: one row per chunk — id, ``chunk_id`` (0-based), ``chunk``
+    (space-rejoined text), ``chunk_tokens``. Every word lands in ≥ 1
+    chunk and a final short window is kept. Per the module convention
+    (and its DuckDB oracles) ``split('', ' ')`` is one empty token, so
+    an empty text yields exactly one empty chunk — token accounting
+    stays consistent with ``with_token_count``.
+
+    Plan: pure codegen — split once, ``transform`` over the start
+    sequence builds the windows, one ``posexplode``; no shuffle, no UDF.
+    At 100 TB the output is ≤ ⌈n/stride⌉ rows per doc, written straight
+    to the corpus sink."""
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be ≥ 1, got {max_tokens}")
+    s = max_tokens if stride is None else int(stride)
+    if not 1 <= s <= max_tokens:
+        raise ValueError(
+            f"stride must be in [1, max_tokens]; got {s} vs {max_tokens}"
+        )
+    words = tokens(F.col(text_col))
+    n = F.size(words)
+    n_chunks = F.when(
+        n > 0, F.ceil((n - F.lit(max_tokens)) / F.lit(s)).cast("int") + 1
+    ).otherwise(F.lit(0))
+    # ceil((n - max)/s) + 1 == number of stride starts covering all n
+    # words (1 chunk when n ≤ max); clamp at ≥ 1 for 0 < n < max_tokens
+    n_chunks = F.greatest(n_chunks, F.when(n > 0, F.lit(1)).otherwise(F.lit(0)))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(words, i * F.lit(s) + 1, F.lit(max_tokens)),
+    )
+    out = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_w")
+    )
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.array_join("_w", " ").alias("chunk"),
+        F.size("_w").alias("chunk_tokens"),
+    )

@@ -3137,3 +3137,37 @@ def test_gopher_repetition_tie_break_and_thresholds(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown repetition"):
         gopher_repetition(df, "text", "doc_id", thresholds={"nope": 1.0})
+
+
+def test_chunk_documents_windows(spark):
+    from southpaw_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x y"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = (
+        chunk_documents(df, "text", "doc_id", max_tokens=4, stride=3)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    got = [(r.doc_id, r.chunk_id, r.chunk, r.chunk_tokens) for r in rows]
+    assert got == [
+        (1, 0, "a b c d", 4),
+        (1, 1, "d e f g", 4),  # stride 3 < max 4 → 1-word overlap
+        (1, 2, "g h i j", 4),
+        (2, 0, "x y", 2),      # short doc: one short window
+        (3, 0, "", 1),         # '' is one empty token (module convention)
+    ]
+    # disjoint default stride
+    disjoint = chunk_documents(df, "text", "doc_id", max_tokens=4).where(
+        "doc_id = 1"
+    )
+    assert [r.chunk for r in disjoint.orderBy("chunk_id").collect()] == [
+        "a b c d", "e f g h", "i j",
+    ]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, "text", "doc_id", max_tokens=4, stride=5)
+    with _pytest.raises(ValueError, match="max_tokens"):
+        chunk_documents(df, "text", "doc_id", max_tokens=0)

@@ -75,6 +75,7 @@ SHOWCASE = [
     ("t29_corpus_profile", "corpus stats report — combiner aggs + one stratum window (EXTRA)"),
     ("t30_gopher_quality", "Gopher rule gate — pure codegen projection, 0 shuffles (EXTRA)"),
     ("t31_gopher_repetition", "Gopher repetition — per-doc HOF scans, 0 shuffles beyond the local input-widening guard (EXTRA)"),
+    ("t32_chunk_documents", "context-window chunking — codegen transform + posexplode, 0 shuffles (EXTRA)"),
 ]
 
 
