@@ -57,14 +57,13 @@ _SUPPORTED = [
 @dataclass
 class _PartitionLog:
     """One partition's in-memory log: records are (offset, timestamp_ms,
-    key, value). Offsets are assigned densely by ``next_offset`` but the
-    retained list may be SPARSE after :meth:`EmbeddedKafkaBroker.compact`
-    — exactly like a compacted Kafka partition, where surviving records
-    keep their original offsets and consumers skip the gaps."""
+    key, value, headers). Offsets are assigned densely by ``next_offset``
+    but the retained list may be SPARSE after
+    :meth:`EmbeddedKafkaBroker.compact` — exactly like a compacted Kafka
+    partition, where surviving records keep their original offsets and
+    consumers skip the gaps."""
 
-    records: list[tuple[int, int, bytes | None, bytes | None]] = field(
-        default_factory=list
-    )
+    records: list[tuple] = field(default_factory=list)
     next_offset: int = 0
 
 
@@ -160,6 +159,7 @@ class EmbeddedKafkaBroker:
         key: bytes | None,
         value: bytes | None,
         timestamp_ms: int | None = None,
+        headers: tuple = (),
     ) -> int:
         """Append one record directly (bypasses the wire); returns its
         offset. Same log the wire Produce path writes to."""
@@ -171,7 +171,7 @@ class EmbeddedKafkaBroker:
                 self.create_topic(topic, partitions=partition + 1)
             log = self._logs[(topic, partition)]
             off = log.next_offset
-            log.records.append((off, ts, key, value))
+            log.records.append((off, ts, key, value, tuple(headers)))
             log.next_offset = off + 1
             return off
 
@@ -195,7 +195,7 @@ class EmbeddedKafkaBroker:
                 if t != topic:
                     continue
                 last: dict[bytes | None, int] = {}
-                for off, _ts, key, _v in log.records:
+                for off, _ts, key, _v, _h in log.records:
                     last[key] = off
                 kept = [
                     r
@@ -321,7 +321,7 @@ class EmbeddedKafkaBroker:
                     off = next(
                         (
                             o
-                            for o, rts, _, _ in log.records
+                            for o, rts, *_ in log.records
                             if rts >= ts
                         ),
                         log.next_offset,
@@ -362,7 +362,8 @@ class EmbeddedKafkaBroker:
                     base = log.next_offset
                     for rec in records:
                         log.records.append(
-                            (log.next_offset, rec.timestamp, rec.key, rec.value)
+                            (log.next_offset, rec.timestamp,
+                             rec.key, rec.value, rec.headers)
                         )
                         log.next_offset += 1
                 part_results.append((pid, ERR_NONE, base))
@@ -432,10 +433,10 @@ class EmbeddedKafkaBroker:
                 # them, spec behavior). Stop before the batch would
                 # exceed part_max_bytes (always include at least one
                 # record so a single oversized record still progresses).
-                chunk: list[tuple[bytes | None, bytes | None, int]] = []
+                chunk: list[tuple] = []
                 base_off = None
                 size = 61  # batch header overhead
-                for off, ts, key, value in snapshot:
+                for off, ts, key, value, headers in snapshot:
                     if off < fetch_offset:
                         continue
                     rec_size = 16 + len(key or b"") + len(value or b"")
@@ -447,7 +448,7 @@ class EmbeddedKafkaBroker:
                     # contiguous from base; emit a batch per GAP instead
                     if off != base_off + len(chunk):
                         break
-                    chunk.append((key, value, ts))
+                    chunk.append((key, value, ts, headers))
                     size += rec_size
                 record_set = (
                     encode_record_batch(base_off, chunk) if chunk else None

@@ -47,6 +47,7 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     IntegerType,
     LongType,
@@ -75,7 +76,24 @@ KAFKA_SCHEMA = StructType(
     ]
 )
 
+#: the extra column emitted with includeHeaders=true (JVM-source shape)
+HEADERS_FIELD = StructField(
+    "headers",
+    ArrayType(
+        StructType(
+            [
+                StructField("key", StringType()),
+                StructField("value", BinaryType()),
+            ]
+        )
+    ),
+)
+
 _TIMESTAMP_TYPE_CREATE_TIME = 1  # batches here are CREATE_TIME (attrs bit 3 = 0)
+
+
+def _include_headers(options) -> bool:
+    return str(options.get("includeheaders", "false")).lower() == "true"
 
 
 @dataclass
@@ -88,6 +106,7 @@ class KafkaSlice(InputPartition):  # type: ignore[misc]
     partition: int
     start: int
     end: int
+    include_headers: bool = False
 
 
 def _bootstrap_list(options) -> list[tuple[str, int]]:
@@ -113,29 +132,65 @@ def _connect_any(bootstrap: Sequence[tuple[str, int]]) -> KafkaWireClient:
     raise last if last else IOError("empty bootstrap list")
 
 
-def _topics(options) -> list[str]:
-    sub = options.get("subscribe")
-    if not sub:
-        raise ValueError("kafka_py requires the subscribe option")
-    return [t.strip() for t in sub.split(",") if t.strip()]
+def _subscription(options) -> tuple[str, object]:
+    """One of the three JVM-source subscription modes: ``subscribe``
+    (topic list), ``subscribePattern`` (anchored Java-style regex over
+    topic names), ``assign`` (JSON {topic: [partitions]})."""
+    modes = [
+        ("subscribe", options.get("subscribe")),
+        ("pattern", options.get("subscribepattern")),
+        ("assign", options.get("assign")),
+    ]
+    given = [(m, v) for m, v in modes if v]
+    if len(given) != 1:
+        raise ValueError(
+            "kafka_py requires exactly ONE of subscribe / "
+            "subscribePattern / assign"
+        )
+    mode, value = given[0]
+    if mode == "subscribe":
+        return mode, [t.strip() for t in value.split(",") if t.strip()]
+    if mode == "pattern":
+        return mode, value
+    parsed = json.loads(value)
+    return "assign", {t: [int(p) for p in ps] for t, ps in parsed.items()}
 
 
 def _leaders(
-    bootstrap: Sequence[tuple[str, int]], topics: Sequence[str]
-) -> dict[tuple[str, int], tuple[str, int]]:
-    """{(topic, partition): leader (host, port)} from cluster metadata.
-    A real cluster serves a partition ONLY from its leader (non-leaders
-    answer error 6), so every ListOffsets/Fetch/Produce below routes
-    through this map — against a single-node broker it degenerates to
-    that node."""
+    bootstrap: Sequence[tuple[str, int]],
+    sub: tuple[str, object],
+) -> tuple[dict[tuple[str, int], tuple[str, int]], list[str]]:
+    """({(topic, partition): leader (host, port)}, matched topics) from
+    cluster metadata for any subscription mode. A real cluster serves a
+    partition ONLY from its leader (non-leaders answer error 6), so
+    every ListOffsets/Fetch/Produce below routes through this map —
+    against a single-node broker it degenerates to that node."""
+    import re
+
+    mode, value = sub
+    ask = (
+        list(value) if mode == "subscribe"
+        else sorted(value) if mode == "assign"  # type: ignore[arg-type]
+        else []  # pattern: list ALL topics, filter below
+    )
     with _connect_any(bootstrap) as client:
-        brokers, parts = client.metadata(list(topics))
+        brokers, parts = client.metadata(ask)
         addr = {b.node_id: (b.host, b.port) for b in brokers}
         out: dict[tuple[str, int], tuple[str, int]] = {}
+        topics: list[str] = []
         for pm in parts:
-            if pm.topic in topics and pm.leader in addr:
-                out[(pm.topic, pm.partition)] = addr[pm.leader]
-        return out
+            if pm.leader not in addr:
+                continue
+            if mode == "subscribe" and pm.topic not in value:  # type: ignore[operator]
+                continue
+            if mode == "pattern" and not re.fullmatch(value, pm.topic):  # type: ignore[arg-type]
+                continue
+            if mode == "assign" and pm.partition not in value.get(pm.topic, ()):  # type: ignore[union-attr]
+                continue
+            out[(pm.topic, pm.partition)] = addr[pm.leader]
+            if pm.topic not in topics:
+                topics.append(pm.topic)
+        return out, topics
 
 
 def _offsets_at(
@@ -195,17 +250,21 @@ def _read_slice(sl: KafkaSlice) -> Iterator:
 
     if sl.end <= sl.start:
         return
-    arrow_schema = pa.schema(
-        [
-            ("key", pa.binary()),
-            ("value", pa.binary()),
-            ("topic", pa.string()),
-            ("partition", pa.int32()),
-            ("offset", pa.int64()),
-            ("timestamp", pa.timestamp("us", tz="UTC")),
-            ("timestampType", pa.int32()),
-        ]
+    fields = [
+        ("key", pa.binary()),
+        ("value", pa.binary()),
+        ("topic", pa.string()),
+        ("partition", pa.int32()),
+        ("offset", pa.int64()),
+        ("timestamp", pa.timestamp("us", tz="UTC")),
+        ("timestampType", pa.int32()),
+    ]
+    header_t = pa.list_(
+        pa.struct([("key", pa.string()), ("value", pa.binary())])
     )
+    if sl.include_headers:
+        fields.append(("headers", header_t))
+    arrow_schema = pa.schema(fields)
     with KafkaWireClient(sl.host, sl.port) as client:
         offset = sl.start
         while offset < sl.end:
@@ -220,23 +279,34 @@ def _read_slice(sl: KafkaSlice) -> Iterator:
             ]
             if chunk:
                 n = len(chunk)
-                yield pa.record_batch(
-                    [
-                        pa.array([r.key for r in chunk], pa.binary()),
-                        pa.array([r.value for r in chunk], pa.binary()),
-                        pa.array([sl.topic] * n, pa.string()),
-                        pa.array([sl.partition] * n, pa.int32()),
-                        pa.array([r.offset for r in chunk], pa.int64()),
+                cols = [
+                    pa.array([r.key for r in chunk], pa.binary()),
+                    pa.array([r.value for r in chunk], pa.binary()),
+                    pa.array([sl.topic] * n, pa.string()),
+                    pa.array([sl.partition] * n, pa.int32()),
+                    pa.array([r.offset for r in chunk], pa.int64()),
+                    pa.array(
+                        [r.timestamp * 1000 for r in chunk],
+                        pa.timestamp("us", tz="UTC"),
+                    ),
+                    pa.array(
+                        [_TIMESTAMP_TYPE_CREATE_TIME] * n, pa.int32()
+                    ),
+                ]
+                if sl.include_headers:
+                    cols.append(
                         pa.array(
-                            [r.timestamp * 1000 for r in chunk],
-                            pa.timestamp("us", tz="UTC"),
-                        ),
-                        pa.array(
-                            [_TIMESTAMP_TYPE_CREATE_TIME] * n, pa.int32()
-                        ),
-                    ],
-                    schema=arrow_schema,
-                )
+                            [
+                                [
+                                    {"key": hk, "value": hv}
+                                    for hk, hv in r.headers
+                                ]
+                                for r in chunk
+                            ],
+                            header_t,
+                        )
+                    )
+                yield pa.record_batch(cols, schema=arrow_schema)
             if records[-1].offset + 1 >= sl.end:
                 return
             offset = records[-1].offset + 1
@@ -246,6 +316,7 @@ def _plan_slices(
     leaders: dict[tuple[str, int], tuple[str, int]],
     start: dict[str, dict[str, int]],
     end: dict[str, dict[str, int]],
+    include_headers: bool = False,
 ) -> list[KafkaSlice]:
     """One executor task per (topic-partition, offset-range), addressed
     to the partition's leader."""
@@ -255,7 +326,11 @@ def _plan_slices(
             s = start.get(topic, {}).get(p, 0)
             if e > s:
                 host, port = leaders[(topic, int(p))]
-                slices.append(KafkaSlice(host, port, topic, int(p), s, e))
+                slices.append(
+                    KafkaSlice(
+                        host, port, topic, int(p), s, e, include_headers
+                    )
+                )
     return slices
 
 
@@ -264,8 +339,8 @@ class KafkaPyBatchReader(DataSourceReader):  # type: ignore[misc]
 
     def __init__(self, options) -> None:
         bootstrap = _bootstrap_list(options)
-        topics = _topics(options)
-        self.leaders = _leaders(bootstrap, topics)
+        self.leaders, topics = _leaders(bootstrap, _subscription(options))
+        self.include_headers = _include_headers(options)
         self.start = _resolve_offset_spec(
             options.get("startingOffsets", "earliest"),
             self.leaders, topics,
@@ -276,7 +351,9 @@ class KafkaPyBatchReader(DataSourceReader):  # type: ignore[misc]
         )
 
     def partitions(self) -> Sequence[InputPartition]:
-        return _plan_slices(self.leaders, self.start, self.end)
+        return _plan_slices(
+            self.leaders, self.start, self.end, self.include_headers
+        )
 
     def read(self, partition: KafkaSlice) -> Iterator[tuple]:
         return _read_slice(partition)
@@ -290,17 +367,20 @@ class KafkaPyStreamReader(DataSourceStreamReader):  # type: ignore[misc]
 
     def __init__(self, options) -> None:
         self.bootstrap = _bootstrap_list(options)
-        self.topics = _topics(options)
+        self.sub = _subscription(options)
+        self.include_headers = _include_headers(options)
         self.starting = options.get("startingOffsets", "earliest")
         cap = options.get("maxOffsetsPerTrigger")
         self.max_per_trigger = int(cap) if cap else None
         self._last_planned: dict[str, dict[str, int]] | None = None
         self._leader_map: dict | None = None
+        self.topics: list[str] = []
 
     def _refresh_leaders(self) -> dict:
         # re-resolved every trigger (one Metadata call) so leader moves
-        # between micro-batches are picked up, like the JVM consumer
-        self._leader_map = _leaders(self.bootstrap, self.topics)
+        # — and pattern-matched topics appearing mid-stream — are picked
+        # up, like the JVM consumer
+        self._leader_map, self.topics = _leaders(self.bootstrap, self.sub)
         return self._leader_map
 
     def initialOffset(self) -> dict:
@@ -358,7 +438,7 @@ class KafkaPyStreamReader(DataSourceStreamReader):  # type: ignore[misc]
         # trigger's cap (also self-corrects if Spark replays a batch)
         self._last_planned = end
         leaders = self._leader_map or self._refresh_leaders()
-        return _plan_slices(leaders, start, end)
+        return _plan_slices(leaders, start, end, self.include_headers)
 
     def read(self, partition: KafkaSlice) -> Iterator[tuple]:
         return _read_slice(partition)
@@ -447,7 +527,7 @@ class KafkaPyWriter(DataSourceWriter):  # type: ignore[misc]
 
         def discover(topic: str) -> None:
             if topic not in n_parts_cache:
-                fresh = _leaders(self.bootstrap, [topic])
+                fresh, _ = _leaders(self.bootstrap, ("subscribe", [topic]))
                 leaders.update(fresh)
                 n_parts_cache[topic] = max(
                     len([1 for (t, _p) in fresh if t == topic]), 1
@@ -530,6 +610,8 @@ class KafkaPyDataSource(DataSource):  # type: ignore[misc]
         return "kafka_py"
 
     def schema(self) -> StructType:
+        if _include_headers(self.options):
+            return StructType(list(KAFKA_SCHEMA.fields) + [HEADERS_FIELD])
         return KAFKA_SCHEMA
 
     def reader(self, schema: StructType) -> KafkaPyBatchReader:

@@ -326,10 +326,11 @@ class WireRecord:
 
 def encode_record_batch(
     base_offset: int,
-    records: Sequence[tuple[bytes | None, bytes | None, int]],
+    records: Sequence[tuple],
 ) -> bytes:
-    """Encode ``(key, value, timestamp_ms)`` triples as one RecordBatch
-    v2 (uncompressed, non-transactional). Layout per the public spec:
+    """Encode ``(key, value, timestamp_ms[, headers])`` records as one
+    RecordBatch v2 (uncompressed, non-transactional); ``headers`` is an
+    optional sequence of (str, bytes|None). Layout per the public spec:
     base_offset/int64, batch_length/int32, leader_epoch/int32, magic=2,
     crc32c (over attributes..end), attributes/int16, last_offset_delta,
     base/max timestamps, producer id/epoch/sequence (-1 = idempotence
@@ -347,7 +348,9 @@ def encode_record_batch(
     body.int16(-1)  # producerEpoch
     body.int32(-1)  # baseSequence
     body.int32(len(records))
-    for i, (key, value, ts) in enumerate(records):
+    for i, r in enumerate(records):
+        key, value, ts = r[0], r[1], r[2]
+        headers = r[3] if len(r) > 3 else ()
         rec = Writer()
         rec.int8(0)  # record attributes (unused)
         rec.varint(ts - base_ts)  # timestampDelta
@@ -360,7 +363,14 @@ def encode_record_batch(
             rec.varint(-1)
         else:
             rec.varint(len(value)).bytes_raw(value)
-        rec.varint(0)  # header count
+        rec.varint(len(headers))
+        for hk, hv in headers:
+            hk_b = hk.encode("utf-8")
+            rec.varint(len(hk_b)).bytes_raw(hk_b)
+            if hv is None:
+                rec.varint(-1)
+            else:
+                rec.varint(len(hv)).bytes_raw(hv)
         rec_bytes = rec.build()
         body.varint(len(rec_bytes)).bytes_raw(rec_bytes)
     body_bytes = body.build()

@@ -702,3 +702,55 @@ def test_compacted_topic_state_invariance(spark):
         # tombstone retention elapses: b's deletion marker goes too
         broker.compact("cdc", drop_tombstones=True)
         assert state_from(broker) == full
+
+
+def test_subscribe_pattern_assign_and_headers(spark):
+    """JVM-source option parity: subscribePattern (regex over topics),
+    assign (explicit topic-partitions), includeHeaders (the extra
+    array<struct<key,value>> column)."""
+    with EmbeddedKafkaBroker() as broker:
+        broker.create_topic("cdc.users", partitions=2)
+        broker.create_topic("cdc.orders", partitions=1)
+        broker.create_topic("other", partitions=1)
+        for t, p, n in (("cdc.users", 0, 2), ("cdc.users", 1, 3),
+                        ("cdc.orders", 0, 4), ("other", 0, 5)):
+            for i in range(n):
+                broker.append(
+                    t, p, f"{t}-{p}-{i}".encode(), b"v",
+                    1_700_000_000_000 + i,
+                    headers=(("src", t.encode()),),
+                )
+        register_kafka_py(spark)
+
+        def read(**opts):
+            r = (
+                spark.read.format("kafka_py")
+                .option("kafka.bootstrap.servers", broker.bootstrap)
+            )
+            for k, v in opts.items():
+                r = r.option(k, v)
+            return r.load()
+
+        # pattern: both cdc.* topics, not "other"
+        pat = read(subscribePattern=r"cdc\..*")
+        assert pat.count() == 9
+        assert {r.topic for r in pat.collect()} == {"cdc.users", "cdc.orders"}
+
+        # assign: one partition of one topic
+        asg = read(assign=json.dumps({"cdc.users": [1]}))
+        rows = asg.collect()
+        assert len(rows) == 3
+        assert {(r.topic, r.partition) for r in rows} == {("cdc.users", 1)}
+
+        # exactly-one-mode validation
+        with pytest.raises(Exception, match="exactly ONE"):
+            read(subscribe="cdc.users", assign="{}").count()
+
+        # includeHeaders: extra column, values intact
+        h = read(subscribe="other", includeHeaders="true")
+        assert h.columns[-1] == "headers"
+        row = h.limit(1).collect()[0]
+        assert row.headers[0].key == "src"
+        assert bytes(row.headers[0].value) == b"other"
+        # headers column absent by default
+        assert "headers" not in read(subscribe="other").columns
