@@ -270,19 +270,46 @@ def corpus_stream_cmd(spark, cfg) -> None:
 
     c = cfg["corpus"]
     input_format = c.get("input_format", "parquet")
-    if input_format not in ("parquet", "json"):
+    if input_format not in ("parquet", "json", "kafka"):
         raise ValueError(
-            "streaming corpus input_format must be parquet|json "
+            "streaming corpus input_format must be parquet|json|kafka "
             f"(crawl archives land as files first); got {input_format!r}"
         )
-    # streaming sources need an explicit schema: probe the static files
-    schema = getattr(spark.read, input_format)(c["input"]).schema
-    reader = spark.readStream.schema(schema)
-    if "max_files_per_trigger" in c:
-        reader = reader.option(
-            "maxFilesPerTrigger", str(int(c["max_files_per_trigger"]))
+    if input_format == "kafka":
+        # documents arrive as JSON values on a topic; consumed via the
+        # jar-free kafka_py source (sources/kafka_pyds.py). Config:
+        #   corpus.kafka: {bootstrap, topic, value_schema (DDL),
+        #                  [starting_offsets], [max_offsets_per_trigger]}
+        from pyspark.sql import functions as F
+
+        from southpaw_spark.sources.kafka import kafka_cdc_stream
+
+        k = c["kafka"]
+        raw = kafka_cdc_stream(
+            spark,
+            k["bootstrap"],
+            [k["topic"]],
+            starting_offsets=k.get("starting_offsets", "earliest"),
+            max_offsets_per_trigger=int(
+                k.get("max_offsets_per_trigger", 250_000)
+            ),
+            python_source=True,
         )
-    stream = getattr(reader, input_format)(c["input"])
+        stream = raw.select(
+            F.from_json(
+                F.col("value").cast("string"), k["value_schema"]
+            ).alias("d")
+        ).select("d.*")
+    else:
+        # streaming file sources need an explicit schema: probe the
+        # static files
+        schema = getattr(spark.read, input_format)(c["input"]).schema
+        reader = spark.readStream.schema(schema)
+        if "max_files_per_trigger" in c:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(int(c["max_files_per_trigger"]))
+            )
+        stream = getattr(reader, input_format)(c["input"])
     deduper = IncrementalDeduper(
         spark,
         ParquetStateStore(

@@ -325,3 +325,53 @@ def test_cli_vacuum_index_both_layouts(spark, tmp_path, capsys):
 
     assert not os.path.isdir(os.path.join(lsh, "_deleted"))
     assert not os.path.isdir(os.path.join(pq, "_deleted"))
+
+
+def test_cli_corpus_stream_kafka_input(spark, tmp_path):
+    """corpus.input_format: kafka — two cron-shaped invocations consume
+    a documents topic via kafka_py; the checkpoint resumes offsets and
+    the persistent dedup state drops a cross-invocation duplicate."""
+    import json as _json
+
+    from southpaw_spark.cli import build_corpus_cmd
+    from southpaw_spark.sources.kafka_broker import EmbeddedKafkaBroker
+
+    out = tmp_path / "out"
+    with EmbeddedKafkaBroker() as broker:
+        broker.create_topic("docs", partitions=1)
+        cfg = {
+            "corpus": {
+                "stream": True,
+                "input_format": "kafka",
+                "kafka": {
+                    "bootstrap": broker.bootstrap,
+                    "topic": "docs",
+                    "value_schema": "doc_id long, text string",
+                },
+                "state_dir": str(tmp_path / "state"),
+                "checkpoint_dir": str(tmp_path / "ckpt"),
+                "output": str(out),
+                "min_tokens": 3,
+                "state_buckets": 4,
+                "stream_sim_threshold": 1.01,  # exact-only
+            }
+        }
+
+        def produce(did, text):
+            broker.append(
+                "docs", 0, str(did).encode(),
+                _json.dumps({"doc_id": did, "text": text}).encode(),
+                1_700_000_000_000 + did,
+            )
+
+        produce(1, "one two three four")
+        produce(2, "nope")  # gated: < 3 tokens
+        build_corpus_cmd(spark, cfg)
+        first = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+        assert first == {1}
+
+        produce(3, "one two three four")   # dup of 1, later invocation
+        produce(4, "five six seven eight")
+        build_corpus_cmd(spark, cfg)
+        both = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+        assert both == {1, 4}
