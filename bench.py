@@ -447,6 +447,10 @@ def main() -> None:
     runners.append(
         ("t32_chunk_documents", lambda: run_extra("t32_chunk_documents"))
     )
+    runners.append(
+        ("s11_centroid_outliers",
+         lambda: run_extra("s11_centroid_outliers"))
+    )
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}

@@ -974,3 +974,70 @@ def ann_recall(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
             F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k)), 6
         ).alias("recall"),
     )
+
+
+def centroid_outlier_scores(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Embedding-space outlier scoring (s11): cosine of every vector to
+    its group's MEAN vector (the whole corpus when ``group_col`` is
+    None), plus ``outlier_rank`` — ascending cosine within the group,
+    ties by id — so "prune the k most out-of-distribution docs per
+    stratum" is one WHERE. The semantic data-quality signal SemDeDup-
+    style pipelines use to drop mislabeled/garbage embeddings before
+    dedup (public recipe; complements d18, which removes near-DUPLICATE
+    points — this removes ISOLATED ones).
+
+    Plan: one posexplode + two combiner groupBys build the (groups ×
+    dims) centroid table — tiny, broadcast back — then the cosine is a
+    zip_with/aggregate projection and the rank one window bounded by
+    the largest group (the a09 range-bucket escape applies if a group
+    dominates; same caveat as t23). Float discipline: vectors cast to
+    double, final cosine round(·, 6), rank ordered by round(·, 8) so
+    summation dust cannot flip an order (the s01 convention)."""
+    v = F.col(vec_col).cast("array<double>")
+    gcols = [group_col] if group_col else []
+    dims = df.select(
+        *gcols, F.posexplode(v).alias("__pos", "__val")
+    )
+    cent_rows = dims.groupBy(*gcols, "__pos").agg(
+        F.avg("__val").alias("__c")
+    )
+    cent = cent_rows.groupBy(*gcols).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__c"))),
+            lambda x: x["__c"],
+        ).alias("__cv")
+    )
+    joined = (
+        df.select(*gcols, F.col(id_col), v.alias("__v"))
+        .join(F.broadcast(cent), gcols)
+        if group_col
+        else df.select(F.col(id_col), v.alias("__v")).crossJoin(
+            F.broadcast(cent)
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("__v", "__cv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = dot / (norm(F.col("__v")) * norm(F.col("__cv")))
+    scored = joined.select(
+        F.col(id_col), *gcols, cos.alias("__cos")
+    )
+    w = Window.partitionBy(*gcols).orderBy(
+        F.round(F.col("__cos"), 8).asc(), F.col(id_col)
+    )
+    return scored.select(
+        id_col,
+        *gcols,
+        F.round("__cos", 6).alias("centroid_cosine"),
+        F.row_number().over(w).alias("outlier_rank"),
+    )

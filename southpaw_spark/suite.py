@@ -5236,6 +5236,45 @@ T32_SQL = r"""
 """
 
 
+def s11_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier scores (s11,
+    `operators.similarity.centroid_outlier_scores`) — cosine to the
+    per-label mean vector + ascending outlier rank; the oracle replays
+    the centroid average, the double-cast dot/norms, the round(·, 8)
+    rank ordering and the round(·, 6) score exactly."""
+    from southpaw_spark.operators.similarity import centroid_outlier_scores
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return centroid_outlier_scores(emb, "embedding", "vec_id", "label")
+
+
+S11_SQL = """
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (
+      SELECT label, i, AVG(v[i]) AS c
+      FROM e, UNNEST(range(1, 65)) AS r(i)
+      GROUP BY label, i),
+    cent AS (
+      SELECT label, list(c ORDER BY i) AS cv FROM dims GROUP BY label),
+    sims AS (
+      SELECT e.vec_id, e.label,
+             list_sum(list_transform(range(1, 65), i -> v[i] * cv[i]))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                                             i -> v[i] * v[i])))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                                               i -> cv[i] * cv[i]))))
+               AS cos
+      FROM e JOIN cent USING (label))
+    SELECT vec_id, label,
+           ROUND(cos, 6) AS centroid_cosine,
+           ROW_NUMBER() OVER (
+             PARTITION BY label ORDER BY ROUND(cos, 8) ASC, vec_id
+           )::INT AS outlier_rank
+    FROM sims
+"""
+
+
 # The driver's correctness gate checks AT MOST 50 rows per round
 # (CORRECTNESS_r02 stopped at 50 of 54), so QUERIES stays pinned at
 # exactly 50: pushing new entries into it would silently uncheck tail
@@ -5303,6 +5342,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t30_gopher_quality": t30_gopher_quality,
     "t31_gopher_repetition": t31_gopher_repetition,
     "t32_chunk_documents": t32_chunk_documents,
+    "s11_centroid_outliers": s11_centroid_outliers,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
@@ -5367,4 +5407,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "t30_gopher_quality": T30_SQL,
     "t31_gopher_repetition": T31_SQL,
     "t32_chunk_documents": T32_SQL,
+    "s11_centroid_outliers": S11_SQL,
 }

@@ -3171,3 +3171,35 @@ def test_chunk_documents_windows(spark):
         chunk_documents(df, "text", "doc_id", max_tokens=4, stride=5)
     with _pytest.raises(ValueError, match="max_tokens"):
         chunk_documents(df, "text", "doc_id", max_tokens=0)
+
+
+def test_centroid_outlier_scores(spark):
+    from southpaw_spark.operators.similarity import centroid_outlier_scores
+
+    # cluster around +e0 with one planted opposite-direction outlier
+    rows = [(i, [1.0, 0.1 * (i % 3), 0.0], "a") for i in range(5)]
+    rows.append((99, [-1.0, 0.0, 0.0], "a"))
+    rows.append((7, [0.0, 1.0, 0.0], "b"))  # singleton group
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = {
+        r.vec_id: r
+        for r in centroid_outlier_scores(
+            df, "embedding", "vec_id", "label"
+        ).collect()
+    }
+    assert out[99].outlier_rank == 1  # the planted outlier ranks first
+    assert out[99].centroid_cosine < 0
+    assert all(out[i].centroid_cosine > 0.8 for i in range(5))
+    # a singleton group's vector IS its centroid: cosine 1, rank 1
+    assert out[7].centroid_cosine == 1.0 and out[7].outlier_rank == 1
+    # ranks are a permutation of 1..n within each group
+    assert sorted(
+        r.outlier_rank for r in out.values() if r.label == "a"
+    ) == [1, 2, 3, 4, 5, 6]
+
+    # global mode (no group): same machinery, one centroid
+    g = centroid_outlier_scores(df, "embedding", "vec_id")
+    assert g.count() == 7
+    assert sorted(r.outlier_rank for r in g.collect()) == list(range(1, 8))

@@ -76,6 +76,7 @@ SHOWCASE = [
     ("t30_gopher_quality", "Gopher rule gate — pure codegen projection, 0 shuffles (EXTRA)"),
     ("t31_gopher_repetition", "Gopher repetition — per-doc HOF scans, 0 shuffles beyond the local input-widening guard (EXTRA)"),
     ("t32_chunk_documents", "context-window chunking — codegen transform + posexplode, 0 shuffles (EXTRA)"),
+    ("s11_centroid_outliers", "embedding outlier scores — dims groupBy → broadcast centroid → zip_with cosine + per-label rank (EXTRA)"),
 ]
 
 
