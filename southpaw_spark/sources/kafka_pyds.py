@@ -267,12 +267,25 @@ def _read_slice(sl: KafkaSlice) -> Iterator:
     arrow_schema = pa.schema(fields)
     with KafkaWireClient(sl.host, sl.port) as client:
         offset = sl.start
+        empty_rounds = 0
         while offset < sl.end:
             records, hwm = client.fetch(sl.topic, sl.partition, offset)
             if not records:
                 if hwm <= offset:
                     break  # range beyond log end (data loss upstream)
+                # a healthy broker with hwm > offset always returns data
+                # (compaction keeps the last record, so no trailing gap
+                # exists); bound the retries so a misbehaving endpoint
+                # fails the task instead of spinning it forever
+                empty_rounds += 1
+                if empty_rounds > 100:
+                    raise IOError(
+                        f"{sl.topic}-{sl.partition}: broker reports "
+                        f"hwm={hwm} but returns no records at "
+                        f"offset {offset}"
+                    )
                 continue
+            empty_rounds = 0
             # batch alignment: drop below-range rows, stop at the end
             chunk = [
                 r for r in records if offset <= r.offset < sl.end
