@@ -178,18 +178,28 @@ def _leaders(
         addr = {b.node_id: (b.host, b.port) for b in brokers}
         out: dict[tuple[str, int], tuple[str, int]] = {}
         topics: list[str] = []
+        leaderless: list[tuple[str, int]] = []
         for pm in parts:
-            if pm.leader not in addr:
-                continue
             if mode == "subscribe" and pm.topic not in value:  # type: ignore[operator]
                 continue
             if mode == "pattern" and not re.fullmatch(value, pm.topic):  # type: ignore[arg-type]
                 continue
             if mode == "assign" and pm.partition not in value.get(pm.topic, ()):  # type: ignore[union-attr]
                 continue
+            if pm.leader not in addr:
+                # leader -1 / unknown node = election in progress; a
+                # silently skipped partition would be DATA LOSS — fail
+                # the planning loudly so Spark retries the trigger
+                leaderless.append((pm.topic, pm.partition))
+                continue
             out[(pm.topic, pm.partition)] = addr[pm.leader]
             if pm.topic not in topics:
                 topics.append(pm.topic)
+        if leaderless:
+            raise IOError(
+                f"no resolvable leader for partitions {leaderless}; "
+                "retry after the election settles"
+            )
         return out, topics
 
 
@@ -228,6 +238,11 @@ def _resolve_offset_spec(
     # JVM-source JSON form: {"topic": {"0": 23, "1": -1}} (-1 latest, -2 earliest)
     parsed = json.loads(spec)
     latest = _offsets_at(leaders, topics, LATEST_TIMESTAMP)
+    earliest = (
+        _offsets_at(leaders, topics, EARLIEST_TIMESTAMP)
+        if any(o == -2 for ps in parsed.values() for o in ps.values())
+        else {}
+    )
     out: dict[str, dict[str, int]] = {}
     for topic, parts in parsed.items():
         out[topic] = {}
@@ -235,7 +250,9 @@ def _resolve_offset_spec(
             if off == -1:
                 off = latest[topic][p]
             elif off == -2:
-                off = 0
+                # true log-start, NOT 0: a compacted/retention-aged
+                # partition's earliest retained offset is > 0
+                off = earliest[topic][p]
             out[topic][p] = int(off)
     return out
 

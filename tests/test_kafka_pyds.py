@@ -754,3 +754,24 @@ def test_subscribe_pattern_assign_and_headers(spark):
         assert bytes(row.headers[0].value) == b"other"
         # headers column absent by default
         assert "headers" not in read(subscribe="other").columns
+
+
+def test_json_starting_offsets_earliest_on_compacted(spark):
+    """startingOffsets JSON -2 must resolve to the TRUE log start (the
+    first retained offset after compaction), not 0."""
+    with EmbeddedKafkaBroker() as broker:
+        broker.create_topic("c", partitions=1)
+        for i in range(6):
+            broker.append("c", 0, b"samekey", f"{i}".encode(), 1000 + i)
+        broker.compact("c")  # only offset 5 survives
+        register_kafka_py(spark)
+        df = (
+            spark.read.format("kafka_py")
+            .option("kafka.bootstrap.servers", broker.bootstrap)
+            .option("subscribe", "c")
+            .option("startingOffsets", json.dumps({"c": {"0": -2}}))
+            .load()
+        )
+        rows = df.collect()
+        assert [r.offset for r in rows] == [5]
+        assert bytes(rows[0].value) == b"5"
