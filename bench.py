@@ -308,6 +308,200 @@ def dedup_stream_batch(
     return wall
 
 
+_STREAM_E2E_SEED: dict = {}
+#: per-run trigger stats for the streaming-topology row (emitted in "aux")
+_STREAM_E2E_AUX: dict = {}
+
+
+def ivm_stream_e2e(spark, sf_dir: str) -> float:
+    """The engine's OPERATING MODE as a tracked number (VERDICT r12 #1):
+    continuous Kafka-in → IVM → Kafka-out (ref ``Southpaw.java:253-284``)
+    — a 10%-of-customers CDC backlog produced to a real socket broker,
+    consumed by ``kafka_py`` in maxOffsetsPerTrigger-capped micro-batches
+    (plannerStateDir primes the cap across the restart), driven through
+    ``IncrementalDenormalizer.attach_stream`` and published back to a
+    docs topic by ``kafka_doc_sink``. Timed section = query start →
+    every affected DenormalizedOrder doc observed on the output topic
+    (the catch-up drain). Bootstrap, Kafka produce, and state copies are
+    setup, excluded — they are paid once per deployment, not per batch.
+    Records docs/s + trigger stats in the bench "aux" block."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from southpaw_spark.relations import load_relations
+    from southpaw_spark.sources.kafka import (
+        kafka_cdc_stream,
+        kafka_doc_sink,
+        parse_cdc_json,
+    )
+    from southpaw_spark.sources.kafka_broker import EmbeddedKafkaBroker
+    from southpaw_spark.streaming import (
+        IncrementalDenormalizer,
+        ParquetStateStore,
+    )
+    from southpaw_spark.suite import ORDER_TREE_JSON, ORDER_TREE_KEYS
+
+    sf = _sf_of(sf_dir)
+    cap = 50 if sf <= 0.01 else 500
+    if sf_dir not in _STREAM_E2E_SEED:
+        seed_dir = tempfile.mkdtemp(prefix="southpaw_bench_e2e_state_")
+        store = ParquetStateStore(spark, seed_dir, n_buckets=_bench_buckets(sf))
+        ivm = IncrementalDenormalizer(
+            spark=spark,
+            relations=load_relations(ORDER_TREE_JSON),
+            keys=ORDER_TREE_KEYS,
+            store=store,
+        )
+        snaps = {
+            e: spark.read.parquet(f"{sf_dir}/{e}.parquet")
+            for e in ORDER_TREE_KEYS
+        }
+        ivm.bootstrap(snaps)
+        delta_rows = (
+            snaps["customer"]
+            .where(F.col("c_custkey") % 10 == 0)
+            .withColumn("c_name", F.concat(F.col("c_name"), F.lit("-v2")))
+            .collect()
+        )
+        events = [
+            (
+                int(r["c_custkey"]) % 4,
+                _json.dumps({"c_custkey": int(r["c_custkey"])}).encode(),
+                _json.dumps(
+                    {
+                        "c_name": r["c_name"],
+                        "c_nationkey": r["c_nationkey"],
+                        "c_acctbal": r["c_acctbal"],
+                        "c_mktsegment": r["c_mktsegment"],
+                    }
+                ).encode(),
+            )
+            for r in delta_rows
+        ]
+        expected_docs = (
+            snaps["orders"].where(F.col("o_custkey") % 10 == 0).count()
+        )
+        _STREAM_E2E_SEED[sf_dir] = (seed_dir, events, expected_docs)
+    seed_dir, events, expected_docs = _STREAM_E2E_SEED[sf_dir]
+
+    work = tempfile.mkdtemp(prefix="southpaw_bench_e2e_work_")
+    shutil.rmtree(work)
+    shutil.copytree(seed_dir, work, copy_function=os.link)
+    try:
+        os.remove(os.path.join(work, "_STORE_ID"))
+    except OSError:
+        pass
+    tmp = tempfile.mkdtemp(prefix="southpaw_bench_e2e_run_")
+    ckpt, planner = f"{tmp}/ckpt", f"{tmp}/planner"
+    with EmbeddedKafkaBroker() as broker:
+        broker.create_topic("cdc.customer", partitions=4)
+        broker.create_topic("docs.orders", partitions=4)
+        ivm = IncrementalDenormalizer(
+            spark=spark,
+            relations=load_relations(ORDER_TREE_JSON),
+            keys=ORDER_TREE_KEYS,
+            store=ParquetStateStore(spark, work, n_buckets=_bench_buckets(sf)),
+        )
+        raw = kafka_cdc_stream(
+            spark,
+            broker.bootstrap,
+            ["cdc.customer"],
+            python_source=True,
+            max_offsets_per_trigger=cap,
+            planner_state_dir=planner,
+        )
+        parsed = parse_cdc_json(
+            raw,
+            key_schema=T.StructType(
+                [T.StructField("c_custkey", T.LongType())]
+            ),
+            value_schema=T.StructType(
+                [
+                    T.StructField("c_name", T.StringType()),
+                    T.StructField("c_nationkey", T.IntegerType()),
+                    T.StructField("c_acctbal", T.DoubleType()),
+                    T.StructField("c_mktsegment", T.StringType()),
+                ]
+            ),
+            topic_to_entity={"cdc.customer": "customer"},
+        )
+        sink = kafka_doc_sink(
+            spark,
+            broker.bootstrap,
+            topic_for="docs.orders",
+            key_cols_for={"DenormalizedOrder": ["o_orderkey"]},
+        )
+        cols = {
+            "customer": [
+                "c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                "c_mktsegment", "seq", "is_tombstone",
+            ]
+        }
+
+        def attach(trigger):
+            return ivm.attach_stream(
+                parsed,
+                entity_col="entity",
+                checkpoint_dir=ckpt,
+                sink=sink,
+                entity_columns=cols,
+                trigger=trigger,
+            )
+
+        # prime the checkpoint + planner state on the EMPTY topic so the
+        # timed restart caps EVERY micro-batch (the Python DS API leaves
+        # a fresh query's first batch uncapped; kafka_pyds.py)
+        q = attach({"availableNow": True})
+        q.awaitTermination(300)
+        for p, k, v in events:
+            broker.append("cdc.customer", p, k, v)
+
+        def published() -> int:
+            return sum(
+                broker.end_offset("docs.orders", p) for p in range(4)
+            )
+
+        t0 = time.monotonic()
+        q = attach({"processingTime": "200 milliseconds"})
+        deadline = t0 + 1800
+        while published() < expected_docs and time.monotonic() < deadline:
+            time.sleep(0.1)
+        wall = round(time.monotonic() - t0, 3)
+        # wall is recorded; let the in-flight batch COMPLETE before
+        # stopping (stop() would abort it and it would never land in
+        # recentProgress — docs appear on the topic mid-batch)
+        try:
+            q.processAllAvailable()
+        except Exception:
+            pass
+        q.stop()
+        q.awaitTermination(60)
+        prog = [
+            int(p.durationMs.get("triggerExecution", 0))
+            for p in q.recentProgress
+            if p.numInputRows > 0 and p.durationMs
+        ]
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    prog.sort()
+    _STREAM_E2E_AUX.update(
+        {
+            "ivm_stream_e2e_docs_per_s": round(expected_docs / wall, 1),
+            "ivm_stream_e2e_docs": expected_docs,
+            "ivm_stream_e2e_events": len(events),
+            "ivm_stream_e2e_triggers": len(prog),
+            "ivm_stream_e2e_trigger_ms_p50": (
+                prog[len(prog) // 2] if prog else None
+            ),
+        }
+    )
+    return wall
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -329,26 +523,23 @@ def main() -> None:
                 "overwrite"
             ).save()
         ivm_delta_batch(spark, warm_dir, "/tmp/southpaw_bench_warm_state")
+        ivm_stream_e2e(spark, warm_dir)
         s03_ivf_kmeans(spark, warm_dir)
         q13_bucketed(spark, warm_dir)
         q13_store_native(spark, warm_dir)
         dedup_stream_batch(spark, warm_dir)
         dedup_stream_batch(spark, warm_dir, "best_quality")
-        suite.EXTRA_QUERIES["d15_duplicate_spans"](
-            spark, warm_dir
-        ).write.format("noop").mode("overwrite").save()
-        suite.EXTRA_QUERIES["s08_ivf_quantized_topk"](
-            spark, warm_dir
-        ).write.format("noop").mode("overwrite").save()
         for nm in (
+            "d15_duplicate_spans", "s08_ivf_quantized_topk",
             "e12_ohlc", "t19_line_clean",
             "d18_semantic_dedup", "t22_model_quality_score",
             "d20_embedding_contamination", "a11_cohort_retention",
             "e13_funnel", "e14_rolling_active_users",
         ):
-            suite.EXTRA_QUERIES[nm](
-                spark, warm_dir
-            ).write.format("noop").mode("overwrite").save()
+            fn = suite.EXTRA_QUERIES.get(nm) or suite.QUERIES[nm]
+            fn(spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "900"))
@@ -367,6 +558,9 @@ def main() -> None:
             lambda: ivm_delta_batch(spark, sf_dir, "/tmp/southpaw_bench_state"),
         )
     )
+    runners.append(
+        ("ivm_stream_e2e", lambda: ivm_stream_e2e(spark, sf_dir))
+    )
     runners.append(("s03_ivf_kmeans", lambda: s03_ivf_kmeans(spark, sf_dir)))
     runners.append(("q13_bucketed", lambda: q13_bucketed(spark, sf_dir)))
     runners.append(
@@ -383,10 +577,11 @@ def main() -> None:
     )
 
     def run_extra(name: str) -> float:
+        # rows rotate between the 50-row driver gate (QUERIES) and the
+        # local-only EXTRA registry across rounds — resolve either way
+        fn = suite.EXTRA_QUERIES.get(name) or suite.QUERIES[name]
         t0 = time.monotonic()
-        suite.EXTRA_QUERIES[name](
-            spark, sf_dir
-        ).write.format("noop").mode("overwrite").save()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.monotonic() - t0, 3)
 
     runners.append(
@@ -482,8 +677,9 @@ def main() -> None:
         "reps": reps,
         "sf": sf,
     }
-    if _DEDUP_JOBS:
-        out["aux"] = dict(sorted(_DEDUP_JOBS.items()))
+    aux = {**_DEDUP_JOBS, **_STREAM_E2E_AUX}
+    if aux:
+        out["aux"] = dict(sorted(aux.items()))
     if truncated:
         out["reps_truncated"] = truncated
     # Full record (incl. per-query [min,max] spreads) goes to a file —

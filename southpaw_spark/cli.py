@@ -343,6 +343,8 @@ def corpus_stream_cmd(spark, cfg) -> None:
         min_quality=c.get("min_quality"),
         gopher=bool(c.get("gopher", False)),
         gopher_thresholds=c.get("gopher_thresholds"),
+        gopher_rep=bool(c.get("gopher_rep", False)),
+        gopher_rep_thresholds=c.get("gopher_rep_thresholds"),
         model_weights=c.get("model_weights"),
         model_bias=float(c.get("model_bias", 0.0)),
         min_model_score=c.get("min_model_score"),

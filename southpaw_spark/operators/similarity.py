@@ -981,6 +981,7 @@ def centroid_outlier_scores(
     vec_col: str,
     id_col: str,
     group_col: str | None = None,
+    hot_group_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """Embedding-space outlier scoring (s11): cosine of every vector to
     its group's MEAN vector (the whole corpus when ``group_col`` is
@@ -994,8 +995,18 @@ def centroid_outlier_scores(
     Plan: one posexplode + two combiner groupBys build the (groups ×
     dims) centroid table — tiny, broadcast back — then the cosine is a
     zip_with/aggregate projection and the rank one window bounded by
-    the largest group (the a09 range-bucket escape applies if a group
-    dominates; same caveat as t23). Float discipline: vectors cast to
+    the largest group UP TO ``hot_group_rows``: any group beyond that
+    threshold (including the single implicit group when ``group_col``
+    is None — otherwise a corpus-wide GLOBAL sort) ranks through the
+    a09/t23 range-bucket escape instead — sampled quantile buckets of
+    the rounded cosine → tiny per-(group, bucket) prefix sums →
+    within-bucket sorts. The bucket is a deterministic function of the
+    ORDER VALUE (``round(cos, 8)``), so ties stay in one bucket and
+    ``outlier_rank`` is BIT-IDENTICAL to the window path (parity is
+    test-pinned, t23's tie-crossing pattern included).
+    ``hot_group_rows=None`` disables the split (pure window path); the
+    default engages only beyond 1M-row groups, costing one trivial
+    count aggregate per call. Float discipline: vectors cast to
     double, final cosine round(·, 6), rank ordered by round(·, 8) so
     summation dust cannot flip an order (the s01 convention)."""
     v = F.col(vec_col).cast("array<double>")
@@ -1032,12 +1043,75 @@ def centroid_outlier_scores(
     scored = joined.select(
         F.col(id_col), *gcols, cos.alias("__cos")
     )
-    w = Window.partitionBy(*gcols).orderBy(
-        F.round(F.col("__cos"), 8).asc(), F.col(id_col)
+
+    def window_rank(part: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*gcols).orderBy(
+            F.round(F.col("__cos"), 8).asc(), F.col(id_col)
+        )
+        return part.select(
+            id_col,
+            *gcols,
+            F.round("__cos", 6).alias("centroid_cosine"),
+            F.row_number().over(w).alias("outlier_rank"),
+        )
+
+    hot_groups: list = []
+    all_hot = False
+    if hot_group_rows is not None:
+        # detection on the RAW frame: a trivial count aggregate with no
+        # centroid math in its lineage, so the common no-hot case pays
+        # one cheap job and keeps the pure window plan. Bounded
+        # collect: ≤ total_rows / hot_group_rows group names.
+        if group_col:
+            hot_groups = [
+                r[0]
+                for r in df.groupBy(group_col)
+                .agg(F.count("*").alias("__raw_n"))
+                .where(F.col("__raw_n") > int(hot_group_rows))
+                .select(group_col).collect()
+            ]
+        else:
+            all_hot = df.count() > int(hot_group_rows)
+    if not hot_groups and not all_hot:
+        return window_rank(scored)
+
+    # Skew escape (the a09/t23 range-bucket machinery): a group beyond
+    # hot_group_rows — or the WHOLE corpus when group_col is None —
+    # would serialize one window task. Bucket by sampled quantiles of
+    # the rounded cosine, prefix-sum the tiny per-(group, bucket)
+    # counts, and pay only within-bucket sorts. The bucket is a
+    # deterministic function of the rounded value, so ties stay in one
+    # bucket and outlier_rank is bit-identical to the window path.
+    from southpaw_spark.operators.skew import bucket_prefix_join
+
+    scored = scored.persist()  # quantile sample + cold + hot branches
+    hot = (
+        scored if all_hot
+        else scored.where(F.col(group_col).isin(hot_groups))
     )
-    return scored.select(
+    hotm = hot.withColumn("__ord", F.round(F.col("__cos"), 8))
+    n_buckets = 256
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(hotm.approxQuantile("__ord", probs, 0.01)))
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        bkt = F.size(F.filter(barr, lambda b: b <= F.col("__ord")))
+    else:
+        bkt = F.lit(0)
+    marked = hotm.withColumn("__bk", bkt)
+    pref = bucket_prefix_join(marked, "__bk", partition_cols=tuple(gcols))
+    ww = Window.partitionBy(*gcols, "__bk").orderBy("__ord", id_col)
+    ranked_hot = pref.select(
         id_col,
         *gcols,
         F.round("__cos", 6).alias("centroid_cosine"),
-        F.row_number().over(w).alias("outlier_rank"),
+        (F.col("__prefix") + F.row_number().over(ww))
+        .cast("int").alias("outlier_rank"),
     )
+    if all_hot:
+        out = ranked_hot
+    else:
+        cold = scored.where(~F.col(group_col).isin(hot_groups))
+        out = window_rank(cold).unionByName(ranked_hot)
+    out._southpaw_cached = [scored]  # type: ignore[attr-defined]
+    return out

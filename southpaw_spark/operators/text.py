@@ -1168,6 +1168,7 @@ def classify_language(
     out_col: str = "lang_guess",
     micro: int = 1_000_000,
     impl: str = "explode",
+    labels_only: bool = False,
 ) -> DataFrame:
     """Trained language ID (t28) — CCNet's first stage is a fastText
     language classifier (Joulin et al. 2016; Wenzek et al. 2020,
@@ -1190,7 +1191,15 @@ def classify_language(
     exchanges of N rows total regardless of L. ``impl="hof"``: the
     zero-shuffle interpreted fold twin (streaming projections), output
     bit-identical. At 100 TB both scale like t22: nothing joins the
-    corpus to anything but its own per-doc aggregate."""
+    corpus to anything but its own per-doc aggregate.
+
+    ``labels_only=True`` returns just ``(id_col, out_col)`` — one row
+    per distinct id — and lets the explode plan drop the join-back
+    entirely: ``explode_outer`` keeps zero-token docs in the token
+    frame, so the single combiner groupBy IS the whole query (ONE
+    exchange; round-13 fusion). Use it when downstream only needs the
+    label (classification reports, per-language counts); keep the
+    default when the gate must filter full document rows."""
     if not models:
         raise ValueError("models must map >= 1 language to weights")
     langs = sorted(models)
@@ -1254,7 +1263,45 @@ def classify_language(
         lab = F.when(n > 0, argmax(totals)).otherwise(
             F.lit(empty_winner)
         )
-        return df.withColumn(out_col, lab)
+        out = df.withColumn(out_col, lab)
+        return out.select(id_col, out_col) if labels_only else out
+
+    if labels_only:
+        # one-exchange plan: explode_outer keeps zero-token docs (one
+        # null-token row whose weight contribution coalesces to 0 and
+        # whose count(__t) is 0), so the combiner groupBy is the whole
+        # query — no join back to the document frame
+        tok_rows = df.select(
+            F.col(id_col).alias("__sid"),
+            F.explode_outer(toks).alias("__t"),
+        ).withColumn("__b", (bucket(F.col("__t")) + 1).cast("int"))
+        sums = tok_rows.select(
+            "__sid",
+            "__t",
+            *[
+                F.coalesce(
+                    F.element_at(w_arrs[l], F.col("__b")),
+                    F.lit(0).cast("long"),
+                ).alias(f"__w_{i}")
+                for i, l in enumerate(langs)
+            ],
+        ).groupBy("__sid").agg(
+            *[
+                F.sum(f"__w_{i}").alias(f"__num_{i}")
+                for i in range(len(langs))
+            ],
+            F.count("__t").alias("__n"),
+        )
+        totals = {
+            l: F.col(f"__num_{i}") + F.lit(b_micro[l]) * F.col("__n")
+            for i, l in enumerate(langs)
+        }
+        return sums.select(
+            F.col("__sid").alias(id_col),
+            F.when(F.col("__n") > 0, argmax(totals))
+            .otherwise(F.lit(empty_winner))
+            .alias(out_col),
+        )
 
     tok_rows = df.select(
         F.col(id_col).alias("__sid"), F.explode(toks).alias("__t")

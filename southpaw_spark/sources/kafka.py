@@ -64,6 +64,7 @@ def kafka_cdc_stream(
     max_offsets_per_trigger: int | None = 250_000,
     options: Mapping[str, str] | None = None,
     python_source: bool = False,
+    planner_state_dir: str | None = None,
 ) -> DataFrame:
     """Raw CDC stream over one or more topics. ``maxOffsetsPerTrigger``
     bounds micro-batch size — the backpressure role of the reference's
@@ -72,15 +73,30 @@ def kafka_cdc_stream(
     ``python_source=True`` swaps the JVM connector for the jar-free
     ``kafka_py`` data source (same options, same output columns); use it
     where the spark-sql-kafka jar can't be shipped. The JVM source
-    remains the default on real clusters (JVM-side Arrow-free ingest)."""
+    remains the default on real clusters (JVM-side Arrow-free ingest).
+
+    ``planner_state_dir`` (kafka_py only; colocate it with the query
+    checkpoint) persists each trigger's planned end offsets so a
+    RESTART against a deep backlog still caps its first micro-batch at
+    ``maxOffsetsPerTrigger`` — without it the Python DS API's
+    latest-before-initial call order leaves the first batch uncapped
+    (documented in ``sources/kafka_pyds.py``)."""
     if python_source:
         from southpaw_spark.sources.kafka_pyds import register_kafka_py
 
         register_kafka_py(spark)
+    extra = dict(options or {})
+    if planner_state_dir is not None:
+        if not python_source:
+            raise ValueError(
+                "planner_state_dir applies to the kafka_py source only "
+                "(the JVM connector caps restarts natively)"
+            )
+        extra["plannerStateDir"] = planner_state_dir
     reader = spark.readStream.format("kafka_py" if python_source else "kafka")
     for k, v in kafka_source_options(
         bootstrap_servers, topics, starting_offsets,
-        max_offsets_per_trigger, options,
+        max_offsets_per_trigger, extra,
     ).items():
         reader = reader.option(k, v)
     return reader.load()

@@ -187,21 +187,30 @@ class EmbeddedKafkaBroker:
         reference's CDC topics rely on (``README.md:13``: topics are
         compacted, latest record per key wins). ``drop_tombstones``
         additionally removes null-value records whose deletion has
-        "aged out" (Kafka's delete.retention.ms elapsing). Returns the
-        number of records removed."""
+        "aged out" (Kafka's delete.retention.ms elapsing). The FINAL
+        record of each partition is never removed — real Kafka never
+        cleans the active segment tail, and readers rely on the
+        resulting invariant that no trailing gap exists below the high
+        watermark (``kafka_pyds._read_slice``). Returns the number of
+        records removed."""
         removed = 0
         with self._lock:
             for (t, _p), log in self._logs.items():
-                if t != topic:
+                if t != topic or not log.records:
                     continue
                 last: dict[bytes | None, int] = {}
                 for off, _ts, key, _v, _h in log.records:
                     last[key] = off
+                tail_off = log.records[-1][0]
                 kept = [
                     r
                     for r in log.records
                     if last[r[2]] == r[0]
-                    and not (drop_tombstones and r[3] is None)
+                    and not (
+                        drop_tombstones
+                        and r[3] is None
+                        and r[0] != tail_off
+                    )
                 ]
                 removed += len(log.records) - len(kept)
                 log.records = kept

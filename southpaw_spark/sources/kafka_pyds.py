@@ -302,6 +302,23 @@ def _read_slice(sl: KafkaSlice) -> Iterator:
                         f"offset {offset}"
                     )
                 continue
+            # compaction can leave a fetched batch whose decoded records
+            # are ALL below the requested offset (cleaning preserves the
+            # batch's lastOffsetDelta while removing its records): such
+            # a fetch makes no progress, so charge it to the same retry
+            # budget as an empty one — never reset the counter or move
+            # the cursor backwards, or a misbehaving broker spins the
+            # task forever re-emitting the same rows.
+            next_off = max(offset, records[-1].offset + 1)
+            if next_off == offset:
+                empty_rounds += 1
+                if empty_rounds > 100:
+                    raise IOError(
+                        f"{sl.topic}-{sl.partition}: fetch at offset "
+                        f"{offset} returns only records below it "
+                        "(no progress after 100 rounds)"
+                    )
+                continue
             empty_rounds = 0
             # batch alignment: drop below-range rows, stop at the end
             chunk = [
@@ -337,9 +354,9 @@ def _read_slice(sl: KafkaSlice) -> Iterator:
                         )
                     )
                 yield pa.record_batch(cols, schema=arrow_schema)
-            if records[-1].offset + 1 >= sl.end:
+            if next_off >= sl.end:
                 return
-            offset = records[-1].offset + 1
+            offset = next_off
 
 
 def _plan_slices(
@@ -405,6 +422,66 @@ class KafkaPyStreamReader(DataSourceStreamReader):  # type: ignore[misc]
         self._last_planned: dict[str, dict[str, int]] | None = None
         self._leader_map: dict | None = None
         self.topics: list[str] = []
+        # plannerStateDir closes the documented first-batch gap: the
+        # Python DS API calls latestOffset BEFORE revealing the
+        # checkpointed start (observed order latest → initial →
+        # partitions; no SupportsAdmissionControl hook), so without a
+        # remembered base the first micro-batch of a restarted query is
+        # uncapped — a deep backlog plans as ONE oversized batch. With
+        # the option set (colocate it with the checkpoint), every
+        # planned end is persisted driver-side and a restart caps its
+        # first batch against the persisted base. The base is always ≥
+        # any replayed batch's start (it is the LAST planned end), so a
+        # capped first plan can never fall below the checkpoint start.
+        # availableNow caveat: that trigger snapshots the FIRST
+        # latestOffset() as the whole invocation's drain target (the
+        # Python DS API has no multi-batch admission control), so with
+        # plannerStateDir an availableNow run consumes at most
+        # maxOffsetsPerTrigger per invocation instead of draining the
+        # backlog in one oversized batch — re-invoke (cron-shaped) or
+        # use a processingTime trigger to catch up in capped batches.
+        self._state_file = None
+        state_dir = options.get("plannerStateDir")
+        if state_dir:
+            import os
+
+            os.makedirs(state_dir, exist_ok=True)
+            self._state_file = os.path.join(state_dir, "planned.json")
+            self._last_planned = self._load_planned()
+
+    def _sub_key(self) -> str:
+        mode, value = self.sub
+        return json.dumps({"mode": mode, "value": value}, sort_keys=True)
+
+    def _load_planned(self) -> dict[str, dict[str, int]] | None:
+        try:
+            with open(self._state_file) as fh:
+                saved = json.load(fh)
+        except (OSError, ValueError):
+            return None
+        # a state file from a DIFFERENT subscription must not seed the
+        # cap base (e.g. the dir was reused across queries)
+        if saved.get("sub") != self._sub_key():
+            return None
+        return saved.get("planned")
+
+    def _save_planned(self, planned: dict) -> None:
+        if self._state_file is None:
+            return
+        import os
+        import tempfile
+
+        d = os.path.dirname(self._state_file)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as fh:
+                json.dump({"sub": self._sub_key(), "planned": planned}, fh)
+            os.replace(tmp, self._state_file)
+        except OSError:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
     def _refresh_leaders(self) -> dict:
         # re-resolved every trigger (one Metadata call) so leader moves
@@ -418,6 +495,7 @@ class KafkaPyStreamReader(DataSourceStreamReader):  # type: ignore[misc]
             self.starting, self._refresh_leaders(), self.topics
         )
         self._last_planned = first
+        self._save_planned(first)
         return first
 
     def latestOffset(self) -> dict:
@@ -428,15 +506,17 @@ class KafkaPyStreamReader(DataSourceStreamReader):  # type: ignore[misc]
         base = self._last_planned
         if cap is None or base is None:
             # base is None on the FIRST latestOffset() of a (re)started
-            # query: the Python DS API calls latestOffset before
-            # initialOffset / before revealing the checkpoint start
-            # (observed order: latest → initial → partitions; there is
-            # no SupportsAdmissionControl hook), so the first micro-batch
-            # is uncapped — any smaller guess could fall behind a
-            # restart's checkpoint start and break availableNow. Every
-            # later trigger is capped: partitions() records each batch's
-            # true end as the next base. Documented deviation from the
-            # JVM rate limiter, first batch only.
+            # query WITHOUT plannerStateDir: the Python DS API calls
+            # latestOffset before initialOffset / before revealing the
+            # checkpoint start (observed order: latest → initial →
+            # partitions; there is no SupportsAdmissionControl hook), so
+            # the first micro-batch is uncapped — any smaller guess
+            # could fall behind a restart's checkpoint start and break
+            # availableNow. Every later trigger is capped: partitions()
+            # records each batch's true end as the next base. Set
+            # plannerStateDir to persist that base across restarts and
+            # close the gap (the remaining documented deviation from
+            # the JVM rate limiter is option-off first batches only).
             self._last_planned = real_end
             return real_end
         backlog = {
@@ -467,6 +547,7 @@ class KafkaPyStreamReader(DataSourceStreamReader):  # type: ignore[misc]
         # record the planned end: the authoritative base for the next
         # trigger's cap (also self-corrects if Spark replays a batch)
         self._last_planned = end
+        self._save_planned(end)
         leaders = self._leader_map or self._refresh_leaders()
         return _plan_slices(leaders, start, end, self.include_headers)
 

@@ -4846,8 +4846,8 @@ def t28_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return classify_language(
         docs, "text", "doc_id", T28_MODELS, T28_BIASES,
-        out_col="lang_pred",
-    ).select("doc_id", "lang_pred")
+        out_col="lang_pred", labels_only=True,
+    )
 
 
 def _t28_sql() -> str:
@@ -5409,3 +5409,32 @@ EXTRA_ORACLES: dict[str, str] = {
     "t32_chunk_documents": T32_SQL,
     "s11_centroid_outliers": S11_SQL,
 }
+
+# ---------------------------------------------------------------------------
+# Round-13 driver-gate rotation (VERDICT r12 item 6): the driver's
+# independent CORRECTNESS gate caps at 50 rows, so the newest operator
+# surface (trained lang-ID, the Gopher pair, the s11 skew escape)
+# rotates IN and four rows whose semantics are subsumed by richer EXTRA
+# rows rotate OUT (t04 fingerprint ⊂ d15/d16 span machinery; t06
+# normalize ⊂ d12 normalization-aware dedup; t11 repetition ⊂ t31's
+# Gopher repetition table; a05 cohort ⊂ a11's richer cohort retention).
+# Rotated-out rows keep full local verification via tools/check_oracles
+# (which runs QUERIES ∪ EXTRA_QUERIES).
+
+for _name in (
+    "t28_language_id",
+    "t30_gopher_quality",
+    "t31_gopher_repetition",
+    "s11_centroid_outliers",
+):
+    QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+    ORACLES[_name] = EXTRA_ORACLES.pop(_name)
+for _name in (
+    "t04_fingerprint",
+    "t06_normalize",
+    "t11_repetition",
+    "a05_cohort_retention",
+):
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)
+    EXTRA_ORACLES[_name] = ORACLES.pop(_name)
+del _name

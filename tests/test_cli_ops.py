@@ -375,3 +375,47 @@ def test_cli_corpus_stream_kafka_input(spark, tmp_path):
         build_corpus_cmd(spark, cfg)
         both = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
         assert both == {1, 4}
+
+
+def test_cli_corpus_stream_forwards_gopher_rep(spark, tmp_path):
+    """corpus.stream: true must forward gopher_rep/gopher_rep_thresholds
+    to corpus_stream — a repetition-heavy doc is gated in STREAMING mode
+    exactly as in batch (regression: the streaming CLI path silently
+    dropped the t31 gate)."""
+    import json as _json
+
+    from southpaw_spark.cli import build_corpus_cmd
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = tmp_path / "out"
+    cfg = {
+        "corpus": {
+            "stream": True,
+            "input": str(src),
+            "input_format": "json",
+            "state_dir": str(tmp_path / "state"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "output": str(out),
+            "state_buckets": 4,
+            "stream_sim_threshold": 1.01,
+            "gopher_rep": True,
+            "gopher_rep_thresholds": {"top_2gram_char_frac": 0.5},
+        }
+    }
+    clean = (
+        "the quick brown fox jumps over one lazy dog while seven "
+        "crafted sentences describe entirely different topics using "
+        "fresh vocabulary from botany astronomy music carpentry and "
+        "maritime navigation without repeating any phrase twice"
+    )
+    docs = [
+        {"doc_id": 1, "text": clean},
+        {"doc_id": 2, "text": ("tick tock " * 40).strip()},  # repetition
+    ]
+    (src / "a.json").write_text(
+        "\n".join(_json.dumps(d) for d in docs)
+    )
+    build_corpus_cmd(spark, cfg)
+    kept = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    assert kept == {1}

@@ -775,3 +775,227 @@ def test_json_starting_offsets_earliest_on_compacted(spark):
         rows = df.collect()
         assert [r.offset for r in rows] == [5]
         assert bytes(rows[0].value) == b"5"
+
+
+def test_compact_never_drops_partition_tail(spark):
+    """Compaction must never remove a partition's FINAL record (real
+    Kafka never cleans the active-segment tail) — otherwise a trailing
+    gap opens below the high watermark and a reader planning a range up
+    to the old hwm would spin on empty fetches instead of completing."""
+    with EmbeddedKafkaBroker() as broker:
+        broker.create_topic("tail", partitions=1)
+        broker.append("tail", 0, b"a", b"1", 1000)
+        broker.append("tail", 0, b"a", None, 1001)  # tail = aged tombstone
+        removed = broker.compact("tail", drop_tombstones=True)
+        assert removed == 1  # a@0 superseded; the tail tombstone SURVIVES
+        register_kafka_py(spark)
+        rows = (
+            spark.read.format("kafka_py")
+            .option("kafka.bootstrap.servers", broker.bootstrap)
+            .option("subscribe", "tail")
+            .load()
+            .collect()
+        )
+        assert [(r.offset, r.value) for r in rows] == [(1, None)]
+
+        # mixed tail: tombstones age out EXCEPT the final record even
+        # when several keys are involved
+        broker.create_topic("mix", partitions=1)
+        broker.append("mix", 0, b"x", b"v", 2000)
+        broker.append("mix", 0, b"y", None, 2001)
+        broker.append("mix", 0, b"z", None, 2002)
+        broker.compact("mix", drop_tombstones=True)
+        rows = (
+            spark.read.format("kafka_py")
+            .option("kafka.bootstrap.servers", broker.bootstrap)
+            .option("subscribe", "mix")
+            .load()
+            .orderBy("offset")
+            .collect()
+        )
+        # y's tombstone aged out; z's survives as the partition tail
+        assert [(r.offset, bytes(r.key)) for r in rows] == [
+            (0, b"x"), (2, b"z"),
+        ]
+
+
+def test_read_slice_no_progress_is_bounded(monkeypatch):
+    """A real compacted broker can answer a fetch at offset X with a
+    batch whose decoded records are ALL below X (cleaning preserves the
+    batch lastOffsetDelta while removing records). The slice reader
+    must neither re-emit those rows nor spin forever: stale fetches
+    share the empty-round budget and the task fails loudly."""
+    from collections import namedtuple
+
+    from southpaw_spark.sources import kafka_pyds
+
+    Rec = namedtuple("Rec", "offset timestamp key value headers")
+
+    class StaleClient:
+        calls = 0
+
+        def __init__(self, host, port):
+            pass
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def fetch(self, topic, partition, offset, max_bytes=2**20):
+            StaleClient.calls += 1
+            # always the same record at offset 0, hwm far ahead
+            return [Rec(0, 1_700_000_000_000, b"k", b"v", ())], 10
+
+    monkeypatch.setattr(kafka_pyds, "KafkaWireClient", StaleClient)
+    sl = kafka_pyds.KafkaSlice("h", 1, "t", 0, 1, 10, False)
+    batches = []
+    with pytest.raises(IOError, match="no progress"):
+        for b in kafka_pyds._read_slice(sl):
+            batches.append(b)
+    assert batches == []  # the below-range record is never re-emitted
+    assert StaleClient.calls <= 102  # bounded, not an unbounded spin
+
+
+def test_compaction_between_stop_and_restart(spark, tmp_path):
+    """Exactly-once resume when the broker compacts BETWEEN a
+    checkpointed stop and the restart: offsets below the checkpoint are
+    now gap-sparse (and some retained records still sit below it), yet
+    the restarted query consumes exactly the new records — no replays,
+    no stalls."""
+    with EmbeddedKafkaBroker() as broker:
+        broker.create_topic("cdc", partitions=1)
+        for i in range(8):
+            broker.append(
+                "cdc", 0, f"k{i % 3}".encode(), f"v{i}".encode(), 1000 + i
+            )
+        register_kafka_py(spark)
+        stream = (
+            spark.readStream.format("kafka_py")
+            .option("kafka.bootstrap.servers", broker.bootstrap)
+            .option("subscribe", "cdc")
+            .load()
+        )
+        ckpt = str(tmp_path / "ckpt")
+        seen: list[list] = []
+
+        def run():
+            q = (
+                stream.writeStream.foreachBatch(
+                    lambda df, e: seen.append(
+                        [(r.offset, bytes(r.value)) for r in df.collect()]
+                    )
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run()  # checkpoint now at offset 8
+        got1 = sorted(o for b in seen for o, _ in b)
+        assert got1 == list(range(8))
+
+        # compact while stopped: keys k0..k2 keep only offsets 5,6,7 —
+        # everything below the checkpoint becomes gap-sparse
+        assert broker.compact("cdc") == 5
+        for i in range(8, 11):
+            broker.append(
+                "cdc", 0, f"k{i % 3}".encode(), f"v{i}".encode(), 1000 + i
+            )
+        seen.clear()
+        run()
+        flat = sorted(o for b in seen for o, _ in b)
+        assert flat == [8, 9, 10], flat  # new records only, exactly once
+
+
+def test_planner_state_dir_caps_restart_first_batch(spark, tmp_path):
+    """With plannerStateDir set, a restart against a deep backlog plans
+    its FIRST micro-batch within maxOffsetsPerTrigger (the documented
+    Python-DS-API first-batch gap, closed by persisting each trigger's
+    planned end driver-side)."""
+    with EmbeddedKafkaBroker() as broker:
+        broker.create_topic("cdc", partitions=2)
+        for i in range(4):
+            broker.append("cdc", i % 2, b"k", b"v", 1000 + i)
+        register_kafka_py(spark)
+        stream = (
+            spark.readStream.format("kafka_py")
+            .option("kafka.bootstrap.servers", broker.bootstrap)
+            .option("subscribe", "cdc")
+            .option("maxOffsetsPerTrigger", "10")
+            .option("plannerStateDir", str(tmp_path / "planner"))
+            .load()
+        )
+        ckpt = str(tmp_path / "ckpt")
+        seen: list[int] = []
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, e: seen.append(df.count())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert sum(seen) == 4
+        # deep backlog lands while the query is STOPPED
+        for i in range(35):
+            broker.append("cdc", i % 2, b"k", b"v", 2000 + i)
+        seen2: list[int] = []
+        # processingTime trigger: the capped catch-up path (availableNow
+        # under the Python DS API snapshots the FIRST latestOffset as
+        # the drain target, so with the cap it consumes ≤cap per
+        # invocation — documented in kafka_pyds.py)
+        q2 = (
+            stream.writeStream.foreachBatch(
+                lambda df, e: seen2.append(df.count())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+        try:
+            _wait(lambda: sum(seen2) >= 35)
+        finally:
+            q2.stop()
+            q2.awaitTermination(60)
+        assert sum(seen2) == 35
+        # EVERY restarted batch is capped — including the FIRST
+        assert all(c <= 10 for c in seen2), seen2
+        assert len([c for c in seen2 if c]) >= 4  # really split up
+
+
+def test_planner_state_dir_ignored_for_other_subscription(spark, tmp_path):
+    """A planner state file left by a DIFFERENT subscription must not
+    seed the cap base (the persisted offsets are meaningless for other
+    topics), and a fresh query in the same dir still reads everything."""
+    with EmbeddedKafkaBroker() as broker:
+        broker.create_topic("a", partitions=1)
+        broker.create_topic("b", partitions=1)
+        for i in range(6):
+            broker.append("a", 0, b"k", b"v", 1000 + i)
+            broker.append("b", 0, b"k", b"v", 1000 + i)
+        register_kafka_py(spark)
+        pdir = str(tmp_path / "planner")
+
+        def drain(topic, ckpt):
+            got: list[int] = []
+            q = (
+                spark.readStream.format("kafka_py")
+                .option("kafka.bootstrap.servers", broker.bootstrap)
+                .option("subscribe", topic)
+                .option("plannerStateDir", pdir)
+                .load()
+                .writeStream.foreachBatch(lambda df, e: got.append(df.count()))
+                .option("checkpointLocation", str(tmp_path / ckpt))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return sum(got)
+
+        assert drain("a", "ckpt_a") == 6
+        # same dir, different topic: stale base ignored, full read
+        assert drain("b", "ckpt_b") == 6

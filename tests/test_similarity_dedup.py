@@ -2764,6 +2764,17 @@ def test_classify_language_trained_and_impl_parity(spark):
     # equal biases -> smallest language name)
     assert ex[101] == min(biases, key=lambda l: (-biases[l], l))
 
+    # labels_only (the one-exchange round-13 plan): same labels for
+    # every doc INCLUDING the zero-token one (explode_outer path),
+    # exactly two output columns, both impls
+    for impl in ("explode", "hof"):
+        lo = classify_language(
+            probe, "text", "doc_id", models, biases,
+            out_col="lang_pred", impl=impl, labels_only=True,
+        )
+        assert lo.columns == ["doc_id", "lang_pred"]
+        assert {r["doc_id"]: r["lang_pred"] for r in lo.collect()} == ex
+
     # exact tie -> lexicographically smallest language
     tie = {
         r["doc_id"]: r["p"]

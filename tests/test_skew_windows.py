@@ -748,3 +748,60 @@ def test_perplexity_buckets_hot_domain_range_rank_parity(spark):
         ).where(F.col("dom") == "hot.example").collect()
     }
     assert hot_labels == {"head", "middle", "tail"}
+
+
+def test_centroid_outliers_hot_group_range_rank_parity(spark):
+    """Round-13 (VERDICT r12 item 5): a group above hot_group_rows —
+    or the whole corpus when group_col is None — ranks through the
+    a09/t23 range-bucket machinery instead of one window partition;
+    outlier_rank must be BIT-IDENTICAL to the window path, duplicate
+    vectors (rounded-cosine ties crossing bucket boundaries) included."""
+    from southpaw_spark.operators.similarity import centroid_outlier_scores
+
+    def vec(i, dim=6):
+        return [((i * 31 + j * 17) % 97 - 48) / 48.0 for j in range(dim)]
+
+    rows = []
+    for i in range(180):
+        # 90% of vectors in one hot group; every 4th vector duplicates
+        # the previous one so equal cosines must tie-break by id across
+        # any bucket boundary
+        v = vec(i - 1) if i % 4 == 0 and i > 0 else vec(i)
+        rows.append((i, v, "hot" if i % 10 else f"cold{i}"))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, grp string"
+    )
+
+    def snap(out):
+        return {
+            r["vec_id"]: (r["centroid_cosine"], r["outlier_rank"])
+            for r in out.collect()
+        }
+
+    plain = snap(
+        centroid_outlier_scores(
+            df, "embedding", "vec_id", "grp", hot_group_rows=None
+        )
+    )
+    split = snap(
+        centroid_outlier_scores(
+            df, "embedding", "vec_id", "grp", hot_group_rows=20
+        )
+    )
+    assert split == plain
+
+    # group_col=None: the single implicit group goes hot too (the
+    # corpus-wide global-sort escape)
+    plain_g = snap(
+        centroid_outlier_scores(
+            df, "embedding", "vec_id", hot_group_rows=None
+        )
+    )
+    split_g = snap(
+        centroid_outlier_scores(
+            df, "embedding", "vec_id", hot_group_rows=20
+        )
+    )
+    assert split_g == plain_g
+    # ranks in the single group are a permutation of 1..N
+    assert sorted(r for _, r in split_g.values()) == list(range(1, 181))
