@@ -143,6 +143,7 @@ def stream(spark, cfg, run_time_s: float | None = None) -> None:
           checkpoint.dir: /path/ckpt
           output.dir: /path/stream_out # parquet append per tree
           max.files.per.trigger: 1     # optional
+          metrics.port: 9108           # optional: Prometheus /metrics
 
     A real Kafka deployment swaps ``source.dir`` for
     ``sources.kafka.kafka_cdc_stream`` + ``parse_cdc_json`` /
@@ -150,6 +151,12 @@ def stream(spark, cfg, run_time_s: float | None = None) -> None:
     checkpoint, and sink wiring are identical. On restart, entities
     with existing state resume from it (bootstrap is first-run-only);
     the checkpoint brings the source offsets.
+
+    ``metrics.port`` serves the reference-named metric registry
+    (records consumed, batch duration, topic lag, backup age) at
+    ``GET /metrics`` in Prometheus exposition format for the run's
+    lifetime — the deployable analog of the reference's JmxReporter
+    (``metric/Metrics.java:50,137``).
     """
     scfg = cfg["stream"]
     relations = load_relations(cfg["relations"])
@@ -199,6 +206,23 @@ def stream(spark, cfg, run_time_s: float | None = None) -> None:
         for e, ecfg in cfg["entities"].items()
         if "columns" in ecfg
     }
+    exporter = None
+    listener = None
+    if "metrics.port" in scfg:
+        from southpaw_spark.streaming.metrics import (
+            Metrics,
+            MetricsHttpExporter,
+            SouthpawStreamingListener,
+        )
+
+        ivm.collect_metrics = True
+        ivm.metrics = Metrics()
+        listener = SouthpawStreamingListener(ivm.metrics)
+        spark.streams.addListener(listener)
+        exporter = MetricsHttpExporter(
+            ivm.metrics, port=int(scfg["metrics.port"])
+        )
+        print(f"metrics -> http://{exporter.host}:{exporter.port}/metrics")
     query = ivm.attach_stream(
         source,
         entity_col=scfg.get("entity.col", "entity"),
@@ -218,6 +242,10 @@ def stream(spark, cfg, run_time_s: float | None = None) -> None:
             query.awaitTermination()
     finally:
         query.stop()
+        if exporter is not None:
+            exporter.close()
+        if listener is not None:
+            spark.streams.removeListener(listener)
 
 
 def verify(spark, cfg) -> int:

@@ -15,7 +15,12 @@ from southpaw_spark.streaming.dedup_stream import (
     attach_dedup_stream,
 )
 from southpaw_spark.streaming.ivm import IncrementalDenormalizer
-from southpaw_spark.streaming.metrics import Metrics, SouthpawStreamingListener
+from southpaw_spark.streaming.metrics import (
+    Metrics,
+    MetricsHttpExporter,
+    SouthpawStreamingListener,
+    prometheus_lines,
+)
 from southpaw_spark.streaming.state import ParquetStateStore, suggest_n_buckets
 from southpaw_spark.streaming.temporal import (
     asof_join_auto,
@@ -38,6 +43,8 @@ __all__ = [
     "IncrementalVectorDeduper",
     "IncrementalDenormalizer",
     "Metrics",
+    "MetricsHttpExporter",
+    "prometheus_lines",
     "ParquetStateStore",
     "suggest_n_buckets",
     "attach_dedup_stream",

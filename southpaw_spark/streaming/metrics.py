@@ -135,3 +135,96 @@ class SouthpawStreamingListener(StreamingQueryListener):
 
     def onQueryTerminated(self, event) -> None:
         self.metrics.mark("queries.terminated")
+
+
+# ---------------------------------------------------------------------------
+# metric EXPORT (reference ``metric/Metrics.java:50,137`` JmxReporter)
+# ---------------------------------------------------------------------------
+
+def prometheus_lines(metrics: Metrics, prefix: str = "southpaw") -> str:
+    """Render a :class:`Metrics` snapshot in the Prometheus text
+    exposition format (version 0.0.4 — the public standard scrape
+    format). JMX itself is JVM-only, so the reference's ``JmxReporter``
+    (``metric/Metrics.java:50``) maps to the scrape endpoint every
+    Python-side deployment actually wires: each registry entry becomes
+    one sample of the single family ``<prefix>_metric`` with the
+    reference metric name carried LOSSLESSLY in the ``name`` label
+    (dotted names like ``records.consumed.user`` are not legal
+    Prometheus metric names, and mangling dots into underscores would
+    collide ``a.b_c`` with ``a_b.c``). Non-numeric values are skipped —
+    Prometheus samples are floats."""
+    out = [
+        f"# HELP {prefix}_metric southpaw_spark metric "
+        "(reference name in the 'name' label)",
+        f"# TYPE {prefix}_metric untyped",
+    ]
+    for name, value in sorted(metrics.snapshot().items()):
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            continue
+        esc = str(name).replace("\\", r"\\").replace('"', r"\"")
+        out.append(f'{prefix}_metric{{name="{esc}"}} {float(value):g}')
+    return "\n".join(out) + "\n"
+
+
+class MetricsHttpExporter:
+    """Serve a :class:`Metrics` registry at ``GET /metrics`` — the
+    ops-facing half of the reference's JMX wiring as a Prometheus
+    scrape target. Pure stdlib (``http.server`` on a daemon thread);
+    ``port=0`` binds an ephemeral port (exposed as ``.port``). The
+    snapshot is taken per scrape, so ``time.since.last.backup`` ticks
+    like the reference's StaticGauge. Use as a context manager or call
+    :meth:`close`."""
+
+    def __init__(
+        self,
+        metrics: Metrics,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        prefix: str = "southpaw",
+    ) -> None:
+        import http.server
+        import threading
+
+        exporter = self
+
+        class _Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self) -> None:  # noqa: N802 (stdlib casing)
+                if self.path.split("?")[0] != "/metrics":
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                body = prometheus_lines(
+                    exporter.metrics, exporter.prefix
+                ).encode()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4"
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a) -> None:  # silence per-scrape noise
+                pass
+
+        self.metrics = metrics
+        self.prefix = prefix
+        self._server = http.server.ThreadingHTTPServer(
+            (host, port), _Handler
+        )
+        self.host, self.port = self._server.server_address[:2]
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    def close(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+        self._thread.join(timeout=10)
+
+    def __enter__(self) -> "MetricsHttpExporter":
+        return self
+
+    def __exit__(self, *a) -> None:
+        self.close()

@@ -159,6 +159,11 @@ def test_cli_stream_consume_loop(spark, tmp_path):
             "entity.col": "entity",
             "checkpoint.dir": str(tmp_path / "ckpt"),
             "output.dir": str(tmp_path / "stream_out"),
+            # Prometheus /metrics endpoint for the run's lifetime (the
+            # reference's JmxReporter analog); 0 = ephemeral port. The
+            # scrape itself is pinned by the MetricsHttpExporter unit
+            # test — here we pin the CLI wiring + clean shutdown.
+            "metrics.port": 0,
         },
     }
     p = tmp_path / "cfg.yaml"

@@ -142,3 +142,64 @@ def test_offset_total_parses_kafka_json_offsets():
     assert _offset_total('{"a": {"0": 1}, "b": {"0": 2, "1": 3}}') == 6
     assert _offset_total(None) is None
     assert _offset_total("not json") is None
+
+
+def test_prometheus_exposition_and_http_exporter():
+    """The reference ships metrics via JmxReporter
+    (metric/Metrics.java:50,137); the Python-side deployable analog is
+    a Prometheus scrape endpoint. prometheus_lines renders the registry
+    losslessly (reference names in the 'name' label, dotted names
+    untouched); MetricsHttpExporter serves it at GET /metrics and the
+    snapshot is taken PER SCRAPE (time.since.last.backup ticks)."""
+    import time
+    import urllib.request
+
+    from southpaw_spark.streaming import (
+        Metrics,
+        MetricsHttpExporter,
+        prometheus_lines,
+    )
+
+    m = Metrics()
+    m.mark("records.consumed.user", 7)
+    m.mark("records.consumed.user", 3)
+    m.gauge("topic.lag", 42)
+    m.timer("states.committed", 1.5)
+    m.gauge("build.version", "abc123")  # non-numeric: skipped
+    m.mark_backup()
+
+    text = prometheus_lines(m)
+    assert "# TYPE southpaw_metric untyped" in text
+    assert 'southpaw_metric{name="records.consumed.user"} 10' in text
+    assert 'southpaw_metric{name="topic.lag"} 42' in text
+    assert 'southpaw_metric{name="states.committed.count"} 1' in text
+    assert 'southpaw_metric{name="states.committed.total_s"} 1.5' in text
+    assert "abc123" not in text  # strings are not Prometheus samples
+    assert "_last_backup_at" not in text  # internal key stays internal
+    assert 'southpaw_metric{name="time.since.last.backup"} 0' in text
+
+    with MetricsHttpExporter(m) as exp:
+        url = f"http://{exp.host}:{exp.port}/metrics"
+        body = urllib.request.urlopen(url, timeout=10).read().decode()
+        assert 'southpaw_metric{name="records.consumed.user"} 10' in body
+        # live registry: a later mark shows up on the next scrape
+        m.mark("records.consumed.user", 5)
+        time.sleep(1.1)  # let the backup gauge tick at least 1s
+        body2 = urllib.request.urlopen(url, timeout=10).read().decode()
+        assert 'southpaw_metric{name="records.consumed.user"} 15' in body2
+        import re
+
+        age = re.search(
+            r'name="time\.since\.last\.backup"\} (\d+)', body2
+        )
+        assert age and int(age.group(1)) >= 1
+        # non-/metrics paths 404
+        import urllib.error
+
+        try:
+            urllib.request.urlopen(
+                f"http://{exp.host}:{exp.port}/other", timeout=10
+            )
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404

@@ -71,12 +71,12 @@ SHOWCASE = [
     ("t26_epoch_repeat", "multi-epoch upsampling — zero-shuffle codegen explode (EXTRA)"),
     ("t27_reference_perplexity", "CCNet reference-trained LM — left-join add-one floor (EXTRA)"),
     ("s10_ann_recall", "ANN recall@k vs exact — benchmark-sized semi-join (EXTRA)"),
-    ("t28_language_id", "trained language ID — 1 combiner groupBy, L int64 numerators, CASE argmax (EXTRA)"),
+    ("t28_language_id", "trained language ID — labels_only: 1 combiner groupBy IS the query, no join-back"),
     ("t29_corpus_profile", "corpus stats report — combiner aggs + one stratum window (EXTRA)"),
-    ("t30_gopher_quality", "Gopher rule gate — pure codegen projection, 0 shuffles (EXTRA)"),
-    ("t31_gopher_repetition", "Gopher repetition — per-doc HOF scans, 0 shuffles beyond the local input-widening guard (EXTRA)"),
+    ("t30_gopher_quality", "Gopher rule gate — pure codegen projection, 0 shuffles"),
+    ("t31_gopher_repetition", "Gopher repetition — per-doc HOF scans, 0 shuffles beyond the local input-widening guard"),
     ("t32_chunk_documents", "context-window chunking — codegen transform + posexplode, 0 shuffles (EXTRA)"),
-    ("s11_centroid_outliers", "embedding outlier scores — dims groupBy → broadcast centroid → zip_with cosine + per-label rank (EXTRA)"),
+    ("s11_centroid_outliers", "embedding outlier scores — dims groupBy → broadcast centroid → zip_with cosine + per-label rank; hot_group_rows range-bucket escape"),
 ]
 
 
