@@ -165,10 +165,17 @@ def query_ann_index(
     # (≤ |queries| × (n_planes+1) short strings) and is what turns the
     # scan into a partition-pruned read instead of a full-index scan.
     prefixes = [r["bprefix"] for r in q.select("bprefix").distinct().collect()]
-    idx = _apply_deleted(
-        spark, index_dir,
-        spark.read.parquet(index_dir).where(F.col("bprefix").isin(prefixes)),
-    )
+    base = spark.read.parquet(index_dir).where(
+        F.col("bprefix").isin(prefixes)
+    ).select("neighbor_id", "cv", "bucket", "bprefix")
+    streamed = _read_stream_rows(spark, index_dir)
+    if streamed is not None:
+        # streaming-ingest staging rows answer immediately; bprefix is
+        # a partition column there too, so the filter still prunes
+        base = base.unionByName(
+            streamed.where(F.col("bprefix").isin(prefixes))
+        )
+    idx = _apply_deleted(spark, index_dir, base)
 
     joined = idx.join(F.broadcast(q), ["bprefix", "bucket"]).where(
         F.col("query_id") != F.col("neighbor_id")
@@ -226,6 +233,94 @@ def add_to_ann_index(
 #: reader from treating it as index data (same rule as _SUCCESS)
 _DELETED = "_deleted"
 
+#: streaming-ingest staging area (same underscore rule): micro-batch
+#: appends land under ``_stream/batch=<id>/bprefix=.../`` so a replayed
+#: batch OVERWRITES its own directory instead of duplicating rows —
+#: exactly-once without touching the main layout's append files.
+_STREAM = "_stream"
+
+
+def _read_stream_rows(spark: SparkSession, index_dir: str):
+    path = os.path.join(index_dir, _STREAM)
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path).select(
+        "neighbor_id", "cv", "bucket", "bprefix"
+    )
+
+
+def attach_index_stream(
+    vectors: DataFrame,
+    index_dir: str,
+    vec_col: str,
+    id_col: str,
+    checkpoint_dir: str,
+    tombstone_col: str | None = None,
+    trigger: dict | None = None,
+):
+    """Continuous LSH-index maintenance: stream ``(id, vector)`` rows
+    into a built index (``build_ann_index`` first — the sidecar's
+    pinned hyperplanes bucket streamed vectors exactly as a rebuild
+    would, so ``build(A)`` + ``stream(B)`` answers queries identically
+    to ``build(A ∪ B)``; pinned by parity test). The 100 TB ingest
+    shape: embeddings arrive hourly, the index absorbs them per
+    micro-batch, and queries see them immediately — no nightly rebuild.
+
+    EXACTLY-ONCE adds: each micro-batch is written with overwrite to
+    its own ``_stream/batch=<id>/bprefix=…`` directory (stable batch
+    ids per checkpoint), so an at-least-once replay rewrites the same
+    files instead of appending duplicates — duplicate candidates would
+    silently skew every top-k rank. The underscore prefix keeps the
+    main index read from seeing the staging area; queries union it
+    explicitly with the same partition-pruned bprefix filter. Fold the
+    staging batches into the main layout with :func:`vacuum_ann_index`
+    (it treats them as index rows) once they accumulate.
+
+    ``tombstone_col`` (nullable boolean) marks DELETE rows — their ids
+    go to the tombstone set (``remove_from_index``; replay-safe: the
+    anti-join is idempotent under duplicate tombstones). A tombstone is
+    terminal for its id until a vacuum folds it: re-adding the same id
+    later answers nothing, because tombstones are not versioned
+    (latest-wins vector UPSERT belongs to
+    ``streaming.dedup_stream.IncrementalVectorDeduper``, which owns
+    per-key state). The PQ index has no streaming arm — its codebooks
+    are trained on a corpus snapshot, so it rebuilds on a cadence.
+
+    Returns the started ``StreamingQuery``.
+    """
+    with open(os.path.join(index_dir, _META)) as f:
+        meta = json.load(f)
+    planes, pb = meta["planes"], meta["prefix_bits"]
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        adds = batch_df
+        if tombstone_col is not None:
+            dead = batch_df.where(
+                F.coalesce(F.col(tombstone_col), F.lit(False))
+            ).select(F.col(id_col))
+            if dead.limit(1).count() > 0:
+                remove_from_index(dead.distinct(), index_dir, id_col)
+            adds = batch_df.where(
+                ~F.coalesce(F.col(tombstone_col), F.lit(False))
+            )
+        bits = _bucket_bits(F.col(vec_col), planes)
+        rows = adds.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            _bucket_str(bits).alias("bucket"),
+            F.concat(F.lit("p"), _bucket_str(bits[:pb])).alias("bprefix"),
+        )
+        rows.write.partitionBy("bprefix").mode("overwrite").parquet(
+            os.path.join(index_dir, _STREAM, f"batch={batch_id}")
+        )
+
+    writer = vectors.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
 
 def _read_deleted(spark: SparkSession, index_dir: str) -> DataFrame | None:
     path = os.path.join(index_dir, _DELETED)
@@ -262,23 +357,35 @@ def remove_from_index(ids: DataFrame, index_dir: str, id_col: str) -> None:
 
 
 def vacuum_ann_index(spark: SparkSession, index_dir: str) -> int:
-    """Fold the tombstone set into the LSH index data files: rewrite
+    """Fold the tombstone set AND any streaming-ingest staging batches
+    (``attach_index_stream``) into the LSH index data files: rewrite
     the surviving rows (same bprefix partitioning), carry the sidecar
-    over, swap directories, drop the tombstones. Returns the number of
-    rows removed. The rewrite is out-of-place — everything new is
-    written before the two-rename swap window, the only non-atomic
-    step on a plain filesystem (object stores get the same ordering
-    through their committer)."""
+    over, swap directories, drop tombstones + staging. Returns the
+    number of distinct ids removed. The rewrite is out-of-place —
+    everything new is written before the two-rename swap window, the
+    only non-atomic step on a plain filesystem (object stores get the
+    same ordering through their committer)."""
     import shutil
 
     dead = _read_deleted(spark, index_dir)
-    if dead is None:
+    streamed = _read_stream_rows(spark, index_dir)
+    if dead is None and streamed is None:
         return 0
-    n_dead = dead.count()
-    idx = spark.read.parquet(index_dir)
-    survivors = idx.join(
-        F.broadcast(dead.select("neighbor_id")), "neighbor_id", "left_anti"
+    idx = spark.read.parquet(index_dir).select(
+        "neighbor_id", "cv", "bucket", "bprefix"
     )
+    if streamed is not None:
+        idx = idx.unionByName(streamed)
+    if dead is not None:
+        # distinct: replayed streaming deletes append duplicate ids
+        dead_ids = dead.select("neighbor_id").distinct()
+        n_dead = dead_ids.count()
+        survivors = idx.join(
+            F.broadcast(dead_ids), "neighbor_id", "left_anti"
+        )
+    else:
+        n_dead = 0
+        survivors = idx
     tmp = index_dir.rstrip("/") + ".vacuum.tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     survivors.write.partitionBy("bprefix").mode("overwrite").parquet(tmp)

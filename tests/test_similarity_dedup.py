@@ -3214,3 +3214,87 @@ def test_centroid_outlier_scores(spark):
     g = centroid_outlier_scores(df, "embedding", "vec_id")
     assert g.count() == 7
     assert sorted(r.outlier_rank for r in g.collect()) == list(range(1, 8))
+
+
+def test_ann_index_streaming_ingest_parity(spark, sf_dir, tmp_path):
+    """Round-13 streaming-ingest arm: build(A) + attach_index_stream(B
+    over several micro-batches, one delete carried as a tombstone row)
+    answers queries identically to build on the surviving A∪B; a fresh
+    checkpoint replaying the same source overwrites the same batch
+    dirs (exactly-once adds, no duplicate candidates); vacuum folds the
+    staging batches + tombstones into the main layout and answers stay
+    identical."""
+    import os
+
+    from southpaw_spark.operators.ann_index import (
+        attach_index_stream,
+        build_ann_index,
+        query_ann_index,
+        vacuum_ann_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    part_a = emb.where(F.col("vec_id") % 2 == 0)
+    part_b = emb.where(F.col("vec_id") % 2 == 1)
+    dead_id = part_a.select(F.max("vec_id")).first()[0]  # delete via stream
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+    truth = str(tmp_path / "truth")
+    build_ann_index(
+        emb.where(F.col("vec_id") != dead_id), truth,
+        "embedding", "vec_id", n_planes=6, seed=42,
+    )
+
+    live = str(tmp_path / "live")
+    build_ann_index(part_a, live, "embedding", "vec_id", n_planes=6, seed=42)
+    # file-replayed stream: B as adds + the tombstone row for dead_id
+    src = str(tmp_path / "src")
+    part_b.withColumn("is_tombstone", F.lit(False)).unionByName(
+        emb.where(F.col("vec_id") == dead_id).withColumn(
+            "is_tombstone", F.lit(True)
+        )
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")  # several micro-batches
+            .parquet(src)
+        )
+        q = attach_index_stream(
+            stream, live, "embedding", "vec_id",
+            checkpoint_dir=str(tmp_path / ckpt),
+            tombstone_col="is_tombstone",
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(180)
+
+    drain("ckpt1")
+
+    def rows(d):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+            for r in query_ann_index(spark, d, queries, k=5).collect()
+        )
+
+    want = rows(truth)
+    assert rows(live) == want and want
+    # the deleted id never answers, and streamed ids DO answer
+    assert all(n != dead_id for _, n, _, _ in rows(live))
+    assert any(n % 2 == 1 for _, n, _, _ in rows(live))
+
+    # replay: a FRESH checkpoint re-delivers every batch with the same
+    # ids — the overwrite layout absorbs it with zero duplicates
+    drain("ckpt2")
+    assert rows(live) == want
+
+    # fold staging + tombstones into the main layout; answers unchanged
+    removed = vacuum_ann_index(spark, live)
+    assert removed == 1
+    assert not os.path.isdir(os.path.join(live, "_stream"))
+    assert not os.path.isdir(os.path.join(live, "_deleted"))
+    assert rows(live) == want
