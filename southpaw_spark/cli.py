@@ -270,7 +270,7 @@ def verify(spark, cfg) -> int:
 #: separately because it is a dataset path, not a scalar)
 _CORPUS_KEYS = (
     "min_quality", "min_tokens", "model_weights", "model_bias",
-    "min_model_score", "langs", "lang_model", "lang_biases",
+    "min_model_score", "bpe_merges", "langs", "lang_model", "lang_biases",
     "gopher", "gopher_thresholds", "gopher_rep", "gopher_rep_thresholds",
     "line_clean", "url_col", "blocklist",
     "max_contamination_rate", "contamination_n", "decontaminate_mode",
@@ -361,45 +361,46 @@ def corpus_stream_cmd(spark, cfg) -> None:
             f"{out}/batch_id={batch_id}"
         )
 
+    # forward the SAME _CORPUS_KEYS surface the batch path advertises
+    # (regression guard: a hand-maintained kwargs list silently dropped
+    # gopher_rep). Keys corpus_stream's signature doesn't have are
+    # batch-only stages — rejected LOUDLY instead of silently skipped.
+    from inspect import signature
+
+    stream_params = set(signature(corpus_stream).parameters)
+    #: consumed by the streaming machinery itself, not corpus_stream
+    dedup_keys = {"fuzzy_keep"}
+    kwargs = {}
+    batch_only = []
+    for key in _CORPUS_KEYS:
+        if key not in c or key in dedup_keys:
+            continue
+        if key in stream_params:
+            kwargs[key] = c[key]
+        else:
+            batch_only.append(key)
+    if batch_only:
+        raise ValueError(
+            f"corpus.stream: true cannot honor {sorted(batch_only)} — "
+            "these stages exist only in the batch build; drop them or "
+            "run --build-corpus without stream: true"
+        )
     q = corpus_stream(
         deduper, stream, c["checkpoint_dir"],
         text_col=c.get("text_col", "text"),
         id_col=c.get("id_col", "doc_id"),
-        line_clean=bool(c.get("line_clean", False)),
-        bpe_merges=c.get("bpe_merges"),
-        min_tokens=c.get("min_tokens"),
-        min_quality=c.get("min_quality"),
-        gopher=bool(c.get("gopher", False)),
-        gopher_thresholds=c.get("gopher_thresholds"),
-        gopher_rep=bool(c.get("gopher_rep", False)),
-        gopher_rep_thresholds=c.get("gopher_rep_thresholds"),
-        model_weights=c.get("model_weights"),
-        model_bias=float(c.get("model_bias", 0.0)),
-        min_model_score=c.get("min_model_score"),
-        langs=c.get("langs"),
-        lang_model=c.get("lang_model"),
-        lang_biases=c.get("lang_biases"),
-        url_col=c.get("url_col"),
         url_dedup=bool(c.get("url_dedup", False)),
-        blocklist=c.get("blocklist"),
         benchmark=(
             spark.read.parquet(c["benchmark"])
             if "benchmark" in c else None
         ),
-        max_contamination_rate=float(
-            c.get("max_contamination_rate", 0.0)
-        ),
-        contamination_n=int(c.get("contamination_n", 5)),
-        decontaminate_mode=c.get("decontaminate_mode", "drop"),
         ppl_reference=(
             spark.read.parquet(c["ppl_reference"])
             if "ppl_reference" in c else None
         ),
-        min_logprob=c.get("min_logprob"),
-        split_fractions=c.get("split_fractions"),
-        sample_salt=str(c.get("sample_salt", "")),
         sink=sink,
         trigger={"availableNow": True},
+        **kwargs,
     )
     try:
         q.awaitTermination()

@@ -292,6 +292,11 @@ def test_cli_corpus_stream_cron_shaped(spark, tmp_path):
                         "input_format": "wet", "state_dir": "s",
                         "checkpoint_dir": "c", "output": "o"}},
         )
+    # batch-only stages are rejected LOUDLY in streaming mode (the
+    # old hand-maintained kwargs list silently skipped unknown gates)
+    bad = dict(cfg["corpus"], span_dedup_k=8, token_budgets={"a": 10})
+    with _pytest.raises(ValueError, match="span_dedup_k"):
+        build_corpus_cmd(spark, {"corpus": bad})
 
 
 def test_cli_vacuum_index_both_layouts(spark, tmp_path, capsys):

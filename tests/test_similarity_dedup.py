@@ -3298,3 +3298,25 @@ def test_ann_index_streaming_ingest_parity(spark, sf_dir, tmp_path):
     assert not os.path.isdir(os.path.join(live, "_stream"))
     assert not os.path.isdir(os.path.join(live, "_deleted"))
     assert rows(live) == want
+
+    # stream-only staging (no tombstones): vacuum still folds it (the
+    # old swap would have DROPPED un-compacted staging rows) and
+    # reports 0 removed
+    live2 = str(tmp_path / "live2")
+    build_ann_index(
+        part_a, live2, "embedding", "vec_id", n_planes=6, seed=42
+    )
+    src2 = str(tmp_path / "src2")
+    part_b.write.parquet(src2)
+    s2 = spark.readStream.schema(spark.read.parquet(src2).schema).parquet(src2)
+    q2 = attach_index_stream(
+        s2, live2, "embedding", "vec_id",
+        checkpoint_dir=str(tmp_path / "ckpt3"),
+        trigger={"availableNow": True},
+    )
+    q2.awaitTermination(180)
+    assert vacuum_ann_index(spark, live2) == 0
+    assert not os.path.isdir(os.path.join(live2, "_stream"))
+    full = str(tmp_path / "full2")
+    build_ann_index(emb, full, "embedding", "vec_id", n_planes=6, seed=42)
+    assert rows(live2) == rows(full)
