@@ -18,6 +18,7 @@ from southpaw_spark.operators.denormalize import (
     denormalize_to_json,
 )
 from southpaw_spark.operators.ann_index import (
+    attach_index_stream,
     build_ann_index,
     query_ann_index,
     remove_from_index,
@@ -46,6 +47,7 @@ __all__ = [
     "asof_join",
     "bpe_encode",
     "bpe_train",
+    "attach_index_stream",
     "build_ann_index",
     "current_state",
     "denormalize",

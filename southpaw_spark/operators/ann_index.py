@@ -180,8 +180,9 @@ def query_ann_index(
     joined = idx.join(F.broadcast(q), ["bprefix", "bucket"]).where(
         F.col("query_id") != F.col("neighbor_id")
     )
-    cos = _dot(F.col("query_vec"), F.col("cv")) / (
-        _norm(F.col("query_vec")) * _norm(F.col("cv"))
+    cos = F.try_divide(
+        _dot(F.col("query_vec"), F.col("cv")),
+        _norm(F.col("query_vec")) * _norm(F.col("cv")),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cosine"), 8).desc(), F.col("neighbor_id")
@@ -189,7 +190,7 @@ def query_ann_index(
     return (
         joined.select("query_id", "neighbor_id", cos.alias("cosine"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
+        .where((F.col("rank") <= k) & F.col("cosine").isNotNull())
         .select(
             "query_id", "neighbor_id", "rank",
             F.round("cosine", 6).alias("cosine"),

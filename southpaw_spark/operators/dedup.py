@@ -975,7 +975,10 @@ def embedding_near_duplicates(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = dot / (norm(F.col("va")) * norm(F.col("vb")))
+    # try_divide: a zero-norm (garbage) embedding pairs with nothing
+    # (NULL cosine fails the threshold) instead of killing the job
+    # under ANSI division-by-zero
+    cos = F.try_divide(dot, norm(F.col("va")) * norm(F.col("vb")))
     return (
         a.join(b, ["table", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
@@ -1939,8 +1942,9 @@ def semantic_duplicates(
                 ).alias("cell"),
                 F.col("__v").alias("centroid"),
             )
-    sim = _dot(F.col("__v"), F.col("centroid")) / (
-        _norm(F.col("__v")) * _norm(F.col("centroid"))
+    sim = F.try_divide(
+        _dot(F.col("__v"), F.col("centroid")),
+        _norm(F.col("__v")) * _norm(F.col("centroid")),
     )
     if pair_scan == "gemm":
         # gemm shortlist: same (vector, centroid) pairs the winners
@@ -1989,8 +1993,9 @@ def semantic_duplicates(
         b = assigned.select(
             F.col("__id").alias("id_b"), "cell", F.col("__v").alias("__vb")
         )
-        cos = _dot(F.col("__va"), F.col("__vb")) / (
-            _norm(F.col("__va")) * _norm(F.col("__vb"))
+        cos = F.try_divide(
+            _dot(F.col("__va"), F.col("__vb")),
+            _norm(F.col("__va")) * _norm(F.col("__vb")),
         )
         pairs = (
             a.join(b, "cell")

@@ -52,8 +52,9 @@ def cosine_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
     joined = c.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
-    cos = _dot(F.col("query_vec"), F.col("cv")) / (
-        _norm(F.col("query_vec")) * _norm(F.col("cv"))
+    cos = F.try_divide(
+        _dot(F.col("query_vec"), F.col("cv")),
+        _norm(F.col("query_vec")) * _norm(F.col("cv")),
     )
     scored = joined.select(
         "query_id", "neighbor_id", cos.alias("cosine")
@@ -63,7 +64,7 @@ def cosine_topk(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
+        .where((F.col("rank") <= k) & F.col("cosine").isNotNull())
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
     )
 
@@ -146,8 +147,9 @@ def ivf_topk(
     joined = c.join(F.broadcast(q), "bucket").where(
         F.col("query_id") != F.col("neighbor_id")
     )
-    cos = _dot(F.col("query_vec"), F.col("cv")) / (
-        _norm(F.col("query_vec")) * _norm(F.col("cv"))
+    cos = F.try_divide(
+        _dot(F.col("query_vec"), F.col("cv")),
+        _norm(F.col("query_vec")) * _norm(F.col("cv")),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cosine"), 8).desc(), F.col("neighbor_id")
@@ -155,7 +157,7 @@ def ivf_topk(
     return (
         joined.select("query_id", "neighbor_id", cos.alias("cosine"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
+        .where((F.col("rank") <= k) & F.col("cosine").isNotNull())
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
     )
 
@@ -219,8 +221,9 @@ def ivf_kmeans_topk(
         ],
         "cell int, centroid array<double>",
     )
-    qcos = _dot(F.col("query_vec"), F.col("centroid")) / (
-        _norm(F.col("query_vec")) * _norm(F.col("centroid"))
+    qcos = F.try_divide(
+        _dot(F.col("query_vec"), F.col("centroid")),
+        _norm(F.col("query_vec")) * _norm(F.col("centroid")),
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.round(qcos, 8).desc(), F.col("cell")
@@ -234,8 +237,9 @@ def ivf_kmeans_topk(
     joined = assigned.join(F.broadcast(probes), "cell").where(
         F.col("query_id") != F.col("neighbor_id")
     )
-    cos = _dot(F.col("query_vec"), F.col("cv")) / (
-        _norm(F.col("query_vec")) * _norm(F.col("cv"))
+    cos = F.try_divide(
+        _dot(F.col("query_vec"), F.col("cv")),
+        _norm(F.col("query_vec")) * _norm(F.col("cv")),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cosine"), 8).desc(), F.col("neighbor_id")
@@ -243,7 +247,7 @@ def ivf_kmeans_topk(
     return (
         joined.select("query_id", "neighbor_id", cos.alias("cosine"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
+        .where((F.col("rank") <= k) & F.col("cosine").isNotNull())
         .select(
             "query_id", "neighbor_id", "rank",
             F.round("cosine", 6).alias("cosine"),
@@ -285,8 +289,9 @@ def cosine_topk_filtered(
     for col in filter_cols:
         cond = cond & (F.col(f"__f_{col}") == F.col(col))
     joined = c.join(F.broadcast(qren), cond)
-    cos = _dot(F.col("query_vec"), F.col("cv")) / (
-        _norm(F.col("query_vec")) * _norm(F.col("cv"))
+    cos = F.try_divide(
+        _dot(F.col("query_vec"), F.col("cv")),
+        _norm(F.col("query_vec")) * _norm(F.col("cv")),
     )
     scored = joined.select("query_id", "neighbor_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
@@ -294,7 +299,7 @@ def cosine_topk_filtered(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
+        .where((F.col("rank") <= k) & F.col("cosine").isNotNull())
         .select(
             "query_id", "neighbor_id", "rank",
             F.round("cosine", 6).alias("cosine"),
@@ -320,8 +325,9 @@ def cosine_radius(
     joined = c.join(
         F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")
     )
-    cos = _dot(F.col("query_vec"), F.col("cv")) / (
-        _norm(F.col("query_vec")) * _norm(F.col("cv"))
+    cos = F.try_divide(
+        _dot(F.col("query_vec"), F.col("cv")),
+        _norm(F.col("query_vec")) * _norm(F.col("cv")),
     )
     return (
         joined.select("query_id", "neighbor_id", cos.alias("cosine"))
@@ -402,8 +408,9 @@ def cosine_topk_quantized(
     joined = cq.join(
         F.broadcast(qq), F.col("query_id") != F.col("neighbor_id")
     )
-    cos = _dot(F.col("qcode"), F.col("ncode")) / (
-        _norm(F.col("qcode")) * _norm(F.col("ncode"))
+    cos = F.try_divide(
+        _dot(F.col("qcode"), F.col("ncode")),
+        _norm(F.col("qcode")) * _norm(F.col("ncode")),
     )
     scored = joined.select("query_id", "neighbor_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
@@ -429,8 +436,9 @@ def cosine_topk_quantized(
         cand.join(cv, "neighbor_id")
         .join(F.broadcast(queries), "query_id")
     )
-    ecos = _dot(F.col("query_vec"), F.col("cv")) / (
-        _norm(F.col("query_vec")) * _norm(F.col("cv"))
+    ecos = F.try_divide(
+        _dot(F.col("query_vec"), F.col("cv")),
+        _norm(F.col("query_vec")) * _norm(F.col("cv")),
     )
     rescored = exact.select("query_id", "neighbor_id", ecos.alias("cosine"))
     w2 = Window.partitionBy("query_id").orderBy(
@@ -438,7 +446,7 @@ def cosine_topk_quantized(
     )
     return (
         rescored.withColumn("rank", F.row_number().over(w2).cast("long"))
-        .where(F.col("rank") <= k)
+        .where((F.col("rank") <= k) & F.col("cosine").isNotNull())
         .select(
             "query_id", "neighbor_id", "rank",
             F.round("cosine", 6).alias("cosine"),
@@ -511,8 +519,9 @@ def ivf_quantized_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
-    csim = _dot(F.col("__v"), F.col("centroid")) / (
-        _norm(F.col("__v")) * _norm(F.col("centroid"))
+    csim = F.try_divide(
+        _dot(F.col("__v"), F.col("centroid")),
+        _norm(F.col("__v")) * _norm(F.col("centroid")),
     )
     assigned = (
         c.join(F.broadcast(centroids))
@@ -535,8 +544,9 @@ def ivf_quantized_topk(
         "neighbor_id",
     )
 
-    qsim = _dot(F.col("query_vec"), F.col("centroid")) / (
-        _norm(F.col("query_vec")) * _norm(F.col("centroid"))
+    qsim = F.try_divide(
+        _dot(F.col("query_vec"), F.col("centroid")),
+        _norm(F.col("query_vec")) * _norm(F.col("centroid")),
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.round(qsim, 8).desc(), F.col("cell")
@@ -557,8 +567,9 @@ def ivf_quantized_topk(
     ).select(F.col(id_col).alias("query_id"), F.col("code").alias("qc"))
     probe_q = probes.join(qcodes, "query_id")
 
-    qcos = _dot(F.col("qc"), F.col("nc")) / (
-        _norm(F.col("qc")) * _norm(F.col("nc"))
+    qcos = F.try_divide(
+        _dot(F.col("qc"), F.col("nc")),
+        _norm(F.col("qc")) * _norm(F.col("nc")),
     )
     cand = (
         inv.join(F.broadcast(probe_q), "cell")
@@ -577,8 +588,9 @@ def ivf_quantized_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
     )
-    ecos = _dot(F.col("query_vec"), F.col("__cv")) / (
-        _norm(F.col("query_vec")) * _norm(F.col("__cv"))
+    ecos = F.try_divide(
+        _dot(F.col("query_vec"), F.col("__cv")),
+        _norm(F.col("query_vec")) * _norm(F.col("__cv")),
     )
     rescored = (
         shortlist.join(cv, "neighbor_id")
@@ -590,7 +602,7 @@ def ivf_quantized_topk(
     )
     return (
         rescored.withColumn("rank", F.row_number().over(w2).cast("long"))
-        .where(F.col("rank") <= k)
+        .where((F.col("rank") <= k) & F.col("cosine").isNotNull())
         .select(
             "query_id", "neighbor_id", "rank",
             F.round("cosine", 6).alias("cosine"),
@@ -644,8 +656,9 @@ def mmr_topk(
         F.col("neighbor_id").alias("__cb"),
         F.col("__v").alias("__vb"),
     )
-    pcos = _dot(F.col("__va"), F.col("__vb")) / (
-        _norm(F.col("__va")) * _norm(F.col("__vb"))
+    pcos = F.try_divide(
+        _dot(F.col("__va"), F.col("__vb")),
+        _norm(F.col("__va")) * _norm(F.col("__vb")),
     )
     psim = (
         a.join(b, "query_id")
@@ -922,8 +935,9 @@ def pq_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
     )
-    ecos = _dot(F.col("query_vec"), F.col("__cv")) / (
-        _norm(F.col("query_vec")) * _norm(F.col("__cv"))
+    ecos = F.try_divide(
+        _dot(F.col("query_vec"), F.col("__cv")),
+        _norm(F.col("query_vec")) * _norm(F.col("__cv")),
     )
     rescored = (
         shortlist.join(cv, "neighbor_id")
@@ -935,7 +949,7 @@ def pq_topk(
     )
     return (
         rescored.withColumn("rank", F.row_number().over(w2).cast("long"))
-        .where(F.col("rank") <= k)
+        .where((F.col("rank") <= k) & F.col("cosine").isNotNull())
         .select(
             "query_id", "neighbor_id", "rank",
             F.round("cosine", 6).alias("cosine"),
@@ -1039,7 +1053,11 @@ def centroid_outlier_scores(
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
     )
-    cos = dot / (norm(F.col("__v")) * norm(F.col("__cv")))
+    # try_divide: a zero-norm (garbage) embedding scores NULL instead
+    # of killing the job under ANSI division-by-zero — and NULLs sort
+    # FIRST ascending, so garbage vectors surface as the top outliers,
+    # exactly what this pruning signal is for
+    cos = F.try_divide(dot, norm(F.col("__v")) * norm(F.col("__cv")))
     scored = joined.select(
         F.col(id_col), *gcols, cos.alias("__cos")
     )
@@ -1092,12 +1110,27 @@ def centroid_outlier_scores(
     hotm = hot.withColumn("__ord", F.round(F.col("__cos"), 8))
     n_buckets = 256
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = sorted(set(hotm.approxQuantile("__ord", probs, 0.01)))
+    bounds = sorted(
+        b
+        for b in set(
+            hotm.where(~F.isnan("__ord")).approxQuantile(
+                "__ord", probs, 0.01
+            )
+        )
+        if b == b  # drop a NaN boundary (all-NaN group)
+    )
     if bounds:
         barr = F.array(*[F.lit(float(b)) for b in bounds])
         bkt = F.size(F.filter(barr, lambda b: b <= F.col("__ord")))
     else:
         bkt = F.lit(0)
+    # NaN cosines (zero-norm vectors) sort AFTER every double in
+    # Spark's ordering, but every `bound <= NaN` comparison is false —
+    # bucket 0 — which would rank them FIRST. Pin them to a dedicated
+    # final bucket so bucket order extends the window order exactly.
+    # (NULLs need no pin: null comparisons bucket to 0 and nulls-first
+    # ascending IS the window path's placement.)
+    bkt = F.when(F.isnan("__ord"), F.lit(len(bounds) + 1)).otherwise(bkt)
     marked = hotm.withColumn("__bk", bkt)
     pref = bucket_prefix_join(marked, "__bk", partition_cols=tuple(gcols))
     ww = Window.partitionBy(*gcols, "__bk").orderBy("__ord", id_col)

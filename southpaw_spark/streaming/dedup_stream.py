@@ -1128,7 +1128,11 @@ class IncrementalVectorDeduper:
                 )
             )
 
-        return dot / (norm(a) * norm(b))
+        # try_divide: a zero-norm (garbage) embedding matches nothing
+        # (NULL cosine fails every threshold) instead of killing the
+        # micro-batch under ANSI division-by-zero — same posture as the
+        # batch d05 operator
+        return F.try_divide(dot, norm(a) * norm(b))
 
     def _bucketed(self, df: DataFrame) -> DataFrame:
         """(id, table, bucket) — every table's bucket in one scan."""

@@ -3320,3 +3320,50 @@ def test_ann_index_streaming_ingest_parity(spark, sf_dir, tmp_path):
     full = str(tmp_path / "full2")
     build_ann_index(emb, full, "embedding", "vec_id", n_planes=6, seed=42)
     assert rows(live2) == rows(full)
+
+
+def test_zero_vectors_never_crash_retrieval(spark, tmp_path):
+    """Round-13 ANSI hardening: a zero-norm (garbage) embedding in a
+    100 TB corpus must not kill the job under ANSI division-by-zero.
+    try_divide gives it a NULL cosine: it never enters a top-k (NULLs
+    sort last descending), a zero QUERY returns no neighbors instead of
+    crashing, and the near-dup pair op skips it (NULL >= threshold is
+    not true)."""
+    from southpaw_spark.operators.ann_index import (
+        build_ann_index,
+        query_ann_index,
+    )
+    from southpaw_spark.operators.dedup import embedding_near_duplicates
+    from southpaw_spark.operators.similarity import cosine_topk, ivf_topk
+
+    def vec(i, dim=6):
+        return [((i * 31 + j * 17) % 97 - 48) / 48.0 for j in range(dim)]
+
+    rows = [(i, vec(i)) for i in range(30)] + [(99, [0.0] * 6)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(0, vec(0)), (98, [0.0] * 6)],
+        "query_id long, query_vec array<double>",
+    )
+
+    for out in (
+        cosine_topk(corpus, queries, "embedding", "vec_id", k=5),
+        ivf_topk(corpus, queries, "embedding", "vec_id", k=5,
+                 n_planes=4, seed=42),
+    ):
+        got = out.collect()
+        assert got  # query 0 answers
+        assert all(r["neighbor_id"] != 99 for r in got)  # garbage excluded
+        assert all(r["query_id"] != 98 for r in got)  # zero query: empty
+
+    idx = str(tmp_path / "idx")
+    build_ann_index(corpus, idx, "embedding", "vec_id", n_planes=4, seed=42)
+    got = query_ann_index(spark, idx, queries, k=5).collect()
+    assert got and all(r["neighbor_id"] != 99 for r in got)
+
+    pairs = embedding_near_duplicates(
+        corpus, "embedding", "vec_id", threshold=0.95, n_planes=4, seed=42
+    ).collect()
+    assert all(99 not in (r[0], r[1]) for r in pairs)

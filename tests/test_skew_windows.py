@@ -765,16 +765,31 @@ def test_centroid_outliers_hot_group_range_rank_parity(spark):
     for i in range(180):
         # 90% of vectors in one hot group; every 4th vector duplicates
         # the previous one so equal cosines must tie-break by id across
-        # any bucket boundary
-        v = vec(i - 1) if i % 4 == 0 and i > 0 else vec(i)
+        # any bucket boundary; every 31st is the ZERO vector (NULL
+        # cosine via try_divide — garbage embeddings must rank FIRST in
+        # both paths, not crash under ANSI division-by-zero)
+        if i % 31 == 30:
+            v = [0.0] * 6
+        elif i % 4 == 0 and i > 0:
+            v = vec(i - 1)
+        else:
+            v = vec(i)
         rows.append((i, v, "hot" if i % 10 else f"cold{i}"))
     df = spark.createDataFrame(
         rows, "vec_id long, embedding array<double>, grp string"
     )
 
+    import math
+
     def snap(out):
         return {
-            r["vec_id"]: (r["centroid_cosine"], r["outlier_rank"])
+            r["vec_id"]: (
+                "nan"
+                if r["centroid_cosine"] is not None
+                and math.isnan(r["centroid_cosine"])
+                else r["centroid_cosine"],
+                r["outlier_rank"],
+            )
             for r in out.collect()
         }
 
@@ -805,3 +820,9 @@ def test_centroid_outliers_hot_group_range_rank_parity(spark):
     assert split_g == plain_g
     # ranks in the single group are a permutation of 1..N
     assert sorted(r for _, r in split_g.values()) == list(range(1, 181))
+    # zero vectors: NULL cosine, ranked as the TOP outliers (nulls
+    # first ascending) in both paths
+    null_ranks = sorted(
+        rank for vec_id, (c, rank) in split_g.items() if c is None
+    )
+    assert null_ranks and null_ranks == list(range(1, len(null_ranks) + 1))
