@@ -467,7 +467,9 @@ def ivm_stream_e2e(spark, sf_dir: str) -> float:
 
         t0 = time.monotonic()
         q = attach({"processingTime": "200 milliseconds"})
-        deadline = t0 + 1800
+        # bounded: a stuck drain records ~900 s and lets the bench's
+        # own budget truncation take over instead of spinning 3 reps
+        deadline = t0 + 900
         while published() < expected_docs and time.monotonic() < deadline:
             time.sleep(0.1)
         wall = round(time.monotonic() - t0, 3)

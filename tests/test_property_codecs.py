@@ -208,3 +208,44 @@ def test_compact_invariants_random_logs(events, drop_tombstones):
     # surviving records carry their ORIGINAL payloads
     for off, _ts, key, val, _h in after:
         assert latest[key] == (off, val)
+
+
+# ---------------------------------------------------------------------------
+# composite-key bytes (O15): injectivity under random typed tuples
+# ---------------------------------------------------------------------------
+
+_key_tuple = st.tuples(
+    st.integers(min_value=-(2**62), max_value=2**62),  # long component
+    st.text(
+        alphabet=st.characters(codec="utf-8",
+                               blacklist_categories=("Cs",)),
+        max_size=12,
+    ),
+    st.booleans(),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_key_tuple, min_size=2, max_size=40, unique=True))
+def test_composite_key_injective_random_tuples(spark, tuples):
+    """The reference's composite-PK byte encoding (O15,
+    ``util/ByteArray.java``) must be INJECTIVE: distinct (long, string,
+    boolean) tuples → distinct key bytes (a collision would silently
+    merge two entities' state rows). Length-prefixing is what makes
+    concatenated variable-width components safe — this fuzzes exactly
+    that property, adversarial prefixes included."""
+    from southpaw_spark.functions import composite_key
+
+    df = spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(tuples)],
+        "row_id long, ka long, kb string, kc boolean",
+    )
+    keys = [
+        bytes(r["k"])
+        for r in df.select(
+            composite_key(
+                df, {"ka": "long", "kb": "string", "kc": "boolean"}
+            ).alias("k")
+        ).collect()
+    ]
+    assert len(set(keys)) == len(tuples)
