@@ -500,6 +500,11 @@ def main(argv=None) -> int:
     g.add_argument("--vacuum", action="store_true",
                    help="drop state versions older than the newest "
                         "--keep-versions committed versions per entity")
+    g.add_argument("--rebucket", type=int, metavar="N",
+                   help="migrate the state store to N hash buckets "
+                        "(full rewrite + atomic swap; run quiesced). "
+                        "Size N to the data: a bucketed scan's "
+                        "parallelism is its bucket count")
     g.add_argument("--vacuum-index", metavar="INDEX_DIR",
                    help="fold _deleted/ tombstones into a persisted ANN "
                         "index (LSH or PQ layout auto-detected) and drop "
@@ -578,6 +583,10 @@ def main(argv=None) -> int:
     if args.vacuum:
         store.vacuum(keep=max(1, args.keep_versions))
         print(f"vacuumed (kept {max(1, args.keep_versions)} versions)")
+        return 0
+    if args.rebucket:
+        store.rebucket(args.rebucket)
+        print(f"rebucketed -> {args.rebucket} buckets")
         return 0
     return 2
 

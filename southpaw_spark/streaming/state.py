@@ -613,6 +613,83 @@ class ParquetStateStore:
                         except Exception:
                             pass
 
+    def rebucket(
+        self,
+        n_buckets: int,
+        bucket_cols: "dict[str, Sequence[str]] | None" = None,
+    ) -> "ParquetStateStore":
+        """Migrate the WHOLE store to a new bucket count — the resize a
+        growing deployment eventually needs (SCALE.md: a bucketed
+        scan's parallelism IS its bucket count, so 16 buckets that fit
+        sf0.1 cap a 10× rebuild at 16 tasks). ``n_buckets`` is a
+        physical layout invariant, so this is a full rewrite: every
+        entity's CURRENT version is re-initialized under the new hash
+        in an out-of-place store, then the directories swap atomically
+        (the vacuum two-rename discipline — everything new exists
+        before the swap window). Per-entity bucket-column sidecars are
+        preserved, so join-key-bucketed entities keep their co-located
+        layout. Version history does NOT migrate (numbering restarts at
+        v1 per entity; the default retention keeps 2 versions anyway)
+        and the store must be QUIESCED — staged uncommitted versions
+        fail the migration loudly.
+
+        ``bucket_cols`` maps LEGACY entities (laid out before the
+        bucket-column sidecar existed) to their key columns; entities
+        with a sidecar resolve automatically. Returns a fresh handle
+        opened on the new layout — the receiving handle is stale after
+        the swap and must be discarded."""
+        import shutil
+
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1; got {n_buckets}")
+        if n_buckets == self.n_buckets:
+            return self
+        entities = [
+            e for e in sorted(os.listdir(self.root))
+            if os.path.isdir(self._entity_dir(e))
+            and self._version_of(e) is not None
+        ]
+        plans: list[tuple[str, list[str]]] = []
+        for entity in entities:
+            current = self._version_of(entity)
+            staged = [
+                name
+                for name in os.listdir(self._entity_dir(entity))
+                if name.startswith("v") and name[1:].isdigit()
+                and int(name[1:]) > current
+            ]
+            if staged:
+                raise ValueError(
+                    f"entity {entity!r} has staged uncommitted versions "
+                    f"{sorted(staged)} — quiesce the stream (commit or "
+                    "vacuum) before rebucketing"
+                )
+            cols = self._read_bucket_cols(entity)
+            if cols is None:
+                cols = list((bucket_cols or {}).get(entity, ()))
+                if not cols:
+                    raise ValueError(
+                        f"entity {entity!r} predates the bucket-column "
+                        f"sidecar; pass bucket_cols={{{entity!r}: [its "
+                        "key columns]}} so the new layout hashes the "
+                        "same columns"
+                    )
+            plans.append((entity, list(cols)))
+        tmp_root = self.root.rstrip("/") + ".rebucket.tmp"
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        new = ParquetStateStore(
+            self.spark, tmp_root,
+            n_buckets=n_buckets, data_format=self.data_format,
+        )
+        for entity, cols in plans:
+            new.init(entity, self.read(entity), cols, bucket_cols=cols)
+        trash = self.root.rstrip("/") + ".rebucket.old"
+        shutil.rmtree(trash, ignore_errors=True)
+        os.replace(self.root, trash)
+        os.replace(tmp_root, self.root)
+        shutil.rmtree(trash, ignore_errors=True)
+        return ParquetStateStore(self.spark, self.root)
+
     # -- backup / restore (reference O18, state/RocksDBState.java:247-265,
     # 639-708: BackupEngine to local/S3 with restore modes + rollback) ----
 

@@ -591,3 +591,81 @@ def test_suggest_n_buckets_scales_with_state_size():
     assert suggest_n_buckets(10 * 1024**3, min_parallelism=32) == 40
     # monotone in size
     assert suggest_n_buckets(1024**4) > suggest_n_buckets(100 * 1024**3)
+
+
+def test_rebucket_migrates_layout_and_merges_still_prune(spark, tmp_path):
+    """Round-13 store resize: rebucket() rewrites every entity under
+    the new hash (join-key bucket sidecars preserved), swaps
+    atomically, and post-migration merges prune correctly (stale rows
+    would survive if pruning hashed the wrong layout). Uncommitted
+    staged versions and unknown legacy layouts fail loudly; the CLI
+    exposes it as --rebucket N."""
+    import pytest
+    import yaml
+
+    from southpaw_spark import cli
+    from southpaw_spark.streaming import ParquetStateStore
+
+    root = str(tmp_path / "state")
+    store = ParquetStateStore(spark, root, n_buckets=4)
+    rows = spark.createDataFrame(
+        [(i, i % 7, f"v{i}") for i in range(200)],
+        "ok long, fk long, val string",
+    )
+    store.init("orders", rows, ["ok"])
+    # join-key-bucketed entity: sidecar must survive the migration
+    store.init("lineitem", rows, ["ok", "fk"], bucket_cols=["fk"])
+    store.merge(
+        "orders",
+        spark.createDataFrame([(1, 1, "v1b")], "ok long, fk long, val string"),
+        None, ["ok"],
+    )
+
+    new = store.rebucket(16)
+    assert new.n_buckets == 16
+    assert new.bucket_layout("lineitem") == ["fk"]
+    got = {r["ok"]: r["val"] for r in new.read("orders").collect()}
+    assert len(got) == 200 and got[1] == "v1b"
+    # fresh handle on the dir sees the new layout; the old count fails
+    assert ParquetStateStore(spark, root).n_buckets == 16
+    with pytest.raises(ValueError, match="n_buckets"):
+        ParquetStateStore(spark, root, n_buckets=4)
+
+    # merges under the new layout prune the RIGHT buckets (an old-hash
+    # prune would leave a stale duplicate for the merged key)
+    new.merge(
+        "orders",
+        spark.createDataFrame([(2, 2, "v2b")], "ok long, fk long, val string"),
+        None, ["ok"],
+    )
+    cur = new.read("orders").where("ok = 2").collect()
+    assert [r["val"] for r in cur] == ["v2b"]
+
+    # staged (uncommitted) version blocks migration
+    new.merge(
+        "orders",
+        spark.createDataFrame([(3, 3, "v3b")], "ok long, fk long, val string"),
+        None, ["ok"], commit=False,
+    )
+    with pytest.raises(ValueError, match="staged uncommitted"):
+        new.rebucket(8)
+
+    # CLI surface (fresh store so no staged versions)
+    root2 = str(tmp_path / "state2")
+    s2 = ParquetStateStore(spark, root2, n_buckets=4)
+    s2.init("e", rows, ["ok"])
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(yaml.safe_dump({"state.dir": root2}))
+    assert cli.main(["--config", str(cfg), "--rebucket", "8"]) == 0
+    assert ParquetStateStore(spark, root2).n_buckets == 8
+    assert ParquetStateStore(spark, root2).read("e").count() == 200
+
+    # legacy entity (no bucket-column sidecar) needs an explicit map
+    import os
+
+    os.remove(os.path.join(root2, "e", "_BUCKETCOLS"))
+    s3 = ParquetStateStore(spark, root2)
+    with pytest.raises(ValueError, match="predates"):
+        s3.rebucket(16)
+    s4 = s3.rebucket(16, bucket_cols={"e": ["ok"]})
+    assert s4.read("e").count() == 200 and s4.bucket_layout("e") == ["ok"]
