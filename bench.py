@@ -473,6 +473,7 @@ def ivm_stream_e2e(spark, sf_dir: str) -> float:
         while published() < expected_docs and time.monotonic() < deadline:
             time.sleep(0.1)
         wall = round(time.monotonic() - t0, 3)
+        drained = published()
         # wall is recorded; let the in-flight batch COMPLETE before
         # stopping (stop() would abort it and it would never land in
         # recentProgress — docs appear on the topic mid-batch)
@@ -490,10 +491,17 @@ def ivm_stream_e2e(spark, sf_dir: str) -> float:
     shutil.rmtree(work, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
     prog.sort()
+    # a deadline-hit drain must not masquerade as a completed one:
+    # rate the docs actually published and flag the truncation
     _STREAM_E2E_AUX.update(
         {
-            "ivm_stream_e2e_docs_per_s": round(expected_docs / wall, 1),
+            "ivm_stream_e2e_docs_per_s": round(drained / wall, 1),
             "ivm_stream_e2e_docs": expected_docs,
+            **(
+                {"ivm_stream_e2e_truncated": True,
+                 "ivm_stream_e2e_docs_published": drained}
+                if drained < expected_docs else {}
+            ),
             "ivm_stream_e2e_events": len(events),
             "ivm_stream_e2e_triggers": len(prog),
             "ivm_stream_e2e_trigger_ms_p50": (

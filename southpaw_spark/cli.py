@@ -344,7 +344,12 @@ def corpus_stream_cmd(spark, cfg) -> None:
             spark, c["state_dir"],
             n_buckets=int(c.get("state_buckets", 16)),
         ),
-        sim_threshold=float(c.get("stream_sim_threshold", 0.7)),
+        # a config shared between batch and stream builds carries the
+        # batch `fuzzy_threshold`; honor it as the default so the two
+        # builds agree unless `stream_sim_threshold` overrides
+        sim_threshold=float(
+            c.get("stream_sim_threshold", c.get("fuzzy_threshold", 0.7))
+        ),
         fuzzy_keep=c.get("fuzzy_keep", "min_id"),
     )
     out = c["output"]
@@ -368,8 +373,15 @@ def corpus_stream_cmd(spark, cfg) -> None:
     from inspect import signature
 
     stream_params = set(signature(corpus_stream).parameters)
-    #: consumed by the streaming machinery itself, not corpus_stream
-    dedup_keys = {"fuzzy_keep"}
+    # consumed/superseded by the streaming deduper itself, not
+    # corpus_stream: exact dedup is always on in IncrementalDeduper,
+    # and fuzzy_threshold/fuzzy_n map to its sim_threshold (wired
+    # above) — a config shared between batch and stream builds may
+    # carry all four without failing startup. Span/line dedup keys are
+    # NOT exempt: those stages genuinely don't run streaming
+    # (deliberate — silently skipping them would change the corpus);
+    # the break is called out in MIGRATION.md.
+    dedup_keys = {"fuzzy_keep", "fuzzy_threshold", "fuzzy_n", "exact_dedup"}
     kwargs = {}
     batch_only = []
     for key in _CORPUS_KEYS:
@@ -584,7 +596,10 @@ def main(argv=None) -> int:
         store.vacuum(keep=max(1, args.keep_versions))
         print(f"vacuumed (kept {max(1, args.keep_versions)} versions)")
         return 0
-    if args.rebucket:
+    if args.rebucket is not None:
+        # `is not None`, not truthiness: --rebucket 0 must reach
+        # store.rebucket's loud "n_buckets must be >= 1" instead of
+        # falling through to a silent exit 2.
         store.rebucket(args.rebucket)
         print(f"rebucketed -> {args.rebucket} buckets")
         return 0

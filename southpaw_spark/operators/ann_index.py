@@ -311,6 +311,13 @@ def attach_index_stream(
             _bucket_str(bits).alias("bucket"),
             F.concat(F.lit("p"), _bucket_str(bits[:pb])).alias("bprefix"),
         )
+        # A tombstone-only (or empty) micro-batch must not leave a
+        # batch=<id>/ dir holding just _SUCCESS: a staging area made
+        # only of such dirs breaks spark.read.parquet ("Unable to infer
+        # schema") for every query until real adds land. Skipping is
+        # replay-safe — a replayed batch carries the same (empty) adds.
+        if rows.limit(1).count() == 0:
+            return
         rows.write.partitionBy("bprefix").mode("overwrite").parquet(
             os.path.join(index_dir, _STREAM, f"batch={batch_id}")
         )

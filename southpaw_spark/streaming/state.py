@@ -647,7 +647,6 @@ class ParquetStateStore:
         entities = [
             e for e in sorted(os.listdir(self.root))
             if os.path.isdir(self._entity_dir(e))
-            and self._version_of(e) is not None
         ]
         plans: list[tuple[str, list[str]]] = []
         for entity in entities:
@@ -656,8 +655,23 @@ class ParquetStateStore:
                 name
                 for name in os.listdir(self._entity_dir(entity))
                 if name.startswith("v") and name[1:].isdigit()
-                and int(name[1:]) > current
+                and int(name[1:]) > (current if current is not None else 0)
             ]
+            if current is None:
+                # An entity dir whose only versions are staged (e.g. a
+                # crashed first bootstrap: v1 exists but _CURRENT was never
+                # written) must not be silently dropped and destroyed by
+                # the directory swap below — that would lose the staged
+                # data the docstring promises to protect.
+                if staged:
+                    raise ValueError(
+                        f"entity {entity!r} has staged uncommitted versions "
+                        f"{sorted(staged)} and no committed version — "
+                        "quiesce the stream (commit or vacuum) before "
+                        "rebucketing"
+                    )
+                # Empty shell (no versions at all): nothing to carry over.
+                continue
             if staged:
                 raise ValueError(
                     f"entity {entity!r} has staged uncommitted versions "

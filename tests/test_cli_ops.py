@@ -297,6 +297,21 @@ def test_cli_corpus_stream_cron_shaped(spark, tmp_path):
     bad = dict(cfg["corpus"], span_dedup_k=8, token_budgets={"a": 10})
     with _pytest.raises(ValueError, match="span_dedup_k"):
         build_corpus_cmd(spark, {"corpus": bad})
+    # ...but a config SHARED with the batch build may carry the dedup
+    # keys the streaming deduper supersedes (ADVICE r13): exact/fuzzy
+    # knobs don't fail startup, and fuzzy_threshold is honored as the
+    # deduper's similarity threshold when stream_sim_threshold is absent
+    shared = dict(cfg["corpus"], exact_dedup=True, fuzzy_n=3,
+                  output=str(tmp_path / "out_shared"),
+                  state_dir=str(tmp_path / "state_shared"),
+                  checkpoint_dir=str(tmp_path / "ckpt_shared"))
+    del shared["stream_sim_threshold"]
+    shared["fuzzy_threshold"] = 1.01  # exact-only, via the batch key
+    build_corpus_cmd(spark, {"corpus": shared})
+    assert {
+        r["doc_id"]
+        for r in spark.read.parquet(shared["output"]).collect()
+    } == {1, 4}  # 3 deduped against 1: the batch threshold was wired
 
 
 def test_cli_vacuum_index_both_layouts(spark, tmp_path, capsys):

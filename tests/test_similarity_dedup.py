@@ -3367,3 +3367,68 @@ def test_zero_vectors_never_crash_retrieval(spark, tmp_path):
         corpus, "embedding", "vec_id", threshold=0.95, n_planes=4, seed=42
     ).collect()
     assert all(99 not in (r[0], r[1]) for r in pairs)
+
+
+def test_index_stream_tombstone_only_batch_keeps_queries_alive(
+    spark, tmp_path
+):
+    """ADVICE r13 (low): a tombstone-only micro-batch used to leave an
+    empty _stream/batch=<id>/ dir (just _SUCCESS); a staging area made
+    only of such dirs crashed every query/vacuum with 'Unable to infer
+    schema' until real adds landed. The empty staging write is now
+    skipped (replay-safe), so delete-only traffic leaves the index
+    queryable and vacuumable."""
+    import os
+
+    from southpaw_spark.operators.ann_index import (
+        attach_index_stream,
+        build_ann_index,
+        query_ann_index,
+        vacuum_ann_index,
+    )
+
+    def vec(i, dim=6):
+        return [((i * 31 + j * 17) % 97 - 48) / 48.0 for j in range(dim)]
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    live = str(tmp_path / "live")
+    build_ann_index(corpus, live, "embedding", "vec_id", n_planes=5, seed=7)
+
+    # stream carries ONLY tombstones (ids 38, 39) — zero adds
+    src = str(tmp_path / "src")
+    corpus.where(F.col("vec_id") >= 38).withColumn(
+        "is_tombstone", F.lit(True)
+    ).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = attach_index_stream(
+        stream, live, "embedding", "vec_id",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        tombstone_col="is_tombstone",
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(180)
+
+    # no empty batch dirs were staged
+    staging = os.path.join(live, "_stream")
+    if os.path.isdir(staging):
+        assert not [d for d in os.listdir(staging) if d.startswith("batch=")]
+
+    queries = corpus.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = query_ann_index(spark, live, queries, k=5).collect()
+    assert got  # queries answer instead of crashing on schema inference
+    assert all(r["neighbor_id"] not in (38, 39) for r in got)
+    assert vacuum_ann_index(spark, live) == 2  # folds the 2 tombstones
+    assert sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in query_ann_index(spark, live, queries, k=5).collect()
+    ) == sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in got)

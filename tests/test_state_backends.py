@@ -733,3 +733,67 @@ def test_rebucket_mid_lifecycle_ivm_converges(spark, tmp_path):
     # the seq-30 alice→alice2 rename flowed through the resized store
     blob = " ".join(docs.values())
     assert "alice2" in blob
+
+
+def test_rebucket_staged_only_entity_fails_loudly(spark, tmp_path):
+    """ADVICE r13 (medium): an entity dir holding ONLY staged
+    uncommitted versions (crashed first bootstrap: v1 written, _CURRENT
+    never published) used to be silently excluded from the migration
+    plan, then destroyed by the directory swap. It must fail loudly
+    like any other staged version; a truly empty shell dir (no
+    versions) is simply skipped."""
+    import os
+
+    import pytest
+
+    from southpaw_spark.streaming import ParquetStateStore
+
+    root = str(tmp_path / "state")
+    store = ParquetStateStore(spark, root, n_buckets=4)
+    rows = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "ok long, val string"
+    )
+    store.init("orders", rows, ["ok"])
+
+    # crashed bootstrap: staged v1 with data, no _CURRENT pointer
+    crashed = os.path.join(root, "crashed")
+    os.makedirs(os.path.join(crashed, "v1"))
+    rows.limit(3).write.mode("overwrite").parquet(
+        os.path.join(crashed, "v1", "bucket=0")
+    )
+    with pytest.raises(ValueError, match="no committed version"):
+        store.rebucket(16)
+    # nothing was swapped: the staged data still exists
+    assert os.path.isdir(os.path.join(crashed, "v1"))
+    assert store.read("orders").count() == 20
+
+    # an empty shell (no v* at all) doesn't block the migration
+    import shutil
+
+    shutil.rmtree(crashed)
+    os.makedirs(os.path.join(root, "shell"))
+    new = store.rebucket(16)
+    assert new.read("orders").count() == 20
+    assert not new.exists("shell")
+
+
+def test_cli_rebucket_zero_surfaces_validation_error(spark, tmp_path):
+    """ADVICE r13 (low): `--rebucket 0` must reach store.rebucket's
+    loud n_buckets validation instead of falling through argparse
+    truthiness to a silent exit 2."""
+    import pytest
+    import yaml
+
+    from southpaw_spark import cli
+    from southpaw_spark.streaming import ParquetStateStore
+
+    root = str(tmp_path / "state")
+    ParquetStateStore(spark, root, n_buckets=4).init(
+        "e",
+        spark.createDataFrame([(1, "a")], "ok long, val string"),
+        ["ok"],
+    )
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(yaml.safe_dump({"state.dir": root}))
+    with pytest.raises(ValueError, match="n_buckets must be >= 1"):
+        cli.main(["--config", str(cfg), "--rebucket", "0"])
