@@ -527,9 +527,15 @@ def main() -> None:
     # that has nothing to do with its plan.) Disable with
     # SPARK_GRAFT_NO_WARMUP=1 to reproduce cold-start numbers.
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+
+    def resolve(name: str):
+        # rows rotate between the 50-row driver gate (QUERIES) and the
+        # local-only EXTRA registry across rounds — resolve either way
+        return suite.QUERIES.get(name) or suite.EXTRA_QUERIES[name]
+
     if not os.environ.get("SPARK_GRAFT_NO_WARMUP") and os.path.isdir(warm_dir):
         for name in HEADLINE:
-            suite.QUERIES[name](spark, warm_dir).write.format("noop").mode(
+            resolve(name)(spark, warm_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
         ivm_delta_batch(spark, warm_dir, "/tmp/southpaw_bench_warm_state")
@@ -556,7 +562,7 @@ def main() -> None:
 
     def run_query(name: str) -> float:
         t0 = time.monotonic()
-        suite.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+        resolve(name)(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
         return round(time.monotonic() - t0, 3)

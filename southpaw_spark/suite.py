@@ -5438,3 +5438,39 @@ for _name in (
     EXTRA_QUERIES[_name] = QUERIES.pop(_name)
     EXTRA_ORACLES[_name] = ORACLES.pop(_name)
 del _name
+
+# ---------------------------------------------------------------------------
+# Round-14 driver-gate rotation (VERDICT r13 item 3): 56 of the 60
+# EXTRA rows had only local oracle validation, so the most load-bearing
+# unchecked rows rotate IN for driver-grade hash checks — d15 span
+# dedup, d18 SemDeDup, d21 fuzzy-Jaccard decontamination, s08 the
+# quantized-IVF retrieval path, t22 the trained quality model, e11
+# gap-fill. Six near-redundant driver rows rotate OUT: q08 SKIP-mode ⊂
+# q16's old-row-aware SKIP; q10 empty-children ⊂ q09's absent-vs-empty
+# distinction; s02 IVF ⊂ s08 (same cells + int8 quantization); t03
+# marker lang-guess superseded by t28's trained lang-ID; a02 approx
+# percentiles ⊂ a12 exact quantiles; e06 moving-avg is e01's windowed
+# sibling. Rotated-out rows keep full local verification via
+# tools/check_oracles (which runs QUERIES ∪ EXTRA_QUERIES).
+
+for _name in (
+    "d15_duplicate_spans",
+    "d18_semantic_dedup",
+    "d21_jaccard_contamination",
+    "s08_ivf_quantized_topk",
+    "t22_model_quality_score",
+    "e11_gapfill",
+):
+    QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+    ORACLES[_name] = EXTRA_ORACLES.pop(_name)
+for _name in (
+    "q08_filter_skip",
+    "q10_empty_children",
+    "s02_ivf_topk",
+    "t03_lang_guess",
+    "a02_percentiles",
+    "e06_moving_avg",
+):
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)
+    EXTRA_ORACLES[_name] = ORACLES.pop(_name)
+del _name

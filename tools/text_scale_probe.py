@@ -29,7 +29,9 @@ def _bench(spark, name, sf_dir):
     for _ in range(REPS):
         spark.catalog.clearCache()
         t0 = time.monotonic()
-        suite.EXTRA_QUERIES[name](spark, sf_dir).write.format("noop").mode(
+        ({**suite.QUERIES, **suite.EXTRA_QUERIES})[name](
+            spark, sf_dir
+        ).write.format("noop").mode(
             "overwrite"
         ).save()
         samples.append(time.monotonic() - t0)
