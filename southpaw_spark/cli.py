@@ -322,6 +322,15 @@ def corpus_stream_cmd(spark, cfg) -> None:
                 k.get("max_offsets_per_trigger", 250_000)
             ),
             python_source=True,
+            # adaptive catch-up (optional): deep backlogs drain in
+            # lag-proportional batches bounded by the ceiling
+            max_offsets_ceiling=(
+                int(k["max_offsets_ceiling"])
+                if "max_offsets_ceiling" in k else None
+            ),
+            adaptive_drain_triggers=int(
+                k.get("adaptive_drain_triggers", 1)
+            ),
         )
         stream = raw.select(
             F.from_json(

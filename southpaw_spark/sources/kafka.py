@@ -65,6 +65,8 @@ def kafka_cdc_stream(
     options: Mapping[str, str] | None = None,
     python_source: bool = False,
     planner_state_dir: str | None = None,
+    max_offsets_ceiling: int | None = None,
+    adaptive_drain_triggers: int = 1,
 ) -> DataFrame:
     """Raw CDC stream over one or more topics. ``maxOffsetsPerTrigger``
     bounds micro-batch size — the backpressure role of the reference's
@@ -80,7 +82,16 @@ def kafka_cdc_stream(
     RESTART against a deep backlog still caps its first micro-batch at
     ``maxOffsetsPerTrigger`` — without it the Python DS API's
     latest-before-initial call order leaves the first batch uncapped
-    (documented in ``sources/kafka_pyds.py``)."""
+    (documented in ``sources/kafka_pyds.py``).
+
+    ``max_offsets_ceiling`` (kafka_py only) turns on adaptive catch-up:
+    when backlog exceeds the steady-state cap, the per-trigger cap
+    scales to min(ceiling, max(cap, lag / adaptive_drain_triggers)) —
+    deep backlogs drain in fewer, bigger batches (the per-trigger fixed
+    cost dominates small IVM deltas, BASELINE §35) while lag ≤ cap
+    keeps the low-latency static behavior. Size the ceiling to the
+    largest micro-batch the executors can hold; the reference's
+    ``topic.lag.trigger`` drain trade (``Southpaw.java:258-282``)."""
     if python_source:
         from southpaw_spark.sources.kafka_pyds import register_kafka_py
 
@@ -93,6 +104,15 @@ def kafka_cdc_stream(
                 "(the JVM connector caps restarts natively)"
             )
         extra["plannerStateDir"] = planner_state_dir
+    if max_offsets_ceiling is not None:
+        if not python_source:
+            raise ValueError(
+                "max_offsets_ceiling applies to the kafka_py source only "
+                "(the JVM connector has no adaptive cap)"
+            )
+        extra["maxOffsetsPerTriggerCeiling"] = str(int(max_offsets_ceiling))
+        if adaptive_drain_triggers != 1:
+            extra["adaptiveDrainTriggers"] = str(int(adaptive_drain_triggers))
     reader = spark.readStream.format("kafka_py" if python_source else "kafka")
     for k, v in kafka_source_options(
         bootstrap_servers, topics, starting_offsets,

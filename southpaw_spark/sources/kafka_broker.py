@@ -31,17 +31,26 @@ from southpaw_spark.sources.kafka_wire import (
     API_LIST_OFFSETS,
     API_METADATA,
     API_PRODUCE,
+    API_SASL_AUTHENTICATE,
+    API_SASL_HANDSHAKE,
     API_VERSIONS,
     EARLIEST_TIMESTAMP,
+    ERR_ILLEGAL_SASL_STATE,
     ERR_NONE,
     ERR_NOT_LEADER_FOR_PARTITION,
     ERR_OFFSET_OUT_OF_RANGE,
+    ERR_SASL_AUTHENTICATION_FAILED,
     ERR_UNKNOWN_TOPIC_OR_PARTITION,
+    ERR_UNSUPPORTED_SASL_MECHANISM,
     LATEST_TIMESTAMP,
     Reader,
     Writer,
+    _hmac_sha256,
+    _xor,
     decode_record_batches,
     encode_record_batch,
+    scram_client_keys,
+    scram_salted_password,
 )
 
 # (api_key, min_version, max_version) advertised by ApiVersions
@@ -50,8 +59,12 @@ _SUPPORTED = [
     (API_FETCH, 4, 4),
     (API_LIST_OFFSETS, 1, 1),
     (API_METADATA, 0, 0),
+    (API_SASL_HANDSHAKE, 1, 1),
     (API_VERSIONS, 0, 0),
+    (API_SASL_AUTHENTICATE, 0, 0),
 ]
+
+_SASL_MECHS = ("PLAIN", "SCRAM-SHA-256")
 
 
 @dataclass
@@ -81,7 +94,13 @@ class EmbeddedKafkaBroker:
     """
 
     def __init__(
-        self, host: str = "127.0.0.1", port: int = 0, node_id: int = 0
+        self,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        node_id: int = 0,
+        certfile: str | None = None,
+        keyfile: str | None = None,
+        sasl_users: dict[str, str] | None = None,
     ) -> None:
         self._lock = threading.RLock()
         self._logs: dict[tuple[str, int], _PartitionLog] = {}
@@ -89,10 +108,29 @@ class EmbeddedKafkaBroker:
         self.node_id = node_id
         #: node_id -> (host, port); more entries after form_cluster()
         self.peers: dict[int, tuple[str, int]] = {}
+        # TLS listener (PEM cert/key) + SASL credential store — the
+        # loopback analog of a SASL_SSL-configured cluster, so the
+        # kafka_py client's auth path executes against real bytes
+        self._ssl_ctx = None
+        if certfile is not None:
+            import ssl as _ssl
+
+            self._ssl_ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_SERVER)
+            self._ssl_ctx.load_cert_chain(certfile, keyfile)
+        self._sasl_users = dict(sasl_users or {})
+        self.requires_sasl = bool(self._sasl_users)
         broker = self
 
         class _Handler(socketserver.BaseRequestHandler):
             def handle(self) -> None:  # one connection, many requests
+                # per-connection SASL state: unauthenticated connections
+                # may only speak ApiVersions / SaslHandshake /
+                # SaslAuthenticate, like a real sasl-enabled listener
+                conn = {
+                    "authenticated": not broker.requires_sasl,
+                    "mechanism": None,
+                    "scram": None,
+                }
                 try:
                     while True:
                         head = self._recv_exact(4)
@@ -102,7 +140,7 @@ class EmbeddedKafkaBroker:
                         payload = self._recv_exact(size)
                         if payload is None:
                             return
-                        resp = broker._handle_request(payload)
+                        resp = broker._handle_request(payload, conn)
                         self.request.sendall(
                             struct.pack(">i", len(resp)) + resp
                         )
@@ -121,6 +159,12 @@ class EmbeddedKafkaBroker:
         class _Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
             daemon_threads = True
+
+            def get_request(self):  # TLS listener: wrap accepted sockets
+                sock, addr = self.socket.accept()
+                if broker._ssl_ctx is not None:
+                    sock = broker._ssl_ctx.wrap_socket(sock, server_side=True)
+                return sock, addr
 
         self._server = _Server((host, port), _Handler)
         self.host, self.port = self._server.server_address[:2]
@@ -217,7 +261,8 @@ class EmbeddedKafkaBroker:
         return removed
 
     # -- wire protocol --------------------------------------------------------
-    def _handle_request(self, payload: bytes) -> bytes:
+    def _handle_request(self, payload: bytes, conn: dict | None = None) -> bytes:
+        conn = conn if conn is not None else {"authenticated": True}
         req = Reader(payload)
         api_key = req.int16()
         api_version = req.int16()
@@ -226,6 +271,16 @@ class EmbeddedKafkaBroker:
         out = Writer().int32(corr)  # response header v0
         if api_key == API_VERSIONS:
             self._api_versions(out)
+        elif api_key == API_SASL_HANDSHAKE and api_version == 1:
+            self._sasl_handshake(req, out, conn)
+        elif api_key == API_SASL_AUTHENTICATE and api_version == 0:
+            self._sasl_authenticate(req, out, conn)
+        elif not conn.get("authenticated"):
+            # a sasl-required listener drops the connection on any
+            # data-plane request before authentication — real brokers
+            # raise IllegalSaslStateException and close, so an
+            # auth-skipping client sees ConnectionError, not data
+            raise ConnectionError("unauthenticated data-plane request")
         elif api_key == API_METADATA and api_version == 0:
             self._metadata(req, out)
         elif api_key == API_LIST_OFFSETS and api_version == 1:
@@ -246,6 +301,117 @@ class EmbeddedKafkaBroker:
             _SUPPORTED,
             lambda w, v: w.int16(v[0]).int16(v[1]).int16(v[2]),
         )
+
+    # -- SASL (server side of the client's handshake) -------------------------
+
+    def _sasl_handshake(self, req: Reader, out: Writer, conn: dict) -> None:
+        mech = req.string()
+        if not self.requires_sasl or mech not in _SASL_MECHS:
+            out.int16(ERR_UNSUPPORTED_SASL_MECHANISM)
+            out.array(
+                list(_SASL_MECHS) if self.requires_sasl else [],
+                lambda w, m: w.string(m),
+            )
+            return
+        conn["mechanism"] = mech
+        conn["scram"] = None
+        out.int16(ERR_NONE).array(list(_SASL_MECHS), lambda w, m: w.string(m))
+
+    def _sasl_fail(self, out: Writer, msg: str) -> None:
+        out.int16(ERR_SASL_AUTHENTICATION_FAILED).string(msg)
+        out.nullable_bytes(b"")
+
+    def _sasl_authenticate(self, req: Reader, out: Writer, conn: dict) -> None:
+        token = req.nullable_bytes() or b""
+        mech = conn.get("mechanism")
+        if mech is None:
+            out.int16(ERR_ILLEGAL_SASL_STATE).string("handshake first")
+            out.nullable_bytes(b"")
+            return
+        if mech == "PLAIN":
+            parts = token.split(b"\0")
+            ok = (
+                len(parts) == 3
+                and self._sasl_users.get(parts[1].decode("utf-8", "replace"))
+                == parts[2].decode("utf-8", "replace")
+            )
+            if not ok:
+                self._sasl_fail(out, "invalid credentials")
+                return
+            conn["authenticated"] = True
+            out.int16(ERR_NONE).string(None).nullable_bytes(b"")
+            return
+        # SCRAM-SHA-256 server side (RFC 5802): two SaslAuthenticate
+        # round trips; the server never sees the plaintext on the wire
+        import base64
+        import hmac as _hmaclib
+        import secrets
+
+        if conn.get("scram") is None:
+            msg = token.decode("utf-8")
+            if not msg.startswith("n,,"):
+                self._sasl_fail(out, "malformed gs2 header")
+                return
+            client_first_bare = msg[3:]
+            attrs = dict(
+                kv.split("=", 1) for kv in client_first_bare.split(",")
+            )
+            user = attrs.get("n", "").replace("=2C", ",").replace("=3D", "=")
+            pwd = self._sasl_users.get(user)
+            salt = secrets.token_bytes(16)
+            iters = 4096
+            nonce = attrs.get("r", "") + secrets.token_urlsafe(18)
+            server_first = (
+                f"r={nonce},s={base64.b64encode(salt).decode('ascii')},"
+                f"i={iters}"
+            )
+            conn["scram"] = {
+                "user": user,
+                "pwd": pwd,  # None for unknown users: fails at proof
+                "salt": salt,
+                "iters": iters,
+                "nonce": nonce,
+                "client_first_bare": client_first_bare,
+                "server_first": server_first,
+            }
+            out.int16(ERR_NONE).string(None)
+            out.nullable_bytes(server_first.encode("utf-8"))
+            return
+        st = conn["scram"]
+        conn["scram"] = None
+        msg = token.decode("utf-8")
+        attrs = dict(kv.split("=", 1) for kv in msg.split(","))
+        proof_b64 = attrs.get("p")
+        client_final_bare = msg.rsplit(",p=", 1)[0]
+        if (
+            st["pwd"] is None
+            or proof_b64 is None
+            or attrs.get("r") != st["nonce"]
+        ):
+            self._sasl_fail(out, "authentication failed")
+            return
+        salted = scram_salted_password(st["pwd"], st["salt"], st["iters"])
+        client_key, stored_key, server_key = scram_client_keys(salted)
+        auth_message = ",".join(
+            (st["client_first_bare"], st["server_first"], client_final_bare)
+        ).encode("utf-8")
+        want_key = _xor(
+            base64.b64decode(proof_b64),
+            _hmac_sha256(stored_key, auth_message),
+        )
+        import hashlib as _hashlib
+
+        if not _hmaclib.compare_digest(
+            _hashlib.sha256(want_key).digest(), stored_key
+        ):
+            self._sasl_fail(out, "authentication failed")
+            return
+        conn["authenticated"] = True
+        sig = base64.b64encode(
+            _hmac_sha256(server_key, auth_message)
+        ).decode("ascii")
+        out.int16(ERR_NONE).string(None)
+        out.nullable_bytes(f"v={sig}".encode("utf-8"))
 
     def _leader_of(self, partition: int) -> int:
         """Single node: everything. Clustered (form_cluster): leaders

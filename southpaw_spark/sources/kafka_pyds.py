@@ -58,6 +58,7 @@ from pyspark.sql.types import (
 )
 
 from southpaw_spark.sources.kafka_wire import (
+    SecurityConfig,
     EARLIEST_TIMESTAMP,
     LATEST_TIMESTAMP,
     KafkaWireClient,
@@ -107,6 +108,7 @@ class KafkaSlice(InputPartition):  # type: ignore[misc]
     start: int
     end: int
     include_headers: bool = False
+    security: SecurityConfig | None = None
 
 
 def _bootstrap_list(options) -> list[tuple[str, int]]:
@@ -120,13 +122,54 @@ def _bootstrap_list(options) -> list[tuple[str, int]]:
     return parse_bootstrap(servers)
 
 
-def _connect_any(bootstrap: Sequence[tuple[str, int]]) -> KafkaWireClient:
+def _security(options) -> SecurityConfig | None:
+    """JVM-connector-parity option names → :class:`SecurityConfig`.
+    ``kafka.security.protocol`` / ``kafka.sasl.mechanism`` match the
+    JVM source; credentials come from ``kafka.sasl.username`` +
+    ``kafka.sasl.password`` or a JVM-style ``kafka.sasl.jaas.config``
+    (PlainLoginModule/ScramLoginModule ``username="…" password="…"``);
+    TLS PEM paths use the public librdkafka names
+    (``kafka.ssl.ca.location`` etc. — the JVM's JKS truststores don't
+    exist jar-free). Returns None for PLAINTEXT with no knobs set, so
+    the default path allocates nothing."""
+    proto = (options.get("kafka.security.protocol") or "PLAINTEXT").upper()
+    user = options.get("kafka.sasl.username")
+    pwd = options.get("kafka.sasl.password")
+    jaas = options.get("kafka.sasl.jaas.config")
+    if jaas and (user is None or pwd is None):
+        import re as _re
+
+        m_u = _re.search(r'username\s*=\s*"([^"]*)"', jaas)
+        m_p = _re.search(r'password\s*=\s*"([^"]*)"', jaas)
+        user = user if user is not None else (m_u.group(1) if m_u else None)
+        pwd = pwd if pwd is not None else (m_p.group(1) if m_p else None)
+    cfg = SecurityConfig(
+        protocol=proto,
+        sasl_mechanism=options.get("kafka.sasl.mechanism"),
+        username=user,
+        password=pwd,
+        ssl_cafile=options.get("kafka.ssl.ca.location"),
+        ssl_certfile=options.get("kafka.ssl.certificate.location"),
+        ssl_keyfile=options.get("kafka.ssl.key.location"),
+        ssl_endpoint_identification=options.get(
+            "kafka.ssl.endpoint.identification.algorithm", "https"
+        ),
+    )
+    if cfg == SecurityConfig():
+        return None
+    return cfg
+
+
+def _connect_any(
+    bootstrap: Sequence[tuple[str, int]],
+    security: SecurityConfig | None = None,
+) -> KafkaWireClient:
     """Dial bootstrap servers in order until one accepts — standard
     client bootstrap failover."""
     last: Exception | None = None
     for host, port in bootstrap:
         try:
-            return KafkaWireClient(host, port)
+            return KafkaWireClient(host, port, security=security)
         except OSError as e:
             last = e
     raise last if last else IOError("empty bootstrap list")
@@ -159,6 +202,7 @@ def _subscription(options) -> tuple[str, object]:
 def _leaders(
     bootstrap: Sequence[tuple[str, int]],
     sub: tuple[str, object],
+    security: SecurityConfig | None = None,
 ) -> tuple[dict[tuple[str, int], tuple[str, int]], list[str]]:
     """({(topic, partition): leader (host, port)}, matched topics) from
     cluster metadata for any subscription mode. A real cluster serves a
@@ -173,7 +217,7 @@ def _leaders(
         else sorted(value) if mode == "assign"  # type: ignore[arg-type]
         else []  # pattern: list ALL topics, filter below
     )
-    with _connect_any(bootstrap) as client:
+    with _connect_any(bootstrap, security) as client:
         brokers, parts = client.metadata(ask)
         addr = {b.node_id: (b.host, b.port) for b in brokers}
         out: dict[tuple[str, int], tuple[str, int]] = {}
@@ -207,6 +251,7 @@ def _offsets_at(
     leaders: dict[tuple[str, int], tuple[str, int]],
     topics: Sequence[str],
     timestamp: int,
+    security: SecurityConfig | None = None,
 ) -> dict[str, dict[str, int]]:
     """{topic: {partition(str): offset}} at earliest/latest, asking
     each partition's LEADER (string partition keys: stream offsets
@@ -216,7 +261,7 @@ def _offsets_at(
         by_leader.setdefault(hp, {}).setdefault(topic, []).append(p)
     out: dict[str, dict[str, int]] = {t: {} for t in topics}
     for (host, port), tps in by_leader.items():
-        with KafkaWireClient(host, port) as client:
+        with KafkaWireClient(host, port, security=security) as client:
             for topic, pids in tps.items():
                 offs = client.list_offsets(topic, sorted(pids), timestamp)
                 out.setdefault(topic, {}).update(
@@ -229,17 +274,18 @@ def _resolve_offset_spec(
     spec: str,
     leaders: dict[tuple[str, int], tuple[str, int]],
     topics: Sequence[str],
+    security: SecurityConfig | None = None,
 ) -> dict[str, dict[str, int]]:
     spec = (spec or "earliest").strip()
     if spec == "earliest":
-        return _offsets_at(leaders, topics, EARLIEST_TIMESTAMP)
+        return _offsets_at(leaders, topics, EARLIEST_TIMESTAMP, security)
     if spec == "latest":
-        return _offsets_at(leaders, topics, LATEST_TIMESTAMP)
+        return _offsets_at(leaders, topics, LATEST_TIMESTAMP, security)
     # JVM-source JSON form: {"topic": {"0": 23, "1": -1}} (-1 latest, -2 earliest)
     parsed = json.loads(spec)
-    latest = _offsets_at(leaders, topics, LATEST_TIMESTAMP)
+    latest = _offsets_at(leaders, topics, LATEST_TIMESTAMP, security)
     earliest = (
-        _offsets_at(leaders, topics, EARLIEST_TIMESTAMP)
+        _offsets_at(leaders, topics, EARLIEST_TIMESTAMP, security)
         if any(o == -2 for ps in parsed.values() for o in ps.values())
         else {}
     )
@@ -282,7 +328,7 @@ def _read_slice(sl: KafkaSlice) -> Iterator:
     if sl.include_headers:
         fields.append(("headers", header_t))
     arrow_schema = pa.schema(fields)
-    with KafkaWireClient(sl.host, sl.port) as client:
+    with KafkaWireClient(sl.host, sl.port, security=sl.security) as client:
         offset = sl.start
         empty_rounds = 0
         while offset < sl.end:
@@ -364,6 +410,7 @@ def _plan_slices(
     start: dict[str, dict[str, int]],
     end: dict[str, dict[str, int]],
     include_headers: bool = False,
+    security: SecurityConfig | None = None,
 ) -> list[KafkaSlice]:
     """One executor task per (topic-partition, offset-range), addressed
     to the partition's leader."""
@@ -375,7 +422,8 @@ def _plan_slices(
                 host, port = leaders[(topic, int(p))]
                 slices.append(
                     KafkaSlice(
-                        host, port, topic, int(p), s, e, include_headers
+                        host, port, topic, int(p), s, e, include_headers,
+                        security,
                     )
                 )
     return slices
@@ -386,20 +434,24 @@ class KafkaPyBatchReader(DataSourceReader):  # type: ignore[misc]
 
     def __init__(self, options) -> None:
         bootstrap = _bootstrap_list(options)
-        self.leaders, topics = _leaders(bootstrap, _subscription(options))
+        self.security = _security(options)
+        self.leaders, topics = _leaders(
+            bootstrap, _subscription(options), self.security
+        )
         self.include_headers = _include_headers(options)
         self.start = _resolve_offset_spec(
             options.get("startingOffsets", "earliest"),
-            self.leaders, topics,
+            self.leaders, topics, self.security,
         )
         self.end = _resolve_offset_spec(
             options.get("endingOffsets", "latest"),
-            self.leaders, topics,
+            self.leaders, topics, self.security,
         )
 
     def partitions(self) -> Sequence[InputPartition]:
         return _plan_slices(
-            self.leaders, self.start, self.end, self.include_headers
+            self.leaders, self.start, self.end, self.include_headers,
+            self.security,
         )
 
     def read(self, partition: KafkaSlice) -> Iterator[tuple]:
@@ -415,10 +467,40 @@ class KafkaPyStreamReader(DataSourceStreamReader):  # type: ignore[misc]
     def __init__(self, options) -> None:
         self.bootstrap = _bootstrap_list(options)
         self.sub = _subscription(options)
+        self.security = _security(options)
         self.include_headers = _include_headers(options)
         self.starting = options.get("startingOffsets", "earliest")
         cap = options.get("maxOffsetsPerTrigger")
         self.max_per_trigger = int(cap) if cap else None
+        # Adaptive catch-up (the reference's lag-triggered drain trade,
+        # ``Southpaw.java:258-282``): with a ceiling set, the effective
+        # cap scales with backlog — min(ceiling, max(cap, lag/K)) where
+        # K = adaptiveDrainTriggers (default 1). The per-trigger fixed
+        # cost dominates small IVM batches (BASELINE §35: a 3× bigger
+        # delta costs the same wall), so deep backlogs drain in fewer,
+        # bigger batches; the ceiling is the memory bound (size it to
+        # the largest batch the executors can hold), and K>1 keeps
+        # per-batch state proportional to REMAINING lag (a geometric
+        # taper back to the low-latency cap) instead of pinning every
+        # catch-up batch at the ceiling. Steady state — lag ≤ cap —
+        # behaves exactly as the static cap.
+        ceiling = options.get("maxOffsetsPerTriggerCeiling")
+        self.cap_ceiling = int(ceiling) if ceiling else None
+        if self.cap_ceiling is not None:
+            if self.max_per_trigger is None:
+                raise ValueError(
+                    "maxOffsetsPerTriggerCeiling requires "
+                    "maxOffsetsPerTrigger (the steady-state cap)"
+                )
+            if self.cap_ceiling < self.max_per_trigger:
+                raise ValueError(
+                    "maxOffsetsPerTriggerCeiling must be >= "
+                    "maxOffsetsPerTrigger; got "
+                    f"{self.cap_ceiling} < {self.max_per_trigger}"
+                )
+        self.drain_triggers = max(
+            1, int(options.get("adaptiveDrainTriggers", "1"))
+        )
         self._last_planned: dict[str, dict[str, int]] | None = None
         self._leader_map: dict | None = None
         self.topics: list[str] = []
@@ -487,12 +569,15 @@ class KafkaPyStreamReader(DataSourceStreamReader):  # type: ignore[misc]
         # re-resolved every trigger (one Metadata call) so leader moves
         # — and pattern-matched topics appearing mid-stream — are picked
         # up, like the JVM consumer
-        self._leader_map, self.topics = _leaders(self.bootstrap, self.sub)
+        self._leader_map, self.topics = _leaders(
+            self.bootstrap, self.sub, self.security
+        )
         return self._leader_map
 
     def initialOffset(self) -> dict:
         first = _resolve_offset_spec(
-            self.starting, self._refresh_leaders(), self.topics
+            self.starting, self._refresh_leaders(), self.topics,
+            self.security,
         )
         self._last_planned = first
         self._save_planned(first)
@@ -500,7 +585,8 @@ class KafkaPyStreamReader(DataSourceStreamReader):  # type: ignore[misc]
 
     def latestOffset(self) -> dict:
         real_end = _offsets_at(
-            self._refresh_leaders(), self.topics, LATEST_TIMESTAMP
+            self._refresh_leaders(), self.topics, LATEST_TIMESTAMP,
+            self.security,
         )
         cap = self.max_per_trigger
         base = self._last_planned
@@ -530,6 +616,17 @@ class KafkaPyStreamReader(DataSourceStreamReader):  # type: ignore[misc]
         if total <= cap:
             self._last_planned = real_end
             return real_end
+        if self.cap_ceiling is not None:
+            # lag-proportional catch-up sizing (see __init__): take
+            # lag/K per trigger, never below the steady-state cap,
+            # never above the memory ceiling
+            cap = min(
+                self.cap_ceiling,
+                max(cap, -(-total // self.drain_triggers)),
+            )
+            if total <= cap:
+                self._last_planned = real_end
+                return real_end
         # proportional apportionment, ≥1 per lagging partition so every
         # partition makes progress (mirrors the JVM proportional limiter)
         planned: dict[str, dict[str, int]] = {}
@@ -549,7 +646,9 @@ class KafkaPyStreamReader(DataSourceStreamReader):  # type: ignore[misc]
         self._last_planned = end
         self._save_planned(end)
         leaders = self._leader_map or self._refresh_leaders()
-        return _plan_slices(leaders, start, end, self.include_headers)
+        return _plan_slices(
+            leaders, start, end, self.include_headers, self.security
+        )
 
     def read(self, partition: KafkaSlice) -> Iterator[tuple]:
         return _read_slice(partition)
@@ -619,6 +718,7 @@ class KafkaPyWriter(DataSourceWriter):  # type: ignore[misc]
 
     def __init__(self, options) -> None:
         self.bootstrap = _bootstrap_list(options)
+        self.security = _security(options)
         self.topic = options.get("topic")
         self.chunk = int(options.get("produceBatchSize", "500"))
 
@@ -633,12 +733,16 @@ class KafkaPyWriter(DataSourceWriter):  # type: ignore[misc]
 
         def client_for(addr: tuple[str, int]) -> KafkaWireClient:
             if addr not in clients:
-                clients[addr] = KafkaWireClient(*addr)
+                clients[addr] = KafkaWireClient(
+                    *addr, security=self.security
+                )
             return clients[addr]
 
         def discover(topic: str) -> None:
             if topic not in n_parts_cache:
-                fresh, _ = _leaders(self.bootstrap, ("subscribe", [topic]))
+                fresh, _ = _leaders(
+                    self.bootstrap, ("subscribe", [topic]), self.security
+                )
                 leaders.update(fresh)
                 n_parts_cache[topic] = max(
                     len([1 for (t, _p) in fresh if t == topic]), 1

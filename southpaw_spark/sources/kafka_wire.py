@@ -552,12 +552,17 @@ API_PRODUCE = 0
 API_FETCH = 1
 API_LIST_OFFSETS = 2
 API_METADATA = 3
+API_SASL_HANDSHAKE = 17
 API_VERSIONS = 18
+API_SASL_AUTHENTICATE = 36
 
 ERR_NONE = 0
 ERR_OFFSET_OUT_OF_RANGE = 1
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
 ERR_NOT_LEADER_FOR_PARTITION = 6
+ERR_UNSUPPORTED_SASL_MECHANISM = 33
+ERR_ILLEGAL_SASL_STATE = 34
+ERR_SASL_AUTHENTICATION_FAILED = 58
 
 EARLIEST_TIMESTAMP = -2
 LATEST_TIMESTAMP = -1
@@ -582,6 +587,109 @@ def encode_request(
     )
     payload = head + body
     return struct.pack(">i", len(payload)) + payload
+
+
+# ---------------------------------------------------------------------------
+# Security: TLS + SASL (PLAIN, SCRAM-SHA-256) — RFC 4616 / RFC 5802 and
+# the public Kafka SaslHandshake v1 / SaslAuthenticate v0 APIs. The
+# reference inherits auth from arbitrary Kafka client configs
+# (topic/KafkaTopic.java:47 passes the consumer config map through);
+# most real clusters require SASL_SSL, so the jar-free client speaks it
+# too. Pure stdlib: ssl for the transport, hashlib/hmac for SCRAM.
+# ---------------------------------------------------------------------------
+
+_SECURITY_PROTOCOLS = ("PLAINTEXT", "SSL", "SASL_PLAINTEXT", "SASL_SSL")
+_SASL_MECHANISMS = ("PLAIN", "SCRAM-SHA-256")
+
+
+@dataclass(frozen=True)
+class SecurityConfig:
+    """Transport security for :class:`KafkaWireClient` — the jar-free
+    analog of the JVM client's ``security.protocol`` family. Picklable
+    (it rides inside each executor's ``KafkaSlice``)."""
+
+    protocol: str = "PLAINTEXT"
+    sasl_mechanism: str | None = None
+    username: str | None = None
+    password: str | None = None
+    #: PEM paths (librdkafka-style names in the option surface)
+    ssl_cafile: str | None = None
+    ssl_certfile: str | None = None
+    ssl_keyfile: str | None = None
+    #: "https" (default, hostname verified) or "" (disabled) — the
+    #: Kafka ``ssl.endpoint.identification.algorithm`` convention
+    ssl_endpoint_identification: str = "https"
+
+    def __post_init__(self) -> None:
+        if self.protocol not in _SECURITY_PROTOCOLS:
+            raise ValueError(
+                f"security protocol must be one of {_SECURITY_PROTOCOLS}; "
+                f"got {self.protocol!r}"
+            )
+        if self.uses_sasl:
+            if self.sasl_mechanism not in _SASL_MECHANISMS:
+                raise ValueError(
+                    f"sasl mechanism must be one of {_SASL_MECHANISMS}; "
+                    f"got {self.sasl_mechanism!r}"
+                )
+            if self.username is None or self.password is None:
+                raise ValueError(
+                    f"{self.protocol} requires username and password"
+                )
+
+    @property
+    def uses_tls(self) -> bool:
+        return self.protocol in ("SSL", "SASL_SSL")
+
+    @property
+    def uses_sasl(self) -> bool:
+        return self.protocol in ("SASL_PLAINTEXT", "SASL_SSL")
+
+    def wrap_socket(self, sock, server_hostname: str):
+        import ssl as _ssl
+
+        ctx = _ssl.create_default_context(cafile=self.ssl_cafile)
+        if self.ssl_certfile:
+            ctx.load_cert_chain(self.ssl_certfile, self.ssl_keyfile)
+        if self.ssl_endpoint_identification != "https":
+            ctx.check_hostname = False
+        if self.ssl_cafile is None and not ctx.check_hostname:
+            # no CA pinned and hostname checks off: still TLS-encrypted,
+            # unverified peer (test/loopback posture, like the JVM
+            # client with an empty truststore + "" endpoint algorithm)
+            ctx.verify_mode = _ssl.CERT_NONE
+        return ctx.wrap_socket(sock, server_hostname=server_hostname)
+
+
+# -- SCRAM-SHA-256 primitives (RFC 5802), shared by client and the test
+# broker's server side ------------------------------------------------------
+
+def _hmac_sha256(key: bytes, msg: bytes) -> bytes:
+    import hmac as _hmac
+
+    return _hmac.new(key, msg, "sha256").digest()
+
+
+def scram_salted_password(password: str, salt: bytes, iterations: int) -> bytes:
+    import hashlib as _hashlib
+
+    return _hashlib.pbkdf2_hmac(
+        "sha256", password.encode("utf-8"), salt, iterations
+    )
+
+
+def scram_client_keys(salted: bytes) -> tuple[bytes, bytes, bytes]:
+    """(client_key, stored_key, server_key) per RFC 5802 §3."""
+    import hashlib as _hashlib
+
+    client_key = _hmac_sha256(salted, b"Client Key")
+    stored_key = _hashlib.sha256(client_key).digest()
+    server_key = _hmac_sha256(salted, b"Server Key")
+    return client_key, stored_key, server_key
+
+
+def _xor(a: bytes, b: bytes) -> bytes:
+    return bytes(x ^ y for x, y in zip(a, b))
 
 
 # ---------------------------------------------------------------------------
@@ -618,10 +726,24 @@ class KafkaWireClient:
         port: int,
         client_id: str = "southpaw-spark",
         timeout_s: float = 10.0,
+        security: SecurityConfig | None = None,
     ) -> None:
         self.client_id = client_id
         self._corr = 0
         self._sock = socket.create_connection((host, port), timeout=timeout_s)
+        sec = security or SecurityConfig()
+        if sec.uses_tls:
+            try:
+                self._sock = sec.wrap_socket(self._sock, server_hostname=host)
+            except Exception:
+                self._sock.close()
+                raise
+        if sec.uses_sasl:
+            try:
+                self._sasl_authenticate(sec)
+            except Exception:
+                self._sock.close()
+                raise
 
     def close(self) -> None:
         try:
@@ -657,6 +779,82 @@ class KafkaWireClient:
         if got != corr:
             raise ValueError(f"correlation id mismatch: sent {corr}, got {got}")
         return resp
+
+    # -- SASL (SaslHandshake v1 + SaslAuthenticate v0) -----------------------
+    def _sasl_send(self, token: bytes) -> bytes:
+        """One SaslAuthenticate round trip; returns the server token."""
+        r = self._call(
+            API_SASL_AUTHENTICATE, 0, Writer().nullable_bytes(token).build()
+        )
+        err = r.int16()
+        msg = r.string()
+        server_token = r.nullable_bytes() or b""
+        if err:
+            raise PermissionError(
+                f"SASL authentication failed (error {err}): {msg or ''}"
+            )
+        return server_token
+
+    def _sasl_authenticate(self, sec: SecurityConfig) -> None:
+        # handshake v1: the broker confirms the mechanism, then tokens
+        # flow wrapped in SaslAuthenticate (NOT raw on the socket — that
+        # is the legacy v0 flow)
+        r = self._call(
+            API_SASL_HANDSHAKE, 1, Writer().string(sec.sasl_mechanism).build()
+        )
+        err = r.int16()
+        enabled = r.array(lambda rr: rr.string())
+        if err:
+            raise PermissionError(
+                f"SASL mechanism {sec.sasl_mechanism!r} rejected "
+                f"(error {err}); broker enables {enabled}"
+            )
+        user, pwd = sec.username or "", sec.password or ""
+        if sec.sasl_mechanism == "PLAIN":
+            # RFC 4616: [authzid] NUL authcid NUL passwd
+            self._sasl_send(
+                b"\0" + user.encode("utf-8") + b"\0" + pwd.encode("utf-8")
+            )
+            return
+        # SCRAM-SHA-256 (RFC 5802) — mutual: the client also VERIFIES
+        # the server signature, so a server that doesn't know the
+        # password fails loudly here
+        import base64
+        import secrets
+
+        cnonce = secrets.token_urlsafe(18)
+        # RFC 5802 §5.1: "=" and "," in usernames are escaped
+        user_esc = user.replace("=", "=3D").replace(",", "=2C")
+        client_first_bare = f"n={user_esc},r={cnonce}"
+        server_first = self._sasl_send(
+            ("n,," + client_first_bare).encode("utf-8")
+        ).decode("utf-8")
+        attrs = dict(kv.split("=", 1) for kv in server_first.split(","))
+        nonce, salt_b64, iters = attrs["r"], attrs["s"], int(attrs["i"])
+        if not nonce.startswith(cnonce):
+            raise PermissionError("SCRAM server nonce does not extend ours")
+        salted = scram_salted_password(pwd, base64.b64decode(salt_b64), iters)
+        client_key, stored_key, server_key = scram_client_keys(salted)
+        client_final_bare = f"c=biws,r={nonce}"  # biws = b64("n,,")
+        auth_message = ",".join(
+            (client_first_bare, server_first, client_final_bare)
+        ).encode("utf-8")
+        proof = _xor(client_key, _hmac_sha256(stored_key, auth_message))
+        server_final = self._sasl_send(
+            (
+                client_final_bare
+                + ",p="
+                + base64.b64encode(proof).decode("ascii")
+            ).encode("utf-8")
+        ).decode("utf-8")
+        want_v = base64.b64encode(
+            _hmac_sha256(server_key, auth_message)
+        ).decode("ascii")
+        if server_final != f"v={want_v}":
+            raise PermissionError(
+                "SCRAM server signature mismatch — the broker does not "
+                "hold this credential (possible MITM); aborting"
+            )
 
     # -- APIs ---------------------------------------------------------------
     def api_versions(self) -> dict[int, tuple[int, int]]:

@@ -834,7 +834,7 @@ def test_read_slice_no_progress_is_bounded(monkeypatch):
     class StaleClient:
         calls = 0
 
-        def __init__(self, host, port):
+        def __init__(self, host, port, security=None):
             pass
 
         def __enter__(self):
@@ -999,3 +999,88 @@ def test_planner_state_dir_ignored_for_other_subscription(spark, tmp_path):
         assert drain("a", "ckpt_a") == 6
         # same dir, different topic: stale base ignored, full read
         assert drain("b", "ckpt_b") == 6
+
+
+def test_adaptive_cap_drains_backlog_with_lag_proportional_batches(
+    spark, tmp_path
+):
+    """Round-14 adaptive catch-up (the reference's lag-triggered drain
+    trade, Southpaw.java:258-282): with maxOffsetsPerTriggerCeiling
+    set, a deep backlog drains in lag-proportional batches —
+    min(ceiling, max(cap, lag/K)) — tapering geometrically back to the
+    steady-state cap instead of crawling at cap-sized batches.
+    plannerStateDir makes the restart deterministic: base offsets are
+    persisted, so the taper is exactly [30, 15, 10, 5] for a 60-record
+    backlog at cap=10, ceiling=40, K=2."""
+    with EmbeddedKafkaBroker() as broker:
+        broker.create_topic("cdc", partitions=2)
+        for i in range(4):
+            broker.append("cdc", i % 2, b"k", b"v", 1000 + i)
+        register_kafka_py(spark)
+        stream = (
+            spark.readStream.format("kafka_py")
+            .option("kafka.bootstrap.servers", broker.bootstrap)
+            .option("subscribe", "cdc")
+            .option("maxOffsetsPerTrigger", "10")
+            .option("maxOffsetsPerTriggerCeiling", "40")
+            .option("adaptiveDrainTriggers", "2")
+            .option("plannerStateDir", str(tmp_path / "planner"))
+            .load()
+        )
+        ckpt = str(tmp_path / "ckpt")
+        seen: list[int] = []
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, e: seen.append(df.count())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert sum(seen) == 4
+        # deep backlog lands while the query is STOPPED
+        for i in range(60):
+            broker.append("cdc", i % 2, b"k", b"v", 2000 + i)
+        seen2: list[int] = []
+        q2 = (
+            stream.writeStream.foreachBatch(
+                lambda df, e: seen2.append(df.count())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            _wait(lambda: sum(seen2) >= 60)
+        finally:
+            q2.stop()
+            q2.awaitTermination(60)
+        # lag 60 → 30 (lag/2); lag 30 → effective 15, floor-apportioned
+        # 7+7=14 across the two even partitions; lag 16 → effective 10
+        # (the steady-state cap wins over lag/2=8), apportioned 5+5;
+        # lag 6 ≤ cap → uncapped branch takes the remaining 6
+        batches = [c for c in seen2 if c]
+        assert batches == [30, 14, 10, 6], seen2
+        assert batches[0] > 10  # the adaptive cap really engaged
+        assert all(c <= 40 for c in batches)  # ceiling respected
+
+
+def test_adaptive_cap_option_validation():
+    """Ceiling without a cap, or below the cap, fails loudly at reader
+    construction — a silent fallback would mask a misconfigured drain."""
+    import pytest
+
+    from southpaw_spark.sources.kafka_pyds import KafkaPyStreamReader
+
+    base = {
+        "kafka.bootstrap.servers": "localhost:9999",
+        "subscribe": "t",
+    }
+    with pytest.raises(ValueError, match="requires"):
+        KafkaPyStreamReader({**base, "maxOffsetsPerTriggerCeiling": "100"})
+    with pytest.raises(ValueError, match="must be >="):
+        KafkaPyStreamReader(
+            {**base, "maxOffsetsPerTrigger": "100",
+             "maxOffsetsPerTriggerCeiling": "50"}
+        )

@@ -1,0 +1,205 @@
+"""TLS + SASL for the jar-free ``kafka_py`` client (VERDICT r13 #4).
+
+The reference inherits auth from arbitrary Kafka client configs
+(``topic/KafkaTopic.java:47`` passes the consumer config map through);
+most real clusters require SASL_SSL. These tests drive the pure-Python
+handshake end-to-end against the loopback broker: a TLS-wrapped
+listener (real self-signed cert, hostname-verified) and SASL PLAIN +
+SCRAM-SHA-256 (RFC 5802/7677) exchanges, then the full Spark read path
+over the authenticated transport.
+"""
+
+from __future__ import annotations
+
+import base64
+import subprocess
+
+import pytest
+
+from southpaw_spark.sources.kafka_broker import EmbeddedKafkaBroker
+from southpaw_spark.sources.kafka_wire import (
+    KafkaWireClient,
+    SecurityConfig,
+    _hmac_sha256,
+    _xor,
+    scram_client_keys,
+    scram_salted_password,
+)
+
+
+def _self_signed(tmp_path):
+    cert = str(tmp_path / "cert.pem")
+    key = str(tmp_path / "key.pem")
+    subprocess.run(
+        [
+            "openssl", "req", "-x509", "-newkey", "rsa:2048",
+            "-keyout", key, "-out", cert, "-days", "1", "-nodes",
+            "-subj", "/CN=127.0.0.1",
+            "-addext", "subjectAltName=IP:127.0.0.1",
+        ],
+        check=True, capture_output=True,
+    )
+    return cert, key
+
+
+def test_scram_sha256_rfc7677_vectors():
+    """Pin the SCRAM-SHA-256 primitives to the RFC 7677 §3 example
+    (user "user", password "pencil"): the client proof and server
+    signature must reproduce bit-for-bit."""
+    salt = base64.b64decode("W22ZaJ0SNY7soEsUEjb6gQ==")
+    salted = scram_salted_password("pencil", salt, 4096)
+    client_key, stored_key, server_key = scram_client_keys(salted)
+    client_first_bare = "n=user,r=rOprNGfwEbeRWgbNEkqO"
+    server_first = (
+        "r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        "s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+    )
+    client_final_bare = (
+        "c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0"
+    )
+    auth_message = ",".join(
+        (client_first_bare, server_first, client_final_bare)
+    ).encode()
+    proof = _xor(client_key, _hmac_sha256(stored_key, auth_message))
+    assert (
+        base64.b64encode(proof).decode()
+        == "dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ="
+    )
+    assert (
+        base64.b64encode(_hmac_sha256(server_key, auth_message)).decode()
+        == "6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4="
+    )
+
+
+def test_security_config_validation():
+    with pytest.raises(ValueError, match="protocol"):
+        SecurityConfig(protocol="TLS")
+    with pytest.raises(ValueError, match="mechanism"):
+        SecurityConfig(protocol="SASL_PLAINTEXT", sasl_mechanism="GSSAPI")
+    with pytest.raises(ValueError, match="username and password"):
+        SecurityConfig(protocol="SASL_SSL", sasl_mechanism="PLAIN")
+
+
+@pytest.mark.parametrize("mechanism", ["PLAIN", "SCRAM-SHA-256"])
+def test_sasl_over_tls_roundtrip(tmp_path, mechanism):
+    """Full SASL_SSL handshake against the loopback broker: TLS with a
+    hostname-verified self-signed cert, SASL auth, then real
+    produce/fetch traffic on the authenticated connection."""
+    cert, key = _self_signed(tmp_path)
+    users = {"svc": "hunter2"}
+    with EmbeddedKafkaBroker(certfile=cert, keyfile=key,
+                             sasl_users=users) as broker:
+        broker.create_topic("t", partitions=1)
+        sec = SecurityConfig(
+            protocol="SASL_SSL", sasl_mechanism=mechanism,
+            username="svc", password="hunter2", ssl_cafile=cert,
+        )
+        with KafkaWireClient(broker.host, broker.port,
+                             security=sec) as client:
+            client.produce("t", 0, [(b"k1", b"v1", 1000)])
+            client.produce("t", 0, [(b"k2", b"v2", 1001)])
+            records, hwm = client.fetch("t", 0, 0)
+            assert hwm == 2
+            assert [(r.key, r.value) for r in records] == [
+                (b"k1", b"v1"), (b"k2", b"v2"),
+            ]
+
+
+@pytest.mark.parametrize("mechanism", ["PLAIN", "SCRAM-SHA-256"])
+def test_sasl_bad_password_rejected(tmp_path, mechanism):
+    cert, key = _self_signed(tmp_path)
+    with EmbeddedKafkaBroker(certfile=cert, keyfile=key,
+                             sasl_users={"svc": "hunter2"}) as broker:
+        sec = SecurityConfig(
+            protocol="SASL_SSL", sasl_mechanism=mechanism,
+            username="svc", password="wrong", ssl_cafile=cert,
+        )
+        with pytest.raises(PermissionError):
+            KafkaWireClient(broker.host, broker.port, security=sec)
+        # unknown user fails identically (no username oracle)
+        sec2 = SecurityConfig(
+            protocol="SASL_SSL", sasl_mechanism=mechanism,
+            username="ghost", password="hunter2", ssl_cafile=cert,
+        )
+        with pytest.raises(PermissionError):
+            KafkaWireClient(broker.host, broker.port, security=sec2)
+
+
+def test_unauthenticated_data_plane_refused(tmp_path):
+    """A SASL-required listener answers data-plane APIs with
+    ILLEGAL_SASL_STATE until the connection authenticates — a client
+    that skips auth cannot read or write."""
+    with EmbeddedKafkaBroker(sasl_users={"svc": "pw"}) as broker:
+        broker.create_topic("t", partitions=1)
+        # plaintext listener (no cert) but SASL required: connect raw —
+        # the broker drops the connection (real IllegalSaslState behavior)
+        with KafkaWireClient(broker.host, broker.port) as client:
+            with pytest.raises((ConnectionError, OSError)):
+                client.metadata(["t"])
+        sec = SecurityConfig(
+            protocol="SASL_PLAINTEXT", sasl_mechanism="PLAIN",
+            username="svc", password="pw",
+        )
+        with KafkaWireClient(broker.host, broker.port,
+                             security=sec) as client:
+            _, parts = client.metadata(["t"])
+            assert [(p.topic, p.partition) for p in parts] == [("t", 0)]
+
+
+def test_tls_hostname_verification_enforced(tmp_path):
+    """With the default endpoint identification ("https"), a cert that
+    doesn't match the peer fails the handshake; disabling it (the Kafka
+    "" convention) connects."""
+    import ssl
+
+    cert, key = _self_signed(tmp_path)
+    # cert is for 127.0.0.1; connect via "localhost" so SAN mismatches
+    with EmbeddedKafkaBroker(certfile=cert, keyfile=key) as broker:
+        broker.create_topic("t", partitions=1)
+        strict = SecurityConfig(protocol="SSL", ssl_cafile=cert)
+        with pytest.raises((ssl.SSLCertVerificationError, OSError)):
+            KafkaWireClient("localhost", broker.port, security=strict)
+        relaxed = SecurityConfig(
+            protocol="SSL", ssl_cafile=cert,
+            ssl_endpoint_identification="",
+        )
+        with KafkaWireClient("localhost", broker.port,
+                             security=relaxed) as client:
+            _, parts = client.metadata(["t"])
+            assert parts
+
+
+def test_kafka_py_spark_read_sasl_ssl(spark, tmp_path):
+    """The full Spark path over SASL_SSL: planner (driver) and slice
+    readers (executors) both authenticate via the JVM-parity options,
+    and the batch read returns every record."""
+    from southpaw_spark.sources.kafka_pyds import register_kafka_py
+
+    cert, key = _self_signed(tmp_path)
+    with EmbeddedKafkaBroker(certfile=cert, keyfile=key,
+                             sasl_users={"svc": "hunter2"}) as broker:
+        broker.create_topic("cdc", partitions=2)
+        for i in range(8):
+            broker.append("cdc", i % 2, f"k{i}".encode(), f"v{i}".encode(),
+                          1_700_000_000_000 + i)
+        register_kafka_py(spark)
+        df = (
+            spark.read.format("kafka_py")
+            .option("kafka.bootstrap.servers", broker.bootstrap)
+            .option("subscribe", "cdc")
+            .option("kafka.security.protocol", "SASL_SSL")
+            .option("kafka.sasl.mechanism", "SCRAM-SHA-256")
+            # the JVM-style jaas.config credential form
+            .option(
+                "kafka.sasl.jaas.config",
+                'org.apache.kafka.common.security.scram.ScramLoginModule '
+                'required username="svc" password="hunter2";',
+            )
+            .option("kafka.ssl.ca.location", cert)
+            .load()
+        )
+        rows = df.collect()
+        assert len(rows) == 8
+        assert sorted(r["key"] for r in rows) == sorted(
+            f"k{i}".encode() for i in range(8)
+        )
