@@ -284,8 +284,9 @@ def attach_index_stream(
     later answers nothing, because tombstones are not versioned
     (latest-wins vector UPSERT belongs to
     ``streaming.dedup_stream.IncrementalVectorDeduper``, which owns
-    per-key state). The PQ index has no streaming arm — its codebooks
-    are trained on a corpus snapshot, so it rebuilds on a cadence.
+    per-key state). The PQ index has its own streaming arm
+    (:func:`attach_pq_index_stream`, round 14) with a codebook-drift
+    guard.
 
     Returns the started ``StreamingQuery``.
     """
@@ -409,20 +410,29 @@ def vacuum_ann_index(spark: SparkSession, index_dir: str) -> int:
 
 
 def vacuum_pq_index(spark: SparkSession, index_dir: str) -> int:
-    """PQ twin of :func:`vacuum_ann_index`: rewrite ``codes/`` minus
-    the tombstones (codebooks and meta are id-free and survive as-is),
-    swap, drop the tombstone set. Returns the tombstone count."""
+    """PQ twin of :func:`vacuum_ann_index`: fold any staged streaming
+    code batches (``_stream/``, from :func:`attach_pq_index_stream`)
+    and rewrite ``codes/`` minus the tombstones (codebooks and meta are
+    id-free and survive as-is), swap, drop the tombstone set and the
+    staging area. Returns the tombstone count."""
     import shutil
 
     dead = _read_deleted(spark, index_dir)
-    if dead is None:
+    staged = _read_stream_codes(spark, index_dir)
+    if dead is None and staged is None:
         return 0
-    n_dead = dead.count()
     codes_dir = os.path.join(index_dir, "codes")
     codes = spark.read.parquet(codes_dir)
-    survivors = codes.join(
-        F.broadcast(dead.select("neighbor_id")), "neighbor_id", "left_anti"
-    )
+    if staged is not None:
+        codes = codes.unionByName(staged.select(*codes.columns))
+    survivors, n_dead = codes, 0
+    if dead is not None:
+        # distinct: replayed streaming deletes append duplicate ids
+        dead_ids = dead.select("neighbor_id").distinct()
+        n_dead = dead_ids.count()
+        survivors = codes.join(
+            F.broadcast(dead_ids), "neighbor_id", "left_anti"
+        )
     tmp = codes_dir.rstrip("/") + ".vacuum.tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     survivors.write.mode("overwrite").parquet(tmp)
@@ -432,6 +442,7 @@ def vacuum_pq_index(spark: SparkSession, index_dir: str) -> int:
     os.replace(tmp, codes_dir)
     shutil.rmtree(trash, ignore_errors=True)
     shutil.rmtree(os.path.join(index_dir, _DELETED), ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, _STREAM), ignore_errors=True)
     return int(n_dead)
 
 
@@ -497,11 +508,168 @@ def build_pq_index(
     _pq_encode(corpus, vec_col, id_col, codebooks, ms, sub).write.mode(
         "overwrite"
     ).parquet(os.path.join(index_dir, "codes"))
+    # baseline quantization residual (mean over (vector, subspace) of
+    # the squared distance to the chosen centroid): the drift guard's
+    # reference — streamed batches whose residual grows past a factor
+    # of this signal that the codebooks no longer fit the data and a
+    # retrain/rebuild is due (attach_pq_index_stream)
+    baseline = _pq_mean_residual(corpus, vec_col, id_col, codebooks, ms, sub)
     codebooks.unpersist()
-    meta = {"dim": dim, "m_subspaces": m_subspaces, "n_codes": n_codes}
+    meta = {
+        "dim": dim, "m_subspaces": m_subspaces, "n_codes": n_codes,
+        "baseline_residual": baseline,
+    }
     with open(os.path.join(index_dir, _PQ_META), "w") as f:
         _json.dump(meta, f)
     return meta
+
+
+def _pq_mean_residual(
+    df: DataFrame, vec_col: str, id_col: str, codebooks, ms, sub: int
+) -> float:
+    """Mean squared quantization error over (vector, subspace) pairs —
+    the distance each subvector sits from its NEAREST centroid. Small
+    when the codebooks fit the data; grows when the distribution
+    drifts. One broadcast join + one agg, no shuffle of the vectors."""
+    from southpaw_spark.operators.similarity import _l2sq, _pq_subvecs
+
+    dist = _l2sq(F.col("__sv"), F.col("centroid"))
+    row = (
+        _pq_subvecs(df, id_col, vec_col, ms, sub)
+        .join(F.broadcast(codebooks), "m")
+        .groupBy(id_col, "m")
+        .agg(F.min(F.round(dist, 8)).alias("r"))
+        .agg(F.avg("r").alias("mean_r"))
+        .first()
+    )
+    return float(row["mean_r"]) if row and row["mean_r"] is not None else 0.0
+
+
+_PQ_DRIFT = "_PQ_DRIFT.json"
+
+
+def pq_index_drift(index_dir: str) -> dict:
+    """Read the drift sidecar maintained by
+    :func:`attach_pq_index_stream`: per-batch residuals, the build
+    baseline, and the ``retrain_recommended`` flag."""
+    import json as _json
+
+    try:
+        with open(os.path.join(index_dir, _PQ_DRIFT)) as f:
+            return _json.load(f)
+    except (OSError, ValueError):
+        return {"batches": {}, "retrain_recommended": False}
+
+
+def attach_pq_index_stream(
+    vectors: DataFrame,
+    index_dir: str,
+    vec_col: str,
+    id_col: str,
+    checkpoint_dir: str,
+    tombstone_col: str | None = None,
+    trigger: dict | None = None,
+    drift_factor: float = 4.0,
+):
+    """Continuous PQ-index maintenance — the streaming arm the LSH
+    index got in round 13 (:func:`attach_index_stream`), closing the
+    'PQ rebuilds on a cadence' gap: streamed vectors are encoded
+    against the STORED codebooks (never re-derived, the
+    :func:`add_to_pq_index` invariant), so ``build(A)`` + ``stream(B)``
+    answers queries identically to ``build(A ∪ B)`` with those
+    codebooks — pinned by parity test.
+
+    EXACTLY-ONCE adds: each micro-batch's code rows land with overwrite
+    in ``_stream/batch=<id>/`` (stable batch ids per checkpoint), so an
+    at-least-once replay rewrites the same files. Queries union the
+    staging area; :func:`vacuum_pq_index` folds it into ``codes/``.
+    ``tombstone_col`` rows delete ids (shared tombstone layout).
+
+    DRIFT GUARD — the honest limit of frozen codebooks: each batch's
+    mean quantization residual (see :func:`_pq_mean_residual`) is
+    recorded in ``_PQ_DRIFT.json`` keyed by batch id (replay-
+    idempotent); when a batch's residual exceeds ``drift_factor`` × the
+    build-time baseline, ``retrain_recommended`` flips true. Ingest
+    continues (codes stay valid, recall degrades gracefully) — the flag
+    is the retrain/rebuild trigger a scheduler polls via
+    :func:`pq_index_drift`. Returns the started ``StreamingQuery``."""
+    import json as _json
+
+    from southpaw_spark.operators.similarity import _pq_encode
+
+    with open(os.path.join(index_dir, _PQ_META)) as f:
+        meta = _json.load(f)
+    sub = meta["dim"] // meta["m_subspaces"]
+    baseline = meta.get("baseline_residual")
+
+    def _record_drift(batch_id: int, residual: float) -> None:
+        drift = pq_index_drift(index_dir)
+        drift.setdefault("batches", {})[str(batch_id)] = residual
+        drift["baseline_residual"] = baseline
+        drift["drift_factor"] = drift_factor
+        drift["retrain_recommended"] = bool(
+            baseline is not None
+            and any(
+                r > drift_factor * max(baseline, 1e-12)
+                for r in drift["batches"].values()
+            )
+        )
+        tmp = os.path.join(index_dir, _PQ_DRIFT + ".tmp")
+        with open(tmp, "w") as f:
+            _json.dump(drift, f)
+        os.replace(tmp, os.path.join(index_dir, _PQ_DRIFT))
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        adds = batch_df
+        if tombstone_col is not None:
+            dead = batch_df.where(
+                F.coalesce(F.col(tombstone_col), F.lit(False))
+            ).select(F.col(id_col))
+            if dead.limit(1).count() > 0:
+                remove_from_index(dead.distinct(), index_dir, id_col)
+            adds = batch_df.where(
+                ~F.coalesce(F.col(tombstone_col), F.lit(False))
+            )
+        adds = adds.cache()
+        try:
+            # skip empty staging dirs (same schema-inference hazard as
+            # the LSH arm); replay-safe — a replayed batch is identical
+            if adds.limit(1).count() == 0:
+                return
+            ms = spark.range(meta["m_subspaces"]).select(
+                F.col("id").cast("int").alias("m")
+            )
+            codebooks = spark.read.parquet(
+                os.path.join(index_dir, "codebooks")
+            )
+            _pq_encode(adds, vec_col, id_col, codebooks, ms, sub).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(index_dir, _STREAM, f"batch={batch_id}"))
+            _record_drift(
+                batch_id,
+                _pq_mean_residual(adds, vec_col, id_col, codebooks, ms, sub),
+            )
+        finally:
+            adds.unpersist()
+
+    writer = vectors.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def _read_stream_codes(spark: SparkSession, index_dir: str):
+    """Staged streaming code rows (same (neighbor_id, m, code) shape as
+    ``codes/``), or None when no staging batches exist."""
+    path = os.path.join(index_dir, _STREAM)
+    if not os.path.isdir(path) or not any(
+        n.startswith("batch=") for n in os.listdir(path)
+    ):
+        return None
+    return spark.read.parquet(os.path.join(path, "batch=*"))
 
 
 def query_pq_index(
@@ -527,10 +695,11 @@ def query_pq_index(
 
     with open(os.path.join(index_dir, _PQ_META)) as f:
         meta = _json.load(f)
-    codes = _apply_deleted(
-        spark, index_dir,
-        spark.read.parquet(os.path.join(index_dir, "codes")),
-    )
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    staged = _read_stream_codes(spark, index_dir)
+    if staged is not None:
+        codes = codes.unionByName(staged.select(*codes.columns))
+    codes = _apply_deleted(spark, index_dir, codes)
     codebooks = spark.read.parquet(os.path.join(index_dir, "codebooks"))
     return pq_topk(
         corpus, queries, vec_col, id_col, k=k,

@@ -3432,3 +3432,118 @@ def test_index_stream_tombstone_only_batch_keeps_queries_alive(
         (r["query_id"], r["neighbor_id"], r["rank"])
         for r in query_ann_index(spark, live, queries, k=5).collect()
     ) == sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in got)
+
+
+def test_pq_index_streaming_ingest_parity_and_drift(spark, tmp_path):
+    """Round-14 PQ streaming arm: build(A) + attach_pq_index_stream(B
+    over several micro-batches, one delete as a tombstone row) answers
+    queries identically to build on the survivors WITH A's stored
+    codebooks (frozen-codebook invariant); a fresh checkpoint replays
+    with zero duplicates; vacuum folds staging + tombstones and answers
+    stay identical; and the drift guard flags a distribution shift
+    (residual >> build baseline) as retrain_recommended without
+    blocking ingest."""
+    import os
+
+    from southpaw_spark.operators.ann_index import (
+        attach_pq_index_stream,
+        build_pq_index,
+        pq_index_drift,
+        query_pq_index,
+        vacuum_pq_index,
+    )
+
+    def vec(i, dim=8):
+        return [((i * 37 + j * 11) % 101 - 50) / 50.0 for j in range(dim)]
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    part_a = corpus.where(F.col("vec_id") % 2 == 0)
+    part_b = corpus.where(F.col("vec_id") % 2 == 1)
+    dead_id = 58  # even → lives in A, deleted via the stream
+    queries = corpus.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+    live = str(tmp_path / "live")
+    meta = build_pq_index(part_a, live, "embedding", "vec_id",
+                          m_subspaces=4, n_codes=8)
+    assert meta["baseline_residual"] >= 0.0
+    # truth: survivors encoded with A's STORED codebooks (the frozen-
+    # codebook contract — a truth built on its own codebooks would
+    # legitimately differ)
+    truth = str(tmp_path / "truth")
+    build_pq_index(
+        corpus.where(F.col("vec_id") != dead_id), truth,
+        "embedding", "vec_id", m_subspaces=4, n_codes=8,
+        codebooks=spark.read.parquet(os.path.join(live, "codebooks")),
+    )
+
+    src = str(tmp_path / "src")
+    part_b.withColumn("is_tombstone", F.lit(False)).unionByName(
+        corpus.where(F.col("vec_id") == dead_id).withColumn(
+            "is_tombstone", F.lit(True)
+        )
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain(ckpt):
+        q = attach_pq_index_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(src),
+            live, "embedding", "vec_id",
+            checkpoint_dir=str(tmp_path / ckpt),
+            tombstone_col="is_tombstone",
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(180)
+
+    drain("ckpt1")
+
+    def rows(d):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+            for r in query_pq_index(
+                spark, d, corpus, queries, "embedding", "vec_id", k=5
+            ).collect()
+        )
+
+    want = rows(truth)
+    assert rows(live) == want and want
+    assert all(n != dead_id for _, n, _, _ in rows(live))
+    assert any(n % 2 == 1 for _, n, _, _ in rows(live))  # streamed ids answer
+    # in-distribution stream: no retrain flag
+    drift = pq_index_drift(live)
+    assert drift["batches"] and drift["retrain_recommended"] is False
+
+    # replay on a fresh checkpoint: overwrite staging absorbs it
+    drain("ckpt2")
+    assert rows(live) == want
+
+    # vacuum folds staging + tombstone; answers unchanged
+    assert vacuum_pq_index(spark, live) == 1
+    assert not os.path.isdir(os.path.join(live, "_stream"))
+    assert not os.path.isdir(os.path.join(live, "_deleted"))
+    assert rows(live) == want
+
+    # drift guard: a shifted distribution (×100 magnitudes) trips the
+    # retrain flag; ingest still lands (codes stay queryable)
+    shifted = corpus.where(F.col("vec_id") >= 55).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 100.0).alias("embedding"),
+    )
+    src2 = str(tmp_path / "src2")
+    shifted.write.parquet(src2)
+    q = attach_pq_index_stream(
+        spark.readStream.schema(shifted.schema).parquet(src2),
+        live, "embedding", "vec_id",
+        checkpoint_dir=str(tmp_path / "ckpt3"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(180)
+    drift = pq_index_drift(live)
+    assert drift["retrain_recommended"] is True
+    assert rows(live)  # still answers
