@@ -12,6 +12,13 @@ Atomicity: buckets are written to a new versioned directory and the
 ``_CURRENT`` pointer file is flipped last, so readers never observe a
 half-written merge and restarts resume from the last committed version
 (the reference's flush-state-after-output ordering, ``Southpaw.java:297-315``).
+
+Object stores: data files always go through Spark (Hadoop FS native);
+the driver-side metadata ops route through ``fsio.store_fs_for`` —
+plain paths keep the original POSIX code (hardlinks, ``os.replace``),
+any ``scheme://`` root (``file``/``hdfs``/``s3a``/``gs``/``abfs``)
+uses the JVM Hadoop FileSystem. Cost-model shifts are documented in
+``fsio.py``; ``backup()``/``restore()`` stay local-by-design.
 """
 
 from __future__ import annotations
@@ -78,7 +85,13 @@ class ParquetStateStore:
         files)."""
         self.spark = spark
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        from southpaw_spark.streaming.fsio import store_fs_for
+
+        # driver-side metadata FS: plain paths run the original POSIX
+        # code; scheme:// roots (file/hdfs/s3a/gs/abfs) go through the
+        # Hadoop FileSystem (fsio.py documents the semantic shifts)
+        self._fs = store_fs_for(spark, root)
+        self._fs.mkdirs(root)
         meta = self._read_meta()
         if meta is None:
             self.n_buckets = 16 if n_buckets is None else n_buckets
@@ -109,8 +122,7 @@ class ParquetStateStore:
         import json as _json
 
         try:
-            with open(self._meta_path()) as f:
-                meta = _json.loads(f.read())
+            meta = _json.loads(self._fs.read_text(self._meta_path()))
             return int(meta["n_buckets"]), str(meta.get("data_format", "parquet"))
         except (OSError, ValueError, KeyError):
             return None
@@ -118,14 +130,10 @@ class ParquetStateStore:
     def _write_meta(self, n_buckets: int, data_format: str) -> None:
         import json as _json
 
-        tmp = self._meta_path() + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(
-                _json.dumps(
-                    {"n_buckets": n_buckets, "data_format": data_format}
-                )
-            )
-        os.replace(tmp, self._meta_path())
+        self._fs.write_text_atomic(
+            self._meta_path(),
+            _json.dumps({"n_buckets": n_buckets, "data_format": data_format}),
+        )
 
     # -- paths ---------------------------------------------------------
 
@@ -134,10 +142,10 @@ class ParquetStateStore:
 
     def _version_of(self, entity: str) -> int | None:
         ptr = os.path.join(self._entity_dir(entity), _CURRENT)
-        if not os.path.exists(ptr):
+        try:
+            return int(self._fs.read_text(ptr).strip())
+        except OSError:
             return None
-        with open(ptr) as f:
-            return int(f.read().strip())
 
     def _data_dir(self, entity: str, version: int) -> str:
         return os.path.join(self._entity_dir(entity), f"v{version}")
@@ -224,19 +232,13 @@ class ParquetStateStore:
         safe without REFRESH."""
         path = os.path.join(self.root, "_STORE_ID")
         try:
-            with open(path) as f:
-                return f.read().strip()
+            return self._fs.read_text(path).strip()
         except OSError:
             import uuid as _uuid
 
-            sid = _uuid.uuid4().hex[:12]
-            try:
-                with open(path, "x") as f:  # O_EXCL: first writer wins
-                    f.write(sid)
-            except FileExistsError:
-                pass
-            with open(path) as f:
-                return f.read().strip()
+            # exclusive create: first writer wins
+            self._fs.create_exclusive_text(path, _uuid.uuid4().hex[:12])
+            return self._fs.read_text(path).strip()
 
     def _bucket_table_name(self, entity: str, version: int) -> str:
         import re
@@ -249,22 +251,21 @@ class ParquetStateStore:
         (``part-<i>-<uuid>_<bucket05d>.c000...``). O(file count) metadata
         ops, idempotent, atomic publish via directory rename — safe
         against concurrent readers building the same mirror."""
-        import shutil
         import uuid as _uuid
 
         src = self._data_dir(entity, version)
         dst = src + ".bucketed"
-        if os.path.isdir(dst):
+        if self._fs.isdir(dst):
             return dst
         tmp = f"{dst}.tmp-{_uuid.uuid4().hex[:8]}"
-        os.makedirs(tmp)
+        self._fs.mkdirs(tmp)
         i = 0
-        for name in sorted(os.listdir(src)) if os.path.isdir(src) else []:
+        for name in sorted(self._fs.listdir(src)) if self._fs.isdir(src) else []:
             if not name.startswith("__bucket="):
                 continue
             bucket_id = int(name.split("=", 1)[1])
             bdir = os.path.join(src, name)
-            for fn in sorted(os.listdir(bdir)):
+            for fn in sorted(self._fs.listdir(bdir)):
                 if fn.startswith((".", "_")) or fn.endswith((".crc", ".tmp")):
                     continue
                 link = os.path.join(
@@ -272,18 +273,13 @@ class ParquetStateStore:
                     f"part-{i:05d}-{_uuid.uuid4()}_{bucket_id:05d}"
                     ".c000" + os.path.splitext(fn)[1],
                 )
-                try:
-                    os.link(os.path.join(bdir, fn), link)
-                except OSError:
-                    shutil.copy2(os.path.join(bdir, fn), link)
+                self._fs.link_or_copy(os.path.join(bdir, fn), link)
                 i += 1
-        try:
-            os.rename(tmp, dst)
-        except OSError:
+        if not self._fs.rename_dir(tmp, dst):
             # concurrent builder published first — use theirs
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not os.path.isdir(dst):
-                raise
+            self._fs.delete(tmp)
+            if not self._fs.isdir(dst):
+                raise OSError(f"could not publish bucket mirror {dst}")
         return dst
 
     def _schema_path(self, entity: str, version: int | None = None) -> str:
@@ -304,11 +300,9 @@ class ParquetStateStore:
             list(df.schema.fields)
             + ([] if "__bucket" in df.columns else [T.StructField("__bucket", T.IntegerType())])
         )
-        path = self._schema_path(entity, version)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(schema.json())
-        os.replace(tmp, path)
+        self._fs.write_text_atomic(
+            self._schema_path(entity, version), schema.json()
+        )
 
     def _read_schema(self, entity: str, version: int | None = None):
         from pyspark.sql import types as T
@@ -316,10 +310,11 @@ class ParquetStateStore:
         if version is None:
             version = self._version_of(entity)
         path = self._schema_path(entity, version)
-        if not os.path.exists(path):
+        if not self._fs.exists(path):
             path = self._schema_path(entity)  # legacy / restored backup
-        with open(path) as f:
-            return T.StructType.fromJson(__import__("json").loads(f.read()))
+        return T.StructType.fromJson(
+            __import__("json").loads(self._fs.read_text(path))
+        )
 
     # -- bucket-column layout sidecar ----------------------------------
 
@@ -330,19 +325,22 @@ class ParquetStateStore:
         import json as _json
 
         try:
-            with open(self._bucket_cols_path(entity)) as f:
-                return [str(c) for c in _json.loads(f.read())]
+            return [
+                str(c)
+                for c in _json.loads(
+                    self._fs.read_text(self._bucket_cols_path(entity))
+                )
+            ]
         except (OSError, ValueError):
             return None
 
     def _write_bucket_cols(self, entity: str, cols: Sequence[str]) -> None:
         import json as _json
 
-        os.makedirs(self._entity_dir(entity), exist_ok=True)
-        tmp = self._bucket_cols_path(entity) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(_json.dumps(list(cols)))
-        os.replace(tmp, self._bucket_cols_path(entity))
+        self._fs.mkdirs(self._entity_dir(entity))
+        self._fs.write_text_atomic(
+            self._bucket_cols_path(entity), _json.dumps(list(cols))
+        )
 
     def _resolve_bucket_cols(
         self,
@@ -522,32 +520,31 @@ class ParquetStateStore:
     def _link_untouched(
         self, entity: str, old_version: int, new_version: int, touched: list[int]
     ) -> None:
-        import shutil
-
         old_dir = self._data_dir(entity, old_version)
         new_dir = self._data_dir(entity, new_version)
-        if not os.path.isdir(old_dir):
+        if not self._fs.isdir(old_dir):
             return
-        for name in os.listdir(old_dir):
+        for name in self._fs.listdir(old_dir):
             if not name.startswith("__bucket="):
                 continue
             bucket_id = int(name.split("=", 1)[1])
             if bucket_id in touched:
                 continue
             dst = os.path.join(new_dir, name)
-            if os.path.exists(dst):
+            if self._fs.exists(dst):
                 continue
             # Hardlink each file: per-batch cost is O(untouched bucket
             # count), not O(state bytes) — a full-state physical copy per
-            # micro-batch would be a scale-killer at 100 TB.
+            # micro-batch would be a scale-killer at 100 TB. Off POSIX
+            # (Hadoop FS) this is a real copy — server-side on S3; the
+            # cost model is in fsio.py, and the Delta backend removes
+            # the carry-over entirely where its jars exist.
             src = os.path.join(old_dir, name)
-            os.makedirs(dst, exist_ok=True)
-            for fn in os.listdir(src):
-                s, d = os.path.join(src, fn), os.path.join(dst, fn)
-                try:
-                    os.link(s, d)
-                except OSError:
-                    shutil.copy2(s, d)  # cross-device fallback
+            self._fs.mkdirs(dst)
+            for fn in self._fs.listdir(src):
+                self._fs.link_or_copy(
+                    os.path.join(src, fn), os.path.join(dst, fn)
+                )
 
     def commit(self, entity: str, version: int) -> None:
         """Publish a staged version (flip the ``_CURRENT`` pointer)."""
@@ -555,10 +552,7 @@ class ParquetStateStore:
 
     def _commit(self, entity: str, version: int) -> None:
         ptr = os.path.join(self._entity_dir(entity), _CURRENT)
-        tmp = ptr + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(version))
-        os.replace(tmp, ptr)
+        self._fs.write_text_atomic(ptr, str(version))
 
     def vacuum(self, keep: int = 2) -> None:
         """Drop version directories older than the newest ``keep``
@@ -566,27 +560,22 @@ class ParquetStateStore:
         (staged, uncommitted) are never touched; keeping ≥2 lets lazy
         plans pinned to the previous version finish. Bounds state-dir
         growth on long-running streams."""
-        import shutil
-
-        for entity in os.listdir(self.root):
+        for entity in self._fs.listdir(self.root):
             edir = self._entity_dir(entity)
-            if not os.path.isdir(edir):
+            if not self._fs.isdir(edir):
                 continue
             current = self._version_of(entity)
             if current is None:
                 continue
             cutoff = current - keep + 1
-            for name in os.listdir(edir):
+            for name in self._fs.listdir(edir):
                 if name.startswith("_SCHEMA.v"):
                     try:
                         v = int(name[len("_SCHEMA.v"):])
                     except ValueError:
                         continue
                     if v < cutoff:
-                        try:
-                            os.remove(os.path.join(edir, name))
-                        except OSError:
-                            pass
+                        self._fs.delete(os.path.join(edir, name))
                     continue
                 if not name.startswith("v"):
                     continue
@@ -603,7 +592,7 @@ class ParquetStateStore:
                 except ValueError:
                     continue
                 if v < cutoff or (is_mirror and ".tmp-" in name):
-                    shutil.rmtree(os.path.join(edir, name), ignore_errors=True)
+                    self._fs.delete(os.path.join(edir, name))
                     if is_mirror:
                         try:
                             self.spark.sql(
@@ -638,22 +627,20 @@ class ParquetStateStore:
         with a sidecar resolve automatically. Returns a fresh handle
         opened on the new layout — the receiving handle is stale after
         the swap and must be discarded."""
-        import shutil
-
         if n_buckets < 1:
             raise ValueError(f"n_buckets must be >= 1; got {n_buckets}")
         if n_buckets == self.n_buckets:
             return self
         entities = [
-            e for e in sorted(os.listdir(self.root))
-            if os.path.isdir(self._entity_dir(e))
+            e for e in sorted(self._fs.listdir(self.root))
+            if self._fs.isdir(self._entity_dir(e))
         ]
         plans: list[tuple[str, list[str]]] = []
         for entity in entities:
             current = self._version_of(entity)
             staged = [
                 name
-                for name in os.listdir(self._entity_dir(entity))
+                for name in self._fs.listdir(self._entity_dir(entity))
                 if name.startswith("v") and name[1:].isdigit()
                 and int(name[1:]) > (current if current is not None else 0)
             ]
@@ -690,7 +677,7 @@ class ParquetStateStore:
                     )
             plans.append((entity, list(cols)))
         tmp_root = self.root.rstrip("/") + ".rebucket.tmp"
-        shutil.rmtree(tmp_root, ignore_errors=True)
+        self._fs.delete(tmp_root)
         new = ParquetStateStore(
             self.spark, tmp_root,
             n_buckets=n_buckets, data_format=self.data_format,
@@ -698,10 +685,14 @@ class ParquetStateStore:
         for entity, cols in plans:
             new.init(entity, self.read(entity), cols, bucket_cols=cols)
         trash = self.root.rstrip("/") + ".rebucket.old"
-        shutil.rmtree(trash, ignore_errors=True)
-        os.replace(self.root, trash)
-        os.replace(tmp_root, self.root)
-        shutil.rmtree(trash, ignore_errors=True)
+        self._fs.delete(trash)
+        if not self._fs.rename_dir(self.root, trash):
+            raise OSError(f"rebucket: could not move {self.root} aside")
+        if not self._fs.rename_dir(tmp_root, self.root):
+            # restore the original root before failing
+            self._fs.rename_dir(trash, self.root)
+            raise OSError(f"rebucket: could not publish {tmp_root}")
+        self._fs.delete(trash)
         return ParquetStateStore(self.spark, self.root)
 
     # -- backup / restore (reference O18, state/RocksDBState.java:247-265,
@@ -718,6 +709,15 @@ class ParquetStateStore:
         import shutil
         import time
 
+        if not self._fs.is_local:
+            raise NotImplementedError(
+                "backup()/restore() snapshot a LOCAL store (hardlinked, "
+                "then shipped with sync_backup_to); an object-store root "
+                "is already durable remote storage — version retention "
+                "(vacuum keep=) plus the bucket layout are its snapshot "
+                "story, or use DeltaStateStore time travel where the "
+                "Delta jars exist"
+            )
         if retention is not None and retention < 1:
             raise ValueError("retention must be >= 1 (the new backup counts)")
         # zero-padded millis so lexicographic order == temporal order
@@ -776,9 +776,7 @@ class ParquetStateStore:
         """Remove an entity's state entirely (versions, schema, pointer).
         Used for transient entities like drained ``__pending__`` queues —
         existence then doubles as the cheap non-emptiness test."""
-        import shutil
-
-        shutil.rmtree(self._entity_dir(entity), ignore_errors=True)
+        self._fs.delete(self._entity_dir(entity))
 
     @staticmethod
     def delete_backups(backup_dir: str) -> int:
@@ -822,6 +820,11 @@ class ParquetStateStore:
         when current state is missing/empty; ``never`` is a no-op."""
         import shutil
 
+        if not self._fs.is_local:
+            raise NotImplementedError(
+                "restore() targets a LOCAL store — see backup() for the "
+                "object-store posture"
+            )
         if mode == "never":
             return False
         if mode == "when_needed" and any(
@@ -990,7 +993,5 @@ class ParquetStateStore:
 
     def delete_state(self) -> None:
         """Drop all entity state (reference ``--delete-state``)."""
-        import shutil
-
-        for entity in os.listdir(self.root):
-            shutil.rmtree(os.path.join(self.root, entity), ignore_errors=True)
+        for entity in self._fs.listdir(self.root):
+            self._fs.delete(os.path.join(self.root, entity))

@@ -1084,3 +1084,88 @@ def test_adaptive_cap_option_validation():
             {**base, "maxOffsetsPerTrigger": "100",
              "maxOffsetsPerTriggerCeiling": "50"}
         )
+
+
+def test_compaction_mid_stream_between_triggers(spark, tmp_path):
+    """VERDICT r13 #7: compaction strikes WHILE the stream runs —
+    between two triggers of one LIVE query, with plannerStateDir set
+    and the cap in force (primed by an initial availableNow drain, so
+    every live batch is capped). Offsets already consumed become
+    gap-sparse under the checkpoint, retained-but-unconsumed records
+    keep their original offsets, and the capped catch-up must consume
+    each surviving record exactly once — no stall, no replay."""
+    with EmbeddedKafkaBroker() as broker:
+        broker.create_topic("cdc", partitions=1)
+        for i in range(6):
+            broker.append(
+                "cdc", 0, f"k{i % 3}".encode(), f"v{i}".encode(), 1000 + i
+            )
+        register_kafka_py(spark)
+        stream = (
+            spark.readStream.format("kafka_py")
+            .option("kafka.bootstrap.servers", broker.bootstrap)
+            .option("subscribe", "cdc")
+            .option("maxOffsetsPerTrigger", "4")
+            .option("plannerStateDir", str(tmp_path / "planner"))
+            .load()
+        )
+        ckpt = str(tmp_path / "ckpt")
+        # prime: drain the 6 seed records, persisting checkpoint AND
+        # planner base so the live query below is capped from batch 1
+        primed: list[int] = []
+        q0 = (
+            stream.writeStream.foreachBatch(
+                lambda df, e: primed.append(df.count())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q0.awaitTermination(120)
+        assert sum(primed) == 6
+
+        batches: list[list] = []
+        compacted = []
+
+        def sink(df, epoch):
+            rows = [(r.offset, bytes(r.value)) for r in df.collect()]
+            if rows:
+                batches.append(rows)
+            consumed = sum(len(b) for b in batches)
+            if consumed >= 3 and not compacted:
+                # the query is LIVE between triggers: keys k0..k2
+                # collapse to their last occurrences (offsets below the
+                # checkpoint go gap-sparse) and three fresh records
+                # land on the compacted log
+                compacted.append(broker.compact("cdc"))
+                for i in range(9, 12):
+                    broker.append(
+                        "cdc", 0, f"k{i % 3}".encode(),
+                        f"v{i}".encode(), 1000 + i,
+                    )
+
+        # three new records arrive while the query starts
+        for i in range(6, 9):
+            broker.append(
+                "cdc", 0, f"k{i % 3}".encode(), f"v{i}".encode(), 1000 + i
+            )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            _wait(lambda: sum(len(b) for b in batches) >= 6 and compacted)
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+        assert compacted and compacted[0] > 0  # compaction really ran
+        offsets = sorted(o for b in batches for o, _ in b)
+        # offsets 6..11 each exactly once — no replays, no gaps, no
+        # records lost to the mid-stream compaction
+        assert offsets == list(range(6, 12)), offsets
+        values = sorted(v for b in batches for _, v in b)
+        assert values == sorted(f"v{i}".encode() for i in range(6, 12))
+        # capped throughout — the primed planner base caps batch 1 too
+        assert all(len(b) <= 4 for b in batches), [len(b) for b in batches]
