@@ -331,6 +331,9 @@ def corpus_stream_cmd(spark, cfg) -> None:
             adaptive_drain_triggers=int(
                 k.get("adaptive_drain_triggers", 1)
             ),
+            # e.g. the kafka.security.protocol / kafka.sasl.* /
+            # kafka.ssl.* auth surface (tests/test_kafka_security.py)
+            options=k.get("options"),
         )
         stream = raw.select(
             F.from_json(

@@ -236,6 +236,7 @@ def kafka_doc_sink(
     topic_for: Mapping[str, str] | str,
     key_cols_for: Mapping[str, Sequence[str]],
     value_col: str = "value",
+    options: Mapping[str, str] | None = None,
 ):
     """The reference's OUTPUT side as an ``attach_stream`` sink: each
     denormalized tree's batch is shaped by :func:`to_kafka_sink_frame`
@@ -244,10 +245,13 @@ def kafka_doc_sink(
     jar-free ``kafka_py`` writer (leader-routed, murmur2-partitioned).
 
     ``topic_for``: denormalized-name → topic (or one topic for all);
-    ``key_cols_for``: denormalized-name → root PK columns. Returns the
-    ``sink(denorm_name, df)`` callable ``IncrementalDenormalizer.
-    attach_stream`` expects, completing the reference topology end to
-    end: Kafka CDC in → incremental denormalize → Kafka docs out."""
+    ``key_cols_for``: denormalized-name → root PK columns; ``options``:
+    extra writer options (e.g. the ``kafka.security.protocol`` /
+    ``kafka.sasl.*`` / ``kafka.ssl.*`` auth surface — the producer
+    authenticates like the source). Returns the ``sink(denorm_name,
+    df)`` callable ``IncrementalDenormalizer.attach_stream`` expects,
+    completing the reference topology end to end: Kafka CDC in →
+    incremental denormalize → Kafka docs out."""
     from southpaw_spark.sources.kafka_pyds import register_kafka_py
 
     register_kafka_py(spark)
@@ -260,12 +264,14 @@ def kafka_doc_sink(
         frame = to_kafka_sink_frame(
             df, key_cols_for[denorm_name], value_col
         )
-        (
+        writer = (
             frame.write.format("kafka_py")
             .mode("append")
             .option("kafka.bootstrap.servers", bootstrap_servers)
             .option("topic", topic)
-            .save()
         )
+        for k, v in (options or {}).items():
+            writer = writer.option(k, v)
+        writer.save()
 
     return sink

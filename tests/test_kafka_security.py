@@ -203,3 +203,44 @@ def test_kafka_py_spark_read_sasl_ssl(spark, tmp_path):
         assert sorted(r["key"] for r in rows) == sorted(
             f"k{i}".encode() for i in range(8)
         )
+
+
+def test_kafka_py_spark_write_sasl_ssl(spark, tmp_path):
+    """The producer half over SASL_SSL: executor write tasks (leader
+    discovery + produce) authenticate via the same options, and the
+    records land — the full secured Kafka-out path kafka_doc_sink uses."""
+    cert, key = _self_signed(tmp_path)
+    with EmbeddedKafkaBroker(certfile=cert, keyfile=key,
+                             sasl_users={"svc": "hunter2"}) as broker:
+        broker.create_topic("docs", partitions=2)
+        df = spark.createDataFrame(
+            [(f"k{i}".encode(), f"v{i}".encode()) for i in range(6)],
+            "key binary, value binary",
+        )
+        from southpaw_spark.sources.kafka_pyds import register_kafka_py
+
+        register_kafka_py(spark)
+        (
+            df.write.format("kafka_py").mode("append")
+            .option("kafka.bootstrap.servers", broker.bootstrap)
+            .option("topic", "docs")
+            .option("kafka.security.protocol", "SASL_SSL")
+            .option("kafka.sasl.mechanism", "PLAIN")
+            .option("kafka.sasl.username", "svc")
+            .option("kafka.sasl.password", "hunter2")
+            .option("kafka.ssl.ca.location", cert)
+            .save()
+        )
+        sec = SecurityConfig(
+            protocol="SASL_SSL", sasl_mechanism="PLAIN",
+            username="svc", password="hunter2", ssl_cafile=cert,
+        )
+        got = []
+        with KafkaWireClient(broker.host, broker.port,
+                             security=sec) as client:
+            for p in range(2):
+                recs, _ = client.fetch("docs", p, 0)
+                got += [(bytes(r.key), bytes(r.value)) for r in recs]
+        assert sorted(got) == sorted(
+            (f"k{i}".encode(), f"v{i}".encode()) for i in range(6)
+        )

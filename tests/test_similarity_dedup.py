@@ -2568,7 +2568,11 @@ def test_pq_index_build_query_parity(spark, tmp_path):
         corpus, str(tmp_path / "pq"), "embedding", "vec_id",
         m_subspaces=4, n_codes=8,
     )
-    assert meta == {"dim": 8, "m_subspaces": 4, "n_codes": 8}
+    assert {k: meta[k] for k in ("dim", "m_subspaces", "n_codes")} == {
+        "dim": 8, "m_subspaces": 4, "n_codes": 8,
+    }
+    # round 14: the build also records the drift guard's baseline
+    assert meta["baseline_residual"] >= 0.0
     got = sorted(tuple(r) for r in query_pq_index(
         spark, str(tmp_path / "pq"), corpus, queries,
         "embedding", "vec_id", k=3,
