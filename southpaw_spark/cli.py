@@ -531,7 +531,7 @@ def main(argv=None) -> int:
                         "parallelism is its bucket count")
     g.add_argument("--vacuum-index", metavar="INDEX_DIR",
                    help="fold _deleted/ tombstones into a persisted ANN "
-                        "index (LSH or PQ layout auto-detected) and drop "
+                        "index (LSH, PQ, or IVF layout auto-detected) and drop "
                         "them — run after corpus dedup deletions")
     p.add_argument("--relations", metavar="PATH", default=None,
                    help="override the config's relations JSON path "
@@ -561,14 +561,16 @@ def main(argv=None) -> int:
 
         from southpaw_spark.operators.ann_index import (
             vacuum_ann_index,
+            vacuum_ivf_index,
             vacuum_pq_index,
         )
 
-        fn = (
-            vacuum_pq_index
-            if _os.path.isdir(_os.path.join(args.vacuum_index, "codes"))
-            else vacuum_ann_index
-        )
+        if _os.path.isdir(_os.path.join(args.vacuum_index, "codes")):
+            fn = vacuum_pq_index
+        elif _os.path.isdir(_os.path.join(args.vacuum_index, "cells")):
+            fn = vacuum_ivf_index
+        else:
+            fn = vacuum_ann_index
         n = fn(spark, args.vacuum_index)
         print(f"index vacuum: {n} tombstones folded")
         return 0

@@ -546,19 +546,55 @@ def _pq_mean_residual(
 
 
 _PQ_DRIFT = "_PQ_DRIFT.json"
+_IVF_DRIFT = "_IVF_DRIFT.json"
+
+
+def _read_drift(index_dir: str, fname: str) -> dict:
+    import json as _json
+
+    try:
+        with open(os.path.join(index_dir, fname)) as f:
+            return _json.load(f)
+    except (OSError, ValueError):
+        return {"batches": {}, "retrain_recommended": False}
+
+
+def _record_drift(
+    index_dir: str, fname: str, batch_id: int, residual: float,
+    baseline: float | None, drift_factor: float,
+) -> None:
+    """Record a streamed batch's quantization residual against the
+    build-time baseline (keyed by batch id, so replays are idempotent)
+    and maintain the ``retrain_recommended`` flag."""
+    import json as _json
+
+    drift = _read_drift(index_dir, fname)
+    drift.setdefault("batches", {})[str(batch_id)] = residual
+    drift["baseline_residual"] = baseline
+    drift["drift_factor"] = drift_factor
+    drift["retrain_recommended"] = bool(
+        baseline is not None
+        and any(
+            r > drift_factor * max(baseline, 1e-12)
+            for r in drift["batches"].values()
+        )
+    )
+    tmp = os.path.join(index_dir, fname + ".tmp")
+    with open(tmp, "w") as f:
+        _json.dump(drift, f)
+    os.replace(tmp, os.path.join(index_dir, fname))
 
 
 def pq_index_drift(index_dir: str) -> dict:
     """Read the drift sidecar maintained by
     :func:`attach_pq_index_stream`: per-batch residuals, the build
     baseline, and the ``retrain_recommended`` flag."""
-    import json as _json
+    return _read_drift(index_dir, _PQ_DRIFT)
 
-    try:
-        with open(os.path.join(index_dir, _PQ_DRIFT)) as f:
-            return _json.load(f)
-    except (OSError, ValueError):
-        return {"batches": {}, "retrain_recommended": False}
+
+def ivf_index_drift(index_dir: str) -> dict:
+    """Drift sidecar reader for :func:`attach_ivf_index_stream`."""
+    return _read_drift(index_dir, _IVF_DRIFT)
 
 
 def attach_pq_index_stream(
@@ -602,23 +638,6 @@ def attach_pq_index_stream(
     sub = meta["dim"] // meta["m_subspaces"]
     baseline = meta.get("baseline_residual")
 
-    def _record_drift(batch_id: int, residual: float) -> None:
-        drift = pq_index_drift(index_dir)
-        drift.setdefault("batches", {})[str(batch_id)] = residual
-        drift["baseline_residual"] = baseline
-        drift["drift_factor"] = drift_factor
-        drift["retrain_recommended"] = bool(
-            baseline is not None
-            and any(
-                r > drift_factor * max(baseline, 1e-12)
-                for r in drift["batches"].values()
-            )
-        )
-        tmp = os.path.join(index_dir, _PQ_DRIFT + ".tmp")
-        with open(tmp, "w") as f:
-            _json.dump(drift, f)
-        os.replace(tmp, os.path.join(index_dir, _PQ_DRIFT))
-
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         adds = batch_df
@@ -647,8 +666,9 @@ def attach_pq_index_stream(
                 "overwrite"
             ).parquet(os.path.join(index_dir, _STREAM, f"batch={batch_id}"))
             _record_drift(
-                batch_id,
+                index_dir, _PQ_DRIFT, batch_id,
                 _pq_mean_residual(adds, vec_col, id_col, codebooks, ms, sub),
+                baseline, drift_factor,
             )
         finally:
             adds.unpersist()
@@ -663,13 +683,15 @@ def attach_pq_index_stream(
 
 def _read_stream_codes(spark: SparkSession, index_dir: str):
     """Staged streaming code rows (same (neighbor_id, m, code) shape as
-    ``codes/``), or None when no staging batches exist."""
+    ``codes/``), or None when no staging batches exist. Read the whole
+    staging dir (one base path — batch becomes a partition column)
+    rather than a batch=* glob, which breaks partition inference."""
     path = os.path.join(index_dir, _STREAM)
     if not os.path.isdir(path) or not any(
         n.startswith("batch=") for n in os.listdir(path)
     ):
         return None
-    return spark.read.parquet(os.path.join(path, "batch=*"))
+    return spark.read.parquet(path).select("neighbor_id", "m", "code")
 
 
 def query_pq_index(
@@ -738,3 +760,312 @@ def add_to_pq_index(
     _pq_encode(new_vectors, vec_col, id_col, codebooks, ms, sub).write.mode(
         "append"
     ).parquet(os.path.join(index_dir, "codes"))
+
+
+# ---------------------------------------------------------------------------
+# Persistent IVF index — the trained-coarse-quantizer arm (s03's
+# machinery as a build-once / query-many store), completing the
+# persistent family's symmetry: LSH buckets, PQ codes, IVF cells.
+# ---------------------------------------------------------------------------
+
+_IVF_META = "_IVF_META.json"
+
+
+def _ivf_assign(df: DataFrame, vec_col: str, id_col: str, centroids):
+    """Assign each vector to its nearest centroid (squared-L2 argmin,
+    engine-exact ``min_by`` on ``(round(dist², 8), cell)`` — the same
+    deterministic rule as PQ encoding, so streamed adds assign exactly
+    like a rebuild). Returns (neighbor_id, cv, cell)."""
+    from southpaw_spark.operators.similarity import _l2sq
+
+    dist = _l2sq(F.col(vec_col).cast("array<double>"), F.col("centroid"))
+    return (
+        df.crossJoin(F.broadcast(centroids))
+        .groupBy(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+        )
+        .agg(
+            F.min_by(
+                "cell", F.struct(F.round(dist, 8).alias("d"), F.col("cell"))
+            ).alias("cell")
+        )
+    )
+
+
+def _ivf_mean_residual(
+    df: DataFrame, vec_col: str, id_col: str, centroids
+) -> float:
+    """Mean squared distance to the NEAREST centroid — small when the
+    cells fit the data, grows on distribution drift (the IVF drift
+    guard's signal, symmetric with :func:`_pq_mean_residual`)."""
+    from southpaw_spark.operators.similarity import _l2sq
+
+    dist = _l2sq(F.col(vec_col).cast("array<double>"), F.col("centroid"))
+    row = (
+        df.crossJoin(F.broadcast(centroids))
+        .groupBy(F.col(id_col))
+        .agg(F.min(F.round(dist, 8)).alias("r"))
+        .agg(F.avg("r").alias("mean_r"))
+        .first()
+    )
+    return float(row["mean_r"]) if row and row["mean_r"] is not None else 0.0
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    index_dir: str,
+    vec_col: str,
+    id_col: str,
+    n_cells: int | None = None,
+    train_cap: int = 100_000,
+    seed: int = 42,
+    centroids: DataFrame | None = None,
+) -> dict:
+    """Materialize an inverted-file ANN index (FAISS ``IndexIVFFlat``
+    shape) under ``index_dir``:
+
+    * ``cells/`` — corpus rows ``(neighbor_id, cv)`` PARTITIONED BY the
+      assigned cell, so a query batch's probe set turns into a
+      partition-pruned read (only the probed cell directories are
+      listed and scanned — the 100 TB property);
+    * ``centroids/`` — the trained coarse quantizer (``≈√N`` cells by
+      default, k-means on a ``train_cap``-bounded sample — centroid
+      quality needs a sample, not the corpus);
+    * ``_IVF_META.json`` — geometry + the baseline quantization
+      residual for the drift guard.
+
+    Assignment is the deterministic squared-L2 argmin over the stored
+    centroids (``_ivf_assign``), NOT ``model.transform`` — streamed
+    adds must assign exactly like the build. Pass ``centroids`` to
+    reuse a quantizer (the truth-side of the stream parity test does).
+    """
+    import json as _json
+    import math
+
+    spark = corpus.sparkSession
+    probe = corpus.select(F.col(vec_col)).first()
+    if probe is None or probe[0] is None:
+        raise ValueError(
+            f"build_ivf_index: corpus is empty or first {vec_col!r} is "
+            "NULL — cannot infer the vector dimension"
+        )
+    dim = len(probe[0])
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        n = corpus.count()
+        if n_cells is None:
+            n_cells = max(2, min(4096, int(math.sqrt(n))))
+        train = corpus.select(
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+                "features"
+            )
+        )
+        if n > train_cap:
+            train = train.sample(fraction=min(1.0, train_cap / n), seed=seed)
+        model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+        centroids = spark.createDataFrame(
+            [
+                (i, [float(x) for x in c])
+                for i, c in enumerate(model.clusterCenters())
+            ],
+            "cell int, centroid array<double>",
+        )
+    centroids = centroids.cache()
+    n_cells = centroids.count()
+    centroids.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "centroids")
+    )
+    _ivf_assign(corpus, vec_col, id_col, centroids).write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(os.path.join(index_dir, "cells"))
+    baseline = _ivf_mean_residual(corpus, vec_col, id_col, centroids)
+    centroids.unpersist()
+    meta = {"dim": dim, "n_cells": int(n_cells),
+            "baseline_residual": baseline}
+    with open(os.path.join(index_dir, _IVF_META), "w") as f:
+        _json.dump(meta, f)
+    return meta
+
+
+def _read_stream_cells(spark: SparkSession, index_dir: str):
+    """IVF twin of :func:`_read_stream_codes` (single base path)."""
+    path = os.path.join(index_dir, _STREAM)
+    if not os.path.isdir(path) or not any(
+        n.startswith("batch=") for n in os.listdir(path)
+    ):
+        return None
+    return spark.read.parquet(path).select("neighbor_id", "cv", "cell")
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Answer a query batch against a built IVF index. Output matches
+    ``ivf_kmeans_topk`` run with the same centroids (pinned by test):
+    (query_id, neighbor_id, rank, cosine).
+
+    Plan shape: the (small) centroid table broadcasts for per-query
+    probe ranking (cosine desc — the ``ivf_kmeans_topk`` rule); the
+    probed cell ids collect to the driver (bounded by ``n_cells``) and
+    become a PARTITION FILTER on ``cells/`` — only probed directories
+    are scanned; candidates come from an equi-join on cell; exact
+    cosine + the top-k window run on candidates only."""
+    import json as _json
+
+    with open(os.path.join(index_dir, _IVF_META)) as f:
+        _json.load(f)  # existence/shape check
+    centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    qcos = F.try_divide(
+        _dot(F.col("query_vec"), F.col("centroid")),
+        _norm(F.col("query_vec")) * _norm(F.col("centroid")),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.round(qcos, 8).desc(), F.col("cell")
+    )
+    probes = (
+        queries.join(F.broadcast(centroids))
+        .withColumn("__pr", F.row_number().over(wq))
+        .where(F.col("__pr") <= n_probe)
+        .select("query_id", "query_vec", "cell")
+    )
+    # bounded collect (≤ n_cells ints): the partition-prune lever
+    cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    base = (
+        spark.read.parquet(os.path.join(index_dir, "cells"))
+        .where(F.col("cell").isin(cells))
+        .select("neighbor_id", "cv", "cell")
+    )
+    staged = _read_stream_cells(spark, index_dir)
+    if staged is not None:
+        base = base.unionByName(
+            staged.where(F.col("cell").isin(cells))
+            .select("neighbor_id", "cv", "cell")
+        )
+    idx = _apply_deleted(spark, index_dir, base)
+    joined = idx.join(F.broadcast(probes), "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = F.try_divide(
+        _dot(F.col("query_vec"), F.col("cv")),
+        _norm(F.col("query_vec")) * _norm(F.col("cv")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 8).desc(), F.col("neighbor_id")
+    )
+    return (
+        joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where((F.col("rank") <= k) & F.col("cosine").isNotNull())
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+def attach_ivf_index_stream(
+    vectors: DataFrame,
+    index_dir: str,
+    vec_col: str,
+    id_col: str,
+    checkpoint_dir: str,
+    tombstone_col: str | None = None,
+    trigger: dict | None = None,
+    drift_factor: float = 4.0,
+):
+    """Continuous IVF-index maintenance — the third streaming arm
+    (LSH round 13, PQ + this round 14): streamed vectors assign
+    against the STORED centroids (frozen-quantizer invariant, so
+    ``build(A)`` + ``stream(B)`` ≡ rebuild-with-those-centroids —
+    parity-pinned), staged exactly-once per batch
+    (``_stream/batch=<id>/cell=…``, overwrite absorbs replays),
+    tombstones shared, staging folded by :func:`vacuum_ivf_index`.
+    The drift guard mirrors the PQ arm: per-batch mean residual vs the
+    build baseline, ``retrain_recommended`` past ``drift_factor``× —
+    read it with :func:`ivf_index_drift`. Returns the started query."""
+    import json as _json
+
+    with open(os.path.join(index_dir, _IVF_META)) as f:
+        meta = _json.load(f)
+    baseline = meta.get("baseline_residual")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        adds = batch_df
+        if tombstone_col is not None:
+            dead = batch_df.where(
+                F.coalesce(F.col(tombstone_col), F.lit(False))
+            ).select(F.col(id_col))
+            if dead.limit(1).count() > 0:
+                remove_from_index(dead.distinct(), index_dir, id_col)
+            adds = batch_df.where(
+                ~F.coalesce(F.col(tombstone_col), F.lit(False))
+            )
+        adds = adds.cache()
+        try:
+            if adds.limit(1).count() == 0:
+                return  # no empty staging dirs (schema-inference hazard)
+            centroids = spark.read.parquet(
+                os.path.join(index_dir, "centroids")
+            )
+            _ivf_assign(adds, vec_col, id_col, centroids).write.partitionBy(
+                "cell"
+            ).mode("overwrite").parquet(
+                os.path.join(index_dir, _STREAM, f"batch={batch_id}")
+            )
+            _record_drift(
+                index_dir, _IVF_DRIFT, batch_id,
+                _ivf_mean_residual(adds, vec_col, id_col, centroids),
+                baseline, drift_factor,
+            )
+        finally:
+            adds.unpersist()
+
+    writer = vectors.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def vacuum_ivf_index(spark: SparkSession, index_dir: str) -> int:
+    """IVF twin of :func:`vacuum_pq_index`: fold staged streaming cell
+    batches and rewrite ``cells/`` minus the tombstones (centroids and
+    meta are id-free), swap, drop tombstones + staging. Returns the
+    distinct tombstoned-id count."""
+    import shutil
+
+    dead = _read_deleted(spark, index_dir)
+    staged = _read_stream_cells(spark, index_dir)
+    if dead is None and staged is None:
+        return 0
+    cells_dir = os.path.join(index_dir, "cells")
+    rows = spark.read.parquet(cells_dir).select("neighbor_id", "cv", "cell")
+    if staged is not None:
+        rows = rows.unionByName(staged.select("neighbor_id", "cv", "cell"))
+    survivors, n_dead = rows, 0
+    if dead is not None:
+        dead_ids = dead.select("neighbor_id").distinct()
+        n_dead = dead_ids.count()
+        survivors = rows.join(
+            F.broadcast(dead_ids), "neighbor_id", "left_anti"
+        )
+    tmp = cells_dir.rstrip("/") + ".vacuum.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    survivors.write.partitionBy("cell").mode("overwrite").parquet(tmp)
+    trash = cells_dir.rstrip("/") + ".vacuum.old"
+    shutil.rmtree(trash, ignore_errors=True)
+    os.replace(cells_dir, trash)
+    os.replace(tmp, cells_dir)
+    shutil.rmtree(trash, ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, _DELETED), ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, _STREAM), ignore_errors=True)
+    return int(n_dead)

@@ -444,3 +444,32 @@ def test_cli_corpus_stream_forwards_gopher_rep(spark, tmp_path):
     build_corpus_cmd(spark, cfg)
     kept = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
     assert kept == {1}
+
+
+def test_cli_vacuum_index_ivf_layout(spark, tmp_path, capsys):
+    """--vacuum-index detects the IVF layout (cells/ dir) too."""
+    from southpaw_spark.operators.ann_index import (
+        build_ivf_index,
+        remove_from_index,
+    )
+
+    def vec(i, dim=6):
+        return [((i * 29 + j * 13) % 89 - 44) / 44.0 for j in range(dim)]
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    ivf = str(tmp_path / "ivf")
+    build_ivf_index(corpus, ivf, "embedding", "vec_id", n_cells=4)
+    remove_from_index(
+        corpus.where(F.col("vec_id") % 4 == 0).select("vec_id"), ivf,
+        "vec_id",
+    )
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(f"state.dir: {tmp_path / 'unused'}\n")
+    assert cli.main(["--config", str(cfg), "--vacuum-index", ivf]) == 0
+    assert "10 tombstones folded" in capsys.readouterr().out
+    import os
+
+    assert not os.path.isdir(os.path.join(ivf, "_deleted"))

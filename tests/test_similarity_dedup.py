@@ -3551,3 +3551,127 @@ def test_pq_index_streaming_ingest_parity_and_drift(spark, tmp_path):
     drift = pq_index_drift(live)
     assert drift["retrain_recommended"] is True
     assert rows(live)  # still answers
+
+
+def test_ivf_index_build_query_stream_parity_and_drift(spark, tmp_path):
+    """Round-14 persistent IVF index (completing the LSH/PQ/IVF family
+    symmetry): build-once answers match the one-shot ivf_kmeans_topk
+    with the same quantizer; build(A) + attach_ivf_index_stream(B, one
+    tombstone) ≡ build on survivors with A's STORED centroids
+    (frozen-quantizer invariant); fresh-checkpoint replay absorbs with
+    zero duplicates; vacuum folds staging + tombstones with answers
+    unchanged; the drift guard flags a distribution shift."""
+    import os
+
+    from southpaw_spark.operators.ann_index import (
+        attach_ivf_index_stream,
+        build_ivf_index,
+        ivf_index_drift,
+        query_ivf_index,
+        vacuum_ivf_index,
+    )
+    from southpaw_spark.operators.similarity import ivf_kmeans_topk
+
+    def vec(i, dim=6):
+        return [((i * 41 + j * 13) % 103 - 51) / 51.0 for j in range(dim)]
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+    # one-shot parity: same n_cells/seed → same trained quantizer →
+    # identical answers (the build-once/query-many contract)
+    full = str(tmp_path / "full")
+    meta = build_ivf_index(
+        corpus, full, "embedding", "vec_id", n_cells=6, seed=7
+    )
+    assert meta["n_cells"] == 6 and meta["baseline_residual"] >= 0.0
+
+    def rows(d, k=5, n_probe=2):
+        return sorted(
+            tuple(r)
+            for r in query_ivf_index(
+                spark, d, queries, k=k, n_probe=n_probe
+            ).collect()
+        )
+
+    oneshot = sorted(
+        tuple(r)
+        for r in ivf_kmeans_topk(
+            corpus, queries, "embedding", "vec_id",
+            k=5, n_cells=6, n_probe=2, seed=7,
+        ).collect()
+    )
+    assert rows(full) == oneshot and oneshot
+
+    # streaming arm: A built, B streamed (+ tombstone), vs survivors
+    # rebuilt with A's stored centroids
+    part_a = corpus.where(F.col("vec_id") % 2 == 0)
+    part_b = corpus.where(F.col("vec_id") % 2 == 1)
+    dead_id = 78
+    live = str(tmp_path / "live")
+    build_ivf_index(part_a, live, "embedding", "vec_id", n_cells=6, seed=7)
+    truth = str(tmp_path / "truth")
+    build_ivf_index(
+        corpus.where(F.col("vec_id") != dead_id), truth,
+        "embedding", "vec_id",
+        centroids=spark.read.parquet(os.path.join(live, "centroids")),
+    )
+    src = str(tmp_path / "src")
+    part_b.withColumn("is_tombstone", F.lit(False)).unionByName(
+        corpus.where(F.col("vec_id") == dead_id).withColumn(
+            "is_tombstone", F.lit(True)
+        )
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain(ckpt):
+        q = attach_ivf_index_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(src),
+            live, "embedding", "vec_id",
+            checkpoint_dir=str(tmp_path / ckpt),
+            tombstone_col="is_tombstone",
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(180)
+
+    drain("ckpt1")
+    want = rows(truth)
+    assert rows(live) == want and want
+    assert all(n != dead_id for _, n, _, _ in rows(live))
+    assert any(n % 2 == 1 for _, n, _, _ in rows(live))
+    drift = ivf_index_drift(live)
+    assert drift["batches"] and drift["retrain_recommended"] is False
+
+    drain("ckpt2")  # fresh-checkpoint replay: overwrite staging absorbs
+    assert rows(live) == want
+
+    assert vacuum_ivf_index(spark, live) == 1
+    assert not os.path.isdir(os.path.join(live, "_stream"))
+    assert not os.path.isdir(os.path.join(live, "_deleted"))
+    assert rows(live) == want
+
+    # drift guard trips on a shifted distribution; ingest still lands
+    shifted = corpus.where(F.col("vec_id") >= 75).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 100.0 + 50.0).alias(
+            "embedding"
+        ),
+    )
+    src2 = str(tmp_path / "src2")
+    shifted.write.parquet(src2)
+    q = attach_ivf_index_stream(
+        spark.readStream.schema(shifted.schema).parquet(src2),
+        live, "embedding", "vec_id",
+        checkpoint_dir=str(tmp_path / "ckpt3"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(180)
+    assert ivf_index_drift(live)["retrain_recommended"] is True
+    assert rows(live)
