@@ -364,6 +364,35 @@ def corpus_stream_cmd(spark, cfg) -> None:
         ),
         fuzzy_keep=c.get("fuzzy_keep", "min_id"),
     )
+    span_deduper = line_deduper = None
+    if "span_dedup_k" in c or "line_dedup_min_count" in c:
+        from southpaw_spark.streaming.dedup_stream import (
+            IncrementalLineDeduper,
+            IncrementalSpanDeduper,
+        )
+
+        buckets = int(c.get("state_buckets", 16))
+        if "span_dedup_k" in c:
+            span_deduper = IncrementalSpanDeduper(
+                spark,
+                ParquetStateStore(
+                    spark, c["state_dir"] + "/span", n_buckets=buckets
+                ),
+                text_col=c.get("text_col", "text"),
+                id_col=c.get("id_col", "doc_id"),
+                k=int(c["span_dedup_k"]),
+                min_count=int(c.get("span_min_count", 2)),
+            )
+        if "line_dedup_min_count" in c:
+            line_deduper = IncrementalLineDeduper(
+                spark,
+                ParquetStateStore(
+                    spark, c["state_dir"] + "/line", n_buckets=buckets
+                ),
+                text_col=c.get("text_col", "text"),
+                id_col=c.get("id_col", "doc_id"),
+                min_count=int(c["line_dedup_min_count"]),
+            )
     out = c["output"]
 
     def sink(kept, batch_id):
@@ -392,8 +421,13 @@ def corpus_stream_cmd(spark, cfg) -> None:
     # carry all four without failing startup. Span/line dedup keys are
     # NOT exempt: those stages genuinely don't run streaming
     # (deliberate — silently skipping them would change the corpus);
-    # the break is called out in MIGRATION.md.
-    dedup_keys = {"fuzzy_keep", "fuzzy_threshold", "fuzzy_n", "exact_dedup"}
+    # the break is called out in MIGRATION.md. Span/line dedup keys are
+    # wired HERE (incremental dedupers built above, cut applied at the
+    # post-drain compaction) rather than forwarded as kwargs.
+    dedup_keys = {
+        "fuzzy_keep", "fuzzy_threshold", "fuzzy_n", "exact_dedup",
+        "span_dedup_k", "span_min_count", "line_dedup_min_count",
+    }
     kwargs = {}
     batch_only = []
     for key in _CORPUS_KEYS:
@@ -422,6 +456,8 @@ def corpus_stream_cmd(spark, cfg) -> None:
             spark.read.parquet(c["ppl_reference"])
             if "ppl_reference" in c else None
         ),
+        span_deduper=span_deduper,
+        line_deduper=line_deduper,
         sink=sink,
         trigger={"availableNow": True},
         **kwargs,
@@ -430,8 +466,28 @@ def corpus_stream_cmd(spark, cfg) -> None:
         q.awaitTermination()
     finally:
         deduper.close()
+        for d in (span_deduper, line_deduper):
+            if d is not None:
+                d.close()
     for k, v in sorted(deduper.metrics.items()):
         print(f"{k}: {v}")
+    if span_deduper is not None or line_deduper is not None:
+        # deferred span/line cut: boilerplate evidence is retroactive,
+        # so the rewrite is only correct at fold time — compact the
+        # batch-dir tree into `<output>_compacted` with the cumulative
+        # spans applied (each cron invocation refreshes it; the batch
+        # dirs under `output` stay the append-only ledger)
+        from southpaw_spark.pipelines import compact_corpus_stream_output
+
+        compact_corpus_stream_output(
+            spark, out, out + "_compacted",
+            id_col=c.get("id_col", "doc_id"),
+            text_col=c.get("text_col", "text"),
+            span_deduper=span_deduper,
+            line_deduper=line_deduper,
+            bpe_merges=c.get("bpe_merges"),
+        )
+        print(f"corpus (stream, span/line-cut) -> {out}_compacted")
     print(f"corpus (stream) -> {out}")
 
 

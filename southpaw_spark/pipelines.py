@@ -908,6 +908,10 @@ def compact_corpus_stream_output(
     out_path: str,
     id_col: str = "doc_id",
     fmt: str = "parquet",
+    text_col: str = "text",
+    span_deduper=None,
+    line_deduper=None,
+    bpe_merges: list[tuple[str, str]] | None = None,
     **write_kwargs,
 ) -> None:
     """Fold a :func:`parquet_corpus_sink` output tree into one clean
@@ -915,7 +919,16 @@ def compact_corpus_stream_output(
     — e.g. after an upstream replay fed overlapping files — keeps only
     its newest row), then ships via :func:`write_corpus`. One id-keyed
     shuffle; the per-id group is the handful of batches that emitted
-    the doc, never corpus-wide."""
+    the doc, never corpus-wide.
+
+    Pass the stream's ``span_deduper`` / ``line_deduper`` to apply
+    their CUMULATIVE boilerplate spans here — the deferred-cut half of
+    the streaming d15/d22 contract (evidence accumulates per batch in
+    :func:`corpus_stream`; the retroactive flags make the cut correct
+    only at fold time). The rewrite replicates ``build_corpus``'s
+    span/line stages exactly: covered tokens/lines cut, emptied docs
+    dropped, ``n_tokens`` refreshed (BPE recount when ``bpe_merges``
+    is the build's merge list)."""
     from pyspark.sql.window import Window
 
     df = spark.read.format(fmt).load(stream_path)
@@ -925,6 +938,43 @@ def compact_corpus_stream_output(
         .where(F.col("__rn") == 1)
         .drop("__rn", "batch_id")
     )
+
+    def _recount(frame: DataFrame) -> DataFrame:
+        if bpe_merges is None:
+            return frame
+        from southpaw_spark.operators.bpe import with_bpe_token_count
+
+        return with_bpe_token_count(
+            frame.drop("n_tokens_bpe"), text_col, bpe_merges
+        )
+
+    if span_deduper is not None:
+        from southpaw_spark.operators.dedup import cut_spans
+
+        spans = span_deduper.current_spans().select(F.col(id_col), "spans")
+        cleaned = cut_spans(latest, spans, text_col, id_col)
+        latest = _recount(
+            cleaned.where(F.col("n_tokens_after") > 0)
+            .withColumn(text_col, F.col(f"{text_col}_clean"))
+            .withColumn("n_tokens", F.col("n_tokens_after"))
+            .drop(
+                f"{text_col}_clean", "n_tokens_before", "n_tokens_after"
+            )
+        )
+    if line_deduper is not None:
+        from southpaw_spark.operators.dedup import cut_lines
+
+        spans = line_deduper.current_spans().select(F.col(id_col), "spans")
+        cleaned = cut_lines(latest, spans, text_col, id_col)
+        latest = _recount(
+            cleaned.where(F.col("n_tokens_after") > 0)
+            .withColumn(text_col, F.col(f"{text_col}_clean"))
+            .withColumn("n_tokens", F.col("n_tokens_after"))
+            .drop(
+                f"{text_col}_clean", "n_lines_before", "n_lines_after",
+                "n_tokens_after",
+            )
+        )
     write_corpus(latest, out_path, fmt=fmt, **write_kwargs)
 
 
@@ -960,6 +1010,8 @@ def corpus_stream(
     min_logprob: float | None = None,
     split_fractions: dict[str, float] | None = None,
     sample_salt: str = "",
+    span_deduper=None,
+    line_deduper=None,
     sink=None,
     trigger: dict | None = None,
 ):
@@ -984,6 +1036,21 @@ def corpus_stream(
     persistent state. ``sink(kept_df, batch_id)``
     receives each micro-batch's KEPT documents with all annotation
     columns — the rows a corpus writer appends.
+
+    ``span_deduper`` / ``line_deduper``
+    (:class:`streaming.dedup_stream.IncrementalSpanDeduper` /
+    ``IncrementalLineDeduper``) accumulate the d15/d22 boilerplate
+    EVIDENCE over each batch's kept docs — evidence is monotone and
+    retroactive (a passage's second copy flags the first doc's span
+    too), so the TEXT CUT is deferred to the fold:
+    :func:`compact_corpus_stream_output` applies the cumulative
+    ``current_spans()`` there, yielding exactly ``build_corpus``'s
+    span/line-rewritten corpus (parity-pinned). Caveats, stated
+    honestly: under ``fuzzy_keep='best_quality'`` a retroactively
+    UNKEPT doc's grams stay in the evidence (conservative — may only
+    cut more); with BOTH span and line dedup enabled, streaming line
+    evidence sees pre-span-cut text where the batch build sees cut
+    text, so enable one for exact combined parity.
 
     Stream ≡ batch: for the shared stage subset, feeding the same docs
     (ids ascending, so the deduper's first-seen exact keeper equals the
@@ -1160,11 +1227,26 @@ def corpus_stream(
                     recount=_recount, collect_stats=False,
                 )
             decisions = deduper.process_batch(work)
-            if sink is not None:
-                kept_ids = decisions.where(
-                    F.col("keeper_id") == F.col(id_col)
-                ).select(id_col)
-                sink(work.join(kept_ids, id_col, "left_semi"), batch_id)
+            kept_ids = decisions.where(
+                F.col("keeper_id") == F.col(id_col)
+            ).select(id_col)
+            kept = work.join(kept_ids, id_col, "left_semi")
+            if span_deduper is not None or line_deduper is not None:
+                kept = kept.cache()  # evidence pass + sink share it
+            try:
+                # d15/d22 evidence accumulation on the KEPT docs (the
+                # batch build's span-stage input under min_id keeps);
+                # the returned per-batch updates are discarded — the
+                # cut applies cumulatively at compaction
+                if span_deduper is not None:
+                    span_deduper.process_batch(kept)
+                if line_deduper is not None:
+                    line_deduper.process_batch(kept)
+                if sink is not None:
+                    sink(kept, batch_id)
+            finally:
+                if span_deduper is not None or line_deduper is not None:
+                    kept.unpersist()
         finally:
             batch_df.unpersist()
 

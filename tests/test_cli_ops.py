@@ -293,9 +293,11 @@ def test_cli_corpus_stream_cron_shaped(spark, tmp_path):
                         "checkpoint_dir": "c", "output": "o"}},
         )
     # batch-only stages are rejected LOUDLY in streaming mode (the
-    # old hand-maintained kwargs list silently skipped unknown gates)
-    bad = dict(cfg["corpus"], span_dedup_k=8, token_budgets={"a": 10})
-    with _pytest.raises(ValueError, match="span_dedup_k"):
+    # old hand-maintained kwargs list silently skipped unknown gates);
+    # span/line dedup keys are NOT batch-only any more (round 14 wires
+    # the incremental dedupers + post-drain compaction)
+    bad = dict(cfg["corpus"], token_budgets={"a": 10})
+    with _pytest.raises(ValueError, match="token_budgets"):
         build_corpus_cmd(spark, {"corpus": bad})
     # ...but a config SHARED with the batch build may carry the dedup
     # keys the streaming deduper supersedes (ADVICE r13): exact/fuzzy
@@ -473,3 +475,55 @@ def test_cli_vacuum_index_ivf_layout(spark, tmp_path, capsys):
     import os
 
     assert not os.path.isdir(os.path.join(ivf, "_deleted"))
+
+
+def test_cli_corpus_stream_span_dedup_compacts(spark, tmp_path):
+    """Round 14: span/line dedup keys are honored in streaming mode —
+    the CLI builds the incremental dedupers, accumulates evidence over
+    the drain, and ships the span-cut corpus to <output>_compacted
+    (the batch-dir ledger under <output> stays append-only)."""
+    import json as _json
+
+    from southpaw_spark.cli import build_corpus_cmd
+
+    passage = "one two three four five six seven eight"
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(
+            _json.dumps(d)
+            for d in (
+                {"doc_id": 1, "text": f"alpha beta {passage} gamma delta"},
+                {"doc_id": 2, "text": f"omega psi {passage} chi phi"},
+                {"doc_id": 3, "text": "plain other words nine ten eleven"},
+            )
+        )
+    )
+    cfg = {
+        "corpus": {
+            "stream": True,
+            "input": str(src),
+            "input_format": "json",
+            "state_dir": str(tmp_path / "state"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "output": str(tmp_path / "out"),
+            "state_buckets": 4,
+            "stream_sim_threshold": 1.01,
+            "span_dedup_k": 8,
+            "span_min_count": 2,
+        }
+    }
+    build_corpus_cmd(spark, cfg)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(str(tmp_path / "out_compacted")).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert passage not in got[1] and passage not in got[2]
+    assert got[3] == "plain other words nine ten eleven"
+    # the raw ledger keeps the UNCUT emissions
+    raw = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert passage in raw[1] and passage in raw[2]

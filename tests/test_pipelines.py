@@ -1627,3 +1627,120 @@ def test_parquet_corpus_sink_exactly_once(spark, tmp_path):
     kept.unpersist()
     assert sorted(r.doc_id for r in compacted.collect()) == want == [1, 2, 4]
     assert "batch_id" not in compacted.columns
+
+
+def test_corpus_stream_span_and_line_dedup_converge_at_compaction(
+    spark, tmp_path
+):
+    """Round-14 streaming d15/d22: corpus_stream accumulates span/line
+    boilerplate EVIDENCE per batch (retroactive — a passage's second
+    copy flags the first doc too), and compact_corpus_stream_output
+    applies the cumulative cut: the compacted corpus equals
+    build_corpus's span- (resp. line-) rewritten output exactly, even
+    when the duplicate pair STRADDLES the batch boundary."""
+    import json as _json
+
+    from southpaw_spark.pipelines import (
+        build_corpus,
+        compact_corpus_stream_output,
+        corpus_stream,
+        parquet_corpus_sink,
+    )
+    from southpaw_spark.streaming import ParquetStateStore
+    from southpaw_spark.streaming.dedup_stream import (
+        IncrementalDeduper,
+        IncrementalLineDeduper,
+        IncrementalSpanDeduper,
+    )
+
+    # the boilerplate passage (8 tokens) appears in docs 1 and 4 —
+    # doc 1 lands in batch 1, doc 4 in batch 2 (the retroactive case);
+    # doc 2 repeats a LINE that doc 5 (batch 2) also carries
+    passage = "one two three four five six seven eight"
+    docs = [
+        (1, f"alpha beta {passage} gamma delta"),
+        (2, "unique opening line\nshared boilerplate line here\nmore"),
+        (3, "plain words nine ten eleven twelve thirteen fourteen"),
+        (4, f"omega psi {passage} chi phi"),
+        (5, "another doc\nshared boilerplate line here\ntail words"),
+    ]
+    a, b = docs[:3], docs[3:]
+    src = tmp_path / "in"
+    src.mkdir()
+    for name, chunk in (("a.json", a), ("b.json", b)):
+        (src / name).write_text(
+            "\n".join(
+                _json.dumps({"doc_id": i, "text": t}) for i, t in chunk
+            )
+        )
+
+    def run_stream(mode):
+        work = tmp_path / mode
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+        deduper = IncrementalDeduper(
+            spark,
+            ParquetStateStore(spark, str(work / "state"), n_buckets=4),
+            sim_threshold=1.01,
+        )
+        span = line = None
+        if mode == "span":
+            span = IncrementalSpanDeduper(
+                spark,
+                ParquetStateStore(spark, str(work / "span"), n_buckets=4),
+                k=8, min_count=2,
+            )
+        else:
+            line = IncrementalLineDeduper(
+                spark,
+                ParquetStateStore(spark, str(work / "line"), n_buckets=4),
+                min_count=2,
+            )
+        q = corpus_stream(
+            deduper, stream, str(work / "ckpt"),
+            span_deduper=span, line_deduper=line,
+            sink=parquet_corpus_sink(str(work / "out")),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        deduper.close()
+        compact_corpus_stream_output(
+            spark, str(work / "out"), str(work / "compacted"),
+            span_deduper=span, line_deduper=line,
+        )
+        for d in (span, line):
+            if d is not None:
+                d.close()
+        return {
+            r["doc_id"]: (r["text"], r["n_tokens"])
+            for r in spark.read.parquet(str(work / "compacted")).collect()
+        }
+
+    batch = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # span arm: cumulative cut ≡ build_corpus(span_dedup_k=8)
+    got_span = run_stream("span")
+    kept, _ = build_corpus(batch, exact_dedup=True, span_dedup_k=8)
+    want_span = {
+        r["doc_id"]: (r["text"], r["n_tokens"]) for r in kept.collect()
+    }
+    kept.unpersist()
+    assert got_span == want_span
+    # the straddling passage really was cut from BOTH docs
+    assert passage not in got_span[1][0] and passage not in got_span[4][0]
+
+    # line arm: cumulative cut ≡ build_corpus(line_dedup_min_count=2)
+    got_line = run_stream("line")
+    kept, _ = build_corpus(batch, exact_dedup=True, line_dedup_min_count=2)
+    want_line = {
+        r["doc_id"]: (r["text"], r["n_tokens"]) for r in kept.collect()
+    }
+    kept.unpersist()
+    assert got_line == want_line
+    assert "shared boilerplate line here" not in got_line[2][0]
+    assert "shared boilerplate line here" not in got_line[5][0]
