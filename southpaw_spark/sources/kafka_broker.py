@@ -64,7 +64,7 @@ _SUPPORTED = [
     (API_SASL_AUTHENTICATE, 0, 0),
 ]
 
-_SASL_MECHS = ("PLAIN", "SCRAM-SHA-256")
+_SASL_MECHS = ("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512")
 
 
 @dataclass
@@ -341,8 +341,9 @@ class EmbeddedKafkaBroker:
             conn["authenticated"] = True
             out.int16(ERR_NONE).string(None).nullable_bytes(b"")
             return
-        # SCRAM-SHA-256 server side (RFC 5802): two SaslAuthenticate
-        # round trips; the server never sees the plaintext on the wire
+        # SCRAM-SHA-256/-512 server side (RFC 5802): two
+        # SaslAuthenticate round trips; the server never sees the
+        # plaintext on the wire
         import base64
         import hmac as _hmaclib
         import secrets
@@ -390,25 +391,28 @@ class EmbeddedKafkaBroker:
         ):
             self._sasl_fail(out, "authentication failed")
             return
-        salted = scram_salted_password(st["pwd"], st["salt"], st["iters"])
-        client_key, stored_key, server_key = scram_client_keys(salted)
+        algo = "sha512" if mech.endswith("512") else "sha256"
+        salted = scram_salted_password(
+            st["pwd"], st["salt"], st["iters"], algo
+        )
+        client_key, stored_key, server_key = scram_client_keys(salted, algo)
         auth_message = ",".join(
             (st["client_first_bare"], st["server_first"], client_final_bare)
         ).encode("utf-8")
         want_key = _xor(
             base64.b64decode(proof_b64),
-            _hmac_sha256(stored_key, auth_message),
+            _hmac_sha256(stored_key, auth_message, algo),
         )
         import hashlib as _hashlib
 
         if not _hmaclib.compare_digest(
-            _hashlib.sha256(want_key).digest(), stored_key
+            _hashlib.new(algo, want_key).digest(), stored_key
         ):
             self._sasl_fail(out, "authentication failed")
             return
         conn["authenticated"] = True
         sig = base64.b64encode(
-            _hmac_sha256(server_key, auth_message)
+            _hmac_sha256(server_key, auth_message, algo)
         ).decode("ascii")
         out.int16(ERR_NONE).string(None)
         out.nullable_bytes(f"v={sig}".encode("utf-8"))

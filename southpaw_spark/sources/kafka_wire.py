@@ -590,7 +590,7 @@ def encode_request(
 
 
 # ---------------------------------------------------------------------------
-# Security: TLS + SASL (PLAIN, SCRAM-SHA-256) — RFC 4616 / RFC 5802 and
+# Security: TLS + SASL (PLAIN, SCRAM-SHA-256/-512) — RFC 4616 / RFC 5802
 # the public Kafka SaslHandshake v1 / SaslAuthenticate v0 APIs. The
 # reference inherits auth from arbitrary Kafka client configs
 # (topic/KafkaTopic.java:47 passes the consumer config map through);
@@ -599,7 +599,7 @@ def encode_request(
 # ---------------------------------------------------------------------------
 
 _SECURITY_PROTOCOLS = ("PLAINTEXT", "SSL", "SASL_PLAINTEXT", "SASL_SSL")
-_SASL_MECHANISMS = ("PLAIN", "SCRAM-SHA-256")
+_SASL_MECHANISMS = ("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512")
 
 
 @dataclass(frozen=True)
@@ -661,30 +661,39 @@ class SecurityConfig:
         return ctx.wrap_socket(sock, server_hostname=server_hostname)
 
 
-# -- SCRAM-SHA-256 primitives (RFC 5802), shared by client and the test
-# broker's server side ------------------------------------------------------
+# -- SCRAM primitives (RFC 5802; SHA-256 per RFC 7677, SHA-512 per the
+# same construction with the hash swapped — the Kafka ScramMechanism
+# pair), shared by client and the test broker's server side ----------------
 
-def _hmac_sha256(key: bytes, msg: bytes) -> bytes:
+def _scram_hash(mechanism: str) -> str:
+    return "sha512" if mechanism.endswith("512") else "sha256"
+
+
+def _hmac_sha256(key: bytes, msg: bytes, algo: str = "sha256") -> bytes:
     import hmac as _hmac
 
-    return _hmac.new(key, msg, "sha256").digest()
+    return _hmac.new(key, msg, algo).digest()
 
 
-def scram_salted_password(password: str, salt: bytes, iterations: int) -> bytes:
+def scram_salted_password(
+    password: str, salt: bytes, iterations: int, algo: str = "sha256"
+) -> bytes:
     import hashlib as _hashlib
 
     return _hashlib.pbkdf2_hmac(
-        "sha256", password.encode("utf-8"), salt, iterations
+        algo, password.encode("utf-8"), salt, iterations
     )
 
 
-def scram_client_keys(salted: bytes) -> tuple[bytes, bytes, bytes]:
+def scram_client_keys(
+    salted: bytes, algo: str = "sha256"
+) -> tuple[bytes, bytes, bytes]:
     """(client_key, stored_key, server_key) per RFC 5802 §3."""
     import hashlib as _hashlib
 
-    client_key = _hmac_sha256(salted, b"Client Key")
-    stored_key = _hashlib.sha256(client_key).digest()
-    server_key = _hmac_sha256(salted, b"Server Key")
+    client_key = _hmac_sha256(salted, b"Client Key", algo)
+    stored_key = _hashlib.new(algo, client_key).digest()
+    server_key = _hmac_sha256(salted, b"Server Key", algo)
     return client_key, stored_key, server_key
 
 
@@ -816,12 +825,13 @@ class KafkaWireClient:
                 b"\0" + user.encode("utf-8") + b"\0" + pwd.encode("utf-8")
             )
             return
-        # SCRAM-SHA-256 (RFC 5802) — mutual: the client also VERIFIES
-        # the server signature, so a server that doesn't know the
-        # password fails loudly here
+        # SCRAM-SHA-256/-512 (RFC 5802) — mutual: the client also
+        # VERIFIES the server signature, so a server that doesn't know
+        # the password fails loudly here
         import base64
         import secrets
 
+        algo = _scram_hash(sec.sasl_mechanism or "")
         cnonce = secrets.token_urlsafe(18)
         # RFC 5802 §5.1: "=" and "," in usernames are escaped
         user_esc = user.replace("=", "=3D").replace(",", "=2C")
@@ -833,13 +843,19 @@ class KafkaWireClient:
         nonce, salt_b64, iters = attrs["r"], attrs["s"], int(attrs["i"])
         if not nonce.startswith(cnonce):
             raise PermissionError("SCRAM server nonce does not extend ours")
-        salted = scram_salted_password(pwd, base64.b64decode(salt_b64), iters)
-        client_key, stored_key, server_key = scram_client_keys(salted)
+        salted = scram_salted_password(
+            pwd, base64.b64decode(salt_b64), iters, algo
+        )
+        client_key, stored_key, server_key = scram_client_keys(
+            salted, algo
+        )
         client_final_bare = f"c=biws,r={nonce}"  # biws = b64("n,,")
         auth_message = ",".join(
             (client_first_bare, server_first, client_final_bare)
         ).encode("utf-8")
-        proof = _xor(client_key, _hmac_sha256(stored_key, auth_message))
+        proof = _xor(
+            client_key, _hmac_sha256(stored_key, auth_message, algo)
+        )
         server_final = self._sasl_send(
             (
                 client_final_bare
@@ -848,7 +864,7 @@ class KafkaWireClient:
             ).encode("utf-8")
         ).decode("utf-8")
         want_v = base64.b64encode(
-            _hmac_sha256(server_key, auth_message)
+            _hmac_sha256(server_key, auth_message, algo)
         ).decode("ascii")
         if server_final != f"v={want_v}":
             raise PermissionError(

@@ -80,7 +80,9 @@ def test_security_config_validation():
         SecurityConfig(protocol="SASL_SSL", sasl_mechanism="PLAIN")
 
 
-@pytest.mark.parametrize("mechanism", ["PLAIN", "SCRAM-SHA-256"])
+@pytest.mark.parametrize(
+    "mechanism", ["PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512"]
+)
 def test_sasl_over_tls_roundtrip(tmp_path, mechanism):
     """Full SASL_SSL handshake against the loopback broker: TLS with a
     hostname-verified self-signed cert, SASL auth, then real
@@ -105,7 +107,9 @@ def test_sasl_over_tls_roundtrip(tmp_path, mechanism):
             ]
 
 
-@pytest.mark.parametrize("mechanism", ["PLAIN", "SCRAM-SHA-256"])
+@pytest.mark.parametrize(
+    "mechanism", ["PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512"]
+)
 def test_sasl_bad_password_rejected(tmp_path, mechanism):
     cert, key = _self_signed(tmp_path)
     with EmbeddedKafkaBroker(certfile=cert, keyfile=key,
