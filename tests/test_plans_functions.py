@@ -281,3 +281,50 @@ def test_new_extra_operator_plan_shapes(spark, sf_dir):
     e10 = suite.EXTRA_QUERIES["e10_asof_auto"](spark, sf_dir)
     p3 = e10._jdf.queryExecution().executedPlan().toString()
     assert p3.count("Exchange hashpartitioning") <= 2
+
+
+def test_ivf_index_query_is_partition_pruned(spark, tmp_path):
+    """Round-14 plan evidence: query_ivf_index's cells/ scan carries a
+    PartitionFilters entry on the probed cell ids — query I/O is the
+    probed directories, never the corpus (the 100 TB property the
+    persistent index exists for). Same check for the LSH index's
+    bprefix prune."""
+    from southpaw_spark.operators.ann_index import (
+        build_ann_index,
+        build_ivf_index,
+        query_ann_index,
+        query_ivf_index,
+    )
+    from southpaw_spark.plans.introspect import explain_str
+
+    def vec(i, dim=6):
+        return [((i * 31 + j * 17) % 97 - 48) / 48.0 for j in range(dim)]
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+    ivf = str(tmp_path / "ivf")
+    build_ivf_index(corpus, ivf, "embedding", "vec_id", n_cells=6, seed=3)
+    plan = explain_str(query_ivf_index(spark, ivf, queries, k=3, n_probe=2))
+    import re
+
+    pf = [
+        m for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if "cell" in m and "IN" in m.upper()
+    ]
+    assert pf, plan[:2000]  # the probed-cells filter reached the scan
+
+    lsh = str(tmp_path / "lsh")
+    build_ann_index(corpus, lsh, "embedding", "vec_id", n_planes=5, seed=3)
+    plan2 = explain_str(query_ann_index(spark, lsh, queries, k=3))
+    pf2 = [
+        m for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan2)
+        if "bprefix" in m
+    ]
+    assert pf2, plan2[:2000]
