@@ -1239,9 +1239,9 @@ def corpus_stream(
                 # the returned per-batch updates are discarded — the
                 # cut applies cumulatively at compaction
                 if span_deduper is not None:
-                    span_deduper.process_batch(kept)
+                    span_deduper.process_batch(kept, batch_id=batch_id)
                 if line_deduper is not None:
-                    line_deduper.process_batch(kept)
+                    line_deduper.process_batch(kept, batch_id=batch_id)
                 if sink is not None:
                     sink(kept, batch_id)
             finally:

@@ -1514,14 +1514,56 @@ class IncrementalSpanDeduper:
 
     # -- the per-batch pass -------------------------------------------
 
-    def process_batch(self, docs: DataFrame) -> DataFrame:
+    def _batch_guard_file(self) -> str:
+        import os
+
+        return os.path.join(self.store.root, "_SPAN_LAST_BATCH")
+
+    def _last_batch_id(self) -> int | None:
+        try:
+            with open(self._batch_guard_file()) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def _record_batch_id(self, batch_id: int) -> None:
+        import os
+
+        tmp = self._batch_guard_file() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, self._batch_guard_file())
+
+    def process_batch(
+        self, docs: DataFrame, batch_id: int | None = None
+    ) -> DataFrame:
         """Ingest one batch; update state; return the span updates:
         ``(id_col, spans, n_spans, dup_tokens)`` — one row per document
         whose duplicated-span set changed, carrying the full updated
-        spans (empty result when no gram crossed the threshold)."""
+        spans (empty result when no gram crossed the threshold).
+
+        ``batch_id`` (foreachBatch's stable per-checkpoint id) arms the
+        REPLAY GUARD: gram counts are not naturally idempotent (a
+        re-sent doc double-counts its own grams), so a batch whose id
+        was already recorded is skipped instead of re-ingested — the
+        at-least-once replay after a crash between sink success and
+        checkpoint commit no longer inflates counts. The guard records
+        AFTER the state commit (recording first could skip a batch
+        whose state never landed — silent evidence loss, strictly
+        worse); the residual double-count window is a crash INSIDE the
+        commit-then-record sequence, the same milliseconds-class window
+        the two entity pointer flips already have. Without ``batch_id``
+        the historical contract stands: ids must be unique across the
+        stream."""
         from southpaw_spark.operators.dedup import merged_spans
 
         ic, k, mc = self.id_col, self.k, self.min_count
+        if batch_id is not None:
+            last = self._last_batch_id()
+            if last is not None and batch_id <= last:
+                return self.spark.createDataFrame(
+                    [], self._updates_schema()
+                )
         self._release_prev()
         scoped: list[DataFrame] = []
         w = F.split(F.col(self.text_col), " ")
@@ -1694,6 +1736,8 @@ class IncrementalSpanDeduper:
             staged = [(e, f.result()) for e, f in futures]
         for entity, version in staged:  # stage both, then flip
             self.store.commit(entity, version)
+        if batch_id is not None:
+            self._record_batch_id(batch_id)
         self._vacuum()
 
         m = self.metrics
@@ -1814,12 +1858,15 @@ class IncrementalLineDeduper:
     def _rename(self, upd: DataFrame) -> DataFrame:
         return upd.withColumnRenamed("dup_tokens", "dup_lines")
 
-    def process_batch(self, docs: DataFrame) -> DataFrame:
+    def process_batch(
+        self, docs: DataFrame, batch_id: int | None = None
+    ) -> DataFrame:
         """Ingest one batch; return the line-span updates — one row per
         document whose duplicated-line set changed, with its FULL
-        updated line-position spans."""
+        updated line-position spans. ``batch_id`` arms the replay guard
+        (see :meth:`IncrementalSpanDeduper.process_batch`)."""
         return self._rename(self._span.process_batch(
-            self._tokenize(docs)
+            self._tokenize(docs), batch_id=batch_id
         ))
 
     def current_spans(self) -> DataFrame:

@@ -994,3 +994,59 @@ def test_attach_line_deduper_file_source(spark, tmp_path):
 
     assert results[1] == [(1, 2)]  # retro-flagged by batch b
     assert results[2] == [(0, 1)]
+
+
+def test_span_deduper_batch_id_replay_guard(spark, tmp_path):
+    """Round 14: gram counts double on a re-sent doc, so foreachBatch's
+    at-least-once replay could cross min_count spuriously. With
+    batch_id armed, a replayed id is skipped (state unchanged, empty
+    updates); the next id proceeds; the LINE deduper inherits it."""
+    from southpaw_spark.streaming import ParquetStateStore
+    from southpaw_spark.streaming.dedup_stream import (
+        IncrementalLineDeduper,
+        IncrementalSpanDeduper,
+    )
+
+    passage = "one two three four five six seven eight"
+    d = IncrementalSpanDeduper(
+        spark,
+        ParquetStateStore(spark, str(tmp_path / "span"), n_buckets=4),
+        k=8, min_count=2,
+    )
+    b1 = spark.createDataFrame(
+        [(1, f"alpha beta {passage} gamma")], "doc_id long, text string"
+    )
+    assert d.process_batch(b1, batch_id=0).count() == 0
+    # replay of batch 0 with the same doc: WITHOUT the guard the
+    # passage would double-count to min_count and flag itself
+    assert d.process_batch(b1, batch_id=0).count() == 0
+    assert d.current_spans().count() == 0  # no spurious crossing
+    # the real second copy (next batch id) triggers the retro flag
+    b2 = spark.createDataFrame(
+        [(2, f"omega psi {passage} chi")], "doc_id long, text string"
+    )
+    upd = d.process_batch(b2, batch_id=1)
+    assert sorted(r["doc_id"] for r in upd.collect()) == [1, 2]
+    d.close()
+
+    line = IncrementalLineDeduper(
+        spark,
+        ParquetStateStore(spark, str(tmp_path / "line"), n_buckets=4),
+        min_count=2,
+    )
+    lb = spark.createDataFrame(
+        [(1, "shared line\nunique a")], "doc_id long, text string"
+    )
+    line.process_batch(lb, batch_id=0)
+    line.process_batch(lb, batch_id=0)  # replay skipped
+    assert line.current_spans().count() == 0
+    line.process_batch(
+        spark.createDataFrame(
+            [(2, "shared line\nunique b")], "doc_id long, text string"
+        ),
+        batch_id=1,
+    )
+    assert sorted(
+        r["doc_id"] for r in line.current_spans().collect()
+    ) == [1, 2]
+    line.close()
