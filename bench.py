@@ -675,6 +675,29 @@ def main() -> None:
          lambda: run_extra("s11_centroid_outliers"))
     )
 
+    # Box-speed control (VERDICT r14 item 4): cross-round driver
+    # comparisons keep tripping on machine drift, so every bench record
+    # carries its own normalizer — a PINNED pure-codegen query defined
+    # RIGHT HERE (never in suite.py, so suite edits can't touch it):
+    # one lineitem scan + one hash aggregate, whole-stage codegen end
+    # to end. Median of 3, measured before the budgeted loop. Compare
+    # BENCH_rN rows as (row / control_wall) ratios across rounds.
+    def _control_once() -> float:
+        from pyspark.sql import functions as F
+
+        t0 = time.monotonic()
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem"))
+        li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.count("*").alias("n"),
+        ).write.format("noop").mode("overwrite").save()
+        return time.monotonic() - t0
+
+    _control_once()  # its own warm-up (plan + codegen)
+    control_samples = sorted(_control_once() for _ in range(3))
+    control_wall = round(control_samples[1], 3)
+
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     truncated: list[str] = []
@@ -705,9 +728,15 @@ def main() -> None:
         "reps": reps,
         "sf": sf,
     }
-    aux = {**_DEDUP_JOBS, **_STREAM_E2E_AUX}
-    if aux:
-        out["aux"] = dict(sorted(aux.items()))
+    aux = {
+        **_DEDUP_JOBS,
+        **_STREAM_E2E_AUX,
+        "control_wall": control_wall,
+        "control_spread": [
+            round(control_samples[0], 3), round(control_samples[-1], 3),
+        ],
+    }
+    out["aux"] = dict(sorted(aux.items()))
     if truncated:
         out["reps_truncated"] = truncated
     # Full record (incl. per-query [min,max] spreads) goes to a file —

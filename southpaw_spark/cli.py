@@ -357,13 +357,24 @@ def corpus_stream_cmd(spark, cfg) -> None:
             n_buckets=int(c.get("state_buckets", 16)),
         ),
         # a config shared between batch and stream builds carries the
-        # batch `fuzzy_threshold`; honor it as the default so the two
-        # builds agree unless `stream_sim_threshold` overrides
+        # batch `fuzzy_threshold`/`fuzzy_n`; honor both as defaults so
+        # the two builds agree unless `stream_sim_threshold` overrides
         sim_threshold=float(
             c.get("stream_sim_threshold", c.get("fuzzy_threshold", 0.7))
         ),
+        n=int(c.get("fuzzy_n", 3)),
         fuzzy_keep=c.get("fuzzy_keep", "min_id"),
     )
+    if not c.get("exact_dedup", True):
+        # the streaming deduper ALWAYS exact-dedups (its fuzzy pass is
+        # built on the exact state); a shared config that disables the
+        # batch exact stage would silently produce a different corpus
+        # here — fail loudly like every other unsupported stream key
+        raise ValueError(
+            "corpus.stream: true cannot honor exact_dedup: false — the "
+            "incremental deduper always exact-dedups; drop the key or "
+            "run --build-corpus without stream: true"
+        )
     span_deduper = line_deduper = None
     if "span_dedup_k" in c or "line_dedup_min_count" in c:
         from southpaw_spark.streaming.dedup_stream import (
@@ -415,10 +426,11 @@ def corpus_stream_cmd(spark, cfg) -> None:
 
     stream_params = set(signature(corpus_stream).parameters)
     # consumed/superseded by the streaming deduper itself, not
-    # corpus_stream: exact dedup is always on in IncrementalDeduper,
-    # and fuzzy_threshold/fuzzy_n map to its sim_threshold (wired
-    # above) — a config shared between batch and stream builds may
-    # carry all four without failing startup. Span/line dedup keys are
+    # corpus_stream: fuzzy_threshold → sim_threshold and fuzzy_n → n
+    # are wired into IncrementalDeduper above, and exact_dedup: false
+    # is rejected loudly above (the stream always exact-dedups) — a
+    # config shared between batch and stream builds is either honored
+    # or fails startup, never silently diverges. Span/line dedup keys are
     # NOT exempt: those stages genuinely don't run streaming
     # (deliberate — silently skipping them would change the corpus);
     # the break is called out in MIGRATION.md. Span/line dedup keys are
@@ -616,14 +628,18 @@ def main(argv=None) -> int:
         import os as _os
 
         from southpaw_spark.operators.ann_index import (
+            _index_fs,
             vacuum_ann_index,
             vacuum_ivf_index,
             vacuum_pq_index,
         )
 
-        if _os.path.isdir(_os.path.join(args.vacuum_index, "codes")):
+        # layout detection through the FS seam so a scheme:// index
+        # root (s3a://, file://) routes to the right vacuum too
+        _fs = _index_fs(args.vacuum_index, spark)
+        if _fs.isdir(_os.path.join(args.vacuum_index, "codes")):
             fn = vacuum_pq_index
-        elif _os.path.isdir(_os.path.join(args.vacuum_index, "cells")):
+        elif _fs.isdir(_os.path.join(args.vacuum_index, "cells")):
             fn = vacuum_ivf_index
         else:
             fn = vacuum_ann_index

@@ -45,6 +45,48 @@ from southpaw_spark.operators.similarity import _dot, _norm
 _META = "_ANN_META.json"
 
 
+def _index_fs(index_dir: str, spark: SparkSession | None = None):
+    """Driver-side FS for the index root — the same seam the state
+    store uses (`streaming/fsio.py`): plain paths keep the original
+    POSIX code, any ``scheme://`` root goes through the JVM Hadoop
+    FileSystem, so an index can live on ``s3a://``/``gs://``/``abfs://``
+    (reference posture: `state/RocksDBState.java` URI surface +
+    `util/S3Helper.java`). Spark's own readers/writers already handle
+    the parquet halves on any scheme; this covers the sidecars,
+    staging enumeration, and vacuum swaps."""
+    from southpaw_spark.streaming.fsio import store_fs_for
+
+    if "://" in index_dir and spark is None:
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                f"index root {index_dir!r} needs an active SparkSession "
+                "to reach its filesystem"
+            )
+    return store_fs_for(spark, index_dir)
+
+
+def _read_json(fs, path: str) -> dict:
+    return json.loads(fs.read_text(path))
+
+
+def _write_json_atomic(fs, path: str, payload: dict) -> None:
+    """Atomic sidecar write through the FS seam (tmp + rename on
+    POSIX) — a crash mid-write must not leave truncated JSON."""
+    fs.write_text_atomic(path, json.dumps(payload))
+
+
+def _lsh_data_dir(fs, index_dir: str) -> str:
+    """Where the LSH index's bprefix partitions live. Round 15 moves
+    them under ``data/`` so vacuum swaps ONE data subdir (symmetric
+    with PQ ``codes/`` and IVF ``cells/``) instead of renaming the
+    whole index root — the root rename destroyed staging batches a
+    live stream committed mid-vacuum. Legacy indexes (partitions at
+    the root) stay readable; the first vacuum migrates them."""
+    data = os.path.join(index_dir, "data")
+    return data if fs.isdir(data) else index_dir
+
+
 def _bucket_bits(col, planes):
     return [
         (
@@ -104,7 +146,9 @@ def build_ann_index(
         # "011" as integer 11 — the partition column stays a string
         F.concat(F.lit("p"), _bucket_str(bits[:prefix_bits])).alias("bprefix"),
     )
-    rows.write.partitionBy("bprefix").mode("overwrite").parquet(index_dir)
+    rows.write.partitionBy("bprefix").mode("overwrite").parquet(
+        os.path.join(index_dir, "data")
+    )
     meta = {
         "dim": int(dim),
         "n_planes": int(n_planes),
@@ -112,12 +156,11 @@ def build_ann_index(
         "seed": int(seed),
         "planes": planes,
     }
-    # tmp + os.replace: a crash mid-write must not leave truncated JSON
-    # (every later open would die in json.load instead of a loud error)
-    tmp = os.path.join(index_dir, _META + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(index_dir, _META))
+    _write_json_atomic(
+        _index_fs(index_dir, corpus.sparkSession),
+        os.path.join(index_dir, _META),
+        meta,
+    )
     return meta
 
 
@@ -143,8 +186,8 @@ def query_ann_index(
     """
     if multiprobe not in (0, 1):
         raise ValueError("multiprobe supports 0 or 1 bit flips")
-    with open(os.path.join(index_dir, _META)) as f:
-        meta = json.load(f)
+    fs = _index_fs(index_dir, spark)
+    meta = _read_json(fs, os.path.join(index_dir, _META))
     planes, pb = meta["planes"], meta["prefix_bits"]
 
     bits = _bucket_bits(F.col("query_vec"), planes)
@@ -165,7 +208,7 @@ def query_ann_index(
     # (≤ |queries| × (n_planes+1) short strings) and is what turns the
     # scan into a partition-pruned read instead of a full-index scan.
     prefixes = [r["bprefix"] for r in q.select("bprefix").distinct().collect()]
-    base = spark.read.parquet(index_dir).where(
+    base = spark.read.parquet(_lsh_data_dir(fs, index_dir)).where(
         F.col("bprefix").isin(prefixes)
     ).select("neighbor_id", "cv", "bucket", "bprefix")
     streamed = _read_stream_rows(spark, index_dir)
@@ -217,8 +260,8 @@ def add_to_ann_index(
     more planes when buckets outgrow ``target_bucket`` — the meta's
     ``n_planes`` vs current count tells you when.
     """
-    with open(os.path.join(index_dir, _META)) as f:
-        meta = json.load(f)
+    fs = _index_fs(index_dir, new_vectors.sparkSession)
+    meta = _read_json(fs, os.path.join(index_dir, _META))
     planes, pb = meta["planes"], meta["prefix_bits"]
     bits = _bucket_bits(F.col(vec_col), planes)
     rows = new_vectors.select(
@@ -227,7 +270,9 @@ def add_to_ann_index(
         _bucket_str(bits).alias("bucket"),
         F.concat(F.lit("p"), _bucket_str(bits[:pb])).alias("bprefix"),
     )
-    rows.write.partitionBy("bprefix").mode("append").parquet(index_dir)
+    rows.write.partitionBy("bprefix").mode("append").parquet(
+        _lsh_data_dir(fs, index_dir)
+    )
 
 
 #: tombstone subdirectory: underscore prefix keeps Spark's parquet
@@ -241,12 +286,50 @@ _DELETED = "_deleted"
 _STREAM = "_stream"
 
 
-def _read_stream_rows(spark: SparkSession, index_dir: str):
+def _list_stream_batches(spark: SparkSession, index_dir: str) -> list[str]:
+    """Names of the ``batch=<id>`` staging dirs present RIGHT NOW — the
+    scan-time snapshot the vacuums fold and delete EXACTLY (a batch a
+    live stream commits after this enumeration is neither folded nor
+    destroyed; it stays staged and keeps answering queries)."""
+    fs = _index_fs(index_dir, spark)
     path = os.path.join(index_dir, _STREAM)
-    if not os.path.isdir(path):
+    if not fs.isdir(path):
+        return []
+    return sorted(n for n in fs.listdir(path) if n.startswith("batch="))
+
+
+def _list_deleted_files(spark: SparkSession, index_dir: str) -> list[str]:
+    """Data files in the tombstone set RIGHT NOW (same snapshot rule:
+    a tombstone appended mid-vacuum survives the vacuum and keeps
+    masking its id via the query-side anti-join)."""
+    fs = _index_fs(index_dir, spark)
+    path = os.path.join(index_dir, _DELETED)
+    if not fs.isdir(path):
+        return []
+    return sorted(
+        n
+        for n in fs.listdir(path)
+        if not n.startswith((".", "_")) and not n.endswith((".crc", ".tmp"))
+    )
+
+
+def _read_stream_rows(spark: SparkSession, index_dir: str,
+                      batches: list[str] | None = None):
+    path = os.path.join(index_dir, _STREAM)
+    if batches is None:
+        if not _index_fs(index_dir, spark).isdir(path):
+            return None
+        return spark.read.parquet(path).select(
+            "neighbor_id", "cv", "bucket", "bprefix"
+        )
+    if not batches:
         return None
-    return spark.read.parquet(path).select(
-        "neighbor_id", "cv", "bucket", "bprefix"
+    # scoped read: exactly the scan-time batch dirs (basePath keeps
+    # `batch` a partition column so the schema matches the full read)
+    return (
+        spark.read.option("basePath", path)
+        .parquet(*[os.path.join(path, b) for b in batches])
+        .select("neighbor_id", "cv", "bucket", "bprefix")
     )
 
 
@@ -290,8 +373,10 @@ def attach_index_stream(
 
     Returns the started ``StreamingQuery``.
     """
-    with open(os.path.join(index_dir, _META)) as f:
-        meta = json.load(f)
+    meta = _read_json(
+        _index_fs(index_dir, vectors.sparkSession),
+        os.path.join(index_dir, _META),
+    )
     planes, pb = meta["planes"], meta["prefix_bits"]
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -331,11 +416,19 @@ def attach_index_stream(
     return writer.start()
 
 
-def _read_deleted(spark: SparkSession, index_dir: str) -> DataFrame | None:
+def _read_deleted(spark: SparkSession, index_dir: str,
+                  files: list[str] | None = None) -> DataFrame | None:
     path = os.path.join(index_dir, _DELETED)
-    if not os.path.isdir(path):
+    if files is None:
+        if not _index_fs(index_dir, spark).isdir(path):
+            return None
+        return spark.read.parquet(path)
+    if not files:
         return None
-    return spark.read.parquet(path)
+    # scoped read: exactly the scan-time tombstone files, so the lazy
+    # re-evaluations inside a vacuum never see (and never delete)
+    # tombstones a live stream appends mid-vacuum
+    return spark.read.parquet(*[os.path.join(path, f) for f in files])
 
 
 def _apply_deleted(spark, index_dir, rows, key="neighbor_id"):
@@ -365,26 +458,85 @@ def remove_from_index(ids: DataFrame, index_dir: str, id_col: str) -> None:
     ).parquet(os.path.join(index_dir, _DELETED))
 
 
+def _swap_data_dir(fs, live: str, tmp: str) -> None:
+    """Publish ``tmp`` at ``live`` with the state store's vacuum
+    discipline: everything new is fully written before the two-rename
+    window (live → .old, tmp → live), the only non-atomic step on a
+    plain filesystem. Rollback on a failed second rename."""
+    trash = live.rstrip("/") + ".vacuum.old"
+    fs.delete(trash)
+    if fs.exists(live) and not fs.rename_dir(live, trash):
+        raise OSError(f"vacuum: could not retire {live}")
+    if not fs.rename_dir(tmp, live):
+        fs.rename_dir(trash, live)  # roll back
+        raise OSError(f"vacuum: could not publish {tmp} at {live}")
+    fs.delete(trash)
+
+
+def _drop_scanned(
+    fs, index_dir: str, batches: list[str], files: list[str]
+) -> None:
+    """Delete EXACTLY the staging batch dirs and tombstone files the
+    vacuum enumerated at scan time — never the whole ``_stream``/
+    ``_deleted`` trees. A batch a live ``attach_*_index_stream``
+    commits between the scan and this cleanup is untouched: it stays
+    staged, keeps answering queries, and the next vacuum folds it
+    (the rebucket-style quiesce contract is thereby unnecessary).
+    The now-possibly-empty parent dirs are removed only when a final
+    re-listing shows nothing but bookkeeping files — racing with a
+    concurrent commit just leaves the dir for the next vacuum."""
+    sdir = os.path.join(index_dir, _STREAM)
+    for b in batches:
+        fs.delete(os.path.join(sdir, b))
+    ddir = os.path.join(index_dir, _DELETED)
+    for f in files:
+        fs.delete(os.path.join(ddir, f))
+    for parent, live_kind in ((sdir, "batch="), (ddir, None)):
+        if not fs.isdir(parent):
+            continue
+        left = fs.listdir(parent)
+        live = [
+            n
+            for n in left
+            if (n.startswith(live_kind) if live_kind else
+                not n.startswith((".", "_")) and not n.endswith(".crc"))
+        ]
+        if not live:
+            fs.delete(parent)
+
+
 def vacuum_ann_index(spark: SparkSession, index_dir: str) -> int:
     """Fold the tombstone set AND any streaming-ingest staging batches
     (``attach_index_stream``) into the LSH index data files: rewrite
-    the surviving rows (same bprefix partitioning), carry the sidecar
-    over, swap directories, drop tombstones + staging. Returns the
-    number of distinct ids removed. The rewrite is out-of-place —
-    everything new is written before the two-rename swap window, the
-    only non-atomic step on a plain filesystem (object stores get the
-    same ordering through their committer)."""
-    import shutil
+    the surviving rows (same bprefix partitioning) out-of-place, swap
+    the ``data/`` subdir, then drop EXACTLY the staging batches and
+    tombstone files enumerated at scan time. Returns the number of
+    distinct ids removed.
 
-    dead = _read_deleted(spark, index_dir)
-    streamed = _read_stream_rows(spark, index_dir)
-    if dead is None and streamed is None:
+    CONCURRENT-INGEST SAFE (round 15): the old implementation renamed
+    the whole index root, which silently destroyed any ``_stream``
+    batch a live stream committed between the fold's read and the
+    rename — data loss the stream's checkpoint never replays. Now only
+    the scan-time snapshot is folded and deleted; later commits stay
+    staged and keep answering queries (pinned by the concurrent-vacuum
+    test). Legacy indexes with partitions at the root are migrated
+    into ``data/`` by their first vacuum."""
+    fs = _index_fs(index_dir, spark)
+    batches = _list_stream_batches(spark, index_dir)
+    tomb_files = _list_deleted_files(spark, index_dir)
+    if not batches and not tomb_files:
         return 0
-    idx = spark.read.parquet(index_dir).select(
+    data_dir = _lsh_data_dir(fs, index_dir)
+    legacy = data_dir == index_dir
+    idx = spark.read.parquet(data_dir).select(
         "neighbor_id", "cv", "bucket", "bprefix"
     )
+    streamed = _read_stream_rows(spark, index_dir, batches=batches)
     if streamed is not None:
         idx = idx.unionByName(streamed)
+    dead = _read_deleted(spark, index_dir, files=tomb_files)
+    n_dead = 0
+    survivors = idx
     if dead is not None:
         # distinct: replayed streaming deletes append duplicate ids
         dead_ids = dead.select("neighbor_id").distinct()
@@ -392,39 +544,44 @@ def vacuum_ann_index(spark: SparkSession, index_dir: str) -> int:
         survivors = idx.join(
             F.broadcast(dead_ids), "neighbor_id", "left_anti"
         )
-    else:
-        n_dead = 0
-        survivors = idx
-    tmp = index_dir.rstrip("/") + ".vacuum.tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
+    live = os.path.join(index_dir, "data")
+    tmp = live.rstrip("/") + ".vacuum.tmp"
+    fs.delete(tmp)
     survivors.write.partitionBy("bprefix").mode("overwrite").parquet(tmp)
-    shutil.copy2(
-        os.path.join(index_dir, _META), os.path.join(tmp, _META)
-    )
-    trash = index_dir.rstrip("/") + ".vacuum.old"
-    shutil.rmtree(trash, ignore_errors=True)
-    os.replace(index_dir, trash)
-    os.replace(tmp, index_dir)
-    shutil.rmtree(trash, ignore_errors=True)
+    if legacy:
+        # migration publish: data/ did not exist, so the single rename
+        # is the whole swap (readers prefer data/ the moment it lands);
+        # the old root partitions are dropped after
+        if not fs.rename_dir(tmp, live):
+            raise OSError(f"vacuum: could not publish {tmp} at {live}")
+        for name in fs.listdir(index_dir):
+            if name.startswith("bprefix=") or name == "_SUCCESS":
+                fs.delete(os.path.join(index_dir, name))
+    else:
+        _swap_data_dir(fs, live, tmp)
+    _drop_scanned(fs, index_dir, batches, tomb_files)
     return int(n_dead)
 
 
 def vacuum_pq_index(spark: SparkSession, index_dir: str) -> int:
-    """PQ twin of :func:`vacuum_ann_index`: fold any staged streaming
-    code batches (``_stream/``, from :func:`attach_pq_index_stream`)
-    and rewrite ``codes/`` minus the tombstones (codebooks and meta are
-    id-free and survive as-is), swap, drop the tombstone set and the
-    staging area. Returns the tombstone count."""
-    import shutil
-
-    dead = _read_deleted(spark, index_dir)
-    staged = _read_stream_codes(spark, index_dir)
-    if dead is None and staged is None:
+    """PQ twin of :func:`vacuum_ann_index`: fold the staged streaming
+    code batches and tombstone files ENUMERATED AT SCAN TIME into
+    ``codes/`` (codebooks and meta are id-free and survive as-is),
+    swap, then drop exactly that snapshot — a batch a live
+    :func:`attach_pq_index_stream` commits mid-vacuum survives staged
+    (same concurrent-ingest contract as the LSH vacuum). Returns the
+    tombstone count."""
+    fs = _index_fs(index_dir, spark)
+    batches = _list_stream_batches(spark, index_dir)
+    tomb_files = _list_deleted_files(spark, index_dir)
+    if not batches and not tomb_files:
         return 0
     codes_dir = os.path.join(index_dir, "codes")
     codes = spark.read.parquet(codes_dir)
+    staged = _read_stream_codes(spark, index_dir, batches=batches)
     if staged is not None:
         codes = codes.unionByName(staged.select(*codes.columns))
+    dead = _read_deleted(spark, index_dir, files=tomb_files)
     survivors, n_dead = codes, 0
     if dead is not None:
         # distinct: replayed streaming deletes append duplicate ids
@@ -434,15 +591,10 @@ def vacuum_pq_index(spark: SparkSession, index_dir: str) -> int:
             F.broadcast(dead_ids), "neighbor_id", "left_anti"
         )
     tmp = codes_dir.rstrip("/") + ".vacuum.tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
+    fs.delete(tmp)
     survivors.write.mode("overwrite").parquet(tmp)
-    trash = codes_dir.rstrip("/") + ".vacuum.old"
-    shutil.rmtree(trash, ignore_errors=True)
-    os.replace(codes_dir, trash)
-    os.replace(tmp, codes_dir)
-    shutil.rmtree(trash, ignore_errors=True)
-    shutil.rmtree(os.path.join(index_dir, _DELETED), ignore_errors=True)
-    shutil.rmtree(os.path.join(index_dir, _STREAM), ignore_errors=True)
+    _swap_data_dir(fs, codes_dir, tmp)
+    _drop_scanned(fs, index_dir, batches, tomb_files)
     return int(n_dead)
 
 
@@ -476,8 +628,6 @@ def build_pq_index(
     (shared helper with :func:`similarity.pq_topk`, so index answers
     are IDENTICAL to the one-shot operator — pinned by test); pass
     k-means-trained codebooks for production recall."""
-    import json as _json
-
     from southpaw_spark.operators.similarity import (
         _pq_default_codebooks,
         _pq_encode,
@@ -519,8 +669,9 @@ def build_pq_index(
         "dim": dim, "m_subspaces": m_subspaces, "n_codes": n_codes,
         "baseline_residual": baseline,
     }
-    with open(os.path.join(index_dir, _PQ_META), "w") as f:
-        _json.dump(meta, f)
+    _write_json_atomic(
+        _index_fs(index_dir, spark), os.path.join(index_dir, _PQ_META), meta
+    )
     return meta
 
 
@@ -549,26 +700,23 @@ _PQ_DRIFT = "_PQ_DRIFT.json"
 _IVF_DRIFT = "_IVF_DRIFT.json"
 
 
-def _read_drift(index_dir: str, fname: str) -> dict:
-    import json as _json
-
+def _read_drift(index_dir: str, fname: str, spark=None) -> dict:
     try:
-        with open(os.path.join(index_dir, fname)) as f:
-            return _json.load(f)
+        return _read_json(
+            _index_fs(index_dir, spark), os.path.join(index_dir, fname)
+        )
     except (OSError, ValueError):
         return {"batches": {}, "retrain_recommended": False}
 
 
 def _record_drift(
     index_dir: str, fname: str, batch_id: int, residual: float,
-    baseline: float | None, drift_factor: float,
+    baseline: float | None, drift_factor: float, spark=None,
 ) -> None:
     """Record a streamed batch's quantization residual against the
     build-time baseline (keyed by batch id, so replays are idempotent)
     and maintain the ``retrain_recommended`` flag."""
-    import json as _json
-
-    drift = _read_drift(index_dir, fname)
+    drift = _read_drift(index_dir, fname, spark=spark)
     drift.setdefault("batches", {})[str(batch_id)] = residual
     drift["baseline_residual"] = baseline
     drift["drift_factor"] = drift_factor
@@ -579,10 +727,9 @@ def _record_drift(
             for r in drift["batches"].values()
         )
     )
-    tmp = os.path.join(index_dir, fname + ".tmp")
-    with open(tmp, "w") as f:
-        _json.dump(drift, f)
-    os.replace(tmp, os.path.join(index_dir, fname))
+    _write_json_atomic(
+        _index_fs(index_dir, spark), os.path.join(index_dir, fname), drift
+    )
 
 
 def pq_index_drift(index_dir: str) -> dict:
@@ -629,12 +776,12 @@ def attach_pq_index_stream(
     continues (codes stay valid, recall degrades gracefully) — the flag
     is the retrain/rebuild trigger a scheduler polls via
     :func:`pq_index_drift`. Returns the started ``StreamingQuery``."""
-    import json as _json
-
     from southpaw_spark.operators.similarity import _pq_encode
 
-    with open(os.path.join(index_dir, _PQ_META)) as f:
-        meta = _json.load(f)
+    meta = _read_json(
+        _index_fs(index_dir, vectors.sparkSession),
+        os.path.join(index_dir, _PQ_META),
+    )
     sub = meta["dim"] // meta["m_subspaces"]
     baseline = meta.get("baseline_residual")
 
@@ -668,7 +815,7 @@ def attach_pq_index_stream(
             _record_drift(
                 index_dir, _PQ_DRIFT, batch_id,
                 _pq_mean_residual(adds, vec_col, id_col, codebooks, ms, sub),
-                baseline, drift_factor,
+                baseline, drift_factor, spark=spark,
             )
         finally:
             adds.unpersist()
@@ -681,17 +828,23 @@ def attach_pq_index_stream(
     return writer.start()
 
 
-def _read_stream_codes(spark: SparkSession, index_dir: str):
+def _read_stream_codes(spark: SparkSession, index_dir: str,
+                       batches: list[str] | None = None):
     """Staged streaming code rows (same (neighbor_id, m, code) shape as
     ``codes/``), or None when no staging batches exist. Read the whole
     staging dir (one base path — batch becomes a partition column)
-    rather than a batch=* glob, which breaks partition inference."""
+    rather than a batch=* glob, which breaks partition inference.
+    ``batches`` scopes the read to a scan-time snapshot (vacuum)."""
     path = os.path.join(index_dir, _STREAM)
-    if not os.path.isdir(path) or not any(
-        n.startswith("batch=") for n in os.listdir(path)
-    ):
+    if batches is None:
+        batches = _list_stream_batches(spark, index_dir)
+    if not batches:
         return None
-    return spark.read.parquet(path).select("neighbor_id", "m", "code")
+    return (
+        spark.read.option("basePath", path)
+        .parquet(*[os.path.join(path, b) for b in batches])
+        .select("neighbor_id", "m", "code")
+    )
 
 
 def query_pq_index(
@@ -711,12 +864,11 @@ def query_pq_index(
     — identical output to running :func:`similarity.pq_topk` with the
     same geometry (pinned by test). ``queries`` carries
     (query_id, query_vec); output matches ``cosine_topk``."""
-    import json as _json
-
     from southpaw_spark.operators.similarity import pq_topk
 
-    with open(os.path.join(index_dir, _PQ_META)) as f:
-        meta = _json.load(f)
+    meta = _read_json(
+        _index_fs(index_dir, spark), os.path.join(index_dir, _PQ_META)
+    )
     codes = spark.read.parquet(os.path.join(index_dir, "codes"))
     staged = _read_stream_codes(spark, index_dir)
     if staged is not None:
@@ -744,14 +896,13 @@ def add_to_pq_index(
     their code rows append to ``codes/``. Callers own id uniqueness
     (appending an existing id duplicates it); codebook drift is the
     rebuild trigger — when new data's distribution outgrows the trained
-    centroids, retrain and rebuild."""
-    import json as _json
-
+    centroids, retrain via :func:`retrain_pq_index`."""
     from southpaw_spark.operators.similarity import _pq_encode
 
     spark = new_vectors.sparkSession
-    with open(os.path.join(index_dir, _PQ_META)) as f:
-        meta = _json.load(f)
+    meta = _read_json(
+        _index_fs(index_dir, spark), os.path.join(index_dir, _PQ_META)
+    )
     sub = meta["dim"] // meta["m_subspaces"]
     ms = spark.range(meta["m_subspaces"]).select(
         F.col("id").cast("int").alias("m")
@@ -840,7 +991,6 @@ def build_ivf_index(
     adds must assign exactly like the build. Pass ``centroids`` to
     reuse a quantizer (the truth-side of the stream parity test does).
     """
-    import json as _json
     import math
 
     spark = corpus.sparkSession
@@ -885,19 +1035,26 @@ def build_ivf_index(
     centroids.unpersist()
     meta = {"dim": dim, "n_cells": int(n_cells),
             "baseline_residual": baseline}
-    with open(os.path.join(index_dir, _IVF_META), "w") as f:
-        _json.dump(meta, f)
+    _write_json_atomic(
+        _index_fs(index_dir, spark), os.path.join(index_dir, _IVF_META), meta
+    )
     return meta
 
 
-def _read_stream_cells(spark: SparkSession, index_dir: str):
-    """IVF twin of :func:`_read_stream_codes` (single base path)."""
+def _read_stream_cells(spark: SparkSession, index_dir: str,
+                       batches: list[str] | None = None):
+    """IVF twin of :func:`_read_stream_codes` (single base path;
+    ``batches`` scopes the read to a scan-time snapshot)."""
     path = os.path.join(index_dir, _STREAM)
-    if not os.path.isdir(path) or not any(
-        n.startswith("batch=") for n in os.listdir(path)
-    ):
+    if batches is None:
+        batches = _list_stream_batches(spark, index_dir)
+    if not batches:
         return None
-    return spark.read.parquet(path).select("neighbor_id", "cv", "cell")
+    return (
+        spark.read.option("basePath", path)
+        .parquet(*[os.path.join(path, b) for b in batches])
+        .select("neighbor_id", "cv", "cell")
+    )
 
 
 def query_ivf_index(
@@ -917,10 +1074,9 @@ def query_ivf_index(
     become a PARTITION FILTER on ``cells/`` — only probed directories
     are scanned; candidates come from an equi-join on cell; exact
     cosine + the top-k window run on candidates only."""
-    import json as _json
-
-    with open(os.path.join(index_dir, _IVF_META)) as f:
-        _json.load(f)  # existence/shape check
+    _read_json(  # existence/shape check
+        _index_fs(index_dir, spark), os.path.join(index_dir, _IVF_META)
+    )
     centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
     qcos = F.try_divide(
         _dot(F.col("query_vec"), F.col("centroid")),
@@ -990,10 +1146,10 @@ def attach_ivf_index_stream(
     The drift guard mirrors the PQ arm: per-batch mean residual vs the
     build baseline, ``retrain_recommended`` past ``drift_factor``× —
     read it with :func:`ivf_index_drift`. Returns the started query."""
-    import json as _json
-
-    with open(os.path.join(index_dir, _IVF_META)) as f:
-        meta = _json.load(f)
+    meta = _read_json(
+        _index_fs(index_dir, vectors.sparkSession),
+        os.path.join(index_dir, _IVF_META),
+    )
     baseline = meta.get("baseline_residual")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -1023,7 +1179,7 @@ def attach_ivf_index_stream(
             _record_drift(
                 index_dir, _IVF_DRIFT, batch_id,
                 _ivf_mean_residual(adds, vec_col, id_col, centroids),
-                baseline, drift_factor,
+                baseline, drift_factor, spark=spark,
             )
         finally:
             adds.unpersist()
@@ -1037,20 +1193,23 @@ def attach_ivf_index_stream(
 
 
 def vacuum_ivf_index(spark: SparkSession, index_dir: str) -> int:
-    """IVF twin of :func:`vacuum_pq_index`: fold staged streaming cell
-    batches and rewrite ``cells/`` minus the tombstones (centroids and
-    meta are id-free), swap, drop tombstones + staging. Returns the
+    """IVF twin of :func:`vacuum_pq_index`: fold the scan-time snapshot
+    of staged streaming cell batches and tombstone files into
+    ``cells/`` (centroids and meta are id-free), swap, drop exactly
+    that snapshot — a batch committed mid-vacuum by a live
+    :func:`attach_ivf_index_stream` survives staged. Returns the
     distinct tombstoned-id count."""
-    import shutil
-
-    dead = _read_deleted(spark, index_dir)
-    staged = _read_stream_cells(spark, index_dir)
-    if dead is None and staged is None:
+    fs = _index_fs(index_dir, spark)
+    batches = _list_stream_batches(spark, index_dir)
+    tomb_files = _list_deleted_files(spark, index_dir)
+    if not batches and not tomb_files:
         return 0
     cells_dir = os.path.join(index_dir, "cells")
     rows = spark.read.parquet(cells_dir).select("neighbor_id", "cv", "cell")
+    staged = _read_stream_cells(spark, index_dir, batches=batches)
     if staged is not None:
         rows = rows.unionByName(staged.select("neighbor_id", "cv", "cell"))
+    dead = _read_deleted(spark, index_dir, files=tomb_files)
     survivors, n_dead = rows, 0
     if dead is not None:
         dead_ids = dead.select("neighbor_id").distinct()
@@ -1059,13 +1218,200 @@ def vacuum_ivf_index(spark: SparkSession, index_dir: str) -> int:
             F.broadcast(dead_ids), "neighbor_id", "left_anti"
         )
     tmp = cells_dir.rstrip("/") + ".vacuum.tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
+    fs.delete(tmp)
     survivors.write.partitionBy("cell").mode("overwrite").parquet(tmp)
-    trash = cells_dir.rstrip("/") + ".vacuum.old"
-    shutil.rmtree(trash, ignore_errors=True)
-    os.replace(cells_dir, trash)
-    os.replace(tmp, cells_dir)
-    shutil.rmtree(trash, ignore_errors=True)
-    shutil.rmtree(os.path.join(index_dir, _DELETED), ignore_errors=True)
-    shutil.rmtree(os.path.join(index_dir, _STREAM), ignore_errors=True)
+    _swap_data_dir(fs, cells_dir, tmp)
+    _drop_scanned(fs, index_dir, batches, tomb_files)
     return int(n_dead)
+
+
+# ---------------------------------------------------------------------------
+# Retrain — acting on the drift guards. The streaming arms flag
+# ``retrain_recommended`` when streamed batches' quantization residual
+# outgrows the build baseline; these ops re-train the quantizer on the
+# CURRENT survivors (main + staged − tombstones), re-encode, and swap
+# atomically (the vacuum's out-of-place discipline): the old index
+# answers queries until the swap, and the drift baseline resets.
+# ---------------------------------------------------------------------------
+
+
+def retrain_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    n_cells: int | None = None,
+    train_cap: int = 100_000,
+    seed: int = 42,
+    centroids: DataFrame | None = None,
+) -> dict:
+    """Re-train a drifted IVF index in place: gather the survivors
+    (``cells/`` ∪ scan-time staged batches − scan-time tombstones —
+    the full vectors live in the index, so no corpus is needed), fit a
+    fresh coarse quantizer on them, re-assign, and publish via the
+    vacuum swap (``cells/`` then ``centroids/`` back-to-back; the old
+    index answers until then). The folded staging batches / tombstone
+    files are dropped exactly (concurrent-ingest safe, same contract
+    as :func:`vacuum_ivf_index` — though batches staged mid-retrain
+    keep OLD-centroid cell ids until the next vacuum folds them).
+    The meta baseline resets to the retrained residual and the drift
+    sidecar clears, so ``retrain_recommended`` starts FALSE again.
+    Equivalent to :func:`build_ivf_index` on the survivor set (pinned
+    by parity test). Returns the new meta dict."""
+    fs = _index_fs(index_dir, spark)
+    batches = _list_stream_batches(spark, index_dir)
+    tomb_files = _list_deleted_files(spark, index_dir)
+    cells_dir = os.path.join(index_dir, "cells")
+    rows = spark.read.parquet(cells_dir).select("neighbor_id", "cv")
+    staged = _read_stream_cells(spark, index_dir, batches=batches)
+    if staged is not None:
+        rows = rows.unionByName(staged.select("neighbor_id", "cv"))
+    dead = _read_deleted(spark, index_dir, files=tomb_files)
+    if dead is not None:
+        rows = rows.join(
+            F.broadcast(dead.select("neighbor_id").distinct()),
+            "neighbor_id", "left_anti",
+        )
+    tmp_index = index_dir.rstrip("/") + ".retrain.tmp"
+    fs.delete(tmp_index)
+    # a fresh build on the survivors IS the retrain (same training,
+    # assignment, and baseline-residual code paths — no drift between
+    # "retrained" and "rebuilt" semantics possible)
+    meta = build_ivf_index(
+        rows, tmp_index, "cv", "neighbor_id",
+        n_cells=n_cells, train_cap=train_cap, seed=seed,
+        centroids=centroids,
+    )
+    _swap_data_dir(fs, cells_dir, os.path.join(tmp_index, "cells"))
+    _swap_data_dir(
+        fs,
+        os.path.join(index_dir, "centroids"),
+        os.path.join(tmp_index, "centroids"),
+    )
+    _write_json_atomic(fs, os.path.join(index_dir, _IVF_META), meta)
+    fs.delete(os.path.join(index_dir, _IVF_DRIFT))  # reset the guard
+    fs.delete(tmp_index)
+    _drop_scanned(fs, index_dir, batches, tomb_files)
+    return meta
+
+
+def retrain_pq_index(
+    spark: SparkSession,
+    index_dir: str,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m_subspaces: int | None = None,
+    n_codes: int | None = None,
+    codebooks: DataFrame | None = None,
+) -> dict:
+    """PQ twin of :func:`retrain_ivf_index`. PQ codes are lossy, so the
+    full-precision vectors come from ``corpus`` (which must carry every
+    surviving indexed id — the same table the shortlist rescore reads):
+    survivors = distinct ids in ``codes/`` ∪ scan-time staged batches −
+    scan-time tombstones, semi-joined against ``corpus``. Codebooks are
+    re-derived on those vectors (``codebooks=None`` → the deterministic
+    default rule; pass k-means-trained ones for production recall),
+    every survivor re-encodes, and ``codes/`` + ``codebooks/`` swap
+    back-to-back. Geometry defaults to the live meta's. The drift
+    sidecar clears and the baseline resets. Equivalent to
+    :func:`build_pq_index` on the survivor vectors (parity-pinned).
+    Returns the new meta dict."""
+    fs = _index_fs(index_dir, spark)
+    live_meta = _read_json(fs, os.path.join(index_dir, _PQ_META))
+    m_subspaces = m_subspaces or live_meta["m_subspaces"]
+    n_codes = n_codes or live_meta["n_codes"]
+    batches = _list_stream_batches(spark, index_dir)
+    tomb_files = _list_deleted_files(spark, index_dir)
+    codes_dir = os.path.join(index_dir, "codes")
+    ids = spark.read.parquet(codes_dir).select("neighbor_id")
+    staged = _read_stream_codes(spark, index_dir, batches=batches)
+    if staged is not None:
+        ids = ids.unionByName(staged.select("neighbor_id"))
+    ids = ids.distinct()
+    dead = _read_deleted(spark, index_dir, files=tomb_files)
+    if dead is not None:
+        ids = ids.join(
+            F.broadcast(dead.select("neighbor_id").distinct()),
+            "neighbor_id", "left_anti",
+        )
+    survivors = corpus.join(
+        ids.withColumnRenamed("neighbor_id", id_col), id_col, "left_semi"
+    )
+    tmp_index = index_dir.rstrip("/") + ".retrain.tmp"
+    fs.delete(tmp_index)
+    meta = build_pq_index(
+        survivors, tmp_index, vec_col, id_col,
+        m_subspaces=m_subspaces, n_codes=n_codes, codebooks=codebooks,
+    )
+    _swap_data_dir(fs, codes_dir, os.path.join(tmp_index, "codes"))
+    _swap_data_dir(
+        fs,
+        os.path.join(index_dir, "codebooks"),
+        os.path.join(tmp_index, "codebooks"),
+    )
+    _write_json_atomic(fs, os.path.join(index_dir, _PQ_META), meta)
+    fs.delete(os.path.join(index_dir, _PQ_DRIFT))  # reset the guard
+    fs.delete(tmp_index)
+    _drop_scanned(fs, index_dir, batches, tomb_files)
+    return meta
+
+
+def ivf_index_sink(
+    index_dir: str,
+    vec_col: str,
+    id_col: str,
+    drift_factor: float = 4.0,
+):
+    """Corpus-pipeline → persistent-index wiring: returns a
+    ``sink(kept_df, batch_id)`` for :func:`pipelines.corpus_stream`
+    that stages each micro-batch's KEPT embeddings into a built IVF
+    index exactly as :func:`attach_ivf_index_stream`'s foreachBatch
+    does — same frozen-centroid assignment, same exactly-once
+    ``_stream/batch=<id>`` staging (the corpus stream's stable batch
+    ids make replays overwrite), same drift ledger. Pair it with a
+    ``decisions_sink`` that routes dedup drops to
+    :func:`remove_from_index` for the full
+    dedup-drops → index-tombstones loop: a document the deduper
+    retroactively unkeeps (``fuzzy_keep='best_quality'`` keeper swap)
+    stops answering similarity queries in the same run (pinned by the
+    corpus→index integration test)."""
+    def _sink(kept: DataFrame, batch_id: int) -> None:
+        spark = kept.sparkSession
+        meta = _read_json(
+            _index_fs(index_dir, spark), os.path.join(index_dir, _IVF_META)
+        )
+        adds = kept.select(F.col(id_col), F.col(vec_col))
+        if adds.limit(1).count() == 0:
+            return  # no empty staging dirs (schema-inference hazard)
+        centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
+        _ivf_assign(adds, vec_col, id_col, centroids).write.partitionBy(
+            "cell"
+        ).mode("overwrite").parquet(
+            os.path.join(index_dir, _STREAM, f"batch={batch_id}")
+        )
+        _record_drift(
+            index_dir, _IVF_DRIFT, batch_id,
+            _ivf_mean_residual(adds, vec_col, id_col, centroids),
+            meta.get("baseline_residual"), drift_factor, spark=spark,
+        )
+
+    return _sink
+
+
+def index_tombstone_decisions_sink(index_dir: str, id_col: str):
+    """The decisions half of the corpus→index wiring: returns a
+    ``decisions_sink(decisions_df, batch_id)`` for
+    :func:`pipelines.corpus_stream` that tombstones every doc the
+    deduper decided AGAINST (``keeper_id != doc_id``) — covering both
+    on-arrival drops (no-op if the doc was never indexed) and
+    retroactive keeper swaps (the previously indexed loser stops
+    answering). Tombstone appends are idempotent under replay (the
+    query-side anti-join and the vacuums both distinct them)."""
+    def _sink(decisions: DataFrame, batch_id: int) -> None:
+        dropped = decisions.where(
+            F.col("keeper_id") != F.col(id_col)
+        ).select(F.col(id_col))
+        if dropped.limit(1).count() == 0:
+            return
+        remove_from_index(dropped.distinct(), index_dir, id_col)
+
+    return _sink

@@ -1013,6 +1013,7 @@ def corpus_stream(
     span_deduper=None,
     line_deduper=None,
     sink=None,
+    decisions_sink=None,
     trigger: dict | None = None,
 ):
     """STREAMING corpus build — :func:`build_corpus`'s per-doc subset
@@ -1227,6 +1228,14 @@ def corpus_stream(
                     recount=_recount, collect_stats=False,
                 )
             decisions = deduper.process_batch(work)
+            if decisions_sink is not None:
+                # the dedup DECISIONS (doc_id, keeper_id), including
+                # retroactive keeper swaps under fuzzy_keep=
+                # 'best_quality' — the hook downstream index
+                # maintenance needs: a doc unkept here must stop
+                # answering (e.g. remove_from_index; see the
+                # corpus→IVF-index integration test)
+                decisions_sink(decisions, batch_id)
             kept_ids = decisions.where(
                 F.col("keeper_id") == F.col(id_col)
             ).select(id_col)

@@ -329,12 +329,21 @@ class EmbeddedKafkaBroker:
             out.nullable_bytes(b"")
             return
         if mech == "PLAIN":
+            import hmac as _hmaclib
+
             parts = token.split(b"\0")
-            ok = (
-                len(parts) == 3
-                and self._sasl_users.get(parts[1].decode("utf-8", "replace"))
-                == parts[2].decode("utf-8", "replace")
+            # constant-time comparison, consistent with the SCRAM path
+            # (compare against a dummy when the user is unknown so the
+            # timing doesn't leak username validity either)
+            expected = (
+                self._sasl_users.get(parts[1].decode("utf-8", "replace"))
+                if len(parts) == 3
+                else None
             )
+            ok = len(parts) == 3 and _hmaclib.compare_digest(
+                (expected if expected is not None else "\0dummy").encode(),
+                parts[2],
+            ) and expected is not None
             if not ok:
                 self._sasl_fail(out, "invalid credentials")
                 return

@@ -273,18 +273,25 @@ def _quality_swap_driver(dd, rep_hits, scores, reps_read):
     return near_state, swaps_in, retro, winners, reps_lit
 
 
-def _write_json_atomic(path: str, payload: dict) -> None:
-    """tmp + os.replace so a crash mid-write can't leave truncated JSON
-    (the same atomic-sidecar convention ParquetStateStore._write_meta
-    uses) — a torn sidecar would turn every later reopen into an
-    unhandled JSONDecodeError instead of a loud validation error."""
+def _write_json_atomic(fs, path: str, payload: dict) -> None:
+    """Atomic sidecar write through the store's FS seam (tmp + rename
+    on POSIX, the fsio equivalent on scheme:// roots) — a torn sidecar
+    would turn every later reopen into an unhandled JSONDecodeError
+    instead of a loud validation error, and raw ``open()`` would crash
+    outright on the object-store roots the store supports via fsio."""
     import json
-    import os
 
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(payload, f)
-    os.replace(tmp, path)
+    fs.write_text_atomic(path, json.dumps(payload))
+
+
+def _read_json_sidecar(fs, path: str) -> dict | None:
+    """Read a JSON sidecar through the store FS; None when absent."""
+    import json
+
+    try:
+        return json.loads(fs.read_text(path))
+    except OSError:
+        return None
 
 
 class IncrementalDeduper:
@@ -387,13 +394,9 @@ class IncrementalDeduper:
         return os.path.join(self.store.root, self._META)
 
     def _check_meta(self) -> None:
-        import json
-        import os
-
-        if not os.path.exists(self._meta_file()):
+        meta = _read_json_sidecar(self.store._fs, self._meta_file())
+        if meta is None:
             return
-        with open(self._meta_file()) as f:
-            meta = json.load(f)
         for k in ("n", "num_hashes", "bands"):
             if meta[k] != getattr(self, k):
                 raise ValueError(
@@ -405,11 +408,10 @@ class IncrementalDeduper:
                 )
 
     def _ensure_meta(self) -> None:
-        import os
-
-        if os.path.exists(self._meta_file()):
+        if self.store._fs.exists(self._meta_file()):
             return
         _write_json_atomic(
+            self.store._fs,
             self._meta_file(),
             {"n": self.n, "num_hashes": self.num_hashes, "bands": self.bands},
         )
@@ -1070,13 +1072,9 @@ class IncrementalVectorDeduper:
         return os.path.join(self.store.root, self._META)
 
     def _load_meta(self) -> None:
-        import json
-        import os
-
-        if not os.path.exists(self._meta_file()):
+        meta = _read_json_sidecar(self.store._fs, self._meta_file())
+        if meta is None:
             return
-        with open(self._meta_file()) as f:
-            meta = json.load(f)
         for k in ("n_planes", "n_tables", "seed"):
             if meta[k] != getattr(self, k):
                 raise ValueError(
@@ -1099,6 +1097,7 @@ class IncrementalVectorDeduper:
             for _ in range(self.n_tables)
         ]
         _write_json_atomic(
+            self.store._fs,
             self._meta_file(),
             {
                 "n_planes": self.n_planes,
@@ -1454,13 +1453,9 @@ class IncrementalSpanDeduper:
         return os.path.join(self.store.root, self._META)
 
     def _check_meta(self) -> None:
-        import json
-        import os
-
-        if not os.path.exists(self._meta_file()):
+        meta = _read_json_sidecar(self.store._fs, self._meta_file())
+        if meta is None:
             return
-        with open(self._meta_file()) as f:
-            meta = json.load(f)
         for key in ("k", "min_count"):
             if meta[key] != getattr(self, key):
                 raise ValueError(
@@ -1472,12 +1467,12 @@ class IncrementalSpanDeduper:
                 )
 
     def _ensure_meta(self) -> None:
-        import os
-
-        if os.path.exists(self._meta_file()):
+        if self.store._fs.exists(self._meta_file()):
             return
         _write_json_atomic(
-            self._meta_file(), {"k": self.k, "min_count": self.min_count}
+            self.store._fs,
+            self._meta_file(),
+            {"k": self.k, "min_count": self.min_count},
         )
 
     # -- pruned state access (same shape as IncrementalDeduper) -------
@@ -1520,19 +1515,16 @@ class IncrementalSpanDeduper:
         return os.path.join(self.store.root, "_SPAN_LAST_BATCH")
 
     def _last_batch_id(self) -> int | None:
+        # through the store's FS seam, not raw open(): the guard must
+        # work on the same scheme:// roots (s3a://, file://) the store
+        # itself supports via fsio
         try:
-            with open(self._batch_guard_file()) as f:
-                return int(f.read().strip())
+            return int(self.store._fs.read_text(self._batch_guard_file()).strip())
         except (OSError, ValueError):
             return None
 
     def _record_batch_id(self, batch_id: int) -> None:
-        import os
-
-        tmp = self._batch_guard_file() + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(batch_id))
-        os.replace(tmp, self._batch_guard_file())
+        self.store._fs.write_text_atomic(self._batch_guard_file(), str(batch_id))
 
     def process_batch(
         self, docs: DataFrame, batch_id: int | None = None

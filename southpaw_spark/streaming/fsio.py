@@ -164,12 +164,34 @@ class HadoopStoreFS:
             out.close()
 
     def write_text_atomic(self, path: str, text: str) -> None:
+        # Pointer commits must never leave a window with NO file at
+        # `path`: a reader racing a delete-then-rename would map a
+        # missing `_CURRENT` to "no committed version" and silently see
+        # an empty store. Preferred path: `FileContext.rename(...,
+        # Options.Rename.OVERWRITE)` — an atomic rename-over on HDFS
+        # and ViewFS (and file:// via RawLocal FileContext). Fallback
+        # for filesystems with no AbstractFileSystem binding (some
+        # object-store configs): delete+rename, whose tiny window is
+        # covered by the reader-side retry in the store's
+        # ``_version_of`` (see `state.py`).
         tmp = path + ".tmp"
         self._write(tmp, text, True)
         dst = self._Path(path)
+        src = self._Path(tmp)
+        try:
+            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                self._jvm.java.net.URI(path), self._conf
+            )
+            overwrite = getattr(
+                self._jvm.org.apache.hadoop.fs.Options.Rename, "OVERWRITE"
+            )
+            fc.rename(src, dst, overwrite)
+            return
+        except Exception:
+            pass  # no AbstractFileSystem for this scheme — fall back
         if self._fs.exists(dst):
             self._fs.delete(dst, False)
-        self._fs.rename(self._Path(tmp), dst)
+        self._fs.rename(src, dst)
 
     def create_exclusive_text(self, path: str, text: str) -> bool:
         try:
@@ -188,7 +210,30 @@ class HadoopStoreFS:
         )
 
     def rename_dir(self, src: str, dst: str) -> bool:
-        return bool(self._fs.rename(self._Path(src), self._Path(dst)))
+        # Hadoop FileSystem.rename does NOT fail when dst is an
+        # existing directory — HDFS/RawLocal move src INTO dst
+        # (POSIX `mv` semantics), which would nest a losing concurrent
+        # publisher's tmp dir inside the published mirror and corrupt
+        # every later read. Mirror the POSIX os.rename contract the
+        # store's callers rely on: an existing dst means the rename
+        # "failed" and the caller discards its tmp dir. The exists
+        # pre-check alone still races (two publishers can both see
+        # absent; the loser's rename then nests), so after a rename
+        # that "succeeded" we verify it did not land nested —
+        # src basenames are uuid-suffixed tmp names, so a legitimate
+        # child of dst can never collide with them.
+        p_dst = self._Path(dst)
+        if self._fs.exists(p_dst):
+            return False
+        if not bool(self._fs.rename(self._Path(src), p_dst)):
+            return False
+        nested = self._Path(
+            dst.rstrip("/") + "/" + os.path.basename(src.rstrip("/"))
+        )
+        if self._fs.exists(nested):
+            self._fs.delete(nested, True)  # lost the race — un-nest
+            return False
+        return True
 
     def delete(self, path: str) -> None:
         p = self._Path(path)

@@ -145,6 +145,20 @@ class ParquetStateStore:
         try:
             return int(self._fs.read_text(ptr).strip())
         except OSError:
+            if not getattr(self._fs, "is_local", True):
+                # Off POSIX the pointer commit may fall back to
+                # delete+rename (no FileContext binding for the
+                # scheme) — a reader can land in that tiny no-pointer
+                # window. One short retry distinguishes "mid-commit"
+                # from "never committed"; data dirs are write-once so
+                # whichever version we then read is consistent.
+                import time
+
+                time.sleep(0.05)
+                try:
+                    return int(self._fs.read_text(ptr).strip())
+                except OSError:
+                    return None
             return None
 
     def _data_dir(self, entity: str, version: int) -> str:

@@ -5474,3 +5474,41 @@ for _name in (
     EXTRA_QUERIES[_name] = QUERIES.pop(_name)
     EXTRA_ORACLES[_name] = ORACLES.pop(_name)
 del _name
+
+# ---------------------------------------------------------------------------
+# Round-15 driver-gate rotation (VERDICT r14 item 3): six more
+# never-driver-checked EXTRA rows rotate IN for driver-grade hash
+# checks — s09 the PQ/ADC retrieval path, d20 embedding-space
+# decontamination, t15 token-budget sampling, e13 the richer funnel,
+# t21 BPE encoding, m06 the image average-hash family. Six driver rows
+# whose machinery a stronger driver sibling covers rotate OUT:
+# q03 N:1 left join and q04 nested children are interior pieces of
+# q13's full denormalized tree (q09/q15 keep the edge semantics
+# pinned); t07 tf-idf ⊂ t02/t22's scoring family over the same
+# tokenizer; e08's funnel ⊂ e13's richer funnel; d01 exact-dedup md5 ⊂
+# d08 which applies the same kept-corpus rule end-to-end; s01
+# brute-force cosine ⊂ s08/s09 whose final rescore is the identical
+# exact-cosine machinery. Rotated-out rows keep full local
+# verification via tools/check_oracles (QUERIES ∪ EXTRA_QUERIES).
+
+for _name in (
+    "s09_pq_topk",
+    "d20_embedding_contamination",
+    "t15_token_budget_sample",
+    "e13_funnel",
+    "t21_bpe_encode",
+    "m06_image_ahash",
+):
+    QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+    ORACLES[_name] = EXTRA_ORACLES.pop(_name)
+for _name in (
+    "q03_left_join_n1",
+    "q04_nested_children",
+    "t07_tfidf_top_terms",
+    "e08_funnel",
+    "d01_dedup_exact",
+    "s01_cosine_topk",
+):
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)
+    EXTRA_ORACLES[_name] = ORACLES.pop(_name)
+del _name

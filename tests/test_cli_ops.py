@@ -527,3 +527,58 @@ def test_cli_corpus_stream_span_dedup_compacts(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     }
     assert passage in raw[1] and passage in raw[2]
+
+
+def test_cli_corpus_stream_honors_or_rejects_shared_dedup_keys(
+    spark, tmp_path
+):
+    """ADVICE r14: the shared-config exemption must HONOR what it
+    exempts, never silently diverge from the batch build — fuzzy_n
+    wires into IncrementalDeduper's shingle size (pinned via the
+    persisted geometry sidecar), and exact_dedup: false (which the
+    stream cannot honor — it always exact-dedups) fails loudly."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from southpaw_spark.cli import build_corpus_cmd
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.json").write_text(
+        _json.dumps({"doc_id": 1, "text": "one two three four five six"})
+    )
+    base = {
+        "stream": True,
+        "input": str(src),
+        "input_format": "json",
+        "state_dir": str(tmp_path / "state"),
+        "checkpoint_dir": str(tmp_path / "ckpt"),
+        "output": str(tmp_path / "out"),
+        "min_tokens": 3,
+        "state_buckets": 4,
+        "fuzzy_threshold": 0.7,
+        "fuzzy_n": 5,  # non-default: must reach the deduper
+    }
+    build_corpus_cmd(spark, {"corpus": base})
+    meta = _json.loads(
+        (tmp_path / "state" / "_DEDUP_META.json").read_text()
+    )
+    assert meta["n"] == 5  # wired, not the silent default 3
+
+    # a geometry mismatch on reopen still fails loudly (the sidecar
+    # guard the wiring rides on)
+    with _pytest.raises(ValueError, match="n=5"):
+        build_corpus_cmd(spark, {"corpus": dict(base, fuzzy_n=3)})
+
+    # exact_dedup: false cannot be honored streaming → loud, with the
+    # batch-path escape hatch named
+    bad = dict(base, exact_dedup=False,
+               state_dir=str(tmp_path / "state2"),
+               checkpoint_dir=str(tmp_path / "ckpt2"),
+               output=str(tmp_path / "out2"))
+    with _pytest.raises(ValueError, match="exact_dedup"):
+        build_corpus_cmd(spark, {"corpus": bad})
+    # exact_dedup: true stays exempt (the stream does exact-dedup)
+    ok = dict(base, exact_dedup=True)
+    build_corpus_cmd(spark, {"corpus": ok})  # no new files → no-op drain

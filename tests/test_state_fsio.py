@@ -216,3 +216,55 @@ def test_store_file_uri_ivm_convergence(spark, tmp_path):
     for pid, value in truth.items():
         if value is not None:
             json.loads(value)
+
+
+def test_hadoop_rename_dir_never_nests(spark, tmp_path):
+    """ADVICE r14: Hadoop FileSystem.rename moves src INTO an existing
+    destination directory (POSIX `mv` semantics) instead of failing —
+    the mirror-publish race would nest the loser's tmp dir inside the
+    published mirror and corrupt every later read. rename_dir must
+    return False AND leave no nested copy."""
+    root = f"file://{tmp_path}"
+    fs = HadoopStoreFS(spark, root)
+    fs.mkdirs(f"{root}/dst.tmp-aaa")
+    fs.write_text_atomic(f"{root}/dst.tmp-aaa/f", "winner")
+    assert fs.rename_dir(f"{root}/dst.tmp-aaa", f"{root}/dst") is True
+    # the loser: same publish target, already exists
+    fs.mkdirs(f"{root}/dst.tmp-bbb")
+    fs.write_text_atomic(f"{root}/dst.tmp-bbb/f", "loser")
+    assert fs.rename_dir(f"{root}/dst.tmp-bbb", f"{root}/dst") is False
+    # the published dir is intact and NOT polluted by a nested tmp dir
+    assert sorted(fs.listdir(f"{root}/dst")) == ["f"]
+    assert fs.read_text(f"{root}/dst/f") == "winner"
+
+
+def test_hadoop_pointer_commit_has_no_missing_window(spark, tmp_path):
+    """ADVICE r14: the pointer commit must never leave a moment with NO
+    file at the path (a reader would map it to 'no committed version').
+    On filesystems with a FileContext binding (file://, hdfs://) the
+    overwrite-rename is atomic; this pins that the FileContext path is
+    actually taken — the tmp file is consumed and the dst updated in
+    one step, with the pre-existing dst never deleted first."""
+    root = f"file://{tmp_path}"
+    fs = HadoopStoreFS(spark, root)
+    fs.write_text_atomic(f"{root}/_CURRENT", "1")
+    fs.write_text_atomic(f"{root}/_CURRENT", "2")
+    assert fs.read_text(f"{root}/_CURRENT") == "2"
+    # the temp never lingers
+    assert "_CURRENT.tmp" not in fs.listdir(root)
+
+
+def test_scheme_store_version_pointer_survives_overwrite(spark, tmp_path):
+    """End-to-end: repeated merges on a scheme:// root keep _CURRENT
+    readable at every step (the delete-then-rename window would have
+    read as 'store empty' under concurrency)."""
+    store = ParquetStateStore(spark, f"file://{tmp_path}/store", n_buckets=2)
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    store.merge("e", df1, None, ["id"])
+    assert store._version_of("e") == 1
+    store.merge("e", spark.createDataFrame([(2, "b")], "id long, v string"),
+                None, ["id"])
+    assert store._version_of("e") == 2
+    assert sorted(
+        r["v"] for r in store.read("e").collect()
+    ) == ["a", "b"]

@@ -25,9 +25,11 @@ import subprocess
 import sys
 import tempfile
 
-#: rows under adjudication (r12→r13 risers) + the untouched control
+#: rows under adjudication (r12→r13 risers) + the untouched control +
+#: (round 15) the streaming topology row — the one expensive row the
+#: r12/r14 A/B never covered (VERDICT r14 watch item)
 ROWS = ("d01_control", "ivm_delta_batch", "dedup_stream_batch",
-        "s08_ivf_quantized")
+        "s08_ivf_quantized", "ivm_stream_e2e")
 
 _RUNNER = r"""
 import json, os, sys, time
@@ -42,9 +44,12 @@ spark.sparkContext.setLogLevel("ERROR")
 warm = "/root/testdata/sf0.001"
 
 def d01(sf):
+    # rows rotate between QUERIES and EXTRA_QUERIES across rounds —
+    # resolve either way (d01 rotated to EXTRA in round 15)
+    fn = suite.QUERIES.get("d01_dedup_exact") or suite.EXTRA_QUERIES[
+        "d01_dedup_exact"]
     t0 = time.monotonic()
-    suite.QUERIES["d01_dedup_exact"](spark, sf).write.format("noop").mode(
-        "overwrite").save()
+    fn(spark, sf).write.format("noop").mode("overwrite").save()
     return round(time.monotonic() - t0, 3)
 
 def s08(sf):
@@ -60,6 +65,7 @@ runners = {
         spark, sf, "/tmp/ab_ivm_state"),
     "dedup_stream_batch": lambda sf: bench.dedup_stream_batch(spark, sf),
     "s08_ivf_quantized": s08,
+    "ivm_stream_e2e": lambda sf: bench.ivm_stream_e2e(spark, sf),
 }
 # warm-up: identical plan shapes through codegen + JIT at the small SF
 for fn in runners.values():
