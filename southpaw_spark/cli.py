@@ -601,6 +601,21 @@ def main(argv=None) -> int:
                    help="fold _deleted/ tombstones into a persisted ANN "
                         "index (LSH, PQ, or IVF layout auto-detected) and drop "
                         "them — run after corpus dedup deletions")
+    g.add_argument("--retrain-index", metavar="INDEX_DIR",
+                   help="act on a drifted index's guard: re-train the "
+                        "quantizer on current survivors and swap (layout "
+                        "auto-detected: IVF retrains centroids, LSH "
+                        "re-buckets with auto-sized planes; PQ needs "
+                        "--retrain-corpus for the full-precision vectors)")
+    p.add_argument("--retrain-corpus", metavar="PARQUET", default=None,
+                   help="with --retrain-index on a PQ layout: parquet "
+                        "with the full-precision vectors")
+    p.add_argument("--vec-col", default="embedding",
+                   help="vector column for --retrain-corpus "
+                        "(default: embedding)")
+    p.add_argument("--id-col", default="vec_id",
+                   help="id column for --retrain-corpus "
+                        "(default: vec_id)")
     p.add_argument("--relations", metavar="PATH", default=None,
                    help="override the config's relations JSON path "
                         "(reference --relations flag)")
@@ -645,6 +660,36 @@ def main(argv=None) -> int:
             fn = vacuum_ann_index
         n = fn(spark, args.vacuum_index)
         print(f"index vacuum: {n} tombstones folded")
+        return 0
+    if args.retrain_index:
+        import os as _os
+
+        from southpaw_spark.operators.ann_index import (
+            _index_fs,
+            rebuild_ann_index,
+            retrain_ivf_index,
+            retrain_pq_index,
+        )
+
+        root = args.retrain_index
+        _fs = _index_fs(root, spark)
+        if _fs.isdir(_os.path.join(root, "codes")):
+            if not args.retrain_corpus:
+                raise ValueError(
+                    "--retrain-index on a PQ layout needs "
+                    "--retrain-corpus (PQ codes are lossy; retraining "
+                    "needs the full-precision vectors)"
+                )
+            meta = retrain_pq_index(
+                spark, root, spark.read.parquet(args.retrain_corpus),
+                args.vec_col, args.id_col,
+            )
+        elif _fs.isdir(_os.path.join(root, "cells")):
+            meta = retrain_ivf_index(spark, root)
+        else:
+            meta = rebuild_ann_index(spark, root)
+        printable = {k: v for k, v in meta.items() if k != "planes"}
+        print(f"index retrained: {printable}")
         return 0
     if args.build:
         build(spark, cfg)

@@ -154,6 +154,7 @@ def build_ann_index(
         "n_planes": int(n_planes),
         "prefix_bits": int(prefix_bits),
         "seed": int(seed),
+        "target_bucket": int(target_bucket),
         "planes": planes,
     }
     _write_json_atomic(
@@ -1415,3 +1416,96 @@ def index_tombstone_decisions_sink(index_dir: str, id_col: str):
         remove_from_index(dropped.distinct(), index_dir, id_col)
 
     return _sink
+
+
+def ann_index_occupancy(spark: SparkSession, index_dir: str) -> dict:
+    """LSH twin of the PQ/IVF drift guards: the LSH index has no
+    trained quantizer to drift, but its plane count is fixed at build
+    time, so expected bucket occupancy GROWS with the corpus — query
+    cost per probe grows with it. Reports current survivor count, the
+    plane count, the mean rows per non-empty bucket, and
+    ``rebuild_recommended`` (occupancy past the ``target_bucket`` the
+    auto-sizing would pick more planes for, same 2× slack
+    ``dedup.auto_n_planes`` uses). Poll it like
+    :func:`pq_index_drift`; act with :func:`rebuild_ann_index`."""
+    fs = _index_fs(index_dir, spark)
+    meta = _read_json(fs, os.path.join(index_dir, _META))
+    rows = spark.read.parquet(_lsh_data_dir(fs, index_dir)).select(
+        "neighbor_id", "bucket"
+    )
+    streamed = _read_stream_rows(spark, index_dir)
+    if streamed is not None:
+        rows = rows.unionByName(streamed.select("neighbor_id", "bucket"))
+    rows = _apply_deleted(spark, index_dir, rows)
+    agg = rows.groupBy("bucket").count().agg(
+        F.sum("count").alias("n"), F.avg("count").alias("mean_occ")
+    ).first()
+    n = int(agg["n"] or 0)
+    mean_occ = float(agg["mean_occ"] or 0.0)
+    target = int(meta.get("target_bucket", 200))
+    return {
+        "n_vectors": n,
+        "n_planes": int(meta["n_planes"]),
+        "target_bucket": target,
+        "mean_bucket_occupancy": round(mean_occ, 3),
+        "rebuild_recommended": bool(mean_occ > 2 * target),
+    }
+
+
+def rebuild_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    n_planes: int | None = None,
+    target_bucket: int = 200,
+    prefix_bits: int = 10,
+    seed: int = 42,
+) -> dict:
+    """LSH act-on-the-guard op (symmetric with
+    :func:`retrain_ivf_index`): re-derive the hyperplanes scaled to the
+    CURRENT survivors (``data/`` ∪ scan-time staged batches − scan-time
+    tombstones — the full vectors live in the index), re-bucket, and
+    publish via the vacuum swap; the sidecar's pinned planes update
+    atomically after the data lands, the old index answers until then,
+    and the folded staging/tombstone snapshot is dropped exactly
+    (concurrent-ingest safe — though batches staged mid-rebuild keep
+    OLD-plane buckets until the next vacuum folds them; prefer a
+    quiesced rebuild when exactness matters). ``n_planes=None`` →
+    auto-size to the survivor count (``target_bucket``). Equivalent to
+    :func:`build_ann_index` on the survivor set (parity-pinned).
+    Returns the new meta dict."""
+    fs = _index_fs(index_dir, spark)
+    batches = _list_stream_batches(spark, index_dir)
+    tomb_files = _list_deleted_files(spark, index_dir)
+    rows = spark.read.parquet(_lsh_data_dir(fs, index_dir)).select(
+        "neighbor_id", "cv"
+    )
+    streamed = _read_stream_rows(spark, index_dir, batches=batches)
+    if streamed is not None:
+        rows = rows.unionByName(streamed.select("neighbor_id", "cv"))
+    dead = _read_deleted(spark, index_dir, files=tomb_files)
+    if dead is not None:
+        rows = rows.join(
+            F.broadcast(dead.select("neighbor_id").distinct()),
+            "neighbor_id", "left_anti",
+        )
+    tmp_index = index_dir.rstrip("/") + ".rebuild.tmp"
+    fs.delete(tmp_index)
+    meta = build_ann_index(
+        rows, tmp_index, "cv", "neighbor_id",
+        n_planes=n_planes, target_bucket=target_bucket,
+        prefix_bits=prefix_bits, seed=seed,
+    )
+    meta["target_bucket"] = int(target_bucket)
+    _swap_data_dir(
+        fs,
+        os.path.join(index_dir, "data"),
+        os.path.join(tmp_index, "data"),
+    )
+    _write_json_atomic(fs, os.path.join(index_dir, _META), meta)
+    fs.delete(tmp_index)
+    _drop_scanned(fs, index_dir, batches, tomb_files)
+    # a migrated-from-legacy root may still carry old root partitions
+    for name in fs.listdir(index_dir):
+        if name.startswith("bprefix="):
+            fs.delete(os.path.join(index_dir, name))
+    return meta

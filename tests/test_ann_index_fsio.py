@@ -668,3 +668,93 @@ def test_corpus_stream_feeds_ivf_index_with_tombstones(spark, tmp_path):
     assert vacuum_ivf_index(spark, live) >= 1
     assert _rows(query_ivf_index(spark, live, queries, k=6, n_probe=2)) \
         == want
+
+
+# ---------------------------------------------------------------------------
+# 5. LSH guard + act: occupancy report → rebuild with re-sized planes
+# ---------------------------------------------------------------------------
+
+
+def test_ann_index_occupancy_and_rebuild(spark, tmp_path):
+    """The LSH arm's guard+act pair (symmetric with PQ/IVF drift →
+    retrain): occupancy reports mean rows per bucket vs target_bucket
+    and flags rebuild_recommended; rebuild_ann_index re-derives planes
+    scaled to the survivors, folds staging + tombstones, and ≡ a fresh
+    build on the survivor set."""
+    from southpaw_spark.operators.ann_index import (
+        ann_index_occupancy,
+        rebuild_ann_index,
+    )
+
+    corpus = _corpus(spark, n=80)
+    live = str(tmp_path / "live")
+    # tiny target_bucket with FEW planes → occupancy over 2× target
+    build_ann_index(
+        corpus.where(F.col("vec_id") < 40), live,
+        "embedding", "vec_id", n_planes=2, target_bucket=3, seed=42,
+    )
+    # staged adds + a tombstone must enter both the report and rebuild
+    _stage_lsh_batch(spark, live, corpus.where(F.col("vec_id") >= 40), 0)
+    remove_from_index(
+        corpus.where(F.col("vec_id") == 7).select("vec_id"), live, "vec_id"
+    )
+    occ = ann_index_occupancy(spark, live)
+    assert occ["n_vectors"] == 79 and occ["n_planes"] == 2
+    assert occ["rebuild_recommended"] is True  # ~20 rows/bucket >> 2*3
+
+    meta = rebuild_ann_index(spark, live, target_bucket=3, seed=42)
+    assert meta["n_planes"] > 2  # auto-sized up to the survivor count
+    assert not os.path.isdir(os.path.join(live, "_stream"))
+    assert not os.path.isdir(os.path.join(live, "_deleted"))
+    occ2 = ann_index_occupancy(spark, live)
+    assert occ2["n_planes"] == meta["n_planes"]
+    assert occ2["mean_bucket_occupancy"] < occ["mean_bucket_occupancy"]
+
+    truth = str(tmp_path / "truth")
+    build_ann_index(
+        corpus.where(F.col("vec_id") != 7), truth,
+        "embedding", "vec_id", target_bucket=3, seed=42,
+    )
+    queries = _queries(corpus)
+    want = _rows(query_ann_index(spark, truth, queries, k=5))
+    assert _rows(query_ann_index(spark, live, queries, k=5)) == want and want
+
+
+def test_cli_retrain_index_all_layouts(spark, tmp_path, capsys):
+    """--retrain-index auto-detects the layout: IVF retrains centroids
+    self-contained, LSH re-buckets, PQ demands --retrain-corpus."""
+    import pytest
+
+    from southpaw_spark import cli
+
+    corpus = _corpus(spark, n=40)
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(f"state.dir: {tmp_path / 'unused'}\n")
+
+    ivf = str(tmp_path / "ivf")
+    build_ivf_index(corpus, ivf, "embedding", "vec_id", n_cells=3, seed=42)
+    assert cli.main(["--config", str(cfg), "--retrain-index", ivf]) == 0
+    assert "index retrained" in capsys.readouterr().out
+    assert _rows(query_ivf_index(spark, ivf, _queries(corpus), k=3))
+
+    lsh = str(tmp_path / "lsh")
+    build_ann_index(corpus, lsh, "embedding", "vec_id", n_planes=3, seed=42)
+    assert cli.main(["--config", str(cfg), "--retrain-index", lsh]) == 0
+    assert "n_planes" in capsys.readouterr().out
+    assert _rows(query_ann_index(spark, lsh, _queries(corpus), k=3))
+
+    pq = str(tmp_path / "pq")
+    build_pq_index(corpus, pq, "embedding", "vec_id",
+                   m_subspaces=4, n_codes=8)
+    with pytest.raises(ValueError, match="retrain-corpus"):
+        cli.main(["--config", str(cfg), "--retrain-index", pq])
+    cpath = str(tmp_path / "corpus.parquet")
+    corpus.write.parquet(cpath)
+    assert cli.main([
+        "--config", str(cfg), "--retrain-index", pq,
+        "--retrain-corpus", cpath,
+    ]) == 0
+    assert "m_subspaces" in capsys.readouterr().out
+    assert _rows(query_pq_index(
+        spark, pq, corpus, _queries(corpus), "embedding", "vec_id", k=3
+    ))
