@@ -686,7 +686,7 @@ def main() -> None:
         from pyspark.sql import functions as F
 
         t0 = time.monotonic()
-        li = spark.read.parquet(os.path.join(sf_dir, "lineitem"))
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
         li.groupBy("l_returnflag", "l_linestatus").agg(
             F.sum("l_quantity").alias("sum_qty"),
             F.avg("l_extendedprice").alias("avg_price"),

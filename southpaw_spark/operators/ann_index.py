@@ -318,11 +318,10 @@ def _read_stream_rows(spark: SparkSession, index_dir: str,
                       batches: list[str] | None = None):
     path = os.path.join(index_dir, _STREAM)
     if batches is None:
-        if not _index_fs(index_dir, spark).isdir(path):
-            return None
-        return spark.read.parquet(path).select(
-            "neighbor_id", "cv", "bucket", "bprefix"
-        )
+        # enumerate rather than isdir: a crash between a vacuum's
+        # batch-dir deletes and its parent cleanup can leave an empty
+        # `_stream/`, and reading it would die in schema inference
+        batches = _list_stream_batches(spark, index_dir)
     if not batches:
         return None
     # scoped read: exactly the scan-time batch dirs (basePath keeps
@@ -421,9 +420,9 @@ def _read_deleted(spark: SparkSession, index_dir: str,
                   files: list[str] | None = None) -> DataFrame | None:
     path = os.path.join(index_dir, _DELETED)
     if files is None:
-        if not _index_fs(index_dir, spark).isdir(path):
-            return None
-        return spark.read.parquet(path)
+        # enumerate rather than isdir — same empty-dir schema-inference
+        # hazard as `_read_stream_rows`
+        files = _list_deleted_files(spark, index_dir)
     if not files:
         return None
     # scoped read: exactly the scan-time tombstone files, so the lazy

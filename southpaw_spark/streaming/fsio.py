@@ -122,6 +122,7 @@ class HadoopStoreFS:
         jvm = spark.sparkContext._jvm
         conf = spark.sparkContext._jsc.hadoopConfiguration()
         self._jvm = jvm
+        self._gateway = spark.sparkContext._gateway
         self._fs = jvm.org.apache.hadoop.fs.FileSystem.get(
             jvm.java.net.URI(root_url), conf
         )
@@ -182,10 +183,14 @@ class HadoopStoreFS:
             fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
                 self._jvm.java.net.URI(path), self._conf
             )
-            overwrite = getattr(
-                self._jvm.org.apache.hadoop.fs.Options.Rename, "OVERWRITE"
-            )
-            fc.rename(src, dst, overwrite)
+            rename_enum = self._jvm.org.apache.hadoop.fs.Options.Rename
+            # rename(Path, Path, Options.Rename...) is varargs — py4j
+            # needs the trailing parameter as an explicit Java array
+            # (a bare enum raises Py4JError and would silently demote
+            # every pointer commit to the non-atomic fallback)
+            opts = self._gateway.new_array(rename_enum, 1)
+            opts[0] = rename_enum.OVERWRITE
+            fc.rename(src, dst, opts)
             return
         except Exception:
             pass  # no AbstractFileSystem for this scheme — fall back

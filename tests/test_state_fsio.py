@@ -248,7 +248,25 @@ def test_hadoop_pointer_commit_has_no_missing_window(spark, tmp_path):
     root = f"file://{tmp_path}"
     fs = HadoopStoreFS(spark, root)
     fs.write_text_atomic(f"{root}/_CURRENT", "1")
+
+    # pin that the ATOMIC arm is the one taken (py4j needs the varargs
+    # Options.Rename as a Java array — a bare enum silently demoted
+    # every pointer commit to the delete-then-rename fallback): wrap
+    # the FileSystem so any fallback delete() trips the test
+    class _NoDelete:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            if name == "delete":
+                raise AssertionError(
+                    "pointer commit took the non-atomic fallback"
+                )
+            return getattr(self._inner, name)
+
+    fs._fs = _NoDelete(fs._fs)
     fs.write_text_atomic(f"{root}/_CURRENT", "2")
+    fs._fs = fs._fs._inner
     assert fs.read_text(f"{root}/_CURRENT") == "2"
     # the temp never lingers
     assert "_CURRENT.tmp" not in fs.listdir(root)
