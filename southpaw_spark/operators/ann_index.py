@@ -1508,3 +1508,72 @@ def rebuild_ann_index(
         if name.startswith("bprefix="):
             fs.delete(os.path.join(index_dir, name))
     return meta
+
+
+def lsh_index_sink(index_dir: str, vec_col: str, id_col: str):
+    """LSH twin of :func:`ivf_index_sink` — corpus_stream kept docs
+    stage into a built LSH index with the pinned-plane bucketing and
+    the exactly-once ``_stream/batch=<id>`` layout
+    :func:`attach_index_stream` uses."""
+    def _sink(kept: DataFrame, batch_id: int) -> None:
+        spark = kept.sparkSession
+        meta = _read_json(
+            _index_fs(index_dir, spark), os.path.join(index_dir, _META)
+        )
+        planes, pb = meta["planes"], meta["prefix_bits"]
+        adds = kept.select(F.col(id_col), F.col(vec_col))
+        if adds.limit(1).count() == 0:
+            return
+        bits = _bucket_bits(F.col(vec_col), planes)
+        adds.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            _bucket_str(bits).alias("bucket"),
+            F.concat(F.lit("p"), _bucket_str(bits[:pb])).alias("bprefix"),
+        ).write.partitionBy("bprefix").mode("overwrite").parquet(
+            os.path.join(index_dir, _STREAM, f"batch={batch_id}")
+        )
+
+    return _sink
+
+
+def pq_index_sink(
+    index_dir: str,
+    vec_col: str,
+    id_col: str,
+    drift_factor: float = 4.0,
+):
+    """PQ twin of :func:`ivf_index_sink` — kept docs encode against the
+    STORED codebooks into the exactly-once staging layout, with the
+    same drift ledger :func:`attach_pq_index_stream` maintains."""
+    def _sink(kept: DataFrame, batch_id: int) -> None:
+        from southpaw_spark.operators.similarity import _pq_encode
+
+        spark = kept.sparkSession
+        meta = _read_json(
+            _index_fs(index_dir, spark), os.path.join(index_dir, _PQ_META)
+        )
+        sub = meta["dim"] // meta["m_subspaces"]
+        adds = kept.select(F.col(id_col), F.col(vec_col))
+        if adds.limit(1).count() == 0:
+            return
+        adds = adds.cache()
+        try:
+            ms = spark.range(meta["m_subspaces"]).select(
+                F.col("id").cast("int").alias("m")
+            )
+            codebooks = spark.read.parquet(
+                os.path.join(index_dir, "codebooks")
+            )
+            _pq_encode(adds, vec_col, id_col, codebooks, ms, sub).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(index_dir, _STREAM, f"batch={batch_id}"))
+            _record_drift(
+                index_dir, _PQ_DRIFT, batch_id,
+                _pq_mean_residual(adds, vec_col, id_col, codebooks, ms, sub),
+                meta.get("baseline_residual"), drift_factor, spark=spark,
+            )
+        finally:
+            adds.unpersist()
+
+    return _sink

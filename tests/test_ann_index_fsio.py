@@ -758,3 +758,124 @@ def test_cli_retrain_index_all_layouts(spark, tmp_path, capsys):
     assert _rows(query_pq_index(
         spark, pq, corpus, _queries(corpus), "embedding", "vec_id", k=3
     ))
+
+
+def test_corpus_stream_feeds_lsh_and_pq_indexes(spark, tmp_path):
+    """The sink family is symmetric: the same corpus_stream wiring
+    feeds an LSH index and a PQ index (kept embeddings staged
+    exactly-once, drops tombstoned via the decisions sink), each ≡ the
+    batch pipeline + fresh build on bootstrap ∪ kept."""
+    import json as _json
+
+    from southpaw_spark.operators.ann_index import (
+        lsh_index_sink,
+        pq_index_sink,
+    )
+    from southpaw_spark.pipelines import build_corpus, corpus_stream
+    from southpaw_spark.streaming import ParquetStateStore
+    from southpaw_spark.streaming.dedup_stream import IncrementalDeduper
+
+    uniq = [
+        " ".join(f"w{i}x{j}" for j in range(25)) + " the and of is in"
+        for i in range(10)
+    ]
+
+    def doc(i, text):
+        return {"doc_id": i, "text": text, "embedding": _vec(i)}
+
+    bootstrap = [doc(i, uniq[i]) for i in range(4)]
+    file1 = [doc(20 + i, uniq[4 + i]) for i in range(3)]
+    # doc 30 = exact dup of doc 20's text → dropped on arrival (never
+    # indexed; tombstone is a no-op); 31/32 unique
+    file2 = [doc(30, uniq[4])] + [doc(31 + i, uniq[7 + i]) for i in range(2)]
+    schema = "doc_id long, text string, embedding array<double>"
+    boot_df = spark.createDataFrame(
+        [(d["doc_id"], d["text"], d["embedding"]) for d in bootstrap], schema
+    )
+
+    lsh = str(tmp_path / "lsh")
+    pq = str(tmp_path / "pq")
+    build_ann_index(boot_df, lsh, "embedding", "doc_id",
+                    n_planes=4, seed=42)
+    build_pq_index(boot_df, pq, "embedding", "doc_id",
+                   m_subspaces=4, n_codes=4)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.json").write_text("\n".join(_json.dumps(d) for d in file1))
+    (src / "b.json").write_text("\n".join(_json.dumps(d) for d in file2))
+
+    lsink, psink = (
+        lsh_index_sink(lsh, "embedding", "doc_id"),
+        pq_index_sink(pq, "embedding", "doc_id"),
+    )
+    ldec, pdec = (
+        index_tombstone_decisions_sink(lsh, "doc_id"),
+        index_tombstone_decisions_sink(pq, "doc_id"),
+    )
+
+    def fanout_sink(kept, batch_id):
+        lsink(kept, batch_id), psink(kept, batch_id)
+
+    def fanout_decisions(dec, batch_id):
+        ldec(dec, batch_id), pdec(dec, batch_id)
+
+    q = corpus_stream(
+        IncrementalDeduper(
+            spark, ParquetStateStore(spark, str(tmp_path / "state"),
+                                     n_buckets=4),
+            sim_threshold=1.01,  # exact-only
+        ),
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").json(str(src)),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        sink=fanout_sink,
+        decisions_sink=fanout_decisions,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(300)
+
+    streamed = spark.createDataFrame(
+        [(d["doc_id"], d["text"], d["embedding"]) for d in file1 + file2],
+        schema,
+    )
+    kept, _ = build_corpus(streamed, exact_dedup=True)
+    survivors = boot_df.unionByName(
+        streamed.join(kept.select("doc_id"), "doc_id", "left_semi")
+        .select("doc_id", "text", "embedding")
+    )
+    queries = spark.createDataFrame(
+        [(i, _vec(i)) for i in (0, 20)],
+        "query_id long, query_vec array<double>",
+    )
+
+    lsh_truth = str(tmp_path / "lsh_truth")
+    build_ann_index(survivors, lsh_truth, "embedding", "doc_id",
+                    n_planes=4, seed=42)
+    want = _rows(query_ann_index(spark, lsh_truth, queries, k=6))
+    got = _rows(query_ann_index(spark, lsh, queries, k=6))
+    assert got == want and want
+    assert all(n != 30 for _, n, _, _ in got)  # the dropped dup
+
+    pq_truth = str(tmp_path / "pq_truth")
+    build_pq_index(
+        survivors, pq_truth, "embedding", "doc_id",
+        m_subspaces=4, n_codes=4,
+        codebooks=spark.read.parquet(os.path.join(pq, "codebooks")),
+    )
+    corpus_all = boot_df.unionByName(streamed)
+    wantp = _rows(query_pq_index(
+        spark, pq_truth, corpus_all, queries, "embedding", "doc_id", k=6
+    ))
+    gotp = _rows(query_pq_index(
+        spark, pq, corpus_all, queries, "embedding", "doc_id", k=6
+    ))
+    assert gotp == wantp and wantp
+    assert all(n != 30 for _, n, _, _ in gotp)
+    # vacuums fold both; answers unchanged
+    vacuum_ann_index(spark, lsh)
+    vacuum_pq_index(spark, pq)
+    assert _rows(query_ann_index(spark, lsh, queries, k=6)) == want
+    assert _rows(query_pq_index(
+        spark, pq, corpus_all, queries, "embedding", "doc_id", k=6
+    )) == wantp
