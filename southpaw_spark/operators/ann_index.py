@@ -34,7 +34,6 @@ same-seed build answers queries identically to ``ivf_topk`` (pinned by
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -66,14 +65,11 @@ def _index_fs(index_dir: str, spark: SparkSession | None = None):
     return store_fs_for(spark, index_dir)
 
 
-def _read_json(fs, path: str) -> dict:
-    return json.loads(fs.read_text(path))
-
-
-def _write_json_atomic(fs, path: str, payload: dict) -> None:
-    """Atomic sidecar write through the FS seam (tmp + rename on
-    POSIX) — a crash mid-write must not leave truncated JSON."""
-    fs.write_text_atomic(path, json.dumps(payload))
+# shared sidecar convention — one implementation for the whole repo
+from southpaw_spark.streaming.fsio import (  # noqa: E402
+    read_json as _read_json,
+    write_json_atomic as _write_json_atomic,
+)
 
 
 def _lsh_data_dir(fs, index_dir: str) -> str:
@@ -212,16 +208,26 @@ def query_ann_index(
     base = spark.read.parquet(_lsh_data_dir(fs, index_dir)).where(
         F.col("bprefix").isin(prefixes)
     ).select("neighbor_id", "cv", "bucket", "bprefix")
+    # Join each branch against the probes SEPARATELY rather than
+    # unioning the scans first: the staged branch's bucket columns are
+    # derived expressions over `cv` (current-planes assignment, see
+    # `_bucket_staged`), and joining a union of {partitioned scan,
+    # derived projection} on the partition column trips Spark's
+    # dynamic-partition-pruning planner ("IN dynamicpruning#N has not
+    # finished"). Per-branch joins keep the main scan's pruned shape
+    # and give the staged scan nothing DPP could engage with.
+    joined = base.join(F.broadcast(q), ["bprefix", "bucket"])
     streamed = _read_stream_rows(spark, index_dir)
     if streamed is not None:
-        # streaming-ingest staging rows answer immediately; bprefix is
-        # a partition column there too, so the filter still prunes
-        base = base.unionByName(
-            streamed.where(F.col("bprefix").isin(prefixes))
+        # staging rows answer immediately; their buckets derive from
+        # the current planes HERE (staged sets are vacuum-bounded, so
+        # the unpruned staged scan is small by construction)
+        joined = joined.unionByName(
+            _bucket_staged(streamed, meta)
+            .where(F.col("bprefix").isin(prefixes))
+            .join(F.broadcast(q), ["bprefix", "bucket"])
         )
-    idx = _apply_deleted(spark, index_dir, base)
-
-    joined = idx.join(F.broadcast(q), ["bprefix", "bucket"]).where(
+    joined = _apply_deleted(spark, index_dir, joined).where(
         F.col("query_id") != F.col("neighbor_id")
     )
     cos = F.try_divide(
@@ -281,9 +287,12 @@ def add_to_ann_index(
 _DELETED = "_deleted"
 
 #: streaming-ingest staging area (same underscore rule): micro-batch
-#: appends land under ``_stream/batch=<id>/bprefix=.../`` so a replayed
-#: batch OVERWRITES its own directory instead of duplicating rows —
-#: exactly-once without touching the main layout's append files.
+#: appends land under ``_stream/batch=<id>/`` as RAW (neighbor_id, cv)
+#: rows so a replayed batch OVERWRITES its own directory instead of
+#: duplicating rows — exactly-once without touching the main layout's
+#: append files. Geometry (bucket/cell/code) is derived from the
+#: CURRENT sidecar at query/fold time, never stored: a retrain or
+#: rebuild swapping the quantizer mid-stream cannot strand a batch.
 _STREAM = "_stream"
 
 
@@ -314,8 +323,19 @@ def _list_deleted_files(spark: SparkSession, index_dir: str) -> list[str]:
     )
 
 
-def _read_stream_rows(spark: SparkSession, index_dir: str,
-                      batches: list[str] | None = None):
+def _read_stream_vectors(spark: SparkSession, index_dir: str,
+                         batches: list[str] | None,
+                         legacy_prefixes: tuple[str, ...]):
+    """Staged streaming rows as RAW ``(neighbor_id, cv)`` vectors.
+    Pre-round-15 staging dirs stored the assignment (bucket/bprefix or
+    cell) as partition subdirs; those columns are deliberately dropped
+    — every consumer derives the assignment from the CURRENT sidecar
+    geometry, so staged rows survive a mid-stream retrain/rebuild
+    quantizer swap correctly. New-format (flat) batch dirs read as ONE
+    scan — the plan stays a single staging branch however many batches
+    accumulate between vacuums; only legacy partitioned dirs (gone at
+    first vacuum) fall back to per-batch reads, because mixed
+    directory depths break partition inference."""
     path = os.path.join(index_dir, _STREAM)
     if batches is None:
         # enumerate rather than isdir: a crash between a vacuum's
@@ -324,12 +344,52 @@ def _read_stream_rows(spark: SparkSession, index_dir: str,
         batches = _list_stream_batches(spark, index_dir)
     if not batches:
         return None
-    # scoped read: exactly the scan-time batch dirs (basePath keeps
-    # `batch` a partition column so the schema matches the full read)
-    return (
-        spark.read.option("basePath", path)
-        .parquet(*[os.path.join(path, b) for b in batches])
-        .select("neighbor_id", "cv", "bucket", "bprefix")
+    fs = _index_fs(index_dir, spark)
+    legacy = [
+        b
+        for b in batches
+        if any(
+            n.startswith(legacy_prefixes)
+            for n in fs.listdir(os.path.join(path, b))
+        )
+    ]
+    flat = [b for b in batches if b not in legacy]
+    parts = []
+    if flat:
+        parts.append(
+            spark.read.option("basePath", path)
+            .parquet(*[os.path.join(path, b) for b in flat])
+            .select("neighbor_id", "cv")
+        )
+    parts.extend(
+        spark.read.parquet(os.path.join(path, b)).select(
+            "neighbor_id", "cv"
+        )
+        for b in legacy
+    )
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def _read_stream_rows(spark: SparkSession, index_dir: str,
+                      batches: list[str] | None = None):
+    return _read_stream_vectors(spark, index_dir, batches, ("bprefix=",))
+
+
+def _bucket_staged(streamed: DataFrame, meta: dict) -> DataFrame:
+    """Assign staged raw vectors to buckets with the CURRENT sidecar
+    planes — the one place staged-row geometry is derived, shared by
+    query/vacuum/occupancy so a rebuild's plane swap can never leave a
+    staged row stranded under a retired bucketing."""
+    planes, pb = meta["planes"], meta["prefix_bits"]
+    bits = _bucket_bits(F.col("cv"), planes)
+    return streamed.select(
+        "neighbor_id",
+        "cv",
+        _bucket_str(bits).alias("bucket"),
+        F.concat(F.lit("p"), _bucket_str(bits[:pb])).alias("bprefix"),
     )
 
 
@@ -351,14 +411,18 @@ def attach_index_stream(
     micro-batch, and queries see them immediately — no nightly rebuild.
 
     EXACTLY-ONCE adds: each micro-batch is written with overwrite to
-    its own ``_stream/batch=<id>/bprefix=…`` directory (stable batch
-    ids per checkpoint), so an at-least-once replay rewrites the same
-    files instead of appending duplicates — duplicate candidates would
-    silently skew every top-k rank. The underscore prefix keeps the
-    main index read from seeing the staging area; queries union it
-    explicitly with the same partition-pruned bprefix filter. Fold the
-    staging batches into the main layout with :func:`vacuum_ann_index`
-    (it treats them as index rows) once they accumulate.
+    its own ``_stream/batch=<id>/`` directory (stable batch ids per
+    checkpoint), so an at-least-once replay rewrites the same files
+    instead of appending duplicates — duplicate candidates would
+    silently skew every top-k rank. Staged rows are RAW
+    ``(neighbor_id, cv)`` vectors: bucket/bprefix are derived at query
+    and fold time from the CURRENT sidecar planes, so a batch staged
+    concurrently with a :func:`rebuild_ann_index` plane swap can never
+    be mis-bucketed (stored assignments would go permanently
+    unreachable after the swap). The underscore prefix keeps the main
+    index read from seeing the staging area; queries union it
+    explicitly. Fold the staging batches into the main layout with
+    :func:`vacuum_ann_index` once they accumulate.
 
     ``tombstone_col`` (nullable boolean) marks DELETE rows — their ids
     go to the tombstone set (``remove_from_index``; replay-safe: the
@@ -373,11 +437,10 @@ def attach_index_stream(
 
     Returns the started ``StreamingQuery``.
     """
-    meta = _read_json(
+    _read_json(  # existence/shape check before the stream starts
         _index_fs(index_dir, vectors.sparkSession),
         os.path.join(index_dir, _META),
     )
-    planes, pb = meta["planes"], meta["prefix_bits"]
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         adds = batch_df
@@ -390,12 +453,9 @@ def attach_index_stream(
             adds = batch_df.where(
                 ~F.coalesce(F.col(tombstone_col), F.lit(False))
             )
-        bits = _bucket_bits(F.col(vec_col), planes)
         rows = adds.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cv"),
-            _bucket_str(bits).alias("bucket"),
-            F.concat(F.lit("p"), _bucket_str(bits[:pb])).alias("bprefix"),
         )
         # A tombstone-only (or empty) micro-batch must not leave a
         # batch=<id>/ dir holding just _SUCCESS: a staging area made
@@ -404,7 +464,7 @@ def attach_index_stream(
         # replay-safe — a replayed batch carries the same (empty) adds.
         if rows.limit(1).count() == 0:
             return
-        rows.write.partitionBy("bprefix").mode("overwrite").parquet(
+        rows.write.mode("overwrite").parquet(
             os.path.join(index_dir, _STREAM, f"batch={batch_id}")
         )
 
@@ -501,8 +561,21 @@ def _drop_scanned(
             if (n.startswith(live_kind) if live_kind else
                 not n.startswith((".", "_")) and not n.endswith(".crc"))
         ]
-        if not live:
-            fs.delete(parent)
+        if live:
+            continue
+        # Only bookkeeping remains. Clear the FILE leftovers
+        # (_SUCCESS, .crc) — never dirs: an in-flight concurrent
+        # commit stages under `_temporary/` and must survive — then
+        # remove the parent NON-recursively, so a batch or tombstone
+        # committed after the listing makes the rmdir fail and the
+        # dir simply waits for the next vacuum (the old recursive
+        # delete re-opened the exact scan-to-cleanup loss window
+        # this function exists to close).
+        for n in left:
+            child = os.path.join(parent, n)
+            if not fs.isdir(child):
+                fs.delete(child)
+        fs.delete_dir_if_empty(parent)
 
 
 def vacuum_ann_index(spark: SparkSession, index_dir: str) -> int:
@@ -533,7 +606,11 @@ def vacuum_ann_index(spark: SparkSession, index_dir: str) -> int:
     )
     streamed = _read_stream_rows(spark, index_dir, batches=batches)
     if streamed is not None:
-        idx = idx.unionByName(streamed)
+        # staged rows fold under the CURRENT planes (staging stores
+        # raw vectors — a batch staged mid-rebuild still lands in the
+        # buckets queries will actually probe)
+        meta = _read_json(fs, os.path.join(index_dir, _META))
+        idx = idx.unionByName(_bucket_staged(streamed, meta))
     dead = _read_deleted(spark, index_dir, files=tomb_files)
     n_dead = 0
     survivors = idx
@@ -545,7 +622,11 @@ def vacuum_ann_index(spark: SparkSession, index_dir: str) -> int:
             F.broadcast(dead_ids), "neighbor_id", "left_anti"
         )
     live = os.path.join(index_dir, "data")
-    tmp = live.rstrip("/") + ".vacuum.tmp"
+    # underscore prefix: legacy-layout readers scan the index ROOT, and
+    # Spark's partition discovery dies on a visible sibling dir with a
+    # different structure ("Conflicting directory structures") for the
+    # whole rewrite — `_`-prefixed paths are invisible to it
+    tmp = os.path.join(index_dir, "_data.vacuum.tmp")
     fs.delete(tmp)
     survivors.write.partitionBy("bprefix").mode("overwrite").parquet(tmp)
     if legacy:
@@ -578,6 +659,8 @@ def vacuum_pq_index(spark: SparkSession, index_dir: str) -> int:
         return 0
     codes_dir = os.path.join(index_dir, "codes")
     codes = spark.read.parquet(codes_dir)
+    # staged raw vectors encode under the CURRENT codebooks as they
+    # fold (legacy code-only batches pass through)
     staged = _read_stream_codes(spark, index_dir, batches=batches)
     if staged is not None:
         codes = codes.unionByName(staged.select(*codes.columns))
@@ -756,15 +839,18 @@ def attach_pq_index_stream(
 ):
     """Continuous PQ-index maintenance — the streaming arm the LSH
     index got in round 13 (:func:`attach_index_stream`), closing the
-    'PQ rebuilds on a cadence' gap: streamed vectors are encoded
-    against the STORED codebooks (never re-derived, the
+    'PQ rebuilds on a cadence' gap: streamed vectors encode against
+    the stored codebooks (never re-derived, the
     :func:`add_to_pq_index` invariant), so ``build(A)`` + ``stream(B)``
     answers queries identically to ``build(A ∪ B)`` with those
     codebooks — pinned by parity test.
 
-    EXACTLY-ONCE adds: each micro-batch's code rows land with overwrite
-    in ``_stream/batch=<id>/`` (stable batch ids per checkpoint), so an
-    at-least-once replay rewrites the same files. Queries union the
+    EXACTLY-ONCE adds: each micro-batch's RAW vectors land with
+    overwrite in ``_stream/batch=<id>/`` (stable batch ids per
+    checkpoint), so an at-least-once replay rewrites the same files;
+    the encode happens at query/fold time against the codebooks
+    current THEN (see :func:`_read_stream_codes` — this is what makes
+    a mid-stream :func:`retrain_pq_index` safe). Queries union the
     staging area; :func:`vacuum_pq_index` folds it into ``codes/``.
     ``tombstone_col`` rows delete ids (shared tombstone layout).
 
@@ -776,8 +862,6 @@ def attach_pq_index_stream(
     continues (codes stay valid, recall degrades gracefully) — the flag
     is the retrain/rebuild trigger a scheduler polls via
     :func:`pq_index_drift`. Returns the started ``StreamingQuery``."""
-    from southpaw_spark.operators.similarity import _pq_encode
-
     meta = _read_json(
         _index_fs(index_dir, vectors.sparkSession),
         os.path.join(index_dir, _PQ_META),
@@ -803,15 +887,22 @@ def attach_pq_index_stream(
             # the LSH arm); replay-safe — a replayed batch is identical
             if adds.limit(1).count() == 0:
                 return
+            # raw-vector staging: encoding happens at query/fold time
+            # against the codebooks CURRENT then, so a concurrent
+            # retrain's codebook swap cannot leave this batch's codes
+            # undecodable (see `_read_stream_codes`)
+            adds.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cv"),
+            ).write.mode("overwrite").parquet(
+                os.path.join(index_dir, _STREAM, f"batch={batch_id}")
+            )
             ms = spark.range(meta["m_subspaces"]).select(
                 F.col("id").cast("int").alias("m")
             )
             codebooks = spark.read.parquet(
                 os.path.join(index_dir, "codebooks")
             )
-            _pq_encode(adds, vec_col, id_col, codebooks, ms, sub).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(index_dir, _STREAM, f"batch={batch_id}"))
             _record_drift(
                 index_dir, _PQ_DRIFT, batch_id,
                 _pq_mean_residual(adds, vec_col, id_col, codebooks, ms, sub),
@@ -829,22 +920,52 @@ def attach_pq_index_stream(
 
 
 def _read_stream_codes(spark: SparkSession, index_dir: str,
-                       batches: list[str] | None = None):
-    """Staged streaming code rows (same (neighbor_id, m, code) shape as
-    ``codes/``), or None when no staging batches exist. Read the whole
-    staging dir (one base path — batch becomes a partition column)
-    rather than a batch=* glob, which breaks partition inference.
+                       batches: list[str] | None = None,
+                       meta: dict | None = None):
+    """Staged PQ rows in ``codes/`` shape ``(neighbor_id, m, code)``,
+    or None when no staging batches exist.
+
+    Round-15 staging stores RAW ``(neighbor_id, cv)`` vectors — they
+    encode HERE against the codebooks CURRENT at read time, so a batch
+    staged concurrently with a :func:`retrain_pq_index` codebook swap
+    still produces codes the retrained ADC tables can decode (stored
+    codes would silently compute garbage distances after the swap).
+    Legacy code-only staging dirs pass through unchanged (correct as
+    long as no retrain intervened — the pre-round-15 contract).
     ``batches`` scopes the read to a scan-time snapshot (vacuum)."""
+    from southpaw_spark.operators.similarity import _pq_encode
+
     path = os.path.join(index_dir, _STREAM)
     if batches is None:
         batches = _list_stream_batches(spark, index_dir)
     if not batches:
         return None
-    return (
-        spark.read.option("basePath", path)
-        .parquet(*[os.path.join(path, b) for b in batches])
-        .select("neighbor_id", "m", "code")
+    if meta is None:
+        meta = _read_json(
+            _index_fs(index_dir, spark), os.path.join(index_dir, _PQ_META)
+        )
+    sub = meta["dim"] // meta["m_subspaces"]
+    ms = spark.range(meta["m_subspaces"]).select(
+        F.col("id").cast("int").alias("m")
     )
+    codebooks = None
+    out = None
+    for b in batches:
+        df = spark.read.parquet(os.path.join(path, b))
+        if "cv" in df.columns:
+            if codebooks is None:
+                codebooks = spark.read.parquet(
+                    os.path.join(index_dir, "codebooks")
+                )
+            part = _pq_encode(
+                df.select("neighbor_id", "cv"), "cv", "neighbor_id",
+                codebooks, ms, sub,
+            )
+        else:
+            part = df
+        part = part.select("neighbor_id", "m", "code")
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def query_pq_index(
@@ -870,7 +991,7 @@ def query_pq_index(
         _index_fs(index_dir, spark), os.path.join(index_dir, _PQ_META)
     )
     codes = spark.read.parquet(os.path.join(index_dir, "codes"))
-    staged = _read_stream_codes(spark, index_dir)
+    staged = _read_stream_codes(spark, index_dir, meta=meta)
     if staged is not None:
         codes = codes.unionByName(staged.select(*codes.columns))
     codes = _apply_deleted(spark, index_dir, codes)
@@ -1043,18 +1164,12 @@ def build_ivf_index(
 
 def _read_stream_cells(spark: SparkSession, index_dir: str,
                        batches: list[str] | None = None):
-    """IVF twin of :func:`_read_stream_codes` (single base path;
-    ``batches`` scopes the read to a scan-time snapshot)."""
-    path = os.path.join(index_dir, _STREAM)
-    if batches is None:
-        batches = _list_stream_batches(spark, index_dir)
-    if not batches:
-        return None
-    return (
-        spark.read.option("basePath", path)
-        .parquet(*[os.path.join(path, b) for b in batches])
-        .select("neighbor_id", "cv", "cell")
-    )
+    """IVF staged rows as RAW ``(neighbor_id, cv)`` — see
+    :func:`_read_stream_vectors` (legacy dirs carried a stored
+    ``cell``; consumers re-assign against the CURRENT centroids, so a
+    batch staged mid-:func:`retrain_ivf_index` can never be folded
+    into cells the retrained quantizer will not probe)."""
+    return _read_stream_vectors(spark, index_dir, batches, ("cell=",))
 
 
 def query_ivf_index(
@@ -1098,14 +1213,22 @@ def query_ivf_index(
         .where(F.col("cell").isin(cells))
         .select("neighbor_id", "cv", "cell")
     )
+    # per-branch joins, same rationale as `query_ann_index`: the
+    # staged branch's cell is a derived assignment, and joining a
+    # union of {partitioned scan, derived projection} on the partition
+    # column can trip Spark's dynamic-partition-pruning planner
+    joined = base.join(F.broadcast(probes), "cell")
     staged = _read_stream_cells(spark, index_dir)
     if staged is not None:
-        base = base.unionByName(
-            staged.where(F.col("cell").isin(cells))
+        # staged raw vectors assign against the current centroids here
+        # (vacuum-bounded set — the unpruned staged scan stays small)
+        joined = joined.unionByName(
+            _ivf_assign(staged, "cv", "neighbor_id", centroids)
+            .where(F.col("cell").isin(cells))
             .select("neighbor_id", "cv", "cell")
+            .join(F.broadcast(probes), "cell")
         )
-    idx = _apply_deleted(spark, index_dir, base)
-    joined = idx.join(F.broadcast(probes), "cell").where(
+    joined = _apply_deleted(spark, index_dir, joined).where(
         F.col("query_id") != F.col("neighbor_id")
     )
     cos = F.try_divide(
@@ -1137,11 +1260,11 @@ def attach_ivf_index_stream(
     drift_factor: float = 4.0,
 ):
     """Continuous IVF-index maintenance — the third streaming arm
-    (LSH round 13, PQ + this round 14): streamed vectors assign
-    against the STORED centroids (frozen-quantizer invariant, so
+    (LSH round 13, PQ + this round 14): streamed vectors stage RAW
+    (``_stream/batch=<id>/``, overwrite absorbs replays) and assign
+    against the centroids current at query/fold time (so
     ``build(A)`` + ``stream(B)`` ≡ rebuild-with-those-centroids —
-    parity-pinned), staged exactly-once per batch
-    (``_stream/batch=<id>/cell=…``, overwrite absorbs replays),
+    parity-pinned — and a mid-stream retrain cannot strand a batch),
     tombstones shared, staging folded by :func:`vacuum_ivf_index`.
     The drift guard mirrors the PQ arm: per-batch mean residual vs the
     build baseline, ``retrain_recommended`` past ``drift_factor``× —
@@ -1168,13 +1291,17 @@ def attach_ivf_index_stream(
         try:
             if adds.limit(1).count() == 0:
                 return  # no empty staging dirs (schema-inference hazard)
+            # raw-vector staging: cell assignment happens at query/fold
+            # time against the centroids CURRENT then, so a concurrent
+            # retrain's centroid swap cannot strand this batch
+            adds.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cv"),
+            ).write.mode("overwrite").parquet(
+                os.path.join(index_dir, _STREAM, f"batch={batch_id}")
+            )
             centroids = spark.read.parquet(
                 os.path.join(index_dir, "centroids")
-            )
-            _ivf_assign(adds, vec_col, id_col, centroids).write.partitionBy(
-                "cell"
-            ).mode("overwrite").parquet(
-                os.path.join(index_dir, _STREAM, f"batch={batch_id}")
             )
             _record_drift(
                 index_dir, _IVF_DRIFT, batch_id,
@@ -1208,7 +1335,13 @@ def vacuum_ivf_index(spark: SparkSession, index_dir: str) -> int:
     rows = spark.read.parquet(cells_dir).select("neighbor_id", "cv", "cell")
     staged = _read_stream_cells(spark, index_dir, batches=batches)
     if staged is not None:
-        rows = rows.unionByName(staged.select("neighbor_id", "cv", "cell"))
+        # staged raw vectors fold under the CURRENT centroids
+        centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
+        rows = rows.unionByName(
+            _ivf_assign(staged, "cv", "neighbor_id", centroids).select(
+                "neighbor_id", "cv", "cell"
+            )
+        )
     dead = _read_deleted(spark, index_dir, files=tomb_files)
     survivors, n_dead = rows, 0
     if dead is not None:
@@ -1250,13 +1383,20 @@ def retrain_ivf_index(
     vacuum swap (``cells/`` then ``centroids/`` back-to-back; the old
     index answers until then). The folded staging batches / tombstone
     files are dropped exactly (concurrent-ingest safe, same contract
-    as :func:`vacuum_ivf_index` — though batches staged mid-retrain
-    keep OLD-centroid cell ids until the next vacuum folds them).
+    as :func:`vacuum_ivf_index`; a batch staged mid-retrain survives
+    as raw vectors and assigns against the NEW centroids at query/fold
+    time). ``n_cells=None`` keeps the live meta's cell count — the
+    operating point the index was built with — rather than silently
+    re-auto-sizing; pass an explicit value to resize.
     The meta baseline resets to the retrained residual and the drift
     sidecar clears, so ``retrain_recommended`` starts FALSE again.
     Equivalent to :func:`build_ivf_index` on the survivor set (pinned
     by parity test). Returns the new meta dict."""
     fs = _index_fs(index_dir, spark)
+    if n_cells is None and centroids is None:
+        n_cells = int(
+            _read_json(fs, os.path.join(index_dir, _IVF_META))["n_cells"]
+        )
     batches = _list_stream_batches(spark, index_dir)
     tomb_files = _list_deleted_files(spark, index_dir)
     cells_dir = os.path.join(index_dir, "cells")
@@ -1323,9 +1463,14 @@ def retrain_pq_index(
     tomb_files = _list_deleted_files(spark, index_dir)
     codes_dir = os.path.join(index_dir, "codes")
     ids = spark.read.parquet(codes_dir).select("neighbor_id")
-    staged = _read_stream_codes(spark, index_dir, batches=batches)
-    if staged is not None:
-        ids = ids.unionByName(staged.select("neighbor_id"))
+    for b in batches:
+        # ids only — both staging layouts carry neighbor_id, and the
+        # re-encode `_read_stream_codes` would do is wasted work here
+        ids = ids.unionByName(
+            spark.read.parquet(
+                os.path.join(index_dir, _STREAM, b)
+            ).select("neighbor_id")
+        )
     ids = ids.distinct()
     dead = _read_deleted(spark, index_dir, files=tomb_files)
     if dead is not None:
@@ -1379,20 +1524,28 @@ def ivf_index_sink(
         meta = _read_json(
             _index_fs(index_dir, spark), os.path.join(index_dir, _IVF_META)
         )
-        adds = kept.select(F.col(id_col), F.col(vec_col))
-        if adds.limit(1).count() == 0:
-            return  # no empty staging dirs (schema-inference hazard)
-        centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
-        _ivf_assign(adds, vec_col, id_col, centroids).write.partitionBy(
-            "cell"
-        ).mode("overwrite").parquet(
-            os.path.join(index_dir, _STREAM, f"batch={batch_id}")
-        )
-        _record_drift(
-            index_dir, _IVF_DRIFT, batch_id,
-            _ivf_mean_residual(adds, vec_col, id_col, centroids),
-            meta.get("baseline_residual"), drift_factor, spark=spark,
-        )
+        # cache: the kept-docs plan re-executes per action otherwise —
+        # three actions here, each replaying the upstream dedup chain
+        adds = kept.select(F.col(id_col), F.col(vec_col)).cache()
+        try:
+            if adds.limit(1).count() == 0:
+                return  # no empty staging dirs (schema-inference hazard)
+            adds.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cv"),
+            ).write.mode("overwrite").parquet(
+                os.path.join(index_dir, _STREAM, f"batch={batch_id}")
+            )
+            centroids = spark.read.parquet(
+                os.path.join(index_dir, "centroids")
+            )
+            _record_drift(
+                index_dir, _IVF_DRIFT, batch_id,
+                _ivf_mean_residual(adds, vec_col, id_col, centroids),
+                meta.get("baseline_residual"), drift_factor, spark=spark,
+            )
+        finally:
+            adds.unpersist()
 
     return _sink
 
@@ -1434,7 +1587,9 @@ def ann_index_occupancy(spark: SparkSession, index_dir: str) -> dict:
     )
     streamed = _read_stream_rows(spark, index_dir)
     if streamed is not None:
-        rows = rows.unionByName(streamed.select("neighbor_id", "bucket"))
+        rows = rows.unionByName(
+            _bucket_staged(streamed, meta).select("neighbor_id", "bucket")
+        )
     rows = _apply_deleted(spark, index_dir, rows)
     agg = rows.groupBy("bucket").count().agg(
         F.sum("count").alias("n"), F.avg("count").alias("mean_occ")
@@ -1455,9 +1610,9 @@ def rebuild_ann_index(
     spark: SparkSession,
     index_dir: str,
     n_planes: int | None = None,
-    target_bucket: int = 200,
-    prefix_bits: int = 10,
-    seed: int = 42,
+    target_bucket: int | None = None,
+    prefix_bits: int | None = None,
+    seed: int | None = None,
 ) -> dict:
     """LSH act-on-the-guard op (symmetric with
     :func:`retrain_ivf_index`): re-derive the hyperplanes scaled to the
@@ -1466,13 +1621,22 @@ def rebuild_ann_index(
     publish via the vacuum swap; the sidecar's pinned planes update
     atomically after the data lands, the old index answers until then,
     and the folded staging/tombstone snapshot is dropped exactly
-    (concurrent-ingest safe — though batches staged mid-rebuild keep
-    OLD-plane buckets until the next vacuum folds them; prefer a
-    quiesced rebuild when exactness matters). ``n_planes=None`` →
-    auto-size to the survivor count (``target_bucket``). Equivalent to
-    :func:`build_ann_index` on the survivor set (parity-pinned).
-    Returns the new meta dict."""
+    (concurrent-ingest safe — a batch staged mid-rebuild survives as
+    raw vectors and buckets under the NEW planes at query/fold time).
+    ``n_planes=None`` → auto-size to the survivor count;
+    ``target_bucket``/``prefix_bits``/``seed`` default to the live
+    meta's pinned values (the operating point the index was built
+    with), so an unparameterized guard-triggered rebuild only grows
+    the plane count. Equivalent to :func:`build_ann_index` on the
+    survivor set (parity-pinned). Returns the new meta dict."""
     fs = _index_fs(index_dir, spark)
+    live_meta = _read_json(fs, os.path.join(index_dir, _META))
+    if target_bucket is None:
+        target_bucket = int(live_meta.get("target_bucket", 200))
+    if prefix_bits is None:
+        prefix_bits = int(live_meta.get("prefix_bits", 10))
+    if seed is None:
+        seed = int(live_meta.get("seed", 42))
     batches = _list_stream_batches(spark, index_dir)
     tomb_files = _list_deleted_files(spark, index_dir)
     rows = spark.read.parquet(_lsh_data_dir(fs, index_dir)).select(
@@ -1512,25 +1676,21 @@ def rebuild_ann_index(
 
 def lsh_index_sink(index_dir: str, vec_col: str, id_col: str):
     """LSH twin of :func:`ivf_index_sink` — corpus_stream kept docs
-    stage into a built LSH index with the pinned-plane bucketing and
-    the exactly-once ``_stream/batch=<id>`` layout
-    :func:`attach_index_stream` uses."""
+    stage into a built LSH index as raw vectors in the exactly-once
+    ``_stream/batch=<id>`` layout :func:`attach_index_stream` uses
+    (buckets derive from the current planes at query/fold time)."""
     def _sink(kept: DataFrame, batch_id: int) -> None:
-        spark = kept.sparkSession
-        meta = _read_json(
-            _index_fs(index_dir, spark), os.path.join(index_dir, _META)
+        _read_json(  # existence/shape check
+            _index_fs(index_dir, kept.sparkSession),
+            os.path.join(index_dir, _META),
         )
-        planes, pb = meta["planes"], meta["prefix_bits"]
-        adds = kept.select(F.col(id_col), F.col(vec_col))
-        if adds.limit(1).count() == 0:
-            return
-        bits = _bucket_bits(F.col(vec_col), planes)
-        adds.select(
+        rows = kept.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cv"),
-            _bucket_str(bits).alias("bucket"),
-            F.concat(F.lit("p"), _bucket_str(bits[:pb])).alias("bprefix"),
-        ).write.partitionBy("bprefix").mode("overwrite").parquet(
+        )
+        if rows.limit(1).count() == 0:
+            return
+        rows.write.mode("overwrite").parquet(
             os.path.join(index_dir, _STREAM, f"batch={batch_id}")
         )
 
@@ -1547,27 +1707,28 @@ def pq_index_sink(
     STORED codebooks into the exactly-once staging layout, with the
     same drift ledger :func:`attach_pq_index_stream` maintains."""
     def _sink(kept: DataFrame, batch_id: int) -> None:
-        from southpaw_spark.operators.similarity import _pq_encode
-
         spark = kept.sparkSession
         meta = _read_json(
             _index_fs(index_dir, spark), os.path.join(index_dir, _PQ_META)
         )
         sub = meta["dim"] // meta["m_subspaces"]
-        adds = kept.select(F.col(id_col), F.col(vec_col))
-        if adds.limit(1).count() == 0:
-            return
-        adds = adds.cache()
+        adds = kept.select(F.col(id_col), F.col(vec_col)).cache()
         try:
+            if adds.limit(1).count() == 0:
+                return
+            # raw-vector staging (see `_read_stream_codes`)
+            adds.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cv"),
+            ).write.mode("overwrite").parquet(
+                os.path.join(index_dir, _STREAM, f"batch={batch_id}")
+            )
             ms = spark.range(meta["m_subspaces"]).select(
                 F.col("id").cast("int").alias("m")
             )
             codebooks = spark.read.parquet(
                 os.path.join(index_dir, "codebooks")
             )
-            _pq_encode(adds, vec_col, id_col, codebooks, ms, sub).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(index_dir, _STREAM, f"batch={batch_id}"))
             _record_drift(
                 index_dir, _PQ_DRIFT, batch_id,
                 _pq_mean_residual(adds, vec_col, id_col, codebooks, ms, sub),

@@ -273,25 +273,11 @@ def _quality_swap_driver(dd, rep_hits, scores, reps_read):
     return near_state, swaps_in, retro, winners, reps_lit
 
 
-def _write_json_atomic(fs, path: str, payload: dict) -> None:
-    """Atomic sidecar write through the store's FS seam (tmp + rename
-    on POSIX, the fsio equivalent on scheme:// roots) — a torn sidecar
-    would turn every later reopen into an unhandled JSONDecodeError
-    instead of a loud validation error, and raw ``open()`` would crash
-    outright on the object-store roots the store supports via fsio."""
-    import json
-
-    fs.write_text_atomic(path, json.dumps(payload))
-
-
-def _read_json_sidecar(fs, path: str) -> dict | None:
-    """Read a JSON sidecar through the store FS; None when absent."""
-    import json
-
-    try:
-        return json.loads(fs.read_text(path))
-    except OSError:
-        return None
+# shared sidecar convention — one implementation for the whole repo
+from southpaw_spark.streaming.fsio import (  # noqa: E402
+    read_json_or_none as _read_json_sidecar,
+    write_json_atomic as _write_json_atomic,
+)
 
 
 class IncrementalDeduper:

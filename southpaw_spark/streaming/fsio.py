@@ -101,6 +101,16 @@ class LocalStoreFS:
             except OSError:
                 pass
 
+    def delete_dir_if_empty(self, path: str) -> bool:
+        """Non-recursive dir removal: fails (False) the moment the dir
+        holds ANY entry — the race-safe way to garbage-collect a
+        staging parent a concurrent writer may repopulate."""
+        try:
+            os.rmdir(path)
+            return True
+        except OSError:
+            return False
+
 
 class HadoopStoreFS:
     """The same primitives via the JVM Hadoop ``FileSystem`` — any
@@ -194,9 +204,23 @@ class HadoopStoreFS:
             return
         except Exception:
             pass  # no AbstractFileSystem for this scheme — fall back
+        self._fallback_pointer_commit(src, dst, path, text)
+
+    def _fallback_pointer_commit(self, src, dst, path: str, text: str) -> None:
+        """delete+rename pointer commit for schemes with no FileContext
+        binding. The rename result is CHECKED: a False (src consumed by
+        a concurrent committer, or the FS refused) after the delete
+        would otherwise leave NO pointer at all — and a missing pointer
+        reads as 'no committed version' — so the pointer is re-created
+        directly from ``text``."""
         if self._fs.exists(dst):
             self._fs.delete(dst, False)
-        self._fs.rename(src, dst)
+        try:
+            ok = bool(self._fs.rename(src, dst))
+        except Exception:
+            ok = False  # e.g. src already consumed — FNFE on some FSs
+        if not ok:
+            self._write(path, text, True)
 
     def create_exclusive_text(self, path: str, text: str) -> bool:
         try:
@@ -236,7 +260,19 @@ class HadoopStoreFS:
             dst.rstrip("/") + "/" + os.path.basename(src.rstrip("/"))
         )
         if self._fs.exists(nested):
-            self._fs.delete(nested, True)  # lost the race — un-nest
+            # Lost the race — un-nest by RESTORING src, never by
+            # deleting: for mirror publishes src is a discardable tmp,
+            # but for data-dir swaps (`_swap_data_dir` retiring a live
+            # ``data``/``cells``/``codes`` dir) the nested dir may be
+            # the only copy of the live index data.
+            if self._fs.exists(self._Path(src)) or not bool(
+                self._fs.rename(nested, self._Path(src))
+            ):
+                raise OSError(
+                    f"rename_dir: {src} nested into concurrently "
+                    f"created {dst} and could not be restored — "
+                    f"recover it manually from {nested}"
+                )
             return False
         return True
 
@@ -244,6 +280,42 @@ class HadoopStoreFS:
         p = self._Path(path)
         if self._fs.exists(p):
             self._fs.delete(p, True)
+
+    def delete_dir_if_empty(self, path: str) -> bool:
+        # FileSystem.delete(path, recursive=false) throws on a
+        # non-empty directory on every mainstream FS — exactly the
+        # race-safe contract we need (no list-then-delete window)
+        try:
+            return bool(self._fs.delete(self._Path(path), False))
+        except Exception:
+            return False
+
+
+def write_json_atomic(fs, path: str, payload: dict) -> None:
+    """Atomic JSON sidecar write through the FS seam (tmp + rename on
+    POSIX, the Hadoop equivalent on ``scheme://`` roots) — a crash
+    mid-write must never leave truncated JSON, and raw ``open()``
+    would crash outright on object-store roots. The single shared
+    implementation for every sidecar in the repo (state-store
+    geometry, dedup-stream ledgers, ANN index meta/drift)."""
+    import json
+
+    fs.write_text_atomic(path, json.dumps(payload))
+
+
+def read_json(fs, path: str) -> dict:
+    """Read a JSON sidecar through the FS seam; raises OSError when
+    absent (callers that want None use :func:`read_json_or_none`)."""
+    import json
+
+    return json.loads(fs.read_text(path))
+
+
+def read_json_or_none(fs, path: str) -> dict | None:
+    try:
+        return read_json(fs, path)
+    except OSError:
+        return None
 
 
 def store_fs_for(spark, root: str):

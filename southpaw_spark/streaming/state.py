@@ -145,13 +145,19 @@ class ParquetStateStore:
         try:
             return int(self._fs.read_text(ptr).strip())
         except OSError:
-            if not getattr(self._fs, "is_local", True):
+            if not getattr(self._fs, "is_local", True) and self._fs.isdir(
+                self._entity_dir(entity)
+            ):
                 # Off POSIX the pointer commit may fall back to
                 # delete+rename (no FileContext binding for the
                 # scheme) — a reader can land in that tiny no-pointer
                 # window. One short retry distinguishes "mid-commit"
                 # from "never committed"; data dirs are write-once so
-                # whichever version we then read is consistent.
+                # whichever version we then read is consistent. The
+                # entity-dir guard keeps the legitimate never-written
+                # miss (every cold-start read of a fresh store) from
+                # paying the sleep — only an entity with data on disk
+                # can be mid-commit.
                 import time
 
                 time.sleep(0.05)

@@ -879,3 +879,170 @@ def test_corpus_stream_feeds_lsh_and_pq_indexes(spark, tmp_path):
     assert _rows(query_pq_index(
         spark, pq, corpus_all, queries, "embedding", "doc_id", k=6
     )) == wantp
+
+
+# ---------------------------------------------------------------------------
+# 5. the mid-retrain staging race (round 15): a batch committed AFTER a
+# retrain/rebuild enumerated the staging area carries no geometry at
+# all (raw vectors) — it must answer queries and fold under the NEW
+# quantizer, never under the retired one.
+# ---------------------------------------------------------------------------
+
+
+def _stage_raw(df, index_dir, batch_id=0):
+    """Write a staged batch exactly as the streaming arms do (raw
+    (neighbor_id, cv) rows), bypassing the stream machinery so the
+    test controls WHEN the batch exists relative to the retrain."""
+    df.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+    ).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "_stream", f"batch={batch_id}")
+    )
+
+
+def test_lsh_batch_staged_mid_rebuild_survives(spark, tmp_path, monkeypatch):
+    corpus = _corpus(spark)
+    part_a = corpus.where(F.col("vec_id") < 40)
+    part_b = corpus.where(F.col("vec_id") >= 40)
+    queries = _queries(corpus)
+
+    idx = str(tmp_path / "lsh")
+    build_ann_index(part_a, idx, "embedding", "vec_id", n_planes=4, seed=42)
+    _stage_raw(part_b, idx)
+
+    # the race: rebuild's scan-time enumeration ran BEFORE the batch
+    # was committed — it re-derives planes without folding it
+    monkeypatch.setattr(ai, "_list_stream_batches", lambda *a, **k: [])
+    ai.rebuild_ann_index(spark, idx, n_planes=7)
+    monkeypatch.undo()
+
+    truth = str(tmp_path / "truth")
+    build_ann_index(corpus, truth, "embedding", "vec_id",
+                    n_planes=7, seed=42)
+    want = _rows(query_ann_index(spark, truth, queries, k=5))
+    # the staged batch answers under the NEW planes...
+    assert _rows(query_ann_index(spark, idx, queries, k=5)) == want and want
+    # ...and folds under them too
+    vacuum_ann_index(spark, idx)
+    assert not os.path.isdir(os.path.join(idx, "_stream"))
+    assert _rows(query_ann_index(spark, idx, queries, k=5)) == want
+
+
+def test_ivf_batch_staged_mid_retrain_survives(spark, tmp_path, monkeypatch):
+    corpus = _corpus(spark)
+    part_a = corpus.where(F.col("vec_id") < 40)
+    part_b = corpus.where(F.col("vec_id") >= 40)
+    queries = _queries(corpus)
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(part_a, idx, "embedding", "vec_id", n_cells=3, seed=1)
+    _stage_raw(part_b, idx)
+
+    monkeypatch.setattr(ai, "_list_stream_batches", lambda *a, **k: [])
+    retrain_ivf_index(spark, idx, n_cells=4, seed=2)
+    monkeypatch.undo()
+
+    truth = str(tmp_path / "truth")
+    build_ivf_index(
+        corpus, truth, "embedding", "vec_id",
+        centroids=spark.read.parquet(os.path.join(idx, "centroids")),
+    )
+    want = _rows(query_ivf_index(spark, truth, queries, k=5, n_probe=2))
+    got = _rows(query_ivf_index(spark, idx, queries, k=5, n_probe=2))
+    assert got == want and want
+    # deterministic staged-visibility probe: a query vector identical
+    # to a staged vector must find it at rank 1 (cosine 1.0)
+    probe = part_b.where(F.col("vec_id") == 45).select(
+        F.lit(-1).cast("long").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    hit = query_ivf_index(spark, idx, probe, k=1, n_probe=2).collect()
+    assert hit and hit[0]["neighbor_id"] == 45
+    vacuum_ivf_index(spark, idx)
+    assert _rows(query_ivf_index(spark, idx, queries, k=5, n_probe=2)) == want
+
+
+def test_pq_batch_staged_mid_retrain_survives(spark, tmp_path, monkeypatch):
+    corpus = _corpus(spark, n=40)
+    part_a = corpus.where(F.col("vec_id") < 30)
+    part_b = corpus.where(F.col("vec_id") >= 30)
+    queries = _queries(corpus)
+
+    idx = str(tmp_path / "pq")
+    build_pq_index(part_a, idx, "embedding", "vec_id",
+                   m_subspaces=4, n_codes=4)
+    _stage_raw(part_b, idx)
+
+    # codebooks swap while the batch sits staged: stored codes would
+    # now decode to garbage — raw staging re-encodes at read time
+    monkeypatch.setattr(ai, "_list_stream_batches", lambda *a, **k: [])
+    retrain_pq_index(spark, idx, part_a, "embedding", "vec_id")
+    monkeypatch.undo()
+
+    truth = str(tmp_path / "truth")
+    build_pq_index(
+        corpus, truth, "embedding", "vec_id", m_subspaces=4, n_codes=4,
+        codebooks=spark.read.parquet(os.path.join(idx, "codebooks")),
+    )
+    want = _rows(query_pq_index(
+        spark, truth, corpus, queries, "embedding", "vec_id", k=5
+    ))
+    assert _rows(query_pq_index(
+        spark, idx, corpus, queries, "embedding", "vec_id", k=5
+    )) == want and want
+    vacuum_pq_index(spark, idx)
+    assert _rows(query_pq_index(
+        spark, idx, corpus, queries, "embedding", "vec_id", k=5
+    )) == want
+
+
+def test_legacy_staged_assignments_are_rederived(spark, tmp_path):
+    """Pre-round-15 staging stored bucket/bprefix (LSH) and cell (IVF)
+    next to the vectors. Those stored assignments are deliberately
+    IGNORED now — write a legacy-format batch with WRONG assignments
+    and assert queries and vacuum still place every vector where the
+    current geometry says, not where the stale columns do."""
+    corpus = _corpus(spark)
+    part_a = corpus.where(F.col("vec_id") < 40)
+    part_b = corpus.where(F.col("vec_id") >= 40)
+    queries = _queries(corpus)
+
+    lsh = str(tmp_path / "lsh")
+    build_ann_index(part_a, lsh, "embedding", "vec_id", n_planes=4, seed=42)
+    part_b.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.lit("9999").alias("bucket"),       # deliberately wrong
+        F.lit("p9999").alias("bprefix"),
+    ).write.partitionBy("bprefix").mode("overwrite").parquet(
+        os.path.join(lsh, "_stream", "batch=0")
+    )
+    truth = str(tmp_path / "lsh_truth")
+    build_ann_index(corpus, truth, "embedding", "vec_id",
+                    n_planes=4, seed=42)
+    want = _rows(query_ann_index(spark, truth, queries, k=5))
+    assert _rows(query_ann_index(spark, lsh, queries, k=5)) == want and want
+    vacuum_ann_index(spark, lsh)
+    assert _rows(query_ann_index(spark, lsh, queries, k=5)) == want
+
+    ivf = str(tmp_path / "ivf")
+    build_ivf_index(part_a, ivf, "embedding", "vec_id", n_cells=3, seed=1)
+    part_b.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.lit(998877).alias("cell"),         # deliberately wrong
+    ).write.partitionBy("cell").mode("overwrite").parquet(
+        os.path.join(ivf, "_stream", "batch=0")
+    )
+    ivf_truth = str(tmp_path / "ivf_truth")
+    build_ivf_index(
+        corpus, ivf_truth, "embedding", "vec_id",
+        centroids=spark.read.parquet(os.path.join(ivf, "centroids")),
+    )
+    wanti = _rows(query_ivf_index(spark, ivf_truth, queries, k=5, n_probe=2))
+    assert _rows(
+        query_ivf_index(spark, ivf, queries, k=5, n_probe=2)
+    ) == wanti and wanti
+    vacuum_ivf_index(spark, ivf)
+    assert _rows(query_ivf_index(spark, ivf, queries, k=5, n_probe=2)) == wanti

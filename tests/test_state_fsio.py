@@ -352,3 +352,86 @@ def test_incremental_deduper_on_scheme_store_root(spark, tmp_path):
     # a REPLAYED batch id is skipped (guard file lives on the scheme
     # root through the store FS — raw open() would have crashed here)
     assert sd.process_batch(docs, batch_id=0).count() == 0
+
+
+def test_delete_dir_if_empty_both_arms(spark, tmp_path):
+    """Non-recursive parent GC for staging dirs: removal must FAIL the
+    moment the dir holds any entry (a concurrent commit landing
+    between listing and cleanup), and the entry must survive."""
+    lfs = LocalStoreFS()
+    d = str(tmp_path / "local_parent")
+    lfs.mkdirs(d)
+    (tmp_path / "local_parent" / "batch=9").mkdir()
+    assert lfs.delete_dir_if_empty(d) is False
+    assert lfs.isdir(os.path.join(d, "batch=9"))
+    lfs.delete(os.path.join(d, "batch=9"))
+    assert lfs.delete_dir_if_empty(d) is True
+    assert not lfs.exists(d)
+
+    root = f"file://{tmp_path}/h"
+    hfs = HadoopStoreFS(spark, root)
+    hd = f"{root}/parent"
+    hfs.mkdirs(f"{hd}/batch=9")
+    assert hfs.delete_dir_if_empty(hd) is False
+    assert hfs.isdir(f"{hd}/batch=9")
+    hfs.delete(f"{hd}/batch=9")
+    assert hfs.delete_dir_if_empty(hd) is True
+    assert not hfs.exists(hd)
+
+
+def test_hadoop_rename_dir_lost_race_restores_src(spark, tmp_path):
+    """The nesting-recovery arm must RESTORE the source, never delete
+    it: for `_swap_data_dir` callers the source may be the only copy
+    of a live index data dir. Simulated by blinding the dst pre-check
+    once so the rename nests exactly as a lost race would."""
+    root = f"file://{tmp_path}"
+    fs = HadoopStoreFS(spark, root)
+    src, dst = f"{root}/src", f"{root}/dst"
+    fs.mkdirs(src)
+    fs.write_text_atomic(f"{src}/payload", "live-data")
+    # the concurrent winner's publish — NON-empty: a bare empty dst is
+    # atomically replaced by POSIX rename (no nesting possible there)
+    fs.mkdirs(dst)
+    fs.write_text_atomic(f"{dst}/winner", "published")
+
+    real_fs = fs._fs
+
+    class _BlindOnce:
+        def __init__(self):
+            self.done = False
+
+        def exists(self, p):
+            if not self.done and str(p.toString()).endswith("/dst"):
+                self.done = True
+                return False
+            return real_fs.exists(p)
+
+        def __getattr__(self, name):
+            return getattr(real_fs, name)
+
+    fs._fs = _BlindOnce()
+    assert fs.rename_dir(src, dst) is False
+    fs._fs = real_fs
+    # src fully restored; dst untouched (no nested dir inside it)
+    assert fs.read_text(f"{src}/payload") == "live-data"
+    assert fs.read_text(f"{dst}/winner") == "published"
+    assert sorted(
+        n for n in fs.listdir(dst) if not n.startswith(".")
+    ) == ["winner"]
+
+
+def test_hadoop_fallback_pointer_commit_never_leaves_gap(spark, tmp_path):
+    """delete+rename arm: when the rename reports failure after dst
+    was deleted (tmp consumed by a concurrent committer), the pointer
+    must be re-created from the text — a missing pointer silently
+    reads as an empty store."""
+    root = f"file://{tmp_path}"
+    fs = HadoopStoreFS(spark, root)
+    fs.mkdirs(root)
+    dst = f"{root}/_CURRENT"
+    fs._write(dst, "1", True)  # the previously committed pointer
+    # tmp src deliberately absent → rename returns False
+    fs._fallback_pointer_commit(
+        fs._Path(f"{root}/_CURRENT.tmp"), fs._Path(dst), dst, "2"
+    )
+    assert fs.read_text(dst) == "2"
