@@ -1046,3 +1046,117 @@ def test_legacy_staged_assignments_are_rederived(spark, tmp_path):
     ) == wanti and wanti
     vacuum_ivf_index(spark, ivf)
     assert _rows(query_ivf_index(spark, ivf, queries, k=5, n_probe=2)) == wanti
+
+
+# ---------------------------------------------------------------------------
+# 6. the full loop (round 15): Kafka wire in → streaming corpus
+# pipeline (dedup decisions included) → persistent IVF index + kept
+# corpus, one run, ≡ the batch pipeline + fresh build. This is the
+# production topology end-to-end: O1 source, incremental dedup state,
+# index staging, tombstones — no file-source stand-in.
+# ---------------------------------------------------------------------------
+
+
+def test_kafka_to_corpus_to_ivf_index_full_loop(spark, tmp_path):
+    import json as _json
+
+    from southpaw_spark.pipelines import build_corpus, corpus_stream
+    from southpaw_spark.sources.kafka_broker import EmbeddedKafkaBroker
+    from southpaw_spark.sources.kafka_pyds import register_kafka_py
+    from southpaw_spark.streaming import ParquetStateStore
+    from southpaw_spark.streaming.dedup_stream import IncrementalDeduper
+
+    uniq = [
+        " ".join(f"w{i}x{j}" for j in range(25)) + " the and of is in"
+        for i in range(12)
+    ]
+
+    def doc(i, text):
+        return {"doc_id": i, "text": text, "embedding": _vec(i)}
+
+    bootstrap = [doc(i, uniq[i]) for i in range(4)]
+    # doc 30 repeats doc 20's text → dropped on arrival, never indexed
+    streamed = (
+        [doc(20 + i, uniq[4 + i]) for i in range(4)]
+        + [doc(30, uniq[4])]
+        + [doc(31 + i, uniq[8 + i]) for i in range(3)]
+    )
+    schema = "doc_id long, text string, embedding array<double>"
+    boot_df = spark.createDataFrame(
+        [(d["doc_id"], d["text"], d["embedding"]) for d in bootstrap], schema
+    )
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(boot_df, idx, "embedding", "doc_id", n_cells=3, seed=1)
+    kept_dir = str(tmp_path / "kept")
+
+    def corpus_and_index_sink(kept, batch_id):
+        ivf_index_sink(idx, "embedding", "doc_id")(kept, batch_id)
+        kept.select("doc_id", "text", "embedding").write.mode(
+            "append"
+        ).parquet(kept_dir)
+
+    with EmbeddedKafkaBroker() as broker:
+        broker.create_topic("docs", partitions=2)
+        for n, d in enumerate(streamed):
+            broker.append(
+                "docs", d["doc_id"] % 2,
+                str(d["doc_id"]).encode(), _json.dumps(d).encode(),
+                1_700_000_000_000 + n,
+            )
+        register_kafka_py(spark)
+        raw = (
+            spark.readStream.format("kafka_py")
+            .option("kafka.bootstrap.servers", broker.bootstrap)
+            .option("subscribe", "docs")
+            .load()
+        )
+        parsed = raw.select(
+            F.from_json(F.col("value").cast("string"), schema).alias("d")
+        ).select("d.*")
+        q = corpus_stream(
+            IncrementalDeduper(
+                spark,
+                ParquetStateStore(spark, str(tmp_path / "state"),
+                                  n_buckets=4),
+                sim_threshold=1.01,  # exact-only
+            ),
+            parsed,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            sink=corpus_and_index_sink,
+            decisions_sink=index_tombstone_decisions_sink(idx, "doc_id"),
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(300)
+
+    streamed_df = spark.createDataFrame(
+        [(d["doc_id"], d["text"], d["embedding"]) for d in streamed], schema
+    )
+    kept_truth, _ = build_corpus(streamed_df, exact_dedup=True)
+    want_ids = {r["doc_id"] for r in kept_truth.select("doc_id").collect()}
+    got_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(kept_dir).select("doc_id").collect()
+    }
+    assert got_ids == want_ids and 30 not in got_ids
+
+    survivors = boot_df.unionByName(
+        streamed_df.join(
+            kept_truth.select("doc_id"), "doc_id", "left_semi"
+        ).select("doc_id", "text", "embedding")
+    )
+    truth = str(tmp_path / "truth")
+    build_ivf_index(
+        survivors, truth, "embedding", "doc_id",
+        centroids=spark.read.parquet(os.path.join(idx, "centroids")),
+    )
+    queries = spark.createDataFrame(
+        [(i, _vec(i)) for i in (0, 20)],
+        "query_id long, query_vec array<double>",
+    )
+    want = _rows(query_ivf_index(spark, truth, queries, k=6, n_probe=3))
+    got = _rows(query_ivf_index(spark, idx, queries, k=6, n_probe=3))
+    assert got == want and want
+    assert all(n != 30 for _, n, _, _ in got)
+    vacuum_ivf_index(spark, idx)
+    assert _rows(query_ivf_index(spark, idx, queries, k=6, n_probe=3)) == want
