@@ -1160,3 +1160,46 @@ def test_kafka_to_corpus_to_ivf_index_full_loop(spark, tmp_path):
     assert all(n != 30 for _, n, _, _ in got)
     vacuum_ivf_index(spark, idx)
     assert _rows(query_ivf_index(spark, idx, queries, k=6, n_probe=3)) == want
+
+
+def test_pq_legacy_code_staging_passthrough(spark, tmp_path):
+    """Pre-round-15 PQ staging dirs hold (neighbor_id, m, code) rows.
+    They must keep answering queries and folding at vacuum unchanged —
+    the documented legacy contract (`_read_stream_codes`)."""
+    from southpaw_spark.operators.similarity import _pq_encode
+
+    corpus = _corpus(spark, n=40)
+    part_a = corpus.where(F.col("vec_id") < 30)
+    part_b = corpus.where(F.col("vec_id") >= 30)
+    queries = _queries(corpus)
+
+    idx = str(tmp_path / "pq")
+    meta = build_pq_index(part_a, idx, "embedding", "vec_id",
+                          m_subspaces=4, n_codes=4)
+    sub = meta["dim"] // meta["m_subspaces"]
+    ms = spark.range(meta["m_subspaces"]).select(
+        F.col("id").cast("int").alias("m")
+    )
+    codebooks = spark.read.parquet(os.path.join(idx, "codebooks"))
+    # a legacy arm staged CODES, not vectors
+    _pq_encode(
+        part_b.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("embedding").alias("cv")),
+        "cv", "neighbor_id", codebooks, ms, sub,
+    ).write.mode("overwrite").parquet(
+        os.path.join(idx, "_stream", "batch=0")
+    )
+
+    truth = str(tmp_path / "truth")
+    build_pq_index(corpus, truth, "embedding", "vec_id",
+                   m_subspaces=4, n_codes=4, codebooks=codebooks)
+    want = _rows(query_pq_index(
+        spark, truth, corpus, queries, "embedding", "vec_id", k=5
+    ))
+    assert _rows(query_pq_index(
+        spark, idx, corpus, queries, "embedding", "vec_id", k=5
+    )) == want and want
+    vacuum_pq_index(spark, idx)
+    assert _rows(query_pq_index(
+        spark, idx, corpus, queries, "embedding", "vec_id", k=5
+    )) == want
