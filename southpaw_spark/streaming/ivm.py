@@ -181,6 +181,74 @@ class IncrementalDenormalizer:
                     entity, empty, self.keys[entity], bucket_cols=bcols
                 )
 
+    def _prune_states_for_tree(
+        self,
+        states: Mapping[str, DataFrame],
+        rel: Relation,
+        dirty: DataFrame,
+        cached: list,
+    ) -> dict[str, DataFrame] | None:
+        """Linear targeted-rebuild pruning: walk the tree top-down and
+        semi-join each entity's state once against the key values its
+        (already pruned, cached) parent actually carries — the same key
+        sets denormalize's per-level scopes compute, but each prune is
+        evaluated exactly once instead of once per descendant subtree.
+
+        Returns entity → pruned DataFrame (entities outside the tree
+        pass through untouched), or ``None`` when an entity appears at
+        more than one node of the tree — per-node key sets then differ
+        and the caller falls back to scope chaining, which prunes per
+        node by construction."""
+        # duplicate-entity trees keep the (correct) scope-chaining path
+        nodes: list[Relation] = []
+
+        def walk(n: Relation) -> None:
+            nodes.append(n)
+            for c in n.children:
+                walk(c)
+
+        walk(rel)
+        entities = [n.entity for n in nodes]
+        if len(entities) != len(set(entities)):
+            return None
+
+        pruned = dict(states)
+        base = states[rel.entity]
+        root_pks = list(self.keys[rel.entity])
+        root_pruned = base.join(
+            F.broadcast(dirty.select(*root_pks).distinct()),
+            on=root_pks,
+            how="left_semi",
+        ).select(*base.columns)
+        if rel.children:
+            root_pruned = root_pruned.cache()
+            cached.append(root_pruned)
+        pruned[rel.entity] = root_pruned
+        level = [rel]
+        while level:
+            nxt: list[Relation] = []
+            for node in level:
+                parent_df = pruned[node.entity]
+                for child in node.children:
+                    keys_df = (
+                        parent_df.where(F.col(child.parent_key).isNotNull())
+                        .select(F.col(child.parent_key).alias(child.join_key))
+                        .distinct()
+                    )
+                    cbase = states[child.entity]
+                    cp = cbase.join(
+                        F.broadcast(keys_df),
+                        on=[child.join_key],
+                        how="left_semi",
+                    ).select(*cbase.columns)
+                    if child.children:
+                        cp = cp.cache()
+                        cached.append(cp)
+                    pruned[child.entity] = cp
+                    nxt.append(child)
+            level = nxt
+        return pruned
+
     # -- the per-batch step -------------------------------------------
 
     def process_batch(
@@ -218,12 +286,37 @@ class IncrementalDenormalizer:
                 delta = delta.cache()
                 cached.append(delta)
                 old_all: DataFrame | None = None
+                touched_ids: list | None = None
                 if self.store.exists(entity):
-                    old_all = self.store.read(entity).join(
-                        F.broadcast(delta.select(*key_cols).distinct()),
-                        on=key_cols,
-                        how="left_semi",
-                    ).cache()
+                    # One bounded (≤ n_buckets) collect per entity: the
+                    # delta keys' state-bucket ids. Shared by the pruned
+                    # pre-image read below AND the merge's touched set —
+                    # merge skips its own touched-bucket collect job, and
+                    # the pre-image lookup scans only the bucket
+                    # partitions that can hold a delta key instead of the
+                    # whole state table (the dedup-stream _pruned_read
+                    # trick, guide §6 pushdown).
+                    bcols = self.store._resolve_bucket_cols(
+                        entity, key_cols, None
+                    )
+                    touched_ids = [
+                        r["__b"]
+                        for r in delta.select(
+                            self.store._bucket_col(bcols).alias("__b")
+                        )
+                        .distinct()
+                        .collect()
+                    ]
+                    old_all = (
+                        self.store.read(entity)
+                        .where(F.col("__bucket").isin(touched_ids))
+                        .join(
+                            F.broadcast(delta.select(*key_cols).distinct()),
+                            on=key_cols,
+                            how="left_semi",
+                        )
+                        .cache()
+                    )
                     cached.append(old_all)
                 o_rules = self.old_filter_rules.get(entity, ())
                 if o_rules:
@@ -234,10 +327,19 @@ class IncrementalDenormalizer:
                 dk = delta.select(*key_cols)
                 batch_keys[entity] = dk
                 if old_all is not None:
-                    # pre-images of rows actually being replaced (post-filter)
-                    old_rows[entity] = old_all.join(
-                        F.broadcast(dk.distinct()), on=key_cols, how="left_semi"
-                    )
+                    if o_rules:
+                        # pre-images of rows actually being replaced
+                        # (old-aware rules may have dropped delta rows)
+                        old_rows[entity] = old_all.join(
+                            F.broadcast(dk.distinct()),
+                            on=key_cols,
+                            how="left_semi",
+                        )
+                    else:
+                        # without old-aware rules the delta's key set is
+                        # unchanged, so old_all already IS the pre-image
+                        # set — the second semi-join would be a no-op
+                        old_rows[entity] = old_all
                 upserts = delta.where(
                     ~F.coalesce(F.col(self.tombstone_col), F.lit(False))
                 ).drop(self.seq_col, self.tombstone_col)
@@ -245,7 +347,9 @@ class IncrementalDenormalizer:
                     F.coalesce(F.col(self.tombstone_col), F.lit(False))
                 ).select(*key_cols)
                 new_fk_values[entity] = upserts
-                merge_jobs.append((entity, upserts, dels, key_cols))
+                merge_jobs.append(
+                    (entity, upserts, dels, key_cols, touched_ids)
+                )
 
             # Per-entity merges are independent (separate state dirs and
             # version pointers; each reads its own PRE-merge state for
@@ -268,9 +372,10 @@ class IncrementalDenormalizer:
                                 allow_schema_evolution=(
                                     self.allow_schema_evolution
                                 ),
+                                touched_ids=tids,
                             ),
                         )
-                        for e, ups, dl, kc in merge_jobs
+                        for e, ups, dl, kc, tids in merge_jobs
                     ]
                     for e, fut in futures:
                         staged[e] = fut.result()
@@ -386,10 +491,37 @@ class IncrementalDenormalizer:
                 dirty = dirty.select(*root_pks).distinct().cache()
                 cached.append(dirty)
 
-                docs = denormalize(
-                    states, rel, self.keys, root_keys=dirty,
-                    record_cols=self.record_cols or None,
+                # Targeted rebuild over PRE-PRUNED per-node states
+                # instead of denormalize's scope chaining. Scope
+                # chaining embeds the parent's pruned subplan inside
+                # every child's semi-join broadcast, so the root prune
+                # re-evaluates once per DESCENDANT (exponential in tree
+                # depth: orders⋉dirty ran ~5× per batch) and the driver
+                # builds a plan tree that grows the same way (~1 s of
+                # pure plan construction per batch measured at sf0.1).
+                # Pruning top-down with each pruned parent CACHED keeps
+                # the work linear: every entity's prune evaluates once,
+                # children semi-join against the cached parent's keys.
+                # Same rows by construction (each node's key set is
+                # identical to what its scope would have computed).
+                pruned = self._prune_states_for_tree(
+                    states, rel, dirty, cached
                 )
+                if pruned is None:  # duplicate-entity tree: scope chain
+                    docs = denormalize(
+                        states, rel, self.keys, root_keys=dirty,
+                        record_cols=self.record_cols or None,
+                    )
+                else:
+                    # child_join="auto": the pruned states are
+                    # K-proportional, so per-level broadcasts of the
+                    # grouped children beat forced sort-merge here
+                    # (17 vs 19 jobs per delta batch measured)
+                    docs = denormalize(
+                        pruned, rel, self.keys,
+                        record_cols=self.record_cols or None,
+                        child_join="auto",
+                    )
                 live = docs.select(
                     *root_pks,
                     F.to_json(
