@@ -211,19 +211,92 @@ def _subtree_dynamic(node: Relation, record_cols: Mapping[str, str]) -> bool:
     )
 
 
-def _hinted(grouped: DataFrame, child_join: str) -> DataFrame:
+#: In-memory bytes of a built grouped-children hash relation per byte of
+#: Catalyst's *scan* estimate for the underlying child states. The scan
+#: estimate is compressed-parquet bytes; the broadcast relation holds the
+#: same rows as JVM object arrays of nested doc structs — measured ~15 s
+#: / hundreds of MB for a 10.8 MB lineitem scan at sf0.1 (the q13
+#: broadcast incident this guards against), i.e. a 20-30× expansion.
+#: Used to compare a child subtree's scan estimate against
+#: ``autoBroadcastJoinThreshold`` on the scale Catalyst's threshold
+#: actually protects (the built relation), not on compressed file bytes.
+_BROADCAST_DOC_EXPANSION = 20
+
+
+def _auto_broadcast_bytes(spark) -> int:
+    """The session's autoBroadcastJoinThreshold in bytes (0 = disabled)."""
+    v = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower().rstrip("b")
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if v.endswith(suffix):
+            v, mult = v[: -1], m
+            break
+    try:
+        n = int(v) * mult
+    except ValueError:
+        return 0
+    return max(0, n)
+
+
+def _subtree_scan_bytes(
+    node: Relation, states: Mapping[str, DataFrame]
+) -> int:
+    """Catalyst's own size estimate (optimized-plan stats) summed over
+    the child subtree's state tables — the pre-aggregate number the
+    planner would use for these scans, before the collect_list
+    aggregate destroys it. Returns a huge sentinel when stats are
+    unavailable (e.g. Spark Connect), so the caller falls back to the
+    scale-safe sort-merge choice."""
+    total = 0
+    for e in set(_subtree_entities(node)):
+        try:
+            total += int(
+                states[e]._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes()
+            )
+        except Exception:
+            return 1 << 60
+    return total
+
+
+def _subtree_entities(node: Relation) -> list[str]:
+    out = [node.entity]
+    for c in node.children:
+        out.extend(_subtree_entities(c))
+    return out
+
+
+def _hinted(
+    grouped: DataFrame,
+    child_join: str,
+    child_node: Relation | None = None,
+    states: Mapping[str, DataFrame] | None = None,
+) -> DataFrame:
     """Join-strategy control for the parent ⟕ grouped-children join.
 
-    ``merge`` (default for full builds): force sort-merge. The grouped
-    side carries each key's entire child-subtree payload as one array —
-    its true size is Θ(child table), but Catalyst's post-aggregate
-    estimate is tiny, so under broadcast thresholds it BROADCASTS a
-    relation that measured ~15 s at sf0.1 (driver-side collect +
-    single-threaded HashedRelation build of 150k nested docs) and would
-    OOM the driver at scale. Sort-merge reuses the groupBy's hash
-    partitioning (no second exchange on the grouped side), keeps
-    bucketed/store-native joins zero-exchange co-located, and spills
-    gracefully. Measured q13 sf0.1: 15.2 → 5.3 s (min-of-3, same box).
+    ``merge`` (default for full builds): force sort-merge for
+    FACT-SIZED children, let genuinely small dimensions broadcast. The
+    grouped side carries each key's entire child-subtree payload as one
+    array — its true size is Θ(child table), but Catalyst's
+    post-aggregate estimate is tiny, so under broadcast thresholds it
+    BROADCASTS a relation that measured ~15 s at sf0.1 (driver-side
+    collect + single-threaded HashedRelation build of 150k nested
+    lineitem docs) and would OOM the driver at scale. The decision
+    therefore uses the number Catalyst is blind to: the child subtree's
+    *pre-aggregate* scan estimate (file-size based, reliable), scaled
+    by the measured in-memory doc expansion
+    (``_BROADCAST_DOC_EXPANSION``) and compared against the session's
+    own ``autoBroadcastJoinThreshold``. A bounded dimension (nation,
+    region, supplier) stays a broadcast at ANY corpus scale — its scan
+    estimate never grows past the threshold — while a fact-like child
+    (lineitem) crosses it and gets sort-merge, which reuses the
+    groupBy's hash partitioning (no second exchange on the grouped
+    side), keeps bucketed/store-native joins zero-exchange co-located,
+    and spills gracefully. Measured q13 sf0.1: 15.2 → 5.3 s with the
+    blanket merge hint (min-of-3, same box); the size gate keeps that
+    win and returns the dimension broadcasts the blanket hint lost.
 
     ``auto`` (targeted incremental rebuilds): let Catalyst decide. The
     orchestrator has already pruned every state to the K dirty roots'
@@ -231,6 +304,15 @@ def _hinted(grouped: DataFrame, child_join: str) -> DataFrame:
     common case and per-level broadcasts beat the merge sort+exchange
     chain (measured: 17 vs 19 jobs per delta batch)."""
     if child_join == "merge":
+        if child_node is not None and states is not None:
+            threshold = _auto_broadcast_bytes(grouped.sparkSession)
+            if (
+                threshold > 0
+                and _subtree_scan_bytes(child_node, states)
+                * _BROADCAST_DOC_EXPANSION
+                <= threshold
+            ):
+                return grouped  # bounded dimension: Catalyst broadcasts
         return grouped.hint("merge")
     if child_join == "auto":
         return grouped
@@ -313,7 +395,7 @@ def _build_node(
                 )
             )
             df = df.join(
-                _hinted(grouped, child_join),
+                _hinted(grouped, child_join, child, states),
                 on=F.col(child.parent_key) == F.col(jk_alias),
                 how="left",
             ).drop(jk_alias)
@@ -344,7 +426,7 @@ def _build_node(
                 )
             )
             df = df.join(
-                _hinted(grouped, child_join),
+                _hinted(grouped, child_join, child, states),
                 on=F.col(child.parent_key) == F.col(jk_alias),
                 how="left",
             ).drop(jk_alias)
@@ -389,7 +471,7 @@ def _build_node(
         # co-located, and sorts spill gracefully. Measured q13 sf0.1:
         # 15.2 s → 5.3 s (min-of-3, same box window).
         df = df.join(
-            _hinted(grouped, child_join),
+            _hinted(grouped, child_join, child, states),
             on=F.col(child.parent_key) == F.col(jk_alias),
             how="left",
         ).drop(jk_alias)

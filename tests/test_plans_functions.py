@@ -24,11 +24,31 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
 
 
 def test_small_dims_broadcast_in_flagship(spark, sf_dir):
+    """r15 size-aware join contract (denormalize._hinted): a child
+    whose subtree scan estimate × in-memory doc expansion fits the
+    broadcast threshold broadcasts (at test scale that is EVERY child);
+    one whose estimate crosses it is FORCED to sort-merge — Catalyst's
+    post-collect_list estimate would otherwise broadcast a Θ(child)
+    nested-doc relation (measured ~15 s driver-side build for lineitem
+    at sf0.1, an OOM at scale). The second regime is pinned by shrinking
+    the threshold so the same tree flips to sort-merge."""
     docs = suite.q13_denormalized_order(spark, sf_dir)
     strategies = join_strategies(docs)
     # at test scale every join should be broadcast — no sort-merge
-    assert strategies.get("BroadcastHashJoin", 0) >= 4
-    assert "SortMergeJoin" not in strategies
+    assert strategies.get("BroadcastHashJoin", 0) >= 4, strategies
+    assert "SortMergeJoin" not in strategies, strategies
+
+    # fact-sized regime: with a tiny threshold the grouped-children
+    # joins must all be sort-merge — no Θ(child) broadcast anywhere
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try:
+        docs_big = suite.q13_denormalized_order(spark, sf_dir)
+        strat_big = join_strategies(docs_big)
+        assert strat_big.get("BroadcastHashJoin", 0) == 0, strat_big
+        assert strat_big.get("SortMergeJoin", 0) >= 4, strat_big
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_latest_by_key_single_shuffle(spark, sf_dir):
