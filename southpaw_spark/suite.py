@@ -592,10 +592,34 @@ def q14_doc_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchecked work (q13's full tree is value-checked against the
     pure-Python oracle in tests/)."""
     rel = load_relations(ORDER_TREE_2LEVEL_JSON)[0]
+    # Project before the build (guide §2.3): the output reads only
+    # c_name, l_quantity and l_linenumber out of the docs, but Catalyst
+    # cannot prune Record fields through collect_list aggregates, so an
+    # unpruned build would shuffle every column of all three tables.
+    # Selecting just keys + read fields up front pushes the pruning into
+    # the parquet scans (ReadSchema shrinks to 2+2+3 columns) and
+    # shrinks both groupBy exchanges to the bytes the query needs.
+    # Output-identical: the child order key is exactly the pruned doc's
+    # fields, so any sort tie is between bit-identical structs, and
+    # every projection the query emits is order-insensitive anyway
+    # (count, membership, whole-number sum, sorted line numbers).
     states = {
-        e: _read(spark, sf_dir, e) for e in ("orders", "customer", "lineitem")
+        "orders": _read(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        ),
+        "customer": _read(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name"
+        ),
+        "lineitem": _read(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity"
+        ),
     }
-    docs = denormalize(states, rel, ORDER_TREE_KEYS)
+    pruned_keys = {
+        "orders": ["o_orderkey"],
+        "customer": ["c_custkey"],
+        "lineitem": ["l_orderkey", "l_linenumber", "l_quantity"],
+    }
+    docs = denormalize(states, rel, pruned_keys)
     li = F.col("doc.Children.lineitem")
     return docs.select(
         "o_orderkey",

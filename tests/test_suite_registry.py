@@ -41,3 +41,40 @@ def test_registry_respects_driver_row_budget():
     # contract, checked by the local gate) and must not leak into the
     # driver-checked 50
     assert not set(suite.EXTRA_QUERIES) & set(suite.QUERIES)
+
+
+def test_q14_pruned_build_matches_unpruned(spark, sf_dir):
+    """q14 builds its docs from column-pruned states (guide §2.3 —
+    project before the exchange); the output must be row-identical to
+    the same projections over an unpruned full-document build."""
+    from pyspark.sql import functions as F
+
+    from southpaw_spark.operators.denormalize import denormalize
+    from southpaw_spark.relations import load_relations
+
+    rel = load_relations(suite.ORDER_TREE_2LEVEL_JSON)[0]
+    states = {
+        e: spark.read.parquet(f"{sf_dir}/{e}.parquet")
+        for e in ("orders", "customer", "lineitem")
+    }
+    docs = denormalize(states, rel, suite.ORDER_TREE_KEYS)
+    li = F.col("doc.Children.lineitem")
+    unpruned = docs.select(
+        "o_orderkey",
+        F.size(li).cast("long").alias("n_lineitems"),
+        F.element_at(F.col("doc.Children.customer"), 1)["Record"][
+            "c_name"
+        ].alias("customer_name"),
+        F.aggregate(
+            li, F.lit(0.0), lambda acc, x: acc + x["Record"]["l_quantity"]
+        ).alias("total_qty"),
+        F.array_join(
+            F.sort_array(
+                F.transform(li, lambda x: x["Record"]["l_linenumber"])
+            ).cast("array<string>"),
+            ",",
+        ).alias("line_pks"),
+    )
+    pruned = suite.q14_doc_projection(spark, sf_dir)
+    assert pruned.exceptAll(unpruned).count() == 0
+    assert unpruned.exceptAll(pruned).count() == 0
