@@ -731,7 +731,18 @@ class IncrementalDeduper:
         if swaps_in is not None:
             decisions = decisions.unionByName(swaps_in).unionByName(retro)
         decisions = decisions.persist()
-        decisions.count()
+        # ONE action both materializes the persisted decision log (the
+        # stability contract: state merges below must not be able to
+        # change what the caller reads) AND yields the per-status
+        # metric counts — the old separate count() + _bump_from
+        # groupBy ran the same cached scan twice (§30: fixed cost is
+        # job count)
+        status_counts = {
+            r["status"]: r["n"]
+            for r in decisions.groupBy("status")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
         # retro rows reference OLD docs, not batch docs — count them
         # (cheap: winners is persisted) so the metrics stay per-doc
         n_retro = retro.count() if retro is not None else 0
@@ -845,7 +856,7 @@ class IncrementalDeduper:
         for entity, version in staged:
             self.store.commit(entity, version)
         self._vacuum()
-        self._bump_from(decisions, n_retro)
+        self._bump_counts(status_counts, n_retro)
         for frame in scoped:  # decisions stays cached until next batch
             frame.unpersist()
         return decisions
@@ -888,6 +899,9 @@ class IncrementalDeduper:
             .agg(F.count("*").alias("n"))
             .collect()
         }
+        self._bump_counts(counts, n_retro)
+
+    def _bump_counts(self, counts: dict, n_retro: int = 0) -> None:
         # retroactive swap rows re-decide PRIOR docs: exclude them from
         # the per-doc counters, surface them as their own counter
         total = sum(counts.values()) - n_retro
@@ -1279,7 +1293,14 @@ class IncrementalVectorDeduper:
         if swaps_in is not None:
             decisions = decisions.unionByName(swaps_in).unionByName(retro)
         decisions = decisions.persist()
-        decisions.count()
+        # one action: materialize the log AND read the metric counts
+        # (same fold as the text deduper — fixed cost is job count)
+        status_counts = {
+            r["status"]: r["n"]
+            for r in decisions.groupBy("status")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
         n_retro = retro.count() if retro is not None else 0
         self._prev_decisions = decisions
 
@@ -1340,7 +1361,7 @@ class IncrementalVectorDeduper:
         for entity, version in staged:  # stage all, then flip pointers
             self.store.commit(entity, version)
         self._vacuum()
-        self._bump_from(decisions, n_retro)
+        self._bump_counts(status_counts, n_retro)
         if self.fuzzy_keep == "best_quality":
             rep_hits.unpersist()
         if winners is not None:
@@ -1353,6 +1374,7 @@ class IncrementalVectorDeduper:
     _pruned_read = IncrementalDeduper._pruned_read
     _vacuum = IncrementalDeduper._vacuum
     _bump_from = IncrementalDeduper._bump_from
+    _bump_counts = IncrementalDeduper._bump_counts
     _release_prev = IncrementalDeduper._release_prev
     close = IncrementalDeduper.close
 
@@ -1664,7 +1686,7 @@ class IncrementalSpanDeduper:
             )
             .persist()
         )
-        updates.count()
+        n_updates = updates.count()
         self._prev_updates = updates
 
         # state upserts: counts always advance; pending holds ONLY
@@ -1720,9 +1742,7 @@ class IncrementalSpanDeduper:
 
         m = self.metrics
         m["batches"] = m.get("batches", 0) + 1
-        m["docs_updated"] = (
-            m.get("docs_updated", 0) + updates.count()
-        )
+        m["docs_updated"] = m.get("docs_updated", 0) + n_updates
         for frame in scoped:  # updates stays cached until next batch
             frame.unpersist()
         return updates
@@ -1955,7 +1975,9 @@ class IncrementalKeyDeduper:
             .unionByName(kept)
             .persist()
         )
-        decisions.count()  # materialize BEFORE the state merge
+        # one action both materializes the log BEFORE the state merge
+        # and reads the metric counts (job-count fold, §30)
+        status_rows = decisions.groupBy("status").count().collect()
         self.store.merge(
             self._ENTITY,
             new_keepers.select("__key", F.col(ic).alias("keep_id")),
@@ -1963,7 +1985,7 @@ class IncrementalKeyDeduper:
         )
         j.unpersist()
         keyed.unpersist()
-        for r in decisions.groupBy("status").count().collect():
+        for r in status_rows:
             k = f"key_dedup_{r['status']}"
             self.metrics[k] = self.metrics.get(k, 0) + r["count"]
         self._prev_decisions = decisions
