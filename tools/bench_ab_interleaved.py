@@ -27,9 +27,13 @@ import tempfile
 
 #: rows under adjudication (r12→r13 risers) + the untouched control +
 #: (round 15) the streaming topology row — the one expensive row the
-#: r12/r14 A/B never covered (VERDICT r14 watch item)
+#: r12/r14 A/B never covered (VERDICT r14 watch item) — + the two
+#: rows this optimization round changed on purpose (q13 join-strategy
+#: rework, q14 pruned-build), so the claimed wins ride the same
+#: noise-controlled instrument as the drift adjudications
 ROWS = ("d01_control", "ivm_delta_batch", "dedup_stream_batch",
-        "s08_ivf_quantized", "ivm_stream_e2e")
+        "s08_ivf_quantized", "ivm_stream_e2e",
+        "q13_denormalized_order", "q14_doc_projection")
 
 _RUNNER = r"""
 import json, os, sys, time
@@ -59,6 +63,14 @@ def s08(sf):
     fn(spark, sf).write.format("noop").mode("overwrite").save()
     return round(time.monotonic() - t0, 3)
 
+def query_row(name):
+    fn = suite.QUERIES.get(name) or suite.EXTRA_QUERIES[name]
+    def run(sf):
+        t0 = time.monotonic()
+        fn(spark, sf).write.format("noop").mode("overwrite").save()
+        return round(time.monotonic() - t0, 3)
+    return run
+
 runners = {
     "d01_control": d01,
     "ivm_delta_batch": lambda sf: bench.ivm_delta_batch(
@@ -66,6 +78,8 @@ runners = {
     "dedup_stream_batch": lambda sf: bench.dedup_stream_batch(spark, sf),
     "s08_ivf_quantized": s08,
     "ivm_stream_e2e": lambda sf: bench.ivm_stream_e2e(spark, sf),
+    "q13_denormalized_order": query_row("q13_denormalized_order"),
+    "q14_doc_projection": query_row("q14_doc_projection"),
 }
 # warm-up: identical plan shapes through codegen + JIT at the small SF
 for fn in runners.values():
