@@ -32,12 +32,15 @@ Small dimension entities are broadcast automatically (autoBroadcastJoinThreshold
 
 from __future__ import annotations
 
+import logging
 from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from southpaw_spark.relations import Relation
+
+_LOG = logging.getLogger(__name__)
 
 #: name of the struct field carrying the row fields (reference output schema
 #: ``schema/denormalized_record.json:13-40``)
@@ -222,6 +225,16 @@ def _subtree_dynamic(node: Relation, record_cols: Mapping[str, str]) -> bool:
 #: actually protects (the built relation), not on compressed file bytes.
 _BROADCAST_DOC_EXPANSION = 20
 
+#: Absolute ceiling on the *scaled* grouped-children estimate that may
+#: broadcast, independent of the session threshold. The expansion
+#: factor above is a measured constant, not a law: a child whose docs
+#: expand far beyond 20× over scan bytes (wide text payloads) could
+#: otherwise slip a multi-GB relation under a generously raised
+#: ``autoBroadcastJoinThreshold`` (Spark hard-fails broadcasts at 8 GB
+#: / 512M rows — that must stay unreachable even when the constant is
+#: off by an order of magnitude).
+_BROADCAST_DOC_CEILING = 256 << 20
+
 
 def _auto_broadcast_bytes(spark) -> int:
     """The session's autoBroadcastJoinThreshold in bytes (0 = disabled)."""
@@ -306,13 +319,23 @@ def _hinted(
     if child_join == "merge":
         if child_node is not None and states is not None:
             threshold = _auto_broadcast_bytes(grouped.sparkSession)
-            if (
-                threshold > 0
-                and _subtree_scan_bytes(child_node, states)
+            scaled = (
+                _subtree_scan_bytes(child_node, states)
                 * _BROADCAST_DOC_EXPANSION
-                <= threshold
+            )
+            if threshold > 0 and scaled <= min(
+                threshold, _BROADCAST_DOC_CEILING
             ):
                 return grouped  # bounded dimension: Catalyst broadcasts
+            _LOG.debug(
+                "denormalize: forcing sort-merge for grouped children of "
+                "%s (scaled estimate %d B > min(threshold %d B, ceiling "
+                "%d B)) — overriding Catalyst's post-aggregate size guess",
+                child_node.entity if child_node is not None else "?",
+                scaled if child_node is not None else -1,
+                threshold if child_node is not None else -1,
+                _BROADCAST_DOC_CEILING,
+            )
         return grouped.hint("merge")
     if child_join == "auto":
         return grouped

@@ -295,21 +295,32 @@ class IncrementalDenormalizer:
                     # the pre-image lookup scans only the bucket
                     # partitions that can hold a delta key instead of the
                     # whole state table (the dedup-stream _pruned_read
-                    # trick, guide §6 pushdown).
-                    bcols = self.store._resolve_bucket_cols(
-                        entity, key_cols, None
-                    )
-                    touched_ids = [
-                        r["__b"]
-                        for r in delta.select(
-                            self.store._bucket_col(bcols).alias("__b")
+                    # trick, guide §6 pushdown). Capability-gated: only
+                    # stores with physical __bucket partitioning expose
+                    # _resolve_bucket_cols/_bucket_col (ParquetStateStore);
+                    # DeltaStateStore and other drop-ins fall back to the
+                    # plain key semi-join over the full state read (their
+                    # own format's data skipping takes over).
+                    pre_image = self.store.read(entity)
+                    if hasattr(self.store, "_resolve_bucket_cols") and hasattr(
+                        self.store, "_bucket_col"
+                    ):
+                        bcols = self.store._resolve_bucket_cols(
+                            entity, key_cols, None
                         )
-                        .distinct()
-                        .collect()
-                    ]
+                        touched_ids = [
+                            r["__b"]
+                            for r in delta.select(
+                                self.store._bucket_col(bcols).alias("__b")
+                            )
+                            .distinct()
+                            .collect()
+                        ]
+                        pre_image = pre_image.where(
+                            F.col("__bucket").isin(touched_ids)
+                        )
                     old_all = (
-                        self.store.read(entity)
-                        .where(F.col("__bucket").isin(touched_ids))
+                        pre_image
                         .join(
                             F.broadcast(delta.select(*key_cols).distinct()),
                             on=key_cols,
@@ -508,9 +519,17 @@ class IncrementalDenormalizer:
                     states, rel, dirty, cached
                 )
                 if pruned is None:  # duplicate-entity tree: scope chain
+                    # child_join="auto" here too: the size hint gate
+                    # measures the FULL child states (scope pruning is
+                    # invisible in the states mapping), so the default
+                    # 'merge' would force fact-sized children of a
+                    # K-dirty targeted rebuild to sort-merge where
+                    # Catalyst correctly broadcasts the tiny scoped
+                    # grouped side (ADVICE r15).
                     docs = denormalize(
                         states, rel, self.keys, root_keys=dirty,
                         record_cols=self.record_cols or None,
+                        child_join="auto",
                     )
                 else:
                     # child_join="auto": the pruned states are

@@ -4053,12 +4053,22 @@ def t21_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     order as left-to-right non-overlapping string replacement (applied
     to fixpoint), then split back to tokens — engine-exact, so the
     Pandas-UDF encode loop is value-checked, not just plumbed. Spark
-    plan: one Arrow-batched projection, zero shuffles."""
+    plan: one Arrow-batched projection, zero shuffles.
+
+    The token sequence is declared as its space-join (``bpe_text``):
+    no BPE token can contain a space (the pre-tokenizer's classes are
+    ``[a-zA-Z]+``/``[0-9]+``/single non-alnum-non-space chars and
+    merges only concatenate), so the join is injective and checks
+    exactly the same computation — while staying canonicalizable by
+    the driver gate's pandas ``sort_values`` pass, which cannot hash
+    an ``array<string>`` cell (round-15 verdict item 1)."""
     from southpaw_spark.operators.bpe import bpe_encode
 
     docs = _read(spark, sf_dir, "documents")
     return bpe_encode(docs, "text", T21_MERGES).select(
-        "doc_id", "bpe_tokens", "n_tokens_bpe"
+        "doc_id",
+        F.array_join("bpe_tokens", " ").alias("bpe_text"),
+        "n_tokens_bpe",
     )
 
 
@@ -4083,7 +4093,8 @@ def _t21_sql() -> str:
              flatten(list_transform(ws,
                w -> string_split(trim({expr}), ' '))) AS bpe_tokens
       FROM words)
-    SELECT doc_id, bpe_tokens,
+    SELECT doc_id,
+           array_to_string(bpe_tokens, ' ') AS bpe_text,
            len(bpe_tokens)::BIGINT AS n_tokens_bpe
     FROM enc
 """

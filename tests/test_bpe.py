@@ -139,14 +139,21 @@ def test_t21_registry_row_matches_duckdb(spark, sf_dir):
         "t21_bpe_encode"
     ]
     want = {
-        r[0]: (list(r[1]), r[2])
+        r[0]: (r[1], r[2])
         for r in con.execute(oracle).fetchall()
     }
     got = {
-        r["doc_id"]: (list(r["bpe_tokens"]), r["n_tokens_bpe"])
+        r["doc_id"]: (r["bpe_text"], r["n_tokens_bpe"])
         for r in suite.t21_bpe_encode(spark, sf_dir).collect()
     }
     assert got == want
+    # the gate row's space-join must be injective back to the token
+    # sequence: no token may contain (or be) a space
+    assert all(
+        t and " " not in t
+        for text, _ in got.values()
+        for t in (text.split(" ") if text else [])
+    )
 
 
 def test_build_corpus_bpe_token_accounting(spark):

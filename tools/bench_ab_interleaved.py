@@ -30,10 +30,14 @@ import tempfile
 #: r12/r14 A/B never covered (VERDICT r14 watch item) — + the two
 #: rows this optimization round changed on purpose (q13 join-strategy
 #: rework, q14 pruned-build), so the claimed wins ride the same
-#: noise-controlled instrument as the drift adjudications
+#: noise-controlled instrument as the drift adjudications + (round 16)
+#: the two tail rows of the driver's unexplained t27–t31 collapse
+#: (VERDICT r15 item 2: code-identical rows 2–4× slower only in the
+#: driver's 32-core run — adjudicate in-tree vs box)
 ROWS = ("d01_control", "ivm_delta_batch", "dedup_stream_batch",
         "s08_ivf_quantized", "ivm_stream_e2e",
-        "q13_denormalized_order", "q14_doc_projection")
+        "q13_denormalized_order", "q14_doc_projection",
+        "t29_corpus_profile", "t31_gopher_repetition")
 
 _RUNNER = r"""
 import json, os, sys, time
@@ -80,6 +84,8 @@ runners = {
     "ivm_stream_e2e": lambda sf: bench.ivm_stream_e2e(spark, sf),
     "q13_denormalized_order": query_row("q13_denormalized_order"),
     "q14_doc_projection": query_row("q14_doc_projection"),
+    "t29_corpus_profile": query_row("t29_corpus_profile"),
+    "t31_gopher_repetition": query_row("t31_gopher_repetition"),
 }
 # warm-up: identical plan shapes through codegen + JIT at the small SF
 for fn in runners.values():
