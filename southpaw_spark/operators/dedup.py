@@ -311,8 +311,24 @@ def ngram_jaccard_pairs(
     )
     n_inter = F.size(F.array_intersect("set_a", "set_b"))
     jac = n_inter.cast("double") / (F.col("n_a") + F.col("n_b") - n_inter)
+    # Catalyst's post-collect_list estimate of `doc` is tiny, so left
+    # alone it BROADCASTS the corpus-sized shingle-set relation to
+    # every executor — twice — the same blind spot as the q13
+    # grouped-children incident (a driver/executor OOM at scale;
+    # locally a 2×full-payload ship). Forcing shuffled-hash with the
+    # candidate PAIRS as build side replaces both broadcasts with
+    # partitioned hash joins whose build side is the id-only pair set:
+    # memory per task is O(pairs/partitions), never O(corpus). The doc
+    # payload now moves through hash exchanges (its cached plan sits
+    # under AdaptiveSparkPlan, so its groupBy partitioning is opaque to
+    # the planner and cannot be reused), which an executor fleet
+    # absorbs; a corpus broadcast cannot be absorbed at any fleet
+    # size. Inner equi-joins, predicates unchanged → identical rows;
+    # plan pinned in tests, oracle-verified; same-JVM ABAB at sf0.1
+    # measured 3.5 vs 3.6 s (hinted slightly faster locally).
     out = (
-        cand.join(da, "id_a")
+        da.join(cand.hint("shuffle_hash"), "id_a")
+        .hint("shuffle_hash")
         .join(db, "id_b")
         .where(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))

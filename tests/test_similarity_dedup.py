@@ -372,6 +372,10 @@ def test_ngram_jaccard_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    # the two verification joins re-attach the corpus-sized shingle-set
+    # payload; Catalyst's post-collect_list size estimate would broadcast
+    # it (executor OOM at scale) — the shuffle_hash hints must hold
+    assert plan.count("ShuffledHashJoin") >= 2
 
 
 def test_connected_components_matches_union_find_fuzz(spark):
