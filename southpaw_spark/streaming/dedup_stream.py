@@ -115,15 +115,36 @@ def _quality_swap_join(
         F.col("keeper_id").alias("__cur_keeper"),
         F.col("keeper_score").alias("__cur_score"),
     )
-    # one cheap job on the caller-persisted rep_hits; batch-bounded
-    n_joiners = rep_hits.count()
-    if n_joiners <= driver_cap:
-        return _quality_swap_driver(dd, rep_hits, scores, reps_read)
     joiners = rep_hits.join(scores, ic).select(
         F.col("__rep").alias("rep_id"),
         F.col(ic).alias("__cand"),
         F.col("__sc"),
     )
+    # ONE bounded action probes the driver fast-path AND fetches both
+    # of its inputs: the joiner rows (limit cap+1 — the cap check runs
+    # on the collected length, so the semantics of the old count()
+    # gate are unchanged) tagged and unioned with the touched reps'
+    # current keepers. The previous count() + collect() + collect()
+    # trio of jobs folds into a single collect (guide §5: the
+    # per-batch fixed cost here is job count, not data — every input
+    # is batch-bounded). Beyond the cap the distributed arm runs
+    # unchanged on the uncollected frames.
+    probe = (
+        joiners.limit(driver_cap + 1)
+        .withColumn("__src", F.lit("j"))
+        .unionByName(
+            reps_read.select(
+                "rep_id",
+                F.col("__cur_keeper").alias("__cand"),
+                F.col("__cur_score").alias("__sc"),
+            ).withColumn("__src", F.lit("r"))
+        )
+        .collect()
+    )
+    jrows = [r for r in probe if r["__src"] == "j"]
+    if len(jrows) <= driver_cap:
+        rrows = [r for r in probe if r["__src"] == "r"]
+        return _quality_swap_driver(dd, rep_hits, jrows, rrows)
     # persisted: consumed by the swap decision AND the caller's
     # exact-pointer resolution — without the persist each consumer
     # re-scans the pruned reps partitions
@@ -189,24 +210,19 @@ def _quality_swap_join(
     return near_state, swaps_in, retro, winners, reps_read
 
 
-def _quality_swap_driver(dd, rep_hits, scores, reps_read):
-    """Driver arm of :func:`_quality_swap_join`: two bounded collects,
-    the same (−score nulls-last, id) min per rep in plain Python, and
-    literal decision frames. ``-0.0`` vs ``0.0`` ties fall through to
-    the id key in both engines (they compare equal); a NaN score ranks
-    last, like null (quality scores are finite by construction —
+def _quality_swap_driver(dd, rep_hits, jrows, rrows):
+    """Driver arm of :func:`_quality_swap_join`: pre-collected bounded
+    row lists (one folded job in the caller), the same (−score
+    nulls-last, id) min per rep in plain Python, and literal decision
+    frames. ``-0.0`` vs ``0.0`` ties fall through to the id key in
+    both engines (they compare equal); a NaN score ranks last, like
+    null (quality scores are finite by construction —
     `with_quality_score` emits rounded ratios)."""
     import math
 
     ic = dd.id_col
-    jrows = rep_hits.join(scores, ic).select(
-        F.col("__rep").alias("rep_id"),
-        F.col(ic).alias("__cand"),
-        F.col("__sc"),
-    ).collect()
-    rrows = reps_read.collect()
     cur_of = {
-        r["rep_id"]: (r["__cur_keeper"], r["__cur_score"]) for r in rrows
+        r["rep_id"]: (r["__cand"], r["__sc"]) for r in rrows
     }
 
     def k1(sc):
@@ -259,7 +275,7 @@ def _quality_swap_driver(dd, rep_hits, scores, reps_read):
     )
     reps_lit = spark.createDataFrame(
         [
-            (r["rep_id"], r["__cur_keeper"], r["__cur_score"])
+            (r["rep_id"], r["__cand"], r["__sc"])
             for r in rrows
         ],
         T.StructType(
@@ -270,6 +286,9 @@ def _quality_swap_driver(dd, rep_hits, scores, reps_read):
             ]
         ),
     )
+    # the retro count is known on the driver here — carry it so the
+    # caller's metrics skip the retro.count() Spark job (guide §5)
+    retro._southpaw_nrows = len(retro_rows)  # type: ignore[attr-defined]
     return near_state, swaps_in, retro, winners, reps_lit
 
 
@@ -731,21 +750,61 @@ class IncrementalDeduper:
         if swaps_in is not None:
             decisions = decisions.unionByName(swaps_in).unionByName(retro)
         decisions = decisions.persist()
-        # ONE action both materializes the persisted decision log (the
+        # ONE action materializes the persisted decision log (the
         # stability contract: state merges below must not be able to
-        # change what the caller reads) AND yields the per-status
-        # metric counts — the old separate count() + _bump_from
-        # groupBy ran the same cached scan twice (§30: fixed cost is
-        # job count)
+        # change what the caller reads), yields the per-status metric
+        # counts AND the touched-bucket ids the _SIGS/_REPS merges
+        # would otherwise each collect for themselves — three tagged
+        # branches over already-persisted frames unioned into a single
+        # bounded collect (guide §5: the per-batch fixed cost is job
+        # count, not data). The sig/reps keys are doc ids, so their
+        # state buckets are hash(id) — computable from the cached
+        # `kept` (and, in best_quality mode, the winners' rep ids)
+        # before any merge starts.
+        tagged = decisions.groupBy("status").agg(
+            F.count("*").alias("n")
+        ).select(
+            F.lit("s").alias("__src"), F.col("status").alias("__k"),
+            F.col("n"),
+        ).unionByName(
+            kept.select(
+                self.store._bucket_col([ic]).alias("__b")
+            ).distinct().select(
+                F.lit("k").alias("__src"),
+                F.col("__b").cast("string").alias("__k"),
+                F.lit(None).cast("long").alias("n"),
+            )
+        )
+        if winners is not None:
+            tagged = tagged.unionByName(
+                winners.select(
+                    self.store._bucket_col(["rep_id"]).alias("__b")
+                ).distinct().select(
+                    F.lit("w").alias("__src"),
+                    F.col("__b").cast("string").alias("__k"),
+                    F.lit(None).cast("long").alias("n"),
+                )
+            )
+        _rows = tagged.collect()
         status_counts = {
-            r["status"]: r["n"]
-            for r in decisions.groupBy("status")
-            .agg(F.count("*").alias("n"))
-            .collect()
+            r["__k"]: r["n"] for r in _rows if r["__src"] == "s"
         }
+        kept_bucket_ids = [
+            int(r["__k"]) for r in _rows if r["__src"] == "k"
+        ]
+        rep_bucket_ids = sorted(
+            set(kept_bucket_ids)
+            | {int(r["__k"]) for r in _rows if r["__src"] == "w"}
+        )
         # retro rows reference OLD docs, not batch docs — count them
         # (cheap: winners is persisted) so the metrics stay per-doc
-        n_retro = retro.count() if retro is not None else 0
+        n_retro = (
+            0 if retro is None
+            # driver fast-path carries the count — no Spark job
+            else getattr(retro, "_southpaw_nrows", None)
+        )
+        if n_retro is None:
+            n_retro = retro.count()
         self._prev_decisions = decisions
 
         # ---- state updates (reps only; in min_id mode the pointer
@@ -811,6 +870,9 @@ class IncrementalDeduper:
             )),
             (_SIGS, lambda: self.store.merge(
                 _SIGS, kept_sigs, None, [ic], commit=False,
+                # kept_sigs keys == kept ids; buckets folded into the
+                # decision-log collect above
+                touched_ids=kept_bucket_ids,
             )),
             (_BUCKETS, lambda: self.store.merge(
                 _BUCKETS, combined, None, ["band", "bucket"], commit=False,
@@ -840,6 +902,11 @@ class IncrementalDeduper:
             merge_jobs.append(
                 (_REPS, lambda: self.store.merge(
                     _REPS, reps_rows, None, ["rep_id"], commit=False,
+                    # reps_rows keys == kept ids ∪ winners' rep ids —
+                    # both bucket sets folded into the decision-log
+                    # collect above (bucket = hash(value), so the kept
+                    # ids' buckets are the same under either key name)
+                    touched_ids=rep_bucket_ids,
                 ))
             )
         with ThreadPoolExecutor(max_workers=len(merge_jobs)) as pool:
@@ -1301,7 +1368,13 @@ class IncrementalVectorDeduper:
             .agg(F.count("*").alias("n"))
             .collect()
         }
-        n_retro = retro.count() if retro is not None else 0
+        n_retro = (
+            0 if retro is None
+            # driver fast-path carries the count — no Spark job
+            else getattr(retro, "_southpaw_nrows", None)
+        )
+        if n_retro is None:
+            n_retro = retro.count()
         self._prev_decisions = decisions
 
         new_members = (
