@@ -138,6 +138,28 @@ class IncrementalDenormalizer:
                 return [jk]
         return key_cols
 
+    def _needs_pre_image(self, entity: str, key_cols: Sequence[str]) -> bool:
+        """Whether a delta batch for ``entity`` must read the previous
+        state rows (the pre-image). Two consumers exist: old-aware
+        filter rules (checked by the caller), and FK-repointing
+        detection — the old row's join-key value can differ from the
+        delta row's only when some tree node joins this entity on a
+        column OUTSIDE its primary key. When every node's join key is a
+        PK subset, the old row for a delta key carries the *same* join
+        key value by definition, so the delta's own keys (upserts and
+        tombstones alike) already name every foreign-key value the
+        rebuild must chase — the per-batch pre-image scan is pure
+        waste (guide §1.2: don't compute things you throw away)."""
+        kset = set(key_cols)
+        for rel in self.relations:
+            for node in rel.walk():
+                if node.entity != entity or node is rel:
+                    continue
+                jk = getattr(node, "join_key", None)
+                if jk is None or jk not in kset:
+                    return True
+        return False
+
     def _state_read(self, entity: str, version: int | None = None) -> DataFrame:
         if self.bucketed_reads:
             try:
@@ -287,6 +309,10 @@ class IncrementalDenormalizer:
                 cached.append(delta)
                 old_all: DataFrame | None = None
                 touched_ids: list | None = None
+                o_rules = self.old_filter_rules.get(entity, ())
+                need_old = bool(o_rules) or self._needs_pre_image(
+                    entity, key_cols
+                )
                 if self.store.exists(entity):
                     # One bounded (≤ n_buckets) collect per entity: the
                     # delta keys' state-bucket ids. Shared by the pruned
@@ -319,17 +345,24 @@ class IncrementalDenormalizer:
                         pre_image = pre_image.where(
                             F.col("__bucket").isin(touched_ids)
                         )
-                    old_all = (
-                        pre_image
-                        .join(
-                            F.broadcast(delta.select(*key_cols).distinct()),
-                            on=key_cols,
-                            how="left_semi",
+                    # the pre-image semi-join + cache runs only for
+                    # entities that actually consume it (old-aware
+                    # rules, or a tree join key outside the PK — see
+                    # _needs_pre_image); the bucket-id collect above
+                    # still feeds the merge's touched set either way
+                    if need_old:
+                        old_all = (
+                            pre_image
+                            .join(
+                                F.broadcast(
+                                    delta.select(*key_cols).distinct()
+                                ),
+                                on=key_cols,
+                                how="left_semi",
+                            )
+                            .cache()
                         )
-                        .cache()
-                    )
-                    cached.append(old_all)
-                o_rules = self.old_filter_rules.get(entity, ())
+                        cached.append(old_all)
                 if o_rules:
                     delta = apply_old_aware_rules(
                         delta, old_all, o_rules, key_cols, self.tombstone_col
@@ -432,10 +465,26 @@ class IncrementalDenormalizer:
                         contrib = delta_keys.select(*root_pks)
                     else:
                         jk = node.join_key
-                        fks = new_fk_values[entity].select(F.col(jk).alias(jk))
-                        if entity in old_rows:
-                            fks = fks.unionByName(
-                                old_rows[entity].select(F.col(jk).alias(jk))
+                        if (
+                            entity in old_rows
+                            or jk not in batch_keys[entity].columns
+                        ):
+                            fks = new_fk_values[entity].select(
+                                F.col(jk).alias(jk)
+                            )
+                            if entity in old_rows:
+                                fks = fks.unionByName(
+                                    old_rows[entity].select(
+                                        F.col(jk).alias(jk)
+                                    )
+                                )
+                        else:
+                            # join key ⊆ PK and no pre-image was read
+                            # (_needs_pre_image): the delta keys carry
+                            # every old AND new join-key value —
+                            # upserts and tombstones alike — directly
+                            fks = batch_keys[entity].select(
+                                F.col(jk).alias(jk)
                             )
                         fks = fks.where(F.col(jk).isNotNull()).distinct()
                         contrib = affected_root_keys(
