@@ -750,52 +750,24 @@ class IncrementalDeduper:
         if swaps_in is not None:
             decisions = decisions.unionByName(swaps_in).unionByName(retro)
         decisions = decisions.persist()
-        # ONE action materializes the persisted decision log (the
+        # ONE action both materializes the persisted decision log (the
         # stability contract: state merges below must not be able to
-        # change what the caller reads), yields the per-status metric
-        # counts AND the touched-bucket ids the _SIGS/_REPS merges
-        # would otherwise each collect for themselves — three tagged
-        # branches over already-persisted frames unioned into a single
-        # bounded collect (guide §5: the per-batch fixed cost is job
-        # count, not data). The sig/reps keys are doc ids, so their
-        # state buckets are hash(id) — computable from the cached
-        # `kept` (and, in best_quality mode, the winners' rep ids)
-        # before any merge starts.
-        tagged = decisions.groupBy("status").agg(
-            F.count("*").alias("n")
-        ).select(
-            F.lit("s").alias("__src"), F.col("status").alias("__k"),
-            F.col("n"),
-        ).unionByName(
-            kept.select(
-                self.store._bucket_col([ic]).alias("__b")
-            ).distinct().select(
-                F.lit("k").alias("__src"),
-                F.col("__b").cast("string").alias("__k"),
-                F.lit(None).cast("long").alias("n"),
-            )
-        )
-        if winners is not None:
-            tagged = tagged.unionByName(
-                winners.select(
-                    self.store._bucket_col(["rep_id"]).alias("__b")
-                ).distinct().select(
-                    F.lit("w").alias("__src"),
-                    F.col("__b").cast("string").alias("__k"),
-                    F.lit(None).cast("long").alias("n"),
-                )
-            )
-        _rows = tagged.collect()
+        # change what the caller reads) AND yields the per-status
+        # metric counts — the old separate count() + _bump_from
+        # groupBy ran the same cached scan twice (§30: fixed cost is
+        # job count). Deliberately NOT folded further: an r16
+        # experiment unioned the _SIGS/_REPS merges' touched-bucket
+        # collects into this action, but that moved work that the
+        # merge THREADS run overlapped onto this serial foreground
+        # job (jobs/batch 52→53, wall +1.2 s at sf0.1) — the merges'
+        # own collects are off the critical path, this collect is on
+        # it.
         status_counts = {
-            r["__k"]: r["n"] for r in _rows if r["__src"] == "s"
+            r["status"]: r["n"]
+            for r in decisions.groupBy("status")
+            .agg(F.count("*").alias("n"))
+            .collect()
         }
-        kept_bucket_ids = [
-            int(r["__k"]) for r in _rows if r["__src"] == "k"
-        ]
-        rep_bucket_ids = sorted(
-            set(kept_bucket_ids)
-            | {int(r["__k"]) for r in _rows if r["__src"] == "w"}
-        )
         # retro rows reference OLD docs, not batch docs — count them
         # (cheap: winners is persisted) so the metrics stay per-doc
         n_retro = (
@@ -870,9 +842,6 @@ class IncrementalDeduper:
             )),
             (_SIGS, lambda: self.store.merge(
                 _SIGS, kept_sigs, None, [ic], commit=False,
-                # kept_sigs keys == kept ids; buckets folded into the
-                # decision-log collect above
-                touched_ids=kept_bucket_ids,
             )),
             (_BUCKETS, lambda: self.store.merge(
                 _BUCKETS, combined, None, ["band", "bucket"], commit=False,
@@ -902,11 +871,6 @@ class IncrementalDeduper:
             merge_jobs.append(
                 (_REPS, lambda: self.store.merge(
                     _REPS, reps_rows, None, ["rep_id"], commit=False,
-                    # reps_rows keys == kept ids ∪ winners' rep ids —
-                    # both bucket sets folded into the decision-log
-                    # collect above (bucket = hash(value), so the kept
-                    # ids' buckets are the same under either key name)
-                    touched_ids=rep_bucket_ids,
                 ))
             )
         with ThreadPoolExecutor(max_workers=len(merge_jobs)) as pool:
