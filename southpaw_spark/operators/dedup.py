@@ -79,6 +79,12 @@ def auto_max_doc_freq(n_docs: int) -> int:
 #: ngram_jaccard_pairs.
 _EPS = 1e-7
 
+#: experiment toggle (tools/ab_d02_dfreq.py): force the doc-frequency
+#: attach join in ngram_jaccard_pairs to shuffled-hash instead of
+#: letting Catalyst pick. Left False after measurement — see the ABAB
+#: notes beside the join.
+_DFREQ_HINT = False
+
 
 def release(df: DataFrame) -> None:
     """Unpersist any intermediate frames an operator cached while
@@ -198,6 +204,8 @@ def ngram_jaccard_pairs(
         cap = max_doc_freq
     t = float(threshold)
     dfreq = sh.groupBy("sh").agg(F.count("*").alias("df_"))
+    if _DFREQ_HINT:
+        dfreq = dfreq.hint("shuffle_hash")
     tagged = sh.join(dfreq, "sh")
     # ONE per-doc aggregation carries everything downstream: the
     # rarity-sorted (df, hash) struct array yields the full shingle
@@ -779,8 +787,18 @@ def connected_components(
     raw = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint()
-    if driver_max_edges is not None and raw.count() <= driver_max_edges:
-        rows = raw.collect()
+    # One BOUNDED probe job replaces the former count() + collect()
+    # pair (guide §5: the per-batch fixed cost of the streaming callers
+    # is job count): limit(cap+1) can collect at most cap+1 edge rows
+    # off the checkpointed blocks, the cap check runs on the collected
+    # length, and the distributed fallback below never touches `rows` —
+    # identical gate semantics, one job instead of two.
+    rows = (
+        raw.limit(driver_max_edges + 1).collect()
+        if driver_max_edges is not None
+        else None
+    )
+    if rows is not None and len(rows) <= driver_max_edges:
         parent: dict = {}
 
         def find(x):

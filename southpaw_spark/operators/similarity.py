@@ -194,6 +194,16 @@ def ivf_kmeans_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # One shared scan for the three corpus passes (count, quantizer
+    # train input, cell assignment) instead of three parquet reads —
+    # guide §5 caching: reused AND cheaper than recompute; a per-run
+    # intermediate attached as ``_southpaw_cached`` (release() after
+    # materializing). Caching preserves partition count and row order,
+    # so the k-means|| sampling — and therefore every centroid — is
+    # bit-identical to the uncached plan (pinned in tests). The fit's
+    # per-iteration input is Spark ML's own internally persisted
+    # instances RDD either way; this cache only feeds its first pass.
+    corpus = corpus.cache()
     n = corpus.count()
     if n_cells is None:
         n_cells = max(2, min(4096, int(math.sqrt(n))))
@@ -244,7 +254,7 @@ def ivf_kmeans_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cosine"), 8).desc(), F.col("neighbor_id")
     )
-    return (
+    out = (
         joined.select("query_id", "neighbor_id", cos.alias("cosine"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where((F.col("rank") <= k) & F.col("cosine").isNotNull())
@@ -253,6 +263,8 @@ def ivf_kmeans_topk(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+    out._southpaw_cached = [corpus]  # type: ignore[attr-defined]
+    return out
 
 
 def cosine_topk_filtered(

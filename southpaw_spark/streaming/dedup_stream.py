@@ -50,7 +50,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -518,9 +518,18 @@ class IncrementalDeduper:
             F.col(ic), F.lit("exact_dup").alias("status"),
             F.col("keep_id").alias("keeper_id"),
         )
+        # within-batch keeper per distinct new content: min(id) over a
+        # hash-partitioned window — ONE exchange, where the previous
+        # groupBy + join-back re-shuffled `fresh` twice (guide §2.4:
+        # two operations keyed the same way share one exchange). The
+        # window key is a content hash, so partitions are collision-
+        # free (no skewed key is possible) and the rewrite is
+        # scale-safe; rows and downstream semantics are identical.
         fresh = with_prior.where(F.col("keep_id").isNull()).drop("keep_id")
-        batch_keeper = fresh.groupBy("content_hash").agg(F.min(ic).alias("__bk"))
-        fresh = fresh.join(batch_keeper, "content_hash")
+        fresh = fresh.withColumn(
+            "__bk",
+            F.min(ic).over(Window.partitionBy("content_hash")),
+        )
         exact_batch_dups = fresh.where(F.col(ic) != F.col("__bk")).select(
             F.col(ic), F.lit("exact_dup").alias("status"),
             F.col("__bk").alias("keeper_id"),

@@ -455,6 +455,40 @@ def test_ivf_kmeans_recall_and_plan(spark, sf_dir):
     assert all(v == 5 for v in per_q.values()), per_q
 
 
+def test_ivf_kmeans_cached_input_matches_uncached(spark, sf_dir):
+    """The r16 shared-scan cache inside ivf_kmeans_topk (corpus.cache()
+    feeding count, quantizer train and cell assignment) must be
+    output-invisible: caching preserves partition count and row order,
+    so the k-means|| init sampling — and therefore every centroid,
+    cell assignment and emitted neighbor — is identical to the
+    uncached plan."""
+    from pyspark.sql import DataFrame
+
+    from southpaw_spark.operators.similarity import ivf_kmeans_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cached = sorted(
+        map(tuple, ivf_kmeans_topk(
+            emb, queries, "embedding", "vec_id", k=5
+        ).collect())
+    )
+    spark.catalog.clearCache()
+    orig_cache = DataFrame.cache
+    DataFrame.cache = lambda self: self  # the pre-r16 (uncached) plan
+    try:
+        plain = sorted(
+            map(tuple, ivf_kmeans_topk(
+                emb, queries, "embedding", "vec_id", k=5
+            ).collect())
+        )
+    finally:
+        DataFrame.cache = orig_cache
+    assert cached == plain
+
+
 def test_ann_index_build_query_parity(spark, sf_dir, tmp_path):
     """A persisted index answers identically to the in-memory ivf_topk
     when built with the same planes (same seed/n_planes/dim ⇒ identical
