@@ -81,8 +81,11 @@ _EPS = 1e-7
 
 #: experiment toggle (tools/ab_d02_dfreq.py): force the doc-frequency
 #: attach join in ngram_jaccard_pairs to shuffled-hash instead of
-#: letting Catalyst pick. Left False after measurement — see the ABAB
-#: notes beside the join.
+#: letting Catalyst pick. Measured FLAT same-JVM ABAB at sf0.1 (r16:
+#: quiet walls 3.0/3.3 s hinted vs 3.2/3.2 s Catalyst), and unlike the
+#: post-collect_list estimates, the post-groupBy dfreq estimate grows
+#: with input size, so Catalyst's broadcast flips to a partitioned
+#: join on its own at scale — left False (Catalyst decides).
 _DFREQ_HINT = False
 
 
